@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Forces the JAX CPU backend with 8 virtual devices BEFORE jax initializes, so
+the sharding/collective tests exercise a real multi-device mesh without TPUs
+(the reference had nothing distributed to test; see SURVEY.md section 4).
+bench.py runs in its own process and still sees the real TPU.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))

@@ -1,0 +1,298 @@
+"""Chunker tests: all four strategies, filtering, splitting, dedup, stats."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from tpu_search.ingest.chunker import Chunk, ChunkingConfig, ConversationChunker
+from tpu_search.ingest.parser import Conversation, Message
+
+T0 = datetime(2024, 1, 15, 10, 0, tzinfo=timezone.utc)
+
+
+def make_message(uuid, role, content, minutes=0, tool_calls=None, tool_results=None):
+    return Message(
+        uuid=uuid,
+        content=content,
+        timestamp=T0 + timedelta(minutes=minutes),
+        role=role,
+        tool_calls=tool_calls or [],
+        tool_results=tool_results or [],
+        has_code="```" in content or "`" in content or "<code>" in content,
+    )
+
+
+def make_conversation(messages, session_id="sess-1", project="projX"):
+    return Conversation(
+        session_id=session_id,
+        messages=messages,
+        project_name=project,
+        file_path="/tmp/projX/conv.jsonl",
+        created_at=messages[0].timestamp if messages else T0,
+        updated_at=messages[-1].timestamp if messages else T0,
+        total_messages=len(messages),
+    )
+
+
+@pytest.fixture
+def chunker():
+    return ConversationChunker()
+
+
+LONG_Q = "How do I write a parser for JSONL conversation files in Python? " * 3
+LONG_A = (
+    "You read the file line by line, json.loads each line, and accumulate "
+    "structured message objects with timestamps and roles. " * 3
+)
+
+
+class TestQAChunks:
+    def test_basic_pair(self, chunker):
+        conv = make_conversation(
+            [
+                make_message("u1", "user", LONG_Q),
+                make_message("a1", "assistant", LONG_A, minutes=1),
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        qa = [c for c in chunks if c.metadata["chunk_type"] == "qa_pair"]
+        assert len(qa) == 1
+        assert "User:" in qa[0].text and "Assistant:" in qa[0].text
+        assert qa[0].metadata["session_id"] == "sess-1"
+        assert qa[0].metadata["project_name"] == "projX"
+        assert qa[0].metadata["message_uuids"] == ["u1", "a1"]
+        assert qa[0].metadata["roles"] == ["user", "assistant"]
+
+    def test_context_prefix_included(self, chunker):
+        conv = make_conversation(
+            [
+                make_message("u0", "user", "Earlier question about something" * 3),
+                make_message("a0", "assistant", "Earlier answer " * 10, minutes=1),
+                make_message("u1", "user", LONG_Q, minutes=2),
+                make_message("a1", "assistant", LONG_A, minutes=3),
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        qa = [c for c in chunks if c.metadata["chunk_type"] == "qa_pair"]
+        assert any("[Context]" in c.text for c in qa)
+
+    def test_context_disabled(self):
+        chunker = ConversationChunker(ChunkingConfig(preserve_context=False))
+        conv = make_conversation(
+            [
+                make_message("u0", "user", "Earlier question " * 10),
+                make_message("a0", "assistant", "Earlier answer " * 10, minutes=1),
+                make_message("u1", "user", LONG_Q, minutes=2),
+                make_message("a1", "assistant", LONG_A, minutes=3),
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        assert not any("[Context]" in c.text for c in chunks)
+
+    def test_min_size_filter(self):
+        chunker = ConversationChunker(ChunkingConfig(min_chunk_size=100))
+        conv = make_conversation(
+            [
+                make_message("u1", "user", "hi"),
+                make_message("a1", "assistant", "yo", minutes=1),
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        assert [c for c in chunks if c.metadata["chunk_type"] == "qa_pair"] == []
+
+    def test_oversize_split(self):
+        chunker = ConversationChunker(ChunkingConfig(max_chunk_size=500))
+        conv = make_conversation(
+            [
+                make_message("u1", "user", "word " * 200),
+                make_message("a1", "assistant", "reply " * 200, minutes=1),
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        split = [c for c in chunks if c.metadata["chunk_type"] == "qa_pair_split"]
+        assert len(split) >= 2
+        assert all(len(c.text) <= 500 for c in split)
+
+
+class TestMessageFiltering:
+    def test_unknown_role_dropped(self, chunker):
+        messages = [
+            make_message("s", "unknown", "system noise " * 20),
+            make_message("u1", "user", LONG_Q, minutes=1),
+            make_message("a1", "assistant", LONG_A, minutes=2),
+        ]
+        filtered = chunker._filter_messages(messages)
+        assert [m.uuid for m in filtered] == ["u1", "a1"]
+
+    @pytest.mark.parametrize(
+        "noise",
+        [
+            "PreToolUse hook fired for Bash",
+            "see .claude/hooks/format.sh",
+            "hooks.json was updated",
+            "PostToolUse: formatting complete",
+            "Tool use: Read file",
+            "System: restarting",
+            "Completed successfully: lint",
+        ],
+    )
+    def test_noise_messages_dropped(self, chunker, noise):
+        messages = [make_message("n", "user", noise)]
+        assert chunker._filter_messages(messages) == []
+
+
+class TestCodeChunks:
+    def test_code_block_chunk(self, chunker):
+        code = "\n".join(f"line_{i} = {i}" for i in range(8))
+        content = f"Here is the function:\n```python\n{code}\n```\nHope that helps."
+        conv = make_conversation(
+            [
+                make_message("u1", "user", "show me code " * 10),
+                make_message("a1", "assistant", content, minutes=1),
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        code_chunks = [c for c in chunks if c.metadata["chunk_type"] == "code_block"]
+        # One fenced python chunk; the inline-code regex may also fire on the
+        # fence markers (reference parity: src/chunker.py:417-427).
+        python_chunks = [c for c in code_chunks if c.metadata["language"] == "python"]
+        assert len(python_chunks) == 1
+        meta = python_chunks[0].metadata
+        assert meta["code_lines"] >= 8
+        assert "Here is the function:" in python_chunks[0].text
+
+    def test_short_code_blocks_skipped(self, chunker):
+        conv = make_conversation(
+            [make_message("a1", "assistant", "short: ```python\nx=1\n```")]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        assert [c for c in chunks if c.metadata["chunk_type"] == "code_block"] == []
+
+    def test_long_inline_code_detected(self, chunker):
+        # inline code > 20 chars counts, but needs >= threshold lines; single
+        # line inline snippets never form code chunks
+        conv = make_conversation(
+            [
+                make_message(
+                    "a1",
+                    "assistant",
+                    "run `python -m pytest tests/ --cov=src --verbose` now",
+                )
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        assert [c for c in chunks if c.metadata["chunk_type"] == "code_block"] == []
+
+
+class TestToolChunks:
+    def test_tool_chunk(self, chunker):
+        conv = make_conversation(
+            [
+                make_message(
+                    "a1",
+                    "assistant",
+                    "Let me inspect the repository structure for you now. " * 3,
+                    tool_calls=[{"name": "LS", "input": {"path": "/repo"}}],
+                    tool_results=[{"output": "src/ tests/ README.md"}],
+                )
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        tool = [c for c in chunks if c.metadata["chunk_type"] == "tool_usage"]
+        assert len(tool) == 1
+        assert "Tool Calls:" in tool[0].text
+        assert "Tool Results:" in tool[0].text
+        assert tool[0].metadata["tools_used"] == ["LS"]
+        assert tool[0].metadata["has_results"] is True
+
+    def test_tool_results_excluded_by_config(self):
+        chunker = ConversationChunker(ChunkingConfig(include_tool_results=False))
+        conv = make_conversation(
+            [
+                make_message(
+                    "a1",
+                    "assistant",
+                    "Checking the files in the project directory now. " * 3,
+                    tool_calls=[{"name": "LS"}],
+                    tool_results=[{"output": "secret"}],
+                )
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        tool = [c for c in chunks if c.metadata["chunk_type"] == "tool_usage"]
+        assert tool and "Tool Results:" not in tool[0].text
+
+
+class TestContextSegments:
+    def test_segment_created_for_long_exchange(self, chunker):
+        messages = [
+            make_message(f"m{i}", "user" if i % 2 == 0 else "assistant",
+                         f"message number {i} about debugging " * 3, minutes=i)
+            for i in range(6)
+        ]
+        conv = make_conversation(messages)
+        chunks = chunker.chunk_conversation(conv)
+        segs = [c for c in chunks if c.metadata["chunk_type"] == "context_segment"]
+        assert len(segs) >= 1
+
+    def test_time_gap_splits_segments(self, chunker):
+        spans = chunker._segment_spans(
+            [
+                make_message("a", "user", "one", minutes=0),
+                make_message("b", "assistant", "two", minutes=1),
+                make_message("c", "user", "three", minutes=2),
+                # > 30 min gap
+                make_message("d", "user", "four", minutes=60),
+                make_message("e", "assistant", "five", minutes=61),
+                make_message("f", "user", "six", minutes=62),
+            ]
+        )
+        assert len(spans) == 2
+
+
+class TestDedupAndStats:
+    def test_duplicate_chunks_removed(self, chunker):
+        a = Chunk(id="1", text="same text", metadata={})
+        b = Chunk(id="2", text="same text", metadata={})
+        c = Chunk(id="3", text="other", metadata={})
+        assert [x.id for x in chunker._deduplicate([a, b, c])] == ["1", "3"]
+
+    def test_chunk_ids_sequential(self, chunker):
+        c1 = chunker._make_chunk("x" * 50, "qa_pair", None, [])
+        c2 = chunker._make_chunk("y" * 50, "qa_pair", None, [])
+        assert c1.id == "chunk_000001"
+        assert c2.id == "chunk_000002"
+
+    def test_invalid_text_rejected(self, chunker):
+        assert chunker._make_chunk(None, "qa_pair", None, []) is None
+        assert chunker._make_chunk("   ", "qa_pair", None, []) is None
+        got = chunker._make_chunk(12345, "qa_pair", None, [])
+        assert got is not None and got.text == "12345"
+
+    def test_stats(self, chunker):
+        conv = make_conversation(
+            [
+                make_message("u1", "user", LONG_Q),
+                make_message("a1", "assistant", LONG_A, minutes=1),
+            ]
+        )
+        chunks = chunker.chunk_conversation(conv)
+        stats = chunker.get_chunk_stats(chunks)
+        assert stats["total_chunks"] == len(chunks)
+        assert stats["avg_chunk_size"] > 0
+        assert sum(stats["chunk_types"].values()) == len(chunks)
+
+    def test_stats_empty(self, chunker):
+        assert chunker.get_chunk_stats([]) == {}
+
+
+class TestConfigDefaults:
+    def test_defaults_contract(self):
+        cfg = ChunkingConfig()
+        assert cfg.max_chunk_size == 2000
+        assert cfg.context_window == 2
+        assert cfg.overlap_size == 200
+        assert cfg.min_chunk_size == 100
+        assert cfg.code_block_threshold == 5
+        assert cfg.include_tool_results is True
+        assert cfg.preserve_context is True

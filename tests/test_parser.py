@@ -1,0 +1,283 @@
+"""Parser tests: field extraction tolerance, timestamp matrix, file parsing.
+
+Mirrors the reference test strategy (reference: tests/test_parser.py) — pure
+unit tests on dict fixtures plus tmp JSONL files.
+"""
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from tpu_search.ingest.parser import JSONLParser, Message
+
+
+@pytest.fixture
+def parser():
+    return JSONLParser()
+
+
+def _msg(parser, data):
+    msg = parser._parse_message(data)
+    assert msg is not None
+    return msg
+
+
+class TestMessageParsing:
+    def test_basic_fields(self, parser):
+        msg = _msg(
+            parser,
+            {
+                "uuid": "u1",
+                "role": "user",
+                "content": "hello world",
+                "timestamp": "2024-01-15T10:30:00Z",
+                "parentUuid": "u0",
+            },
+        )
+        assert msg.uuid == "u1"
+        assert msg.role == "user"
+        assert msg.content == "hello world"
+        assert msg.parent_uuid == "u0"
+        assert msg.timestamp == datetime(2024, 1, 15, 10, 30, tzinfo=timezone.utc)
+
+    def test_nested_message_role_and_content(self, parser):
+        msg = _msg(
+            parser,
+            {
+                "uuid": "u2",
+                "message": {"role": "assistant", "content": "nested content"},
+                "timestamp": "2024-01-15T10:30:00Z",
+            },
+        )
+        assert msg.role == "assistant"
+        assert msg.content == "nested content"
+
+    def test_content_blocks(self, parser):
+        msg = _msg(
+            parser,
+            {
+                "message": {
+                    "role": "assistant",
+                    "content": [
+                        {"type": "text", "text": "look:"},
+                        {"type": "code", "language": "python", "text": "print(1)"},
+                        "trailing string",
+                    ],
+                }
+            },
+        )
+        assert "look:" in msg.content
+        assert "```python\nprint(1)\n```" in msg.content
+        assert "trailing string" in msg.content
+        assert msg.has_code
+
+    def test_content_fallback_fields(self, parser):
+        assert _msg(parser, {"text": "from text"}).content == "from text"
+        assert _msg(parser, {"body": "from body"}).content == "from body"
+        assert _msg(parser, {"content": {"text": "inner"}}).content == "inner"
+        assert _msg(parser, {"content": {"message": "msg"}}).content == "msg"
+
+    def test_missing_content_is_empty(self, parser):
+        assert _msg(parser, {"uuid": "x"}).content == ""
+
+    def test_unknown_role_default(self, parser):
+        assert _msg(parser, {"content": "hi"}).role == "unknown"
+
+
+class TestTimestampFormats:
+    @pytest.mark.parametrize(
+        "value, expected",
+        [
+            ("2024-01-15T10:30:00Z", datetime(2024, 1, 15, 10, 30, tzinfo=timezone.utc)),
+            (
+                "2024-01-15T10:30:00+00:00",
+                datetime(2024, 1, 15, 10, 30, tzinfo=timezone.utc),
+            ),
+            # Naive ISO assumed UTC
+            ("2024-01-15T10:30:00", datetime(2024, 1, 15, 10, 30, tzinfo=timezone.utc)),
+            # Epoch milliseconds as string
+            ("1705314600000", datetime(2024, 1, 15, 10, 30, tzinfo=timezone.utc)),
+            # Epoch seconds as number
+            (1705314600, datetime(2024, 1, 15, 10, 30, tzinfo=timezone.utc)),
+            # Epoch milliseconds as number (> 1e10)
+            (1705314600000, datetime(2024, 1, 15, 10, 30, tzinfo=timezone.utc)),
+        ],
+    )
+    def test_formats(self, parser, value, expected):
+        msg = _msg(parser, {"content": "x", "timestamp": value})
+        assert msg.timestamp == expected
+
+    @pytest.mark.parametrize("field", ["timestamp", "created_at", "createdAt", "time"])
+    def test_field_aliases(self, parser, field):
+        msg = _msg(parser, {"content": "x", field: "2024-01-15T10:30:00Z"})
+        assert msg.timestamp.year == 2024
+
+    def test_timezone_preserved(self, parser):
+        msg = _msg(parser, {"content": "x", "timestamp": "2024-01-15T10:30:00+05:00"})
+        assert msg.timestamp.utcoffset().total_seconds() == 5 * 3600
+
+    def test_missing_timestamp_defaults_to_now(self, parser):
+        before = datetime.now(timezone.utc)
+        msg = _msg(parser, {"content": "x"})
+        after = datetime.now(timezone.utc)
+        assert before <= msg.timestamp <= after
+
+
+class TestToolExtraction:
+    def test_snake_and_camel_tool_calls(self, parser):
+        snake = _msg(parser, {"content": "x", "tool_calls": [{"name": "Bash"}]})
+        camel = _msg(parser, {"content": "x", "toolCalls": [{"name": "Read"}]})
+        assert snake.tool_calls == [{"name": "Bash"}]
+        assert camel.tool_calls == [{"name": "Read"}]
+
+    def test_function_call_variants(self, parser):
+        fc = _msg(parser, {"content": "x", "function_call": {"name": "f"}})
+        fcc = _msg(parser, {"content": "x", "functionCall": {"name": "g"}})
+        assert fc.tool_calls == [{"name": "f"}]
+        assert fcc.tool_calls == [{"name": "g"}]
+
+    def test_tool_results(self, parser):
+        msg = _msg(
+            parser,
+            {
+                "content": "x",
+                "tool_results": [{"output": "ok"}],
+                "function_result": {"output": "fr"},
+            },
+        )
+        assert {"output": "ok"} in msg.tool_results
+        assert {"output": "fr"} in msg.tool_results
+
+
+class TestCodeDetection:
+    @pytest.mark.parametrize(
+        "content, expected",
+        [
+            ("```python\nx=1\n```", True),
+            ("use `foo()` here", True),
+            ("<code>bar</code>", True),
+            ("plain text only", False),
+        ],
+    )
+    def test_has_code(self, parser, content, expected):
+        assert _msg(parser, {"content": content}).has_code is expected
+
+
+class TestSessionId:
+    @pytest.mark.parametrize(
+        "field", ["sessionId", "session_id", "conversation_id", "thread_id"]
+    )
+    def test_session_fields(self, parser, field, tmp_path):
+        path = tmp_path / "proj" / "conv.jsonl"
+        path.parent.mkdir()
+        path.write_text(
+            json.dumps({"content": "hello", "role": "user", field: "sess-42"}) + "\n"
+        )
+        conv = parser.parse_file(str(path))
+        assert conv.session_id == "sess-42"
+
+    def test_fallback_session_id(self, parser, tmp_path):
+        path = tmp_path / "proj" / "conv.jsonl"
+        path.parent.mkdir()
+        path.write_text(
+            json.dumps(
+                {"content": "x", "role": "user", "timestamp": "2024-01-15T10:30:00Z"}
+            )
+            + "\n"
+        )
+        conv = parser.parse_file(str(path))
+        assert conv.session_id.startswith("session_2024-01-15")
+
+
+class TestParseFile:
+    def _write(self, tmp_path, lines, name="conv.jsonl", project="my-project"):
+        proj = tmp_path / project
+        proj.mkdir(exist_ok=True)
+        path = proj / name
+        path.write_text("\n".join(lines))
+        return path
+
+    def test_parse_roundtrip(self, parser, tmp_path):
+        path = self._write(
+            tmp_path,
+            [
+                json.dumps(
+                    {
+                        "uuid": "a",
+                        "role": "user",
+                        "content": "question?",
+                        "timestamp": "2024-01-15T10:00:00Z",
+                        "sessionId": "s1",
+                    }
+                ),
+                json.dumps(
+                    {
+                        "uuid": "b",
+                        "role": "assistant",
+                        "content": "answer with ```code```",
+                        "timestamp": "2024-01-15T10:01:00Z",
+                    }
+                ),
+            ],
+        )
+        conv = parser.parse_file(str(path))
+        assert conv.total_messages == 2
+        assert conv.project_name == "my-project"
+        assert conv.session_id == "s1"
+        assert conv.has_code_blocks
+        assert conv.created_at < conv.updated_at
+
+    def test_messages_sorted_by_timestamp(self, parser, tmp_path):
+        path = self._write(
+            tmp_path,
+            [
+                json.dumps(
+                    {"uuid": "late", "role": "user", "content": "second",
+                     "timestamp": "2024-01-15T11:00:00Z"}
+                ),
+                json.dumps(
+                    {"uuid": "early", "role": "user", "content": "first",
+                     "timestamp": "2024-01-15T10:00:00Z"}
+                ),
+            ],
+        )
+        conv = parser.parse_file(str(path))
+        assert [m.uuid for m in conv.messages] == ["early", "late"]
+
+    def test_invalid_json_lines_skipped(self, parser, tmp_path, capsys):
+        path = self._write(
+            tmp_path,
+            [
+                "{not valid json",
+                json.dumps({"role": "user", "content": "valid"}),
+                "",
+            ],
+        )
+        conv = parser.parse_file(str(path))
+        assert conv.total_messages == 1
+        assert "Invalid JSON" in capsys.readouterr().out
+
+    def test_empty_file_returns_none(self, parser, tmp_path):
+        path = self._write(tmp_path, [""])
+        assert parser.parse_file(str(path)) is None
+
+    def test_missing_file_returns_none(self, parser, capsys):
+        assert parser.parse_file("/nonexistent/file.jsonl") is None
+        assert "Error parsing" in capsys.readouterr().out
+
+
+class TestScanDirectory:
+    def test_scan_yields_conversations(self, parser, tmp_path):
+        for project in ("p1", "p2"):
+            d = tmp_path / project
+            d.mkdir()
+            (d / "c.jsonl").write_text(
+                json.dumps({"role": "user", "content": f"hello {project}"}) + "\n"
+            )
+        convs = list(parser.scan_directory(str(tmp_path)))
+        assert sorted(c.project_name for c in convs) == ["p1", "p2"]
+
+    def test_scan_missing_directory_raises(self, parser):
+        with pytest.raises(FileNotFoundError):
+            list(parser.scan_directory("/nonexistent/dir"))

@@ -1,0 +1,13 @@
+"""Host-side ingestion: JSONL parsing and semantic chunking."""
+
+from .chunker import Chunk, ChunkingConfig, ConversationChunker
+from .parser import Conversation, JSONLParser, Message
+
+__all__ = [
+    "Chunk",
+    "ChunkingConfig",
+    "ConversationChunker",
+    "Conversation",
+    "JSONLParser",
+    "Message",
+]

@@ -1,0 +1,411 @@
+"""Semantic chunking of conversations for embedding.
+
+Behavioral parity with the reference chunker (reference: src/chunker.py:16-599):
+four strategies (Q&A pairs, extended context segments, code blocks, tool usage),
+message filtering (unknown roles, Claude Code hook chatter, system tool noise),
+oversize splitting, hash dedup and per-chunk metadata.
+
+Sequence-length policy lives HERE, not in the encoder: the TPU encoder runs
+fixed-shape jitted graphs, so the chunker caps text size up front
+(``max_chunk_size``) and the encoder only buckets/pads (see
+tpu_search/models/encoder.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .parser import Conversation, Message
+
+__all__ = ["Chunk", "ChunkingConfig", "ConversationChunker"]
+
+
+@dataclass
+class Chunk:
+    """A semantic unit destined for embedding (reference: src/chunker.py:16)."""
+
+    id: str
+    text: str
+    metadata: Dict[str, Any] = field(default_factory=dict)
+    embedding: Optional[List[float]] = None
+
+
+@dataclass
+class ChunkingConfig:
+    """Chunking knobs; defaults are the contract (reference: src/chunker.py:26)."""
+
+    max_chunk_size: int = 2000  # max characters per chunk
+    context_window: int = 2  # previous messages included as context
+    overlap_size: int = 200  # character overlap between split chunks
+    min_chunk_size: int = 100  # minimum characters per chunk
+    code_block_threshold: int = 5  # min lines for a dedicated code chunk
+    include_tool_results: bool = True
+    preserve_context: bool = True
+
+
+# -- message noise filters ---------------------------------------------------
+
+_HOOK_INDICATORS = (
+    # Claude Code hook event names
+    "pretooluse",
+    "posttooluse",
+    "notification",
+    "stop",
+    "subagentstop",
+    # hook file paths / config markers
+    ".claude/hooks/",
+    "hook:",
+    "hooks.json",
+    "claude code hook",
+)
+
+_SYSTEM_TOOL_MARKERS = (
+    "pretooluse:",
+    "posttooluse:",
+    "completed successfully:",
+    "tool use:",
+    "system:",
+)
+
+_FENCED_CODE_RE = re.compile(r"```(\w+)?\n(.*?)```", re.DOTALL)
+_INLINE_CODE_RE = re.compile(r"`([^`]+)`")
+
+_TOPIC_SHIFT_WORDS = ("now", "next", "different", "instead", "change", "new topic")
+
+
+def _is_hook_message(message: Message) -> bool:
+    content = message.content.lower()
+    return any(marker in content for marker in _HOOK_INDICATORS)
+
+
+def _is_system_tool_message(message: Message) -> bool:
+    content = message.content.lower()
+    return any(marker in content for marker in _SYSTEM_TOOL_MARKERS)
+
+
+def _extract_code_blocks(content: str) -> List[Dict[str, Any]]:
+    """Find fenced code blocks plus long inline code spans."""
+    blocks: List[Dict[str, Any]] = []
+    for match in _FENCED_CODE_RE.finditer(content):
+        blocks.append(
+            {
+                "language": match.group(1) or "text",
+                "code": match.group(2),
+                "raw": match.group(0),
+            }
+        )
+    for match in _INLINE_CODE_RE.finditer(content):
+        code = match.group(1)
+        if len(code) > 20:
+            blocks.append({"language": "text", "code": code, "raw": match.group(0)})
+    return blocks
+
+
+def _stamp(message: Message) -> str:
+    return message.timestamp.strftime("%Y-%m-%d %H:%M")
+
+
+class ConversationChunker:
+    """Builds embedding-ready chunks from a conversation (reference: src/chunker.py:39)."""
+
+    def __init__(self, config: Optional[ChunkingConfig] = None) -> None:
+        self.config = config or ChunkingConfig()
+        self.chunk_counter = 0
+
+    # -- public API ---------------------------------------------------------
+
+    def chunk_conversation(self, conversation: Conversation) -> List[Chunk]:
+        """Run all four strategies then dedup by exact text."""
+        chunks: List[Chunk] = []
+        chunks.extend(self._qa_chunks(conversation))
+        chunks.extend(self._context_chunks(conversation))
+        chunks.extend(self._code_chunks(conversation))
+        chunks.extend(self._tool_chunks(conversation))
+        return self._deduplicate(chunks)
+
+    def get_chunk_stats(self, chunks: Sequence[Chunk]) -> Dict[str, Any]:
+        """Histogram + size stats over a chunk batch (reference: src/chunker.py:577)."""
+        if not chunks:
+            return {}
+        by_type: Dict[str, int] = {}
+        total_chars = 0
+        total_words = 0
+        for chunk in chunks:
+            kind = chunk.metadata.get("chunk_type", "unknown")
+            by_type[kind] = by_type.get(kind, 0) + 1
+            total_chars += chunk.metadata.get("char_count", 0)
+            total_words += chunk.metadata.get("word_count", 0)
+        n = len(chunks)
+        return {
+            "total_chunks": n,
+            "chunk_types": by_type,
+            "total_characters": total_chars,
+            "total_words": total_words,
+            "avg_chunk_size": total_chars / n,
+            "avg_words_per_chunk": total_words / n,
+        }
+
+    # -- strategy 1: question/answer pairs ----------------------------------
+
+    def _qa_chunks(self, conversation: Conversation) -> List[Chunk]:
+        chunks: List[Chunk] = []
+        messages = self._filter_messages(conversation.messages)
+        for i in range(len(messages) - 1):
+            user_msg, assistant_msg = messages[i], messages[i + 1]
+            if user_msg.role != "user" or assistant_msg.role != "assistant":
+                continue
+
+            text = (
+                f"[{_stamp(user_msg)}] User: {user_msg.content}\n\n"
+                f"Assistant: {assistant_msg.content}"
+            )
+            if self.config.preserve_context:
+                context = self._context_prefix(messages, i)
+                if context:
+                    text = f"{context}\n\n{text}"
+
+            if len(text) > self.config.max_chunk_size:
+                chunks.extend(self._split_oversize(text, user_msg, assistant_msg))
+            elif len(text) >= self.config.min_chunk_size:
+                chunk = self._make_chunk(
+                    text, "qa_pair", conversation, [user_msg, assistant_msg]
+                )
+                if chunk:
+                    chunks.append(chunk)
+        return chunks
+
+    def _context_prefix(self, messages: List[Message], idx: int) -> str:
+        """Previous-message context, each truncated to 200 chars."""
+        window = self.config.context_window
+        if idx == 0 or window == 0:
+            return ""
+        parts = []
+        for msg in messages[max(0, idx - window) : idx]:
+            content = msg.content
+            if len(content) > 200:
+                content = content[:200] + "..."
+            parts.append(f"[Context] {msg.role.title()}: {content}")
+        return "\n".join(parts)
+
+    # -- strategy 2: extended context segments ------------------------------
+
+    def _context_chunks(self, conversation: Conversation) -> List[Chunk]:
+        chunks: List[Chunk] = []
+        messages = self._filter_messages(conversation.messages)
+        for start, end in self._segment_spans(messages):
+            segment = messages[start : end + 1]
+            text = "\n\n".join(
+                f"[{_stamp(m)}] {m.role.title()}: {m.content}" for m in segment
+            )
+            if self.config.min_chunk_size <= len(text) <= self.config.max_chunk_size:
+                chunk = self._make_chunk(text, "context_segment", conversation, segment)
+                if chunk:
+                    chunks.append(chunk)
+        return chunks
+
+    def _segment_spans(self, messages: List[Message]) -> List[Tuple[int, int]]:
+        """Split on time gaps / topic shifts; keep segments of >=3 messages."""
+        spans: List[Tuple[int, int]] = []
+        current: List[int] = []
+        for i in range(len(messages)):
+            if self._is_boundary(messages, i):
+                if len(current) >= 3:
+                    spans.append((current[0], current[-1]))
+                current = [i]
+            else:
+                current.append(i)
+        if len(current) >= 3:
+            spans.append((current[0], current[-1]))
+        return spans
+
+    def _is_boundary(self, messages: List[Message], idx: int) -> bool:
+        if idx == 0:
+            return True
+        cur, prev = messages[idx], messages[idx - 1]
+        if cur.timestamp - prev.timestamp > timedelta(minutes=30):
+            return True
+        if cur.role == "user" and len(cur.content) > 100:
+            lowered = cur.content.lower()
+            if any(word in lowered for word in _TOPIC_SHIFT_WORDS):
+                return True
+        return False
+
+    # -- strategy 3: code blocks --------------------------------------------
+
+    def _code_chunks(self, conversation: Conversation) -> List[Chunk]:
+        chunks: List[Chunk] = []
+        for message in self._filter_messages(conversation.messages):
+            if not message.has_code:
+                continue
+            for block in _extract_code_blocks(message.content):
+                n_lines = len(block["code"].split("\n"))
+                if n_lines < self.config.code_block_threshold:
+                    continue
+                chunk = self._make_chunk(
+                    self._format_code_chunk(message, block),
+                    "code_block",
+                    conversation,
+                    [message],
+                    extra={"language": block.get("language", "unknown"),
+                           "code_lines": n_lines},
+                )
+                if chunk:
+                    chunks.append(chunk)
+        return chunks
+
+    def _format_code_chunk(self, message: Message, block: Dict[str, Any]) -> str:
+        content = message.content
+        at = content.find(block["raw"])
+        before = content[:at].strip()
+        after = content[at + len(block["raw"]) :].strip()
+
+        text = f"[{_stamp(message)}] {message.role.title()}:\n"
+        if before:
+            text += f"{before}\n\n"
+        text += f"```{block.get('language', '')}\n{block['code']}\n```"
+        if after:
+            text += f"\n\n{after}"
+        return text
+
+    # -- strategy 4: tool usage ---------------------------------------------
+
+    def _tool_chunks(self, conversation: Conversation) -> List[Chunk]:
+        chunks: List[Chunk] = []
+        for message in self._filter_messages(conversation.messages):
+            if not (message.tool_calls or message.tool_results):
+                continue
+            text = self._format_tool_chunk(message)
+            if len(text) < self.config.min_chunk_size:
+                continue
+            chunk = self._make_chunk(
+                text,
+                "tool_usage",
+                conversation,
+                [message],
+                extra={
+                    "tools_used": [
+                        call.get("name", "unknown") for call in message.tool_calls
+                    ],
+                    "has_results": bool(message.tool_results),
+                },
+            )
+            if chunk:
+                chunks.append(chunk)
+        return chunks
+
+    def _format_tool_chunk(self, message: Message) -> str:
+        text = f"[{_stamp(message)}] {message.role.title()}: {message.content}\n\n"
+        if message.tool_calls:
+            text += "Tool Calls:\n"
+            for i, call in enumerate(message.tool_calls, 1):
+                text += f"{i}. {call.get('name', 'unknown')}\n"
+                if "input" in call:
+                    text += f"   Input: {call['input']}\n"
+        if message.tool_results and self.config.include_tool_results:
+            text += "\nTool Results:\n"
+            for i, result in enumerate(message.tool_results, 1):
+                text += f"{i}. {result.get('output', 'No output')}\n"
+        return text
+
+    # -- shared plumbing -----------------------------------------------------
+
+    def _filter_messages(self, messages: List[Message]) -> List[Message]:
+        """Drop unknown-role, hook-related, and system tool messages."""
+        return [
+            m
+            for m in messages
+            if m.role != "unknown"
+            and not _is_hook_message(m)
+            and not _is_system_tool_message(m)
+        ]
+
+    def _split_oversize(
+        self, text: str, user_msg: Message, assistant_msg: Message
+    ) -> List[Chunk]:
+        """Split oversize Q&A text by paragraph, else by words."""
+        limit = self.config.max_chunk_size
+        paragraphs = text.split("\n\n")
+        by_words = len(paragraphs) == 1 or any(len(p) > limit for p in paragraphs)
+
+        pieces: List[str] = []
+        if by_words:
+            current = ""
+            for word in text.split():
+                if len(current) + len(word) + 1 <= limit:
+                    current += word + " "
+                else:
+                    if current.strip():
+                        pieces.append(current.strip())
+                    current = word + " "
+            if current.strip():
+                pieces.append(current.strip())
+        else:
+            current = ""
+            for paragraph in paragraphs:
+                if len(current) + len(paragraph) + 2 <= limit:
+                    current += paragraph + "\n\n"
+                else:
+                    if current.strip():
+                        pieces.append(current.strip())
+                    current = paragraph + "\n\n"
+            if current.strip():
+                pieces.append(current.strip())
+
+        chunks = []
+        for piece in pieces:
+            chunk = self._make_chunk(
+                piece, "qa_pair_split", None, [user_msg, assistant_msg]
+            )
+            if chunk:
+                chunks.append(chunk)
+        return chunks
+
+    def _make_chunk(
+        self,
+        text: Any,
+        chunk_type: str,
+        conversation: Optional[Conversation],
+        messages: List[Message],
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> Optional[Chunk]:
+        if text is None:
+            text = ""
+        elif not isinstance(text, str):
+            text = str(text)
+        if not text or not text.strip():
+            return None
+
+        self.chunk_counter += 1
+        metadata: Dict[str, Any] = {
+            "chunk_type": chunk_type,
+            "message_count": len(messages),
+            "message_uuids": [m.uuid for m in messages],
+            "has_code": any(m.has_code for m in messages),
+            "has_tools": any(m.tool_calls or m.tool_results for m in messages),
+            "char_count": len(text),
+            "word_count": len(text.split()),
+        }
+        if conversation:
+            metadata["session_id"] = conversation.session_id
+            metadata["project_name"] = conversation.project_name
+            metadata["file_path"] = conversation.file_path
+        if messages:
+            metadata["timestamp"] = messages[0].timestamp.isoformat()
+            metadata["roles"] = [m.role for m in messages]
+        if extra:
+            metadata.update(extra)
+
+        return Chunk(id=f"chunk_{self.chunk_counter:06d}", text=text, metadata=metadata)
+
+    def _deduplicate(self, chunks: List[Chunk]) -> List[Chunk]:
+        seen: set = set()
+        unique: List[Chunk] = []
+        for chunk in chunks:
+            key = hash(chunk.text)
+            if key not in seen:
+                seen.add(key)
+                unique.append(chunk)
+        return unique
