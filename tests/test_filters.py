@@ -1,0 +1,118 @@
+"""Filter semantics: Python predicate vs SQL compilation must agree.
+
+The device predicate mask is built from the SQL path; ``matches_filters``
+keeps the reference's Python semantics — property-test them against each
+other over a seeded corpus.
+"""
+
+import sqlite3
+
+import pytest
+
+from tpu_search.storage.filters import (
+    compile_where,
+    mask_for_filters,
+    matches_filters,
+)
+from tpu_search.storage.metadata import MetadataStore
+from tpu_search.ingest.chunker import Chunk
+
+
+ROWS = [
+    dict(id="a", project_name="Backend-API", has_code=1, has_tools=0,
+         session_id="s1", chunk_type="qa_pair",
+         timestamp="2024-01-10T00:00:00+00:00", char_count=100),
+    dict(id="b", project_name="frontend", has_code=0, has_tools=1,
+         session_id="s2", chunk_type="code_block",
+         timestamp="2024-02-10T00:00:00+00:00", char_count=250),
+    dict(id="c", project_name="backend-api", has_code=1, has_tools=1,
+         session_id="s2", chunk_type="tool_usage",
+         timestamp="2024-03-10T00:00:00+00:00", char_count=999),
+    dict(id="d", project_name=None, has_code=0, has_tools=0,
+         session_id=None, chunk_type="qa_pair_split",
+         timestamp="2024-04-10T00:00:00+00:00", char_count=5),
+]
+
+FILTER_CASES = [
+    {"project_name": "backend"},
+    {"project_name": "API"},
+    {"has_code": True},
+    {"has_code": True, "has_tools": True},
+    {"session_id": "s2"},
+    {"chunk_type": ["qa_pair", "code_block"]},
+    {"chunk_type": []},
+    {"timestamp": {"gte": "2024-02-01T00:00:00+00:00"}},
+    {"timestamp": {"gte": "2024-02-01T00:00:00+00:00",
+                   "lte": "2024-03-31T00:00:00+00:00"}},
+    {"char_count": {"gt": 100, "lt": 999}},
+    {"unknown_key": "ignored"},
+    {},
+]
+
+
+@pytest.fixture
+def store(tmp_path):
+    store = MetadataStore(str(tmp_path / "meta.db"))
+    store.open()
+    chunks = []
+    for vec_id, row in enumerate(ROWS):
+        chunk = Chunk(
+            id=row["id"],
+            text=f"text {row['id']}",
+            metadata={
+                "chunk_type": row["chunk_type"],
+                "session_id": row["session_id"],
+                "project_name": row["project_name"],
+                "file_path": "/f.jsonl",
+                "timestamp": row["timestamp"],
+                "has_code": bool(row["has_code"]),
+                "has_tools": bool(row["has_tools"]),
+                "message_count": 1,
+                "char_count": row["char_count"],
+                "word_count": 10,
+            },
+        )
+        chunks.append((chunk, vec_id))
+    store.upsert_chunks(chunks)
+    yield store
+    store.close()
+
+
+@pytest.mark.parametrize("filters", FILTER_CASES)
+def test_sql_matches_python_semantics(store, filters):
+    """The SQL-compiled mask must select exactly the rows the Python
+    predicate accepts."""
+    rows = {
+        store.get_chunk_row(r["id"])["faiss_id"]: store.get_chunk_row(r["id"])
+        for r in ROWS
+    }
+    python_pass = {
+        vec_id for vec_id, row in rows.items() if matches_filters(row, filters)
+    }
+    mask = mask_for_filters(store.db, filters, size=len(ROWS))
+    if mask is None:
+        sql_pass = set(rows.keys())
+    else:
+        sql_pass = {i for i in range(len(ROWS)) if mask[i]}
+    assert sql_pass == python_pass, f"divergence for {filters}"
+
+
+def test_compile_where_empty():
+    assert compile_where(None) == ("", [])
+    assert compile_where({}) == ("", [])
+    assert compile_where({"nope": 1}) == ("", [])
+
+
+def test_range_operators():
+    where, params = compile_where({"char_count": {"gte": 1, "lte": 2,
+                                                  "gt": 0, "lt": 3}})
+    assert where.count("?") == 4
+    assert params == [1, 2, 0, 3]
+
+
+def test_reference_semantics_spotchecks():
+    row = {"project_name": "My-Backend", "has_code": 1}
+    assert matches_filters(row, {"project_name": "backend"})
+    assert not matches_filters(row, {"project_name": "frontend"})
+    assert matches_filters(row, {"has_code": True})  # 1 == True
+    assert matches_filters(row, {"absent_key": "whatever"})  # ignored

@@ -1,0 +1,221 @@
+"""FlatIndex tests: exact recall vs numpy brute force, masks, tombstones,
+capacity growth, persistence. Runs on the JAX CPU backend with small dims."""
+
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+
+
+def brute_force_topk(vectors, queries, k, metric="ip", valid=None):
+    """Reference implementation in numpy."""
+    if metric == "ip":
+        scores = queries @ vectors.T
+    else:
+        scores = -np.square(
+            np.linalg.norm(queries[:, None, :] - vectors[None, :, :], axis=-1)
+        )
+    if valid is not None:
+        scores = np.where(valid[None, :], scores, -np.inf)
+    ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, ids, axis=1), ids
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestExactRecall:
+    def test_ip_matches_brute_force(self, rng):
+        d = 32
+        vecs = normed(rng, 500, d)
+        queries = normed(rng, 7, d)
+        index = FlatIndex(dim=d, dtype="float32")
+        index.add(vecs)
+        scores, ids = index.search(queries, k=10)
+        ref_scores, ref_ids = brute_force_topk(vecs, queries, 10)
+        assert np.array_equal(ids, ref_ids)
+        np.testing.assert_allclose(scores, ref_scores, rtol=1e-5)
+
+    def test_l2_metric(self, rng):
+        d = 16
+        vecs = rng.standard_normal((200, d)).astype(np.float32)
+        queries = rng.standard_normal((3, d)).astype(np.float32)
+        index = FlatIndex(dim=d, metric="l2", dtype="float32")
+        index.add(vecs)
+        _, ids = index.search(queries, k=5)
+        _, ref_ids = brute_force_topk(vecs, queries, 5, metric="l2")
+        assert np.array_equal(ids, ref_ids)
+
+    def test_bfloat16_storage_recall(self, rng):
+        # bf16 rounding may flip near-ties: require recall@10 >= 0.9
+        d = 64
+        vecs = normed(rng, 1000, d)
+        queries = normed(rng, 5, d)
+        index = FlatIndex(dim=d, dtype="bfloat16")
+        index.add(vecs)
+        _, ids = index.search(queries, k=10)
+        _, ref_ids = brute_force_topk(vecs, queries, 10)
+        overlap = np.mean(
+            [len(set(a) & set(b)) / 10 for a, b in zip(ids, ref_ids)]
+        )
+        assert overlap >= 0.9
+
+    def test_single_query_vector(self, rng):
+        d = 8
+        vecs = normed(rng, 50, d)
+        index = FlatIndex(dim=d, dtype="float32")
+        index.add(vecs)
+        scores, ids = index.search(vecs[3], k=1)
+        assert ids[0, 0] == 3
+        assert scores[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+class TestMasks:
+    def test_predicate_mask_fused(self, rng):
+        d = 16
+        vecs = normed(rng, 300, d)
+        queries = normed(rng, 2, d)
+        mask = rng.random(300) < 0.3
+        index = FlatIndex(dim=d, dtype="float32")
+        index.add(vecs)
+        _, ids = index.search(queries, k=10, mask=mask)
+        allowed = set(np.nonzero(mask)[0])
+        for row in ids:
+            assert all(i in allowed for i in row if i >= 0)
+
+    def test_mask_with_no_candidates(self, rng):
+        d = 8
+        index = FlatIndex(dim=d, dtype="float32")
+        index.add(normed(rng, 20, d))
+        scores, ids = index.search(normed(rng, 1, d), k=5,
+                                   mask=np.zeros(20, dtype=bool))
+        assert (ids == -1).all()
+        assert np.isneginf(scores).all()
+
+    def test_mask_fewer_matches_than_k(self, rng):
+        d = 8
+        index = FlatIndex(dim=d, dtype="float32")
+        index.add(normed(rng, 20, d))
+        mask = np.zeros(20, dtype=bool)
+        mask[[2, 5]] = True
+        scores, ids = index.search(normed(rng, 1, d), k=5, mask=mask)
+        found = ids[0][ids[0] >= 0]
+        assert set(found) == {2, 5}
+
+
+class TestTombstones:
+    def test_removed_vectors_not_returned(self, rng):
+        d = 8
+        vecs = normed(rng, 30, d)
+        index = FlatIndex(dim=d, dtype="float32")
+        ids = index.add(vecs)
+        removed = index.remove(ids[:10])
+        assert removed == 10
+        _, got = index.search(normed(rng, 2, d), k=30)
+        live = got[got >= 0]
+        assert (live >= 10).all()
+        assert index.live == 20
+        assert index.ntotal == 30
+
+    def test_double_remove_counts_once(self, rng):
+        index = FlatIndex(dim=4, dtype="float32")
+        ids = index.add(normed(rng, 5, 4))
+        assert index.remove(ids[:2]) == 2
+        assert index.remove(ids[:2]) == 0
+
+    def test_compact_renumbers(self, rng):
+        d = 8
+        vecs = normed(rng, 10, d)
+        index = FlatIndex(dim=d, dtype="float32")
+        ids = index.add(vecs)
+        index.remove([0, 2, 4])
+        mapping = index.compact()
+        assert len(mapping) == 7
+        assert index.ntotal == 7 and index.live == 7
+        # vector formerly at slot 1 must still be findable
+        _, got = index.search(vecs[1], k=1)
+        assert got[0, 0] == mapping[1]
+
+
+class TestGrowth:
+    def test_capacity_doubles_across_adds(self, rng):
+        d = 8
+        index = FlatIndex(dim=d, dtype="float32")
+        all_vecs = []
+        for _ in range(6):
+            batch = normed(rng, 300, d)
+            all_vecs.append(batch)
+            index.add(batch)
+        assert index.ntotal == 1800
+        assert index.capacity >= 1800
+        # everything still searchable
+        target = all_vecs[0][7]
+        _, ids = index.search(target, k=1)
+        assert ids[0, 0] == 7
+
+    def test_ids_contiguous_across_batches(self, rng):
+        index = FlatIndex(dim=4, dtype="float32")
+        a = index.add(normed(rng, 3, 4))
+        b = index.add(normed(rng, 2, 4))
+        assert list(a) == [0, 1, 2]
+        assert list(b) == [3, 4]
+
+
+class TestEdges:
+    def test_empty_index_search(self):
+        index = FlatIndex(dim=8, dtype="float32")
+        scores, ids = index.search(np.zeros(8, np.float32), k=5)
+        assert ids.shape == (1, 5) and (ids == -1).all()
+
+    def test_k_larger_than_corpus(self, rng):
+        index = FlatIndex(dim=8, dtype="float32")
+        index.add(normed(rng, 3, 8))
+        scores, ids = index.search(normed(rng, 1, 8), k=10)
+        assert ids.shape == (1, 10)
+        assert (ids[0][:3] >= 0).all()
+        assert (ids[0][3:] == -1).all()
+
+    def test_dim_mismatch_raises(self, rng):
+        index = FlatIndex(dim=8, dtype="float32")
+        with pytest.raises(ValueError):
+            index.add(np.zeros((2, 16), np.float32))
+
+    def test_clear(self, rng):
+        index = FlatIndex(dim=8, dtype="float32")
+        index.add(normed(rng, 5, 8))
+        index.clear()
+        assert index.ntotal == 0 and index.capacity == 0
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        d = 16
+        vecs = normed(rng, 100, d)
+        index = FlatIndex(dim=d, dtype="float32")
+        ids = index.add(vecs)
+        index.remove(ids[:5])
+        path = tmp_path / "index.npz"
+        index.save(str(path))
+
+        loaded = FlatIndex.load(str(path))
+        assert loaded.ntotal == 100
+        assert loaded.live == 95
+        assert loaded.metric == "ip" and loaded.dim == d
+        q = normed(rng, 3, d)
+        s1, i1 = index.search(q, k=8)
+        s2, i2 = loaded.search(q, k=8)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+    def test_save_empty(self, tmp_path):
+        index = FlatIndex(dim=8)
+        index.save(str(tmp_path / "empty.npz"))
+        loaded = FlatIndex.load(str(tmp_path / "empty.npz"))
+        assert loaded.ntotal == 0

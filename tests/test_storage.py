@@ -1,0 +1,363 @@
+"""HybridStorage tests: real SQLite + real (CPU-backend) device index in a
+tmpdir with tiny embedding_dim=4 — the reference test strategy
+(reference: tests/test_storage.py:96-104) without mocks."""
+
+import numpy as np
+import pytest
+
+from tpu_search.ingest.chunker import Chunk
+from tpu_search.storage import (
+    HybridStorage,
+    SearchConfig,
+    SearchResult,
+    StorageConfig,
+)
+
+
+def make_chunk(cid, text, vec, **meta):
+    metadata = {
+        "chunk_type": meta.get("chunk_type", "qa_pair"),
+        "session_id": meta.get("session_id", "sess-1"),
+        "project_name": meta.get("project_name", "proj-a"),
+        "file_path": meta.get("file_path", "/tmp/a.jsonl"),
+        "timestamp": meta.get("timestamp", "2024-01-15T10:00:00+00:00"),
+        "has_code": meta.get("has_code", False),
+        "has_tools": meta.get("has_tools", False),
+        "message_count": 2,
+        "char_count": len(text),
+        "word_count": len(text.split()),
+    }
+    return Chunk(id=cid, text=text, metadata=metadata, embedding=list(vec))
+
+
+@pytest.fixture
+def storage(tmp_path):
+    config = StorageConfig(
+        data_dir=str(tmp_path),
+        embedding_dim=4,
+        auto_save=False,
+        storage_dtype="float32",
+        device="cpu",
+    )
+    s = HybridStorage(config)
+    s.initialize()
+    yield s
+    s.close()
+
+
+E1 = [1.0, 0.0, 0.0, 0.0]
+E2 = [0.0, 1.0, 0.0, 0.0]
+E3 = [0.0, 0.0, 1.0, 0.0]
+E4 = [0.7, 0.7, 0.0, 0.0]
+
+
+class TestAddSearch:
+    def test_add_and_search(self, storage):
+        storage.add_chunks(
+            [
+                make_chunk("c1", "alpha text", E1),
+                make_chunk("c2", "beta text", E2),
+                make_chunk("c3", "gamma text", E3),
+            ]
+        )
+        results = storage.search(np.array(E1, dtype=np.float32))
+        assert results[0].chunk_id == "c1"
+        assert results[0].similarity == pytest.approx(1.0, abs=1e-5)
+        assert results[0].text == "alpha text"
+        assert results[0].metadata["project_name"] == "proj-a"
+        assert results[0].chunk is not None
+
+    def test_search_empty_storage(self, storage):
+        assert storage.search(np.array(E1, dtype=np.float32)) == []
+
+    def test_top_k_limit(self, storage):
+        storage.add_chunks(
+            [make_chunk(f"c{i}", f"text {i}", E1) for i in range(8)]
+        )
+        results = storage.search(
+            np.array(E1, dtype=np.float32), SearchConfig(top_k=3)
+        )
+        assert len(results) == 3
+
+    def test_chunks_without_embeddings_skipped(self, storage):
+        chunk = make_chunk("c1", "no embedding", E1)
+        chunk.embedding = None
+        storage.add_chunks([chunk])
+        assert storage.total_chunks == 0
+
+    def test_similarity_threshold(self, storage):
+        storage.add_chunks(
+            [make_chunk("c1", "a", E1), make_chunk("c2", "b", E2)]
+        )
+        results = storage.search(
+            np.array(E1, dtype=np.float32),
+            SearchConfig(similarity_threshold=0.5),
+        )
+        assert [r.chunk_id for r in results] == ["c1"]
+
+    def test_normalization_applied(self, storage):
+        storage.add_chunks([make_chunk("c1", "a", [2.0, 0.0, 0.0, 0.0])])
+        results = storage.search(np.array([5.0, 0, 0, 0], dtype=np.float32))
+        assert results[0].similarity == pytest.approx(1.0, abs=1e-5)
+
+
+class TestFilters:
+    def _seed(self, storage):
+        storage.add_chunks(
+            [
+                make_chunk("c1", "python code", E1, project_name="Backend-API",
+                           has_code=True, timestamp="2024-01-10T00:00:00+00:00"),
+                make_chunk("c2", "prose", E2, project_name="frontend-web",
+                           timestamp="2024-02-15T00:00:00+00:00"),
+                make_chunk("c3", "mixed", E4, project_name="backend-api",
+                           session_id="sess-2",
+                           timestamp="2024-03-20T00:00:00+00:00",
+                           chunk_type="code_block", has_code=True),
+            ]
+        )
+
+    def test_project_partial_case_insensitive(self, storage):
+        self._seed(storage)
+        results = storage.search(
+            np.array(E4, dtype=np.float32),
+            filters={"project_name": "backend"},
+        )
+        assert {r.chunk_id for r in results} == {"c1", "c3"}
+
+    def test_has_code_filter(self, storage):
+        self._seed(storage)
+        results = storage.search(
+            np.array(E2, dtype=np.float32), filters={"has_code": True}
+        )
+        assert {r.chunk_id for r in results} == {"c1", "c3"}
+
+    def test_timestamp_range(self, storage):
+        self._seed(storage)
+        results = storage.search(
+            np.array(E4, dtype=np.float32),
+            filters={
+                "timestamp": {
+                    "gte": "2024-02-01T00:00:00+00:00",
+                    "lte": "2024-02-28T23:59:59+00:00",
+                }
+            },
+        )
+        assert {r.chunk_id for r in results} == {"c2"}
+
+    def test_list_filter(self, storage):
+        self._seed(storage)
+        results = storage.search(
+            np.array(E4, dtype=np.float32),
+            filters={"chunk_type": ["code_block", "tool_usage"]},
+        )
+        assert {r.chunk_id for r in results} == {"c3"}
+
+    def test_session_filter(self, storage):
+        self._seed(storage)
+        results = storage.search(
+            np.array(E4, dtype=np.float32), filters={"session_id": "sess-2"}
+        )
+        assert {r.chunk_id for r in results} == {"c3"}
+
+    def test_unknown_filter_key_ignored(self, storage):
+        self._seed(storage)
+        results = storage.search(
+            np.array(E1, dtype=np.float32), filters={"not_a_column": "x"}
+        )
+        assert len(results) == 3
+
+    def test_filter_matches_nothing(self, storage):
+        self._seed(storage)
+        results = storage.search(
+            np.array(E1, dtype=np.float32), filters={"project_name": "zzz"}
+        )
+        assert results == []
+
+    def test_filtered_search_returns_full_topk(self, storage):
+        # The fused mask searches the WHOLE corpus: even if the best-scoring
+        # chunks fail the filter, matching chunks still fill top_k
+        # (the reference could return < top_k here).
+        storage.add_chunks(
+            [make_chunk(f"good{i}", "t", E2, project_name="rare")
+             for i in range(5)]
+            + [make_chunk(f"noise{i}", "t", E1) for i in range(50)]
+        )
+        results = storage.search(
+            np.array(E1, dtype=np.float32),
+            SearchConfig(top_k=5),
+            filters={"project_name": "rare"},
+        )
+        assert len(results) == 5
+        assert all(r.chunk_id.startswith("good") for r in results)
+
+
+class TestPointReads:
+    def test_get_chunk_by_id(self, storage):
+        storage.add_chunks([make_chunk("c1", "hello", E1)])
+        chunk = storage.get_chunk_by_id("c1")
+        assert chunk.text == "hello"
+        assert chunk.embedding is None
+        assert storage.get_chunk_by_id("missing") is None
+
+    def test_get_chunks_by_session(self, storage):
+        storage.add_chunks(
+            [
+                make_chunk("c1", "a", E1, session_id="s1",
+                           timestamp="2024-01-15T10:00:00+00:00"),
+                make_chunk("c2", "b", E2, session_id="s1",
+                           timestamp="2024-01-15T09:00:00+00:00"),
+                make_chunk("c3", "c", E3, session_id="s2"),
+            ]
+        )
+        chunks = storage.get_chunks_by_session("s1")
+        assert [c.id for c in chunks] == ["c2", "c1"]  # time-ordered
+
+    def test_get_all_projects(self, storage):
+        storage.add_chunks(
+            [
+                make_chunk("c1", "a", E1, project_name="zeta"),
+                make_chunk("c2", "b", E2, project_name="alpha"),
+            ]
+        )
+        assert storage.get_all_projects() == ["alpha", "zeta"]
+
+
+class TestDeletion:
+    def test_delete_chunk_tombstones_vector(self, storage):
+        storage.add_chunks(
+            [make_chunk("c1", "a", E1), make_chunk("c2", "b", E2)]
+        )
+        assert storage.delete_chunk("c1") is True
+        assert storage.delete_chunk("c1") is False
+        results = storage.search(np.array(E1, dtype=np.float32))
+        assert {r.chunk_id for r in results} == {"c2"}
+        assert storage.total_chunks == 1
+
+    def test_remove_chunks_for_file(self, storage):
+        storage.add_chunks(
+            [
+                make_chunk("c1", "a", E1, file_path="/tmp/x.jsonl"),
+                make_chunk("c2", "b", E2, file_path="/tmp/x.jsonl"),
+                make_chunk("c3", "c", E3, file_path="/tmp/y.jsonl"),
+            ]
+        )
+        assert storage.remove_chunks_for_file("/tmp/x.jsonl") == 2
+        results = storage.search(np.array(E1, dtype=np.float32))
+        assert {r.chunk_id for r in results} == {"c3"}
+
+    def test_optimize_compacts(self, storage):
+        storage.add_chunks(
+            [make_chunk(f"c{i}", f"t{i}", E1) for i in range(10)]
+        )
+        for i in range(5):
+            storage.delete_chunk(f"c{i}")
+        assert storage.index.ntotal == 10 and storage.index.live == 5
+        storage.optimize()
+        assert storage.index.ntotal == 5 and storage.index.live == 5
+        results = storage.search(np.array(E1, dtype=np.float32))
+        assert {r.chunk_id for r in results} == {f"c{i}" for i in range(5, 10)}
+
+    def test_clear_all_data(self, storage):
+        storage.add_chunks([make_chunk("c1", "a", E1)])
+        storage.clear_all_data()
+        assert storage.total_chunks == 0
+        assert storage.search(np.array(E1, dtype=np.float32)) == []
+
+
+class TestIncrementalTracking:
+    def test_new_file_is_modified(self, storage, tmp_path):
+        f = tmp_path / "conv.jsonl"
+        f.write_text("{}")
+        assert storage.is_file_modified(str(f)) is True
+
+    def test_indexed_file_not_modified(self, storage, tmp_path):
+        f = tmp_path / "conv.jsonl"
+        f.write_text("{}")
+        storage.update_file_info(str(f), 3)
+        assert storage.is_file_modified(str(f)) is False
+
+    def test_touched_file_is_modified(self, storage, tmp_path):
+        import os
+
+        f = tmp_path / "conv.jsonl"
+        f.write_text("{}")
+        storage.update_file_info(str(f), 3)
+        future = f.stat().st_mtime + 100
+        os.utime(str(f), (future, future))
+        assert storage.is_file_modified(str(f)) is True
+
+    def test_missing_file_counts_modified(self, storage):
+        assert storage.is_file_modified("/nonexistent.jsonl") is True
+
+
+class TestPersistence:
+    def test_save_and_reload(self, tmp_path):
+        config = StorageConfig(
+            data_dir=str(tmp_path), embedding_dim=4, auto_save=True,
+            storage_dtype="float32", device="cpu",
+        )
+        with HybridStorage(config) as s:
+            s.add_chunks([make_chunk("c1", "persisted", E1)])
+
+        with HybridStorage(config) as s2:
+            results = s2.search(np.array(E1, dtype=np.float32))
+            assert results[0].chunk_id == "c1"
+            assert s2.total_chunks == 1
+
+    def test_backup_restore(self, storage, tmp_path):
+        storage.add_chunks(
+            [make_chunk("c1", "a", E1), make_chunk("c2", "b", E2)]
+        )
+        backup_dir = tmp_path / "backup"
+        storage.backup(str(backup_dir))
+
+        storage.clear_all_data()
+        assert storage.total_chunks == 0
+
+        storage.restore(str(backup_dir))
+        assert storage.total_chunks == 2
+        results = storage.search(np.array(E2, dtype=np.float32))
+        assert results[0].chunk_id == "c2"
+
+
+class TestStats:
+    def test_stats_shape(self, storage):
+        storage.add_chunks(
+            [
+                make_chunk("c1", "a", E1, chunk_type="qa_pair"),
+                make_chunk("c2", "b", E2, chunk_type="code_block",
+                           project_name="other"),
+            ]
+        )
+        stats = storage.get_stats()
+        assert stats["total_chunks"] == 2
+        assert stats["total_projects"] == 2
+        assert stats["chunk_types"] == {"qa_pair": 1, "code_block": 1}
+        assert stats["embedding_dimension"] == 4
+        assert stats["index_type"] == "flat"
+        assert "projects" in stats and len(stats["projects"]) == 2
+        assert "device_info" in stats
+
+
+class TestConfigDefaults:
+    def test_storage_config_defaults(self):
+        cfg = StorageConfig()
+        assert cfg.embedding_dim == 768
+        assert cfg.index_type == "flat"
+        assert cfg.normalize_embeddings is True
+        assert cfg.auto_save is True
+        assert cfg.use_gpu is False
+
+    def test_search_config_defaults(self):
+        cfg = SearchConfig()
+        assert cfg.top_k == 10
+        assert cfg.similarity_threshold == 0.0
+        assert cfg.include_metadata is True
+        assert cfg.include_text is True
+        assert cfg.max_results == 100
+
+    def test_hnsw_falls_back_to_flat(self, tmp_path):
+        s = HybridStorage(
+            StorageConfig(data_dir=str(tmp_path), index_type="hnsw")
+        )
+        assert s.config.index_type == "flat"

@@ -1,0 +1,25 @@
+"""Accelerator capability probing and device policy."""
+
+from .capability import (
+    DeviceCapability,
+    GPUCapability,
+    assess_device_capability,
+    assess_gpu_capability,
+    calculate_optimal_batch_size,
+    estimate_device_memory_requirements,
+    get_device_summary,
+    log_device_status,
+    quick_accelerator_check,
+)
+
+__all__ = [
+    "DeviceCapability",
+    "GPUCapability",
+    "assess_device_capability",
+    "assess_gpu_capability",
+    "calculate_optimal_batch_size",
+    "estimate_device_memory_requirements",
+    "get_device_summary",
+    "log_device_status",
+    "quick_accelerator_check",
+]

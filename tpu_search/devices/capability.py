@@ -1,0 +1,201 @@
+"""Accelerator capability assessment (the gpu_utils replacement).
+
+The reference gates CUDA/MPS offload with graceful CPU fallback
+(reference: src/gpu_utils.py:195-267).  The TPU-native equivalent: probe the
+JAX backend, report TPU topology and HBM headroom, and recommend embed batch
+sizes — falling back to the JAX CPU backend when no TPU is attached.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "DeviceCapability",
+    "GPUCapability",
+    "assess_device_capability",
+    "assess_gpu_capability",
+    "calculate_optimal_batch_size",
+    "estimate_device_memory_requirements",
+    "log_device_status",
+    "quick_accelerator_check",
+    "get_device_summary",
+]
+
+
+@dataclass
+class DeviceCapability:
+    """What the attached accelerator (if any) can do."""
+
+    backend: str = "cpu"  # "tpu" | "cpu"
+    accelerator_available: bool = False
+    device_count: int = 0
+    device_names: List[str] = field(default_factory=list)
+    memory_total: Optional[int] = None  # bytes, per device
+    memory_free: Optional[int] = None  # bytes, per device
+    recommended_batch_size: int = 16
+    can_use_accelerator: bool = False
+    status_message: str = ""
+
+    # Backwards-compatible aliases for reference-API consumers
+    # (reference: src/gpu_utils.py:17-29).
+    @property
+    def can_use_gpu(self) -> bool:
+        return self.can_use_accelerator
+
+    @property
+    def gpu_count(self) -> int:
+        return self.device_count
+
+    @property
+    def gpu_names(self) -> List[str]:
+        return self.device_names
+
+    @property
+    def gpu_memory_total(self) -> Optional[int]:
+        return self.memory_total
+
+    @property
+    def gpu_memory_free(self) -> Optional[int]:
+        return self.memory_free
+
+
+# Alias so reference-style imports keep working.
+GPUCapability = DeviceCapability
+
+
+def _probe_jax() -> Tuple[str, List[Any]]:
+    import jax
+
+    devices = jax.devices()
+    platform = devices[0].platform if devices else "cpu"
+    return platform, devices
+
+
+def estimate_device_memory_requirements(
+    num_chunks: int, embedding_dim: int = 768, storage_dtype_bytes: int = 2
+) -> Dict[str, float]:
+    """HBM needed for a corpus of ``num_chunks`` vectors plus the encoder.
+
+    Mirrors the reference estimator (src/gpu_utils.py:142-166) with
+    TPU-accurate constants: bf16 corpus storage and the mpnet encoder's
+    ~110M params in bf16 (~0.25 GB) plus activation headroom.
+    """
+    index_gb = (num_chunks * embedding_dim * storage_dtype_bytes) / (1024**3)
+    model_gb = 0.3
+    working_gb = (index_gb + model_gb) * 0.1
+    total = index_gb + model_gb + working_gb
+    return {
+        "index_memory_gb": index_gb,
+        "model_memory_gb": model_gb,
+        "working_memory_gb": working_gb,
+        "total_memory_gb": total,
+        "recommended_memory_gb": total * 1.2,
+    }
+
+
+def calculate_optimal_batch_size(
+    available_memory_gb: float, embedding_dim: int = 768, backend: str = "tpu"
+) -> int:
+    """Embed-batch size from free memory (reference: src/gpu_utils.py:169-192).
+
+    TPU batches are kept MXU-friendly (multiples of 8, capped at 512 — beyond
+    that the encoder is compute-bound and bigger batches only add latency).
+    """
+    working_gb = available_memory_gb - 1.0
+    if working_gb <= 0:
+        return 8
+    # Activation footprint per sequence: ~seq(384) x hidden(768) x layers-ish
+    # working set, dominated by attention logits [heads, seq, seq].
+    per_item_gb = (12 * 384 * 384 * 4 + 384 * 768 * 4 * 8) / (1024**3)
+    batch = int(working_gb / per_item_gb)
+    if backend == "cpu":
+        return max(8, min(batch, 64))
+    return max(8, min((batch // 8) * 8 or 8, 512))
+
+
+def assess_device_capability(
+    target_chunks: int = 10000, embedding_dim: int = 768
+) -> DeviceCapability:
+    """Probe the JAX backend and summarize what it offers."""
+    cap = DeviceCapability()
+    try:
+        platform, devices = _probe_jax()
+    except Exception as exc:  # pragma: no cover - jax always importable here
+        cap.status_message = f"❌ JAX unavailable: {exc}"
+        return cap
+
+    cap.backend = "tpu" if platform in ("tpu", "axon") else "cpu"
+    cap.device_count = len(devices)
+    cap.device_names = [str(d) for d in devices]
+
+    if cap.backend != "tpu":
+        cap.accelerator_available = False
+        cap.can_use_accelerator = False
+        cap.status_message = (
+            f"❌ No TPU attached: JAX backend is '{platform}' "
+            f"({cap.device_count} host devices); falling back to CPU"
+        )
+        cap.recommended_batch_size = 16
+        return cap
+
+    cap.accelerator_available = True
+    try:
+        stats = devices[0].memory_stats() or {}
+        cap.memory_total = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if cap.memory_total:
+            cap.memory_free = cap.memory_total - in_use
+    except Exception:
+        pass
+
+    free_gb = (cap.memory_free or 8 * 1024**3) / (1024**3)
+    cap.recommended_batch_size = calculate_optimal_batch_size(
+        free_gb, embedding_dim, backend="tpu"
+    )
+
+    need = estimate_device_memory_requirements(target_chunks, embedding_dim)
+    if cap.memory_free is not None and free_gb < need["recommended_memory_gb"]:
+        cap.can_use_accelerator = False
+        cap.status_message = (
+            f"⚠️ Insufficient TPU HBM (free: {free_gb:.1f}GB, "
+            f"required: {need['recommended_memory_gb']:.1f}GB)"
+        )
+    else:
+        cap.can_use_accelerator = True
+        mem = f", {free_gb:.1f}GB HBM free" if cap.memory_free else ""
+        cap.status_message = (
+            f"✅ TPU ready ({cap.device_count} device(s){mem})"
+        )
+    return cap
+
+
+# Reference-compatible alias (src/gpu_utils.py:195).
+assess_gpu_capability = assess_device_capability
+
+
+def log_device_status(
+    cap: DeviceCapability, log: Optional[logging.Logger] = None
+) -> None:
+    log = log or logger
+    log.info("Device status: %s", cap.status_message)
+    for i, name in enumerate(cap.device_names):
+        log.info("  device %d: %s", i, name)
+    if cap.can_use_accelerator:
+        log.info("Recommended batch size: %d", cap.recommended_batch_size)
+
+
+log_gpu_status = log_device_status
+
+
+def quick_accelerator_check() -> bool:
+    return assess_device_capability().can_use_accelerator
+
+
+def get_device_summary() -> str:
+    cap = assess_device_capability()
+    return cap.status_message

@@ -1,0 +1,6 @@
+"""Device-resident vector indexes (the FAISS-engine replacement)."""
+
+from .flat import FlatIndex
+from .registry import create_index, load_index
+
+__all__ = ["FlatIndex", "create_index", "load_index"]

@@ -1,0 +1,304 @@
+"""Device-resident exact vector index (the FAISS ``IndexFlatIP/L2`` replacement).
+
+TPU-first redesign of the reference's FAISS usage (src/storage.py:252-299,
+:331-406, :870-885):
+
+- Vectors live in a fixed-capacity HBM buffer padded to a power of two;
+  capacity grows by doubling so XLA sees only O(log N) distinct shapes.
+- Appends are jitted ``dynamic_update_slice`` writes with donated buffers
+  (no host round trip of the corpus, no full index rewrite per add — the
+  reference re-serialized the whole FAISS index after every file,
+  src/storage.py:403-404).
+- Deletion is a tombstone flip in a ``[capacity]`` validity mask — FAISS
+  flat indexes cannot delete at all (src/storage.py:629-631) — and
+  ``compact()`` rebuilds contiguously on demand, fixing the reference's
+  stubbed ``_rebuild_faiss_index`` (src/storage.py:944-967).
+- Search fuses metadata predicate masks into the scan
+  (tpu_search.ops.topk_scan) instead of post-filtering.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.topk_scan import flat_topk
+from ..utils.shapes import bucket_size, next_pow2
+
+__all__ = ["FlatIndex"]
+
+_MIN_CAPACITY = 1024
+_ADD_BUCKETS = (256, 1024, 4096, 16384)
+_QUERY_BUCKETS = (1, 8, 32, 128, 512)
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+def _append(vectors, valid, batch, batch_valid, start):
+    vectors = jax.lax.dynamic_update_slice(vectors, batch, (start, 0))
+    valid = jax.lax.dynamic_update_slice(valid, batch_valid, (start,))
+    return vectors, valid
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _grow(new_buf, old_buf):
+    return jax.lax.dynamic_update_slice(
+        new_buf, old_buf, (0,) * old_buf.ndim
+    )
+
+
+class FlatIndex:
+    """Exact-scan vector index held in device memory."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+        device: Optional[jax.Device] = None,
+    ) -> None:
+        if metric not in ("ip", "l2"):
+            raise ValueError(f"Unknown metric: {metric}")
+        if dtype not in _DTYPES:
+            raise ValueError(f"Unknown storage dtype: {dtype}")
+        self.dim = dim
+        self.metric = metric
+        self.dtype = dtype
+        self.device = device or jax.devices()[0]
+        self._capacity = 0
+        self._count = 0  # next slot id (includes tombstoned slots)
+        self._vectors: Optional[jax.Array] = None
+        self._valid: Optional[jax.Array] = None
+
+    # -- size accounting -----------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        """Slots assigned so far (FAISS ``ntotal`` parity: includes tombstones)."""
+        return self._count
+
+    @property
+    def live(self) -> int:
+        """Vectors that are actually searchable (not tombstoned)."""
+        if self._valid is None or self._count == 0:
+            return 0
+        return int(jnp.sum(self._valid[: self._count]))
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    # -- mutation ------------------------------------------------------------
+
+    def _ensure_capacity(self, needed: int) -> None:
+        target = max(_MIN_CAPACITY, next_pow2(needed))
+        if target <= self._capacity:
+            return
+        with jax.default_device(self.device):
+            new_vecs = jnp.zeros((target, self.dim), dtype=_DTYPES[self.dtype])
+            new_valid = jnp.zeros((target,), dtype=jnp.bool_)
+            if self._vectors is not None:
+                new_vecs = _grow(new_vecs, self._vectors)
+                new_valid = _grow(new_valid, self._valid)
+        self._vectors, self._valid = new_vecs, new_valid
+        self._capacity = target
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Append rows; returns the assigned int64 slot ids (contiguous)."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        n = vectors.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.int64)
+        if vectors.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected dim {self.dim}, got {vectors.shape[1]}"
+            )
+
+        padded_n = bucket_size(n, _ADD_BUCKETS)
+        self._ensure_capacity(self._count + padded_n)
+
+        batch = np.zeros((padded_n, self.dim), dtype=np.float32)
+        batch[:n] = vectors
+        batch_valid = np.zeros((padded_n,), dtype=np.bool_)
+        batch_valid[:n] = True
+
+        with jax.default_device(self.device):
+            self._vectors, self._valid = _append(
+                self._vectors,
+                self._valid,
+                jnp.asarray(batch, dtype=_DTYPES[self.dtype]),
+                jnp.asarray(batch_valid),
+                self._count,
+            )
+        ids = np.arange(self._count, self._count + n, dtype=np.int64)
+        self._count += n
+        return ids
+
+    def remove(self, ids) -> int:
+        """Tombstone the given slot ids; returns how many were live."""
+        ids = np.asarray(list(ids), dtype=np.int64)
+        ids = ids[(ids >= 0) & (ids < self._count)]
+        if ids.size == 0 or self._valid is None:
+            return 0
+        valid_np = np.array(self._valid)  # copy: jax array views are read-only
+        n_live = int(valid_np[ids].sum())
+        valid_np[ids] = False
+        with jax.default_device(self.device):
+            self._valid = jnp.asarray(valid_np)
+        return n_live
+
+    def compact(self) -> Dict[int, int]:
+        """Drop tombstones, renumber slots contiguously; returns old->new map."""
+        if self._count == 0:
+            return {}
+        valid_np = np.asarray(self._valid[: self._count])
+        vecs_np = np.asarray(
+            self._vectors[: self._count].astype(jnp.float32)
+        )
+        keep = np.nonzero(valid_np)[0]
+        mapping = {int(old): new for new, old in enumerate(keep)}
+        kept = vecs_np[keep]
+        self._capacity = 0
+        self._count = 0
+        self._vectors = None
+        self._valid = None
+        if kept.shape[0]:
+            self.add(kept)
+        return mapping
+
+    def clear(self) -> None:
+        self._capacity = 0
+        self._count = 0
+        self._vectors = None
+        self._valid = None
+
+    # -- search ----------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask: Optional[np.ndarray] = None,
+        nprobe: int = 0,  # accepted for index-API uniformity; exact scan ignores it
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact top-k scan with optional fused predicate mask.
+
+        Args:
+            queries: ``[Q, D]`` or ``[D]`` float queries.
+            k: results per query.
+            mask: optional bool array over slot ids (any length up to
+                capacity); True = candidate. Combined with the tombstone mask.
+
+        Returns:
+            (scores ``[Q, k]`` f32, ids ``[Q, k]`` int64); unmatched lanes
+            have score ``-inf`` and id ``-1``.
+        """
+        queries = np.asarray(queries, dtype=np.float32)
+        squeeze = queries.ndim == 1
+        if squeeze:
+            queries = queries[None, :]
+        q = queries.shape[0]
+
+        if self._count == 0 or k <= 0:
+            shape = (q, max(k, 0))
+            return (
+                np.full(shape, -np.inf, dtype=np.float32),
+                np.full(shape, -1, dtype=np.int64),
+            )
+
+        k_eff = min(k, self._capacity)
+        padded_q = bucket_size(q, _QUERY_BUCKETS)
+        qbatch = np.zeros((padded_q, self.dim), dtype=np.float32)
+        qbatch[:q] = queries
+
+        full_mask = self._valid
+        if mask is not None:
+            mask = np.asarray(mask, dtype=np.bool_)
+            padded_mask = np.zeros((self._capacity,), dtype=np.bool_)
+            padded_mask[: min(mask.shape[0], self._capacity)] = mask[
+                : self._capacity
+            ]
+            full_mask = jnp.logical_and(full_mask, jnp.asarray(padded_mask))
+
+        with jax.default_device(self.device):
+            scores, ids = flat_topk(
+                self._vectors,
+                full_mask,
+                jnp.asarray(qbatch),
+                k_eff,
+                self.metric,
+            )
+        scores = np.asarray(scores[:q])
+        ids = np.asarray(ids[:q], dtype=np.int64)
+        ids[~np.isfinite(scores)] = -1
+
+        if k_eff < k:  # pad out to requested k
+            pad = ((0, 0), (0, k - k_eff))
+            scores = np.pad(scores, pad, constant_values=-np.inf)
+            ids = np.pad(ids, pad, constant_values=-1)
+        return scores, ids
+
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Serialize to a single host file (replaces ``faiss.write_index``)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        if self._count:
+            vectors = np.asarray(
+                self._vectors[: self._count].astype(jnp.float32)
+            )
+            valid = np.asarray(self._valid[: self._count])
+        else:
+            vectors = np.empty((0, self.dim), dtype=np.float32)
+            valid = np.empty((0,), dtype=np.bool_)
+        header = json.dumps(
+            {
+                "kind": "flat",
+                "dim": self.dim,
+                "metric": self.metric,
+                "dtype": self.dtype,
+                "count": self._count,
+            }
+        )
+        # Uncompressed: float corpora barely compress and zlib would dominate
+        # save time (the reference re-wrote its whole index per file; we keep
+        # saves cheap instead).
+        np.savez(path, header=header, vectors=vectors, valid=valid)
+
+    @classmethod
+    def load(
+        cls, path: str, device: Optional[jax.Device] = None
+    ) -> "FlatIndex":
+        with np.load(path, allow_pickle=False) as data:
+            header = json.loads(str(data["header"]))
+            vectors = data["vectors"]
+            valid = data["valid"]
+        index = cls(
+            dim=header["dim"],
+            metric=header["metric"],
+            dtype=header["dtype"],
+            device=device,
+        )
+        if header["count"]:
+            index._ensure_capacity(header["count"])
+            padded_v = np.zeros((index._capacity, index.dim), dtype=np.float32)
+            padded_v[: header["count"]] = vectors
+            padded_m = np.zeros((index._capacity,), dtype=np.bool_)
+            padded_m[: header["count"]] = valid
+            with jax.default_device(index.device):
+                index._vectors = jnp.asarray(
+                    padded_v, dtype=_DTYPES[index.dtype]
+                )
+                index._valid = jnp.asarray(padded_m)
+            index._count = header["count"]
+        return index

@@ -1,0 +1,51 @@
+"""Index factory: construct or load the right index kind from config/disk."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .flat import FlatIndex
+
+__all__ = ["create_index", "load_index"]
+
+
+def create_index(
+    kind: str,
+    dim: int,
+    metric: str = "ip",
+    dtype: str = "bfloat16",
+    device: Optional[jax.Device] = None,
+    nlist: int = 100,
+):
+    if kind == "flat":
+        return FlatIndex(dim=dim, metric=metric, dtype=dtype, device=device)
+    if kind == "ivf":
+        from .ivf import IVFIndex
+
+        return IVFIndex(
+            dim=dim, metric=metric, dtype=dtype, device=device, nlist=nlist
+        )
+    raise ValueError(f"Unknown index type: {kind}")
+
+
+def _peek_kind(path: str) -> str:
+    with zipfile.ZipFile(path) as zf:
+        with zf.open("header.npy") as fh:
+            header = json.loads(str(np.load(fh)))
+    return header.get("kind", "flat")
+
+
+def load_index(path: str, device: Optional[jax.Device] = None):
+    kind = _peek_kind(path)
+    if kind == "flat":
+        return FlatIndex.load(path, device=device)
+    if kind == "ivf":
+        from .ivf import IVFIndex
+
+        return IVFIndex.load(path, device=device)
+    raise ValueError(f"Unknown index kind in {path}: {kind}")

@@ -1,0 +1,5 @@
+"""Device compute kernels: exact/IVF top-k scans, k-means, fused predicates."""
+
+from .topk_scan import flat_topk
+
+__all__ = ["flat_topk"]

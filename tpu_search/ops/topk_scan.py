@@ -1,0 +1,141 @@
+"""Exact top-k similarity scan over a device-resident corpus.
+
+This is the TPU replacement for FAISS ``IndexFlatIP.search`` (reference:
+src/storage.py:432-436), redesigned for the hardware rather than ported:
+
+- The corpus lives in HBM as one ``[N, D]`` array (bf16 by default — HBM
+  bandwidth, not FLOPs, bounds an exact scan, so halving bytes nearly halves
+  scan time). Scores accumulate in f32 on the MXU.
+- Metadata predicates arrive as a ``[N]`` boolean mask and are fused into the
+  scan (masked lanes score ``-inf``), replacing the reference's Python
+  post-filter loop (src/storage.py:459, 508-543) which could silently return
+  fewer than ``top_k`` results.
+- Large corpora stream through a ``lax.scan`` with a running top-k carry, so
+  the full ``[Q, N]`` score matrix is never materialized in HBM.
+
+All entry points are jitted with static shapes; callers (tpu_search.index)
+pad N/Q/k to buckets.  A Pallas fused kernel for the same contract lives in
+``tpu_search.ops.pallas_topk`` and is selected by the index layer when
+profitable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["flat_topk", "SCAN_CHUNK", "SINGLE_SHOT_LIMIT"]
+
+# Rows per scan step. 64Ki rows x 768 dims x 2B (bf16) = 96 MiB per step read;
+# large enough to keep the MXU/HBM pipeline busy, small enough that the
+# per-step [Q, chunk] score block stays cheap.
+SCAN_CHUNK = 65536
+
+# Below this many scores, a single matmul + one top_k beats the scan loop.
+SINGLE_SHOT_LIMIT = 32 * 1024 * 1024
+
+
+def _scores(queries: jax.Array, vectors: jax.Array, metric: str) -> jax.Array:
+    """[Q, D] x [C, D] -> [Q, C] similarity scores (f32).
+
+    For "l2" the score is ``2 q.v - |v|^2`` = ``-|q - v|^2`` up to the
+    query-constant ``|q|^2``, so top-k by score == nearest by L2.
+    """
+    dots = jax.lax.dot_general(
+        queries.astype(vectors.dtype),
+        vectors,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # f32 corpora must score at full precision (exact-recall contract);
+        # bf16 corpora already quantized, HIGHEST costs nothing extra there.
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == "l2":
+        sq = jnp.sum(
+            vectors.astype(jnp.float32) * vectors.astype(jnp.float32), axis=-1
+        )
+        return 2.0 * dots - sq[None, :]
+    return dots
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _single_shot_topk(
+    vectors: jax.Array, mask: jax.Array, queries: jax.Array, k: int, metric: str
+) -> Tuple[jax.Array, jax.Array]:
+    scores = _scores(queries, vectors, metric)
+    scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, top_ids.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def _chunked_topk(
+    vectors: jax.Array,
+    mask: jax.Array,
+    queries: jax.Array,
+    k: int,
+    metric: str,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    n, d = vectors.shape
+    q = queries.shape[0]
+    n_chunks = n // chunk  # caller pads n to a multiple of chunk
+
+    vecs = vectors.reshape(n_chunks, chunk, d)
+    masks = mask.reshape(n_chunks, chunk)
+    bases = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)
+
+    init = (
+        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((q, k), dtype=jnp.int32),
+    )
+
+    def step(carry, inputs):
+        best_s, best_i = carry
+        vc, mc, base = inputs
+        s = _scores(queries, vc, metric)
+        s = jnp.where(mc[None, :], s, -jnp.inf)
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (q, chunk))], axis=1
+        )
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    (top_scores, top_ids), _ = jax.lax.scan(step, init, (vecs, masks, bases))
+    return top_scores, top_ids
+
+
+def flat_topk(
+    vectors: jax.Array,
+    mask: jax.Array,
+    queries: jax.Array,
+    k: int,
+    metric: str = "ip",
+    chunk: int = SCAN_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k scan.
+
+    Args:
+        vectors: ``[N, D]`` corpus (f32 or bf16). N must be a multiple of
+            ``chunk`` when the chunked path is taken (index layer pads).
+        mask: ``[N]`` bool — True lanes participate (tombstones AND metadata
+            predicate already combined by the caller).
+        queries: ``[Q, D]`` f32 queries.
+        k: results per query (static; <= N).
+        metric: "ip" (inner product / cosine on normalized vectors) or "l2".
+
+    Returns:
+        (scores ``[Q, k]`` f32, ids ``[Q, k]`` int32). Lanes that matched
+        nothing carry ``-inf`` score.
+    """
+    n = vectors.shape[0]
+    q = queries.shape[0]
+    if n * q <= SINGLE_SHOT_LIMIT or n < 2 * chunk:
+        return _single_shot_topk(vectors, mask, queries, k, metric)
+    return _chunked_topk(vectors, mask, queries, k, metric, chunk)

@@ -1,0 +1,16 @@
+"""Hybrid storage: SQLite metadata + device vector index + filter compiler."""
+
+from .filters import compile_where, mask_for_filters, matches_filters
+from .hybrid import HybridStorage, SearchConfig, SearchResult, StorageConfig
+from .metadata import MetadataStore
+
+__all__ = [
+    "HybridStorage",
+    "MetadataStore",
+    "SearchConfig",
+    "SearchResult",
+    "StorageConfig",
+    "compile_where",
+    "mask_for_filters",
+    "matches_filters",
+]

@@ -1,0 +1,154 @@
+"""Metadata filter semantics: Python predicates, SQL compilation, device masks.
+
+The reference applies filters as a Python post-loop over FAISS candidates
+(reference: src/storage.py:459, :508-543) — over-fetch 100, filter, and
+possibly return fewer than ``top_k``.  Here the same filter dialect compiles
+two ways:
+
+1. ``compile_where`` -> SQL WHERE clause, evaluated once per query to fetch
+   the matching vector ids;
+2. those ids become a boolean **predicate mask** over index slots
+   (``mask_for_filters``) that the scan kernel fuses into the top-k
+   (masked lanes score ``-inf``) — so a filtered search still returns a full
+   ``top_k`` from the whole corpus, not from the first 100 candidates.
+
+``matches_filters`` keeps the exact reference Python semantics for parity
+tests and for filtering already-fetched rows.
+
+Filter dialect (values per key):
+- dict with gte/lte/gt/lt  -> range comparison (ISO timestamps compare
+  lexicographically identically in SQLite TEXT and Python str)
+- list                     -> IN
+- "project_name" string    -> case-insensitive substring match
+- anything else            -> exact equality
+- keys that are not chunk columns are ignored (reference parity)
+"""
+
+from __future__ import annotations
+
+import sqlite3
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "CHUNK_COLUMNS",
+    "matches_filters",
+    "compile_where",
+    "mask_for_filters",
+]
+
+CHUNK_COLUMNS = (
+    "id",
+    "text",
+    "metadata",
+    "faiss_id",
+    "session_id",
+    "project_name",
+    "file_path",
+    "chunk_type",
+    "timestamp",
+    "has_code",
+    "has_tools",
+    "message_count",
+    "char_count",
+    "word_count",
+    "created_at",
+    "updated_at",
+)
+
+_RANGE_OPS = (("gte", ">="), ("lte", "<="), ("gt", ">"), ("lt", "<"))
+
+
+def matches_filters(chunk_data: Dict[str, Any], filters: Dict[str, Any]) -> bool:
+    """Row-level predicate with reference semantics (src/storage.py:508-543)."""
+    for key, value in filters.items():
+        if key not in chunk_data:
+            continue
+        chunk_value = chunk_data[key]
+        if isinstance(value, dict):
+            if "gte" in value and chunk_value < value["gte"]:
+                return False
+            if "lte" in value and chunk_value > value["lte"]:
+                return False
+            if "gt" in value and chunk_value <= value["gt"]:
+                return False
+            if "lt" in value and chunk_value >= value["lt"]:
+                return False
+        elif isinstance(value, list):
+            if chunk_value not in value:
+                return False
+        elif (
+            key == "project_name"
+            and isinstance(value, str)
+            and isinstance(chunk_value, str)
+        ):
+            if value.lower() not in chunk_value.lower():
+                return False
+        elif chunk_value != value:
+            return False
+    return True
+
+
+def compile_where(
+    filters: Optional[Dict[str, Any]]
+) -> Tuple[str, List[Any]]:
+    """Compile a filter dict into (where_sql, params).
+
+    Returns ("", []) when there is nothing to constrain. Unknown keys are
+    dropped (reference parity: keys absent from the row dict never filter).
+    """
+    if not filters:
+        return "", []
+    clauses: List[str] = []
+    params: List[Any] = []
+    for key, value in filters.items():
+        if key not in CHUNK_COLUMNS:
+            continue
+        if isinstance(value, dict):
+            for field_name, op in _RANGE_OPS:
+                if field_name in value:
+                    clauses.append(f"{key} {op} ?")
+                    params.append(value[field_name])
+        elif isinstance(value, list):
+            if not value:
+                clauses.append("0")  # IN () matches nothing
+            else:
+                marks = ",".join("?" * len(value))
+                clauses.append(f"{key} IN ({marks})")
+                params.extend(value)
+        elif key == "project_name" and isinstance(value, str):
+            clauses.append("instr(lower(project_name), lower(?)) > 0")
+            params.append(value)
+        else:
+            clauses.append(f"{key} = ?")
+            params.append(value)
+    if not clauses:
+        return "", []
+    return " AND ".join(clauses), params
+
+
+def mask_for_filters(
+    db: sqlite3.Connection,
+    filters: Optional[Dict[str, Any]],
+    size: int,
+) -> Optional[np.ndarray]:
+    """Build the ``[size]`` bool predicate mask for the scan kernel.
+
+    None means "no constraint" (all slots pass). ``size`` is the index
+    slot-id horizon (``FlatIndex.ntotal``).
+    """
+    where, params = compile_where(filters)
+    if not where:
+        return None
+    mask = np.zeros((size,), dtype=np.bool_)
+    cursor = db.execute(
+        f"SELECT faiss_id FROM chunks WHERE faiss_id IS NOT NULL AND {where}",
+        params,
+    )
+    ids = [row[0] for row in cursor.fetchall()]
+    if ids:
+        ids_arr = np.asarray(ids, dtype=np.int64)
+        ids_arr = ids_arr[(ids_arr >= 0) & (ids_arr < size)]
+        mask[ids_arr] = True
+    return mask

@@ -1,0 +1,478 @@
+"""Hybrid storage: device-resident vector index + SQLite metadata.
+
+API parity with the reference ``HybridStorage`` (src/storage.py:83-988) on a
+TPU-native core:
+
+- FAISS is replaced by ``tpu_search.index`` (HBM-resident exact scan, fused
+  predicate masks, tombstone deletes, real compaction).
+- Filters compile to SQL -> predicate masks applied inside the scan kernel
+  instead of Python post-filtering, so filtered searches return a full
+  ``top_k`` (the reference could silently return fewer: src/storage.py:432,
+  :459).
+- Candidate metadata is fetched with one batched SQL query (reference did one
+  point query per candidate: src/storage.py:454).
+- ``optimize()`` performs a real index compaction (the reference's rebuild is
+  a stub: src/storage.py:944-967).
+- WAL + flock single-writer lock closes the daemon-vs-CLI race.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+from time import monotonic
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..devices.capability import DeviceCapability, assess_device_capability
+from ..index import FlatIndex, create_index, load_index
+from ..ingest.chunker import Chunk
+from .filters import mask_for_filters, matches_filters
+from .metadata import MetadataStore
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["StorageConfig", "SearchConfig", "SearchResult", "HybridStorage"]
+
+
+@dataclass
+class StorageConfig:
+    """Storage knobs (reference parity: src/storage.py:43-58, plus TPU knobs)."""
+
+    data_dir: str = "~/.claude-semantic-search/data"
+    db_name: str = "metadata.db"
+    index_name: str = "embeddings.tpuidx.npz"
+    embedding_dim: int = 768
+    index_type: str = "flat"  # "flat" | "ivf" ("hnsw" falls back to flat)
+    ivf_nlist: int = 100
+    hnsw_m: int = 16  # accepted for config parity; unused (see index_type)
+    normalize_embeddings: bool = True
+    auto_save: bool = True
+    backup_enabled: bool = True
+    use_gpu: bool = False  # reference-compat: "use the accelerator"
+    gpu_memory_fraction: float = 0.8
+    # TPU-native knobs
+    device: str = "auto"  # "auto" | "tpu" | "cpu"
+    storage_dtype: str = "bfloat16"  # HBM corpus dtype ("float32" | "bfloat16")
+    save_interval_s: float = 0.0  # min seconds between auto-saves (0 = always)
+
+
+@dataclass
+class SearchConfig:
+    """Search knobs (reference parity: src/storage.py:61-69)."""
+
+    top_k: int = 10
+    similarity_threshold: float = 0.0
+    include_metadata: bool = True
+    include_text: bool = True
+    max_results: int = 100  # kept for parity; fused masks make it moot
+    nprobe: int = 8  # IVF only
+
+
+@dataclass
+class SearchResult:
+    """One search hit (reference parity: src/storage.py:72-79)."""
+
+    chunk_id: str
+    similarity: float
+    chunk: Optional[Chunk] = None
+    metadata: Optional[Dict[str, Any]] = None
+    text: Optional[str] = None
+
+
+class HybridStorage:
+    """Vector index + metadata store behind the reference-compatible API."""
+
+    def __init__(self, config: Optional[StorageConfig] = None) -> None:
+        self.config = config or StorageConfig()
+        self.logger = logger
+
+        self.data_dir = Path(self.config.data_dir).expanduser()
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.db_path = self.data_dir / self.config.db_name
+        self.index_path = self.data_dir / self.config.index_name
+
+        self.meta = MetadataStore(str(self.db_path))
+        self.index: Optional[FlatIndex] = None
+        self.chunk_id_to_faiss_id: Dict[str, int] = {}
+        self.faiss_id_to_chunk_id: Dict[int, str] = {}
+
+        self._capability: Optional[DeviceCapability] = None
+        self._is_accelerated = False
+        self._last_save = 0.0
+        self._initialized = False
+
+        if self.config.index_type == "hnsw":
+            # Graph-walk ANN maps poorly to the MXU; the exact scan is faster
+            # than HNSW until far beyond this corpus scale. IVF covers ANN.
+            self.logger.warning(
+                "index_type 'hnsw' is not TPU-native; using 'flat' "
+                "(exact scan saturates HBM bandwidth; use 'ivf' for ANN)"
+            )
+            self.config.index_type = "flat"
+
+        if self.config.use_gpu and self.config.device == "auto":
+            self.config.device = "tpu"
+
+        self.total_chunks = 0
+        self.embedding_dim = self.config.embedding_dim
+
+    # -- device policy -------------------------------------------------------
+
+    def _pick_device(self):
+        import jax
+
+        want = self.config.device
+        self._capability = assess_device_capability()
+        accel = [
+            d for d in jax.devices() if d.platform not in ("cpu", "interpreter")
+        ]
+        if want in ("tpu", "auto") and accel:
+            self._is_accelerated = True
+            return accel[0]
+        if want == "tpu" and not accel:
+            self.logger.warning(
+                "TPU requested but not available: %s",
+                self._capability.status_message,
+            )
+            self.logger.info("Falling back to CPU backend")
+            self.config.use_gpu = False
+        self._is_accelerated = False
+        return jax.devices("cpu")[0] if not accel else jax.devices()[0]
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def initialize(self) -> None:
+        """Open SQLite, create/load the vector index, rebuild id maps."""
+        if self._initialized:
+            return
+        self.meta.open()
+        device = self._pick_device()
+
+        if self.index_path.exists():
+            try:
+                self.index = load_index(str(self.index_path), device=device)
+                self.logger.info(
+                    "Loaded index with %d vectors", self.index.ntotal
+                )
+            except Exception as exc:
+                self.logger.warning("Could not load existing index: %s", exc)
+                self.index = None
+        if self.index is None:
+            self.index = create_index(
+                self.config.index_type,
+                dim=self.embedding_dim,
+                metric="ip" if self.config.normalize_embeddings else "l2",
+                dtype=self.config.storage_dtype,
+                device=device,
+                nlist=self.config.ivf_nlist,
+            )
+
+        self._rebuild_id_mappings()
+        self._initialized = True
+        self.logger.info("Storage initialized with %d chunks", self.total_chunks)
+
+    def close(self) -> None:
+        if self.config.auto_save and self._initialized:
+            self.save_index()
+        self.meta.close()
+        self._initialized = False
+
+    def __enter__(self) -> "HybridStorage":
+        self.initialize()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        self.close()
+
+    def _rebuild_id_mappings(self) -> None:
+        fwd, rev = self.meta.vec_id_mappings()
+        self.chunk_id_to_faiss_id = fwd
+        self.faiss_id_to_chunk_id = rev
+        self.total_chunks = len(fwd)
+
+    # -- writes --------------------------------------------------------------
+
+    def add_chunks(self, chunks: List[Chunk]) -> None:
+        """Embed-carrying chunks -> index append + metadata upsert."""
+        if not chunks:
+            return
+        with_emb = [c for c in chunks if c.embedding is not None]
+        if not with_emb:
+            self.logger.warning("No chunks with embeddings to add")
+            return
+
+        embeddings = np.asarray(
+            [c.embedding for c in with_emb], dtype=np.float32
+        )
+        if self.config.normalize_embeddings:
+            norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+            embeddings = embeddings / (norms + 1e-8)
+
+        if self.index is None:
+            raise RuntimeError("Index not initialized")
+
+        vec_ids = self.index.add(embeddings)
+        for chunk, vec_id in zip(with_emb, vec_ids):
+            self.chunk_id_to_faiss_id[chunk.id] = int(vec_id)
+            self.faiss_id_to_chunk_id[int(vec_id)] = chunk.id
+        self.meta.upsert_chunks(list(zip(with_emb, (int(v) for v in vec_ids))))
+        self.total_chunks += len(with_emb)
+
+        if self.config.auto_save:
+            self._maybe_save()
+        self.logger.info("Added %d chunks to storage", len(with_emb))
+
+    def _maybe_save(self) -> None:
+        if (
+            self.config.save_interval_s <= 0
+            or monotonic() - self._last_save >= self.config.save_interval_s
+        ):
+            self.save_index()
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        query_embedding: np.ndarray,
+        config: Optional[SearchConfig] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[SearchResult]:
+        """Top-k scan with filters fused as an on-device predicate mask."""
+        cfg = config or SearchConfig()
+        if self.index is None or self.index.ntotal == 0:
+            return []
+
+        query = np.asarray(query_embedding, dtype=np.float32).reshape(-1)
+        if self.config.normalize_embeddings:
+            query = query / (np.linalg.norm(query) + 1e-8)
+
+        mask = mask_for_filters(self.meta._conn(), filters, self.index.ntotal)
+        if mask is not None and not mask.any():
+            return []
+
+        scores, ids = self.index.search(
+            query[None, :], k=cfg.top_k, mask=mask, nprobe=cfg.nprobe
+        )
+        scores, ids = scores[0], ids[0]
+        hit = ids >= 0
+        scores, ids = scores[hit], ids[hit]
+
+        if self.index.metric == "l2":
+            similarities = -scores  # score = -||q-v||^2  ->  squared distance
+        else:
+            similarities = scores
+            keep = similarities >= cfg.similarity_threshold
+            similarities, ids = similarities[keep], ids[keep]
+
+        rows = self.meta.rows_for_vec_ids(ids.tolist())
+        results: List[SearchResult] = []
+        for sim, vec_id in zip(similarities, ids):
+            row = rows.get(int(vec_id))
+            if row is None:
+                continue
+            chunk_id = row["id"]
+            result = SearchResult(chunk_id=chunk_id, similarity=float(sim))
+            meta_dict = (
+                json.loads(row["metadata"]) if row["metadata"] else {}
+            )
+            if cfg.include_metadata:
+                result.metadata = meta_dict
+            if cfg.include_text:
+                result.text = row["text"]
+            if cfg.include_metadata and cfg.include_text:
+                result.chunk = Chunk(
+                    id=chunk_id,
+                    text=row["text"],
+                    metadata=meta_dict,
+                    embedding=None,
+                )
+            results.append(result)
+            if len(results) >= cfg.top_k:
+                break
+        return results
+
+    # -- point reads ---------------------------------------------------------
+
+    def _get_chunk_data(self, chunk_id: str) -> Optional[Dict[str, Any]]:
+        return self.meta.get_chunk_row(chunk_id)
+
+    def _matches_filters(
+        self, chunk_data: Dict[str, Any], filters: Dict[str, Any]
+    ) -> bool:
+        return matches_filters(chunk_data, filters)
+
+    @staticmethod
+    def _row_to_chunk(row: Dict[str, Any]) -> Chunk:
+        return Chunk(
+            id=row["id"],
+            text=row["text"],
+            metadata=json.loads(row["metadata"]) if row["metadata"] else {},
+            embedding=None,
+        )
+
+    def get_chunk_by_id(self, chunk_id: str) -> Optional[Chunk]:
+        row = self.meta.get_chunk_row(chunk_id)
+        return self._row_to_chunk(row) if row else None
+
+    def get_chunks_by_session(self, session_id: str) -> List[Chunk]:
+        return [
+            self._row_to_chunk(r) for r in self.meta.rows_for_session(session_id)
+        ]
+
+    def get_chunks_by_project(self, project_name: str) -> List[Chunk]:
+        return [
+            self._row_to_chunk(r) for r in self.meta.rows_for_project(project_name)
+        ]
+
+    def get_all_projects(self) -> List[str]:
+        return self.meta.all_projects()
+
+    # -- deletion ------------------------------------------------------------
+
+    def delete_chunk(self, chunk_id: str) -> bool:
+        vec_id = self.chunk_id_to_faiss_id.get(chunk_id)
+        if vec_id is None:
+            return False
+        if self.meta.delete_chunk(chunk_id) is None:
+            return False
+        self.chunk_id_to_faiss_id.pop(chunk_id, None)
+        self.faiss_id_to_chunk_id.pop(vec_id, None)
+        if self.index is not None:
+            self.index.remove([vec_id])  # tombstone, compacted by optimize()
+        self.total_chunks -= 1
+        return True
+
+    def delete_chunks_by_session(self, session_id: str) -> int:
+        rows = self.meta.rows_for_session(session_id)
+        return sum(1 for r in rows if self.delete_chunk(r["id"]))
+
+    def remove_chunks_for_file(self, file_path: str) -> int:
+        """Drop a file's chunks from DB *and* tombstone their vectors.
+
+        (Reference leaves orphaned FAISS rows behind: src/storage.py:843-844.)
+        """
+        removed = self.meta.delete_chunks_for_file(file_path)
+        if not removed:
+            return 0
+        vec_ids = []
+        for chunk_id, vec_id in removed:
+            self.chunk_id_to_faiss_id.pop(chunk_id, None)
+            if vec_id is not None:
+                self.faiss_id_to_chunk_id.pop(vec_id, None)
+                vec_ids.append(vec_id)
+        if self.index is not None and vec_ids:
+            self.index.remove(vec_ids)
+        return len(removed)
+
+    def clear_all_data(self) -> None:
+        self.meta.clear()
+        if self.index is not None:
+            self.index.clear()
+        self.chunk_id_to_faiss_id.clear()
+        self.faiss_id_to_chunk_id.clear()
+        self.total_chunks = 0
+        if self.config.auto_save:
+            self.save_index()
+        self.logger.info("Cleared all data from storage")
+
+    # -- incremental file tracking -------------------------------------------
+
+    def update_file_info(self, file_path: str, chunk_count: int) -> None:
+        self.meta.update_file_info(file_path, chunk_count)
+
+    def is_file_modified(self, file_path: str) -> bool:
+        return self.meta.is_file_modified(file_path)
+
+    # -- persistence / maintenance -------------------------------------------
+
+    def save_index(self) -> None:
+        if self.index is None:
+            self.logger.warning("No index to save")
+            return
+        self.index.save(str(self.index_path))
+        self._last_save = monotonic()
+        self.logger.info("Saved index to %s", self.index_path)
+
+    def backup(self, backup_dir: str) -> None:
+        dest = Path(backup_dir)
+        dest.mkdir(parents=True, exist_ok=True)
+        if self.index is not None and self.index.ntotal > 0:
+            self.index.save(str(dest / self.config.index_name))
+        if self.db_path.exists() and self.meta.db is not None:
+            self.meta.backup_to(str(dest / self.config.db_name))
+        self.logger.info("Backup created in %s", dest)
+
+    def restore(self, backup_dir: str) -> None:
+        src = Path(backup_dir)
+        index_file = src / self.config.index_name
+        if index_file.exists():
+            device = self.index.device if self.index is not None else None
+            self.index = load_index(str(index_file), device=device)
+        db_file = src / self.config.db_name
+        if db_file.exists():
+            self.meta.restore_from(str(db_file))
+        self._rebuild_id_mappings()
+        self.logger.info("Restored from backup in %s", src)
+
+    def optimize(self) -> None:
+        """Vacuum SQLite and compact the index (drop tombstones, renumber)."""
+        self.logger.info("Optimizing storage...")
+        self.meta.vacuum()
+        if self.index is not None and self.index.live != self.index.ntotal:
+            mapping = self.index.compact()
+            self.meta.update_vec_ids(mapping)
+            self._rebuild_id_mappings()
+        self.logger.info("Storage optimization complete")
+
+    # -- stats ---------------------------------------------------------------
+
+    def get_stats(self) -> Dict[str, Any]:
+        stats = self.meta.stats()
+        try:
+            stats["projects"] = self.get_all_projects()
+        except Exception as exc:
+            self.logger.warning("Failed to get projects list: %s", exc)
+            stats["projects"] = []
+
+        index_size = (
+            self.index_path.stat().st_size if self.index_path.exists() else 0
+        )
+        db_size = self.db_path.stat().st_size if self.db_path.exists() else 0
+        stats.update(
+            {
+                "faiss_index_size": index_size,  # key kept for API parity
+                "index_size": index_size,
+                "database_size": db_size,
+                "total_storage_size": index_size + db_size,
+                "embedding_dimension": self.embedding_dim,
+                "index_type": self.config.index_type,
+                "use_gpu": self.config.use_gpu,
+                "is_gpu_index": self._is_accelerated,
+                "is_accelerated": self._is_accelerated,
+                "live_vectors": self.index.live if self.index else 0,
+                "tombstones": (
+                    (self.index.ntotal - self.index.live) if self.index else 0
+                ),
+            }
+        )
+        if self._capability is not None:
+            cap = self._capability
+            info: Dict[str, Any] = {
+                "gpu_available": cap.can_use_accelerator,
+                "gpu_count": cap.device_count,
+                "gpu_names": cap.device_names,
+                "status_message": cap.status_message,
+                "backend": cap.backend,
+            }
+            if cap.memory_total is not None:
+                info["gpu_memory_total_gb"] = cap.memory_total / (1024**3)
+            if cap.memory_free is not None:
+                info["gpu_memory_free_gb"] = cap.memory_free / (1024**3)
+            stats["gpu_info"] = info
+            stats["device_info"] = info
+        return stats

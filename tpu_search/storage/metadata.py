@@ -1,0 +1,341 @@
+"""SQLite metadata store with cross-process write safety.
+
+Schema parity with the reference (src/storage.py:153-218): a ``chunks`` table
+(the ``faiss_id`` column name is kept verbatim so existing reference databases
+open unchanged — here it means "vector index slot id"), a ``files`` table for
+incremental indexing, and the same seven secondary indexes.
+
+Hardening over the reference: WAL journal mode + busy timeout + an advisory
+``flock`` write lock, closing the unguarded daemon-vs-CLI race the reference
+ships with (src/storage.py:147 uses ``check_same_thread=False`` and nothing
+else; see SURVEY.md section 5.2).
+"""
+
+from __future__ import annotations
+
+import fcntl
+import json
+import logging
+import os
+import sqlite3
+from contextlib import contextmanager
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+from ..ingest.chunker import Chunk
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["MetadataStore"]
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS chunks (
+    id TEXT PRIMARY KEY,
+    text TEXT NOT NULL,
+    metadata TEXT,
+    faiss_id INTEGER,
+    session_id TEXT,
+    project_name TEXT,
+    file_path TEXT,
+    chunk_type TEXT,
+    timestamp DATETIME,
+    has_code BOOLEAN,
+    has_tools BOOLEAN,
+    message_count INTEGER,
+    char_count INTEGER,
+    word_count INTEGER,
+    created_at DATETIME DEFAULT CURRENT_TIMESTAMP,
+    updated_at DATETIME DEFAULT CURRENT_TIMESTAMP
+);
+CREATE TABLE IF NOT EXISTS files (
+    path TEXT PRIMARY KEY,
+    last_modified DATETIME,
+    last_indexed DATETIME,
+    chunk_count INTEGER DEFAULT 0
+);
+CREATE INDEX IF NOT EXISTS idx_chunks_session ON chunks(session_id);
+CREATE INDEX IF NOT EXISTS idx_chunks_project ON chunks(project_name);
+CREATE INDEX IF NOT EXISTS idx_chunks_timestamp ON chunks(timestamp);
+CREATE INDEX IF NOT EXISTS idx_chunks_type ON chunks(chunk_type);
+CREATE INDEX IF NOT EXISTS idx_chunks_has_code ON chunks(has_code);
+CREATE INDEX IF NOT EXISTS idx_chunks_has_tools ON chunks(has_tools);
+CREATE INDEX IF NOT EXISTS idx_chunks_faiss_id ON chunks(faiss_id);
+"""
+
+
+class MetadataStore:
+    """Owns the SQLite connection, schema, and all metadata queries."""
+
+    def __init__(self, db_path: str, lock_path: Optional[str] = None) -> None:
+        self.db_path = Path(db_path)
+        self.db_path.parent.mkdir(parents=True, exist_ok=True)
+        self.lock_path = Path(
+            lock_path or str(self.db_path) + ".write.lock"
+        )
+        self.db: Optional[sqlite3.Connection] = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def open(self) -> None:
+        if self.db is not None:
+            return
+        self.db = sqlite3.connect(str(self.db_path), check_same_thread=False)
+        self.db.row_factory = sqlite3.Row
+        self.db.execute("PRAGMA journal_mode=WAL")
+        self.db.execute("PRAGMA busy_timeout=10000")
+        self.db.execute("PRAGMA synchronous=NORMAL")
+        self.db.executescript(_SCHEMA)
+        self.db.commit()
+
+    def close(self) -> None:
+        if self.db is not None:
+            self.db.close()
+            self.db = None
+
+    def _conn(self) -> sqlite3.Connection:
+        if self.db is None:
+            raise RuntimeError("Database not initialized")
+        return self.db
+
+    @contextmanager
+    def write_lock(self):
+        """Advisory cross-process write lock (single-writer discipline)."""
+        self.lock_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.lock_path, "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+    # -- chunk writes --------------------------------------------------------
+
+    def upsert_chunks(self, rows: Sequence[Tuple[Chunk, int]]) -> None:
+        """Insert-or-replace (chunk, vector slot id) pairs in one transaction."""
+        db = self._conn()
+        now = datetime.now().isoformat()
+        with self.write_lock():
+            db.executemany(
+                """
+                INSERT OR REPLACE INTO chunks
+                (id, text, metadata, faiss_id, session_id, project_name,
+                 file_path, chunk_type, timestamp, has_code, has_tools,
+                 message_count, char_count, word_count, updated_at)
+                VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)
+                """,
+                [
+                    (
+                        chunk.id,
+                        chunk.text,
+                        json.dumps(chunk.metadata),
+                        vec_id,
+                        chunk.metadata.get("session_id"),
+                        chunk.metadata.get("project_name"),
+                        chunk.metadata.get("file_path"),
+                        chunk.metadata.get("chunk_type"),
+                        chunk.metadata.get("timestamp"),
+                        chunk.metadata.get("has_code", False),
+                        chunk.metadata.get("has_tools", False),
+                        chunk.metadata.get("message_count", 0),
+                        chunk.metadata.get("char_count", 0),
+                        chunk.metadata.get("word_count", 0),
+                        now,
+                    )
+                    for chunk, vec_id in rows
+                ],
+            )
+            db.commit()
+
+    def delete_chunk(self, chunk_id: str) -> Optional[int]:
+        """Delete one chunk; returns its vector slot id if it existed."""
+        db = self._conn()
+        with self.write_lock():
+            row = db.execute(
+                "SELECT faiss_id FROM chunks WHERE id = ?", (chunk_id,)
+            ).fetchone()
+            if row is None:
+                return None
+            db.execute("DELETE FROM chunks WHERE id = ?", (chunk_id,))
+            db.commit()
+        return row["faiss_id"]
+
+    def delete_chunks_for_file(self, file_path: str) -> List[Tuple[str, int]]:
+        """Delete all chunks of a file; returns their (chunk_id, vec_id)."""
+        db = self._conn()
+        with self.write_lock():
+            rows = db.execute(
+                "SELECT id, faiss_id FROM chunks WHERE file_path = ?",
+                (file_path,),
+            ).fetchall()
+            db.execute("DELETE FROM chunks WHERE file_path = ?", (file_path,))
+            db.commit()
+        return [(r["id"], r["faiss_id"]) for r in rows]
+
+    def clear(self) -> None:
+        db = self._conn()
+        with self.write_lock():
+            db.execute("DELETE FROM chunks")
+            db.execute("DELETE FROM files")
+            db.commit()
+
+    def update_vec_ids(self, mapping: Dict[int, int]) -> None:
+        """Renumber slot ids after index compaction."""
+        db = self._conn()
+        with self.write_lock():
+            db.executemany(
+                "UPDATE chunks SET faiss_id = ? WHERE faiss_id = ?",
+                [(new, old) for old, new in mapping.items()],
+            )
+            db.commit()
+
+    # -- chunk reads ---------------------------------------------------------
+
+    def get_chunk_row(self, chunk_id: str) -> Optional[Dict[str, Any]]:
+        row = self._conn().execute(
+            "SELECT * FROM chunks WHERE id = ?", (chunk_id,)
+        ).fetchone()
+        return {k: row[k] for k in row.keys()} if row else None
+
+    def rows_for_vec_ids(
+        self, vec_ids: Iterable[int]
+    ) -> Dict[int, Dict[str, Any]]:
+        """Fetch all rows for the given slot ids in ONE query.
+
+        (Fixes the reference's per-candidate point lookup N+1 pattern,
+        src/storage.py:454.)
+        """
+        ids = [int(v) for v in vec_ids if v is not None and v >= 0]
+        if not ids:
+            return {}
+        marks = ",".join("?" * len(ids))
+        rows = self._conn().execute(
+            f"SELECT * FROM chunks WHERE faiss_id IN ({marks})", ids
+        ).fetchall()
+        return {
+            row["faiss_id"]: {k: row[k] for k in row.keys()} for row in rows
+        }
+
+    def rows_for_session(self, session_id: str) -> List[Dict[str, Any]]:
+        rows = self._conn().execute(
+            "SELECT * FROM chunks WHERE session_id = ? ORDER BY timestamp",
+            (session_id,),
+        ).fetchall()
+        return [{k: r[k] for k in r.keys()} for r in rows]
+
+    def rows_for_project(self, project_name: str) -> List[Dict[str, Any]]:
+        rows = self._conn().execute(
+            "SELECT * FROM chunks WHERE project_name = ? ORDER BY timestamp",
+            (project_name,),
+        ).fetchall()
+        return [{k: r[k] for k in r.keys()} for r in rows]
+
+    def vec_id_mappings(self) -> Tuple[Dict[str, int], Dict[int, str]]:
+        """Rebuild chunk_id<->slot_id maps (reference: src/storage.py:318)."""
+        rows = self._conn().execute(
+            "SELECT id, faiss_id FROM chunks WHERE faiss_id IS NOT NULL"
+        ).fetchall()
+        fwd = {r["id"]: r["faiss_id"] for r in rows}
+        rev = {r["faiss_id"]: r["id"] for r in rows}
+        return fwd, rev
+
+    def all_projects(self) -> List[str]:
+        rows = self._conn().execute(
+            """
+            SELECT DISTINCT project_name FROM chunks
+            WHERE project_name IS NOT NULL AND project_name != ''
+            ORDER BY project_name
+            """
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    def stats(self) -> Dict[str, Any]:
+        db = self._conn()
+        total = db.execute("SELECT COUNT(*) FROM chunks").fetchone()[0]
+        sessions = db.execute(
+            "SELECT COUNT(DISTINCT session_id) FROM chunks"
+        ).fetchone()[0]
+        projects = db.execute(
+            "SELECT COUNT(DISTINCT project_name) FROM chunks"
+        ).fetchone()[0]
+        types = dict(
+            db.execute(
+                "SELECT chunk_type, COUNT(*) FROM chunks GROUP BY chunk_type"
+            ).fetchall()
+        )
+        return {
+            "total_chunks": total,
+            "total_sessions": sessions,
+            "total_projects": projects,
+            "chunk_types": types,
+        }
+
+    # -- incremental file tracking -------------------------------------------
+
+    def update_file_info(self, file_path: str, chunk_count: int) -> None:
+        try:
+            last_modified = datetime.fromtimestamp(os.path.getmtime(file_path))
+        except OSError:
+            last_modified = datetime.now()
+        db = self._conn()
+        with self.write_lock():
+            db.execute(
+                """
+                INSERT OR REPLACE INTO files
+                (path, last_modified, last_indexed, chunk_count)
+                VALUES (?, ?, ?, ?)
+                """,
+                (
+                    file_path,
+                    last_modified.isoformat(),
+                    datetime.now().isoformat(),
+                    chunk_count,
+                ),
+            )
+            db.commit()
+
+    def is_file_modified(self, file_path: str) -> bool:
+        try:
+            current = datetime.fromtimestamp(os.path.getmtime(file_path))
+        except OSError:
+            return True
+        row = self._conn().execute(
+            "SELECT last_modified FROM files WHERE path = ?", (file_path,)
+        ).fetchone()
+        if row is None:
+            return True
+        recorded = (
+            datetime.fromisoformat(row["last_modified"])
+            if row["last_modified"]
+            else None
+        )
+        return recorded is None or current > recorded
+
+    def last_indexed(self) -> Optional[str]:
+        row = self._conn().execute(
+            "SELECT MAX(last_indexed) FROM files"
+        ).fetchone()
+        return row[0] if row else None
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self) -> None:
+        self._conn().execute("VACUUM")
+
+    def backup_to(self, dest_path: str) -> None:
+        dest = sqlite3.connect(dest_path)
+        try:
+            self._conn().backup(dest)
+        finally:
+            dest.close()
+
+    def restore_from(self, src_path: str) -> None:
+        self.close()
+        src = sqlite3.connect(src_path)
+        self.db = sqlite3.connect(str(self.db_path), check_same_thread=False)
+        self.db.row_factory = sqlite3.Row
+        try:
+            src.backup(self.db)
+        finally:
+            src.close()
+        self.db.commit()

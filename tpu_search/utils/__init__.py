@@ -1,0 +1,5 @@
+"""Shared helpers: shape bucketing, profiling, serialization."""
+
+from .shapes import bucket_size, cdiv, next_pow2, round_up
+
+__all__ = ["bucket_size", "cdiv", "next_pow2", "round_up"]

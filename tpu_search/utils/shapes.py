@@ -1,0 +1,32 @@
+"""Static-shape discipline helpers.
+
+Everything under jit is traced once per shape signature, so all dynamic sizes
+(batch, corpus, sequence) are padded up to a small set of buckets to bound
+recompilation (SURVEY.md section 7 "recompile discipline").
+"""
+
+from __future__ import annotations
+
+__all__ = ["cdiv", "round_up", "next_pow2", "bucket_size"]
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, multiple: int) -> int:
+    return cdiv(x, multiple) * multiple
+
+
+def next_pow2(x: int) -> int:
+    if x <= 1:
+        return 1
+    return 1 << (x - 1).bit_length()
+
+
+def bucket_size(n: int, buckets: tuple) -> int:
+    """Smallest bucket >= n, else round up to a multiple of the largest."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return round_up(n, buckets[-1])
