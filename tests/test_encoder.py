@@ -1,0 +1,209 @@
+"""EmbeddingGenerator tests: bucketing, validation, utilities, hash fallback,
+and the full jitted-MPNet path with a tiny random checkpoint on disk."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_search.ingest.chunker import Chunk
+from tpu_search.models import (
+    EmbeddingConfig,
+    EmbeddingGenerator,
+    MPNetConfig,
+    init_params,
+)
+from tpu_search.models.convert import save_checkpoint
+
+TINY = MPNetConfig(
+    vocab_size=64,
+    hidden_size=16,
+    num_layers=2,
+    num_heads=2,
+    intermediate_size=32,
+    max_position=96,
+)
+
+VOCAB_TOKENS = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"] + [
+    f"tok{i}" for i in range(59)
+]
+
+
+@pytest.fixture
+def tiny_model_dir(tmp_path):
+    model_dir = tmp_path / "models" / "tiny-mpnet"
+    model_dir.mkdir(parents=True)
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    save_checkpoint(str(model_dir / "model.tpu.npz"), params, TINY)
+    (model_dir / "vocab.txt").write_text("\n".join(VOCAB_TOKENS) + "\n")
+    return tmp_path / "models"
+
+
+def make_chunks(texts):
+    return [
+        Chunk(id=f"c{i}", text=t, metadata={}) for i, t in enumerate(texts)
+    ]
+
+
+class TestHashFallback:
+    def test_deterministic(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-64"))
+        gen.load_model()
+        a = gen.generate_single_embedding("hello world")
+        b = gen.generate_single_embedding("hello world")
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (64,)
+        assert np.linalg.norm(a) == pytest.approx(1.0, abs=1e-5)
+
+    def test_similar_texts_closer(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-128"))
+        gen.load_model()
+        a = gen.generate_single_embedding("python jax tpu kernels")
+        b = gen.generate_single_embedding("python jax tpu performance")
+        c = gen.generate_single_embedding("gardening tomato seeds spring")
+        assert np.dot(a, b) > np.dot(a, c)
+
+    def test_chunks_get_embeddings(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))
+        chunks = make_chunks(["one text", "two text"])
+        out = gen.generate_embeddings(chunks)
+        assert len(out) == 2
+        assert all(c.embedding is not None for c in chunks)
+        assert len(chunks[0].embedding) == 32
+
+
+class TestRealModelPath:
+    def test_load_and_encode(self, tiny_model_dir):
+        gen = EmbeddingGenerator(
+            EmbeddingConfig(
+                model_name="tiny-mpnet",
+                cache_dir=str(tiny_model_dir),
+                compute_dtype="float32",
+                device="cpu",
+                batch_size=4,
+            )
+        )
+        gen.load_model()
+        assert gen.is_model_loaded
+        assert gen.embedding_dimension == 16
+
+        texts = [f"tok{i} tok{i+1} tok{i+2}" for i in range(8)]
+        vecs = gen._encode_texts(texts)
+        assert vecs.shape == (8, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5
+        )
+
+    def test_bucketing_consistency(self, tiny_model_dir):
+        """Same text must embed identically regardless of batch composition
+        (bucket padding must not leak)."""
+        gen = EmbeddingGenerator(
+            EmbeddingConfig(
+                model_name="tiny-mpnet",
+                cache_dir=str(tiny_model_dir),
+                compute_dtype="float32",
+                device="cpu",
+                batch_size=4,
+            )
+        )
+        gen.load_model()
+        alone = gen._encode_texts(["tok1 tok2 tok3"])[0]
+        texts = ["tok10 " * 30, "tok1 tok2 tok3", "tok5"]
+        batched = gen._encode_texts(texts)[1]
+        np.testing.assert_allclose(alone, batched, atol=1e-5)
+
+    def test_missing_model_raises(self, tmp_path):
+        gen = EmbeddingGenerator(
+            EmbeddingConfig(
+                model_name="nonexistent-model", cache_dir=str(tmp_path)
+            )
+        )
+        with pytest.raises(FileNotFoundError, match="setup-models"):
+            gen.load_model()
+
+    def test_single_embedding(self, tiny_model_dir):
+        gen = EmbeddingGenerator(
+            EmbeddingConfig(
+                model_name="tiny-mpnet",
+                cache_dir=str(tiny_model_dir),
+                compute_dtype="float32",
+                device="cpu",
+            )
+        )
+        vec = gen.generate_single_embedding("tok7 tok8")
+        assert vec.shape == (16,)
+
+
+class TestValidation:
+    def test_invalid_texts_handled(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))
+        chunks = make_chunks(["fine"])
+        chunks.append(Chunk(id="n", text=None, metadata={}))
+        chunks.append(Chunk(id="e", text="   ", metadata={}))
+        out = gen.generate_embeddings(chunks)
+        assert len(out) == 3
+
+    def test_empty_chunk_list(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))
+        assert gen.generate_embeddings([]) == []
+
+    def test_validate_embeddings(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))
+        chunks = make_chunks(["a b c", "d e f"])
+        gen.generate_embeddings(chunks)
+        chunks.append(Chunk(id="missing", text="x", metadata={}))
+        report = gen.validate_embeddings(chunks)
+        assert report["chunks_with_embeddings"] == 2
+        assert report["embedding_dimension"] == 32
+        assert len(report["issues"]) == 1
+        assert report["embedding_stats"]["norm_mean"] == pytest.approx(
+            1.0, abs=1e-4
+        )
+
+
+class TestSimilarityUtils:
+    def test_compute_similarity(self):
+        gen = EmbeddingGenerator()
+        a = np.array([1.0, 0.0])
+        b = np.array([0.0, 1.0])
+        assert gen.compute_similarity(a, a) == pytest.approx(1.0)
+        assert gen.compute_similarity(a, b) == pytest.approx(0.0)
+
+    def test_similarity_matrix(self):
+        gen = EmbeddingGenerator()
+        mat = gen.compute_similarity_matrix(
+            [np.array([1.0, 0.0]), np.array([1.0, 0.0]), np.array([0.0, 2.0])]
+        )
+        assert mat.shape == (3, 3)
+        assert mat[0, 1] == pytest.approx(1.0)
+        assert mat[0, 2] == pytest.approx(0.0)
+
+    def test_find_similar(self):
+        gen = EmbeddingGenerator()
+        query = np.array([1.0, 0.0])
+        pool = [np.array([0.9, 0.1]), np.array([0.0, 1.0]),
+                np.array([1.0, 0.05])]
+        top = gen.find_similar_chunks(query, pool, top_k=2)
+        assert [i for i, _ in top] == [2, 0]
+
+
+class TestStatsAndInfo:
+    def test_embedding_stats(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))
+        gen.load_model()
+        stats = gen.get_embedding_stats(make_chunks(["one two", "three"]))
+        assert stats.total_chunks == 2
+        assert stats.total_tokens == 3
+
+    def test_model_info_after_load(self):
+        gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))
+        gen.load_model()
+        info = gen.get_model_info()
+        assert info["model_name"] == "hash-32"
+        assert info["embedding_dimension"] == 32
+
+    def test_config_defaults(self):
+        cfg = EmbeddingConfig()
+        assert cfg.model_name == "all-mpnet-base-v2"
+        assert cfg.max_seq_length == 384
+        assert cfg.normalize_embeddings is True

@@ -1,0 +1,182 @@
+"""Golden tests: JAX MPNet must reproduce HF torch MPNetModel numerics.
+
+Uses a small random-initialized torch MPNetModel (no downloads, no network) as
+the ground truth: convert its state dict and compare hidden states and pooled
+embeddings. This is the encoder-fidelity gate from SURVEY.md section 7
+("golden-test embeddings against reference mpnet outputs, cosine > 0.999").
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from tpu_search.models.convert import (
+    config_from_hf,
+    load_checkpoint,
+    params_from_state_dict,
+    save_checkpoint,
+)
+from tpu_search.models.mpnet import MPNetConfig, encode, forward_hidden
+
+SMALL_HF_CONFIG = dict(
+    vocab_size=120,
+    hidden_size=32,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=40,
+    pad_token_id=1,
+    relative_attention_num_buckets=32,
+    # HF defaults this to 1e-12; the real all-mpnet-base-v2 uses 1e-5.
+    # Pin it so config_from_hf and torch agree.
+    layer_norm_eps=1e-5,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    hf_config = transformers.MPNetConfig(**SMALL_HF_CONFIG)
+    model = transformers.MPNetModel(hf_config, add_pooling_layer=False)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(torch_model):
+    config = config_from_hf(SMALL_HF_CONFIG)
+    params = params_from_state_dict(torch_model.state_dict(), config)
+    return params, config
+
+
+def make_batch(rng, batch=3, seq=17, pad_token=1, vocab=120):
+    ids = rng.integers(4, vocab, size=(batch, seq))
+    lengths = rng.integers(5, seq + 1, size=batch)
+    mask = np.zeros((batch, seq), dtype=np.int64)
+    for row, n in enumerate(lengths):
+        mask[row, :n] = 1
+        ids[row, n:] = pad_token
+    return ids.astype(np.int64), mask
+
+
+class TestHiddenStateParity:
+    def test_last_hidden_state_matches(self, torch_model, jax_setup):
+        params, config = jax_setup
+        rng = np.random.default_rng(1)
+        ids, mask = make_batch(rng)
+
+        with torch.no_grad():
+            ref = torch_model(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+            ).last_hidden_state.numpy()
+
+        got = np.asarray(
+            forward_hidden(params, jnp.asarray(ids), jnp.asarray(mask), config)
+        )
+        # Padded positions differ (torch computes them; values are garbage
+        # either way) — compare only unmasked positions.
+        valid = mask.astype(bool)
+        # atol: f32 matmul accumulation order differs between torch
+        # (oneDNN) and XLA; observed max ~2e-4 on random weights. The
+        # strict fidelity gate is the cosine test below.
+        np.testing.assert_allclose(got[valid], ref[valid], atol=5e-4)
+
+    def test_no_padding_batch(self, torch_model, jax_setup):
+        params, config = jax_setup
+        rng = np.random.default_rng(2)
+        ids = rng.integers(4, 120, size=(2, 9)).astype(np.int64)
+        mask = np.ones_like(ids)
+        with torch.no_grad():
+            ref = torch_model(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+            ).last_hidden_state.numpy()
+        got = np.asarray(
+            forward_hidden(params, jnp.asarray(ids), jnp.asarray(mask), config)
+        )
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+class TestSentenceEmbeddingParity:
+    def _torch_sentence_embed(self, model, ids, mask):
+        with torch.no_grad():
+            hidden = model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state
+        m = torch.tensor(mask).unsqueeze(-1).float()
+        pooled = (hidden * m).sum(1) / m.sum(1).clamp(min=1e-9)
+        return torch.nn.functional.normalize(pooled, p=2, dim=1).numpy()
+
+    def test_cosine_fidelity(self, torch_model, jax_setup):
+        params, config = jax_setup
+        rng = np.random.default_rng(3)
+        ids, mask = make_batch(rng, batch=5, seq=21)
+
+        ref = self._torch_sentence_embed(torch_model, ids, mask)
+        got = np.asarray(
+            encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+        )
+        cosines = np.sum(ref * got, axis=1)
+        assert (cosines > 0.9999).all(), cosines
+        assert np.allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-5)
+
+    def test_bf16_compute_close(self, torch_model, jax_setup):
+        params, config = jax_setup
+        rng = np.random.default_rng(4)
+        ids, mask = make_batch(rng, batch=4, seq=15)
+        ref = self._torch_sentence_embed(torch_model, ids, mask)
+        got = np.asarray(
+            encode(
+                params,
+                jnp.asarray(ids),
+                jnp.asarray(mask),
+                config,
+                compute_dtype=jnp.bfloat16,
+            )
+        )
+        cosines = np.sum(ref * got, axis=1)
+        assert (cosines > 0.99).all(), cosines
+
+
+class TestPaddingInvariance:
+    def test_extra_padding_does_not_change_embedding(self, jax_setup):
+        """Bucketed sequence padding must be a no-op for the embedding."""
+        params, config = jax_setup
+        rng = np.random.default_rng(5)
+        ids, mask = make_batch(rng, batch=2, seq=12)
+        short = np.asarray(
+            encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+        )
+
+        pad_to = 24
+        ids_padded = np.full((2, pad_to), config.pad_token_id, dtype=np.int64)
+        ids_padded[:, :12] = ids
+        mask_padded = np.zeros((2, pad_to), dtype=np.int64)
+        mask_padded[:, :12] = mask
+        long = np.asarray(
+            encode(
+                params, jnp.asarray(ids_padded), jnp.asarray(mask_padded), config
+            )
+        )
+        np.testing.assert_allclose(short, long, atol=1e-5)
+
+
+class TestCheckpointRoundtrip:
+    def test_save_load(self, jax_setup, tmp_path):
+        params, config = jax_setup
+        path = tmp_path / "model.npz"
+        save_checkpoint(str(path), params, config)
+        loaded, loaded_config = load_checkpoint(str(path))
+        assert loaded_config == config
+        rng = np.random.default_rng(6)
+        ids, mask = make_batch(rng, batch=2, seq=10)
+        a = np.asarray(encode(params, jnp.asarray(ids), jnp.asarray(mask), config))
+        b = np.asarray(
+            encode(loaded, jnp.asarray(ids), jnp.asarray(mask), loaded_config)
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6)

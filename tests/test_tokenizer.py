@@ -1,0 +1,135 @@
+"""Tokenizer tests incl. golden parity vs transformers' MPNetTokenizer
+built offline from a handcrafted vocab file (no downloads)."""
+
+import numpy as np
+import pytest
+
+from tpu_search.models.tokenizer import WordPieceTokenizer
+
+VOCAB_TOKENS = [
+    "<s>", "<pad>", "</s>", "[UNK]", "<mask>",
+    "the", "quick", "brown", "fox", "jump", "##s", "##ed", "##ing",
+    "over", "lazy", "dog", "python", "code", "##r", "hello", "world",
+    "print", "(", ")", "\"", ".", ",", "!", "?", "'", "def", "import",
+    "a", "b", "c", "##a", "##b", "##c", "1", "2", "3", "##1", "##2",
+    "cafe", "##e",
+]
+VOCAB = {t: i for i, t in enumerate(VOCAB_TOKENS)}
+
+
+@pytest.fixture
+def tok():
+    return WordPieceTokenizer(VOCAB)
+
+
+class TestBasics:
+    def test_simple_sentence(self, tok):
+        assert tok.tokenize("The quick brown fox") == [
+            "the", "quick", "brown", "fox"
+        ]
+
+    def test_wordpiece_continuation(self, tok):
+        assert tok.tokenize("jumps") == ["jump", "##s"]
+        assert tok.tokenize("jumping") == ["jump", "##ing"]
+
+    def test_unknown_word(self, tok):
+        assert tok.tokenize("xyzzy") == ["[UNK]"]
+
+    def test_punctuation_split(self, tok):
+        assert tok.tokenize("hello, world!") == [
+            "hello", ",", "world", "!"
+        ]
+
+    def test_lowercase_and_accents(self, tok):
+        assert tok.tokenize("CAFÉ") == ["cafe"]
+
+    def test_encode_adds_special_tokens(self, tok):
+        ids = tok.encode("hello world")
+        assert ids[0] == tok.bos_id
+        assert ids[-1] == tok.eos_id
+        assert tok.decode(ids) == "hello world"
+
+    def test_truncation(self, tok):
+        ids = tok.encode("the quick brown fox jumps over the lazy dog",
+                         max_length=5)
+        assert len(ids) == 5
+        assert ids[0] == tok.bos_id and ids[-1] == tok.eos_id
+
+    def test_empty_text(self, tok):
+        assert tok.encode("") == [tok.bos_id, tok.eos_id]
+
+    def test_control_chars_removed(self, tok):
+        assert tok.tokenize("hello\x00world") == ["helloworld"] or tok.tokenize(
+            "hello\x00world"
+        ) == ["[UNK]"]
+
+
+class TestBatch:
+    def test_batch_shapes_and_mask(self, tok):
+        ids, mask = tok.encode_batch(["hello", "the quick brown fox"])
+        assert ids.shape == mask.shape
+        assert mask[0].sum() == 3  # <s> hello </s>
+        assert mask[1].sum() == 6
+        assert (ids[0][mask[0] == 0] == tok.pad_id).all()
+
+    def test_pad_to_bucket(self, tok):
+        ids, mask = tok.encode_batch(["hello"], pad_to=16)
+        assert ids.shape == (1, 16)
+
+    def test_empty_batch(self, tok):
+        ids, mask = tok.encode_batch([])
+        assert ids.shape[0] == 0
+
+
+class TestGoldenParityVsTransformers:
+    @pytest.fixture(scope="class")
+    def pair(self, tmp_path_factory):
+        transformers = pytest.importorskip("transformers")
+        vocab_dir = tmp_path_factory.mktemp("vocab")
+        vocab_file = vocab_dir / "vocab.txt"
+        vocab_file.write_text("\n".join(VOCAB_TOKENS) + "\n")
+        theirs = transformers.MPNetTokenizer(
+            str(vocab_file), do_lower_case=True
+        )
+        ours = WordPieceTokenizer(VOCAB)
+        return ours, theirs
+
+    @pytest.mark.parametrize(
+        "text",
+        [
+            "The quick brown fox jumps over the lazy dog.",
+            "hello, world! python code",
+            "CAFÉ café",
+            "def print(a, b): import c",
+            "a1b2c3",
+            "unknownword hello",
+            "  whitespace   everywhere  ",
+            "",
+            "!!!",
+            "jumps jumped jumping",
+        ],
+    )
+    def test_encode_matches(self, pair, text):
+        ours, theirs = pair
+        expected = theirs.encode(text, add_special_tokens=True)
+        got = ours.encode(text)
+        assert got == expected, f"mismatch on {text!r}"
+
+    def test_special_ids_match(self, pair):
+        ours, theirs = pair
+        assert ours.bos_id == theirs.bos_token_id
+        assert ours.eos_id == theirs.eos_token_id
+        assert ours.pad_id == theirs.pad_token_id
+        assert ours.unk_id == theirs.unk_token_id
+
+
+class TestFromPretrainedDir:
+    def test_load_from_dir(self, tmp_path):
+        (tmp_path / "vocab.txt").write_text("\n".join(VOCAB_TOKENS) + "\n")
+        tok = WordPieceTokenizer.from_pretrained_dir(str(tmp_path))
+        assert tok.vocab_size == len(VOCAB_TOKENS)
+        assert tok.tokenize("hello world") == ["hello", "world"]
+
+    def test_missing_vocab_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            WordPieceTokenizer.from_pretrained_dir(str(tmp_path))

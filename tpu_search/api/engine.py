@@ -1,0 +1,230 @@
+"""Core orchestration facade (the reference ``SemanticSearchCLI`` role).
+
+Owns one parser, chunker, embedder and storage instance and drives the
+index / search / stats flows (reference: src/cli.py:35-278).  All interfaces
+(Click CLI, MCP server, watcher daemon) share this class so the model and
+index stay warm within a process.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+from ..ingest.chunker import ChunkingConfig, ConversationChunker
+from ..ingest.parser import JSONLParser
+from ..models.encoder import EmbeddingConfig, EmbeddingGenerator
+from ..storage.hybrid import HybridStorage, SearchConfig, StorageConfig
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["SearchEngine", "SemanticSearchCLI", "DEFAULT_DATA_DIR", "resolve_data_dir"]
+
+DEFAULT_DATA_DIR = "~/.claude-semantic-search/data"
+
+
+def resolve_data_dir(data_dir: Optional[str] = None) -> str:
+    """Data dir resolution order: arg > $CLAUDE_SEARCH_DATA_DIR > default."""
+    if data_dir is None:
+        data_dir = os.environ.get("CLAUDE_SEARCH_DATA_DIR", DEFAULT_DATA_DIR)
+    return str(Path(data_dir).expanduser())
+
+
+class SearchEngine:
+    """Index + search orchestration over the TPU-native components."""
+
+    def __init__(
+        self,
+        data_dir: str = DEFAULT_DATA_DIR,
+        use_gpu: bool = False,
+        model_name: str = "all-mpnet-base-v2",
+        save_interval_s: float = 30.0,
+    ) -> None:
+        self.data_dir = Path(data_dir).expanduser()
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.use_gpu = use_gpu
+
+        self.parser = JSONLParser()
+        self.chunker = ConversationChunker(ChunkingConfig())
+        self.embedder = EmbeddingGenerator(
+            EmbeddingConfig(
+                model_name=model_name,
+                batch_size=8,  # auto-raised on accelerator
+                cache_dir=str(self.data_dir / "models"),
+                use_gpu=use_gpu,
+                auto_batch_size=True,
+            )
+        )
+        self.storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(self.data_dir),
+                embedding_dim=768,
+                auto_save=True,
+                use_gpu=use_gpu,
+                # Debounced saves during bulk indexing (the reference rewrote
+                # its whole FAISS index after every file, src/storage.py:403);
+                # close() still flushes.
+                save_interval_s=save_interval_s,
+            )
+        )
+
+    # -- discovery ----------------------------------------------------------
+
+    def scan_claude_projects(
+        self, base_path: str = "~/.claude/projects"
+    ) -> List[Path]:
+        """Find conversation JSONL files (exits like the reference CLI on
+        missing dirs; interfaces catch SystemExit)."""
+        base = Path(base_path).expanduser()
+        if not base.exists():
+            print(f"❌ Claude projects directory not found: {base}")
+            sys.exit(1)
+        files = list(base.rglob("*.jsonl"))
+        if not files:
+            print("❌ No JSONL files found in Claude projects directory")
+            sys.exit(1)
+        print(f"📁 Found {len(files)} conversation files")
+        return files
+
+    # -- indexing ------------------------------------------------------------
+
+    def index_conversations(
+        self,
+        files: List[Path],
+        force: bool = False,
+        progress: Optional[Callable[[str], None]] = None,
+    ) -> Dict[str, Any]:
+        """Index files incrementally with one retry round for failures
+        (reference behavior: src/cli.py:85-230)."""
+        report = progress or (lambda msg: None)
+        self.storage.initialize()
+
+        if force:
+            self.storage.clear_all_data()
+
+        if not self.embedder.is_model_loaded:
+            self.embedder.load_model()
+
+        # Make sure the encoder's embedding dim matches storage
+        dim = self.embedder.embedding_dimension
+        if dim and dim != self.storage.embedding_dim:
+            raise RuntimeError(
+                f"Encoder dim {dim} != storage dim {self.storage.embedding_dim}"
+            )
+
+        stats: Dict[str, Any] = {
+            "files_processed": 0,
+            "files_skipped": 0,
+            "files_unchanged": 0,
+            "chunks_created": 0,
+            "chunks_indexed": 0,
+            "chunks_removed": 0,
+            "errors": [],
+            "start_time": time.time(),
+        }
+
+        failed: List[Path] = []
+        for file_path in files:
+            try:
+                if not force and not self.storage.is_file_modified(
+                    str(file_path)
+                ):
+                    stats["files_unchanged"] += 1
+                    continue
+                report(f"Processing {file_path.name}")
+                self._index_one_file(file_path, stats)
+            except Exception as exc:
+                message = f"Error processing {file_path}: {exc}"
+                stats["errors"].append(message)
+                logger.error(message)
+                failed.append(file_path)
+
+        if failed:
+            report(f"Retrying {len(failed)} failed files")
+            for file_path in failed:
+                try:
+                    self._index_one_file(file_path, stats)
+                    stats["errors"] = [
+                        e for e in stats["errors"] if file_path.name not in e
+                    ]
+                except Exception as exc:
+                    logger.error("Retry failed for %s: %s", file_path, exc)
+
+        # Flush any debounced index state to disk at the end of the run.
+        if self.storage.config.auto_save:
+            self.storage.save_index()
+
+        stats["end_time"] = time.time()
+        stats["duration"] = stats["end_time"] - stats["start_time"]
+        return stats
+
+    def _index_one_file(self, file_path: Path, stats: Dict[str, Any]) -> None:
+        removed = self.storage.remove_chunks_for_file(str(file_path))
+        if removed:
+            stats["chunks_removed"] += removed
+
+        conversation = self.parser.parse_file(str(file_path))
+        if conversation is None:
+            stats["files_skipped"] += 1
+            return
+        chunks = self.chunker.chunk_conversation(conversation)
+        stats["chunks_created"] += len(chunks)
+        if not chunks:
+            stats["files_skipped"] += 1
+            return
+        self.embedder.generate_embeddings(chunks)
+        self.storage.add_chunks(chunks)
+        self.storage.update_file_info(str(file_path), len(chunks))
+        stats["chunks_indexed"] += len(chunks)
+        stats["files_processed"] += 1
+
+    # -- search --------------------------------------------------------------
+
+    def search_conversations(
+        self,
+        query: str,
+        filters: Optional[Dict[str, Any]] = None,
+        top_k: int = 10,
+    ) -> List[Dict[str, Any]]:
+        """Embed the query and run the fused-filter top-k scan."""
+        self.storage.initialize()
+        if not self.embedder.is_model_loaded:
+            self.embedder.load_model()
+
+        query_embedding = self.embedder.generate_single_embedding(query)
+        results = self.storage.search(
+            query_embedding,
+            SearchConfig(top_k=top_k, include_metadata=True, include_text=True),
+            filters,
+        )
+
+        formatted = []
+        for result in results:
+            meta = result.metadata or {}
+            formatted.append(
+                {
+                    "chunk_id": result.chunk_id,
+                    "similarity": float(result.similarity),
+                    "text": result.text,
+                    "metadata": result.metadata,
+                    "project": meta.get("project_name", "unknown"),
+                    "session": meta.get("session_id", "unknown"),
+                    "timestamp": meta.get("timestamp", "unknown"),
+                    "has_code": meta.get("has_code", False),
+                }
+            )
+        return formatted
+
+    # -- stats ---------------------------------------------------------------
+
+    def get_index_stats(self) -> Dict[str, Any]:
+        self.storage.initialize()
+        return self.storage.get_stats()
+
+
+# Reference-compatible name (src/cli.py:35).
+SemanticSearchCLI = SearchEngine

@@ -1,0 +1,529 @@
+"""Click CLI: the seven claude-* commands (reference: src/cli.py:281-856).
+
+Same commands, flags, env vars, output shapes (incl. Alfred JSON) as the
+reference, driving the TPU-native engine.  ``--gpu`` keeps its name for
+drop-in compatibility and means "use the attached accelerator (TPU)".
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from datetime import datetime
+from typing import Any, Dict, List, Optional
+
+import click
+
+from ..api.engine import SearchEngine, resolve_data_dir
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+)
+logger = logging.getLogger(__name__)
+
+
+def _alfred_items(results: List[Dict[str, Any]], subtitle_fn) -> str:
+    """Alfred/launcher JSON format (reference: src/cli.py:611-640)."""
+    return json.dumps(
+        {
+            "items": [
+                {
+                    "uid": r["chunk_id"],
+                    "title": (
+                        r["text"][:100] + "..."
+                        if len(r["text"]) > 100
+                        else r["text"]
+                    ),
+                    "subtitle": subtitle_fn(r),
+                    "arg": r["chunk_id"],
+                    "text": r["text"],
+                    "quicklookurl": "",
+                    "variables": {
+                        "similarity": r["similarity"],
+                        "project": r["project"],
+                        "session": r["session"],
+                        "timestamp": r["timestamp"],
+                    },
+                }
+                for r in results
+            ]
+        },
+        indent=2,
+    )
+
+
+def _print_results(results, full_content: bool, related_to: Optional[str] = None):
+    for i, r in enumerate(results, 1):
+        if related_to:
+            click.echo(f"{i}. [Related] {r['project']}")
+        else:
+            click.echo(
+                f"{i}. [Similarity: {r['similarity']:.3f}] {r['project']}"
+            )
+        if full_content:
+            click.echo(f"   {r['text']}")
+        else:
+            click.echo(f"   {r['text'][:200]}...")
+        click.echo(f"   Session: {r['session']} | Time: {r['timestamp']}")
+        if r["has_code"]:
+            click.echo("   🔧 Contains code")
+        click.echo()
+
+
+@click.group()
+@click.option(
+    "--data-dir",
+    default=None,
+    help="Data directory for storage (env: CLAUDE_SEARCH_DATA_DIR)",
+)
+@click.pass_context
+def cli(ctx: click.Context, data_dir: Optional[str]) -> None:
+    """Claude Semantic Search (TPU-native) — index and search your Claude
+    conversations."""
+    ctx.ensure_object(dict)
+    ctx.obj["data_dir"] = resolve_data_dir(data_dir)
+
+
+@cli.command()
+@click.option(
+    "--claude-dir", default="~/.claude/projects", help="Claude projects directory"
+)
+@click.option("--force", is_flag=True, help="Force reindexing of all files")
+@click.option("--gpu", is_flag=True, help="Use TPU acceleration for faster indexing")
+@click.pass_context
+def index(ctx: click.Context, claude_dir: str, force: bool, gpu: bool) -> None:
+    """Index Claude conversations for semantic search."""
+    engine = SearchEngine(ctx.obj["data_dir"], use_gpu=gpu)
+    files = engine.scan_claude_projects(claude_dir)
+
+    click.echo("🚀 Starting conversation indexing...")
+    if force:
+        click.echo("🗑️  Force flag detected - clearing all existing data...")
+    stats = engine.index_conversations(
+        files, force, progress=lambda msg: None
+    )
+
+    click.echo("\n🎉 Indexing complete!")
+    click.echo("📊 Statistics:")
+    click.echo(f"   • Files processed: {stats['files_processed']}")
+    click.echo(f"   • Files unchanged: {stats.get('files_unchanged', 0)}")
+    click.echo(f"   • Files skipped: {stats['files_skipped']}")
+    click.echo(f"   • Chunks created: {stats['chunks_created']}")
+    click.echo(f"   • Chunks indexed: {stats['chunks_indexed']}")
+    if stats.get("chunks_removed", 0) > 0:
+        click.echo(f"   • Chunks removed: {stats['chunks_removed']}")
+    click.echo(f"   • Duration: {stats['duration']:.1f}s")
+    if stats["errors"]:
+        click.echo(f"   • Errors: {len(stats['errors'])}")
+        for error in stats["errors"][:3]:
+            click.echo(f"     - {error}")
+
+
+@cli.command()
+@click.argument("query")
+@click.option("--top-k", default=10, help="Number of results to return")
+@click.option("--project", help="Filter by project name (supports partial matching)")
+@click.option("--has-code", is_flag=True, help="Filter for chunks with code")
+@click.option("--after", help="Filter for chunks after date (YYYY-MM-DD)")
+@click.option("--before", help="Filter for chunks before date (YYYY-MM-DD)")
+@click.option("--session", help="Filter by session ID")
+@click.option(
+    "--related-to", help="Find chunks related to given chunk ID (same session)"
+)
+@click.option(
+    "--same-session",
+    is_flag=True,
+    help="Include chunks from same session as --related-to",
+)
+@click.option(
+    "--full-content", is_flag=True, help="Show full content instead of truncated"
+)
+@click.option(
+    "--chunk-id", help="Get specific chunk by ID (ignores query and other filters)"
+)
+@click.option("--gpu", is_flag=True, help="Use TPU acceleration for faster search")
+@click.option("--json", "output_json", is_flag=True, help="Output results as JSON")
+@click.pass_context
+def search(
+    ctx: click.Context,
+    query: str,
+    top_k: int,
+    project: Optional[str],
+    has_code: bool,
+    after: Optional[str],
+    before: Optional[str],
+    session: Optional[str],
+    related_to: Optional[str],
+    same_session: bool,
+    full_content: bool,
+    chunk_id: Optional[str],
+    gpu: bool,
+    output_json: bool,
+) -> None:
+    """Search through indexed conversations."""
+    engine = SearchEngine(ctx.obj["data_dir"], use_gpu=gpu)
+
+    # Direct chunk retrieval bypasses embedding entirely
+    # (reference: src/cli.py:379-451).
+    if chunk_id:
+        try:
+            engine.storage.initialize()
+            chunk = engine.storage.get_chunk_by_id(chunk_id)
+            if not chunk:
+                click.echo(f"❌ Chunk not found: {chunk_id}")
+                sys.exit(1)
+            chunk_data = engine.storage._get_chunk_data(chunk_id)
+            if output_json:
+                click.echo(
+                    json.dumps(
+                        {
+                            "items": [
+                                {
+                                    "uid": chunk_id,
+                                    "title": (
+                                        chunk.text[:100] + "..."
+                                        if len(chunk.text) > 100
+                                        else chunk.text
+                                    ),
+                                    "subtitle": "Direct chunk retrieval",
+                                    "arg": chunk_id,
+                                    "text": chunk.text,
+                                    "quicklookurl": "",
+                                    "variables": {
+                                        "project": (
+                                            chunk_data.get(
+                                                "project_name", "unknown"
+                                            )
+                                            if chunk_data
+                                            else "unknown"
+                                        ),
+                                        "session": (
+                                            chunk_data.get(
+                                                "session_id", "unknown"
+                                            )
+                                            if chunk_data
+                                            else "unknown"
+                                        ),
+                                        "timestamp": (
+                                            chunk_data.get(
+                                                "timestamp", "unknown"
+                                            )
+                                            if chunk_data
+                                            else "unknown"
+                                        ),
+                                    },
+                                }
+                            ]
+                        },
+                        indent=2,
+                    )
+                )
+            else:
+                click.echo(f"📄 Chunk: {chunk_id}")
+                data = chunk_data or {}
+                click.echo(f"   Project: {data.get('project_name', 'unknown')}")
+                click.echo(f"   Session: {data.get('session_id', 'unknown')}")
+                click.echo(f"   Time: {data.get('timestamp', 'unknown')}")
+                if data.get("has_code"):
+                    click.echo("   🔧 Contains code")
+                click.echo()
+                click.echo(chunk.text)
+            return
+        except SystemExit:
+            raise
+        except Exception as exc:
+            click.echo(f"❌ Failed to retrieve chunk: {exc}")
+            sys.exit(1)
+
+    # Related-chunk navigation (reference: src/cli.py:453-573).
+    if related_to:
+        try:
+            engine.storage.initialize()
+            ref_data = engine.storage._get_chunk_data(related_to)
+            if not ref_data:
+                click.echo(f"❌ Reference chunk not found: {related_to}")
+                sys.exit(1)
+            ref_session = ref_data.get("session_id")
+            if not ref_session:
+                click.echo(f"❌ Reference chunk has no session ID: {related_to}")
+                sys.exit(1)
+
+            if same_session:
+                related = engine.storage.get_chunks_by_session(ref_session)
+                results = []
+                for chunk in related:
+                    if chunk.id == related_to:
+                        continue
+                    meta = chunk.metadata or {}
+                    results.append(
+                        {
+                            "chunk_id": chunk.id,
+                            "similarity": 1.0,
+                            "text": chunk.text,
+                            "project": meta.get("project_name", "unknown"),
+                            "session": meta.get("session_id", "unknown"),
+                            "timestamp": meta.get("timestamp", "unknown"),
+                            "has_code": meta.get("has_code", False),
+                        }
+                    )
+                results.sort(key=lambda r: r["timestamp"])
+                results = results[:top_k]
+                if output_json:
+                    click.echo(
+                        _alfred_items(
+                            results,
+                            lambda r: f"Related to {related_to} | Same session",
+                        )
+                    )
+                else:
+                    click.echo(
+                        f"🔗 Found {len(results)} related chunks to "
+                        f"{related_to} (same session: {ref_session})"
+                    )
+                    click.echo()
+                    _print_results(results, full_content, related_to)
+                return
+            session = ref_session
+        except SystemExit:
+            raise
+        except Exception as exc:
+            click.echo(f"❌ Failed to find related chunks: {exc}")
+            sys.exit(1)
+
+    # Build the filter dict (reference: src/cli.py:575-605).
+    filters: Dict[str, Any] = {}
+    if project:
+        filters["project_name"] = project
+    if has_code:
+        filters["has_code"] = True
+    if session:
+        filters["session_id"] = session
+    if after or before:
+        timestamp_filter: Dict[str, str] = {}
+        if after:
+            try:
+                after_dt = datetime.fromisoformat(f"{after}T00:00:00+00:00")
+                timestamp_filter["gte"] = after_dt.isoformat()
+            except ValueError:
+                click.echo(
+                    f"❌ Invalid date format for --after: {after}. "
+                    f"Use YYYY-MM-DD format."
+                )
+                sys.exit(1)
+        if before:
+            try:
+                before_dt = datetime.fromisoformat(f"{before}T23:59:59+00:00")
+                timestamp_filter["lte"] = before_dt.isoformat()
+            except ValueError:
+                click.echo(
+                    f"❌ Invalid date format for --before: {before}. "
+                    f"Use YYYY-MM-DD format."
+                )
+                sys.exit(1)
+        filters["timestamp"] = timestamp_filter
+
+    try:
+        results = engine.search_conversations(query, filters, top_k)
+        if output_json:
+            click.echo(
+                _alfred_items(
+                    results,
+                    lambda r: (
+                        f"Project: {r['project']} | "
+                        f"Similarity: {r['similarity']:.3f}"
+                    ),
+                )
+            )
+        else:
+            click.echo(f"🔍 Found {len(results)} results for: '{query}'")
+            click.echo()
+            _print_results(results, full_content)
+    except SystemExit:
+        raise
+    except Exception as exc:
+        click.echo(f"❌ Search failed: {exc}")
+        sys.exit(1)
+
+
+@cli.command()
+@click.option("--gpu", is_flag=True, help="Show accelerator information")
+@click.pass_context
+def stats(ctx: click.Context, gpu: bool) -> None:
+    """Show statistics about the current index."""
+    engine = SearchEngine(ctx.obj["data_dir"], use_gpu=gpu)
+    try:
+        info = engine.get_index_stats()
+        click.echo("📊 Index Statistics:")
+        click.echo(f"   • Total chunks: {info['total_chunks']:,}")
+        click.echo(f"   • Total sessions: {info['total_sessions']:,}")
+        click.echo(f"   • Total projects: {info['total_projects']:,}")
+        click.echo(
+            f"   • Index size: {info['faiss_index_size'] / 1024 / 1024:.1f} MB"
+        )
+        click.echo(
+            f"   • Database size: {info['database_size'] / 1024 / 1024:.1f} MB"
+        )
+        click.echo(
+            f"   • Total storage: "
+            f"{info['total_storage_size'] / 1024 / 1024:.1f} MB"
+        )
+        click.echo(f"   • Embedding dimension: {info['embedding_dimension']}")
+        click.echo(f"   • Index type: {info['index_type']}")
+
+        if info.get("use_gpu") or info.get("is_gpu_index"):
+            click.echo(
+                f"   • Accelerator enabled: "
+                f"{'✅' if info.get('use_gpu') else '❌'}"
+            )
+            click.echo(
+                f"   • Accelerated index: "
+                f"{'✅' if info.get('is_gpu_index') else '❌'}"
+            )
+        if info.get("device_info"):
+            device = info["device_info"]
+            click.echo(
+                f"   • Device status: {device.get('status_message', 'Unknown')}"
+            )
+            if device.get("gpu_names"):
+                click.echo(f"   • Devices: {', '.join(device['gpu_names'])}")
+            if device.get("gpu_memory_total_gb") is not None:
+                free = device.get("gpu_memory_free_gb", 0.0)
+                total = device.get("gpu_memory_total_gb", 0.0)
+                click.echo(
+                    f"   • HBM: {free:.1f}GB free / {total:.1f}GB total"
+                )
+        if info["chunk_types"]:
+            click.echo("   • Chunk types:")
+            for chunk_type, count in info["chunk_types"].items():
+                click.echo(f"     - {chunk_type}: {count:,}")
+    except Exception as exc:
+        click.echo(f"❌ Failed to get stats: {exc}")
+        sys.exit(1)
+
+
+@cli.command()
+@click.option(
+    "--claude-dir",
+    default="~/.claude/projects",
+    help="Claude projects directory to watch",
+)
+@click.option("--debounce", default=5, help="Debounce interval in seconds (default: 5)")
+@click.option("--daemon", is_flag=True, help="Run as background daemon")
+@click.option("--gpu", is_flag=True, help="Use TPU acceleration for indexing")
+@click.pass_context
+def watch(
+    ctx: click.Context, claude_dir: str, debounce: int, daemon: bool, gpu: bool
+) -> None:
+    """Watch Claude conversations for changes and auto-index them."""
+    if daemon:
+        from .watcher import start_daemon
+
+        start_daemon(
+            data_dir=ctx.obj["data_dir"],
+            claude_dir=claude_dir,
+            debounce_seconds=debounce,
+            use_gpu=gpu,
+        )
+        return
+
+    from .watcher import run_watcher
+
+    click.echo("🔍 Starting file watcher...")
+    click.echo(f"   • Watching: {claude_dir}")
+    click.echo(f"   • Data directory: {ctx.obj['data_dir']}")
+    click.echo(f"   • Debounce interval: {debounce} seconds")
+    click.echo("   • Press Ctrl+C to stop")
+    click.echo()
+    try:
+        run_watcher(
+            data_dir=ctx.obj["data_dir"],
+            claude_dir=claude_dir,
+            debounce_seconds=debounce,
+            use_gpu=gpu,
+        )
+    except KeyboardInterrupt:
+        click.echo("\n👋 File watcher stopped")
+    except Exception as exc:
+        click.echo(f"❌ Watcher failed: {exc}")
+        sys.exit(1)
+
+
+@cli.command()
+@click.option(
+    "--claude-dir",
+    default="~/.claude/projects",
+    help="Claude projects directory to watch",
+)
+@click.option("--debounce", default=5, help="Debounce interval in seconds (default: 5)")
+@click.option("--gpu", is_flag=True, help="Use TPU acceleration for indexing")
+@click.pass_context
+def start(ctx: click.Context, claude_dir: str, debounce: int, gpu: bool) -> None:
+    """Start the file watcher daemon."""
+    from .watcher import start_daemon
+
+    start_daemon(
+        data_dir=ctx.obj["data_dir"],
+        claude_dir=claude_dir,
+        debounce_seconds=debounce,
+        use_gpu=gpu,
+    )
+
+
+@cli.command()
+@click.pass_context
+def stop(ctx: click.Context) -> None:
+    """Stop the file watcher daemon."""
+    from .watcher import stop_daemon
+
+    stop_daemon(data_dir=ctx.obj["data_dir"])
+
+
+@cli.command()
+@click.pass_context
+def status(ctx: click.Context) -> None:
+    """Check the status of the file watcher daemon."""
+    from .watcher import daemon_status
+
+    daemon_status(data_dir=ctx.obj["data_dir"])
+
+
+# -- console-script shims (reference: src/cli.py:805-852) -------------------
+
+
+def _run_subcommand(name: str) -> None:
+    sys.argv[0] = f"claude-{name}"
+    cli([name] + sys.argv[1:])
+
+
+def index_command() -> None:
+    _run_subcommand("index")
+
+
+def search_command() -> None:
+    _run_subcommand("search")
+
+
+def stats_command() -> None:
+    _run_subcommand("stats")
+
+
+def watch_command() -> None:
+    _run_subcommand("watch")
+
+
+def start_command() -> None:
+    _run_subcommand("start")
+
+
+def stop_command() -> None:
+    _run_subcommand("stop")
+
+
+def status_command() -> None:
+    _run_subcommand("status")
+
+
+if __name__ == "__main__":
+    cli()

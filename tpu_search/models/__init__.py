@@ -1,0 +1,18 @@
+"""Encoder models: pure-JAX MPNet, tokenizer, converters, embedding API."""
+
+from .encoder import EmbeddingConfig, EmbeddingGenerator, EmbeddingStats
+from .hashing import HashingEncoder
+from .mpnet import MPNetConfig, encode, forward_hidden, init_params
+from .tokenizer import WordPieceTokenizer
+
+__all__ = [
+    "EmbeddingConfig",
+    "EmbeddingGenerator",
+    "EmbeddingStats",
+    "HashingEncoder",
+    "MPNetConfig",
+    "WordPieceTokenizer",
+    "encode",
+    "forward_hidden",
+    "init_params",
+]

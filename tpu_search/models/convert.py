@@ -1,0 +1,214 @@
+"""HF checkpoint -> JAX pytree conversion for the MPNet encoder.
+
+Replaces the reference's dependency on sentence-transformers model loading
+(reference: src/embeddings.py:86-97, scripts/model_setup.py:26-59): weights
+downloaded once by ``setup-models`` (or any existing HF/sentence-transformers
+cache) convert into the stacked-layer JAX layout and are stored in our own
+``.npz`` checkpoint that loads with zero torch involvement.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+from .mpnet import MPNetConfig
+
+__all__ = [
+    "params_from_state_dict",
+    "config_from_hf",
+    "save_checkpoint",
+    "load_checkpoint",
+    "convert_pretrained_dir",
+]
+
+
+def _strip_prefixes(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Normalize key prefixes from MPNetModel / MPNetForMaskedLM /
+    sentence-transformers exports down to bare module paths."""
+    out: Dict[str, np.ndarray] = {}
+    for key, value in state_dict.items():
+        for prefix in ("0.auto_model.", "auto_model.", "mpnet.", "model."):
+            if key.startswith(prefix):
+                key = key[len(prefix):]
+                break
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+        out[key] = arr
+    return out
+
+
+def params_from_state_dict(
+    state_dict: Mapping[str, Any], config: MPNetConfig
+) -> Dict[str, Any]:
+    """Torch MPNet state dict -> stacked-layer JAX pytree.
+
+    Torch Linear weights are ``[out, in]``; ours are ``[in, out]``.
+    """
+    sd = _strip_prefixes(state_dict)
+
+    def get(name: str) -> np.ndarray:
+        if name not in sd:
+            raise KeyError(
+                f"Missing weight '{name}' (have e.g. {list(sd)[:5]}...)"
+            )
+        return sd[name].astype(np.float32)
+
+    def stack(fmt: str, transpose: bool) -> np.ndarray:
+        mats = [get(fmt.format(i)) for i in range(config.num_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats)
+
+    a = "encoder.layer.{}.attention"
+    return {
+        "embeddings": {
+            "word": get("embeddings.word_embeddings.weight"),
+            "position": get("embeddings.position_embeddings.weight"),
+            "ln_scale": get("embeddings.LayerNorm.weight"),
+            "ln_bias": get("embeddings.LayerNorm.bias"),
+        },
+        "rel_bias": get("encoder.relative_attention_bias.weight"),
+        "layers": {
+            "q_w": stack(a + ".attn.q.weight", True),
+            "q_b": stack(a + ".attn.q.bias", False),
+            "k_w": stack(a + ".attn.k.weight", True),
+            "k_b": stack(a + ".attn.k.bias", False),
+            "v_w": stack(a + ".attn.v.weight", True),
+            "v_b": stack(a + ".attn.v.bias", False),
+            "o_w": stack(a + ".attn.o.weight", True),
+            "o_b": stack(a + ".attn.o.bias", False),
+            "attn_ln_scale": stack(a + ".LayerNorm.weight", False),
+            "attn_ln_bias": stack(a + ".LayerNorm.bias", False),
+            "ff_in_w": stack("encoder.layer.{}.intermediate.dense.weight", True),
+            "ff_in_b": stack("encoder.layer.{}.intermediate.dense.bias", False),
+            "ff_out_w": stack("encoder.layer.{}.output.dense.weight", True),
+            "ff_out_b": stack("encoder.layer.{}.output.dense.bias", False),
+            "ff_ln_scale": stack("encoder.layer.{}.output.LayerNorm.weight", False),
+            "ff_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias", False),
+        },
+    }
+
+
+def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
+    """HF config.json dict -> MPNetConfig."""
+    return MPNetConfig(
+        vocab_size=hf_config.get("vocab_size", 30527),
+        hidden_size=hf_config.get("hidden_size", 768),
+        num_layers=hf_config.get("num_hidden_layers", 12),
+        num_heads=hf_config.get("num_attention_heads", 12),
+        intermediate_size=hf_config.get("intermediate_size", 3072),
+        max_position=hf_config.get("max_position_embeddings", 514),
+        layer_norm_eps=hf_config.get("layer_norm_eps", 1e-5),
+        pad_token_id=hf_config.get("pad_token_id", 1),
+        relative_attention_num_buckets=hf_config.get(
+            "relative_attention_num_buckets", 32
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoint format (.npz + embedded config)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    for key, value in tree.items():
+        path = f"{prefix}{key}"
+        if isinstance(value, dict):
+            flat.update(_flatten(value, path + "/"))
+        else:
+            flat[path] = np.asarray(value)
+    return flat
+
+
+def _unflatten(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, value in flat.items():
+        parts = path.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_checkpoint(
+    path: str, params: Dict[str, Any], config: MPNetConfig
+) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    flat = _flatten(params)
+    flat["__config__"] = np.frombuffer(
+        json.dumps(config.__dict__).encode(), dtype=np.uint8
+    )
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, Any], MPNetConfig]:
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    config_bytes = flat.pop("__config__").tobytes()
+    config = MPNetConfig(**json.loads(config_bytes))
+    return _unflatten(flat), config
+
+
+# ---------------------------------------------------------------------------
+# Directory conversion (torch checkpoints on disk -> native checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def _find_torch_weights(model_dir: Path) -> Optional[Path]:
+    for name in (
+        "model.safetensors",
+        "pytorch_model.bin",
+        "0_Transformer/pytorch_model.bin",
+    ):
+        candidate = model_dir / name
+        if candidate.exists():
+            return candidate
+    hits = sorted(model_dir.rglob("model.safetensors")) or sorted(
+        model_dir.rglob("pytorch_model.bin")
+    )
+    return hits[0] if hits else None
+
+
+def _find_config(model_dir: Path, weights_path: Path) -> Mapping[str, Any]:
+    for candidate in (weights_path.parent / "config.json",
+                      model_dir / "config.json"):
+        if candidate.exists():
+            return json.loads(candidate.read_text())
+    return {}
+
+
+def convert_pretrained_dir(
+    model_dir: str, output_path: str
+) -> Tuple[Dict[str, Any], MPNetConfig]:
+    """Convert a downloaded HF / sentence-transformers model directory into
+    the native checkpoint. Requires torch (or safetensors) only at
+    conversion time."""
+    model_dir = Path(model_dir)
+    weights = _find_torch_weights(model_dir)
+    if weights is None:
+        raise FileNotFoundError(
+            f"No torch/safetensors weights under {model_dir}"
+        )
+    if weights.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        state_dict = load_file(str(weights))
+    else:
+        import torch
+
+        state_dict = torch.load(
+            str(weights), map_location="cpu", weights_only=True
+        )
+    config = config_from_hf(_find_config(model_dir, weights))
+    params = params_from_state_dict(state_dict, config)
+    save_checkpoint(output_path, params, config)
+    return params, config

@@ -1,0 +1,479 @@
+"""Batched embedding generation on TPU (the EmbeddingGenerator replacement).
+
+API parity with the reference generator (src/embeddings.py:55-507) on a
+JAX/XLA core: host-side WordPiece tokenization feeds fixed-shape jitted
+encoder graphs.  TPU-first specifics:
+
+- **Shape bucketing**: batch and sequence lengths are padded to a small
+  lattice of buckets so XLA compiles a handful of graphs, then every batch
+  hits a cached executable (SURVEY.md section 7 "recompile discipline").
+- **Length-sorted batching**: texts are encoded longest-first so each bucket
+  is dense (sentence-transformers does the same trick host-side).
+- **bf16 compute / f32 head**: matmuls run in bf16 on the MXU; layernorm,
+  softmax accumulation, pooling and the L2 normalize stay f32.
+- Model loading prefers the native ``.npz`` checkpoint; a downloaded
+  HF/sentence-transformers directory is auto-converted once.  The
+  ``hash-<dim>`` model name selects a deterministic hashing encoder
+  (no weights needed — used by tests and CI, and as an explicit opt-in
+  fallback; the real model is required for real search quality).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..devices.capability import assess_device_capability
+from ..ingest.chunker import Chunk
+from ..utils.shapes import bucket_size
+from .hashing import HashingEncoder
+from .mpnet import MPNetConfig, encode as mpnet_encode
+from .tokenizer import WordPieceTokenizer
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["EmbeddingConfig", "EmbeddingStats", "EmbeddingGenerator"]
+
+SEQ_BUCKETS = (64, 128, 256, 384)
+BATCH_BUCKETS = (1, 8, 32, 128, 512)
+
+
+@dataclass
+class EmbeddingConfig:
+    """Embedding knobs (reference parity: src/embeddings.py:28-40)."""
+
+    model_name: str = "all-mpnet-base-v2"
+    batch_size: int = 16
+    max_seq_length: int = 384
+    device: str = "auto"  # "auto" | "tpu" | "cpu"
+    use_gpu: bool = False  # reference-compat alias for "use the accelerator"
+    auto_batch_size: bool = True
+    normalize_embeddings: bool = True
+    show_progress: bool = True
+    cache_dir: Optional[str] = None
+    compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
+
+
+@dataclass
+class EmbeddingStats:
+    """Reference parity: src/embeddings.py:43-52."""
+
+    total_chunks: int = 0
+    total_tokens: int = 0
+    generation_time: float = 0.0
+    average_chunk_length: float = 0.0
+    throughput_chunks_per_second: float = 0.0
+    model_info: Dict[str, Any] = field(default_factory=dict)
+
+
+class EmbeddingGenerator:
+    """Text chunks -> dense vectors via the jitted MPNet graph."""
+
+    def __init__(self, config: Optional[EmbeddingConfig] = None) -> None:
+        self.config = config or EmbeddingConfig()
+        self.logger = logger
+        self._params = None
+        self._model_config: Optional[MPNetConfig] = None
+        self._tokenizer: Optional[WordPieceTokenizer] = None
+        self._hash_encoder: Optional[HashingEncoder] = None
+        self._embedding_dim: Optional[int] = None
+        self._device = None
+        self._encode_jit = None
+        self._capability = None
+
+        if self.config.use_gpu:
+            self._capability = assess_device_capability()
+            if not self._capability.can_use_accelerator:
+                self.logger.warning(
+                    "Accelerator requested but not available: %s",
+                    self._capability.status_message,
+                )
+                self.logger.info("Falling back to CPU processing")
+                self.config.use_gpu = False
+
+    # -- model loading -------------------------------------------------------
+
+    @property
+    def is_model_loaded(self) -> bool:
+        return self._params is not None or self._hash_encoder is not None
+
+    @property
+    def embedding_dimension(self) -> Optional[int]:
+        return self._embedding_dim
+
+    def load_model(self) -> None:
+        """Resolve + load the encoder; compile happens lazily per shape."""
+        import jax
+
+        name = self.config.model_name
+        if name.startswith("hash"):
+            dim = int(name.split("-")[1]) if "-" in name else 768
+            self._hash_encoder = HashingEncoder(dim=dim)
+            self._embedding_dim = dim
+            self.logger.info("Loaded deterministic hashing encoder (%dd)", dim)
+            return
+
+        cache_dir = Path(
+            self.config.cache_dir or "~/.claude-semantic-search/data/models"
+        ).expanduser()
+        model_dir = cache_dir / name
+        native_ckpt = model_dir / "model.tpu.npz"
+
+        if native_ckpt.exists():
+            from .convert import load_checkpoint
+
+            self._params, self._model_config = load_checkpoint(str(native_ckpt))
+        elif model_dir.exists():
+            from .convert import convert_pretrained_dir
+
+            self.logger.info(
+                "Converting torch checkpoint in %s to native format", model_dir
+            )
+            self._params, self._model_config = convert_pretrained_dir(
+                str(model_dir), str(native_ckpt)
+            )
+        else:
+            raise FileNotFoundError(
+                f"Model '{name}' not found under {cache_dir}. Run "
+                f"`setup-models` to download and convert it, or use model "
+                f"name 'hash-768' for the weight-free fallback encoder."
+            )
+
+        self._tokenizer = WordPieceTokenizer.from_pretrained_dir(str(model_dir))
+        self._device = self._pick_device()
+        self._params = jax.device_put(self._params, self._device)
+        self._embedding_dim = self._model_config.hidden_size
+
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16
+            if self.config.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+        model_config = self._model_config
+        self._encode_jit = jax.jit(
+            partial(
+                mpnet_encode,
+                config=model_config,
+                compute_dtype=dtype,
+                normalize=self.config.normalize_embeddings,
+            )
+        )
+
+        if (
+            self.config.use_gpu
+            and self.config.auto_batch_size
+            and self._capability
+            and self._capability.memory_free
+        ):
+            from ..devices.capability import calculate_optimal_batch_size
+
+            self.config.batch_size = calculate_optimal_batch_size(
+                self._capability.memory_free / (1024**3),
+                self._embedding_dim,
+                backend=self._capability.backend,
+            )
+            self.logger.info(
+                "Auto-adjusted batch size: %d", self.config.batch_size
+            )
+
+        self.logger.info(
+            "Model loaded on %s. Embedding dimension: %d",
+            self._device,
+            self._embedding_dim,
+        )
+
+    def _pick_device(self):
+        import jax
+
+        accel = [
+            d for d in jax.devices() if d.platform not in ("cpu", "interpreter")
+        ]
+        if self.config.device == "cpu" or (not accel):
+            return jax.devices("cpu")[0] if not accel else jax.devices()[0]
+        return accel[0]
+
+    # -- embedding -----------------------------------------------------------
+
+    def generate_embeddings(self, chunks: List[Chunk]) -> List[np.ndarray]:
+        """Embed chunks in place (sets ``chunk.embedding``) and return arrays."""
+        if not self.is_model_loaded:
+            self.load_model()
+        if not chunks:
+            return []
+        texts = [chunk.text for chunk in chunks]
+        embeddings = self._generate_embeddings_batch(texts)
+        for chunk, embedding in zip(chunks, embeddings):
+            chunk.embedding = embedding.tolist()
+        return list(embeddings)
+
+    def generate_single_embedding(self, text: str) -> np.ndarray:
+        if not self.is_model_loaded:
+            self.load_model()
+        return self._encode_texts([text])[0]
+
+    def _generate_embeddings_batch(self, texts: Sequence[str]) -> np.ndarray:
+        start = time.time()
+        validated = []
+        for i, text in enumerate(texts):
+            if text is None:
+                self.logger.warning("Chunk %d: text is None", i)
+                validated.append("")
+            elif not isinstance(text, str):
+                self.logger.warning(
+                    "Chunk %d: text is not a string (%s)", i, type(text)
+                )
+                validated.append(str(text) if text else "")
+            elif not text.strip():
+                self.logger.warning("Chunk %d: text is empty", i)
+                validated.append("empty")
+            else:
+                validated.append(text)
+
+        embeddings = self._encode_texts(validated)
+
+        elapsed = time.time() - start
+        if self.config.show_progress and texts:
+            throughput = len(texts) / elapsed if elapsed > 0 else 0.0
+            avg_len = float(np.mean([len(t) for t in validated]))
+            self.logger.info(
+                "Generated %d embeddings in %.2fs (%.1f chunks/s, "
+                "avg length: %.0f chars)",
+                len(texts),
+                elapsed,
+                throughput,
+                avg_len,
+            )
+        return embeddings
+
+    def _encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        if self._hash_encoder is not None:
+            return self._hash_encoder.encode(
+                texts, normalize=self.config.normalize_embeddings
+            )
+
+        # Tokenize everything, then process longest-first so each padded
+        # bucket is dense.
+        encoded = [
+            self._tokenizer.encode(t, self.config.max_seq_length) for t in texts
+        ]
+        order = sorted(
+            range(len(encoded)), key=lambda i: len(encoded[i]), reverse=True
+        )
+        out = np.zeros((len(texts), self._embedding_dim), dtype=np.float32)
+
+        batch_cap = max(1, self.config.batch_size)
+        for start in range(0, len(order), batch_cap):
+            batch_idx = order[start : start + batch_cap]
+            seqs = [encoded[i] for i in batch_idx]
+            longest = max(len(s) for s in seqs)
+            seq_pad = bucket_size(longest, SEQ_BUCKETS)
+            batch_pad = bucket_size(len(seqs), BATCH_BUCKETS)
+
+            ids = np.full(
+                (batch_pad, seq_pad), self._tokenizer.pad_id, dtype=np.int32
+            )
+            mask = np.zeros((batch_pad, seq_pad), dtype=np.int32)
+            for row, seq in enumerate(seqs):
+                ids[row, : len(seq)] = seq
+                mask[row, : len(seq)] = 1
+            # fully-masked pad rows still need one live token for the mean
+            mask[len(seqs) :, 0] = 1
+
+            import jax
+
+            with jax.default_device(self._device):
+                vecs = self._encode_jit(
+                    self._params, ids, mask
+                )
+            out[batch_idx] = np.asarray(vecs[: len(seqs)], dtype=np.float32)
+        return out
+
+    # -- similarity utilities (reference parity: src/embeddings.py:238-275) --
+
+    def compute_similarity(self, a: np.ndarray, b: np.ndarray) -> float:
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    def compute_similarity_matrix(
+        self, embeddings: List[np.ndarray]
+    ) -> np.ndarray:
+        mat = np.asarray(embeddings, dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.clip(norms, 1e-12, None)
+        return unit @ unit.T
+
+    def find_similar_chunks(
+        self,
+        query_embedding: np.ndarray,
+        chunk_embeddings: List[np.ndarray],
+        top_k: int = 5,
+    ) -> List[Tuple[int, float]]:
+        sims = [
+            (i, self.compute_similarity(query_embedding, e))
+            for i, e in enumerate(chunk_embeddings)
+        ]
+        sims.sort(key=lambda pair: pair[1], reverse=True)
+        return sims[:top_k]
+
+    # -- stats / persistence (reference parity: src/embeddings.py:277-391) ---
+
+    def get_embedding_stats(self, chunks: List[Chunk]) -> EmbeddingStats:
+        if not chunks:
+            return EmbeddingStats()
+        return EmbeddingStats(
+            total_chunks=len(chunks),
+            total_tokens=sum(len(c.text.split()) for c in chunks),
+            average_chunk_length=float(
+                np.mean([len(c.text) for c in chunks])
+            ),
+            model_info=self.get_model_info(),
+        )
+
+    def save_embeddings(self, chunks: List[Chunk], file_path: str) -> None:
+        rows = [
+            {
+                "chunk_id": c.id,
+                "embedding": c.embedding,
+                "text": c.text,
+                "metadata": c.metadata,
+            }
+            for c in chunks
+            if c.embedding
+        ]
+        np.savez_compressed(file_path, embeddings=np.asarray(rows, dtype=object))
+        self.logger.info("Saved %d embeddings to %s", len(rows), file_path)
+
+    def load_embeddings(self, file_path: str) -> List[Chunk]:
+        data = np.load(file_path, allow_pickle=True)
+        chunks = [
+            Chunk(
+                id=item["chunk_id"],
+                text=item["text"],
+                metadata=item["metadata"],
+                embedding=item["embedding"],
+            )
+            for item in data["embeddings"]
+        ]
+        self.logger.info("Loaded %d embeddings from %s", len(chunks), file_path)
+        return chunks
+
+    def validate_embeddings(self, chunks: List[Chunk]) -> Dict[str, Any]:
+        results: Dict[str, Any] = {
+            "total_chunks": len(chunks),
+            "chunks_with_embeddings": 0,
+            "embedding_dimension": None,
+            "embedding_stats": {},
+            "issues": [],
+        }
+        embeddings = []
+        for chunk in chunks:
+            if chunk.embedding:
+                results["chunks_with_embeddings"] += 1
+                embeddings.append(np.asarray(chunk.embedding))
+                if results["embedding_dimension"] is None:
+                    results["embedding_dimension"] = len(chunk.embedding)
+                elif results["embedding_dimension"] != len(chunk.embedding):
+                    results["issues"].append(
+                        f"Inconsistent embedding dimension for chunk {chunk.id}"
+                    )
+            else:
+                results["issues"].append(
+                    f"Missing embedding for chunk {chunk.id}"
+                )
+        if embeddings:
+            if len({len(e) for e in embeddings}) == 1:
+                arr = np.asarray(embeddings)
+                norms = np.linalg.norm(arr, axis=1)
+                results["embedding_stats"] = {
+                    "mean": np.mean(arr, axis=0).tolist(),
+                    "std": np.std(arr, axis=0).tolist(),
+                    "min": np.min(arr, axis=0).tolist(),
+                    "max": np.max(arr, axis=0).tolist(),
+                    "norm_mean": float(np.mean(norms)),
+                    "norm_std": float(np.std(norms)),
+                }
+            else:
+                norms = [np.linalg.norm(e) for e in embeddings]
+                results["embedding_stats"] = {
+                    "norm_mean": float(np.mean(norms)),
+                    "norm_std": float(np.std(norms)),
+                    "note": "Embeddings have different dimensions",
+                }
+        return results
+
+    def benchmark_model(
+        self, test_texts: List[str], warmup_runs: int = 3
+    ) -> Dict[str, Any]:
+        if not self.is_model_loaded:
+            self.load_model()
+        for _ in range(warmup_runs):
+            self._encode_texts(test_texts[: min(5, len(test_texts))])
+
+        results = {}
+        for batch_size in (1, 4, 8, 16, 32, 128):
+            if batch_size > len(test_texts):
+                continue
+            saved = self.config.batch_size
+            self.config.batch_size = batch_size
+            start = time.time()
+            self._encode_texts(test_texts)
+            total = time.time() - start
+            self.config.batch_size = saved
+            results[f"batch_size_{batch_size}"] = {
+                "total_time": total,
+                "throughput": len(test_texts) / total,
+                "avg_time_per_text": total / len(test_texts),
+            }
+        return {
+            "model_name": self.config.model_name,
+            "device": str(self._device),
+            "embedding_dimension": self._embedding_dim,
+            "test_texts_count": len(test_texts),
+            "performance": results,
+            "memory_info": self._memory_info(),
+        }
+
+    def _memory_info(self) -> Dict[str, Any]:
+        try:
+            stats = self._device.memory_stats() or {}
+            return {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            }
+        except Exception:
+            return {}
+
+    def get_model_info(self) -> Dict[str, Any]:
+        if not self.is_model_loaded:
+            return {}
+        info: Dict[str, Any] = {
+            "model_name": self.config.model_name,
+            "embedding_dimension": self._embedding_dim,
+            "max_seq_length": self.config.max_seq_length,
+            "device": str(self._device),
+            "batch_size": self.config.batch_size,
+            "use_gpu": self.config.use_gpu,
+            "compute_dtype": self.config.compute_dtype,
+            "gpu_available": (
+                self._capability.can_use_accelerator
+                if self._capability
+                else False
+            ),
+        }
+        return info
+
+    @property
+    def is_using_gpu(self) -> bool:
+        if self._device is None:
+            return False
+        return self._device.platform not in ("cpu", "interpreter")

@@ -1,0 +1,267 @@
+"""MPNet encoder as a pure-JAX functional model.
+
+TPU-native replacement for sentence-transformers/PyTorch ``all-mpnet-base-v2``
+(reference: src/embeddings.py:75-236).  Architecture reproduces HF
+``MPNetModel`` exactly (verified by golden tests against random-init torch
+weights): learned absolute positions starting at ``pad+1``, a single
+relative-attention bias table shared by all layers (T5-style buckets),
+post-LN transformer blocks, then the sentence-transformers head (masked mean
+pooling + L2 normalization) fused into the same jitted graph.
+
+JAX-first design decisions (not a port):
+
+- Parameters are a plain pytree with the 12 layers **stacked** on a leading
+  axis and the block applied via ``lax.scan`` — XLA compiles one layer once,
+  not twelve times, and the stacked layout is what tensor-parallel sharding
+  wants (shard the [L, H, I] tensors on H or I).
+- Everything from token ids to normalized embeddings is one jitted function
+  of static (batch, seq) shape; callers bucket shapes
+  (tpu_search.models.encoder).
+- Compute dtype is configurable: bf16 matmuls with f32 layernorm/softmax
+  accumulation on TPU; f32 end-to-end for golden tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["MPNetConfig", "init_params", "encode", "forward_hidden"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MPNetConfig:
+    """Architecture hyperparameters (defaults = all-mpnet-base-v2)."""
+
+    vocab_size: int = 30527
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 514
+    layer_norm_eps: float = 1e-5
+    pad_token_id: int = 1
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (shape contract for the converter + tests)
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    config: MPNetConfig, key: jax.Array, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """Random-normal params in the stacked-layer layout.
+
+    Linear weights are stored ``[in, out]`` (x @ W), i.e. transposed from
+    torch's ``[out, in]`` — the converter handles that.
+    """
+    h, i, l = config.hidden_size, config.intermediate_size, config.num_layers
+    keys = iter(jax.random.split(key, 24))
+
+    def normal(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape) * scale).astype(dtype)
+
+    return {
+        "embeddings": {
+            "word": normal((config.vocab_size, h)),
+            "position": normal((config.max_position, h)),
+            "ln_scale": jnp.ones((h,), dtype),
+            "ln_bias": jnp.zeros((h,), dtype),
+        },
+        "rel_bias": normal(
+            (config.relative_attention_num_buckets, config.num_heads)
+        ),
+        "layers": {
+            "q_w": normal((l, h, h)),
+            "q_b": jnp.zeros((l, h), dtype),
+            "k_w": normal((l, h, h)),
+            "k_b": jnp.zeros((l, h), dtype),
+            "v_w": normal((l, h, h)),
+            "v_b": jnp.zeros((l, h), dtype),
+            "o_w": normal((l, h, h)),
+            "o_b": jnp.zeros((l, h), dtype),
+            "attn_ln_scale": jnp.ones((l, h), dtype),
+            "attn_ln_bias": jnp.zeros((l, h), dtype),
+            "ff_in_w": normal((l, h, i)),
+            "ff_in_b": jnp.zeros((l, i), dtype),
+            "ff_out_w": normal((l, i, h)),
+            "ff_out_b": jnp.zeros((l, h), dtype),
+            "ff_ln_scale": jnp.ones((l, h), dtype),
+            "ff_ln_bias": jnp.zeros((l, h), dtype),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float):
+    """LayerNorm with f32 statistics regardless of compute dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def _relative_position_bucket(
+    relative_position: jax.Array, num_buckets: int, max_distance: int
+) -> jax.Array:
+    """T5-style log-spaced buckets (HF MPNetEncoder.relative_position_bucket)."""
+    num_buckets //= 2
+    n = -relative_position
+    ret = jnp.where(n < 0, num_buckets, 0).astype(jnp.int32)
+    n = jnp.abs(n)
+
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    # Guard log(0); the is_small branch covers those lanes anyway.
+    safe_n = jnp.maximum(n, 1).astype(jnp.float32)
+    val_if_large = max_exact + (
+        jnp.log(safe_n / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+def _position_bias(
+    rel_bias: jax.Array, seq_len: int, config: MPNetConfig
+) -> jax.Array:
+    """[1, heads, S, S] additive attention bias shared across all layers."""
+    context = jnp.arange(seq_len, dtype=jnp.int32)[:, None]
+    memory = jnp.arange(seq_len, dtype=jnp.int32)[None, :]
+    buckets = _relative_position_bucket(
+        memory - context,
+        config.relative_attention_num_buckets,
+        config.relative_attention_max_distance,
+    )
+    values = rel_bias[buckets]  # [S, S, heads]
+    return jnp.transpose(values, (2, 0, 1))[None, :, :, :]
+
+
+def _attention(
+    x: jax.Array,
+    lp: Dict[str, jax.Array],
+    bias_and_mask: jax.Array,
+    config: MPNetConfig,
+) -> jax.Array:
+    b, s, h = x.shape
+    nh, hd = config.num_heads, config.head_dim
+
+    def proj(w, bb):
+        return (x @ w + bb).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+
+    q = proj(lp["q_w"], lp["q_b"])
+    k = proj(lp["k_w"], lp["k_b"])
+    v = proj(lp["v_w"], lp["v_b"])
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(hd)
+    scores = scores + bias_and_mask  # rel-pos bias + padding mask, f32
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
+    return ctx @ lp["o_w"] + lp["o_b"]
+
+
+def _block(
+    x: jax.Array,
+    lp: Dict[str, jax.Array],
+    bias_and_mask: jax.Array,
+    config: MPNetConfig,
+) -> jax.Array:
+    attn = _attention(x, lp, bias_and_mask, config)
+    x = _layer_norm(
+        attn + x, lp["attn_ln_scale"], lp["attn_ln_bias"], config.layer_norm_eps
+    )
+    ff = jax.nn.gelu(x @ lp["ff_in_w"] + lp["ff_in_b"], approximate=False)
+    ff = ff @ lp["ff_out_w"] + lp["ff_out_b"]
+    return _layer_norm(
+        ff + x, lp["ff_ln_scale"], lp["ff_ln_bias"], config.layer_norm_eps
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+def forward_hidden(
+    params: Dict[str, Any],
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    config: MPNetConfig,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Token ids -> last hidden state ``[B, S, H]`` (MPNetModel parity)."""
+    pad = config.pad_token_id
+    mask_i = (input_ids != pad).astype(jnp.int32)
+    position_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
+
+    emb = params["embeddings"]
+    x = emb["word"][input_ids] + emb["position"][position_ids]
+    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
+    x = x.astype(compute_dtype)
+
+    seq_len = input_ids.shape[1]
+    bias = _position_bias(
+        params["rel_bias"].astype(jnp.float32), seq_len, config
+    )
+    neg = jnp.finfo(jnp.float32).min
+    ext_mask = (1.0 - attention_mask.astype(jnp.float32)) * neg
+    bias_and_mask = bias + ext_mask[:, None, None, :]  # [B, heads, S, S] f32
+
+    layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+
+    def step(carry, lp):
+        return _block(carry, lp, bias_and_mask, config), None
+
+    x, _ = jax.lax.scan(step, x, layers)
+    return x
+
+
+def encode(
+    params: Dict[str, Any],
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    config: MPNetConfig,
+    compute_dtype=jnp.float32,
+    normalize: bool = True,
+) -> jax.Array:
+    """Token ids -> sentence embeddings ``[B, H]``.
+
+    The sentence-transformers head (masked mean pooling + L2 normalize,
+    reference model card for all-mpnet-base-v2) fused into the encoder graph.
+    """
+    hidden = forward_hidden(
+        params, input_ids, attention_mask, config, compute_dtype
+    ).astype(jnp.float32)
+    mask = attention_mask.astype(jnp.float32)[:, :, None]
+    summed = jnp.sum(hidden * mask, axis=1)
+    counts = jnp.clip(jnp.sum(mask, axis=1), 1e-9, None)
+    pooled = summed / counts
+    if normalize:
+        pooled = pooled / jnp.clip(
+            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12, None
+        )
+    return pooled

@@ -1,0 +1,259 @@
+"""WordPiece tokenizer for the MPNet encoder — dependency-free host code.
+
+Replaces the HF tokenizer the reference pulls in through
+sentence-transformers (reference: src/embeddings.py:86, :216).  Implements
+the BERT basic+WordPiece pipeline with MPNet's special tokens
+(``<s> ... </s>``, pad ``<pad>``): unicode cleanup, optional lowercasing with
+accent stripping, CJK isolation, punctuation splitting, then greedy
+longest-match WordPiece with ``##`` continuations.
+
+A batch-native C++ fast path (native/csrc/wordpiece.cpp) is used when built —
+tokenization is the host-side hot loop of the indexing path; see
+``tpu_search.models.native_tokenizer``.
+"""
+
+from __future__ import annotations
+
+import json
+import unicodedata
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["WordPieceTokenizer"]
+
+_SPECIAL_DEFAULTS = {
+    "bos_token": "<s>",
+    "eos_token": "</s>",
+    "unk_token": "[UNK]",
+    "pad_token": "<pad>",
+    "mask_token": "<mask>",
+}
+
+
+def _is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punctuation(ch: str) -> bool:
+    cp = ord(ch)
+    # ASCII ranges treated as punctuation by BERT even when unicode says no
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (
+        123 <= cp <= 126
+    ):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+class WordPieceTokenizer:
+    """Greedy-longest-match WordPiece with BERT-style pretokenization."""
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        do_lower_case: bool = True,
+        max_input_chars_per_word: int = 100,
+        **special_tokens: str,
+    ) -> None:
+        self.vocab = vocab
+        self.ids_to_tokens = {i: t for t, i in vocab.items()}
+        self.do_lower_case = do_lower_case
+        self.max_input_chars_per_word = max_input_chars_per_word
+        for name, default in _SPECIAL_DEFAULTS.items():
+            setattr(self, name, special_tokens.get(name, default))
+
+        def _id_of(token: str, fallback: int) -> int:
+            return vocab.get(token, fallback)
+
+        self.bos_id = _id_of(self.bos_token, 0)
+        self.pad_id = _id_of(self.pad_token, 1)
+        self.eos_id = _id_of(self.eos_token, 2)
+        self.unk_id = _id_of(self.unk_token, 3)
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_pretrained_dir(cls, model_dir: str) -> "WordPieceTokenizer":
+        """Load vocab.txt (+ optional tokenizer_config.json) from a model dir."""
+        model_dir = Path(model_dir)
+        vocab_file = None
+        for candidate in (model_dir / "vocab.txt",):
+            if candidate.exists():
+                vocab_file = candidate
+        if vocab_file is None:
+            hits = sorted(model_dir.rglob("vocab.txt"))
+            if not hits:
+                raise FileNotFoundError(f"No vocab.txt under {model_dir}")
+            vocab_file = hits[0]
+
+        vocab: Dict[str, int] = {}
+        with open(vocab_file, encoding="utf-8") as fh:
+            for i, line in enumerate(fh):
+                vocab[line.rstrip("\n")] = i
+
+        kwargs: Dict[str, str] = {}
+        do_lower = True
+        config_file = vocab_file.parent / "tokenizer_config.json"
+        if config_file.exists():
+            cfg = json.loads(config_file.read_text())
+            do_lower = cfg.get("do_lower_case", True)
+            for name in _SPECIAL_DEFAULTS:
+                value = cfg.get(name)
+                if isinstance(value, dict):
+                    value = value.get("content")
+                if isinstance(value, str):
+                    kwargs[name] = value
+        return cls(vocab, do_lower_case=do_lower, **kwargs)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    # -- pretokenization -----------------------------------------------------
+
+    def _clean(self, text: str) -> str:
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            out.append(" " if _is_whitespace(ch) else ch)
+        return "".join(out)
+
+    def _isolate_cjk(self, text: str) -> str:
+        out = []
+        for ch in text:
+            if _is_cjk(ord(ch)):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _strip_accents(self, text: str) -> str:
+        return "".join(
+            ch
+            for ch in unicodedata.normalize("NFD", text)
+            if unicodedata.category(ch) != "Mn"
+        )
+
+    def _split_punct(self, word: str) -> List[str]:
+        pieces: List[str] = []
+        current: List[str] = []
+        for ch in word:
+            if _is_punctuation(ch):
+                if current:
+                    pieces.append("".join(current))
+                    current = []
+                pieces.append(ch)
+            else:
+                current.append(ch)
+        if current:
+            pieces.append("".join(current))
+        return pieces
+
+    def basic_tokenize(self, text: str) -> List[str]:
+        text = self._isolate_cjk(self._clean(text))
+        tokens: List[str] = []
+        for word in text.split():
+            if self.do_lower_case:
+                word = self._strip_accents(word.lower())
+            tokens.extend(self._split_punct(word))
+        return tokens
+
+    # -- wordpiece -----------------------------------------------------------
+
+    def _wordpiece(self, word: str) -> List[str]:
+        if len(word) > self.max_input_chars_per_word:
+            return [self.unk_token]
+        pieces: List[str] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [self.unk_token]
+            pieces.append(piece)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> List[str]:
+        tokens: List[str] = []
+        for word in self.basic_tokenize(text):
+            tokens.extend(self._wordpiece(word))
+        return tokens
+
+    # -- encoding ------------------------------------------------------------
+
+    def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:
+        """Text -> ``<s> ids </s>`` with truncation to ``max_length``."""
+        ids = [self.vocab.get(t, self.unk_id) for t in self.tokenize(text)]
+        if max_length is not None and len(ids) > max_length - 2:
+            ids = ids[: max_length - 2]
+        return [self.bos_id] + ids + [self.eos_id]
+
+    def encode_batch(
+        self,
+        texts: Sequence[str],
+        max_length: int = 384,
+        pad_to: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch encode -> (ids ``[B, S]`` int32, mask ``[B, S]`` int32).
+
+        ``pad_to`` fixes the padded length (for shape bucketing); defaults to
+        the longest sequence in the batch.
+        """
+        encoded = [self.encode(t, max_length) for t in texts]
+        longest = max((len(e) for e in encoded), default=2)
+        width = pad_to if pad_to is not None else longest
+        width = max(width, 2)
+        ids = np.full((len(encoded), width), self.pad_id, dtype=np.int32)
+        mask = np.zeros((len(encoded), width), dtype=np.int32)
+        for row, seq in enumerate(encoded):
+            seq = seq[:width]
+            ids[row, : len(seq)] = seq
+            mask[row, : len(seq)] = 1
+        return ids, mask
+
+    def decode(self, ids: Iterable[int]) -> str:
+        """Best-effort detokenization (debugging/tests)."""
+        words: List[str] = []
+        specials = {self.bos_id, self.eos_id, self.pad_id}
+        for i in ids:
+            if int(i) in specials:
+                continue
+            token = self.ids_to_tokens.get(int(i), self.unk_token)
+            if token.startswith("##") and words:
+                words[-1] += token[2:]
+            else:
+                words.append(token)
+        return " ".join(words)
