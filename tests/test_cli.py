@@ -1,0 +1,286 @@
+"""CLI interface tests: CliRunner + patched SearchEngine — interface behavior
+without touching the model or index (reference strategy: tests/test_cli.py)."""
+
+import json
+from unittest.mock import MagicMock, patch
+
+import pytest
+from click.testing import CliRunner
+
+from tpu_search.interfaces.cli import cli
+
+
+SAMPLE_RESULTS = [
+    {
+        "chunk_id": "chunk_000001",
+        "similarity": 0.87,
+        "text": "How do I profile JAX programs on TPU hardware?",
+        "metadata": {"project_name": "projA"},
+        "project": "projA",
+        "session": "sess-1",
+        "timestamp": "2024-01-15T10:00:00+00:00",
+        "has_code": True,
+    },
+    {
+        "chunk_id": "chunk_000002",
+        "similarity": 0.71,
+        "text": "x" * 300,
+        "metadata": {"project_name": "projB"},
+        "project": "projB",
+        "session": "sess-2",
+        "timestamp": "2024-02-20T10:00:00+00:00",
+        "has_code": False,
+    },
+]
+
+
+@pytest.fixture
+def runner():
+    return CliRunner()
+
+
+@pytest.fixture
+def engine():
+    with patch("tpu_search.interfaces.cli.SearchEngine") as cls:
+        instance = MagicMock()
+        cls.return_value = instance
+        instance.search_conversations.return_value = SAMPLE_RESULTS
+        yield instance
+
+
+class TestSearchCommand:
+    def test_basic_search_output(self, runner, engine):
+        result = runner.invoke(cli, ["search", "profile jax"])
+        assert result.exit_code == 0
+        assert "Found 2 results" in result.output
+        assert "[Similarity: 0.870]" in result.output
+        assert "projA" in result.output
+        assert "🔧 Contains code" in result.output
+        engine.search_conversations.assert_called_once_with(
+            "profile jax", {}, 10
+        )
+
+    def test_truncation_and_full_content(self, runner, engine):
+        short = runner.invoke(cli, ["search", "q"])
+        assert "x" * 201 not in short.output
+        full = runner.invoke(cli, ["search", "q", "--full-content"])
+        assert "x" * 300 in full.output
+
+    def test_filters_passed_through(self, runner, engine):
+        runner.invoke(
+            cli,
+            [
+                "search", "q", "--project", "alpha", "--has-code",
+                "--session", "s9", "--top-k", "5",
+            ],
+        )
+        engine.search_conversations.assert_called_once_with(
+            "q",
+            {"project_name": "alpha", "has_code": True, "session_id": "s9"},
+            5,
+        )
+
+    def test_date_filters(self, runner, engine):
+        runner.invoke(
+            cli,
+            ["search", "q", "--after", "2024-01-01", "--before", "2024-06-30"],
+        )
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["timestamp"]["gte"].startswith("2024-01-01T00:00:00")
+        assert filters["timestamp"]["lte"].startswith("2024-06-30T23:59:59")
+
+    @pytest.mark.parametrize("flag", ["--after", "--before"])
+    def test_invalid_date_rejected(self, runner, engine, flag):
+        result = runner.invoke(cli, ["search", "q", flag, "not-a-date"])
+        assert result.exit_code == 1
+        assert "Invalid date format" in result.output
+
+    def test_json_output_alfred_shape(self, runner, engine):
+        result = runner.invoke(cli, ["search", "q", "--json"])
+        payload = json.loads(result.output)
+        assert "items" in payload
+        item = payload["items"][0]
+        assert item["uid"] == "chunk_000001"
+        assert item["arg"] == "chunk_000001"
+        assert "similarity" in item["variables"]
+        assert item["subtitle"].startswith("Project: projA")
+
+    def test_search_failure_exits_nonzero(self, runner, engine):
+        engine.search_conversations.side_effect = RuntimeError("boom")
+        result = runner.invoke(cli, ["search", "q"])
+        assert result.exit_code == 1
+        assert "Search failed" in result.output
+
+
+class TestChunkIdLookup:
+    def test_chunk_id_bypasses_search(self, runner, engine):
+        chunk = MagicMock()
+        chunk.text = "the chunk body"
+        engine.storage.get_chunk_by_id.return_value = chunk
+        engine.storage._get_chunk_data.return_value = {
+            "project_name": "projA",
+            "session_id": "sess-1",
+            "timestamp": "2024-01-15T10:00:00+00:00",
+            "has_code": 1,
+        }
+        result = runner.invoke(cli, ["search", "q", "--chunk-id", "chunk_1"])
+        assert result.exit_code == 0
+        assert "the chunk body" in result.output
+        assert "🔧 Contains code" in result.output
+        engine.search_conversations.assert_not_called()
+
+    def test_chunk_id_not_found(self, runner, engine):
+        engine.storage.get_chunk_by_id.return_value = None
+        result = runner.invoke(cli, ["search", "q", "--chunk-id", "nope"])
+        assert result.exit_code == 1
+        assert "Chunk not found" in result.output
+
+    def test_chunk_id_json(self, runner, engine):
+        chunk = MagicMock()
+        chunk.text = "body"
+        engine.storage.get_chunk_by_id.return_value = chunk
+        engine.storage._get_chunk_data.return_value = {
+            "project_name": "p", "session_id": "s", "timestamp": "t",
+        }
+        result = runner.invoke(
+            cli, ["search", "q", "--chunk-id", "c1", "--json"]
+        )
+        payload = json.loads(result.output)
+        assert payload["items"][0]["subtitle"] == "Direct chunk retrieval"
+
+
+class TestRelatedTo:
+    def _setup_session(self, engine):
+        engine.storage._get_chunk_data.side_effect = lambda cid: {
+            "ref": {"session_id": "sess-9", "project_name": "p"},
+        }.get(cid)
+        sibling = MagicMock()
+        sibling.id = "sib1"
+        sibling.text = "sibling chunk"
+        sibling.metadata = {
+            "project_name": "p",
+            "session_id": "sess-9",
+            "timestamp": "2024-01-15T11:00:00+00:00",
+            "has_code": False,
+        }
+        ref_chunk = MagicMock()
+        ref_chunk.id = "ref"
+        ref_chunk.text = "reference"
+        ref_chunk.metadata = {"session_id": "sess-9"}
+        engine.storage.get_chunks_by_session.return_value = [
+            ref_chunk, sibling
+        ]
+
+    def test_same_session_listing(self, runner, engine):
+        self._setup_session(engine)
+        result = runner.invoke(
+            cli, ["search", "q", "--related-to", "ref", "--same-session"]
+        )
+        assert result.exit_code == 0
+        assert "sibling chunk" in result.output
+        assert "reference" not in result.output.replace(
+            "related chunks to ref", ""
+        )
+        engine.search_conversations.assert_not_called()
+
+    def test_related_to_missing_ref(self, runner, engine):
+        engine.storage._get_chunk_data.return_value = None
+        engine.storage._get_chunk_data.side_effect = None
+        result = runner.invoke(cli, ["search", "q", "--related-to", "ghost"])
+        assert result.exit_code == 1
+        assert "Reference chunk not found" in result.output
+
+    def test_related_to_without_same_session_filters_by_session(
+        self, runner, engine
+    ):
+        engine.storage._get_chunk_data.side_effect = lambda cid: {
+            "session_id": "sess-9"
+        }
+        runner.invoke(cli, ["search", "q", "--related-to", "ref"])
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["session_id"] == "sess-9"
+
+
+class TestIndexCommand:
+    def test_index_flow(self, runner, engine):
+        engine.scan_claude_projects.return_value = ["a.jsonl"]
+        engine.index_conversations.return_value = {
+            "files_processed": 3,
+            "files_unchanged": 1,
+            "files_skipped": 0,
+            "chunks_created": 40,
+            "chunks_indexed": 40,
+            "chunks_removed": 2,
+            "errors": [],
+            "duration": 1.5,
+        }
+        result = runner.invoke(cli, ["index", "--claude-dir", "/tmp/x"])
+        assert result.exit_code == 0
+        assert "Files processed: 3" in result.output
+        assert "Chunks removed: 2" in result.output
+        engine.index_conversations.assert_called_once()
+
+    def test_index_errors_shown(self, runner, engine):
+        engine.scan_claude_projects.return_value = []
+        engine.index_conversations.return_value = {
+            "files_processed": 0, "files_unchanged": 0, "files_skipped": 0,
+            "chunks_created": 0, "chunks_indexed": 0, "chunks_removed": 0,
+            "errors": ["Error processing x.jsonl: kaboom"], "duration": 0.1,
+        }
+        result = runner.invoke(cli, ["index"])
+        assert "Errors: 1" in result.output
+        assert "kaboom" in result.output
+
+    def test_force_flag(self, runner, engine):
+        engine.scan_claude_projects.return_value = []
+        engine.index_conversations.return_value = {
+            "files_processed": 0, "files_unchanged": 0, "files_skipped": 0,
+            "chunks_created": 0, "chunks_indexed": 0, "chunks_removed": 0,
+            "errors": [], "duration": 0.0,
+        }
+        runner.invoke(cli, ["index", "--force"])
+        assert engine.index_conversations.call_args[0][1] is True
+
+
+class TestStatsCommand:
+    def test_stats_output(self, runner, engine):
+        engine.get_index_stats.return_value = {
+            "total_chunks": 1234,
+            "total_sessions": 56,
+            "total_projects": 7,
+            "faiss_index_size": 4 * 1024 * 1024,
+            "database_size": 1024 * 1024,
+            "total_storage_size": 5 * 1024 * 1024,
+            "embedding_dimension": 768,
+            "index_type": "flat",
+            "chunk_types": {"qa_pair": 1000, "code_block": 234},
+            "use_gpu": False,
+            "is_gpu_index": False,
+        }
+        result = runner.invoke(cli, ["stats"])
+        assert result.exit_code == 0
+        assert "1,234" in result.output
+        assert "qa_pair: 1,000" in result.output
+
+    def test_stats_failure(self, runner, engine):
+        engine.get_index_stats.side_effect = RuntimeError("db locked")
+        result = runner.invoke(cli, ["stats"])
+        assert result.exit_code == 1
+
+
+class TestDataDirOption:
+    def test_data_dir_env(self, runner, engine, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_DATA_DIR", "/tmp/custom-env-dir")
+        with patch("tpu_search.interfaces.cli.SearchEngine") as cls:
+            cls.return_value.search_conversations.return_value = []
+            runner.invoke(cli, ["search", "q"])
+            assert cls.call_args[0][0] == "/tmp/custom-env-dir"
+
+    def test_data_dir_flag_overrides(self, runner, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_DATA_DIR", "/tmp/env-dir")
+        with patch("tpu_search.interfaces.cli.SearchEngine") as cls:
+            cls.return_value.search_conversations.return_value = []
+            runner.invoke(
+                cli, ["--data-dir", "/tmp/flag-dir", "search", "q"]
+            )
+            assert cls.call_args[0][0] == "/tmp/flag-dir"

@@ -1,0 +1,198 @@
+"""End-to-end pipeline integration: parse -> chunk -> embed (hash encoder) ->
+store -> search through the SearchEngine facade, on real components
+(reference strategy: tests/test_integration.py, embeddings swapped for the
+deterministic weight-free encoder instead of mocks)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpu_search.api.engine import SearchEngine
+from tpu_search.models.encoder import EmbeddingConfig, EmbeddingGenerator
+from tpu_search.storage.hybrid import SearchConfig
+
+
+def write_conversation(path, session_id, project_lines):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        for i, (role, text) in enumerate(project_lines):
+            fh.write(
+                json.dumps(
+                    {
+                        "uuid": f"{session_id}-m{i}",
+                        "sessionId": session_id,
+                        "timestamp": f"2024-03-0{(i % 8) + 1}T10:0{i % 6}:00Z",
+                        "message": {"role": role, "content": text},
+                    }
+                )
+                + "\n"
+            )
+    return path
+
+
+JAX_CONVO = [
+    ("user", "How do I debug a JAX jit recompilation storm on TPU? "
+             "My training step keeps recompiling every iteration."),
+    ("assistant", "Recompilation usually means your input shapes or dtypes "
+                  "change between calls. Pad batches to fixed bucket shapes "
+                  "and check for Python-side branching on traced values."),
+    ("user", "Great, and how do I inspect which shapes changed?"),
+    ("assistant", "Set JAX_LOG_COMPILES=1 and look at the logged signatures; "
+                  "each new entry shows the offending argument shapes."),
+]
+
+COOKING_CONVO = [
+    ("user", "What is the best way to proof sourdough bread overnight in a "
+             "cold kitchen without a proofing box?"),
+    ("assistant", "Use your oven with the light on, or proof in the fridge "
+                  "intentionally - cold fermentation overnight improves "
+                  "flavor. Aim for roughly 75 percent hydration dough."),
+    ("user", "Should I use a dutch oven for the bake?"),
+    ("assistant", "Yes, preheat the dutch oven to 230C; the trapped steam "
+                  "gives better oven spring and crust."),
+]
+
+
+@pytest.fixture
+def engine(tmp_path):
+    claude_dir = tmp_path / "claude" / "projects"
+    write_conversation(
+        claude_dir / "-root-jaxwork" / "s1.jsonl", "sess-jax", JAX_CONVO
+    )
+    write_conversation(
+        claude_dir / "-root-kitchen" / "s2.jsonl", "sess-cook", COOKING_CONVO
+    )
+    engine = SearchEngine(
+        data_dir=str(tmp_path / "data"),
+        model_name="hash-768",
+        save_interval_s=0.0,
+    )
+    engine.storage.config.device = "cpu"
+    engine.storage.config.storage_dtype = "float32"
+    engine._claude_dir = claude_dir  # stash for tests
+    return engine
+
+
+class TestEndToEnd:
+    def test_index_then_search(self, engine):
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        stats = engine.index_conversations(files)
+        assert stats["files_processed"] == 2
+        assert stats["chunks_indexed"] > 0
+        assert stats["errors"] == []
+
+        results = engine.search_conversations(
+            "debug jit recompilation shapes", top_k=3
+        )
+        assert results
+        assert results[0]["project"] == "-root-jaxwork"
+
+        cooking = engine.search_conversations(
+            "sourdough proofing dutch oven bake", top_k=3
+        )
+        assert cooking[0]["project"] == "-root-kitchen"
+
+    def test_incremental_skip_unchanged(self, engine):
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        stats = engine.index_conversations(files)
+        assert stats["files_unchanged"] == 2
+        assert stats["files_processed"] == 0
+
+    def test_modified_file_reindexed(self, engine):
+        import os
+
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        target = files[0]
+        future = target.stat().st_mtime + 60
+        os.utime(target, (future, future))
+        stats = engine.index_conversations(files)
+        assert stats["files_processed"] == 1
+        assert stats["chunks_removed"] > 0  # old chunks tombstoned
+
+    def test_force_reindex(self, engine):
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        stats = engine.index_conversations(files, force=True)
+        assert stats["files_processed"] == 2
+
+    def test_project_filter_end_to_end(self, engine):
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        results = engine.search_conversations(
+            "overnight improvement techniques",
+            filters={"project_name": "kitchen"},
+            top_k=5,
+        )
+        assert results
+        assert all(r["project"] == "-root-kitchen" for r in results)
+
+    def test_session_navigation(self, engine):
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        results = engine.search_conversations("jit recompilation", top_k=1)
+        sess = results[0]["session"]
+        chunks = engine.storage.get_chunks_by_session(sess)
+        assert len(chunks) >= 1
+
+    def test_stats_after_index(self, engine):
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        stats = engine.get_index_stats()
+        assert stats["total_chunks"] > 0
+        assert stats["total_projects"] == 2
+        assert set(stats["projects"]) == {"-root-jaxwork", "-root-kitchen"}
+
+    def test_persistence_across_engines(self, engine, tmp_path):
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        engine.storage.close()
+
+        fresh = SearchEngine(
+            data_dir=str(tmp_path / "data"), model_name="hash-768"
+        )
+        fresh.storage.config.device = "cpu"
+        results = fresh.search_conversations("jit recompilation storm", top_k=2)
+        assert results
+        assert results[0]["project"] == "-root-jaxwork"
+
+
+class TestRelevanceSanity:
+    def test_handmade_vectors_rank_correctly(self, tmp_path):
+        """Search relevance with hand-made vectors through real storage
+        (reference: tests/test_integration.py:312)."""
+        from tpu_search.ingest.chunker import Chunk
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path),
+                embedding_dim=4,
+                auto_save=False,
+                storage_dtype="float32",
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        base = {"chunk_type": "qa_pair", "session_id": "s",
+                "project_name": "p", "file_path": "/f", "has_code": False,
+                "has_tools": False, "timestamp": "2024-01-01T00:00:00+00:00",
+                "message_count": 1, "char_count": 5, "word_count": 1}
+        storage.add_chunks(
+            [
+                Chunk(id="exact", text="t", metadata=dict(base),
+                      embedding=[1.0, 0.0, 0.0, 0.0]),
+                Chunk(id="near", text="t", metadata=dict(base),
+                      embedding=[0.9, 0.1, 0.0, 0.0]),
+                Chunk(id="far", text="t", metadata=dict(base),
+                      embedding=[0.0, 0.0, 1.0, 0.0]),
+            ]
+        )
+        results = storage.search(
+            np.array([1.0, 0, 0, 0], dtype=np.float32),
+            SearchConfig(top_k=3),
+        )
+        assert [r.chunk_id for r in results] == ["exact", "near", "far"]
+        storage.close()

@@ -1,0 +1,251 @@
+"""MCP server tests: tool schemas, JSON-RPC handling, markdown output,
+truncation, error codes — with a patched engine (reference strategy:
+tests/test_mcp_server.py)."""
+
+import json
+from unittest.mock import MagicMock, patch
+
+import pytest
+
+from tpu_search.interfaces import mcp_server
+from tpu_search.interfaces.mcp_server import (
+    INTERNAL_ERROR,
+    INVALID_PARAMS,
+    METHOD_NOT_FOUND,
+    McpError,
+    call_tool,
+    handle_message,
+    list_tools,
+)
+
+
+@pytest.fixture
+def engine():
+    with patch.object(mcp_server, "get_search_cli") as get_cli:
+        instance = MagicMock()
+        get_cli.return_value = instance
+        yield instance
+
+
+class TestToolSchemas:
+    def test_five_tools_listed(self):
+        tools = list_tools()
+        assert [t["name"] for t in tools] == [
+            "claude_semantic_search",
+            "get_chunk_by_id",
+            "list_projects",
+            "get_stats",
+            "get_status",
+        ]
+
+    def test_search_schema_fields(self):
+        schema = list_tools()[0]["inputSchema"]
+        for field in (
+            "query", "top_k", "project", "has_code", "after", "before",
+            "session", "related_to", "same_session", "full_content",
+            "use_gpu", "chunk_id",
+        ):
+            assert field in schema["properties"]
+
+    def test_get_chunk_requires_id(self):
+        schema = list_tools()[1]["inputSchema"]
+        assert schema["required"] == ["chunk_id"]
+
+
+class TestSemanticSearch:
+    def _result(self, text="result text", similarity=0.9):
+        return {
+            "chunk_id": "c1",
+            "similarity": similarity,
+            "text": text,
+            "project": "projA",
+            "session": "s1",
+            "timestamp": "2024-01-15",
+            "has_code": True,
+        }
+
+    def test_basic_search(self, engine):
+        engine.search_conversations.return_value = [self._result()]
+        content = call_tool(
+            "claude_semantic_search", {"query": "hello", "top_k": 5}
+        )
+        assert content[0]["type"] == "text"
+        text = content[0]["text"]
+        assert "Found 1 results for: 'hello'" in text
+        assert "**Chunk ID**: c1" in text
+        assert "🔧 Contains code" in text
+        engine.search_conversations.assert_called_once_with("hello", {}, 5)
+
+    def test_filters_forwarded(self, engine):
+        engine.search_conversations.return_value = []
+        call_tool(
+            "claude_semantic_search",
+            {
+                "query": "q",
+                "project": "alpha",
+                "has_code": True,
+                "after": "2024-01-01",
+                "before": "2024-02-01",
+                "session": "s7",
+            },
+        )
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["project_name"] == "alpha"
+        assert filters["has_code"] is True
+        assert filters["session_id"] == "s7"
+        assert filters["timestamp"]["gte"] == "2024-01-01T00:00:00+00:00"
+        assert filters["timestamp"]["lte"] == "2024-02-01T23:59:59+00:00"
+
+    def test_truncation_at_500(self, engine):
+        engine.search_conversations.return_value = [self._result("y" * 900)]
+        text = call_tool("claude_semantic_search", {"query": "q"})[0]["text"]
+        assert "y" * 500 + "..." in text
+        assert "y" * 501 not in text
+
+    def test_full_content_flag(self, engine):
+        engine.search_conversations.return_value = [self._result("y" * 900)]
+        text = call_tool(
+            "claude_semantic_search", {"query": "q", "full_content": True}
+        )[0]["text"]
+        assert "y" * 900 in text
+
+    def test_chunk_id_shortcircuit(self, engine):
+        chunk = MagicMock()
+        chunk.text = "direct body"
+        engine.storage.get_chunk_by_id.return_value = chunk
+        engine.storage._get_chunk_data.return_value = {
+            "project_name": "p", "timestamp": "t"
+        }
+        text = call_tool(
+            "claude_semantic_search", {"chunk_id": "c9"}
+        )[0]["text"]
+        assert "direct body" in text
+        engine.search_conversations.assert_not_called()
+
+    def test_related_to_resolves_session(self, engine):
+        engine.storage._get_chunk_data.return_value = {"session_id": "s42"}
+        engine.search_conversations.return_value = []
+        call_tool(
+            "claude_semantic_search", {"query": "q", "related_to": "ref"}
+        )
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["session_id"] == "s42"
+
+    def test_related_to_missing_raises(self, engine):
+        engine.storage._get_chunk_data.return_value = None
+        with pytest.raises(McpError) as info:
+            call_tool(
+                "claude_semantic_search", {"query": "q", "related_to": "ghost"}
+            )
+        assert info.value.code == INVALID_PARAMS
+
+
+class TestOtherTools:
+    def test_get_chunk_by_id_found(self, engine):
+        chunk = MagicMock()
+        chunk.text = "body"
+        engine.storage.get_chunk_by_id.return_value = chunk
+        engine.storage._get_chunk_data.return_value = {
+            "project_name": "p", "timestamp": "t"
+        }
+        text = call_tool("get_chunk_by_id", {"chunk_id": "c1"})[0]["text"]
+        assert "**Chunk ID**: c1" in text
+
+    def test_get_chunk_by_id_missing(self, engine):
+        engine.storage.get_chunk_by_id.return_value = None
+        with pytest.raises(McpError) as info:
+            call_tool("get_chunk_by_id", {"chunk_id": "nope"})
+        assert info.value.code == INVALID_PARAMS
+
+    def test_list_projects(self, engine):
+        engine.storage.get_all_projects.return_value = ["alpha", "beta"]
+        text = call_tool("list_projects", {})[0]["text"]
+        assert "Indexed Projects (2)" in text
+        assert "- alpha" in text
+
+    def test_list_projects_empty(self, engine):
+        engine.storage.get_all_projects.return_value = []
+        text = call_tool("list_projects", {})[0]["text"]
+        assert "No projects found" in text
+
+    def test_list_projects_error(self, engine):
+        engine.storage.initialize.side_effect = RuntimeError("locked")
+        with pytest.raises(McpError) as info:
+            call_tool("list_projects", {})
+        assert info.value.code == INTERNAL_ERROR
+
+    def test_get_stats(self, engine):
+        engine.get_index_stats.return_value = {
+            "total_chunks": 10,
+            "total_sessions": 2,
+            "total_projects": 1,
+            "faiss_index_size": 1024,
+            "database_size": 2048,
+            "total_storage_size": 3072,
+            "chunk_types": {"qa_pair": 10},
+        }
+        text = call_tool("get_stats", {})[0]["text"]
+        assert "Total chunks: 10" in text
+        assert "qa_pair: 10" in text
+
+    def test_unknown_tool(self, engine):
+        with pytest.raises(McpError) as info:
+            call_tool("bogus_tool", {})
+        assert info.value.code == METHOD_NOT_FOUND
+
+
+class TestJsonRpcTransport:
+    def test_initialize_handshake(self):
+        response = handle_message(
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}
+        )
+        assert response["result"]["serverInfo"]["name"] == "claude-search"
+        assert "tools" in response["result"]["capabilities"]
+
+    def test_initialized_notification_silent(self):
+        assert handle_message(
+            {"jsonrpc": "2.0", "method": "notifications/initialized"}
+        ) is None
+
+    def test_tools_list(self):
+        response = handle_message(
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list"}
+        )
+        assert len(response["result"]["tools"]) == 5
+
+    def test_tools_call_roundtrip(self, engine):
+        engine.search_conversations.return_value = []
+        response = handle_message(
+            {
+                "jsonrpc": "2.0",
+                "id": 3,
+                "method": "tools/call",
+                "params": {
+                    "name": "claude_semantic_search",
+                    "arguments": {"query": "x"},
+                },
+            }
+        )
+        assert response["result"]["isError"] is False
+        assert response["result"]["content"][0]["type"] == "text"
+
+    def test_tool_error_becomes_jsonrpc_error(self, engine):
+        response = handle_message(
+            {
+                "jsonrpc": "2.0",
+                "id": 4,
+                "method": "tools/call",
+                "params": {"name": "bogus", "arguments": {}},
+            }
+        )
+        assert response["error"]["code"] == METHOD_NOT_FOUND
+
+    def test_unknown_method(self):
+        response = handle_message(
+            {"jsonrpc": "2.0", "id": 5, "method": "resources/list"}
+        )
+        assert response["error"]["code"] == METHOD_NOT_FOUND
+
+    def test_ping(self):
+        response = handle_message({"jsonrpc": "2.0", "id": 6, "method": "ping"})
+        assert response["result"] == {}

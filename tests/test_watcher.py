@@ -1,0 +1,179 @@
+"""Watcher tests: debounce, event filtering, PID-file lifecycle, plus a live
+inotify/polling round through the native fswatch backend."""
+
+import os
+import time
+from pathlib import Path
+from unittest.mock import MagicMock, patch
+
+import pytest
+
+from tpu_search.interfaces.fswatch import (
+    FileEvent,
+    InotifyWatch,
+    PollingWatch,
+    create_watch,
+)
+from tpu_search.interfaces.watcher import (
+    ConversationFileHandler,
+    ConversationWatcher,
+)
+
+
+@pytest.fixture
+def engine():
+    mock = MagicMock()
+    mock.index_conversations.return_value = {
+        "files_processed": 1,
+        "files_unchanged": 0,
+        "files_skipped": 0,
+        "chunks_indexed": 5,
+        "chunks_removed": 0,
+        "errors": [],
+        "duration": 0.01,
+    }
+    return mock
+
+
+class TestHandler:
+    def test_non_jsonl_ignored(self, engine):
+        handler = ConversationFileHandler(engine, debounce_seconds=1)
+        handler.on_event(FileEvent("/tmp/x/notes.txt", "modified"))
+        assert handler.pending_files == set()
+
+    def test_jsonl_scheduled(self, engine):
+        handler = ConversationFileHandler(engine, debounce_seconds=30)
+        handler.on_event(FileEvent("/tmp/x/conv.jsonl", "created"))
+        assert "/tmp/x/conv.jsonl" in handler.pending_files
+        assert handler.timer is not None and handler.timer.is_alive()
+        handler.timer.cancel()
+
+    def test_debounce_resets_timer(self, engine):
+        handler = ConversationFileHandler(engine, debounce_seconds=30)
+        handler.on_event(FileEvent("/tmp/a.jsonl", "created"))
+        first = handler.timer
+        handler.on_event(FileEvent("/tmp/b.jsonl", "created"))
+        assert handler.timer is not first
+        assert not first.is_alive()
+        handler.timer.cancel()
+
+    def test_trigger_indexes_per_directory(self, engine, tmp_path):
+        d = tmp_path / "proj"
+        d.mkdir()
+        (d / "a.jsonl").write_text("{}")
+        (d / "b.jsonl").write_text("{}")
+        handler = ConversationFileHandler(engine, debounce_seconds=1)
+        handler.pending_files = {str(d / "a.jsonl")}
+        handler._trigger_indexing()
+        engine.index_conversations.assert_called_once()
+        files_arg = engine.index_conversations.call_args[0][0]
+        assert sorted(p.name for p in files_arg) == ["a.jsonl", "b.jsonl"]
+        assert handler.pending_files == set()
+        assert handler.last_trigger_time is not None
+
+    def test_trigger_with_nothing_pending(self, engine):
+        handler = ConversationFileHandler(engine, debounce_seconds=1)
+        handler._trigger_indexing()
+        engine.index_conversations.assert_not_called()
+
+    def test_indexing_errors_swallowed(self, engine, tmp_path):
+        engine.index_conversations.side_effect = RuntimeError("index died")
+        d = tmp_path / "p"
+        d.mkdir()
+        (d / "x.jsonl").write_text("{}")
+        handler = ConversationFileHandler(engine, debounce_seconds=1)
+        handler.pending_files = {str(d / "x.jsonl")}
+        handler._trigger_indexing()  # must not raise
+
+
+class TestDaemonLifecycle:
+    def _watcher(self, tmp_path):
+        with patch("tpu_search.interfaces.watcher.SearchEngine"):
+            return ConversationWatcher(data_dir=str(tmp_path))
+
+    def test_pid_file_roundtrip(self, tmp_path):
+        watcher = self._watcher(tmp_path)
+        watcher.write_pid_file()
+        assert watcher.pid_file.exists()
+        assert watcher.get_daemon_pid() == os.getpid()
+        assert watcher.is_daemon_running() is True
+        watcher.remove_pid_file()
+        assert not watcher.pid_file.exists()
+        assert watcher.is_daemon_running() is False
+
+    def test_stale_pid_cleanup(self, tmp_path):
+        watcher = self._watcher(tmp_path)
+        watcher.pid_file.parent.mkdir(parents=True, exist_ok=True)
+        watcher.pid_file.write_text("999999999")  # no such process
+        assert watcher.is_daemon_running() is False
+        assert not watcher.pid_file.exists()
+
+    def test_corrupt_pid_cleanup(self, tmp_path):
+        watcher = self._watcher(tmp_path)
+        watcher.pid_file.parent.mkdir(parents=True, exist_ok=True)
+        watcher.pid_file.write_text("not-a-pid")
+        assert watcher.is_daemon_running() is False
+
+    def test_stop_daemon_not_running(self, tmp_path):
+        watcher = self._watcher(tmp_path)
+        with pytest.raises(RuntimeError, match="not running"):
+            watcher.stop_daemon()
+
+    def test_missing_claude_dir_raises(self, tmp_path):
+        watcher = self._watcher(tmp_path)
+        with pytest.raises(FileNotFoundError):
+            watcher.start_watching(str(tmp_path / "nope"))
+
+    def test_get_status_shape(self, tmp_path):
+        watcher = self._watcher(tmp_path)
+        status = watcher.get_status()
+        assert status["is_running"] is False
+        assert status["pending_files"] == 0
+        assert status["debounce_seconds"] == 5
+
+
+class TestFsWatchBackends:
+    def test_polling_detects_create_and_modify(self, tmp_path):
+        events = []
+        watch = PollingWatch(
+            str(tmp_path), events.append, interval=0.1
+        )
+        watch.start()
+        try:
+            time.sleep(0.15)
+            target = tmp_path / "conv.jsonl"
+            target.write_text("{}")
+            time.sleep(0.3)
+            os.utime(target, (time.time() + 5, time.time() + 5))
+            time.sleep(0.3)
+        finally:
+            watch.stop()
+        kinds = [e.kind for e in events if e.path.endswith("conv.jsonl")]
+        assert "created" in kinds
+        assert "modified" in kinds
+
+    @pytest.mark.skipif(os.name != "posix", reason="inotify is Linux-only")
+    def test_inotify_detects_events(self, tmp_path):
+        events = []
+        try:
+            watch = InotifyWatch(str(tmp_path), events.append)
+            watch.start()
+        except OSError:
+            pytest.skip("inotify unavailable")
+        try:
+            sub = tmp_path / "newdir"
+            sub.mkdir()
+            time.sleep(0.3)
+            (sub / "conv.jsonl").write_text("{}")
+            deadline = time.time() + 3
+            while time.time() < deadline and not any(
+                e.path.endswith("conv.jsonl") for e in events
+            ):
+                time.sleep(0.1)
+        finally:
+            watch.stop()
+        assert any(e.path.endswith("conv.jsonl") for e in events)
+
+    def test_create_watch_returns_backend(self, tmp_path):
+        watch = create_watch(str(tmp_path), lambda e: None)
+        assert isinstance(watch, (InotifyWatch, PollingWatch))

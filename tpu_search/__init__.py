@@ -1,0 +1,39 @@
+"""tpu_search — TPU-native semantic search for Claude Code conversations.
+
+A ground-up JAX/XLA/Pallas re-design of pauloportella/claude-semantic-search:
+same capabilities (index ~/.claude/projects JSONL history, semantic search
+with metadata filters, CLI + MCP + auto-indexing daemon), built TPU-first
+(HBM-resident fused top-k scan instead of FAISS, pure-JAX MPNet encoder
+instead of torch/sentence-transformers, sharded multi-chip search over ICI).
+"""
+
+__version__ = "0.1.0"
+
+from .api.engine import SearchEngine, SemanticSearchCLI
+from .ingest.chunker import Chunk, ChunkingConfig, ConversationChunker
+from .ingest.parser import Conversation, JSONLParser, Message
+from .models.encoder import EmbeddingConfig, EmbeddingGenerator, EmbeddingStats
+from .storage.hybrid import (
+    HybridStorage,
+    SearchConfig,
+    SearchResult,
+    StorageConfig,
+)
+
+__all__ = [
+    "JSONLParser",
+    "Conversation",
+    "Message",
+    "ConversationChunker",
+    "ChunkingConfig",
+    "Chunk",
+    "EmbeddingGenerator",
+    "EmbeddingConfig",
+    "EmbeddingStats",
+    "HybridStorage",
+    "StorageConfig",
+    "SearchConfig",
+    "SearchResult",
+    "SearchEngine",
+    "SemanticSearchCLI",
+]

@@ -41,9 +41,15 @@ class SearchEngine:
         self,
         data_dir: str = DEFAULT_DATA_DIR,
         use_gpu: bool = False,
-        model_name: str = "all-mpnet-base-v2",
+        model_name: Optional[str] = None,
         save_interval_s: float = 30.0,
     ) -> None:
+        # Model resolution: arg > $CLAUDE_SEARCH_MODEL > default. The env
+        # override matters in egress-free environments (use "hash-768").
+        if model_name is None:
+            model_name = os.environ.get(
+                "CLAUDE_SEARCH_MODEL", "all-mpnet-base-v2"
+            )
         self.data_dir = Path(data_dir).expanduser()
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.use_gpu = use_gpu

@@ -1,0 +1,3 @@
+"""User-facing interfaces: Click CLI, MCP stdio server, watcher daemon."""
+
+__all__ = ["cli", "mcp_server", "watcher", "fswatch"]

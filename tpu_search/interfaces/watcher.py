@@ -1,0 +1,364 @@
+"""Auto-indexing daemon: watch ~/.claude/projects, debounce, reindex.
+
+Behavioral parity with the reference watcher (reference: src/watcher.py:28-435):
+debounced incremental indexing grouped by parent directory, fork-based
+daemonization, PID/log files in the data dir, SIGTERM/SIGINT handling,
+stale-PID cleanup, model-load timeout, and status with log tail.  Uses the
+native fswatch backend (inotify/polling) instead of the watchdog package.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import signal
+import sys
+import threading
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Optional, Set
+
+from ..api.engine import SearchEngine, resolve_data_dir
+from .fswatch import FileEvent, Watch, create_watch
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "ConversationFileHandler",
+    "ConversationWatcher",
+    "run_watcher",
+    "start_daemon",
+    "stop_daemon",
+    "daemon_status",
+]
+
+
+class ConversationFileHandler:
+    """Debounces file events into incremental index runs
+    (reference: src/watcher.py:28-116)."""
+
+    def __init__(
+        self, engine: SearchEngine, debounce_seconds: int = 5
+    ) -> None:
+        self.cli_instance = engine  # reference-compatible attribute name
+        self.debounce_seconds = debounce_seconds
+        self.pending_files: Set[str] = set()
+        self.last_trigger_time: Optional[datetime] = None
+        self.timer: Optional[threading.Timer] = None
+        self._lock = threading.Lock()
+
+    # fswatch callback entrypoint
+    def on_event(self, event: FileEvent) -> None:
+        if not event.path.endswith(".jsonl"):
+            return
+        logger.info(
+            "%s conversation file detected: %s",
+            event.kind.capitalize(),
+            event.path,
+        )
+        self._schedule_indexing(event.path)
+
+    # reference-compatible shims
+    def on_created(self, event) -> None:
+        if not getattr(event, "is_directory", False):
+            path = getattr(event, "src_path", getattr(event, "path", ""))
+            if path.endswith(".jsonl"):
+                self._schedule_indexing(path)
+
+    on_modified = on_created
+
+    def _schedule_indexing(self, file_path: str) -> None:
+        with self._lock:
+            self.pending_files.add(file_path)
+            if self.timer is not None and self.timer.is_alive():
+                self.timer.cancel()
+            self.timer = threading.Timer(
+                self.debounce_seconds, self._trigger_indexing
+            )
+            self.timer.start()
+
+    def _trigger_indexing(self) -> None:
+        with self._lock:
+            if not self.pending_files:
+                return
+            files = list(self.pending_files)
+            self.pending_files.clear()
+
+        logger.info("Triggering incremental indexing for %d files", len(files))
+        try:
+            directories = {str(Path(f).parent) for f in files}
+            for directory in directories:
+                dir_files = sorted(Path(directory).glob("*.jsonl"))
+                if not dir_files:
+                    continue
+                stats = self.cli_instance.index_conversations(
+                    dir_files, force=False
+                )
+                logger.info(
+                    "Incremental indexing complete: processed=%d unchanged=%d "
+                    "skipped=%d chunks=%d removed=%d duration=%.1fs",
+                    stats["files_processed"],
+                    stats.get("files_unchanged", 0),
+                    stats["files_skipped"],
+                    stats["chunks_indexed"],
+                    stats.get("chunks_removed", 0),
+                    stats["duration"],
+                )
+                for error in stats["errors"][:3]:
+                    logger.warning("  - %s", error)
+            self.last_trigger_time = datetime.now()
+        except Exception as exc:
+            logger.error("Error during automatic indexing: %s", exc)
+
+
+class ConversationWatcher:
+    """Long-lived watcher process owning one warm SearchEngine
+    (reference: src/watcher.py:119-333)."""
+
+    def __init__(
+        self,
+        data_dir: Optional[str] = None,
+        debounce_seconds: int = 5,
+        use_gpu: bool = False,
+    ) -> None:
+        self.data_dir = resolve_data_dir(data_dir)
+        self.debounce_seconds = debounce_seconds
+        self.use_gpu = use_gpu
+        self.cli_instance = SearchEngine(self.data_dir, use_gpu)
+        self.handler = ConversationFileHandler(
+            self.cli_instance, debounce_seconds
+        )
+        self.watch: Optional[Watch] = None
+        self.is_running = False
+        self.pid_file = Path(self.data_dir) / "watcher.pid"
+        self.log_file = Path(self.data_dir) / "watcher.log"
+
+    # -- foreground loop ----------------------------------------------------
+
+    def start_watching(self, claude_dir: str = "~/.claude/projects") -> None:
+        claude_path = Path(claude_dir).expanduser()
+        if not claude_path.exists():
+            raise FileNotFoundError(
+                f"Claude projects directory not found: {claude_path}"
+            )
+        logger.info("Starting file watcher for: %s", claude_path)
+        logger.info("Debounce interval: %d seconds", self.debounce_seconds)
+
+        # 60s watchdog on model/storage init (reference: src/watcher.py:152).
+        def timeout_handler(signum, frame):
+            raise TimeoutError(
+                "Model loading timeout (60s) - consider running "
+                "'setup-models' first"
+            )
+
+        old_handler = signal.signal(signal.SIGALRM, timeout_handler)
+        signal.alarm(60)
+        try:
+            self.cli_instance.storage.initialize()
+            if not self.cli_instance.embedder.is_model_loaded:
+                logger.info("Loading embedding model...")
+                self.cli_instance.embedder.load_model()
+                logger.info("Model loaded successfully")
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old_handler)
+
+        self.watch = create_watch(str(claude_path), self.handler.on_event)
+        self.watch.start()
+        self.is_running = True
+        logger.info("File watcher started. Monitoring for changes...")
+        try:
+            while self.is_running:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            logger.info("Received interrupt signal, stopping watcher...")
+        finally:
+            self.stop_watching()
+
+    def stop_watching(self) -> None:
+        if self.watch is not None and self.watch.is_alive:
+            self.watch.stop()
+        if self.handler.timer is not None and self.handler.timer.is_alive():
+            self.handler.timer.cancel()
+        self.is_running = False
+        logger.info("File watcher stopped")
+
+    def get_status(self) -> dict:
+        return {
+            "is_running": self.is_running,
+            "watching_path": self.watch.root if self.watch else None,
+            "pending_files": len(self.handler.pending_files),
+            "last_trigger_time": (
+                self.handler.last_trigger_time.isoformat()
+                if self.handler.last_trigger_time
+                else None
+            ),
+            "debounce_seconds": self.debounce_seconds,
+        }
+
+    # -- daemon plumbing ----------------------------------------------------
+
+    def setup_daemon_logging(self) -> None:
+        self.log_file.parent.mkdir(parents=True, exist_ok=True)
+        handler = logging.FileHandler(str(self.log_file))
+        handler.setLevel(logging.INFO)
+        handler.setFormatter(
+            logging.Formatter(
+                "%(asctime)s - %(name)s - %(levelname)s - %(message)s"
+            )
+        )
+        root = logging.getLogger()
+        root.addHandler(handler)
+        root.setLevel(logging.INFO)
+
+    def write_pid_file(self) -> None:
+        self.pid_file.parent.mkdir(parents=True, exist_ok=True)
+        self.pid_file.write_text(str(os.getpid()))
+        logger.info("PID file written: %s", self.pid_file)
+
+    def remove_pid_file(self) -> None:
+        if self.pid_file.exists():
+            self.pid_file.unlink()
+            logger.info("PID file removed: %s", self.pid_file)
+
+    def is_daemon_running(self) -> bool:
+        if not self.pid_file.exists():
+            return False
+        try:
+            pid = int(self.pid_file.read_text().strip())
+            os.kill(pid, 0)
+            return True
+        except (OSError, ValueError):
+            self.remove_pid_file()  # stale PID cleanup
+            return False
+
+    def get_daemon_pid(self) -> Optional[int]:
+        if not self.pid_file.exists():
+            return None
+        try:
+            return int(self.pid_file.read_text().strip())
+        except (OSError, ValueError):
+            return None
+
+    def start_daemon(self, claude_dir: str = "~/.claude/projects") -> None:
+        if self.is_daemon_running():
+            raise RuntimeError("Watcher daemon is already running")
+
+        def handle_signal(signum, frame):
+            logger.info("Received signal %d, stopping daemon...", signum)
+            self.stop_watching()
+            self.remove_pid_file()
+            sys.exit(0)
+
+        signal.signal(signal.SIGTERM, handle_signal)
+        signal.signal(signal.SIGINT, handle_signal)
+
+        self.setup_daemon_logging()
+        self.write_pid_file()
+        logger.info("Starting watcher daemon...")
+        logger.info("Watching directory: %s", claude_dir)
+        logger.info("Data directory: %s", self.data_dir)
+        try:
+            self.start_watching(claude_dir)
+        except Exception as exc:
+            logger.error("Daemon failed: %s", exc)
+            self.remove_pid_file()
+            raise
+
+    def stop_daemon(self) -> None:
+        if not self.is_daemon_running():
+            raise RuntimeError("Watcher daemon is not running")
+        pid = self.get_daemon_pid()
+        if pid:
+            try:
+                os.kill(pid, signal.SIGTERM)
+                time.sleep(2)
+                if self.is_daemon_running():
+                    os.kill(pid, signal.SIGKILL)
+                    time.sleep(1)
+                logger.info("Daemon stopped (PID: %d)", pid)
+            except OSError as exc:
+                logger.error("Failed to stop daemon: %s", exc)
+                raise
+        self.remove_pid_file()
+
+
+# -- module-level entry points (reference: src/watcher.py:336-435) -----------
+
+
+def run_watcher(
+    data_dir: Optional[str] = None,
+    claude_dir: str = "~/.claude/projects",
+    debounce_seconds: int = 5,
+    use_gpu: bool = False,
+) -> None:
+    watcher = ConversationWatcher(
+        resolve_data_dir(data_dir), debounce_seconds, use_gpu
+    )
+    try:
+        watcher.start_watching(claude_dir)
+    except Exception as exc:
+        logger.error("Failed to start watcher: %s", exc)
+        raise
+
+
+def start_daemon(
+    data_dir: Optional[str] = None,
+    claude_dir: str = "~/.claude/projects",
+    debounce_seconds: int = 5,
+    use_gpu: bool = False,
+) -> None:
+    data_dir = resolve_data_dir(data_dir)
+    watcher = ConversationWatcher(data_dir, debounce_seconds, use_gpu)
+    try:
+        pid = os.fork()
+        if pid > 0:
+            print(f"✅ Watcher daemon started with PID: {pid}")
+            print(f"📁 Watching: {claude_dir}")
+            print(f"💾 Data directory: {data_dir}")
+            print(f"📝 Log file: {watcher.log_file}")
+            return
+    except OSError:
+        pass  # fork unsupported: run in the foreground
+
+    try:
+        watcher.start_daemon(claude_dir)
+    except Exception as exc:
+        print(f"❌ Failed to start daemon: {exc}")
+        sys.exit(1)
+
+
+def stop_daemon(data_dir: Optional[str] = None) -> None:
+    watcher = ConversationWatcher(resolve_data_dir(data_dir))
+    try:
+        watcher.stop_daemon()
+        print("✅ Watcher daemon stopped")
+    except RuntimeError as exc:
+        print(f"❌ {exc}")
+        sys.exit(1)
+    except Exception as exc:
+        print(f"❌ Failed to stop daemon: {exc}")
+        sys.exit(1)
+
+
+def daemon_status(data_dir: Optional[str] = None) -> bool:
+    watcher = ConversationWatcher(resolve_data_dir(data_dir))
+    if watcher.is_daemon_running():
+        pid = watcher.get_daemon_pid()
+        print(f"✅ Watcher daemon is running (PID: {pid})")
+        print(f"📝 Log file: {watcher.log_file}")
+        print(f"🔧 PID file: {watcher.pid_file}")
+        if watcher.log_file.exists():
+            print("\n📋 Recent log entries:")
+            try:
+                lines = watcher.log_file.read_text().splitlines()
+                for line in lines[-5:]:
+                    print(f"   {line}")
+            except Exception:
+                print("   (Could not read log file)")
+    else:
+        print("❌ Watcher daemon is not running")
+        if watcher.log_file.exists():
+            print(f"📝 Log file available: {watcher.log_file}")
+    return watcher.is_daemon_running()
