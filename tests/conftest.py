@@ -10,7 +10,9 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the environment pre-sets JAX_PLATFORMS=axon (the
+# TPU tunnel), but tests must run on the virtual 8-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +22,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in this environment;
+# the config flag is authoritative.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

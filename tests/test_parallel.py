@@ -1,0 +1,183 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8): sharded index correctness
+vs single-device, dp/tp encode equivalence, and the train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+from tpu_search.models.mpnet import MPNetConfig, encode, init_params
+from tpu_search.parallel import (
+    ShardedFlatIndex,
+    build_mesh,
+    init_train_state,
+    make_sharded_encode,
+    make_train_step,
+    shard_params,
+)
+
+TINY = MPNetConfig(
+    vocab_size=64,
+    hidden_size=16,
+    num_layers=2,
+    num_heads=2,
+    intermediate_size=32,
+    max_position=96,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return build_mesh(n_data=8)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return build_mesh(n_data=4, n_model=2)
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestShardedIndex:
+    def test_matches_single_device(self, mesh8):
+        rng = np.random.default_rng(0)
+        d = 32
+        vecs = normed(rng, 700, d)
+        queries = normed(rng, 5, d)
+
+        single = FlatIndex(dim=d, dtype="float32")
+        single.add(vecs)
+        ref_scores, ref_ids = single.search(queries, k=10)
+
+        sharded = ShardedFlatIndex(dim=d, mesh=mesh8, dtype="float32")
+        ids = sharded.add(vecs)
+        assert list(ids) == list(range(700))
+        got_scores, got_ids = sharded.search(queries, k=10)
+
+        assert np.array_equal(got_ids, ref_ids)
+        np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-5)
+
+    def test_mask_over_global_ids(self, mesh8):
+        rng = np.random.default_rng(1)
+        d = 16
+        vecs = normed(rng, 300, d)
+        sharded = ShardedFlatIndex(dim=d, mesh=mesh8, dtype="float32")
+        sharded.add(vecs)
+        mask = rng.random(300) < 0.2
+        _, ids = sharded.search(normed(rng, 2, d), k=10, mask=mask)
+        allowed = set(np.nonzero(mask)[0])
+        for row in ids:
+            assert all(i in allowed for i in row if i >= 0)
+
+    def test_remove_and_counts(self, mesh8):
+        rng = np.random.default_rng(2)
+        sharded = ShardedFlatIndex(dim=8, mesh=mesh8, dtype="float32")
+        ids = sharded.add(normed(rng, 40, 8))
+        assert sharded.remove(ids[:13]) == 13
+        assert sharded.live == 27
+        assert sharded.ntotal == 40
+        _, got = sharded.search(normed(rng, 1, 8), k=40)
+        assert (got[got >= 0] >= 13).all()
+
+    def test_incremental_adds(self, mesh8):
+        rng = np.random.default_rng(3)
+        d = 8
+        sharded = ShardedFlatIndex(dim=d, mesh=mesh8, dtype="float32")
+        first = normed(rng, 20, d)
+        second = normed(rng, 30, d)
+        sharded.add(first)
+        sharded.add(second)
+        target = second[7]
+        _, ids = sharded.search(target, k=1)
+        assert ids[0, 0] == 27  # 20 + 7
+
+    def test_save_load_interop_with_flat(self, mesh8, tmp_path):
+        """A sharded index must serialize to the same format FlatIndex loads
+        (single-chip <-> multi-chip portability)."""
+        rng = np.random.default_rng(4)
+        d = 16
+        vecs = normed(rng, 100, d)
+        sharded = ShardedFlatIndex(dim=d, mesh=mesh8, dtype="float32")
+        ids = sharded.add(vecs)
+        sharded.remove(ids[:10])
+        path = tmp_path / "sharded.npz"
+        sharded.save(str(path))
+
+        flat = FlatIndex.load(str(path))
+        assert flat.ntotal == 100 and flat.live == 90
+        q = normed(rng, 3, d)
+        s1, i1 = sharded.search(q, k=5)
+        s2, i2 = flat.search(q, k=5)
+        assert np.array_equal(i1, i2)
+
+        back = ShardedFlatIndex.load(str(path), mesh=mesh8)
+        s3, i3 = back.search(q, k=5)
+        assert np.array_equal(i1, i3)
+
+
+class TestShardedEncode:
+    def test_dp_encode_matches_single(self, mesh8):
+        rng = np.random.default_rng(5)
+        params = init_params(TINY, jax.random.PRNGKey(0))
+        ids = rng.integers(4, 64, size=(16, 12)).astype(np.int32)
+        mask = np.ones_like(ids)
+
+        ref = np.asarray(
+            encode(params, jnp.asarray(ids), jnp.asarray(mask), TINY)
+        )
+        sharded_fn = make_sharded_encode(
+            mesh8, TINY, compute_dtype=jnp.float32
+        )
+        params_sharded = shard_params(params, mesh8)
+        got = np.asarray(
+            sharded_fn(params_sharded, jnp.asarray(ids), jnp.asarray(mask))
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_tp_encode_matches_single(self, mesh4x2):
+        rng = np.random.default_rng(6)
+        params = init_params(TINY, jax.random.PRNGKey(1))
+        ids = rng.integers(4, 64, size=(8, 10)).astype(np.int32)
+        mask = np.ones_like(ids)
+
+        ref = np.asarray(
+            encode(params, jnp.asarray(ids), jnp.asarray(mask), TINY)
+        )
+        fn = make_sharded_encode(mesh4x2, TINY, compute_dtype=jnp.float32)
+        params_tp = shard_params(params, mesh4x2, tensor_parallel=True)
+        got = np.asarray(fn(params_tp, jnp.asarray(ids), jnp.asarray(mask)))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, mesh8):
+        rng = np.random.default_rng(7)
+        params = init_params(TINY, jax.random.PRNGKey(2))
+        state, optimizer = init_train_state(
+            params, mesh8, learning_rate=1e-3
+        )
+        step = make_train_step(
+            mesh8, TINY, optimizer, compute_dtype=jnp.float32
+        )
+        qids = rng.integers(4, 64, size=(16, 8)).astype(np.int32)
+        dids = rng.integers(4, 64, size=(16, 8)).astype(np.int32)
+        ones = np.ones_like(qids)
+
+        losses = []
+        for _ in range(4):
+            state, loss = step(
+                state,
+                jnp.asarray(qids),
+                jnp.asarray(ones),
+                jnp.asarray(dids),
+                jnp.asarray(ones),
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 4

@@ -61,14 +61,20 @@ def _scores(queries: jax.Array, vectors: jax.Array, metric: str) -> jax.Array:
     return dots
 
 
-@partial(jax.jit, static_argnames=("k", "metric"))
-def _single_shot_topk(
+def _single_shot_topk_impl(
     vectors: jax.Array, mask: jax.Array, queries: jax.Array, k: int, metric: str
 ) -> Tuple[jax.Array, jax.Array]:
     scores = _scores(queries, vectors, metric)
     scores = jnp.where(mask[None, :], scores, -jnp.inf)
     top_scores, top_ids = jax.lax.top_k(scores, k)
     return top_scores, top_ids.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _single_shot_topk(
+    vectors: jax.Array, mask: jax.Array, queries: jax.Array, k: int, metric: str
+) -> Tuple[jax.Array, jax.Array]:
+    return _single_shot_topk_impl(vectors, mask, queries, k, metric)
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "chunk"))

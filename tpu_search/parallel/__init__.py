@@ -1,0 +1,20 @@
+"""Multi-chip parallelism: meshes, sharded index, dp/tp encode, training."""
+
+from .encode import make_sharded_encode, shard_params
+from .mesh import build_mesh, data_sharding, encoder_param_specs, replicated
+from .sharded_index import ShardedFlatIndex
+from .train import TrainState, init_train_state, infonce_loss, make_train_step
+
+__all__ = [
+    "ShardedFlatIndex",
+    "TrainState",
+    "build_mesh",
+    "data_sharding",
+    "encoder_param_specs",
+    "init_train_state",
+    "infonce_loss",
+    "make_sharded_encode",
+    "make_train_step",
+    "replicated",
+    "shard_params",
+]

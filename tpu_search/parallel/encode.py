@@ -1,0 +1,65 @@
+"""Data-parallel (+ optional tensor-parallel) batch embedding over a mesh.
+
+The build path's scaling lever (SURVEY.md section 2.3): shard the chunk batch
+over the ``data`` axis, optionally shard the encoder weights over ``model``
+(Megatron column/row pairs, see mesh.encoder_param_specs), and let GSPMD
+insert the collectives.  One jitted program; batch in, embeddings out.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.mpnet import MPNetConfig, encode as mpnet_encode
+from .mesh import encoder_param_specs
+
+__all__ = ["make_sharded_encode", "shard_params"]
+
+
+def shard_params(
+    params: Dict[str, Any], mesh: Mesh, tensor_parallel: bool = False
+):
+    """Place encoder params on the mesh (replicated, or TP over 'model')."""
+    if not tensor_parallel:
+        return jax.device_put(params, NamedSharding(mesh, P()))
+    specs = encoder_param_specs(params)
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(params, shardings)
+
+
+def make_sharded_encode(
+    mesh: Mesh,
+    config: MPNetConfig,
+    compute_dtype=jnp.bfloat16,
+    normalize: bool = True,
+):
+    """Jitted (params, ids [B,S], mask [B,S]) -> embeddings [B,H], with the
+    batch sharded over 'data'. B must be divisible by the data-axis size."""
+
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    out_sharding = NamedSharding(mesh, P("data", None))
+
+    def fn(params, input_ids, attention_mask):
+        return mpnet_encode(
+            params,
+            input_ids,
+            attention_mask,
+            config,
+            compute_dtype=compute_dtype,
+            normalize=normalize,
+        )
+
+    return jax.jit(
+        fn,
+        in_shardings=(None, batch_sharding, batch_sharding),
+        out_shardings=out_sharding,
+    )

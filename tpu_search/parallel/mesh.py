@@ -1,0 +1,97 @@
+"""Device mesh construction and sharding rules.
+
+The comm backend of the framework (SURVEY.md section 5.8): JAX collectives
+over ICI within a slice (DCN across hosts via ``jax.distributed``), expressed
+as a named mesh + PartitionSpecs.  The reference has no distributed layer at
+all (src/gpu_utils.py detects multi-GPU but uses one device); here sharding
+is first-class.
+
+Axes:
+- ``data``: batch / corpus sharding (data parallelism, index shards)
+- ``model``: tensor parallelism over hidden/intermediate dims
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "build_mesh",
+    "data_sharding",
+    "replicated",
+    "encoder_param_specs",
+]
+
+
+def build_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Construct a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"Mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading axis over 'data', replicate the rest."""
+    spec = P(*(("data",) + (None,) * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def encoder_param_specs(params) -> Dict:
+    """PartitionSpecs for the MPNet param pytree on a (data, model) mesh.
+
+    Megatron-style tensor parallelism adapted to the stacked-layer layout
+    [L, in, out]:
+    - q/k/v project to heads: shard the output (head) dim on 'model';
+    - o projects heads back: shard the input dim -> psum inserted by GSPMD;
+    - ff_in shards the intermediate (out) dim, ff_out the intermediate (in)
+      dim — the classic column-then-row parallel pair;
+    - embeddings shard the vocab dim; norms/biases on sharded dims follow
+      their weights, everything else replicates.
+    """
+    layer_specs = {
+        "q_w": P(None, None, "model"),
+        "q_b": P(None, "model"),
+        "k_w": P(None, None, "model"),
+        "k_b": P(None, "model"),
+        "v_w": P(None, None, "model"),
+        "v_b": P(None, "model"),
+        "o_w": P(None, "model", None),
+        "o_b": P(None, None),
+        "attn_ln_scale": P(None, None),
+        "attn_ln_bias": P(None, None),
+        "ff_in_w": P(None, None, "model"),
+        "ff_in_b": P(None, "model"),
+        "ff_out_w": P(None, "model", None),
+        "ff_out_b": P(None, None),
+        "ff_ln_scale": P(None, None),
+        "ff_ln_bias": P(None, None),
+    }
+    return {
+        "embeddings": {
+            "word": P("model", None),
+            "position": P(),
+            "ln_scale": P(),
+            "ln_bias": P(),
+        },
+        "rel_bias": P(),
+        "layers": layer_specs,
+    }

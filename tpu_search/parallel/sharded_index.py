@@ -1,0 +1,302 @@
+"""Multi-chip sharded exact index: per-chip scan + ICI top-k merge.
+
+The scaling axis of this workload is corpus size (SURVEY.md section 5.7): each
+chip holds a slice of the corpus in HBM, queries are replicated, every chip
+scans its shard with the fused-predicate kernel, and the per-chip top-k
+results meet in a ``lax.all_gather`` over the ``data`` axis followed by a
+replicated k-way merge — a single jitted ``shard_map`` program, collectives
+riding ICI.
+
+Vector placement is **round-robin** over shards (global id ``g`` lives on
+shard ``g % n_shards`` at local slot ``g // n_shards``): appends stay
+balanced with no rebalancing, global ids are stable under growth, and a
+predicate mask over global ids reshapes to per-shard masks with one
+``reshape``/transpose.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.topk_scan import _single_shot_topk_impl
+from ..utils.shapes import bucket_size, next_pow2
+
+__all__ = ["ShardedFlatIndex"]
+
+_MIN_LOCAL_CAPACITY = 1024
+_QUERY_BUCKETS = (1, 8, 32, 128, 512)
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _sharded_topk_fn(mesh: Mesh, k: int, metric: str):
+    """Build the jitted shard_map program for (local scan -> ICI merge)."""
+
+    n_shards = mesh.shape["data"]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        # Outputs ARE replicated (identical merge of the same all_gather on
+        # every shard) but the static VMA check cannot always prove it.
+        check_vma=False,
+    )
+    def program(vectors, mask, queries):
+        # vectors [1, local_cap, D]; mask [1, local_cap]; queries replicated.
+        # Un-jitted impl: nesting the jitted dispatcher inside shard_map
+        # confuses the static replication (VMA) inference.
+        local_scores, local_ids = _single_shot_topk_impl(
+            vectors[0], mask[0], queries, k, metric
+        )
+        shard = jax.lax.axis_index("data")
+        # local slot -> global id under round-robin placement
+        global_ids = local_ids * n_shards + shard
+        global_ids = jnp.where(local_ids >= 0, global_ids, -1)
+
+        all_scores = jax.lax.all_gather(local_scores, "data")  # [S, Q, k]
+        all_ids = jax.lax.all_gather(global_ids, "data")
+        q = local_scores.shape[0]
+        cat_scores = jnp.transpose(all_scores, (1, 0, 2)).reshape(q, -1)
+        cat_ids = jnp.transpose(all_ids, (1, 0, 2)).reshape(q, -1)
+        top_scores, sel = jax.lax.top_k(cat_scores, k)
+        top_ids = jnp.take_along_axis(cat_ids, sel, axis=1)
+        return top_scores, top_ids
+
+    return jax.jit(program)
+
+
+class ShardedFlatIndex:
+    """Exact index sharded over the 'data' axis of a device mesh."""
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+    ) -> None:
+        if metric not in ("ip", "l2"):
+            raise ValueError(f"Unknown metric: {metric}")
+        self.dim = dim
+        self.mesh = mesh
+        self.metric = metric
+        self.dtype = dtype
+        self.n_shards = mesh.shape["data"]
+        self._local_capacity = 0
+        self._count = 0  # global slots assigned
+        self._vectors: Optional[jax.Array] = None  # [S, local_cap, D] sharded
+        self._valid: Optional[jax.Array] = None  # [S, local_cap] sharded
+        self._search_fns: Dict[Tuple[int, str], callable] = {}
+
+    # -- size accounting -----------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return self._count
+
+    @property
+    def live(self) -> int:
+        if self._valid is None:
+            return 0
+        return int(jnp.sum(self._valid))
+
+    @property
+    def capacity(self) -> int:
+        return self._local_capacity * self.n_shards
+
+    def _sharding(self, ndim: int) -> NamedSharding:
+        return NamedSharding(
+            self.mesh, P(*(("data",) + (None,) * (ndim - 1)))
+        )
+
+    # -- mutation ------------------------------------------------------------
+
+    def _host_state(self) -> Tuple[np.ndarray, np.ndarray]:
+        # np.array (copy): views of jax arrays are read-only.
+        vectors = np.array(self._vectors.astype(jnp.float32))
+        valid = np.array(self._valid)
+        return vectors, valid
+
+    def _put(self, vectors: np.ndarray, valid: np.ndarray) -> None:
+        self._vectors = jax.device_put(
+            jnp.asarray(vectors, dtype=_DTYPES[self.dtype]),
+            self._sharding(3),
+        )
+        self._valid = jax.device_put(jnp.asarray(valid), self._sharding(2))
+
+    def _ensure_capacity(self, needed_global: int) -> None:
+        needed_local = -(-needed_global // self.n_shards)
+        target = max(_MIN_LOCAL_CAPACITY, next_pow2(needed_local))
+        if target <= self._local_capacity:
+            return
+        new_vectors = np.zeros(
+            (self.n_shards, target, self.dim), dtype=np.float32
+        )
+        new_valid = np.zeros((self.n_shards, target), dtype=np.bool_)
+        if self._vectors is not None:
+            old_v, old_m = self._host_state()
+            new_vectors[:, : self._local_capacity] = old_v
+            new_valid[:, : self._local_capacity] = old_m
+        self._local_capacity = target
+        self._put(new_vectors, new_valid)
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Append rows round-robin across shards; returns global ids."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        n = vectors.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.int64)
+        if vectors.shape[1] != self.dim:
+            raise ValueError(f"Expected dim {self.dim}, got {vectors.shape[1]}")
+
+        self._ensure_capacity(self._count + n)
+        host_vectors, host_valid = self._host_state()
+        ids = np.arange(self._count, self._count + n, dtype=np.int64)
+        shards = ids % self.n_shards
+        slots = ids // self.n_shards
+        host_vectors[shards, slots] = vectors
+        host_valid[shards, slots] = True
+        self._count += n
+        self._put(host_vectors, host_valid)
+        return ids
+
+    def remove(self, ids) -> int:
+        ids = np.asarray(list(ids), dtype=np.int64)
+        ids = ids[(ids >= 0) & (ids < self._count)]
+        if ids.size == 0 or self._valid is None:
+            return 0
+        host_vectors, host_valid = self._host_state()
+        shards = ids % self.n_shards
+        slots = ids // self.n_shards
+        n_live = int(host_valid[shards, slots].sum())
+        host_valid[shards, slots] = False
+        self._put(host_vectors, host_valid)
+        return n_live
+
+    def clear(self) -> None:
+        self._local_capacity = 0
+        self._count = 0
+        self._vectors = None
+        self._valid = None
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask: Optional[np.ndarray] = None,
+        nprobe: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Replicated queries -> per-shard scan -> ICI all_gather merge."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        q = queries.shape[0]
+
+        if self._count == 0 or k <= 0:
+            shape = (q, max(k, 0))
+            return (
+                np.full(shape, -np.inf, dtype=np.float32),
+                np.full(shape, -1, dtype=np.int64),
+            )
+
+        k_eff = min(k, self._local_capacity)
+        padded_q = bucket_size(q, _QUERY_BUCKETS)
+        qbatch = np.zeros((padded_q, self.dim), dtype=np.float32)
+        qbatch[:q] = queries
+
+        full_mask = self._valid
+        if mask is not None:
+            mask = np.asarray(mask, dtype=np.bool_)
+            horizon = self.n_shards * self._local_capacity
+            padded = np.zeros((horizon,), dtype=np.bool_)
+            padded[: min(mask.shape[0], horizon)] = mask[:horizon]
+            # global id g -> shard g % S, slot g // S
+            per_shard = padded.reshape(self._local_capacity, self.n_shards).T
+            full_mask = jnp.logical_and(
+                self._valid,
+                jax.device_put(jnp.asarray(per_shard), self._sharding(2)),
+            )
+
+        key = (k_eff, self.metric)
+        if key not in self._search_fns:
+            self._search_fns[key] = _sharded_topk_fn(
+                self.mesh, k_eff, self.metric
+            )
+        queries_replicated = jax.device_put(
+            jnp.asarray(qbatch), NamedSharding(self.mesh, P(None, None))
+        )
+        scores, ids = self._search_fns[key](
+            self._vectors, full_mask, queries_replicated
+        )
+        scores = np.asarray(scores[:q])
+        ids = np.asarray(ids[:q], dtype=np.int64)
+        ids[~np.isfinite(scores)] = -1
+        if k_eff < k:
+            pad = ((0, 0), (0, k - k_eff))
+            scores = np.pad(scores, pad, constant_values=-np.inf)
+            ids = np.pad(ids, pad, constant_values=-1)
+        return scores, ids
+
+    # -- persistence (same on-disk format family as FlatIndex) ---------------
+
+    def save(self, path: str) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        if self._count:
+            host_vectors, host_valid = self._host_state()
+            # store in global-id order
+            ids = np.arange(self._count, dtype=np.int64)
+            vectors = host_vectors[ids % self.n_shards, ids // self.n_shards]
+            valid = host_valid[ids % self.n_shards, ids // self.n_shards]
+        else:
+            vectors = np.empty((0, self.dim), dtype=np.float32)
+            valid = np.empty((0,), dtype=np.bool_)
+        header = json.dumps(
+            {
+                "kind": "flat",  # loadable by FlatIndex too
+                "dim": self.dim,
+                "metric": self.metric,
+                "dtype": self.dtype,
+                "count": self._count,
+            }
+        )
+        np.savez(path, header=header, vectors=vectors, valid=valid)
+
+    @classmethod
+    def load(
+        cls, path: str, mesh: Mesh, dtype: Optional[str] = None
+    ) -> "ShardedFlatIndex":
+        with np.load(path, allow_pickle=False) as data:
+            header = json.loads(str(data["header"]))
+            vectors = data["vectors"]
+            valid = data["valid"]
+        index = cls(
+            dim=header["dim"],
+            mesh=mesh,
+            metric=header["metric"],
+            dtype=dtype or header["dtype"],
+        )
+        count = header["count"]
+        if count:
+            index._ensure_capacity(count)
+            host_vectors, host_valid = index._host_state()
+            ids = np.arange(count, dtype=np.int64)
+            host_vectors[ids % index.n_shards, ids // index.n_shards] = vectors
+            host_valid[ids % index.n_shards, ids // index.n_shards] = valid
+            index._count = count
+            index._put(host_vectors, host_valid)
+        return index

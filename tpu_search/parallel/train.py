@@ -1,0 +1,119 @@
+"""Distributed contrastive fine-tuning step for the encoder.
+
+Beyond-reference capability: the reference only runs inference, but a
+production retrieval stack needs in-domain fine-tuning.  This is the standard
+bi-encoder InfoNCE objective (in-batch negatives) as one jitted SPMD program:
+
+- batch sharded over ``data`` (each chip encodes its slice of query/doc
+  pairs);
+- similarity logits need *global* in-batch negatives, so the doc embeddings
+  are all-gathered — GSPMD inserts the ICI collective from the shardings;
+- grads for replicated params are psum'd automatically; optional tensor
+  parallelism via the same param specs as inference.
+
+Used by the driver's multi-chip dry-run (__graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.mpnet import MPNetConfig, encode as mpnet_encode
+from .encode import shard_params
+
+__all__ = ["TrainState", "make_train_step", "init_train_state", "infonce_loss"]
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jax.Array
+
+
+def infonce_loss(
+    params,
+    query_ids,
+    query_mask,
+    doc_ids,
+    doc_mask,
+    config: MPNetConfig,
+    temperature: float = 0.05,
+    compute_dtype=jnp.bfloat16,
+):
+    """Symmetric InfoNCE over in-batch negatives."""
+    q = mpnet_encode(
+        params, query_ids, query_mask, config, compute_dtype=compute_dtype
+    )
+    d = mpnet_encode(
+        params, doc_ids, doc_mask, config, compute_dtype=compute_dtype
+    )
+    logits = (q @ d.T) / temperature  # [B, B] — global batch via GSPMD
+    labels = jnp.arange(logits.shape[0])
+    loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    loss_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return 0.5 * (loss_qd.mean() + loss_dq.mean())
+
+
+def init_train_state(
+    params,
+    mesh: Mesh,
+    learning_rate: float = 2e-5,
+    tensor_parallel: bool = False,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    optimizer = optax.adamw(learning_rate)
+    params = shard_params(params, mesh, tensor_parallel)
+    opt_state = optimizer.init(params)
+    return (
+        TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)),
+        optimizer,
+    )
+
+
+def make_train_step(
+    mesh: Mesh,
+    config: MPNetConfig,
+    optimizer: optax.GradientTransformation,
+    temperature: float = 0.05,
+    compute_dtype=jnp.bfloat16,
+):
+    """Jitted SPMD train step: batch sharded on 'data', params replicated (or
+    TP-sharded); returns (new_state, loss)."""
+
+    batch_sharding = NamedSharding(mesh, P("data", None))
+
+    def step_fn(state: TrainState, query_ids, query_mask, doc_ids, doc_mask):
+        loss, grads = jax.value_and_grad(infonce_loss)(
+            state.params,
+            query_ids,
+            query_mask,
+            doc_ids,
+            doc_mask,
+            config,
+            temperature,
+            compute_dtype,
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            loss,
+        )
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(
+            None,
+            batch_sharding,
+            batch_sharding,
+            batch_sharding,
+            batch_sharding,
+        ),
+    )
