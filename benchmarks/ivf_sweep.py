@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""IVF nlist/nprobe sweep: recall@10 vs flat + QPS per configuration.
+
+Reproducible ANN quality harness (BASELINE.json config: "IVF coarse-quantized
+index (nlist/nprobe sweep) at >=0.95 recall@10 vs flat").  Run on TPU or CPU:
+
+    python benchmarks/ivf_sweep.py [--n 100000] [--dim 768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=100_000)
+    parser.add_argument("--dim", type=int, default=768)
+    parser.add_argument("--queries", type=int, default=64)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--clusters", type=int, default=256,
+                        help="latent blobs in the synthetic corpus")
+    parser.add_argument("--noise", type=float, default=0.15,
+                        help="blob noise scale; real sentence-embedding "
+                        "corpora are strongly clustered (~0.1-0.2). Above "
+                        "~0.3 the corpus is essentially unclustered and any "
+                        "IVF needs nprobe ~ nlist.")
+    args = parser.parse_args()
+
+    from tpu_search.index.flat import FlatIndex
+    from tpu_search.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(0)
+    print(f"corpus: {args.n} x {args.dim} ({args.clusters} blobs)")
+    centers = rng.standard_normal((args.clusters, args.dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, args.clusters, args.n)
+    corpus = centers[assign] + args.noise * rng.standard_normal(
+        (args.n, args.dim)
+    ).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+
+    queries = corpus[rng.integers(0, args.n, args.queries)] + \
+        0.1 * rng.standard_normal((args.queries, args.dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    flat = FlatIndex(dim=args.dim, dtype="float32")
+    flat.add(corpus)
+    t0 = time.perf_counter()
+    _, ref_ids = flat.search(queries, k=args.k)
+    flat_time = time.perf_counter() - t0
+    print(f"flat scan: {args.queries / flat_time:.1f} qps (batched)")
+
+    results = []
+    for nlist in (64, 256, 1024):
+        if nlist * 4 > args.n:
+            continue
+        ivf = IVFIndex(dim=args.dim, dtype="float32", nlist=nlist)
+        train_sample = corpus[
+            rng.choice(args.n, min(args.n, 50 * nlist), replace=False)
+        ]
+        ivf.train(train_sample)
+        ivf.add(corpus)
+        for nprobe in (1, 4, 8, 16, 32):
+            if nprobe > nlist:
+                continue
+            ivf.search(queries[:2], k=args.k, nprobe=nprobe)  # warm/compile
+            t0 = time.perf_counter()
+            _, got = ivf.search(queries, k=args.k, nprobe=nprobe)
+            elapsed = time.perf_counter() - t0
+            recall = float(
+                np.mean(
+                    [
+                        len(set(g) & set(r)) / args.k
+                        for g, r in zip(got, ref_ids)
+                    ]
+                )
+            )
+            row = {
+                "nlist": nlist,
+                "nprobe": nprobe,
+                "recall_at_10": round(recall, 4),
+                "qps": round(args.queries / elapsed, 1),
+            }
+            results.append(row)
+            print(json.dumps(row))
+
+    passing = [r for r in results if r["recall_at_10"] >= 0.95]
+    if passing:
+        best = max(passing, key=lambda r: r["qps"])
+        print(f"\nbest config at recall>=0.95: {json.dumps(best)}")
+    else:
+        print("\nWARNING: no configuration reached recall 0.95")
+
+
+if __name__ == "__main__":
+    main()

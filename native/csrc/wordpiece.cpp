@@ -1,0 +1,171 @@
+// Fast WordPiece tokenizer — the host-side hot loop of the indexing path.
+//
+// The reference outsources tokenization to HF's Rust tokenizers via
+// sentence-transformers; tpu_search's equivalent native component is this
+// small C++ library, bound through ctypes (no pybind11 dependency).
+//
+// Contract with the Python layer (tpu_search/models/native_tokenizer.py):
+// this implements the exact ASCII semantics of the Python WordPieceTokenizer
+// (clean -> whitespace split -> lowercase -> ASCII punctuation split ->
+// greedy longest-match WordPiece with "##" continuations, UNK for >100-char
+// words).  Inputs containing any non-ASCII byte return -1 and the caller
+// falls back to the Python implementation (which handles full Unicode:
+// NFD accent stripping, CJK isolation, unicode categories).
+//
+// Build: make -C native   (produces native/libwordpiece.so)
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Tokenizer {
+  std::unordered_map<std::string, int32_t> vocab;
+  int32_t unk_id = 3;
+  int32_t bos_id = 0;
+  int32_t eos_id = 2;
+  size_t max_word_chars = 100;
+};
+
+inline bool is_ascii_punct(unsigned char c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+inline bool is_ws(unsigned char c) {
+  return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+
+inline bool is_control(unsigned char c) {
+  // ASCII control chars except whitespace handled above
+  return c < 32 && c != '\t' && c != '\n' && c != '\r';
+}
+
+// Greedy longest-match WordPiece on one lowercase word (no punctuation).
+// Appends ids; returns false if the word cannot be segmented (-> UNK).
+bool wordpiece(const Tokenizer& tok, std::string_view word,
+               std::vector<int32_t>* out) {
+  size_t start = 0;
+  size_t emitted = out->size();
+  std::string buf;
+  while (start < word.size()) {
+    size_t end = word.size();
+    int32_t match = -1;
+    while (start < end) {
+      buf.clear();
+      if (start > 0) buf.append("##");
+      buf.append(word.substr(start, end - start));
+      auto it = tok.vocab.find(buf);
+      if (it != tok.vocab.end()) {
+        match = it->second;
+        break;
+      }
+      --end;
+    }
+    if (match < 0) {
+      out->resize(emitted);
+      return false;
+    }
+    out->push_back(match);
+    start = end;
+  }
+  return true;
+}
+
+void encode_word(const Tokenizer& tok, std::string_view word,
+                 std::vector<int32_t>* out) {
+  if (word.empty()) return;
+  if (word.size() > tok.max_word_chars) {
+    out->push_back(tok.unk_id);
+    return;
+  }
+  if (!wordpiece(tok, word, out)) out->push_back(tok.unk_id);
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab: newline-separated tokens, id = line number. Special ids passed
+// explicitly (resolved by the Python side from the vocab).
+void* wp_create(const char* vocab_data, int64_t vocab_len, int32_t bos_id,
+                int32_t eos_id, int32_t unk_id) {
+  auto* tok = new Tokenizer();
+  tok->bos_id = bos_id;
+  tok->eos_id = eos_id;
+  tok->unk_id = unk_id;
+  int32_t id = 0;
+  const char* p = vocab_data;
+  const char* end = vocab_data + vocab_len;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    size_t len = nl ? static_cast<size_t>(nl - p) : static_cast<size_t>(end - p);
+    tok->vocab.emplace(std::string(p, len), id++);
+    if (!nl) break;
+    p = nl + 1;
+  }
+  return tok;
+}
+
+void wp_free(void* handle) { delete static_cast<Tokenizer*>(handle); }
+
+// Encode one text into out[0..max_tokens): <s> pieces </s>, truncated so the
+// total fits max_tokens (eos always present). Returns the token count, or
+// -1 when the text contains non-ASCII bytes (caller falls back to Python).
+int32_t wp_encode(void* handle, const char* text, int64_t text_len,
+                  int32_t* out, int32_t max_tokens) {
+  const auto& tok = *static_cast<Tokenizer*>(handle);
+  if (max_tokens < 2) return 0;
+
+  // ASCII guard + cleanup + lowercase into a local buffer.
+  std::string cleaned;
+  cleaned.reserve(text_len);
+  for (int64_t i = 0; i < text_len; ++i) {
+    unsigned char c = static_cast<unsigned char>(text[i]);
+    if (c >= 128) return -1;   // non-ASCII: Python path handles Unicode
+    if (c == 0 || is_control(c)) continue;
+    if (is_ws(c)) {
+      cleaned.push_back(' ');
+    } else if (c >= 'A' && c <= 'Z') {
+      cleaned.push_back(c - 'A' + 'a');
+    } else {
+      cleaned.push_back(static_cast<char>(c));
+    }
+  }
+
+  std::vector<int32_t> ids;
+  ids.reserve(64);
+  size_t i = 0;
+  const size_t n = cleaned.size();
+  while (i < n) {
+    if (cleaned[i] == ' ') {
+      ++i;
+      continue;
+    }
+    if (is_ascii_punct(static_cast<unsigned char>(cleaned[i]))) {
+      encode_word(tok, std::string_view(&cleaned[i], 1), &ids);
+      ++i;
+      continue;
+    }
+    size_t start = i;
+    while (i < n && cleaned[i] != ' ' &&
+           !is_ascii_punct(static_cast<unsigned char>(cleaned[i]))) {
+      ++i;
+    }
+    encode_word(tok, std::string_view(&cleaned[start], i - start), &ids);
+  }
+
+  int32_t body = static_cast<int32_t>(ids.size());
+  if (body > max_tokens - 2) body = max_tokens - 2;
+  int32_t count = 0;
+  out[count++] = tok.bos_id;
+  for (int32_t j = 0; j < body; ++j) out[count++] = ids[j];
+  out[count++] = tok.eos_id;
+  return count;
+}
+
+}  // extern "C"

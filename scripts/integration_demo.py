@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Narrated end-to-end demo: parse -> chunk -> embed -> store -> search.
+
+Reference parity: scripts/integration_demo.py (5-phase walkthrough).  Runs
+against real ~/.claude/projects data when present, otherwise generates a
+small fixture corpus.  Uses the configured model (CLAUDE_SEARCH_MODEL;
+hash-768 works without downloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+from tpu_search.api.engine import SearchEngine, resolve_data_dir
+from tpu_search.ingest.chunker import ConversationChunker
+from tpu_search.ingest.parser import JSONLParser
+
+
+def find_sample_files(limit: int = 5):
+    claude = Path("~/.claude/projects").expanduser()
+    if claude.exists():
+        files = sorted(claude.rglob("*.jsonl"))[:limit]
+        if files:
+            return files, None
+    # fixture fallback
+    tmp = Path(tempfile.mkdtemp(prefix="tpu_search_demo_"))
+    proj = tmp / "demo-project"
+    proj.mkdir()
+    lines = [
+        {"uuid": "u1", "sessionId": "demo", "timestamp": "2025-01-01T10:00:00Z",
+         "message": {"role": "user", "content":
+                     "How do I keep my JAX training step from recompiling "
+                     "every iteration when batch sizes vary?"}},
+        {"uuid": "a1", "sessionId": "demo", "timestamp": "2025-01-01T10:01:00Z",
+         "message": {"role": "assistant", "content":
+                     "Pad inputs to a small set of bucket shapes so XLA "
+                     "reuses cached executables:\n```python\n"
+                     "def bucket(n):\n    for b in (8, 32, 128):\n"
+                     "        if n <= b:\n            return b\n"
+                     "    return 512\n```\nEach distinct shape compiles once."}},
+    ]
+    with open(proj / "demo.jsonl", "w") as fh:
+        for line in lines:
+            fh.write(json.dumps(line) + "\n")
+    return [proj / "demo.jsonl"], tmp
+
+
+def main() -> None:
+    print("=" * 70)
+    print("tpu_search integration demo")
+    print("=" * 70)
+
+    files, fixture_root = find_sample_files()
+    source = "fixture" if fixture_root else "~/.claude/projects"
+    print(f"\nPhase 1 — discovery: {len(files)} file(s) from {source}")
+
+    parser = JSONLParser()
+    conversations = [c for c in (parser.parse_file(str(f)) for f in files) if c]
+    total_messages = sum(c.total_messages for c in conversations)
+    print(
+        f"Phase 2 — parsing: {len(conversations)} conversation(s), "
+        f"{total_messages} messages"
+    )
+
+    chunker = ConversationChunker()
+    all_chunks = []
+    for conversation in conversations:
+        all_chunks.extend(chunker.chunk_conversation(conversation))
+    stats = chunker.get_chunk_stats(all_chunks)
+    print(
+        f"Phase 3 — chunking: {stats.get('total_chunks', 0)} chunks "
+        f"{stats.get('chunk_types', {})}"
+    )
+
+    data_dir = tempfile.mkdtemp(prefix="tpu_search_demo_data_")
+    model = os.environ.get("CLAUDE_SEARCH_MODEL", "hash-768")
+    engine = SearchEngine(data_dir=data_dir, model_name=model)
+    t0 = time.time()
+    index_stats = engine.index_conversations(files)
+    print(
+        f"Phase 4 — embed+store ({model}): "
+        f"{index_stats['chunks_indexed']} chunks indexed in "
+        f"{time.time() - t0:.1f}s"
+    )
+
+    query = "avoid jit recompilation with shape buckets"
+    results = engine.search_conversations(query, top_k=3)
+    print(f"Phase 5 — search: '{query}' -> {len(results)} hits")
+    for i, result in enumerate(results, 1):
+        snippet = (result["text"] or "")[:120].replace("\n", " ")
+        print(
+            f"  {i}. [{result['similarity']:.3f}] "
+            f"{result['project']}: {snippet}..."
+        )
+
+    print("\nDemo complete.")
+    print(f"(data dir: {data_dir})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""IVF index tests: recall vs flat, nprobe monotonicity, masks, tombstones,
+persistence, auto-train, and registry integration."""
+
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+from tpu_search.index.ivf import IVFIndex
+from tpu_search.index.registry import create_index, load_index
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def recall_at_k(got_ids, ref_ids, k):
+    return np.mean(
+        [len(set(g[:k]) & set(r[:k])) / k for g, r in zip(got_ids, ref_ids)]
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    # clustered data (IVF's natural habitat): 20 gaussian blobs
+    centers = normed(rng, 20, 32)
+    rows = []
+    for _ in range(2000):
+        c = centers[rng.integers(0, 20)]
+        rows.append(c + 0.15 * rng.standard_normal(32))
+    data = np.asarray(rows, dtype=np.float32)
+    return data / np.linalg.norm(data, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, corpus.shape[0], 16)
+    noisy = corpus[idx] + 0.05 * rng.standard_normal((16, 32)).astype(
+        np.float32
+    )
+    return noisy / np.linalg.norm(noisy, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def flat_reference(corpus, queries):
+    flat = FlatIndex(dim=32, dtype="float32")
+    flat.add(corpus)
+    _, ids = flat.search(queries, k=10)
+    return ids
+
+
+class TestRecall:
+    def test_recall_target_reached(self, corpus, queries, flat_reference):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=32)
+        ivf.train(corpus)
+        ivf.add(corpus)
+        _, ids = ivf.search(queries, k=10, nprobe=8)
+        assert recall_at_k(ids, flat_reference, 10) >= 0.95
+
+    def test_nprobe_monotone(self, corpus, queries, flat_reference):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=32)
+        ivf.train(corpus)
+        ivf.add(corpus)
+        recalls = []
+        for nprobe in (1, 4, 16, 32):
+            _, ids = ivf.search(queries, k=10, nprobe=nprobe)
+            recalls.append(recall_at_k(ids, flat_reference, 10))
+        assert recalls == sorted(recalls)
+        assert recalls[-1] == pytest.approx(1.0)  # nprobe=nlist == exact
+
+    def test_full_probe_equals_flat(self, corpus, queries, flat_reference):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=16)
+        ivf.train(corpus)
+        ivf.add(corpus)
+        _, ids = ivf.search(queries, k=10, nprobe=16)
+        assert recall_at_k(ids, flat_reference, 10) == 1.0
+
+
+class TestBehavior:
+    def test_auto_train_on_first_add(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=16)
+        ivf.add(corpus[:200])
+        assert ivf.is_trained
+        assert ivf.ntotal == 200
+
+    def test_small_first_batch_clamps_nlist(self):
+        rng = np.random.default_rng(2)
+        ivf = IVFIndex(dim=8, dtype="float32", nlist=100)
+        ivf.add(normed(rng, 10, 8))
+        assert ivf.nlist <= 5
+        assert ivf.ntotal == 10
+
+    def test_train_too_few_raises(self):
+        rng = np.random.default_rng(3)
+        ivf = IVFIndex(dim=8, nlist=64)
+        with pytest.raises(ValueError, match="nlist"):
+            ivf.train(normed(rng, 10, 8))
+
+    def test_incremental_adds_keep_ids(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
+        a = ivf.add(corpus[:100])
+        b = ivf.add(corpus[100:150])
+        assert list(a) == list(range(100))
+        assert list(b) == list(range(100, 150))
+        # the corpus vector 120 must be findable
+        _, ids = ivf.search(corpus[120], k=1, nprobe=8)
+        assert ids[0, 0] == 120
+
+    def test_mask(self, corpus):
+        rng = np.random.default_rng(4)
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
+        ivf.add(corpus[:300])
+        mask = rng.random(300) < 0.25
+        _, ids = ivf.search(corpus[:4], k=10, nprobe=8, mask=mask)
+        allowed = set(np.nonzero(mask)[0])
+        for row in ids:
+            assert all(i in allowed for i in row if i >= 0)
+
+    def test_remove_tombstones(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
+        ids = ivf.add(corpus[:100])
+        assert ivf.remove(ids[:30]) == 30
+        assert ivf.live == 70
+        _, got = ivf.search(corpus[:2], k=50, nprobe=8)
+        assert (got[got >= 0] >= 30).all()
+
+    def test_compact(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
+        ids = ivf.add(corpus[:50])
+        ivf.remove(ids[:10])
+        mapping = ivf.compact()
+        assert len(mapping) == 40
+        assert ivf.ntotal == 40 and ivf.live == 40
+        _, got = ivf.search(corpus[20], k=1, nprobe=8)
+        assert got[0, 0] == mapping[20]
+
+    def test_empty_search(self):
+        ivf = IVFIndex(dim=8, nlist=4)
+        scores, ids = ivf.search(np.zeros(8, np.float32), k=3)
+        assert (ids == -1).all()
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, corpus, queries, tmp_path):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=16)
+        ivf.train(corpus)
+        ids = ivf.add(corpus)
+        ivf.remove(ids[:25])
+        path = tmp_path / "ivf.npz"
+        ivf.save(str(path))
+
+        loaded = load_index(str(path))
+        assert isinstance(loaded, IVFIndex)
+        assert loaded.ntotal == ivf.ntotal
+        assert loaded.live == ivf.live
+        s1, i1 = ivf.search(queries, k=5, nprobe=8)
+        s2, i2 = loaded.search(queries, k=5, nprobe=8)
+        assert np.array_equal(i1, i2)
+
+    def test_registry_create(self):
+        index = create_index("ivf", dim=16, dtype="float32", nlist=7)
+        assert isinstance(index, IVFIndex)
+        assert index.nlist == 7
+
+
+class TestHybridIntegration:
+    def test_storage_with_ivf(self, tmp_path):
+        from tpu_search.ingest.chunker import Chunk
+        from tpu_search.storage.hybrid import (
+            HybridStorage,
+            SearchConfig,
+            StorageConfig,
+        )
+
+        rng = np.random.default_rng(5)
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path),
+                embedding_dim=16,
+                index_type="ivf",
+                ivf_nlist=4,
+                auto_save=False,
+                storage_dtype="float32",
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        vecs = normed(rng, 60, 16)
+        chunks = [
+            Chunk(
+                id=f"c{i}",
+                text=f"text {i}",
+                metadata={"chunk_type": "qa_pair", "session_id": "s",
+                          "project_name": "p", "file_path": "/f",
+                          "timestamp": "2024-01-01T00:00:00+00:00",
+                          "has_code": False, "has_tools": False,
+                          "message_count": 1, "char_count": 6,
+                          "word_count": 2},
+                embedding=list(vecs[i]),
+            )
+            for i in range(60)
+        ]
+        storage.add_chunks(chunks)
+        results = storage.search(
+            vecs[33], SearchConfig(top_k=3, nprobe=4)
+        )
+        assert results[0].chunk_id == "c33"
+        storage.close()

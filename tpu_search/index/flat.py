@@ -95,6 +95,36 @@ class FlatIndex:
     def capacity(self) -> int:
         return self._capacity
 
+    @classmethod
+    def from_device_vectors(
+        cls,
+        vectors: "jax.Array",
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+    ) -> "FlatIndex":
+        """Build an index around an already-device-resident ``[N, D]`` array
+        without any host round trip (bulk-build path; also what the benchmark
+        uses — host<->device links may be slow/tunneled)."""
+        n, d = vectors.shape
+        index = cls(
+            dim=int(d), metric=metric, dtype=dtype, device=list(vectors.devices())[0]
+        )
+        capacity = max(_MIN_CAPACITY, next_pow2(n))
+        with jax.default_device(index.device):
+            buf = jnp.zeros((capacity, d), dtype=_DTYPES[dtype])
+            buf = jax.lax.dynamic_update_slice(
+                buf, vectors.astype(_DTYPES[dtype]), (0, 0)
+            )
+            valid = (
+                jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
+                < n
+            )
+        index._vectors = buf
+        index._valid = valid
+        index._capacity = capacity
+        index._count = int(n)
+        return index
+
     # -- mutation ------------------------------------------------------------
 
     def _ensure_capacity(self, needed: int) -> None:
@@ -237,8 +267,25 @@ class FlatIndex:
                 k_eff,
                 self.metric,
             )
-        scores = np.asarray(scores[:q])
-        ids = np.asarray(ids[:q], dtype=np.int64)
+            # Pack (scores, ids) into ONE array: a single host fetch costs one
+            # link round-trip instead of two (the host link can be a
+            # high-latency tunnel). f32 holds ids exactly below 2^24; a
+            # per-chip 768-d corpus can't reach that row count in HBM.
+            # (bitcast would be lossless at any size but hangs in eager mode
+            # on the axon platform.)
+            if self._capacity < (1 << 24):
+                packed = jnp.concatenate(
+                    [scores[:q], ids[:q].astype(jnp.float32)], axis=1
+                )
+            else:
+                packed = None
+        if packed is not None:
+            packed = np.asarray(packed)
+            scores = packed[:, :k_eff]
+            ids = np.rint(packed[:, k_eff:]).astype(np.int64)
+        else:
+            scores = np.asarray(scores[:q])
+            ids = np.asarray(ids[:q], dtype=np.int64)
         ids[~np.isfinite(scores)] = -1
 
         if k_eff < k:  # pad out to requested k

@@ -1,0 +1,413 @@
+"""IVF (inverted-file) approximate index, TPU-native layout.
+
+FAISS ``IndexIVFFlat`` parity (reference: src/storage.py:259-263) redesigned
+for XLA's static shapes: instead of ragged CPU inverted lists, vectors live in
+a dense ``[nlist, cluster_capacity, D]`` HBM block (clusters padded with
+tombstoned slots, capacity doubling on overflow).  A query then
+
+1. scores all centroids in one tiny matmul,
+2. top-``nprobe`` cluster ids select contiguous blocks,
+3. a gathered ``[nprobe * cluster_capacity, D]`` scan + top-k runs per query
+   (vmapped over the batch), reading only the probed fraction of HBM —
+   the actual IVF bandwidth saving, not just a masked full scan.
+
+Recall target vs flat: >= 0.95 @ k=10 on reasonable nlist/nprobe settings
+(see tests/test_index_ivf.py and benchmarks/ivf_sweep.py).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmeans import assign_clusters, kmeans
+from ..utils.shapes import bucket_size, next_pow2
+from .flat import _DTYPES
+
+__all__ = ["IVFIndex"]
+
+_QUERY_BUCKETS = (1, 8, 32, 128)
+_MIN_CLUSTER_CAPACITY = 64
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k", "metric"))
+def _ivf_search(
+    centroids: jax.Array,  # [nlist, D] f32
+    blocks: jax.Array,  # [nlist, cap, D] storage dtype
+    block_ids: jax.Array,  # [nlist, cap] int32 global ids (-1 = empty)
+    block_mask: jax.Array,  # [nlist, cap] bool (valid & predicate)
+    queries: jax.Array,  # [Q, D] f32
+    nprobe: int,
+    k: int,
+    metric: str,
+) -> Tuple[jax.Array, jax.Array]:
+    cluster_scores = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        sq = jnp.sum(centroids * centroids, axis=-1)
+        cluster_scores = 2.0 * cluster_scores - sq[None, :]
+    _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)  # [Q, nprobe]
+
+    def per_query(query, probes):
+        cand_vecs = blocks[probes]  # [nprobe, cap, D]
+        cand_ids = block_ids[probes]  # [nprobe, cap]
+        cand_mask = block_mask[probes]
+        flat_vecs = cand_vecs.reshape(-1, cand_vecs.shape[-1])
+        scores = jnp.dot(
+            flat_vecs.astype(jnp.float32),
+            query,
+            preferred_element_type=jnp.float32,
+        )
+        if metric == "l2":
+            sq = jnp.sum(
+                flat_vecs.astype(jnp.float32) * flat_vecs.astype(jnp.float32),
+                axis=-1,
+            )
+            scores = 2.0 * scores - sq
+        scores = jnp.where(cand_mask.reshape(-1), scores, -jnp.inf)
+        top_scores, sel = jax.lax.top_k(scores, k)
+        top_ids = cand_ids.reshape(-1)[sel]
+        return top_scores, top_ids
+
+    return jax.vmap(per_query)(queries, probe_ids)
+
+
+class IVFIndex:
+    """Coarse-quantized ANN index with dense cluster blocks."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+        device: Optional[jax.Device] = None,
+        nlist: int = 100,
+        train_iters: int = 10,
+        seed: int = 0,
+    ) -> None:
+        if metric not in ("ip", "l2"):
+            raise ValueError(f"Unknown metric: {metric}")
+        self.dim = dim
+        self.metric = metric
+        self.dtype = dtype
+        self.device = device or jax.devices()[0]
+        self.nlist = nlist
+        self.train_iters = train_iters
+        self.seed = seed
+
+        self.centroids: Optional[np.ndarray] = None  # [nlist, D] f32
+        self._cluster_capacity = 0
+        self._count = 0  # global ids assigned
+        # Host-authoritative state; device blocks rebuilt lazily.
+        self._vectors: Optional[np.ndarray] = None  # [nlist, cap, D] f32
+        self._ids: Optional[np.ndarray] = None  # [nlist, cap] int32
+        self._valid: Optional[np.ndarray] = None  # [nlist, cap] bool
+        self._fill: Optional[np.ndarray] = None  # [nlist] int32
+        self._id_to_slot: Dict[int, Tuple[int, int]] = {}
+        self._device_state = None  # (centroids, blocks, ids, valid) jnp
+
+    # -- size accounting -----------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return self._count
+
+    @property
+    def live(self) -> int:
+        return int(self._valid.sum()) if self._valid is not None else 0
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    @property
+    def capacity(self) -> int:
+        return self.nlist * self._cluster_capacity
+
+    # -- training ------------------------------------------------------------
+
+    def train(self, vectors: np.ndarray) -> None:
+        """Fit the coarse quantizer (k-means on device)."""
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.shape[0] < self.nlist:
+            raise ValueError(
+                f"Need >= nlist={self.nlist} training vectors, "
+                f"got {vectors.shape[0]}"
+            )
+        with jax.default_device(self.device):
+            centroids, _ = kmeans(
+                jax.random.PRNGKey(self.seed),
+                jnp.asarray(vectors),
+                self.nlist,
+                iters=self.train_iters,
+                metric=self.metric,
+            )
+        self.centroids = np.asarray(centroids)
+
+    # -- host block management ----------------------------------------------
+
+    def _ensure_cluster_capacity(self, needed_max: int) -> None:
+        target = max(_MIN_CLUSTER_CAPACITY, next_pow2(needed_max))
+        if target <= self._cluster_capacity:
+            return
+        new_vectors = np.zeros(
+            (self.nlist, target, self.dim), dtype=np.float32
+        )
+        new_ids = np.full((self.nlist, target), -1, dtype=np.int32)
+        new_valid = np.zeros((self.nlist, target), dtype=np.bool_)
+        if self._vectors is not None:
+            new_vectors[:, : self._cluster_capacity] = self._vectors
+            new_ids[:, : self._cluster_capacity] = self._ids
+            new_valid[:, : self._cluster_capacity] = self._valid
+        else:
+            self._fill = np.zeros((self.nlist,), dtype=np.int32)
+        self._vectors, self._ids, self._valid = new_vectors, new_ids, new_valid
+        self._cluster_capacity = target
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        n = vectors.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.int64)
+        if vectors.shape[1] != self.dim:
+            raise ValueError(f"Expected dim {self.dim}, got {vectors.shape[1]}")
+        if not self.is_trained:
+            # Friendlier than FAISS's hard error: auto-train on first batch
+            # (clamping nlist if the batch is small).
+            if n < self.nlist:
+                self.nlist = max(1, n // 2 or 1)
+            self.train(vectors)
+
+        with jax.default_device(self.device):
+            assign = np.asarray(
+                assign_clusters(
+                    jnp.asarray(vectors),
+                    jnp.asarray(self.centroids),
+                    self.metric,
+                )
+            )
+
+        fill = (
+            self._fill
+            if self._fill is not None
+            else np.zeros((self.nlist,), dtype=np.int32)
+        )
+        counts = np.bincount(assign, minlength=self.nlist)
+        self._ensure_cluster_capacity(int((fill + counts).max()))
+
+        ids = np.arange(self._count, self._count + n, dtype=np.int64)
+        for row, (vec, cluster) in enumerate(zip(vectors, assign)):
+            slot = self._fill[cluster]
+            self._vectors[cluster, slot] = vec
+            self._ids[cluster, slot] = ids[row]
+            self._valid[cluster, slot] = True
+            self._id_to_slot[int(ids[row])] = (int(cluster), int(slot))
+            self._fill[cluster] += 1
+        self._count += n
+        self._device_state = None  # lazily re-uploaded
+        return ids
+
+    def remove(self, ids) -> int:
+        removed = 0
+        for global_id in ids:
+            slot = self._id_to_slot.get(int(global_id))
+            if slot is None:
+                continue
+            cluster, pos = slot
+            if self._valid[cluster, pos]:
+                self._valid[cluster, pos] = False
+                removed += 1
+        if removed:
+            self._device_state = None
+        return removed
+
+    def compact(self) -> Dict[int, int]:
+        """Drop tombstones and renumber ids contiguously (order-preserving)."""
+        if self._count == 0:
+            return {}
+        keep_ids = np.sort(self._ids[self._valid])
+        mapping = {int(old): new for new, old in enumerate(keep_ids)}
+        vectors = np.empty((len(keep_ids), self.dim), dtype=np.float32)
+        for old_id in keep_ids:
+            cluster, pos = self._id_to_slot[int(old_id)]
+            vectors[mapping[int(old_id)]] = self._vectors[cluster, pos]
+        # reset and re-add (retrains nothing; centroids kept)
+        self._cluster_capacity = 0
+        self._count = 0
+        self._vectors = self._ids = self._valid = self._fill = None
+        self._id_to_slot.clear()
+        self._device_state = None
+        if len(keep_ids):
+            self.add(vectors)
+        return mapping
+
+    def clear(self) -> None:
+        self._cluster_capacity = 0
+        self._count = 0
+        self._vectors = self._ids = self._valid = self._fill = None
+        self._id_to_slot.clear()
+        self._device_state = None
+
+    # -- search --------------------------------------------------------------
+
+    def _device(self):
+        if self._device_state is None:
+            with jax.default_device(self.device):
+                self._device_state = (
+                    jnp.asarray(self.centroids),
+                    jnp.asarray(self._vectors, dtype=_DTYPES[self.dtype]),
+                    jnp.asarray(self._ids),
+                    jnp.asarray(self._valid),
+                )
+        return self._device_state
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask: Optional[np.ndarray] = None,
+        nprobe: int = 8,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        q = queries.shape[0]
+
+        if self._count == 0 or k <= 0:
+            shape = (q, max(k, 0))
+            return (
+                np.full(shape, -np.inf, dtype=np.float32),
+                np.full(shape, -1, dtype=np.int64),
+            )
+
+        nprobe_eff = min(nprobe, self.nlist)
+        k_eff = min(k, nprobe_eff * self._cluster_capacity)
+        padded_q = bucket_size(q, _QUERY_BUCKETS)
+        qbatch = np.zeros((padded_q, self.dim), dtype=np.float32)
+        qbatch[:q] = queries
+
+        centroids, blocks, block_ids, block_valid = self._device()
+        block_mask = block_valid
+        if mask is not None:
+            mask = np.asarray(mask, dtype=np.bool_)
+            horizon = np.zeros((self._count,), dtype=np.bool_)
+            horizon[: min(mask.shape[0], self._count)] = mask[: self._count]
+            # translate global-id mask into block layout
+            per_block = np.zeros_like(np.asarray(self._valid))
+            live = self._ids >= 0
+            per_block[live] = horizon[self._ids[live]]
+            block_mask = jnp.logical_and(
+                block_valid, jnp.asarray(per_block)
+            )
+
+        with jax.default_device(self.device):
+            scores, ids = _ivf_search(
+                centroids,
+                blocks,
+                block_ids,
+                block_mask,
+                jnp.asarray(qbatch),
+                nprobe_eff,
+                k_eff,
+                self.metric,
+            )
+            packed = jnp.concatenate(  # one host fetch (see FlatIndex.search)
+                [scores[:q], ids[:q].astype(jnp.float32)], axis=1
+            )
+        packed = np.asarray(packed)
+        scores = packed[:, :k_eff]
+        ids = np.rint(packed[:, k_eff:]).astype(np.int64)
+        ids[~np.isfinite(scores)] = -1
+        if k_eff < k:
+            pad = ((0, 0), (0, k - k_eff))
+            scores = np.pad(scores, pad, constant_values=-np.inf)
+            ids = np.pad(ids, pad, constant_values=-1)
+        return scores, ids
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        header = json.dumps(
+            {
+                "kind": "ivf",
+                "dim": self.dim,
+                "metric": self.metric,
+                "dtype": self.dtype,
+                "nlist": self.nlist,
+                "count": self._count,
+                "cluster_capacity": self._cluster_capacity,
+            }
+        )
+        np.savez(
+            path,
+            header=header,
+            centroids=(
+                self.centroids
+                if self.centroids is not None
+                else np.empty((0, self.dim), np.float32)
+            ),
+            vectors=(
+                self._vectors
+                if self._vectors is not None
+                else np.empty((self.nlist, 0, self.dim), np.float32)
+            ),
+            ids=(
+                self._ids
+                if self._ids is not None
+                else np.empty((self.nlist, 0), np.int32)
+            ),
+            valid=(
+                self._valid
+                if self._valid is not None
+                else np.empty((self.nlist, 0), np.bool_)
+            ),
+            fill=(
+                self._fill
+                if self._fill is not None
+                else np.zeros((self.nlist,), np.int32)
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str, device: Optional[jax.Device] = None) -> "IVFIndex":
+        with np.load(path, allow_pickle=False) as data:
+            header = json.loads(str(data["header"]))
+            centroids = data["centroids"]
+            vectors = data["vectors"]
+            ids = data["ids"]
+            valid = data["valid"]
+            fill = data["fill"]
+        index = cls(
+            dim=header["dim"],
+            metric=header["metric"],
+            dtype=header["dtype"],
+            device=device,
+            nlist=header["nlist"],
+        )
+        index._count = header["count"]
+        index._cluster_capacity = header["cluster_capacity"]
+        if centroids.shape[0]:
+            index.centroids = centroids
+        if index._cluster_capacity:
+            index._vectors = vectors
+            index._ids = ids
+            index._valid = valid
+            index._fill = fill
+            live = np.argwhere(ids >= 0)
+            for cluster, pos in live:
+                index._id_to_slot[int(ids[cluster, pos])] = (
+                    int(cluster),
+                    int(pos),
+                )
+        return index

@@ -1,0 +1,106 @@
+"""ctypes binding for the native C++ WordPiece fast path.
+
+Loads ``native/libwordpiece.so`` when present (build with ``make -C native``)
+and accelerates ASCII-only texts; anything containing non-ASCII bytes falls
+back to the pure-Python tokenizer, which owns the full Unicode semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["NativeWordPiece", "load_native_library"]
+
+_LIB_CANDIDATES = (
+    Path(__file__).resolve().parent.parent.parent / "native" / "libwordpiece.so",
+    Path(__file__).resolve().parent / "libwordpiece.so",
+)
+
+_lib = None
+_lib_checked = False
+
+
+def load_native_library() -> Optional[ctypes.CDLL]:
+    """Find and load the shared library once; None if unavailable."""
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    for candidate in _LIB_CANDIDATES:
+        if not candidate.exists():
+            continue
+        try:
+            lib = ctypes.CDLL(str(candidate))
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_create.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
+            lib.wp_free.argtypes = [ctypes.c_void_p]
+            lib.wp_encode.restype = ctypes.c_int32
+            lib.wp_encode.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            _lib = lib
+            logger.info("Loaded native WordPiece library: %s", candidate)
+            return _lib
+        except OSError as exc:
+            logger.warning("Failed to load %s: %s", candidate, exc)
+    return None
+
+
+class NativeWordPiece:
+    """One tokenizer handle over a vocab; thread-compatible for reads."""
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        bos_id: int,
+        eos_id: int,
+        unk_id: int,
+    ) -> None:
+        lib = load_native_library()
+        if lib is None:
+            raise RuntimeError("native wordpiece library not available")
+        self._lib = lib
+        ordered = sorted(vocab.items(), key=lambda kv: kv[1])
+        blob = "\n".join(token for token, _ in ordered).encode("utf-8")
+        self._handle = lib.wp_create(blob, len(blob), bos_id, eos_id, unk_id)
+        self._buf = (ctypes.c_int32 * 4096)()
+
+    def __del__(self) -> None:  # pragma: no cover - interpreter teardown
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.wp_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+    def encode(self, text: str, max_length: int) -> Optional[List[int]]:
+        """Returns token ids, or None when the text needs the Python path
+        (non-ASCII content)."""
+        try:
+            raw = text.encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        max_tokens = min(max_length, len(self._buf))
+        n = self._lib.wp_encode(
+            self._handle, raw, len(raw), self._buf, max_tokens
+        )
+        if n < 0:
+            return None
+        return list(self._buf[:n])

@@ -92,6 +92,19 @@ class WordPieceTokenizer:
         self.eos_id = _id_of(self.eos_token, 2)
         self.unk_id = _id_of(self.unk_token, 3)
 
+        # Native C++ fast path for ASCII texts (lowercasing pipeline only —
+        # the C side lowercases unconditionally). Falls back per-text.
+        self._native = None
+        if self.do_lower_case:
+            try:
+                from .native_tokenizer import NativeWordPiece
+
+                self._native = NativeWordPiece(
+                    vocab, self.bos_id, self.eos_id, self.unk_id
+                )
+            except Exception:
+                self._native = None
+
     # -- constructors --------------------------------------------------------
 
     @classmethod
@@ -216,6 +229,10 @@ class WordPieceTokenizer:
 
     def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:
         """Text -> ``<s> ids </s>`` with truncation to ``max_length``."""
+        if self._native is not None:
+            native = self._native.encode(text, max_length or 4096)
+            if native is not None:
+                return native
         ids = [self.vocab.get(t, self.unk_id) for t in self.tokenize(text)]
         if max_length is not None and len(ids) > max_length - 2:
             ids = ids[: max_length - 2]

@@ -1,0 +1,77 @@
+"""Mini-batch-free Lloyd k-means on device (IVF coarse quantizer trainer).
+
+Replaces FAISS's CPU k-means (used implicitly by IndexIVFFlat training,
+reference: src/storage.py:259-263).  Entirely jnp: the assignment step is one
+[N, k] matmul on the MXU, the update step a segment-sum — both batched, no
+Python-level per-point work.  Spherical variant (centroids re-normalized per
+iteration) for the cosine/IP metric.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["kmeans", "assign_clusters"]
+
+
+def _distances(data: jax.Array, centroids: jax.Array, metric: str) -> jax.Array:
+    """[N, D] x [k, D] -> [N, k] *similarity* (higher = closer)."""
+    dots = jnp.dot(
+        data, centroids.T, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        sq = jnp.sum(centroids * centroids, axis=-1)
+        return 2.0 * dots - sq[None, :]
+    return dots
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def assign_clusters(
+    data: jax.Array, centroids: jax.Array, metric: str = "ip"
+) -> jax.Array:
+    """Nearest-centroid assignment, [N] int32."""
+    return jnp.argmax(_distances(data, centroids, metric), axis=1).astype(
+        jnp.int32
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "metric"))
+def kmeans(
+    key: jax.Array,
+    data: jax.Array,
+    k: int,
+    iters: int = 10,
+    metric: str = "ip",
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd iterations; returns (centroids [k, D], assignments [N]).
+
+    Empty clusters keep their previous centroid (FAISS does random
+    reassignment; for a coarse quantizer the difference is negligible and
+    this stays branch-free under jit).
+    """
+    n = data.shape[0]
+    data = data.astype(jnp.float32)
+    init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
+    centroids = data[init_idx]
+
+    def step(centroids, _):
+        assign = jnp.argmax(_distances(data, centroids, metric), axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [N, k]
+        sums = one_hot.T @ data  # [k, D]
+        counts = jnp.sum(one_hot, axis=0)[:, None]  # [k, 1]
+        updated = sums / jnp.maximum(counts, 1.0)
+        updated = jnp.where(counts > 0, updated, centroids)
+        if metric == "ip":
+            norms = jnp.linalg.norm(updated, axis=1, keepdims=True)
+            updated = updated / jnp.maximum(norms, 1e-12)
+        return updated, None
+
+    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    assignments = jnp.argmax(
+        _distances(data, centroids, metric), axis=1
+    ).astype(jnp.int32)
+    return centroids, assignments

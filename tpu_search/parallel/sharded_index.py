@@ -242,8 +242,13 @@ class ShardedFlatIndex:
         scores, ids = self._search_fns[key](
             self._vectors, full_mask, queries_replicated
         )
-        scores = np.asarray(scores[:q])
-        ids = np.asarray(ids[:q], dtype=np.int64)
+        packed = np.asarray(  # one host fetch (see FlatIndex.search)
+            jnp.concatenate(
+                [scores[:q], ids[:q].astype(jnp.float32)], axis=1
+            )
+        )
+        scores = packed[:, :k_eff]
+        ids = np.rint(packed[:, k_eff:]).astype(np.int64)
         ids[~np.isfinite(scores)] = -1
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))

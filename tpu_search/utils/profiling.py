@@ -1,0 +1,72 @@
+"""Tracing/profiling: per-phase timers + jax.profiler integration.
+
+The reference has no tracer (SURVEY.md section 5.1 — just throughput log
+lines); here timing is a first-class stats object, and device traces come
+from ``jax.profiler`` for TensorBoard/Perfetto.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["PhaseTimer", "device_trace"]
+
+
+@dataclass
+class PhaseTimer:
+    """Accumulates wall time + call counts per named phase.
+
+    Used by the engine to report parse/chunk/tokenize/encode/index phase
+    breakdowns in indexing stats.
+    """
+
+    phases: Dict[str, float] = field(default_factory=dict)
+    counts: Dict[str, int] = field(default_factory=dict)
+
+    @contextlib.contextmanager
+    def phase(self, name: str) -> Iterator[None]:
+        start = time.perf_counter()
+        try:
+            yield
+        finally:
+            elapsed = time.perf_counter() - start
+            self.phases[name] = self.phases.get(name, 0.0) + elapsed
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> Dict[str, Any]:
+        total = sum(self.phases.values()) or 1.0
+        return {
+            name: {
+                "seconds": round(seconds, 4),
+                "calls": self.counts[name],
+                "fraction": round(seconds / total, 3),
+            }
+            for name, seconds in sorted(
+                self.phases.items(), key=lambda kv: -kv[1]
+            )
+        }
+
+    def merge(self, other: "PhaseTimer") -> None:
+        for name, seconds in other.phases.items():
+            self.phases[name] = self.phases.get(name, 0.0) + seconds
+            self.counts[name] = self.counts.get(name, 0) + other.counts[name]
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str]) -> Iterator[None]:
+    """Capture a jax.profiler trace (TensorBoard/Perfetto) when log_dir is
+    set; no-op otherwise."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
+    logger.info("Device trace written to %s", log_dir)
