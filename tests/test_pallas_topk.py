@@ -1,0 +1,58 @@
+"""Pallas fused-scan kernel: parity vs the XLA reference path.
+
+Runs in interpret mode on the CPU backend (real-TPU numbers live in the
+docstring of ops/pallas_topk.py and benchmarks/).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_search.ops.pallas_topk import pallas_flat_topk, supports
+from tpu_search.ops.topk_scan import flat_topk
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("q", [8, 16])
+def test_matches_xla_path(dtype, q):
+    rng = np.random.default_rng(0)
+    n, d, k = 4096, 128, 10
+    vecs = jnp.asarray(normed(rng, n, d)).astype(
+        jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    )
+    mask = jnp.asarray(rng.random(n) < 0.6)
+    queries = jnp.asarray(normed(rng, q, d))
+
+    ps, pi = pallas_flat_topk(
+        vecs, mask, queries, k, tile_n=1024, interpret=True
+    )
+    rs, ri = flat_topk(vecs, mask, queries, k)
+    assert np.array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(rs), rtol=1e-5)
+
+
+def test_all_masked_tile_handled():
+    rng = np.random.default_rng(1)
+    n, d, k = 2048, 128, 5
+    vecs = jnp.asarray(normed(rng, n, d))
+    # mask out the entire second tile
+    mask = np.ones(n, dtype=bool)
+    mask[1024:] = False
+    queries = jnp.asarray(normed(rng, 8, d))
+    ps, pi = pallas_flat_topk(
+        vecs, jnp.asarray(mask), queries, k, tile_n=1024, interpret=True
+    )
+    assert (np.asarray(pi) < 1024).all()
+
+
+def test_supports_predicate():
+    assert supports(1_048_576, 768, 8, jnp.bfloat16, tile_n=1024)
+    assert not supports(1000, 768, 8, jnp.bfloat16)  # N not tile-divisible
+    assert not supports(4096, 100, 8, jnp.bfloat16)  # D not lane-aligned
+    assert not supports(4096, 128, 7, jnp.bfloat16)  # Q not sublane-aligned

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel: fused corpus scan + masked running top-k.
+
+The hot read-path kernel (FAISS ``IndexFlatIP.search`` replacement at the
+hardware level).  One pass over the corpus:
+
+    per grid step (corpus tile [TILE_N, D] streamed HBM->VMEM, auto
+    double-buffered by the pallas pipeline):
+      scores = queries @ tile.T          (MXU, f32 accumulation)
+      scores = where(mask_tile, scores, -inf)   (predicate fused)
+      running_topk = select_k(concat([running_topk, scores]))  (VPU)
+
+so the ``[Q, N]`` score matrix never exists in HBM and the scan runs at HBM
+bandwidth.  The k-selection is a K-step unrolled max-extract (VPU cost
+O(K * (TILE_N + K)) per tile — negligible next to the tile load at K<=32).
+
+Status (v5e, 1M x 768, Q=8, k=10, measured this round): correct on real
+TPU, but 10.1 ms (159 GB/s) vs the XLA path's 3.85 ms (418 GB/s) — the
+per-grid-step pipeline overhead dominates at tile_n=1024 (VMEM caps larger
+tiles at 16 MB), and pruning the merge (skip when a tile's max can't beat
+the kth-best) only bought ~15%. The exact scan is a plain matmul + top-k,
+which XLA already schedules near the bandwidth ceiling, so **FlatIndex uses
+the XLA path in production** and this kernel stays an optional, tested
+alternative. Round-2 plan for beating XLA here: manual double-buffered
+HBM->VMEM DMA with 8k-row logical tiles (grid steps become cheap inner
+fori_loop iterations), queries padded to 128 rows to fill MXU passes, and
+the mask bit-packed (the [TILE,1] f32 block pads to a full 128-lane tile =
++33% DMA traffic today).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.shapes import round_up
+
+__all__ = ["pallas_flat_topk", "supports"]
+
+_LANE = 128
+
+
+def _select_topk(scores: jax.Array, ids: jax.Array, k: int):
+    """Unrolled K-step max-extraction. scores [Q, C] f32, ids [Q, C] i32."""
+    q, c = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, c), 1)
+    out_scores = []
+    out_ids = []
+    for _ in range(k):
+        row_max = jnp.max(scores, axis=1, keepdims=True)  # [Q, 1]
+        # first column achieving the max (deterministic tie-break)
+        hit = scores >= row_max
+        first = jnp.min(jnp.where(hit, col, c), axis=1, keepdims=True)
+        sel = col == first
+        out_scores.append(row_max[:, 0])
+        out_ids.append(jnp.sum(jnp.where(sel, ids, 0), axis=1))
+        scores = jnp.where(sel, -jnp.inf, scores)
+    return (
+        jnp.stack(out_scores, axis=1),
+        jnp.stack(out_ids, axis=1),
+    )
+
+
+def _scan_kernel(
+    vec_ref,  # [TILE_N, D] corpus tile (VMEM)
+    mask_ref,  # [TILE_N, 1] f32 0/1 predicate tile (VMEM)
+    query_ref,  # [Q, D] queries (VMEM, replicated across steps)
+    out_scores_ref,  # [Q, K]
+    out_ids_ref,  # [Q, K]
+    best_scores,  # scratch [Q, K] f32
+    best_ids,  # scratch [Q, K] i32
+    *,
+    k: int,
+    k_pad: int,
+    tile_n: int,
+):
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+        best_ids[:] = jnp.zeros_like(best_ids[:])
+
+    tile = vec_ref[:]
+    scores = jax.lax.dot_general(
+        query_ref[:].astype(tile.dtype),
+        tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Q, TILE_N]
+    live = mask_ref[:].reshape(1, tile_n) > 0.5
+    scores = jnp.where(live, scores, -jnp.inf)
+
+    # Pruning: the expensive K-step selection only runs when this tile could
+    # change the answer — i.e. some query's tile max beats its current
+    # kth-best. On any non-adversarial corpus almost every tile is skipped
+    # once the running top-k warms up, so the scan runs at DMA speed.
+    tile_max = jnp.max(scores, axis=1)  # [Q]
+    kth_best = best_scores[:, k - 1]  # [Q]
+    should_merge = jnp.any(tile_max > kth_best)
+
+    @pl.when(should_merge)
+    def _merge():
+        base = step * tile_n
+        tile_ids = base + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1
+        )
+        # Only the first k carry columns hold real candidates; lane-padding
+        # columns stay -inf from init and never win the extract.
+        merged_scores = jnp.concatenate([best_scores[:], scores], axis=1)
+        merged_ids = jnp.concatenate([best_ids[:], tile_ids], axis=1)
+        new_scores, new_ids = _select_topk(merged_scores, merged_ids, k)
+        best_scores[:, 0:k] = new_scores
+        best_ids[:, 0:k] = new_ids
+
+    @pl.when(step == n_steps - 1)
+    def _emit():
+        out_scores_ref[:] = best_scores[:]
+        out_ids_ref[:] = best_ids[:]
+
+
+@partial(
+    jax.jit, static_argnames=("k", "tile_n", "interpret")
+)
+def pallas_flat_topk(
+    vectors: jax.Array,  # [N, D], N multiple of tile_n
+    mask: jax.Array,  # [N] bool
+    queries: jax.Array,  # [Q, D] f32, Q multiple of 8
+    k: int,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    n, d = vectors.shape
+    q = queries.shape[0]
+    k_pad = round_up(k, _LANE)  # lane-aligned running top-k buffers
+    grid = n // tile_n
+
+    mask_f32 = mask.astype(jnp.float32).reshape(n, 1)
+
+    out_scores, out_ids = pl.pallas_call(
+        partial(_scan_kernel, k=k, k_pad=k_pad, tile_n=tile_n),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((q, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((q, k_pad), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d * vectors.dtype.itemsize + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vectors, mask_f32, queries)
+    return out_scores[:, :k], out_ids[:, :k]
+
+
+def supports(n: int, d: int, q: int, dtype, tile_n: int = 2048) -> bool:
+    """Shapes the kernel handles: lane-aligned D, tile-divisible N, small Q
+    (VMEM: tile + queries + [Q, TILE_N] scores must fit)."""
+    if d % _LANE != 0:
+        return False
+    if n % tile_n != 0 or n < tile_n:
+        return False
+    if q > 128 or q % 8 != 0:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    vmem = 2 * tile_n * d * itemsize + q * d * 4 + 3 * q * tile_n * 4
+    return vmem < 12 * 1024 * 1024
