@@ -1,0 +1,92 @@
+#!/bin/bash
+# Installer: package install, model download+conversion, MCP configuration.
+# Reference parity: install.sh (uv tool install, setup-models, data-dir
+# prompt, MCP config written for Claude Code / Claude Desktop / Cursor).
+set -e
+
+echo "Installing Claude Semantic Search (TPU-native)..."
+
+# Prefer uv when present; fall back to pip.
+if command -v uv &> /dev/null; then
+    echo "Installing with uv..."
+    uv tool install .
+    BIN_HINT="$(uv tool dir 2>/dev/null || echo "$HOME/.local/bin")"
+else
+    echo "uv not found; installing with pip --user..."
+    python3 -m pip install --user .
+    BIN_HINT="$HOME/.local/bin"
+fi
+
+MCP_CMD="$(command -v claude-search-mcp || echo "$BIN_HINT/claude-search-mcp")"
+
+# Data directory
+echo ""
+echo "Data Directory Configuration"
+echo "============================"
+DEFAULT_DATA_DIR="$HOME/.claude-semantic-search/data"
+echo "Default data directory: $DEFAULT_DATA_DIR"
+if [ -t 0 ]; then
+    read -p "Use the default location? (y/n) " -n 1 -r; echo ""
+    if [[ ! $REPLY =~ ^[Yy]$ ]]; then
+        echo "Enter your preferred data directory path:"
+        read -r CLAUDE_SEARCH_DATA_DIR
+        export CLAUDE_SEARCH_DATA_DIR
+        echo "✅ Data directory set to: $CLAUDE_SEARCH_DATA_DIR"
+        echo "To make this permanent, add to your shell profile:"
+        echo "  export CLAUDE_SEARCH_DATA_DIR=\"$CLAUDE_SEARCH_DATA_DIR\""
+    fi
+fi
+
+# Model download + conversion to the native JAX checkpoint
+echo ""
+echo "Downloading and converting the embedding model (~420MB)..."
+if ! setup-models; then
+    echo "⚠️  Model setup failed (offline?). You can:"
+    echo "   - run 'setup-models --from-dir <downloaded-model-dir>' later, or"
+    echo "   - set CLAUDE_SEARCH_MODEL=hash-768 for the weight-free fallback."
+fi
+
+# MCP configuration for Claude Code, Claude Desktop, Cursor
+add_mcp_entry() {
+    local config_file="$1"
+    mkdir -p "$(dirname "$config_file")"
+    python3 - "$config_file" "$MCP_CMD" <<'PYEOF'
+import json, os, sys
+path, cmd = sys.argv[1], sys.argv[2]
+config = {}
+if os.path.exists(path):
+    try:
+        with open(path) as fh:
+            config = json.load(fh)
+    except Exception:
+        config = {}
+servers = config.setdefault("mcpServers", {})
+servers["claude-semantic-search"] = {"command": cmd, "args": []}
+with open(path, "w") as fh:
+    json.dump(config, fh, indent=2)
+print(f"  ✅ {path}")
+PYEOF
+}
+
+echo ""
+echo "Configuring MCP servers..."
+add_mcp_entry "$HOME/.claude.json"
+case "$(uname -s)" in
+    Darwin) add_mcp_entry "$HOME/Library/Application Support/Claude/claude_desktop_config.json" ;;
+    *)      add_mcp_entry "$HOME/.config/claude/claude_desktop_config.json" ;;
+esac
+add_mcp_entry "$HOME/.cursor/mcp.json"
+
+# Optional initial index
+echo ""
+if [ -t 0 ]; then
+    read -p "Run the initial index of ~/.claude/projects now? (y/n) " -n 1 -r; echo ""
+    if [[ $REPLY =~ ^[Yy]$ ]]; then
+        claude-index || true
+    fi
+fi
+
+echo ""
+echo "🎉 Installation complete. Commands: claude-index, claude-search,"
+echo "   claude-stats, claude-watch, claude-start/stop/status,"
+echo "   claude-search-mcp."

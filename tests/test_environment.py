@@ -1,0 +1,111 @@
+"""Environment smoke tests: every subsystem imports and its core primitive
+functions (reference strategy: tests/test_environment_setup.py)."""
+
+import importlib
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize(
+    "module",
+    [
+        "tpu_search",
+        "tpu_search.ingest.parser",
+        "tpu_search.ingest.chunker",
+        "tpu_search.models.mpnet",
+        "tpu_search.models.tokenizer",
+        "tpu_search.models.encoder",
+        "tpu_search.models.convert",
+        "tpu_search.models.hashing",
+        "tpu_search.ops.topk_scan",
+        "tpu_search.ops.kmeans",
+        "tpu_search.ops.pallas_topk",
+        "tpu_search.index.flat",
+        "tpu_search.index.ivf",
+        "tpu_search.index.registry",
+        "tpu_search.parallel.mesh",
+        "tpu_search.parallel.sharded_index",
+        "tpu_search.parallel.encode",
+        "tpu_search.parallel.train",
+        "tpu_search.storage.metadata",
+        "tpu_search.storage.filters",
+        "tpu_search.storage.hybrid",
+        "tpu_search.api.engine",
+        "tpu_search.interfaces.cli",
+        "tpu_search.interfaces.mcp_server",
+        "tpu_search.interfaces.watcher",
+        "tpu_search.interfaces.fswatch",
+        "tpu_search.devices.capability",
+        "tpu_search.utils.shapes",
+        "tpu_search.utils.profiling",
+    ],
+)
+def test_imports(module):
+    importlib.import_module(module)
+
+
+def test_jax_functional():
+    import jax
+    import jax.numpy as jnp
+
+    result = jax.jit(lambda x: (x @ x.T).sum())(jnp.ones((8, 8)))
+    assert float(result) == 8 * 8 * 8
+
+
+def test_multidevice_mesh_available():
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest's virtual mesh
+
+
+def test_public_api_exports():
+    import tpu_search
+
+    for name in tpu_search.__all__:
+        assert hasattr(tpu_search, name), name
+
+
+def test_reference_compatible_import_surface():
+    """A reference user's imports must resolve against tpu_search
+    (reference: src/__init__.py:10-31)."""
+    from tpu_search import (  # noqa: F401
+        Chunk,
+        ChunkingConfig,
+        Conversation,
+        ConversationChunker,
+        EmbeddingConfig,
+        EmbeddingGenerator,
+        EmbeddingStats,
+        HybridStorage,
+        JSONLParser,
+        Message,
+        SearchConfig,
+        SearchResult,
+        StorageConfig,
+    )
+
+
+def test_kmeans_functional():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_search.ops.kmeans import kmeans
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((100, 8)).astype(np.float32)
+    centroids, assign = kmeans(jax.random.PRNGKey(0), jnp.asarray(data), 4,
+                               iters=3)
+    assert centroids.shape == (4, 8)
+    assert assign.shape == (100,)
+    assert int(assign.max()) < 4
+
+
+def test_native_library_status():
+    """The C++ tokenizer is optional; record its availability."""
+    from tpu_search.models.native_tokenizer import load_native_library
+
+    lib = load_native_library()
+    # Either loaded or absent - both are valid environments; the Python
+    # path covers full semantics either way.
+    assert lib is None or lib is not None

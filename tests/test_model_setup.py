@@ -1,0 +1,76 @@
+"""Model setup script tests (reference strategy: tests/test_model_download.py
+— download mocked; conversion/verification exercised with a tiny model)."""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+SCRIPTS = REPO_ROOT / "scripts"
+if str(SCRIPTS) not in sys.path:
+    sys.path.insert(0, str(SCRIPTS))
+
+import model_setup  # noqa: E402
+
+
+class TestCacheDir:
+    def test_env_override(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_DATA_DIR", str(tmp_path))
+        cache = model_setup.get_model_cache_dir()
+        assert cache == tmp_path / "models"
+        assert cache.exists()
+
+
+class TestConvertFlow:
+    @pytest.fixture
+    def torch_model_dir(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        cfg = dict(
+            vocab_size=40, hidden_size=16, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=32,
+            max_position_embeddings=64, pad_token_id=1,
+            relative_attention_num_buckets=32, layer_norm_eps=1e-5,
+        )
+        model_dir = tmp_path / "models" / model_setup.MODEL_NAME
+        model_dir.mkdir(parents=True)
+        torch.manual_seed(0)
+        model = transformers.MPNetModel(
+            transformers.MPNetConfig(**cfg), add_pooling_layer=False
+        )
+        torch.save(model.state_dict(), model_dir / "pytorch_model.bin")
+        (model_dir / "config.json").write_text(json.dumps(cfg))
+        vocab = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"] + [
+            f"tok{i}" for i in range(35)
+        ]
+        (model_dir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+        return model_dir
+
+    def test_convert_creates_native_checkpoint(self, torch_model_dir):
+        out = model_setup.convert(torch_model_dir)
+        assert out.exists()
+        from tpu_search.models.convert import load_checkpoint
+
+        params, config = load_checkpoint(str(out))
+        assert config.hidden_size == 16
+        assert params["layers"]["q_w"].shape == (2, 16, 16)
+
+    def test_download_skips_when_converted(self, torch_model_dir, monkeypatch,
+                                           capsys):
+        monkeypatch.setenv(
+            "CLAUDE_SEARCH_DATA_DIR", str(torch_model_dir.parent.parent)
+        )
+        model_setup.convert(torch_model_dir)
+        got = model_setup.download_model()
+        assert got == torch_model_dir
+        assert "already" in capsys.readouterr().out
+
+
+class TestSystemInfo:
+    def test_shape(self):
+        info = model_setup.get_system_info()
+        assert "backend" in info
+        assert info["device_count"] >= 1
+        assert "jax" in info

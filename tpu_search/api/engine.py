@@ -19,6 +19,23 @@ from ..ingest.chunker import ChunkingConfig, ConversationChunker
 from ..ingest.parser import JSONLParser
 from ..models.encoder import EmbeddingConfig, EmbeddingGenerator
 from ..storage.hybrid import HybridStorage, SearchConfig, StorageConfig
+from ..utils.profiling import PhaseTimer
+
+
+def _enable_compilation_cache(cache_dir: Path) -> None:
+    """Persist XLA compiles across CLI invocations.
+
+    The reference pays model load per invocation (src/cli.py:237-241); a
+    TPU build would additionally pay XLA compiles (~20-40s cold) every run
+    without this. Best-effort: harmless if unsupported.
+    """
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
 logger = logging.getLogger(__name__)
 
@@ -53,6 +70,8 @@ class SearchEngine:
         self.data_dir = Path(data_dir).expanduser()
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.use_gpu = use_gpu
+        self._timer = PhaseTimer()
+        _enable_compilation_cache(self.data_dir / "jax_cache")
 
         self.parser = JSONLParser()
         self.chunker = ConversationChunker(ChunkingConfig())
@@ -132,6 +151,7 @@ class SearchEngine:
             "errors": [],
             "start_time": time.time(),
         }
+        self._timer = PhaseTimer()
 
         failed: List[Path] = []
         for file_path in files:
@@ -166,6 +186,7 @@ class SearchEngine:
 
         stats["end_time"] = time.time()
         stats["duration"] = stats["end_time"] - stats["start_time"]
+        stats["phases"] = self._timer.report()
         return stats
 
     def _index_one_file(self, file_path: Path, stats: Dict[str, Any]) -> None:
@@ -173,18 +194,22 @@ class SearchEngine:
         if removed:
             stats["chunks_removed"] += removed
 
-        conversation = self.parser.parse_file(str(file_path))
+        with self._timer.phase("parse"):
+            conversation = self.parser.parse_file(str(file_path))
         if conversation is None:
             stats["files_skipped"] += 1
             return
-        chunks = self.chunker.chunk_conversation(conversation)
+        with self._timer.phase("chunk"):
+            chunks = self.chunker.chunk_conversation(conversation)
         stats["chunks_created"] += len(chunks)
         if not chunks:
             stats["files_skipped"] += 1
             return
-        self.embedder.generate_embeddings(chunks)
-        self.storage.add_chunks(chunks)
-        self.storage.update_file_info(str(file_path), len(chunks))
+        with self._timer.phase("embed"):
+            self.embedder.generate_embeddings(chunks)
+        with self._timer.phase("store"):
+            self.storage.add_chunks(chunks)
+            self.storage.update_file_info(str(file_path), len(chunks))
         stats["chunks_indexed"] += len(chunks)
         stats["files_processed"] += 1
 
