@@ -156,12 +156,13 @@ def bench_embed() -> dict:
     fn = jax.jit(
         lambda p, i, m: encode(p, i, m, config, compute_dtype=jnp.bfloat16)
     )
-    fn(params, ids, mask).block_until_ready()  # compile
+    # A scalar reduce + 4-byte fetch forces execution: block_until_ready is
+    # unreliable on tunneled runtimes, and pulling embeddings would be slow.
+    float(jnp.sum(fn(params, ids, mask)))  # compile + settle
     t0 = time.perf_counter()
     reps = 10
-    for _ in range(reps):
-        out = fn(params, ids, mask)
-    out.block_until_ready()  # no host pull — embeddings stay on device
+    outs = [fn(params, ids, mask) for _ in range(reps)]
+    float(jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))(outs))
     return {
         "texts_per_s_seq384_b128": (batch * reps)
         / (time.perf_counter() - t0)

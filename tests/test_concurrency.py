@@ -1,0 +1,81 @@
+"""Cross-process storage safety: the WAL + flock single-writer discipline
+must keep concurrent writers consistent (the reference ships an unguarded
+daemon-vs-CLI race: src/storage.py:147, SURVEY.md section 5.2)."""
+
+import json
+import multiprocessing as mp
+import sqlite3
+
+import pytest
+
+from tpu_search.storage.metadata import MetadataStore
+from tpu_search.ingest.chunker import Chunk
+
+
+def _writer(db_path, worker, n_rows):
+    store = MetadataStore(db_path)
+    store.open()
+    for i in range(n_rows):
+        chunk = Chunk(
+            id=f"w{worker}_c{i}",
+            text=f"text {worker} {i}",
+            metadata={
+                "chunk_type": "qa_pair",
+                "session_id": f"s{worker}",
+                "project_name": f"p{worker}",
+                "file_path": f"/f{worker}.jsonl",
+                "timestamp": "2024-01-01T00:00:00+00:00",
+                "has_code": False,
+                "has_tools": False,
+                "message_count": 1,
+                "char_count": 10,
+                "word_count": 2,
+            },
+        )
+        store.upsert_chunks([(chunk, worker * 10000 + i)])
+    store.close()
+
+
+class TestCrossProcessWrites:
+    def test_concurrent_writers_lose_nothing(self, tmp_path):
+        db_path = str(tmp_path / "meta.db")
+        n_workers, n_rows = 4, 25
+        ctx = mp.get_context("fork")
+        procs = [
+            ctx.Process(target=_writer, args=(db_path, w, n_rows))
+            for w in range(n_workers)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(timeout=120)
+            assert p.exitcode == 0
+
+        store = MetadataStore(db_path)
+        store.open()
+        stats = store.stats()
+        assert stats["total_chunks"] == n_workers * n_rows
+        assert stats["total_projects"] == n_workers
+        store.close()
+
+    def test_wal_mode_active(self, tmp_path):
+        store = MetadataStore(str(tmp_path / "meta.db"))
+        store.open()
+        mode = store.db.execute("PRAGMA journal_mode").fetchone()[0]
+        assert mode == "wal"
+        store.close()
+
+    def test_write_lock_is_exclusive(self, tmp_path):
+        import fcntl
+
+        store = MetadataStore(str(tmp_path / "meta.db"))
+        store.open()
+        with store.write_lock():
+            with open(store.lock_path, "w") as fh:
+                with pytest.raises(BlockingIOError):
+                    fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        # released after the context exits
+        with open(store.lock_path, "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            fcntl.flock(fh, fcntl.LOCK_UN)
+        store.close()

@@ -94,6 +94,10 @@ class ShardedFlatIndex:
         self.n_shards = mesh.shape["data"]
         self._local_capacity = 0
         self._count = 0  # global slots assigned
+        # Host-authoritative mirror: mutations edit these and push h2d.
+        # (Never read the corpus back from device — d2h links can be slow.)
+        self._host_vectors: Optional[np.ndarray] = None  # [S, cap, D] f32
+        self._host_valid: Optional[np.ndarray] = None  # [S, cap] bool
         self._vectors: Optional[jax.Array] = None  # [S, local_cap, D] sharded
         self._valid: Optional[jax.Array] = None  # [S, local_cap] sharded
         self._search_fns: Dict[Tuple[int, str], callable] = {}
@@ -106,9 +110,9 @@ class ShardedFlatIndex:
 
     @property
     def live(self) -> int:
-        if self._valid is None:
+        if self._host_valid is None:
             return 0
-        return int(jnp.sum(self._valid))
+        return int(self._host_valid.sum())
 
     @property
     def capacity(self) -> int:
@@ -121,18 +125,15 @@ class ShardedFlatIndex:
 
     # -- mutation ------------------------------------------------------------
 
-    def _host_state(self) -> Tuple[np.ndarray, np.ndarray]:
-        # np.array (copy): views of jax arrays are read-only.
-        vectors = np.array(self._vectors.astype(jnp.float32))
-        valid = np.array(self._valid)
-        return vectors, valid
-
-    def _put(self, vectors: np.ndarray, valid: np.ndarray) -> None:
+    def _push(self) -> None:
+        """Host mirror -> device shards (h2d only)."""
         self._vectors = jax.device_put(
-            jnp.asarray(vectors, dtype=_DTYPES[self.dtype]),
+            jnp.asarray(self._host_vectors, dtype=_DTYPES[self.dtype]),
             self._sharding(3),
         )
-        self._valid = jax.device_put(jnp.asarray(valid), self._sharding(2))
+        self._valid = jax.device_put(
+            jnp.asarray(self._host_valid), self._sharding(2)
+        )
 
     def _ensure_capacity(self, needed_global: int) -> None:
         needed_local = -(-needed_global // self.n_shards)
@@ -143,12 +144,11 @@ class ShardedFlatIndex:
             (self.n_shards, target, self.dim), dtype=np.float32
         )
         new_valid = np.zeros((self.n_shards, target), dtype=np.bool_)
-        if self._vectors is not None:
-            old_v, old_m = self._host_state()
-            new_vectors[:, : self._local_capacity] = old_v
-            new_valid[:, : self._local_capacity] = old_m
+        if self._host_vectors is not None:
+            new_vectors[:, : self._local_capacity] = self._host_vectors
+            new_valid[:, : self._local_capacity] = self._host_valid
         self._local_capacity = target
-        self._put(new_vectors, new_valid)
+        self._host_vectors, self._host_valid = new_vectors, new_valid
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
         """Append rows round-robin across shards; returns global ids."""
@@ -162,32 +162,32 @@ class ShardedFlatIndex:
             raise ValueError(f"Expected dim {self.dim}, got {vectors.shape[1]}")
 
         self._ensure_capacity(self._count + n)
-        host_vectors, host_valid = self._host_state()
         ids = np.arange(self._count, self._count + n, dtype=np.int64)
         shards = ids % self.n_shards
         slots = ids // self.n_shards
-        host_vectors[shards, slots] = vectors
-        host_valid[shards, slots] = True
+        self._host_vectors[shards, slots] = vectors
+        self._host_valid[shards, slots] = True
         self._count += n
-        self._put(host_vectors, host_valid)
+        self._push()
         return ids
 
     def remove(self, ids) -> int:
         ids = np.asarray(list(ids), dtype=np.int64)
         ids = ids[(ids >= 0) & (ids < self._count)]
-        if ids.size == 0 or self._valid is None:
+        if ids.size == 0 or self._host_valid is None:
             return 0
-        host_vectors, host_valid = self._host_state()
         shards = ids % self.n_shards
         slots = ids // self.n_shards
-        n_live = int(host_valid[shards, slots].sum())
-        host_valid[shards, slots] = False
-        self._put(host_vectors, host_valid)
+        n_live = int(self._host_valid[shards, slots].sum())
+        self._host_valid[shards, slots] = False
+        self._push()
         return n_live
 
     def clear(self) -> None:
         self._local_capacity = 0
         self._count = 0
+        self._host_vectors = None
+        self._host_valid = None
         self._vectors = None
         self._valid = None
 
@@ -262,11 +262,12 @@ class ShardedFlatIndex:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         if self._count:
-            host_vectors, host_valid = self._host_state()
-            # store in global-id order
+            # store in global-id order (from the host mirror; no d2h)
             ids = np.arange(self._count, dtype=np.int64)
-            vectors = host_vectors[ids % self.n_shards, ids // self.n_shards]
-            valid = host_valid[ids % self.n_shards, ids // self.n_shards]
+            vectors = self._host_vectors[
+                ids % self.n_shards, ids // self.n_shards
+            ]
+            valid = self._host_valid[ids % self.n_shards, ids // self.n_shards]
         else:
             vectors = np.empty((0, self.dim), dtype=np.float32)
             valid = np.empty((0,), dtype=np.bool_)
@@ -298,10 +299,13 @@ class ShardedFlatIndex:
         count = header["count"]
         if count:
             index._ensure_capacity(count)
-            host_vectors, host_valid = index._host_state()
             ids = np.arange(count, dtype=np.int64)
-            host_vectors[ids % index.n_shards, ids // index.n_shards] = vectors
-            host_valid[ids % index.n_shards, ids // index.n_shards] = valid
+            index._host_vectors[
+                ids % index.n_shards, ids // index.n_shards
+            ] = vectors
+            index._host_valid[
+                ids % index.n_shards, ids // index.n_shards
+            ] = valid
             index._count = count
-            index._put(host_vectors, host_valid)
+            index._push()
         return index
