@@ -1,0 +1,104 @@
+"""Warm query server: socket protocol, engine routing, fallback behavior."""
+
+import json
+from unittest.mock import MagicMock
+
+import pytest
+
+from tpu_search.interfaces.query_server import (
+    QueryServer,
+    request,
+    socket_path_for,
+)
+
+
+@pytest.fixture
+def engine():
+    mock = MagicMock()
+    mock.embedder.is_model_loaded = True
+    mock.search_conversations.return_value = [
+        {"chunk_id": "c1", "similarity": 0.9, "text": "hit",
+         "metadata": {}, "project": "p", "session": "s",
+         "timestamp": "t", "has_code": False}
+    ]
+    mock.get_index_stats.return_value = {"total_chunks": 42}
+    mock.storage.get_all_projects.return_value = ["alpha"]
+    return mock
+
+
+@pytest.fixture
+def server(engine, tmp_path):
+    server = QueryServer(engine, str(tmp_path))
+    server.start()
+    yield server
+    server.stop()
+
+
+class TestProtocol:
+    def test_ping(self, server, tmp_path):
+        response = request(str(tmp_path), {"op": "ping"})
+        assert response["ok"] is True
+        assert response["model_loaded"] is True
+
+    def test_search_roundtrip(self, server, engine, tmp_path):
+        response = request(
+            str(tmp_path),
+            {"op": "search", "query": "q", "filters": {"has_code": True},
+             "top_k": 5},
+        )
+        assert response["ok"] is True
+        assert response["results"][0]["chunk_id"] == "c1"
+        engine.search_conversations.assert_called_once_with(
+            "q", {"has_code": True}, 5
+        )
+
+    def test_stats_and_projects(self, server, tmp_path):
+        assert request(str(tmp_path), {"op": "stats"})["stats"][
+            "total_chunks"
+        ] == 42
+        assert request(str(tmp_path), {"op": "projects"})["projects"] == [
+            "alpha"
+        ]
+
+    def test_unknown_op(self, server, tmp_path):
+        response = request(str(tmp_path), {"op": "nope"})
+        assert response["ok"] is False
+
+    def test_engine_error_reported(self, server, engine, tmp_path):
+        engine.search_conversations.side_effect = RuntimeError("boom")
+        response = request(str(tmp_path), {"op": "search", "query": "q"})
+        assert response["ok"] is False
+        assert "boom" in response["error"]
+
+    def test_request_without_server_returns_none(self, tmp_path):
+        assert request(str(tmp_path / "empty"), {"op": "ping"}) is None
+
+    def test_stale_socket_returns_none(self, tmp_path):
+        path = socket_path_for(str(tmp_path))
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.touch()  # plain file, not a socket
+        assert request(str(tmp_path), {"op": "ping"}) is None
+
+
+class TestEngineRouting:
+    def test_cli_engine_uses_warm_server(self, server, tmp_path):
+        """A fresh SearchEngine routes searches through the socket instead of
+        loading its own model."""
+        from tpu_search.api.engine import SearchEngine
+
+        cli_engine = SearchEngine(
+            data_dir=str(tmp_path), model_name="hash-768"
+        )
+        results = cli_engine.search_conversations("warm path", top_k=3)
+        assert results[0]["chunk_id"] == "c1"
+        assert not cli_engine.embedder.is_model_loaded  # never loaded locally
+
+    def test_daemon_engine_does_not_self_route(self, tmp_path):
+        from tpu_search.api.engine import SearchEngine
+
+        engine = SearchEngine(
+            data_dir=str(tmp_path),
+            model_name="hash-768",
+            use_warm_server=False,
+        )
+        assert engine.use_warm_server is False

@@ -60,6 +60,7 @@ class SearchEngine:
         use_gpu: bool = False,
         model_name: Optional[str] = None,
         save_interval_s: float = 30.0,
+        use_warm_server: bool = True,
     ) -> None:
         # Model resolution: arg > $CLAUDE_SEARCH_MODEL > default. The env
         # override matters in egress-free environments (use "hash-768").
@@ -70,6 +71,9 @@ class SearchEngine:
         self.data_dir = Path(data_dir).expanduser()
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.use_gpu = use_gpu
+        # Route queries through the watcher daemon's warm server when one is
+        # listening (False inside the daemon itself to avoid self-routing).
+        self.use_warm_server = use_warm_server
         self._timer = PhaseTimer()
         _enable_compilation_cache(self.data_dir / "jax_cache")
 
@@ -221,7 +225,23 @@ class SearchEngine:
         filters: Optional[Dict[str, Any]] = None,
         top_k: int = 10,
     ) -> List[Dict[str, Any]]:
-        """Embed the query and run the fused-filter top-k scan."""
+        """Embed the query and run the fused-filter top-k scan.
+
+        Uses the watcher daemon's warm query server when available (model +
+        index + compiled graphs stay hot there; fixes the reference's
+        per-invocation cold start, src/cli.py:237-241).
+        """
+        if self.use_warm_server:
+            from ..interfaces import query_server
+
+            response = query_server.request(
+                str(self.data_dir),
+                {"op": "search", "query": query, "filters": filters,
+                 "top_k": top_k},
+            )
+            if response is not None and response.get("ok"):
+                return response["results"]
+
         self.storage.initialize()
         if not self.embedder.is_model_loaded:
             self.embedder.load_model()

@@ -1,0 +1,167 @@
+"""Warm query server over a Unix domain socket.
+
+Cold-start fix (SURVEY.md section 7 "hard parts"): the reference reloads the
+model and index on every CLI invocation (src/cli.py:237-241); with XLA
+compiles in the path that would be worse.  The watcher daemon therefore
+doubles as a query server: it already holds a warm engine (model + index +
+compiled graphs), listens on ``<data_dir>/query.sock``, and serves searches
+in a few ms.  The CLI transparently uses the socket when present and falls
+back to a local engine otherwise — no behavior change, only latency.
+
+Protocol: one JSON object per line, one response line per request.
+Ops: ping, search, get_chunk, stats, projects.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import socket
+import socketserver
+import threading
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["QueryServer", "request", "socket_path_for"]
+
+REQUEST_TIMEOUT_S = 30.0
+
+
+def socket_path_for(data_dir: str) -> Path:
+    return Path(data_dir).expanduser() / "query.sock"
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:
+        engine = self.server.engine  # type: ignore[attr-defined]
+        for raw in self.rfile:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                req = json.loads(raw)
+                response = self._dispatch(engine, req)
+            except Exception as exc:
+                response = {"ok": False, "error": str(exc)}
+            self.wfile.write(
+                (json.dumps(response) + "\n").encode("utf-8")
+            )
+            self.wfile.flush()
+
+    def _dispatch(self, engine, req: Dict[str, Any]) -> Dict[str, Any]:
+        op = req.get("op")
+        if op == "ping":
+            return {
+                "ok": True,
+                "pid": os.getpid(),
+                "model_loaded": engine.embedder.is_model_loaded,
+            }
+        if op == "search":
+            results = engine.search_conversations(
+                req.get("query", ""),
+                req.get("filters") or None,
+                req.get("top_k", 10),
+            )
+            return {"ok": True, "results": results}
+        if op == "get_chunk":
+            engine.storage.initialize()
+            chunk = engine.storage.get_chunk_by_id(req.get("chunk_id", ""))
+            if chunk is None:
+                return {"ok": True, "chunk": None}
+            data = engine.storage._get_chunk_data(chunk.id) or {}
+            return {
+                "ok": True,
+                "chunk": {
+                    "id": chunk.id,
+                    "text": chunk.text,
+                    "metadata": chunk.metadata,
+                    "row": {
+                        k: data.get(k)
+                        for k in (
+                            "project_name",
+                            "session_id",
+                            "timestamp",
+                            "has_code",
+                        )
+                    },
+                },
+            }
+        if op == "stats":
+            return {"ok": True, "stats": engine.get_index_stats()}
+        if op == "projects":
+            engine.storage.initialize()
+            return {"ok": True, "projects": engine.storage.get_all_projects()}
+        return {"ok": False, "error": f"unknown op: {op}"}
+
+
+class _UnixServer(socketserver.ThreadingMixIn, socketserver.UnixStreamServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+class QueryServer:
+    """Serves a warm engine over ``<data_dir>/query.sock``."""
+
+    def __init__(self, engine, data_dir: str) -> None:
+        self.engine = engine
+        self.socket_path = socket_path_for(data_dir)
+        self._server: Optional[_UnixServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        if self.socket_path.exists():
+            self.socket_path.unlink()
+        self.socket_path.parent.mkdir(parents=True, exist_ok=True)
+        self._server = _UnixServer(str(self.socket_path), _Handler)
+        self._server.engine = self.engine  # type: ignore[attr-defined]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        logger.info("Query server listening on %s", self.socket_path)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        if self.socket_path.exists():
+            try:
+                self.socket_path.unlink()
+            except OSError:
+                pass
+
+    @property
+    def is_running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+
+def request(
+    data_dir: str,
+    payload: Dict[str, Any],
+    timeout: float = REQUEST_TIMEOUT_S,
+) -> Optional[Dict[str, Any]]:
+    """Send one request to the warm server; None if it isn't reachable."""
+    path = socket_path_for(data_dir)
+    if not path.exists():
+        return None
+    try:
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sock:
+            sock.settimeout(timeout)
+            sock.connect(str(path))
+            sock.sendall((json.dumps(payload) + "\n").encode("utf-8"))
+            buf = b""
+            while not buf.endswith(b"\n"):
+                piece = sock.recv(65536)
+                if not piece:
+                    break
+                buf += piece
+        if not buf:
+            return None
+        return json.loads(buf.decode("utf-8"))
+    except (OSError, json.JSONDecodeError) as exc:
+        logger.debug("Query server unreachable: %s", exc)
+        return None

@@ -125,10 +125,13 @@ class ConversationWatcher:
         self.data_dir = resolve_data_dir(data_dir)
         self.debounce_seconds = debounce_seconds
         self.use_gpu = use_gpu
-        self.cli_instance = SearchEngine(self.data_dir, use_gpu)
+        self.cli_instance = SearchEngine(
+            self.data_dir, use_gpu, use_warm_server=False
+        )
         self.handler = ConversationFileHandler(
             self.cli_instance, debounce_seconds
         )
+        self.query_server = None  # started with watching; serves warm queries
         self.watch: Optional[Watch] = None
         self.is_running = False
         self.pid_file = Path(self.data_dir) / "watcher.pid"
@@ -164,6 +167,17 @@ class ConversationWatcher:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old_handler)
 
+        # The daemon doubles as the warm query server: CLI/MCP searches hit
+        # this process's hot model+index instead of cold-starting.
+        from .query_server import QueryServer
+
+        self.query_server = QueryServer(self.cli_instance, self.data_dir)
+        try:
+            self.query_server.start()
+        except OSError as exc:
+            logger.warning("Query server failed to start: %s", exc)
+            self.query_server = None
+
         self.watch = create_watch(str(claude_path), self.handler.on_event)
         self.watch.start()
         self.is_running = True
@@ -177,6 +191,9 @@ class ConversationWatcher:
             self.stop_watching()
 
     def stop_watching(self) -> None:
+        if self.query_server is not None:
+            self.query_server.stop()
+            self.query_server = None
         if self.watch is not None and self.watch.is_alive:
             self.watch.stop()
         if self.handler.timer is not None and self.handler.timer.is_alive():
