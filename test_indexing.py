@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Manual smoke script against real ~/.claude data (reference parity:
+root-level test_indexing.py — not collected by pytest; run directly).
+
+    CLAUDE_SEARCH_MODEL=hash-768 python test_indexing.py
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from tpu_search.api.engine import SearchEngine
+
+
+def main() -> int:
+    claude_dir = Path("~/.claude/projects").expanduser()
+    if not claude_dir.exists():
+        print(f"No Claude data at {claude_dir}; nothing to smoke-test.")
+        return 0
+
+    files = sorted(claude_dir.rglob("*.jsonl"))[:10]
+    if not files:
+        print("No JSONL files found.")
+        return 0
+    print(f"Indexing {len(files)} files into a temp data dir...")
+
+    data_dir = tempfile.mkdtemp(prefix="tpu_search_smoke_")
+    engine = SearchEngine(data_dir=data_dir, use_warm_server=False)
+    stats = engine.index_conversations(files)
+    print(
+        f"processed={stats['files_processed']} "
+        f"chunks={stats['chunks_indexed']} errors={len(stats['errors'])} "
+        f"duration={stats['duration']:.1f}s"
+    )
+    for error in stats["errors"][:3]:
+        print(f"  - {error}")
+
+    results = engine.search_conversations("error handling", top_k=3)
+    for i, r in enumerate(results, 1):
+        print(f"{i}. [{r['similarity']:.3f}] {r['project']}: "
+              f"{(r['text'] or '')[:80]!r}")
+    return 0 if not stats["errors"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,8 +157,17 @@ class SearchEngine:
         }
         self._timer = PhaseTimer()
 
+        iterator = files
+        if sys.stderr.isatty():  # progress bar for interactive runs only
+            try:
+                from tqdm import tqdm
+
+                iterator = tqdm(files, desc="Processing files", unit="file")
+            except ImportError:
+                pass
+
         failed: List[Path] = []
-        for file_path in files:
+        for file_path in iterator:
             try:
                 if not force and not self.storage.is_file_modified(
                     str(file_path)
