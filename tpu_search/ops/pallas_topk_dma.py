@@ -1,0 +1,174 @@
+"""Pallas TPU kernel v2: manually pipelined fused scan (HBM-resident corpus).
+
+Second-generation version of ops/pallas_topk.py addressing its measured
+bottleneck (per-grid-step pipeline overhead): the corpus stays in HBM and a
+**single** kernel invocation streams it through a two-slot VMEM buffer with
+explicit async DMA (guide pattern: double buffering), so there is no
+per-tile grid machinery at all —
+
+    start DMA(tile 0)
+    for t in tiles:                      (lax.fori_loop)
+        start DMA(tile t+1)              (overlaps with compute)
+        wait DMA(tile t)
+        scores = queries @ tile.T        (MXU, f32 accum)
+        if any(tile max > kth best):     (pruning gate, usually false)
+            running_topk = select_k(...)
+
+Queries are padded to 128 rows by the caller so every MXU pass is full.
+The predicate mask streams as a parallel lane-packed [TILE/128, 128] DMA
+from a separate HBM buffer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.shapes import round_up
+from .pallas_topk import _select_topk
+
+__all__ = ["pallas_flat_topk_dma"]
+
+_LANE = 128
+
+
+def _kernel(
+    vec_hbm,  # [N, D] corpus (HBM)
+    mask_hbm,  # [n_tiles, TILE/128, 128] f32 predicate (HBM, lane-packed)
+    query_ref,  # [Q, D] queries (VMEM)
+    out_scores_ref,  # [Q, K_PAD] (VMEM)
+    out_ids_ref,  # [Q, K_PAD] (VMEM)
+    vec_buf,  # scratch [2, TILE, D] (VMEM)
+    mask_buf,  # scratch [2, TILE/128, 128] (VMEM)
+    best_scores,  # scratch [Q, K_PAD]
+    best_ids,  # scratch [Q, K_PAD]
+    vec_sems,  # DMA sems (2,)
+    mask_sems,  # DMA sems (2,)
+    *,
+    k: int,
+    tile_n: int,
+    n_tiles: int,
+):
+    queries = query_ref[:]
+
+    def vec_dma(slot, tile_idx):
+        return pltpu.make_async_copy(
+            vec_hbm.at[pl.ds(tile_idx * tile_n, tile_n), :],
+            vec_buf.at[slot],
+            vec_sems.at[slot],
+        )
+
+    def mask_dma(slot, tile_idx):
+        return pltpu.make_async_copy(
+            mask_hbm.at[tile_idx],
+            mask_buf.at[slot],
+            mask_sems.at[slot],
+        )
+
+    best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+    best_ids[:] = jnp.zeros_like(best_ids[:])
+
+    vec_dma(0, 0).start()
+    mask_dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        next_slot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _prefetch():
+            vec_dma(next_slot, t + 1).start()
+            mask_dma(next_slot, t + 1).start()
+
+        vec_dma(slot, t).wait()
+        mask_dma(slot, t).wait()
+
+        tile = vec_buf[slot]
+        scores = jax.lax.dot_general(
+            queries.astype(tile.dtype),
+            tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Q, TILE]
+        live = mask_buf[slot].reshape(1, tile_n) > 0.5
+        scores = jnp.where(live, scores, -jnp.inf)
+
+        tile_max = jnp.max(scores, axis=1)
+        kth = best_scores[:, k - 1]
+        should_merge = jnp.any(tile_max > kth)
+
+        @pl.when(should_merge)
+        def _merge():
+            tile_ids = t * tile_n + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
+            )
+            merged_s = jnp.concatenate([best_scores[:], scores], axis=1)
+            merged_i = jnp.concatenate([best_ids[:], tile_ids], axis=1)
+            new_s, new_i = _select_topk(merged_s, merged_i, k)
+            best_scores[:, 0:k] = new_s
+            best_ids[:, 0:k] = new_i
+
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
+    out_scores_ref[:] = best_scores[:]
+    out_ids_ref[:] = best_ids[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_flat_topk_dma(
+    vectors: jax.Array,  # [N, D], N multiple of tile_n
+    mask: jax.Array,  # [N] bool
+    queries: jax.Array,  # [Q, D] f32 (pad Q to 128 for full MXU passes)
+    k: int,
+    tile_n: int = 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    n, d = vectors.shape
+    q = queries.shape[0]
+    k_pad = round_up(k, _LANE)
+    n_tiles = n // tile_n
+    # Lane-packed mask: [n_tiles, TILE/128, 128] so per-tile DMA slices are
+    # layout-friendly ([N, 1] memrefs tile to a full 128-lane stripe in HBM
+    # and per-tile slicing of that breaks the Mosaic compiler).
+    mask_f32 = mask.astype(jnp.float32).reshape(
+        n_tiles, tile_n // _LANE, _LANE
+    )
+
+    out_scores, out_ids = pl.pallas_call(
+        partial(_kernel, k=k, tile_n=tile_n, n_tiles=n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # corpus stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mask stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n, d), vectors.dtype),
+            pltpu.VMEM((2, tile_n // _LANE, _LANE), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d * vectors.dtype.itemsize + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vectors, mask_f32, queries)
+    return out_scores[:, :k], out_ids[:, :k]
