@@ -169,7 +169,7 @@ class TestOtherTools:
         assert "No projects found" in text
 
     def test_list_projects_error(self, engine):
-        engine.storage.initialize.side_effect = RuntimeError("locked")
+        engine.storage.initialize_metadata.side_effect = RuntimeError("locked")
         with pytest.raises(McpError) as info:
             call_tool("list_projects", {})
         assert info.value.code == INTERNAL_ERROR

@@ -169,7 +169,7 @@ def search(
     # (reference: src/cli.py:379-451).
     if chunk_id:
         try:
-            engine.storage.initialize()
+            engine.storage.initialize_metadata()  # no vector index needed
             chunk = engine.storage.get_chunk_by_id(chunk_id)
             if not chunk:
                 click.echo(f"❌ Chunk not found: {chunk_id}")
@@ -240,7 +240,7 @@ def search(
     # Related-chunk navigation (reference: src/cli.py:453-573).
     if related_to:
         try:
-            engine.storage.initialize()
+            engine.storage.initialize_metadata()  # no vector index needed
             ref_data = engine.storage._get_chunk_data(related_to)
             if not ref_data:
                 click.echo(f"❌ Reference chunk not found: {related_to}")

@@ -194,7 +194,7 @@ def _semantic_search(arguments: Dict[str, Any]) -> List[Dict[str, Any]]:
     chunk_id = arguments.get("chunk_id")
     if chunk_id:
         cli = get_search_cli()
-        cli.storage.initialize()
+        cli.storage.initialize_metadata()  # no vector index needed
         return _chunk_card(cli, chunk_id)
 
     query: str = arguments.get("query", "")
@@ -222,7 +222,7 @@ def _semantic_search(arguments: Dict[str, Any]) -> List[Dict[str, Any]]:
     # (improves on the reference, which forwarded a meaningless filter key:
     # src/mcp_server.py:195-198 vs the CLI's handling at src/cli.py:453).
     if arguments.get("related_to"):
-        cli.storage.initialize()
+        cli.storage.initialize_metadata()  # session lookup needs SQL only
         ref = cli.storage._get_chunk_data(arguments["related_to"])
         if not ref:
             raise McpError(
@@ -356,12 +356,12 @@ def call_tool(name: str, arguments: Dict[str, Any]) -> List[Dict[str, Any]]:
         return _semantic_search(arguments)
     if name == "get_chunk_by_id":
         cli = get_search_cli()
-        cli.storage.initialize()
+        cli.storage.initialize_metadata()
         return _chunk_card(cli, arguments.get("chunk_id"))
     if name == "list_projects":
         cli = get_search_cli()
         try:
-            cli.storage.initialize()
+            cli.storage.initialize_metadata()
             projects = cli.storage.get_all_projects()
             listing = (
                 "\n".join(f"- {p}" for p in projects)

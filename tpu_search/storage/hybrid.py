@@ -146,6 +146,11 @@ class HybridStorage:
 
     # -- lifecycle -----------------------------------------------------------
 
+    def initialize_metadata(self) -> None:
+        """Open only SQLite — enough for chunk-by-id / session / project
+        reads without pulling the vector index into device memory."""
+        self.meta.open()
+
     def initialize(self) -> None:
         """Open SQLite, create/load the vector index, rebuild id maps."""
         if self._initialized:
