@@ -1,20 +1,7 @@
 #!/usr/bin/env python3
-"""Model setup: download all-mpnet-base-v2, convert to the native checkpoint.
+"""Thin wrapper: the model setup logic lives in tpu_search.models.setup
+(packaged so the `setup-models` console script works from a wheel)."""
 
-Reference parity: scripts/model_setup.py (download + cache + verify).  The
-TPU build adds a conversion step — the downloaded torch weights become a
-JAX-native ``model.tpu.npz`` so runtime never imports torch.
-
-Offline environments: pass ``--from-dir`` pointing at an already-downloaded
-HF/sentence-transformers directory, or use the weight-free fallback encoder
-(``CLAUDE_SEARCH_MODEL=hash-768``).
-"""
-
-from __future__ import annotations
-
-import argparse
-import os
-import shutil
 import sys
 from pathlib import Path
 
@@ -22,137 +9,7 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-MODEL_NAME = "all-mpnet-base-v2"
-HF_REPO = "sentence-transformers/all-mpnet-base-v2"
-
-
-def get_model_cache_dir() -> Path:
-    data_dir = os.environ.get(
-        "CLAUDE_SEARCH_DATA_DIR", "~/.claude-semantic-search/data"
-    )
-    cache = Path(data_dir).expanduser() / "models"
-    cache.mkdir(parents=True, exist_ok=True)
-    return cache
-
-
-def download_model(force: bool = False) -> Path:
-    """Fetch the HF snapshot (requires network) into the cache dir."""
-    cache = get_model_cache_dir()
-    target = cache / MODEL_NAME
-    if (target / "model.tpu.npz").exists() and not force:
-        print(f"Model {MODEL_NAME} already set up at {target}")
-        return target
-    print(f"Downloading {HF_REPO} (~420MB)...")
-    from huggingface_hub import snapshot_download
-
-    snapshot = snapshot_download(
-        HF_REPO,
-        allow_patterns=[
-            "*.json", "*.txt", "pytorch_model.bin", "model.safetensors",
-        ],
-    )
-    target.mkdir(parents=True, exist_ok=True)
-    for name in os.listdir(snapshot):
-        src = Path(snapshot) / name
-        if src.is_file():
-            shutil.copy2(src, target / name)
-    return target
-
-
-def convert(model_dir: Path) -> Path:
-    from tpu_search.models.convert import convert_pretrained_dir
-
-    out = model_dir / "model.tpu.npz"
-    print(f"Converting torch checkpoint -> {out}")
-    convert_pretrained_dir(str(model_dir), str(out))
-    return out
-
-
-def verify(model_dir: Path) -> bool:
-    """Sanity-check the converted encoder: 768-d unit-norm embeddings on
-    three probe sentences (reference: scripts/model_setup.py:79-99)."""
-    import numpy as np
-
-    from tpu_search.models.encoder import EmbeddingConfig, EmbeddingGenerator
-
-    gen = EmbeddingGenerator(
-        EmbeddingConfig(
-            model_name=model_dir.name, cache_dir=str(model_dir.parent)
-        )
-    )
-    gen.load_model()
-    sentences = [
-        "How do I profile a JAX program?",
-        "The watcher daemon reindexes conversations.",
-        "Completely unrelated sentence about cooking pasta.",
-    ]
-    vecs = np.stack([gen.generate_single_embedding(s) for s in sentences])
-    ok = (
-        vecs.shape == (3, 768)
-        and np.allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-3)
-        and vecs.dtype == np.float32
-    )
-    sim_related = float(vecs[0] @ vecs[1])
-    sim_unrelated = float(vecs[0] @ vecs[2])
-    print(
-        f"Verification: shape={vecs.shape} norms ok={ok} "
-        f"sim(related)={sim_related:.3f} sim(unrelated)={sim_unrelated:.3f}"
-    )
-    return bool(ok)
-
-
-def get_system_info() -> dict:
-    import jax
-
-    devices = jax.devices()
-    return {
-        "backend": devices[0].platform if devices else "none",
-        "device_count": len(devices),
-        "devices": [str(d) for d in devices],
-        "python": sys.version.split()[0],
-        "jax": jax.__version__,
-    }
-
-
-def main() -> None:
-    parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--force", action="store_true", help="re-download")
-    parser.add_argument(
-        "--from-dir",
-        help="convert an already-downloaded HF/sentence-transformers dir "
-        "instead of downloading",
-    )
-    parser.add_argument(
-        "--skip-verify", action="store_true", help="skip the encode check"
-    )
-    args = parser.parse_args()
-
-    print("System:", get_system_info())
-    try:
-        if args.from_dir:
-            source = Path(args.from_dir).expanduser()
-            target = get_model_cache_dir() / MODEL_NAME
-            if source.resolve() != target.resolve():
-                target.mkdir(parents=True, exist_ok=True)
-                for item in source.iterdir():
-                    if item.is_file():
-                        shutil.copy2(item, target / item.name)
-            model_dir = target
-        else:
-            model_dir = download_model(force=args.force)
-        if not (model_dir / "model.tpu.npz").exists() or args.force:
-            convert(model_dir)
-        if not args.skip_verify and not verify(model_dir):
-            sys.exit(1)
-        print(f"✅ Model ready at {model_dir}")
-    except Exception as exc:
-        print(f"❌ Model setup failed: {exc}")
-        print(
-            "Offline? Use --from-dir with a pre-downloaded model, or set "
-            "CLAUDE_SEARCH_MODEL=hash-768 for the weight-free fallback."
-        )
-        sys.exit(1)
-
+from tpu_search.models.setup import main
 
 if __name__ == "__main__":
     main()

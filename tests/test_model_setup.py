@@ -7,12 +7,7 @@ from pathlib import Path
 
 import pytest
 
-REPO_ROOT = Path(__file__).resolve().parent.parent
-SCRIPTS = REPO_ROOT / "scripts"
-if str(SCRIPTS) not in sys.path:
-    sys.path.insert(0, str(SCRIPTS))
-
-import model_setup  # noqa: E402
+from tpu_search.models import setup as model_setup
 
 
 class TestCacheDir:
