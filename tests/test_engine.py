@@ -1,0 +1,116 @@
+"""SearchEngine failure paths: retry round, error accumulation, force flag,
+dim mismatch — with a deliberately flaky embedder."""
+
+import json
+from pathlib import Path
+from unittest.mock import patch
+
+import pytest
+
+from tpu_search.api.engine import SearchEngine, resolve_data_dir
+
+
+def write_file(path: Path, text="some user question that is long enough"):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    lines = [
+        {"uuid": "u1", "sessionId": "s", "timestamp": "2024-01-01T10:00:00Z",
+         "message": {"role": "user", "content": text * 3}},
+        {"uuid": "a1", "sessionId": "s", "timestamp": "2024-01-01T10:01:00Z",
+         "message": {"role": "assistant", "content": "an answer " * 20}},
+    ]
+    with open(path, "w") as fh:
+        for line in lines:
+            fh.write(json.dumps(line) + "\n")
+    return path
+
+
+@pytest.fixture
+def engine(tmp_path):
+    engine = SearchEngine(
+        data_dir=str(tmp_path / "data"),
+        model_name="hash-768",
+        use_warm_server=False,
+    )
+    engine.storage.config.device = "cpu"
+    return engine
+
+
+class TestRetryRound:
+    def test_transient_failure_recovers_on_retry(self, engine, tmp_path):
+        f = write_file(tmp_path / "proj" / "a.jsonl")
+        original = engine.embedder.generate_embeddings
+        calls = {"n": 0}
+
+        def flaky(chunks):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient device error")
+            return original(chunks)
+
+        with patch.object(engine.embedder, "generate_embeddings", flaky):
+            stats = engine.index_conversations([f])
+        assert stats["files_processed"] == 1
+        assert stats["errors"] == []  # cleared after successful retry
+        assert stats["chunks_indexed"] > 0
+
+    def test_persistent_failure_reported(self, engine, tmp_path):
+        f = write_file(tmp_path / "proj" / "a.jsonl")
+        with patch.object(
+            engine.embedder,
+            "generate_embeddings",
+            side_effect=RuntimeError("dead"),
+        ):
+            stats = engine.index_conversations([f])
+        assert stats["files_processed"] == 0
+        assert len(stats["errors"]) == 1
+        assert "dead" in stats["errors"][0]
+
+    def test_one_bad_file_does_not_block_others(self, engine, tmp_path):
+        good = write_file(tmp_path / "proj" / "good.jsonl")
+        bad = tmp_path / "proj" / "bad.jsonl"
+        bad.write_text("")  # parses to None -> skipped, not error
+        stats = engine.index_conversations([bad, good])
+        assert stats["files_processed"] == 1
+        assert stats["files_skipped"] == 1
+        assert stats["errors"] == []
+
+
+class TestForceAndDims:
+    def test_force_clears_existing(self, engine, tmp_path):
+        f = write_file(tmp_path / "proj" / "a.jsonl")
+        engine.index_conversations([f])
+        first_total = engine.storage.total_chunks
+        assert first_total > 0
+        stats = engine.index_conversations([f], force=True)
+        assert stats["files_processed"] == 1
+        assert engine.storage.total_chunks == first_total
+
+    def test_dim_mismatch_raises(self, tmp_path):
+        engine = SearchEngine(
+            data_dir=str(tmp_path / "data"),
+            model_name="hash-64",  # != storage 768
+            use_warm_server=False,
+        )
+        engine.storage.config.device = "cpu"
+        f = write_file(tmp_path / "proj" / "a.jsonl")
+        with pytest.raises(RuntimeError, match="dim"):
+            engine.index_conversations([f])
+
+    def test_phases_reported(self, engine, tmp_path):
+        f = write_file(tmp_path / "proj" / "a.jsonl")
+        stats = engine.index_conversations([f])
+        assert set(stats["phases"]) >= {"parse", "chunk", "embed", "store"}
+
+
+class TestResolution:
+    def test_resolve_data_dir_priority(self, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_DATA_DIR", "/tmp/from-env")
+        assert resolve_data_dir(None) == "/tmp/from-env"
+        assert resolve_data_dir("/tmp/explicit") == "/tmp/explicit"
+        monkeypatch.delenv("CLAUDE_SEARCH_DATA_DIR")
+        assert resolve_data_dir(None).endswith(".claude-semantic-search/data")
+
+    def test_model_env_override(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_MODEL", "hash-128")
+        engine = SearchEngine(data_dir=str(tmp_path), use_warm_server=False)
+        assert engine.embedder.config.model_name == "hash-128"
