@@ -161,7 +161,7 @@ def _position_bias(
 def _attention(
     x: jax.Array,
     lp: Dict[str, jax.Array],
-    bias_and_mask: jax.Array,
+    bias_and_mask,
     config: MPNetConfig,
 ) -> jax.Array:
     b, s, h = x.shape
@@ -174,12 +174,26 @@ def _attention(
     k = proj(lp["k_w"], lp["k_b"])
     v = proj(lp["v_w"], lp["v_b"])
 
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(hd)
-    scores = scores + bias_and_mask  # rel-pos bias + padding mask, f32
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if isinstance(bias_and_mask, tuple):
+        # Flash path: (ab bias tiles, segment ids). The S x S score matrix
+        # never materializes per layer — online softmax over K/V tiles
+        # (jax.experimental.pallas TPU flash attention kernel).
+        ab, segment_ids = bias_and_mask
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        ctx = flash_attention(
+            q, k, v, ab=ab, segment_ids=segment_ids,
+            sm_scale=1.0 / math.sqrt(hd),
+        )
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        scores = scores + bias_and_mask  # rel-pos bias + padding mask, f32
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
     return ctx @ lp["o_w"] + lp["o_b"]
 
@@ -212,8 +226,17 @@ def forward_hidden(
     attention_mask: jax.Array,
     config: MPNetConfig,
     compute_dtype=jnp.float32,
+    attention_impl: str = "dense",  # "dense" | "flash" (TPU pallas kernel)
 ) -> jax.Array:
-    """Token ids -> last hidden state ``[B, S, H]`` (MPNetModel parity)."""
+    """Token ids -> last hidden state ``[B, S, H]`` (MPNetModel parity).
+
+    ``attention_impl="flash"`` uses the TPU flash-attention pallas kernel:
+    the relative-position bias (shared by all 12 layers) materializes ONCE
+    in compute dtype as the additive ``ab`` input, padding is expressed as
+    segment ids, and per-layer ``[B, heads, S, S]`` score tensors never
+    exist — attention was measured at 48% of encode time in the dense path
+    with only ~8% of the FLOPs (pure HBM traffic).
+    """
     pad = config.pad_token_id
     mask_i = (input_ids != pad).astype(jnp.int32)
     position_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
@@ -223,13 +246,23 @@ def forward_hidden(
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
     x = x.astype(compute_dtype)
 
-    seq_len = input_ids.shape[1]
+    batch, seq_len = input_ids.shape
     bias = _position_bias(
         params["rel_bias"].astype(jnp.float32), seq_len, config
     )
-    neg = jnp.finfo(jnp.float32).min
-    ext_mask = (1.0 - attention_mask.astype(jnp.float32)) * neg
-    bias_and_mask = bias + ext_mask[:, None, None, :]  # [B, heads, S, S] f32
+    if attention_impl == "flash":
+        from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+        ab = jnp.broadcast_to(
+            bias.astype(compute_dtype),
+            (batch, config.num_heads, seq_len, seq_len),
+        )
+        seg = attention_mask.astype(jnp.int32)  # pads = segment 0
+        bias_and_mask = (ab, SegmentIds(q=seg, kv=seg))
+    else:
+        neg = jnp.finfo(jnp.float32).min
+        ext_mask = (1.0 - attention_mask.astype(jnp.float32)) * neg
+        bias_and_mask = bias + ext_mask[:, None, None, :]  # [B, h, S, S] f32
 
     layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
 
@@ -247,6 +280,7 @@ def encode(
     config: MPNetConfig,
     compute_dtype=jnp.float32,
     normalize: bool = True,
+    attention_impl: str = "dense",
 ) -> jax.Array:
     """Token ids -> sentence embeddings ``[B, H]``.
 
@@ -254,7 +288,8 @@ def encode(
     reference model card for all-mpnet-base-v2) fused into the encoder graph.
     """
     hidden = forward_hidden(
-        params, input_ids, attention_mask, config, compute_dtype
+        params, input_ids, attention_mask, config, compute_dtype,
+        attention_impl,
     ).astype(jnp.float32)
     mask = attention_mask.astype(jnp.float32)[:, :, None]
     summed = jnp.sum(hidden * mask, axis=1)
