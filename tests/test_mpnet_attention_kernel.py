@@ -1,0 +1,75 @@
+"""Custom MPNet attention Pallas kernel: parity vs the dense path
+(interpret mode on CPU; real-TPU numbers in ROADMAP.md)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tpu_search.models.mpnet as M
+import tpu_search.ops.pallas_mpnet_attention as PA
+
+TINY = M.MPNetConfig(
+    vocab_size=64,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    max_position=96,
+)
+
+
+@pytest.fixture(autouse=True)
+def interpret_kernel(monkeypatch):
+    original = PA.mpnet_flash_attention
+
+    def interpreted(*args, **kwargs):
+        kwargs.pop("interpret", None)
+        return original(*args, interpret=True, **kwargs)
+
+    monkeypatch.setattr(PA, "mpnet_flash_attention", interpreted)
+
+
+def test_matches_dense_with_padding():
+    params = M.init_params(TINY, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, 64, size=(3, 16)).astype(np.int32)
+    mask = np.ones((3, 16), np.int32)
+    mask[0, 10:] = 0
+    ids[0, 10:] = 1
+    mask[2, 4:] = 0
+    ids[2, 4:] = 1
+
+    dense = np.asarray(
+        M.encode(params, jnp.asarray(ids), jnp.asarray(mask), TINY)
+    )
+    pallas = np.asarray(
+        M.encode(
+            params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            TINY,
+            attention_impl="pallas",
+        )
+    )
+    np.testing.assert_allclose(pallas, dense, atol=1e-5)
+
+
+def test_kernel_direct():
+    rng = np.random.default_rng(1)
+    b, h, s, hd = 2, 4, 16, 8
+    q = jnp.asarray(rng.standard_normal((b, h, s, hd)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, hd)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, hd)), dtype=jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, s, s)), dtype=jnp.float32)
+    kmask = jnp.zeros((b, s), jnp.float32)
+
+    got = PA.mpnet_flash_attention(q, k, v, bias, kmask, scale=0.5)
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.5 + bias[None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )

@@ -174,10 +174,22 @@ def _attention(
     k = proj(lp["k_w"], lp["k_b"])
     v = proj(lp["v_w"], lp["v_b"])
 
-    if isinstance(bias_and_mask, tuple):
-        # Flash path: (ab bias tiles, segment ids). The S x S score matrix
-        # never materializes per layer — online softmax over K/V tiles
-        # (jax.experimental.pallas TPU flash attention kernel).
+    if isinstance(bias_and_mask, tuple) and isinstance(
+        bias_and_mask[0], str
+    ):
+        # Custom MPNet kernel: batch-free shared bias, scores stay in VMEM
+        # (ops/pallas_mpnet_attention.py).
+        _, shared_bias, key_mask_add = bias_and_mask
+        from ..ops.pallas_mpnet_attention import mpnet_flash_attention
+
+        ctx = mpnet_flash_attention(
+            q, k, v, shared_bias, key_mask_add,
+            scale=1.0 / math.sqrt(hd),
+        )
+    elif isinstance(bias_and_mask, tuple):
+        # Stock flash path: (ab bias tiles, segment ids). The S x S score
+        # matrix never materializes per layer — online softmax over K/V
+        # tiles (jax.experimental.pallas TPU flash attention kernel).
         ab, segment_ids = bias_and_mask
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention,
@@ -250,7 +262,11 @@ def forward_hidden(
     bias = _position_bias(
         params["rel_bias"].astype(jnp.float32), seq_len, config
     )
-    if attention_impl == "flash":
+    if attention_impl == "pallas":
+        neg = jnp.finfo(jnp.float32).min
+        key_mask_add = (1.0 - attention_mask.astype(jnp.float32)) * neg
+        bias_and_mask = ("pallas", bias[0], key_mask_add)
+    elif attention_impl == "flash":
         from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
 
         ab = jnp.broadcast_to(
