@@ -1,0 +1,128 @@
+"""HybridStorage with the sharded flat index over the 8-device virtual mesh:
+the multi-chip serving configuration end-to-end through the storage facade."""
+
+import numpy as np
+import pytest
+
+from tpu_search.ingest.chunker import Chunk
+from tpu_search.parallel.sharded_index import ShardedFlatIndex
+from tpu_search.storage import HybridStorage, SearchConfig, StorageConfig
+
+
+def make_chunk(cid, vec, **meta):
+    metadata = {
+        "chunk_type": meta.get("chunk_type", "qa_pair"),
+        "session_id": meta.get("session_id", "s1"),
+        "project_name": meta.get("project_name", "projA"),
+        "file_path": meta.get("file_path", "/tmp/a.jsonl"),
+        "timestamp": meta.get("timestamp", "2024-01-15T10:00:00+00:00"),
+        "has_code": meta.get("has_code", False),
+        "has_tools": False,
+        "message_count": 1,
+        "char_count": 10,
+        "word_count": 2,
+    }
+    return Chunk(id=cid, text=f"text {cid}", metadata=metadata,
+                 embedding=list(vec))
+
+
+@pytest.fixture
+def storage(tmp_path):
+    config = StorageConfig(
+        data_dir=str(tmp_path),
+        embedding_dim=16,
+        auto_save=False,
+        storage_dtype="float32",
+        shard_devices=8,  # the virtual CPU mesh from conftest
+    )
+    s = HybridStorage(config)
+    s.initialize()
+    yield s
+    s.close()
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestShardedStorage:
+    def test_uses_sharded_index(self, storage):
+        assert isinstance(storage.index, ShardedFlatIndex)
+        assert storage.index.n_shards == 8
+
+    def test_add_search_roundtrip(self, storage):
+        rng = np.random.default_rng(0)
+        vecs = normed(rng, 50, 16)
+        storage.add_chunks(
+            [make_chunk(f"c{i}", vecs[i]) for i in range(50)]
+        )
+        results = storage.search(vecs[17], SearchConfig(top_k=3))
+        assert results[0].chunk_id == "c17"
+        assert results[0].similarity == pytest.approx(1.0, abs=1e-5)
+
+    def test_filters_fused_across_shards(self, storage):
+        rng = np.random.default_rng(1)
+        vecs = normed(rng, 40, 16)
+        chunks = [
+            make_chunk(
+                f"c{i}", vecs[i],
+                project_name="rare" if i % 5 == 0 else "common",
+            )
+            for i in range(40)
+        ]
+        storage.add_chunks(chunks)
+        results = storage.search(
+            vecs[3], SearchConfig(top_k=5), filters={"project_name": "rare"}
+        )
+        assert results
+        assert all(r.metadata["project_name"] == "rare" for r in results)
+
+    def test_delete_and_optimize(self, storage):
+        rng = np.random.default_rng(2)
+        vecs = normed(rng, 20, 16)
+        storage.add_chunks([make_chunk(f"c{i}", vecs[i]) for i in range(20)])
+        for i in range(5):
+            assert storage.delete_chunk(f"c{i}")
+        assert storage.index.live == 15
+        storage.optimize()
+        assert storage.index.ntotal == 15
+        results = storage.search(vecs[10], SearchConfig(top_k=1))
+        assert results[0].chunk_id == "c10"
+
+    def test_persistence_roundtrip(self, tmp_path):
+        config = StorageConfig(
+            data_dir=str(tmp_path),
+            embedding_dim=16,
+            auto_save=True,
+            storage_dtype="float32",
+            shard_devices=8,
+        )
+        rng = np.random.default_rng(3)
+        vecs = normed(rng, 30, 16)
+        with HybridStorage(config) as s:
+            s.add_chunks([make_chunk(f"c{i}", vecs[i]) for i in range(30)])
+        with HybridStorage(config) as s2:
+            assert isinstance(s2.index, ShardedFlatIndex)
+            results = s2.search(vecs[7], SearchConfig(top_k=1))
+            assert results[0].chunk_id == "c7"
+
+    def test_single_device_interop(self, tmp_path):
+        """An index saved sharded must open on one device (and vice versa)."""
+        sharded_cfg = StorageConfig(
+            data_dir=str(tmp_path), embedding_dim=16, auto_save=True,
+            storage_dtype="float32", shard_devices=8,
+        )
+        rng = np.random.default_rng(4)
+        vecs = normed(rng, 25, 16)
+        with HybridStorage(sharded_cfg) as s:
+            s.add_chunks([make_chunk(f"c{i}", vecs[i]) for i in range(25)])
+
+        single_cfg = StorageConfig(
+            data_dir=str(tmp_path), embedding_dim=16, auto_save=False,
+            storage_dtype="float32", shard_devices=1,
+        )
+        with HybridStorage(single_cfg) as s2:
+            assert not isinstance(s2.index, ShardedFlatIndex)
+            results = s2.search(vecs[9], SearchConfig(top_k=1))
+            assert results[0].chunk_id == "c9"

@@ -183,6 +183,23 @@ class ShardedFlatIndex:
         self._push()
         return n_live
 
+    def compact(self) -> Dict[int, int]:
+        """Drop tombstones, renumber global ids contiguously; old->new map."""
+        if self._count == 0:
+            return {}
+        ids = np.arange(self._count, dtype=np.int64)
+        shards = ids % self.n_shards
+        slots = ids // self.n_shards
+        valid = self._host_valid[shards, slots]
+        keep = ids[valid]
+        mapping = {int(old): new for new, old in enumerate(keep)}
+        kept_vectors = self._host_vectors[keep % self.n_shards,
+                                          keep // self.n_shards]
+        self.clear()
+        if kept_vectors.shape[0]:
+            self.add(kept_vectors)
+        return mapping
+
     def clear(self) -> None:
         self._local_capacity = 0
         self._count = 0

@@ -59,6 +59,10 @@ class StorageConfig:
     device: str = "auto"  # "auto" | "tpu" | "cpu"
     storage_dtype: str = "bfloat16"  # HBM corpus dtype ("float32" | "bfloat16")
     save_interval_s: float = 0.0  # min seconds between auto-saves (0 = always)
+    # Corpus sharding over a device mesh (flat index only):
+    #   0 = auto (shard over all accelerator devices when more than one),
+    #   1 = force single-device, N>1 = shard over the first N devices.
+    shard_devices: int = 0
 
 
 @dataclass
@@ -151,16 +155,64 @@ class HybridStorage:
         reads without pulling the vector index into device memory."""
         self.meta.open()
 
+    def _index_mesh(self):
+        """Mesh to shard the flat index over, or None for single-device.
+
+        Multi-chip serving: each chip holds a corpus slice, queries fan out
+        and top-k merges over ICI (parallel/sharded_index.py). Auto-enabled
+        when several accelerator devices are attached.
+        """
+        import jax
+
+        if self.config.index_type != "flat":
+            return None
+        n = self.config.shard_devices
+        if n == 1:
+            return None
+        if n == 0:
+            accel = [
+                d
+                for d in jax.devices()
+                if d.platform not in ("cpu", "interpreter")
+            ]
+            if len(accel) <= 1:
+                return None
+            devices = accel
+        else:
+            devices = jax.devices()[:n]
+            if len(devices) < n:
+                self.logger.warning(
+                    "shard_devices=%d but only %d devices; not sharding",
+                    n,
+                    len(devices),
+                )
+                return None
+        from ..parallel.mesh import build_mesh
+
+        return build_mesh(n_data=len(devices), n_model=1, devices=devices)
+
     def initialize(self) -> None:
         """Open SQLite, create/load the vector index, rebuild id maps."""
         if self._initialized:
             return
         self.meta.open()
         device = self._pick_device()
+        mesh = self._index_mesh()
 
         if self.index_path.exists():
             try:
-                self.index = load_index(str(self.index_path), device=device)
+                if mesh is not None:
+                    from ..parallel.sharded_index import ShardedFlatIndex
+
+                    self.index = ShardedFlatIndex.load(
+                        str(self.index_path),
+                        mesh=mesh,
+                        dtype=self.config.storage_dtype,
+                    )
+                else:
+                    self.index = load_index(
+                        str(self.index_path), device=device
+                    )
                 self.logger.info(
                     "Loaded index with %d vectors", self.index.ntotal
                 )
@@ -168,14 +220,28 @@ class HybridStorage:
                 self.logger.warning("Could not load existing index: %s", exc)
                 self.index = None
         if self.index is None:
-            self.index = create_index(
-                self.config.index_type,
-                dim=self.embedding_dim,
-                metric="ip" if self.config.normalize_embeddings else "l2",
-                dtype=self.config.storage_dtype,
-                device=device,
-                nlist=self.config.ivf_nlist,
-            )
+            if mesh is not None:
+                from ..parallel.sharded_index import ShardedFlatIndex
+
+                self.index = ShardedFlatIndex(
+                    dim=self.embedding_dim,
+                    mesh=mesh,
+                    metric="ip" if self.config.normalize_embeddings else "l2",
+                    dtype=self.config.storage_dtype,
+                )
+                self.logger.info(
+                    "Sharded flat index over %d devices",
+                    mesh.shape["data"],
+                )
+            else:
+                self.index = create_index(
+                    self.config.index_type,
+                    dim=self.embedding_dim,
+                    metric="ip" if self.config.normalize_embeddings else "l2",
+                    dtype=self.config.storage_dtype,
+                    device=device,
+                    nlist=self.config.ivf_nlist,
+                )
 
         self._rebuild_id_mappings()
         self._initialized = True
@@ -416,8 +482,18 @@ class HybridStorage:
         src = Path(backup_dir)
         index_file = src / self.config.index_name
         if index_file.exists():
-            device = self.index.device if self.index is not None else None
-            self.index = load_index(str(index_file), device=device)
+            mesh = self._index_mesh()
+            if mesh is not None:
+                from ..parallel.sharded_index import ShardedFlatIndex
+
+                self.index = ShardedFlatIndex.load(
+                    str(index_file),
+                    mesh=mesh,
+                    dtype=self.config.storage_dtype,
+                )
+            else:
+                device = getattr(self.index, "device", None)
+                self.index = load_index(str(index_file), device=device)
         db_file = src / self.config.db_name
         if db_file.exists():
             self.meta.restore_from(str(db_file))
