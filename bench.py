@@ -126,7 +126,26 @@ def bench_search() -> dict:
     qps_bf16, p50_bf16 = time_single(index_bf16)
     batched_bf16 = time_batched(index_bf16)
 
+    # Filtered search (BASELINE.json config #3): a 10%-selectivity predicate
+    # mask fused into the scan — measures the masked kernel path, and checks
+    # every hit satisfies the predicate.
+    rng = np.random.default_rng(7)
+    predicate = rng.random(CORPUS_N) < 0.10
+    _, filtered_ids = index_bf16.search(
+        queries[:8], k=TOP_K, mask=predicate
+    )
+    allowed = predicate[filtered_ids.clip(min=0)]
+    assert allowed[filtered_ids >= 0].all(), "filtered hit off-predicate"
+    for i in range(3):
+        index_bf16.search(queries[i], k=TOP_K, mask=predicate)
+    t0 = time.perf_counter()
+    n_filtered = 20
+    for i in range(n_filtered):
+        index_bf16.search(queries[i % 256], k=TOP_K, mask=predicate)
+    filtered_qps = n_filtered / (time.perf_counter() - t0)
+
     return {
+        "filtered_qps_b1_bf16": filtered_qps,
         "recall_f32": recall_f32,
         "recall_bf16": recall_bf16,
         "qps_b1_f32": qps_f32,
@@ -192,7 +211,8 @@ def main() -> None:
         f"recall={search['recall_f32']:.4f} | "
         f"bf16 qps_b1={search['qps_b1_bf16']:.1f} "
         f"p50={search['p50_ms_bf16']:.2f}ms recall={search['recall_bf16']:.4f} "
-        f"qps_b128={search['qps_b128_bf16']:.0f}"
+        f"qps_b128={search['qps_b128_bf16']:.0f} "
+        f"filtered_qps_b1={search['filtered_qps_b1_bf16']:.1f}"
     )
     tps = embed["texts_per_s_seq384_b128"]
     log(
