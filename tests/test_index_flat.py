@@ -219,3 +219,37 @@ class TestPersistence:
         index.save(str(tmp_path / "empty.npz"))
         loaded = FlatIndex.load(str(tmp_path / "empty.npz"))
         assert loaded.ntotal == 0
+
+
+class TestDeviceAdoption:
+    def test_from_device_vectors_zero_copy_when_aligned(self, rng):
+        import jax.numpy as jnp
+
+        vecs = jnp.asarray(normed(rng, 1024, 8), dtype=jnp.float32)
+        index = FlatIndex.from_device_vectors(vecs, dtype="float32")
+        # aligned + same dtype -> the buffer is adopted, not copied
+        assert index._vectors is vecs
+        assert index.ntotal == 1024 and index.live == 1024
+        _, ids = index.search(np.asarray(vecs[5]), k=1)
+        assert ids[0, 0] == 5
+
+    def test_from_device_vectors_padded(self, rng):
+        import jax.numpy as jnp
+
+        vecs = jnp.asarray(normed(rng, 1500, 8), dtype=jnp.float32)
+        index = FlatIndex.from_device_vectors(vecs, dtype="float32")
+        assert index.ntotal == 1500
+        assert index.capacity % 1024 == 0 and index.capacity >= 1500
+        _, ids = index.search(np.asarray(vecs[1499]), k=1)
+        assert ids[0, 0] == 1499
+
+    def test_adopted_index_accepts_incremental_adds(self, rng):
+        import jax.numpy as jnp
+
+        vecs = jnp.asarray(normed(rng, 1024, 8), dtype=jnp.float32)
+        index = FlatIndex.from_device_vectors(vecs, dtype="float32")
+        extra = normed(rng, 10, 8)
+        new_ids = index.add(extra)
+        assert list(new_ids) == list(range(1024, 1034))
+        _, ids = index.search(extra[3], k=1)
+        assert ids[0, 0] == 1027

@@ -31,7 +31,7 @@ import numpy as np
 import os
 
 from ..ops.topk_scan import flat_topk
-from ..utils.shapes import bucket_size, next_pow2
+from ..utils.shapes import bucket_size, next_pow2, round_up
 
 __all__ = ["FlatIndex"]
 
@@ -113,12 +113,21 @@ class FlatIndex:
         index = cls(
             dim=int(d), metric=metric, dtype=dtype, device=list(vectors.devices())[0]
         )
-        capacity = max(_MIN_CAPACITY, next_pow2(n))
+        # Scan kernels need N to be a multiple of their tile; adopt the
+        # buffer zero-copy when it already is (HBM-sized corpora cannot
+        # afford a transient second copy), else pad to the alignment — NOT
+        # to a power of two (pow2 wastes up to 2x HBM; growth-by-doubling
+        # only matters for incremental adds, not bulk adoption).
+        align = 65536 if n >= 65536 else _MIN_CAPACITY
+        capacity = max(_MIN_CAPACITY, round_up(n, align))
         with jax.default_device(index.device):
-            buf = jnp.zeros((capacity, d), dtype=_DTYPES[dtype])
-            buf = jax.lax.dynamic_update_slice(
-                buf, vectors.astype(_DTYPES[dtype]), (0, 0)
-            )
+            if vectors.dtype != _DTYPES[dtype]:  # same-dtype astype copies
+                vectors = vectors.astype(_DTYPES[dtype])
+            if capacity == n:
+                buf = vectors
+            else:
+                pad = jnp.zeros((capacity - n, d), dtype=_DTYPES[dtype])
+                buf = jnp.concatenate([vectors, pad])
             valid = (
                 jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
                 < n
