@@ -202,8 +202,18 @@ def main() -> None:
     device = jax.devices()[0]
     log(f"[bench] device: {device} ({device.platform})")
 
-    search = bench_search()
-    embed = bench_embed()
+    def with_retry(fn, name):
+        # The remote compile service occasionally 500s transiently; one
+        # retry after a cooldown rescues the round's only bench run.
+        try:
+            return fn()
+        except Exception as exc:
+            log(f"[bench] {name} failed ({exc}); retrying in 60s...")
+            time.sleep(60)
+            return fn()
+
+    search = with_retry(bench_search, "search")
+    embed = with_retry(bench_embed, "embed")
 
     log(
         "[bench] search 1Mx768: "
