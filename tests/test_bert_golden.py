@@ -1,0 +1,92 @@
+"""Golden tests: the BERT-family path (all-MiniLM-* architecture) must
+reproduce HF torch BertModel numerics — same gate as the MPNet goldens."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from tpu_search.models.convert import (
+    config_from_hf,
+    params_from_bert_state_dict,
+)
+from tpu_search.models.mpnet import encode, forward_hidden
+
+SMALL_BERT_CONFIG = dict(
+    model_type="bert",
+    vocab_size=120,
+    hidden_size=32,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=40,
+    pad_token_id=0,
+    layer_norm_eps=1e-12,
+    hidden_act="gelu",
+)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    hf = transformers.BertConfig(
+        **{k: v for k, v in SMALL_BERT_CONFIG.items() if k != "model_type"}
+    )
+    model = transformers.BertModel(hf, add_pooling_layer=False)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(torch_model):
+    config = config_from_hf(SMALL_BERT_CONFIG)
+    assert config.arch == "bert"
+    params = params_from_bert_state_dict(torch_model.state_dict(), config)
+    return params, config
+
+
+def make_batch(rng, batch=3, seq=15, pad_token=0, vocab=120):
+    ids = rng.integers(4, vocab, size=(batch, seq))
+    lengths = rng.integers(5, seq + 1, size=batch)
+    mask = np.zeros((batch, seq), dtype=np.int64)
+    for row, n in enumerate(lengths):
+        mask[row, :n] = 1
+        ids[row, n:] = pad_token
+    return ids.astype(np.int64), mask
+
+
+def test_hidden_state_parity(torch_model, jax_setup):
+    params, config = jax_setup
+    rng = np.random.default_rng(1)
+    ids, mask = make_batch(rng)
+    with torch.no_grad():
+        ref = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        forward_hidden(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], ref[valid], atol=5e-4)
+
+
+def test_sentence_embedding_cosine(torch_model, jax_setup):
+    params, config = jax_setup
+    rng = np.random.default_rng(2)
+    ids, mask = make_batch(rng, batch=5, seq=18)
+    with torch.no_grad():
+        hidden = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state
+    m = torch.tensor(mask).unsqueeze(-1).float()
+    pooled = (hidden * m).sum(1) / m.sum(1).clamp(min=1e-9)
+    ref = torch.nn.functional.normalize(pooled, p=2, dim=1).numpy()
+
+    got = np.asarray(
+        encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    cosines = np.sum(ref * got, axis=1)
+    assert (cosines > 0.9999).all(), cosines

@@ -85,16 +85,39 @@ class TestForceAndDims:
         assert stats["files_processed"] == 1
         assert engine.storage.total_chunks == first_total
 
-    def test_dim_mismatch_raises(self, tmp_path):
+    def test_storage_adapts_to_encoder_dim(self, tmp_path):
+        """Model families with other dims (MiniLM=384, here hash-64) size
+        the index automatically."""
         engine = SearchEngine(
             data_dir=str(tmp_path / "data"),
-            model_name="hash-64",  # != storage 768
+            model_name="hash-64",
             use_warm_server=False,
         )
         engine.storage.config.device = "cpu"
         f = write_file(tmp_path / "proj" / "a.jsonl")
-        with pytest.raises(RuntimeError, match="dim"):
-            engine.index_conversations([f])
+        stats = engine.index_conversations([f])
+        assert stats["files_processed"] == 1
+        assert engine.storage.index.dim == 64
+
+    def test_model_switch_over_existing_index_raises(self, tmp_path):
+        f = write_file(tmp_path / "proj" / "a.jsonl")
+        first = SearchEngine(
+            data_dir=str(tmp_path / "data"),
+            model_name="hash-64",
+            use_warm_server=False,
+        )
+        first.storage.config.device = "cpu"
+        first.index_conversations([f])
+        first.storage.close()
+
+        second = SearchEngine(
+            data_dir=str(tmp_path / "data"),
+            model_name="hash-128",
+            use_warm_server=False,
+        )
+        second.storage.config.device = "cpu"
+        with pytest.raises(RuntimeError, match="--force|dim"):
+            second.index_conversations([f])
 
     def test_phases_reported(self, engine, tmp_path):
         f = write_file(tmp_path / "proj" / "a.jsonl")

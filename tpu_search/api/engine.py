@@ -130,20 +130,21 @@ class SearchEngine:
         """Index files incrementally with one retry round for failures
         (reference behavior: src/cli.py:85-230)."""
         report = progress or (lambda msg: None)
+        if not self.embedder.is_model_loaded:
+            self.embedder.load_model()
+        self._sync_embedding_dim()
         self.storage.initialize()
 
         if force:
             self.storage.clear_all_data()
-
-        if not self.embedder.is_model_loaded:
-            self.embedder.load_model()
-
-        # Make sure the encoder's embedding dim matches storage
-        dim = self.embedder.embedding_dimension
-        if dim and dim != self.storage.embedding_dim:
-            raise RuntimeError(
-                f"Encoder dim {dim} != storage dim {self.storage.embedding_dim}"
-            )
+            dim = self.embedder.embedding_dimension
+            if (
+                dim
+                and self.storage.index is not None
+                and self.storage.index.dim != dim
+            ):
+                self.storage.rebuild_index(dim)  # model switch
+        self._check_index_dim()
 
         stats: Dict[str, Any] = {
             "files_processed": 0,
@@ -202,6 +203,23 @@ class SearchEngine:
         stats["phases"] = self._timer.report()
         return stats
 
+    def _sync_embedding_dim(self) -> None:
+        """Adopt the loaded encoder's output dim before the index is built
+        (the model family decides: mpnet-base 768, MiniLM 384, ...)."""
+        dim = self.embedder.embedding_dimension
+        if dim and not self.storage._initialized:
+            self.storage.config.embedding_dim = dim
+            self.storage.embedding_dim = dim
+
+    def _check_index_dim(self) -> None:
+        dim = self.embedder.embedding_dimension
+        if dim and self.storage.index is not None and self.storage.index.dim != dim:
+            raise RuntimeError(
+                f"Encoder dim {dim} != existing index dim "
+                f"{self.storage.index.dim}. Reindex with --force after "
+                f"switching models."
+            )
+
     def _index_one_file(self, file_path: Path, stats: Dict[str, Any]) -> None:
         removed = self.storage.remove_chunks_for_file(str(file_path))
         if removed:
@@ -251,9 +269,11 @@ class SearchEngine:
             if response is not None and response.get("ok"):
                 return response["results"]
 
-        self.storage.initialize()
         if not self.embedder.is_model_loaded:
             self.embedder.load_model()
+        self._sync_embedding_dim()
+        self.storage.initialize()
+        self._check_index_dim()
 
         query_embedding = self.embedder.generate_single_embedding(query)
         results = self.storage.search(

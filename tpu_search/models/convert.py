@@ -19,6 +19,7 @@ from .mpnet import MPNetConfig
 
 __all__ = [
     "params_from_state_dict",
+    "params_from_bert_state_dict",
     "config_from_hf",
     "save_checkpoint",
     "load_checkpoint",
@@ -31,7 +32,7 @@ def _strip_prefixes(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     sentence-transformers exports down to bare module paths."""
     out: Dict[str, np.ndarray] = {}
     for key, value in state_dict.items():
-        for prefix in ("0.auto_model.", "auto_model.", "mpnet.", "model."):
+        for prefix in ("0.auto_model.", "auto_model.", "mpnet.", "bert.", "model."):
             if key.startswith(prefix):
                 key = key[len(prefix):]
                 break
@@ -95,7 +96,8 @@ def params_from_state_dict(
 
 
 def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
-    """HF config.json dict -> MPNetConfig."""
+    """HF config.json dict -> MPNetConfig (handles mpnet AND bert models)."""
+    arch = "bert" if hf_config.get("model_type") == "bert" else "mpnet"
     return MPNetConfig(
         vocab_size=hf_config.get("vocab_size", 30527),
         hidden_size=hf_config.get("hidden_size", 768),
@@ -104,11 +106,68 @@ def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
         intermediate_size=hf_config.get("intermediate_size", 3072),
         max_position=hf_config.get("max_position_embeddings", 514),
         layer_norm_eps=hf_config.get("layer_norm_eps", 1e-5),
-        pad_token_id=hf_config.get("pad_token_id", 1),
+        pad_token_id=hf_config.get("pad_token_id", 0 if arch == "bert" else 1),
         relative_attention_num_buckets=hf_config.get(
             "relative_attention_num_buckets", 32
         ),
+        arch=arch,
     )
+
+
+def params_from_bert_state_dict(
+    state_dict: Mapping[str, Any], config: MPNetConfig
+) -> Dict[str, Any]:
+    """Torch BERT state dict (all-MiniLM-* and friends) -> the same stacked
+    pytree the encoder consumes (token_type row 0 kept as the ``tt0``
+    vector, no relative bias)."""
+    sd = _strip_prefixes(state_dict)
+
+    def get(name: str) -> np.ndarray:
+        if name not in sd:
+            raise KeyError(
+                f"Missing weight '{name}' (have e.g. {list(sd)[:5]}...)"
+            )
+        return sd[name].astype(np.float32)
+
+    def stack(fmt: str, transpose: bool) -> np.ndarray:
+        mats = [get(fmt.format(i)) for i in range(config.num_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.stack(mats)
+
+    a = "encoder.layer.{}.attention"
+    h = config.hidden_size
+    return {
+        "embeddings": {
+            "word": get("embeddings.word_embeddings.weight"),
+            "position": get("embeddings.position_embeddings.weight"),
+            "tt0": get("embeddings.token_type_embeddings.weight")[0],
+            "ln_scale": get("embeddings.LayerNorm.weight"),
+            "ln_bias": get("embeddings.LayerNorm.bias"),
+        },
+        "rel_bias": np.zeros(
+            (config.relative_attention_num_buckets, config.num_heads),
+            np.float32,
+        ),
+        "layers": {
+            "q_w": stack(a + ".self.query.weight", True),
+            "q_b": stack(a + ".self.query.bias", False),
+            "k_w": stack(a + ".self.key.weight", True),
+            "k_b": stack(a + ".self.key.bias", False),
+            "v_w": stack(a + ".self.value.weight", True),
+            "v_b": stack(a + ".self.value.bias", False),
+            "o_w": stack(a + ".output.dense.weight", True),
+            "o_b": stack(a + ".output.dense.bias", False),
+            "attn_ln_scale": stack(a + ".output.LayerNorm.weight", False),
+            "attn_ln_bias": stack(a + ".output.LayerNorm.bias", False),
+            "ff_in_w": stack("encoder.layer.{}.intermediate.dense.weight", True),
+            "ff_in_b": stack("encoder.layer.{}.intermediate.dense.bias", False),
+            "ff_out_w": stack("encoder.layer.{}.output.dense.weight", True),
+            "ff_out_b": stack("encoder.layer.{}.output.dense.bias", False),
+            "ff_ln_scale": stack("encoder.layer.{}.output.LayerNorm.weight", False),
+            "ff_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias", False),
+        },
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +268,9 @@ def convert_pretrained_dir(
             str(weights), map_location="cpu", weights_only=True
         )
     config = config_from_hf(_find_config(model_dir, weights))
-    params = params_from_state_dict(state_dict, config)
+    if config.arch == "bert":
+        params = params_from_bert_state_dict(state_dict, config)
+    else:
+        params = params_from_state_dict(state_dict, config)
     save_checkpoint(output_path, params, config)
     return params, config

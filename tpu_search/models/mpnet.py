@@ -37,7 +37,13 @@ __all__ = ["MPNetConfig", "init_params", "encode", "forward_hidden"]
 
 @dataclasses.dataclass(frozen=True)
 class MPNetConfig:
-    """Architecture hyperparameters (defaults = all-mpnet-base-v2)."""
+    """Architecture hyperparameters (defaults = all-mpnet-base-v2).
+
+    ``arch="bert"`` selects the BERT encoder family (all-MiniLM-L6-v2 and
+    friends in sentence-transformers): absolute positions starting at 0, a
+    token-type-0 embedding added uniformly, and no relative attention bias —
+    everything else (post-LN blocks, pooling head) is shared.
+    """
 
     vocab_size: int = 30527
     hidden_size: int = 768
@@ -49,6 +55,7 @@ class MPNetConfig:
     pad_token_id: int = 1
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
+    arch: str = "mpnet"  # "mpnet" | "bert"
 
     @property
     def head_dim(self) -> int:
@@ -78,6 +85,10 @@ def init_params(
         "embeddings": {
             "word": normal((config.vocab_size, h)),
             "position": normal((config.max_position, h)),
+            # token-type-0 row (BERT family; zeros for MPNet)
+            "tt0": (
+                normal((h,)) if config.arch == "bert" else jnp.zeros((h,), dtype)
+            ),
             "ln_scale": jnp.ones((h,), dtype),
             "ln_bias": jnp.zeros((h,), dtype),
         },
@@ -250,18 +261,33 @@ def forward_hidden(
     with only ~8% of the FLOPs (pure HBM traffic).
     """
     pad = config.pad_token_id
-    mask_i = (input_ids != pad).astype(jnp.int32)
-    position_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
+    batch, seq_len = input_ids.shape
+    if config.arch == "bert":
+        # BERT: absolute positions from 0, plus the token-type-0 embedding
+        position_ids = jnp.broadcast_to(
+            jnp.arange(seq_len, dtype=jnp.int32)[None, :], input_ids.shape
+        )
+    else:
+        # MPNet: positions start at pad+1, pads pinned to the pad position
+        mask_i = (input_ids != pad).astype(jnp.int32)
+        position_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
 
     emb = params["embeddings"]
     x = emb["word"][input_ids] + emb["position"][position_ids]
+    tt0 = emb.get("tt0")
+    if tt0 is not None:
+        x = x + tt0[None, None, :]
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
     x = x.astype(compute_dtype)
 
-    batch, seq_len = input_ids.shape
-    bias = _position_bias(
-        params["rel_bias"].astype(jnp.float32), seq_len, config
-    )
+    if config.arch == "bert":
+        bias = jnp.zeros(
+            (1, config.num_heads, seq_len, seq_len), jnp.float32
+        )
+    else:
+        bias = _position_bias(
+            params["rel_bias"].astype(jnp.float32), seq_len, config
+        )
     if attention_impl == "pallas":
         neg = jnp.finfo(jnp.float32).min
         key_mask_add = (1.0 - attention_mask.astype(jnp.float32)) * neg

@@ -132,12 +132,20 @@ class WordPieceTokenizer:
         if config_file.exists():
             cfg = json.loads(config_file.read_text())
             do_lower = cfg.get("do_lower_case", True)
+            # BERT-family configs name these cls/sep instead of bos/eos
+            aliases = {"bos_token": "cls_token", "eos_token": "sep_token"}
             for name in _SPECIAL_DEFAULTS:
-                value = cfg.get(name)
+                value = cfg.get(name, cfg.get(aliases.get(name, "")))
                 if isinstance(value, dict):
                     value = value.get("content")
                 if isinstance(value, str):
                     kwargs[name] = value
+        elif "[CLS]" in vocab:
+            # bare BERT vocab with no tokenizer_config
+            kwargs.update(
+                bos_token="[CLS]", eos_token="[SEP]", pad_token="[PAD]",
+                unk_token="[UNK]", mask_token="[MASK]",
+            )
         return cls(vocab, do_lower_case=do_lower, **kwargs)
 
     @property

@@ -89,6 +89,7 @@ def encoder_param_specs(params) -> Dict:
         "embeddings": {
             "word": P("model", None),
             "position": P(),
+            "tt0": P(),
             "ln_scale": P(),
             "ln_bias": P(),
         },

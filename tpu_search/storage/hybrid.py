@@ -191,6 +191,36 @@ class HybridStorage:
 
         return build_mesh(n_data=len(devices), n_model=1, devices=devices)
 
+    def _build_index(self, device, mesh):
+        if mesh is not None:
+            from ..parallel.sharded_index import ShardedFlatIndex
+
+            self.logger.info(
+                "Sharded flat index over %d devices", mesh.shape["data"]
+            )
+            return ShardedFlatIndex(
+                dim=self.embedding_dim,
+                mesh=mesh,
+                metric="ip" if self.config.normalize_embeddings else "l2",
+                dtype=self.config.storage_dtype,
+            )
+        return create_index(
+            self.config.index_type,
+            dim=self.embedding_dim,
+            metric="ip" if self.config.normalize_embeddings else "l2",
+            dtype=self.config.storage_dtype,
+            device=device,
+            nlist=self.config.ivf_nlist,
+        )
+
+    def rebuild_index(self, embedding_dim: int) -> None:
+        """Recreate an empty index with a new dimension (model switch with
+        --force)."""
+        self.config.embedding_dim = embedding_dim
+        self.embedding_dim = embedding_dim
+        device = self._pick_device()
+        self.index = self._build_index(device, self._index_mesh())
+
     def initialize(self) -> None:
         """Open SQLite, create/load the vector index, rebuild id maps."""
         if self._initialized:
@@ -220,28 +250,7 @@ class HybridStorage:
                 self.logger.warning("Could not load existing index: %s", exc)
                 self.index = None
         if self.index is None:
-            if mesh is not None:
-                from ..parallel.sharded_index import ShardedFlatIndex
-
-                self.index = ShardedFlatIndex(
-                    dim=self.embedding_dim,
-                    mesh=mesh,
-                    metric="ip" if self.config.normalize_embeddings else "l2",
-                    dtype=self.config.storage_dtype,
-                )
-                self.logger.info(
-                    "Sharded flat index over %d devices",
-                    mesh.shape["data"],
-                )
-            else:
-                self.index = create_index(
-                    self.config.index_type,
-                    dim=self.embedding_dim,
-                    metric="ip" if self.config.normalize_embeddings else "l2",
-                    dtype=self.config.storage_dtype,
-                    device=device,
-                    nlist=self.config.ivf_nlist,
-                )
+            self.index = self._build_index(device, mesh)
 
         self._rebuild_id_mappings()
         self._initialized = True
