@@ -21,6 +21,18 @@ from pathlib import Path
 MODEL_NAME = "all-mpnet-base-v2"
 HF_REPO = "sentence-transformers/all-mpnet-base-v2"
 
+# Known sentence-transformers retrieval models (both encoder families are
+# implemented: mpnet and bert/MiniLM). Any other HF repo with a supported
+# architecture also works via --model org/name.
+KNOWN_MODELS = {
+    "all-mpnet-base-v2": "sentence-transformers/all-mpnet-base-v2",
+    "all-MiniLM-L6-v2": "sentence-transformers/all-MiniLM-L6-v2",
+    "all-MiniLM-L12-v2": "sentence-transformers/all-MiniLM-L12-v2",
+    "multi-qa-mpnet-base-dot-v1": "sentence-transformers/multi-qa-mpnet-base-dot-v1",
+    "multi-qa-MiniLM-L6-cos-v1": "sentence-transformers/multi-qa-MiniLM-L6-cos-v1",
+    "paraphrase-MiniLM-L6-v2": "sentence-transformers/paraphrase-MiniLM-L6-v2",
+}
+
 
 def get_model_cache_dir() -> Path:
     data_dir = os.environ.get(
@@ -31,18 +43,22 @@ def get_model_cache_dir() -> Path:
     return cache
 
 
-def download_model(force: bool = False) -> Path:
+def download_model(force: bool = False, model_name: str = MODEL_NAME) -> Path:
     """Fetch the HF snapshot (requires network) into the cache dir."""
     cache = get_model_cache_dir()
-    target = cache / MODEL_NAME
+    local_name = model_name.split("/")[-1]
+    repo = KNOWN_MODELS.get(model_name, model_name)
+    if "/" not in repo:
+        repo = f"sentence-transformers/{repo}"
+    target = cache / local_name
     if (target / "model.tpu.npz").exists() and not force:
-        print(f"Model {MODEL_NAME} already set up at {target}")
+        print(f"Model {local_name} already set up at {target}")
         return target
-    print(f"Downloading {HF_REPO} (~420MB)...")
+    print(f"Downloading {repo}...")
     from huggingface_hub import snapshot_download
 
     snapshot = snapshot_download(
-        HF_REPO,
+        repo,
         allow_patterns=[
             "*.json", "*.txt", "pytorch_model.bin", "model.safetensors",
         ],
@@ -83,8 +99,9 @@ def verify(model_dir: Path) -> bool:
         "Completely unrelated sentence about cooking pasta.",
     ]
     vecs = np.stack([gen.generate_single_embedding(s) for s in sentences])
+    dim = gen.embedding_dimension
     ok = (
-        vecs.shape == (3, 768)
+        vecs.shape == (3, dim)
         and np.allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-3)
         and vecs.dtype == np.float32
     )
@@ -114,6 +131,12 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--force", action="store_true", help="re-download")
     parser.add_argument(
+        "--model",
+        default=MODEL_NAME,
+        help="model to set up (known short names: %s; or any HF repo with an "
+        "mpnet/bert architecture)" % ", ".join(KNOWN_MODELS),
+    )
+    parser.add_argument(
         "--from-dir",
         help="convert an already-downloaded HF/sentence-transformers dir "
         "instead of downloading",
@@ -125,9 +148,10 @@ def main() -> None:
 
     print("System:", get_system_info())
     try:
+        model_local = args.model.split("/")[-1]
         if args.from_dir:
             source = Path(args.from_dir).expanduser()
-            target = get_model_cache_dir() / MODEL_NAME
+            target = get_model_cache_dir() / model_local
             if source.resolve() != target.resolve():
                 target.mkdir(parents=True, exist_ok=True)
                 for item in source.iterdir():
@@ -135,7 +159,7 @@ def main() -> None:
                         shutil.copy2(item, target / item.name)
             model_dir = target
         else:
-            model_dir = download_model(force=args.force)
+            model_dir = download_model(force=args.force, model_name=args.model)
         if not (model_dir / "model.tpu.npz").exists() or args.force:
             convert(model_dir)
         if not args.skip_verify and not verify(model_dir):
