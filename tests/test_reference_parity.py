@@ -1,0 +1,164 @@
+"""Automated behavior-parity harness against the actual reference code.
+
+Loads the reference's parser and chunker modules directly from
+/root/reference (stdlib-only, no faiss/torch needed) and compares outputs on
+generated conversation fixtures. Skipped when the reference checkout is not
+mounted.
+
+Known deliberate divergence excluded from fixtures: the reference
+char-explodes nested string ``message.content`` (src/parser.py:133-136), so
+fixtures use content-block arrays (the dominant real-world shape) for
+messages that carry bare strings in the nested position.
+"""
+
+import importlib.util
+import json
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE / "src" / "parser.py").exists(),
+    reason="reference checkout not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    package = types.ModuleType("src")
+    package.__path__ = [str(REFERENCE / "src")]
+    sys.modules.setdefault("src", package)
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        module = importlib.util.module_from_spec(spec)
+        sys.modules[name] = module
+        spec.loader.exec_module(module)
+        return module
+
+    ref_parser = load("src.parser", REFERENCE / "src" / "parser.py")
+    ref_chunker = load("src.chunker", REFERENCE / "src" / "chunker.py")
+    return ref_parser, ref_chunker
+
+
+def build_fixture(tmp_path, name, lines):
+    project = tmp_path / f"-root-{name}"
+    project.mkdir(parents=True, exist_ok=True)
+    path = project / f"{name}.jsonl"
+    with open(path, "w") as fh:
+        for line in lines:
+            fh.write(json.dumps(line) + "\n")
+    return str(path)
+
+
+def text_block(text):
+    return [{"type": "text", "text": text}]
+
+
+FIXTURES = {
+    "qa": [
+        {"uuid": "u1", "sessionId": "s1", "timestamp": "2024-05-01T10:00:00Z",
+         "message": {"role": "user", "content": text_block(
+             "How do I structure a retrieval pipeline for conversation "
+             "search with incremental indexing and filters?")}},
+        {"uuid": "a1", "sessionId": "s1", "timestamp": "2024-05-01T10:01:00Z",
+         "message": {"role": "assistant", "content": text_block(
+             "Parse the transcripts, chunk them semantically, embed each "
+             "chunk, and store vectors plus metadata; track file mtimes so "
+             "unchanged files are skipped on reindex.")}},
+    ],
+    "code": [
+        {"uuid": "u1", "sessionId": "s2", "timestamp": "2024-05-02T09:00:00Z",
+         "message": {"role": "user", "content": text_block(
+             "Show me the bucketing helper you mentioned for static shapes")}},
+        {"uuid": "a1", "sessionId": "s2", "timestamp": "2024-05-02T09:01:00Z",
+         "message": {"role": "assistant", "content": text_block(
+             "Here it is:\n```python\ndef bucket(n):\n    for b in (8, 32,"
+             " 128):\n        if n <= b:\n            return b\n    return"
+             " 512\n```\nPad inputs to these sizes.")}},
+    ],
+    "tools": [
+        {"uuid": "a1", "sessionId": "s3", "timestamp": "2024-05-03T09:00:00Z",
+         "toolCalls": [{"name": "LS", "input": {"path": "/repo"}}],
+         "tool_results": [{"output": "src tests README"}],
+         "message": {"role": "assistant", "content": text_block(
+             "Let me look at the repository layout before changing the "
+             "build configuration for you.")}},
+    ],
+    "noise": [
+        {"uuid": "n1", "timestamp": "2024-05-04T09:00:00Z",
+         "content": "PreToolUse hook fired for Bash"},
+        {"uuid": "u1", "sessionId": "s4", "timestamp": "2024-05-04T09:01:00Z",
+         "message": {"role": "user", "content": text_block(
+             "Why does my watcher daemon keep reindexing unchanged files "
+             "every debounce interval even without modifications?")}},
+        {"uuid": "a1", "sessionId": "s4", "timestamp": "2024-05-04T09:02:00Z",
+         "message": {"role": "assistant", "content": text_block(
+             "Check that update_file_info records the modification time "
+             "after indexing; otherwise is_file_modified always reports "
+             "True and the debounce loop rescans everything.")}},
+    ],
+    "timestamps": [
+        {"uuid": "u1", "session_id": "s5", "createdAt": 1714554000,
+         "message": {"role": "user", "content": text_block(
+             "Epoch-seconds timestamp message, long enough to form a chunk "
+             "when paired with the assistant answer that follows it here.")}},
+        {"uuid": "a1", "session_id": "s5", "time": "1714554060000",
+         "message": {"role": "assistant", "content": text_block(
+             "Millisecond-string timestamp message, also long enough to "
+             "contribute to a question-answer chunk in both chunkers.")}},
+    ],
+}
+
+
+def chunk_signature(chunk):
+    metadata = {
+        k: chunk.metadata.get(k)
+        for k in (
+            "chunk_type", "message_count", "message_uuids", "has_code",
+            "has_tools", "char_count", "word_count", "session_id",
+            "project_name", "timestamp", "roles",
+        )
+    }
+    return (chunk.text, tuple(sorted((k, str(v)) for k, v in metadata.items())))
+
+
+@pytest.mark.parametrize("fixture_name", sorted(FIXTURES))
+def test_parse_and_chunk_parity(reference_modules, tmp_path, fixture_name):
+    ref_parser_mod, ref_chunker_mod = reference_modules
+    from tpu_search.ingest.chunker import ConversationChunker
+    from tpu_search.ingest.parser import JSONLParser
+
+    path = build_fixture(tmp_path, fixture_name, FIXTURES[fixture_name])
+
+    ref_conv = ref_parser_mod.JSONLParser().parse_file(path)
+    our_conv = JSONLParser().parse_file(path)
+
+    assert (ref_conv is None) == (our_conv is None)
+    if ref_conv is None:
+        return
+
+    assert our_conv.session_id == ref_conv.session_id
+    assert our_conv.project_name == ref_conv.project_name
+    assert our_conv.total_messages == ref_conv.total_messages
+    assert our_conv.has_tool_usage == ref_conv.has_tool_usage
+    assert our_conv.has_code_blocks == ref_conv.has_code_blocks
+    for ours, theirs in zip(our_conv.messages, ref_conv.messages):
+        assert ours.content == theirs.content
+        assert ours.role == theirs.role
+        assert ours.timestamp == theirs.timestamp
+        assert ours.tool_calls == theirs.tool_calls
+        assert ours.tool_results == theirs.tool_results
+
+    ref_chunks = ref_chunker_mod.ConversationChunker().chunk_conversation(
+        ref_conv
+    )
+    our_chunks = ConversationChunker().chunk_conversation(our_conv)
+
+    ref_signatures = sorted(chunk_signature(c) for c in ref_chunks)
+    our_signatures = sorted(chunk_signature(c) for c in our_chunks)
+    assert our_signatures == ref_signatures
