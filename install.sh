@@ -10,7 +10,7 @@ echo "Installing Claude Semantic Search (TPU-native)..."
 if command -v uv &> /dev/null; then
     echo "Installing with uv..."
     uv tool install .
-    BIN_HINT="$(uv tool dir 2>/dev/null || echo "$HOME/.local/bin")"
+    BIN_HINT="$HOME/.local/bin"
 else
     echo "uv not found; installing with pip --user..."
     python3 -m pip install --user .

@@ -137,3 +137,24 @@ class TestResolution:
         monkeypatch.setenv("CLAUDE_SEARCH_MODEL", "hash-128")
         engine = SearchEngine(data_dir=str(tmp_path), use_warm_server=False)
         assert engine.embedder.config.model_name == "hash-128"
+
+
+class TestRetryAccounting:
+    def test_no_double_count_after_retry(self, engine, tmp_path):
+        """A failed-then-retried file must count its chunks exactly once
+        (the reference double-counts: src/cli.py:146 vs :209)."""
+        f = write_file(tmp_path / "proj" / "a.jsonl")
+        original = engine.embedder.generate_embeddings
+        calls = {"n": 0}
+
+        def flaky(chunks):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient")
+            return original(chunks)
+
+        with patch.object(engine.embedder, "generate_embeddings", flaky):
+            stats = engine.index_conversations([f])
+        assert stats["files_processed"] == 1
+        assert stats["chunks_created"] == stats["chunks_indexed"]
+        assert stats["chunks_created"] == engine.storage.total_chunks

@@ -221,6 +221,11 @@ class SearchEngine:
             )
 
     def _index_one_file(self, file_path: Path, stats: Dict[str, Any]) -> None:
+        # chunks_removed is counted immediately (the deletion really
+        # happened, even if embedding fails below); the remaining counters
+        # merge only on success so a failed-then-retried file is not
+        # double-counted (the reference double-counts here: src/cli.py:146
+        # vs :209).
         removed = self.storage.remove_chunks_for_file(str(file_path))
         if removed:
             stats["chunks_removed"] += removed
@@ -232,7 +237,6 @@ class SearchEngine:
             return
         with self._timer.phase("chunk"):
             chunks = self.chunker.chunk_conversation(conversation)
-        stats["chunks_created"] += len(chunks)
         if not chunks:
             stats["files_skipped"] += 1
             return
@@ -241,6 +245,7 @@ class SearchEngine:
         with self._timer.phase("store"):
             self.storage.add_chunks(chunks)
             self.storage.update_file_info(str(file_path), len(chunks))
+        stats["chunks_created"] += len(chunks)
         stats["chunks_indexed"] += len(chunks)
         stats["files_processed"] += 1
 

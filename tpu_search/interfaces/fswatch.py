@@ -89,6 +89,14 @@ class InotifyWatch(Watch):
         self._fd: Optional[int] = None
         self._wd_to_dir: Dict[int, str] = {}
 
+    def probe(self) -> None:
+        """Verify inotify actually initializes (fd/watch limits) so
+        create_watch can fall back to polling BEFORE start()."""
+        fd = self._libc.inotify_init1(IN_NONBLOCK)
+        if fd < 0:
+            raise OSError(ctypes.get_errno(), "inotify_init1 failed")
+        os.close(fd)
+
     def _add_watch(self, directory: str) -> None:
         mask = IN_CREATE | IN_MODIFY | IN_MOVED_TO | IN_CLOSE_WRITE
         wd = self._libc.inotify_add_watch(
@@ -200,7 +208,7 @@ def create_watch(
     if os.name == "posix" and Path("/proc").exists():
         try:
             watch = InotifyWatch(root, callback)
-            # probe init early so fallback happens before start()
+            watch.probe()  # surface fd/watch-limit failures here
             return watch
         except OSError:
             pass

@@ -230,8 +230,13 @@ def _semantic_search(arguments: Dict[str, Any]) -> List[Dict[str, Any]]:
                 f"Reference chunk not found: {arguments['related_to']}",
             )
         session_id = ref.get("session_id")
-        if session_id:
-            filters["session_id"] = session_id
+        if not session_id:
+            raise McpError(
+                INVALID_PARAMS,
+                f"Reference chunk has no session ID: "
+                f"{arguments['related_to']}",
+            )
+        filters["session_id"] = session_id
         if arguments.get("same_session"):
             chunks = cli.storage.get_chunks_by_session(session_id)
             results = [
