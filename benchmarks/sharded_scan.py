@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Sharded-corpus scan harness (BASELINE.json config #5).
+
+Runs the per-chip scan + ICI top-k merge program over an N-device mesh and
+checks exact agreement with a single-device scan. On this rig only one real
+chip is attached, so the default runs on the virtual CPU mesh (correctness +
+program structure); on a real v5e-8 slice, run with --platform tpu to get
+wall-clock numbers with collectives riding ICI.
+
+    python benchmarks/sharded_scan.py [--devices 8] [--n 262144] [--dim 768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--n", type=int, default=262_144)
+    parser.add_argument("--dim", type=int, default=768)
+    parser.add_argument("--queries", type=int, default=8)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument(
+        "--platform", default="cpu", choices=("cpu", "tpu"),
+        help="cpu = virtual mesh (default; works anywhere), tpu = real chips",
+    )
+    args = parser.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import numpy as np
+
+    from tpu_search.index.flat import FlatIndex
+    from tpu_search.parallel import ShardedFlatIndex, build_mesh
+
+    devices = jax.devices()[: args.devices]
+    if len(devices) < args.devices:
+        print(f"only {len(devices)} devices available; using those")
+    mesh = build_mesh(n_data=len(devices), n_model=1, devices=devices)
+    print(f"mesh: {dict(mesh.shape)} on {devices[0].platform}")
+
+    rng = np.random.default_rng(0)
+    corpus = rng.standard_normal((args.n, args.dim)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = rng.standard_normal((args.queries, args.dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    sharded = ShardedFlatIndex(dim=args.dim, mesh=mesh, dtype="float32")
+    sharded.add(corpus)
+    t0 = time.perf_counter()
+    s_scores, s_ids = sharded.search(queries, k=args.k)
+    first = time.perf_counter() - t0
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sharded.search(queries, k=args.k)
+    per_call = (time.perf_counter() - t0) / reps
+
+    single = FlatIndex(dim=args.dim, dtype="float32")
+    single.add(corpus)
+    _, ref_ids = single.search(queries, k=args.k)
+
+    exact = bool(np.array_equal(s_ids, ref_ids))
+    print(
+        f"n={args.n} shards={len(devices)} "
+        f"first_call={first*1e3:.0f}ms (incl. compile) "
+        f"steady={per_call*1e3:.1f}ms/call "
+        f"exact_match_vs_single_device={exact}"
+    )
+    if not exact:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
