@@ -20,6 +20,7 @@ TPU-first redesign of the reference's FAISS usage (src/storage.py:252-299,
 from __future__ import annotations
 
 import json
+import os
 from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Tuple
@@ -27,8 +28,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-import os
 
 from ..ops.topk_scan import flat_topk
 from ..utils.shapes import bucket_size, next_pow2, round_up

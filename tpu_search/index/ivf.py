@@ -320,12 +320,20 @@ class IVFIndex:
                 k_eff,
                 self.metric,
             )
-            packed = jnp.concatenate(  # one host fetch (see FlatIndex.search)
-                [scores[:q], ids[:q].astype(jnp.float32)], axis=1
-            )
-        packed = np.asarray(packed)
-        scores = packed[:, :k_eff]
-        ids = np.rint(packed[:, k_eff:]).astype(np.int64)
+            if self._count < (1 << 24):
+                # one host fetch (see FlatIndex.search); ids exact below 2^24
+                packed = jnp.concatenate(
+                    [scores[:q], ids[:q].astype(jnp.float32)], axis=1
+                )
+            else:
+                packed = None
+        if packed is not None:
+            packed = np.asarray(packed)
+            scores = packed[:, :k_eff]
+            ids = np.rint(packed[:, k_eff:]).astype(np.int64)
+        else:
+            scores = np.asarray(scores[:q])
+            ids = np.asarray(ids[:q], dtype=np.int64)
         ids[~np.isfinite(scores)] = -1
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))

@@ -8,8 +8,7 @@ insert the collectives.  One jitted program; batch in, embeddings out.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

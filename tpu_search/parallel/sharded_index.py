@@ -259,13 +259,19 @@ class ShardedFlatIndex:
         scores, ids = self._search_fns[key](
             self._vectors, full_mask, queries_replicated
         )
-        packed = np.asarray(  # one host fetch (see FlatIndex.search)
-            jnp.concatenate(
-                [scores[:q], ids[:q].astype(jnp.float32)], axis=1
+        if self.capacity < (1 << 24):
+            # one host fetch (see FlatIndex.search); f32 holds ids exactly
+            # below 2^24
+            packed = np.asarray(
+                jnp.concatenate(
+                    [scores[:q], ids[:q].astype(jnp.float32)], axis=1
+                )
             )
-        )
-        scores = packed[:, :k_eff]
-        ids = np.rint(packed[:, k_eff:]).astype(np.int64)
+            scores = packed[:, :k_eff]
+            ids = np.rint(packed[:, k_eff:]).astype(np.int64)
+        else:
+            scores = np.asarray(scores[:q])
+            ids = np.asarray(ids[:q], dtype=np.int64)
         ids[~np.isfinite(scores)] = -1
         if k_eff < k:
             pad = ((0, 0), (0, k - k_eff))
