@@ -253,3 +253,88 @@ class TestDeviceAdoption:
         assert list(new_ids) == list(range(1024, 1034))
         _, ids = index.search(extra[3], k=1)
         assert ids[0, 0] == 1027
+
+
+class TestInt8Storage:
+    def test_recall_close_to_exact(self, rng):
+        d = 64
+        vecs = normed(rng, 2000, d)
+        queries = normed(rng, 8, d)
+        exact = FlatIndex(dim=d, dtype="float32")
+        exact.add(vecs)
+        _, ref_ids = exact.search(queries, k=10)
+
+        q8 = FlatIndex(dim=d, dtype="int8")
+        q8.add(vecs)
+        _, got_ids = q8.search(queries, k=10)
+        overlap = np.mean(
+            [len(set(a) & set(b)) / 10 for a, b in zip(got_ids, ref_ids)]
+        )
+        assert overlap >= 0.95
+
+    def test_scores_accurate(self, rng):
+        d = 32
+        vecs = normed(rng, 100, d)
+        index = FlatIndex(dim=d, dtype="int8")
+        index.add(vecs)
+        scores, ids = index.search(vecs[7], k=1)
+        assert ids[0, 0] == 7
+        assert scores[0, 0] == pytest.approx(1.0, abs=5e-3)
+
+    def test_masks_and_tombstones(self, rng):
+        d = 16
+        vecs = normed(rng, 100, d)
+        index = FlatIndex(dim=d, dtype="int8")
+        ids = index.add(vecs)
+        index.remove(ids[:20])
+        mask = np.zeros(100, dtype=bool)
+        mask[10:60] = True
+        _, got = index.search(normed(rng, 2, d), k=10, mask=mask)
+        live = got[got >= 0]
+        assert (live >= 20).all() and (live < 60).all()
+
+    def test_incremental_adds_keep_scales(self, rng):
+        d = 16
+        index = FlatIndex(dim=d, dtype="int8")
+        a = normed(rng, 50, d)
+        b = normed(rng, 30, d)
+        index.add(a)
+        index.add(b)
+        _, ids = index.search(b[7], k=1)
+        assert ids[0, 0] == 57
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        d = 16
+        vecs = normed(rng, 60, d)
+        index = FlatIndex(dim=d, dtype="int8")
+        index.add(vecs)
+        index.save(str(tmp_path / "q8.npz"))
+        loaded = FlatIndex.load(str(tmp_path / "q8.npz"))
+        assert loaded.dtype == "int8"
+        q = normed(rng, 3, d)
+        _, i1 = index.search(q, k=5)
+        _, i2 = loaded.search(q, k=5)
+        assert np.array_equal(i1, i2)
+
+    def test_compact_dequantizes(self, rng):
+        d = 16
+        vecs = normed(rng, 40, d)
+        index = FlatIndex(dim=d, dtype="int8")
+        ids = index.add(vecs)
+        index.remove(ids[:10])
+        mapping = index.compact()
+        _, got = index.search(vecs[15], k=1)
+        assert got[0, 0] == mapping[15]
+
+    def test_from_device_vectors_int8(self, rng):
+        import jax.numpy as jnp
+
+        vecs = jnp.asarray(normed(rng, 1024, 16), dtype=jnp.float32)
+        index = FlatIndex.from_device_vectors(vecs, dtype="int8")
+        assert index.ntotal == 1024
+        _, ids = index.search(np.asarray(vecs[5]), k=1)
+        assert ids[0, 0] == 5
+
+    def test_l2_metric_rejected(self):
+        with pytest.raises(ValueError, match="ip"):
+            FlatIndex(dim=8, metric="l2", dtype="int8")

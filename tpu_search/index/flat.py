@@ -40,7 +40,15 @@ _ADD_BUCKETS = (256, 1024, 4096, 16384)
 # the padded rows are free next to the corpus read).
 _QUERY_BUCKETS = (8, 32, 128, 512)
 
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
+
+
+def _quantize_rows(vectors: np.ndarray):
+    """Symmetric per-row int8 quantization: v ~ q * scale, scale = max|v|/127."""
+    scales = np.abs(vectors).max(axis=1) / 127.0
+    scales = np.maximum(scales, 1e-12)
+    q = np.rint(vectors / scales[:, None]).astype(np.int8)
+    return q, scales.astype(np.float32)
 
 
 @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
@@ -71,6 +79,8 @@ class FlatIndex:
             raise ValueError(f"Unknown metric: {metric}")
         if dtype not in _DTYPES:
             raise ValueError(f"Unknown storage dtype: {dtype}")
+        if dtype == "int8" and metric != "ip":
+            raise ValueError("int8 storage supports the 'ip' metric only")
         self.dim = dim
         self.metric = metric
         self.dtype = dtype
@@ -79,6 +89,7 @@ class FlatIndex:
         self._count = 0  # next slot id (includes tombstoned slots)
         self._vectors: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
+        self._scales: Optional[jax.Array] = None  # int8 mode: [cap] f32
 
     # -- size accounting -----------------------------------------------------
 
@@ -120,19 +131,38 @@ class FlatIndex:
         align = 65536 if n >= 65536 else _MIN_CAPACITY
         capacity = max(_MIN_CAPACITY, round_up(n, align))
         with jax.default_device(index.device):
-            if vectors.dtype != _DTYPES[dtype]:  # same-dtype astype copies
+            scales = None
+            if dtype == "int8":
+
+                @jax.jit
+                def _qrows_device(v):
+                    row_scale = jnp.maximum(
+                        jnp.max(jnp.abs(v), axis=1) / 127.0, 1e-12
+                    )
+                    q = jnp.rint(v / row_scale[:, None]).astype(jnp.int8)
+                    return q, row_scale.astype(jnp.float32)
+
+                vectors, scales = _qrows_device(
+                    vectors.astype(jnp.float32)
+                )
+            elif vectors.dtype != _DTYPES[dtype]:  # same-dtype astype copies
                 vectors = vectors.astype(_DTYPES[dtype])
             if capacity == n:
                 buf = vectors
             else:
                 pad = jnp.zeros((capacity - n, d), dtype=_DTYPES[dtype])
                 buf = jnp.concatenate([vectors, pad])
+                if scales is not None:
+                    scales = jnp.concatenate(
+                        [scales, jnp.ones((capacity - n,), jnp.float32)]
+                    )
             valid = (
                 jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
                 < n
             )
         index._vectors = buf
         index._valid = valid
+        index._scales = scales
         index._capacity = capacity
         index._count = int(n)
         return index
@@ -146,10 +176,18 @@ class FlatIndex:
         with jax.default_device(self.device):
             new_vecs = jnp.zeros((target, self.dim), dtype=_DTYPES[self.dtype])
             new_valid = jnp.zeros((target,), dtype=jnp.bool_)
+            new_scales = (
+                jnp.ones((target,), dtype=jnp.float32)
+                if self.dtype == "int8"
+                else None
+            )
             if self._vectors is not None:
                 new_vecs = _grow(new_vecs, self._vectors)
                 new_valid = _grow(new_valid, self._valid)
+                if new_scales is not None:
+                    new_scales = _grow(new_scales, self._scales)
         self._vectors, self._valid = new_vecs, new_valid
+        self._scales = new_scales
         self._capacity = target
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
@@ -174,13 +212,26 @@ class FlatIndex:
         batch_valid[:n] = True
 
         with jax.default_device(self.device):
-            self._vectors, self._valid = _append(
-                self._vectors,
-                self._valid,
-                jnp.asarray(batch, dtype=_DTYPES[self.dtype]),
-                jnp.asarray(batch_valid),
-                self._count,
-            )
+            if self.dtype == "int8":
+                q, scales = _quantize_rows(batch)
+                self._vectors, self._valid = _append(
+                    self._vectors,
+                    self._valid,
+                    jnp.asarray(q),
+                    jnp.asarray(batch_valid),
+                    self._count,
+                )
+                self._scales = jax.lax.dynamic_update_slice(
+                    self._scales, jnp.asarray(scales), (self._count,)
+                )
+            else:
+                self._vectors, self._valid = _append(
+                    self._vectors,
+                    self._valid,
+                    jnp.asarray(batch, dtype=_DTYPES[self.dtype]),
+                    jnp.asarray(batch_valid),
+                    self._count,
+                )
         ids = np.arange(self._count, self._count + n, dtype=np.int64)
         self._count += n
         return ids
@@ -206,6 +257,8 @@ class FlatIndex:
         vecs_np = np.asarray(
             self._vectors[: self._count].astype(jnp.float32)
         )
+        if self.dtype == "int8":
+            vecs_np = vecs_np * np.asarray(self._scales[: self._count])[:, None]
         keep = np.nonzero(valid_np)[0]
         mapping = {int(old): new for new, old in enumerate(keep)}
         kept = vecs_np[keep]
@@ -213,6 +266,7 @@ class FlatIndex:
         self._count = 0
         self._vectors = None
         self._valid = None
+        self._scales = None
         if kept.shape[0]:
             self.add(kept)
         return mapping
@@ -222,6 +276,7 @@ class FlatIndex:
         self._count = 0
         self._vectors = None
         self._valid = None
+        self._scales = None
 
     # -- search ----------------------------------------------------------------
 
@@ -328,6 +383,15 @@ class FlatIndex:
             and padded_q <= 128
             and k_eff <= 128
         )
+        if self.dtype == "int8":
+            scales = self._scales
+
+            def int8_kernel(vectors, mask, queries, k):
+                from ..ops.topk_scan import flat_topk_int8
+
+                return flat_topk_int8(vectors, scales, mask, queries, k)
+
+            return int8_kernel
         if use_pallas:
             from ..ops.pallas_topk_dma import pallas_flat_topk_dma
 
@@ -344,6 +408,10 @@ class FlatIndex:
             vectors = np.asarray(
                 self._vectors[: self._count].astype(jnp.float32)
             )
+            if self.dtype == "int8":  # disk format is dequantized f32
+                vectors = (
+                    vectors * np.asarray(self._scales[: self._count])[:, None]
+                )
             valid = np.asarray(self._valid[: self._count])
         else:
             vectors = np.empty((0, self.dim), dtype=np.float32)
@@ -383,9 +451,14 @@ class FlatIndex:
             padded_m = np.zeros((index._capacity,), dtype=np.bool_)
             padded_m[: header["count"]] = valid
             with jax.default_device(index.device):
-                index._vectors = jnp.asarray(
-                    padded_v, dtype=_DTYPES[index.dtype]
-                )
+                if index.dtype == "int8":
+                    q, scales = _quantize_rows(padded_v)
+                    index._vectors = jnp.asarray(q)
+                    index._scales = jnp.asarray(scales)
+                else:
+                    index._vectors = jnp.asarray(
+                        padded_v, dtype=_DTYPES[index.dtype]
+                    )
                 index._valid = jnp.asarray(padded_m)
             index._count = header["count"]
         return index

@@ -1,5 +1,5 @@
 """Device compute kernels: exact/IVF top-k scans, k-means, fused predicates."""
 
-from .topk_scan import flat_topk
+from .topk_scan import flat_topk, flat_topk_int8
 
-__all__ = ["flat_topk"]
+__all__ = ["flat_topk", "flat_topk_int8"]

@@ -27,7 +27,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["flat_topk", "SCAN_CHUNK", "SINGLE_SHOT_LIMIT"]
+__all__ = ["flat_topk", "flat_topk_int8", "SCAN_CHUNK", "SINGLE_SHOT_LIMIT"]
 
 # Rows per scan step. 64Ki rows x 768 dims x 2B (bf16) = 96 MiB per step read;
 # large enough to keep the MXU/HBM pipeline busy, small enough that the
@@ -115,6 +115,96 @@ def _chunked_topk(
 
     (top_scores, top_ids), _ = jax.lax.scan(step, init, (vecs, masks, bases))
     return top_scores, top_ids
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _single_shot_topk_int8(
+    vectors: jax.Array,  # [N, D] int8 (symmetric per-row quantized)
+    scales: jax.Array,  # [N] f32 dequant scale per row
+    mask: jax.Array,  # [N] bool
+    queries: jax.Array,  # [Q, D] f32
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Int8-corpus IP scan: HBM reads are 1 byte/component; the int8->f32
+    convert fuses into the matmul read, and the per-row dequant scale is
+    applied to the [Q, N] scores (a single elementwise multiply)."""
+    dots = jax.lax.dot_general(
+        queries,
+        vectors.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = dots * scales[None, :]
+    scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores, top_ids.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _chunked_topk_int8(
+    vectors: jax.Array,
+    scales: jax.Array,
+    mask: jax.Array,
+    queries: jax.Array,
+    k: int,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    n, d = vectors.shape
+    q = queries.shape[0]
+    n_chunks = n // chunk
+    vecs = vectors.reshape(n_chunks, chunk, d)
+    scls = scales.reshape(n_chunks, chunk)
+    masks = mask.reshape(n_chunks, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (
+        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((q, k), dtype=jnp.int32),
+    )
+
+    def step(carry, inputs):
+        best_s, best_i = carry
+        vc, sc, mc, base = inputs
+        s = jax.lax.dot_general(
+            queries,
+            vc.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * sc[None, :]
+        s = jnp.where(mc[None, :], s, -jnp.inf)
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (q, chunk))], axis=1
+        )
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    (top_scores, top_ids), _ = jax.lax.scan(
+        step, init, (vecs, scls, masks, bases)
+    )
+    return top_scores, top_ids
+
+
+def flat_topk_int8(
+    vectors: jax.Array,
+    scales: jax.Array,
+    mask: jax.Array,
+    queries: jax.Array,
+    k: int,
+    chunk: int = SCAN_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-structure top-k over an int8-quantized corpus (IP metric).
+
+    Same contract as ``flat_topk``; scores are approximate to the
+    quantization (recall@10 ~0.98-1.0 on unit-norm corpora, see tests).
+    """
+    n = vectors.shape[0]
+    q = queries.shape[0]
+    if n * q <= SINGLE_SHOT_LIMIT or n < 2 * chunk:
+        return _single_shot_topk_int8(vectors, scales, mask, queries, k)
+    return _chunked_topk_int8(vectors, scales, mask, queries, k, chunk)
 
 
 def flat_topk(
