@@ -3,6 +3,7 @@
 import json
 from unittest.mock import MagicMock
 
+import numpy as np
 import pytest
 
 from tpu_search.interfaces.query_server import (
@@ -10,16 +11,22 @@ from tpu_search.interfaces.query_server import (
     request,
     socket_path_for,
 )
+from tpu_search.storage.hybrid import SearchResult
 
 
 @pytest.fixture
 def engine():
     mock = MagicMock()
     mock.embedder.is_model_loaded = True
-    mock.search_conversations.return_value = [
-        {"chunk_id": "c1", "similarity": 0.9, "text": "hit",
-         "metadata": {}, "project": "p", "session": "s",
-         "timestamp": "t", "has_code": False}
+    mock.embedder._encode_texts.side_effect = lambda texts: np.zeros(
+        (len(texts), 4), dtype=np.float32
+    )
+    mock.storage.search.return_value = [
+        SearchResult(
+            chunk_id="c1", similarity=0.9, text="hit",
+            metadata={"project_name": "p", "session_id": "s",
+                      "timestamp": "t", "has_code": False},
+        )
     ]
     mock.get_index_stats.return_value = {"total_chunks": 42}
     mock.storage.get_all_projects.return_value = ["alpha"]
@@ -48,9 +55,11 @@ class TestProtocol:
         )
         assert response["ok"] is True
         assert response["results"][0]["chunk_id"] == "c1"
-        engine.search_conversations.assert_called_once_with(
-            "q", {"has_code": True}, 5
-        )
+        assert response["results"][0]["project"] == "p"
+        engine.embedder._encode_texts.assert_called_once_with(["q"])
+        search_args = engine.storage.search.call_args
+        assert search_args[0][1].top_k == 5
+        assert search_args[0][2] == {"has_code": True}
 
     def test_stats_and_projects(self, server, tmp_path):
         assert request(str(tmp_path), {"op": "stats"})["stats"][
@@ -65,7 +74,7 @@ class TestProtocol:
         assert response["ok"] is False
 
     def test_engine_error_reported(self, server, engine, tmp_path):
-        engine.search_conversations.side_effect = RuntimeError("boom")
+        engine.embedder._encode_texts.side_effect = RuntimeError("boom")
         response = request(str(tmp_path), {"op": "search", "query": "q"})
         assert response["ok"] is False
         assert "boom" in response["error"]
@@ -102,3 +111,35 @@ class TestEngineRouting:
             use_warm_server=False,
         )
         assert engine.use_warm_server is False
+
+
+class TestBatching:
+    def test_concurrent_searches_batched(self, server, engine, tmp_path):
+        """Concurrent requests arriving together must share embed batches
+        and all receive correct responses."""
+        import threading
+
+        n_clients = 12
+        responses = [None] * n_clients
+
+        def client(i):
+            responses[i] = request(
+                str(tmp_path), {"op": "search", "query": f"q{i}", "top_k": 2}
+            )
+
+        threads = [
+            threading.Thread(target=client, args=(i,))
+            for i in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+
+        assert all(r is not None and r["ok"] for r in responses)
+        assert all(r["results"][0]["chunk_id"] == "c1" for r in responses)
+        embed_calls = engine.embedder._encode_texts.call_args_list
+        total_texts = sum(len(c[0][0]) for c in embed_calls)
+        assert total_texts == n_clients
+        # at least one call must have carried more than one query
+        assert len(embed_calls) < n_clients

@@ -1,0 +1,94 @@
+"""Fuzz parity: our WordPiece vs HF tokenizers over random vocabularies and
+random (incl. Unicode) inputs, for both MPNet- and BERT-style specials."""
+
+import random
+import string
+
+import pytest
+
+transformers = pytest.importorskip("transformers")
+
+from tpu_search.models.tokenizer import WordPieceTokenizer
+
+
+def build_vocab(rng, style):
+    if style == "mpnet":
+        tokens = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"]
+    else:
+        tokens = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    alphabet = string.ascii_lowercase + "0123456789"
+    pieces = set()
+    while len(pieces) < 220:
+        word = "".join(
+            rng.choices(alphabet, k=rng.randint(1, 6))
+        )
+        pieces.add(word)
+        if rng.random() < 0.5:
+            pieces.add("##" + word)
+    # some unicode-ish and punctuation entries
+    pieces.update([".", ",", "!", "?", "(", ")", "'", '"', "-", "_",
+                   "über", "##é", "日", "本"])
+    tokens += sorted(pieces)
+    return tokens
+
+
+def make_texts(rng, n=150):
+    words = ["hello", "WORLD", "test123", "a", "über", "naïve", "café",
+             "日本語", "foo-bar", "x.y,z!", "(parens)", "'quoted'",
+             "under_score", "MiXeD", "42", "...", "  spaced  ",
+             "\tcontrol\x00chars\x7f", "emoji🙂here"]
+    texts = []
+    for _ in range(n):
+        texts.append(" ".join(rng.choices(words, k=rng.randint(0, 12))))
+    texts += ["", " ", "\n\t", "🙂", "日本語のテキスト", "ﬁligature"]
+    return texts
+
+
+@pytest.mark.parametrize("style", ["mpnet", "bert"])
+def test_fuzz_matches_hf(style, tmp_path):
+    rng = random.Random(0 if style == "mpnet" else 1)
+    tokens = build_vocab(rng, style)
+    vocab_file = tmp_path / f"vocab_{style}.txt"
+    vocab_file.write_text("\n".join(tokens) + "\n", encoding="utf-8")
+
+    if style == "mpnet":
+        theirs = transformers.MPNetTokenizer(str(vocab_file), do_lower_case=True)
+    else:
+        theirs = transformers.BertTokenizer(str(vocab_file), do_lower_case=True)
+    vocab = {t: i for i, t in enumerate(tokens)}
+    kwargs = (
+        {}
+        if style == "mpnet"
+        else dict(bos_token="[CLS]", eos_token="[SEP]", pad_token="[PAD]",
+                  unk_token="[UNK]", mask_token="[MASK]")
+    )
+    ours = WordPieceTokenizer(vocab, **kwargs)
+
+    mismatches = []
+    for text in make_texts(rng):
+        expected = theirs.encode(text, add_special_tokens=True)
+        got = ours.encode(text)
+        if got != expected:
+            mismatches.append((text, got[:12], expected[:12]))
+    assert not mismatches, mismatches[:3]
+
+
+def test_native_path_agrees_with_python_on_ascii(tmp_path):
+    """When the C++ library is built, it must agree with the Python
+    implementation on every ASCII input (non-ASCII falls back anyway)."""
+    rng = random.Random(2)
+    tokens = build_vocab(rng, "mpnet")
+    vocab = {t: i for i, t in enumerate(tokens)}
+    tok = WordPieceTokenizer(vocab)
+    if tok._native is None:
+        pytest.skip("native library not built")
+
+    python_tok = WordPieceTokenizer(vocab)
+    python_tok._native = None
+
+    for text in make_texts(rng):
+        try:
+            text.encode("ascii")
+        except UnicodeEncodeError:
+            continue
+        assert tok.encode(text, 384) == python_tok.encode(text, 384), text

@@ -17,11 +17,12 @@ from __future__ import annotations
 import json
 import logging
 import os
+import queue
 import socket
 import socketserver
 import threading
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 logger = logging.getLogger(__name__)
 
@@ -34,16 +35,137 @@ def socket_path_for(data_dir: str) -> Path:
     return Path(data_dir).expanduser() / "query.sock"
 
 
+class _Request:
+    """One in-flight request parked on the worker queue."""
+
+    __slots__ = ("payload", "event", "response")
+
+    def __init__(self, payload: Dict[str, Any]) -> None:
+        self.payload = payload
+        self.event = threading.Event()
+        self.response: Dict[str, Any] = {}
+
+
+class _BatchWorker:
+    """Single worker thread owning all engine access.
+
+    Serializing through one thread removes SQLite/engine thread races, and
+    concurrent searches arriving within the batching window share ONE
+    embedding batch on the device (the expensive step; the per-request
+    filtered index scans stay separate because their predicate masks
+    differ). Window: whatever is queued when the worker frees up — no added
+    latency for a lone request.
+    """
+
+    MAX_BATCH = 32
+
+    def __init__(self, engine) -> None:
+        self.engine = engine
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._running = True
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        self.queue.put(None)  # wake the worker
+
+    def submit(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        request = _Request(payload)
+        self.queue.put(request)
+        request.event.wait(timeout=REQUEST_TIMEOUT_S)
+        return request.response or {"ok": False, "error": "worker timeout"}
+
+    # -- worker side ---------------------------------------------------------
+
+    def _loop(self) -> None:
+        while self._running:
+            first = self.queue.get()
+            if first is None:
+                return
+            batch = [first]
+            while len(batch) < self.MAX_BATCH:
+                try:
+                    nxt = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._running = False
+                    break
+                batch.append(nxt)
+            self._process(batch)
+
+    def _process(self, batch: List[_Request]) -> None:
+        searches = [r for r in batch if r.payload.get("op") == "search"]
+        others = [r for r in batch if r.payload.get("op") != "search"]
+        if searches:
+            try:
+                self._run_searches(searches)
+            except Exception as exc:
+                for request in searches:
+                    request.response = {"ok": False, "error": str(exc)}
+        for request in others:
+            try:
+                request.response = _dispatch_simple(
+                    self.engine, request.payload
+                )
+            except Exception as exc:
+                request.response = {"ok": False, "error": str(exc)}
+        for request in batch:
+            request.event.set()
+
+    def _run_searches(self, searches: List[_Request]) -> None:
+        from ..storage.hybrid import SearchConfig
+
+        engine = self.engine
+        if not engine.embedder.is_model_loaded:
+            engine.embedder.load_model()
+        engine._sync_embedding_dim()
+        engine.storage.initialize()
+
+        # ONE device embed batch for every query in the window.
+        texts = [r.payload.get("query", "") for r in searches]
+        embeddings = engine.embedder._encode_texts(texts)
+
+        for request, embedding in zip(searches, embeddings):
+            payload = request.payload
+            results = engine.storage.search(
+                embedding,
+                SearchConfig(
+                    top_k=payload.get("top_k", 10),
+                    include_metadata=True,
+                    include_text=True,
+                ),
+                payload.get("filters") or None,
+            )
+            formatted = []
+            for result in results:
+                meta = result.metadata or {}
+                formatted.append(
+                    {
+                        "chunk_id": result.chunk_id,
+                        "similarity": float(result.similarity),
+                        "text": result.text,
+                        "metadata": result.metadata,
+                        "project": meta.get("project_name", "unknown"),
+                        "session": meta.get("session_id", "unknown"),
+                        "timestamp": meta.get("timestamp", "unknown"),
+                        "has_code": meta.get("has_code", False),
+                    }
+                )
+            request.response = {"ok": True, "results": formatted}
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:
-        engine = self.server.engine  # type: ignore[attr-defined]
+        worker = self.server.worker  # type: ignore[attr-defined]
         for raw in self.rfile:
             raw = raw.strip()
             if not raw:
                 continue
             try:
                 req = json.loads(raw)
-                response = self._dispatch(engine, req)
+                response = worker.submit(req)
             except Exception as exc:
                 response = {"ok": False, "error": str(exc)}
             self.wfile.write(
@@ -51,7 +173,8 @@ class _Handler(socketserver.StreamRequestHandler):
             )
             self.wfile.flush()
 
-    def _dispatch(self, engine, req: Dict[str, Any]) -> Dict[str, Any]:
+
+def _dispatch_simple(engine, req: Dict[str, Any]) -> Dict[str, Any]:
         op = req.get("op")
         if op == "ping":
             return {
@@ -59,13 +182,6 @@ class _Handler(socketserver.StreamRequestHandler):
                 "pid": os.getpid(),
                 "model_loaded": engine.embedder.is_model_loaded,
             }
-        if op == "search":
-            results = engine.search_conversations(
-                req.get("query", ""),
-                req.get("filters") or None,
-                req.get("top_k", 10),
-            )
-            return {"ok": True, "results": results}
         if op == "get_chunk":
             engine.storage.initialize()
             chunk = engine.storage.get_chunk_by_id(req.get("chunk_id", ""))
@@ -110,13 +226,15 @@ class QueryServer:
         self.socket_path = socket_path_for(data_dir)
         self._server: Optional[_UnixServer] = None
         self._thread: Optional[threading.Thread] = None
+        self._worker: Optional[_BatchWorker] = None
 
     def start(self) -> None:
         if self.socket_path.exists():
             self.socket_path.unlink()
         self.socket_path.parent.mkdir(parents=True, exist_ok=True)
         self._server = _UnixServer(str(self.socket_path), _Handler)
-        self._server.engine = self.engine  # type: ignore[attr-defined]
+        self._worker = _BatchWorker(self.engine)
+        self._server.worker = self._worker  # type: ignore[attr-defined]
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
@@ -124,6 +242,9 @@ class QueryServer:
         logger.info("Query server listening on %s", self.socket_path)
 
     def stop(self) -> None:
+        if self._worker is not None:
+            self._worker.stop()
+            self._worker = None
         if self._server is not None:
             self._server.shutdown()
             self._server.server_close()
