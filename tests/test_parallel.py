@@ -181,3 +181,31 @@ class TestTrainStep:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert int(state.step) == 4
+
+
+class TestTrainCheckpoint:
+    def test_save_restore_resume(self, mesh8, tmp_path):
+        from tpu_search.parallel.train import (
+            load_train_state,
+            save_train_state,
+        )
+
+        rng = np.random.default_rng(9)
+        params = init_params(TINY, jax.random.PRNGKey(3))
+        state, optimizer = init_train_state(params, mesh8, learning_rate=1e-3)
+        step = make_train_step(mesh8, TINY, optimizer, compute_dtype=jnp.float32)
+        ids = jnp.asarray(rng.integers(4, 64, size=(16, 8)), dtype=jnp.int32)
+        ones = jnp.ones_like(ids)
+        state, _ = step(state, ids, ones, ids, ones)
+
+        path = str(tmp_path / "ckpt")
+        save_train_state(state, path)
+        restored = load_train_state(path, optimizer, state)
+        assert int(restored.step) == 1
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        assert jnp.allclose(a, b)
+        # resuming must keep training
+        resumed, loss = step(restored, ids, ones, ids, ones)
+        assert int(resumed.step) == 2
+        assert bool(jnp.isfinite(loss))

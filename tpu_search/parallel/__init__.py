@@ -3,7 +3,14 @@
 from .encode import make_sharded_encode, shard_params
 from .mesh import build_mesh, data_sharding, encoder_param_specs, replicated
 from .sharded_index import ShardedFlatIndex
-from .train import TrainState, init_train_state, infonce_loss, make_train_step
+from .train import (
+    TrainState,
+    init_train_state,
+    infonce_loss,
+    load_train_state,
+    make_train_step,
+    save_train_state,
+)
 
 __all__ = [
     "ShardedFlatIndex",
@@ -14,7 +21,9 @@ __all__ = [
     "init_train_state",
     "infonce_loss",
     "make_sharded_encode",
+    "load_train_state",
     "make_train_step",
+    "save_train_state",
     "replicated",
     "shard_params",
 ]

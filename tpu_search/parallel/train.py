@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.mpnet import MPNetConfig, encode as mpnet_encode
 from .encode import shard_params
 
-__all__ = ["TrainState", "make_train_step", "init_train_state", "infonce_loss"]
+__all__ = ["TrainState", "make_train_step", "init_train_state", "infonce_loss", "save_train_state", "load_train_state"]
 
 
 class TrainState(NamedTuple):
@@ -72,6 +72,52 @@ def init_train_state(
     return (
         TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32)),
         optimizer,
+    )
+
+
+def save_train_state(state: TrainState, path: str) -> None:
+    """Checkpoint params + optimizer state + step (orbax PyTree format).
+
+    Fine-tuning resume support — the reference's checkpoint/resume story
+    covers only the index (SURVEY.md section 5.4); the training loop gets
+    the same treatment here.
+    """
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(
+        path,
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        },
+        force=True,
+    )
+
+
+def load_train_state(
+    path: str,
+    optimizer: optax.GradientTransformation,
+    template: TrainState,
+) -> TrainState:
+    """Restore a checkpoint written by save_train_state. ``template``
+    provides the pytree structure/shardings to restore into."""
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    restored = checkpointer.restore(
+        path,
+        item={
+            "params": template.params,
+            "opt_state": template.opt_state,
+            "step": template.step,
+        },
+    )
+    return TrainState(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
     )
 
 
