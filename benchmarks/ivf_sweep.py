@@ -30,11 +30,12 @@ def main() -> None:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--clusters", type=int, default=256,
                         help="latent blobs in the synthetic corpus")
-    parser.add_argument("--noise", type=float, default=0.15,
-                        help="blob noise scale; real sentence-embedding "
-                        "corpora are strongly clustered (~0.1-0.2). Above "
-                        "~0.3 the corpus is essentially unclustered and any "
-                        "IVF needs nprobe ~ nlist.")
+    parser.add_argument("--noise", type=float, default=0.4,
+                        help="RELATIVE noise norm vs the unit cluster "
+                        "center (dimension-independent). Real "
+                        "sentence-embedding corpora sit around 0.3-0.6; "
+                        "above ~1.0 the corpus is essentially unclustered "
+                        "and any IVF needs nprobe ~ nlist.")
     args = parser.parse_args()
 
     from tpu_search.index.flat import FlatIndex
@@ -45,13 +46,16 @@ def main() -> None:
     centers = rng.standard_normal((args.clusters, args.dim)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, args.clusters, args.n)
-    corpus = centers[assign] + args.noise * rng.standard_normal(
+    # per-dim sigma so the TOTAL noise norm ~= args.noise regardless of dim
+    sigma = args.noise / np.sqrt(args.dim)
+    corpus = centers[assign] + sigma * rng.standard_normal(
         (args.n, args.dim)
     ).astype(np.float32)
     corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
 
+    qsigma = 0.2 / np.sqrt(args.dim)
     queries = corpus[rng.integers(0, args.n, args.queries)] + \
-        0.1 * rng.standard_normal((args.queries, args.dim)).astype(np.float32)
+        qsigma * rng.standard_normal((args.queries, args.dim)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     flat = FlatIndex(dim=args.dim, dtype="float32")
