@@ -73,9 +73,10 @@ def test_fuzz_matches_hf(style, tmp_path):
     assert not mismatches, mismatches[:3]
 
 
-def test_native_path_agrees_with_python_on_ascii(tmp_path):
-    """When the C++ library is built, it must agree with the Python
-    implementation on every ASCII input (non-ASCII falls back anyway)."""
+def test_native_path_agrees_with_python(tmp_path):
+    """When the C++ library is built, any text it accepts (ASCII + the
+    Latin/punctuation fold table) must match the Python implementation;
+    texts outside the table must cleanly return None (fallback)."""
     rng = random.Random(2)
     tokens = build_vocab(rng, "mpnet")
     vocab = {t: i for i, t in enumerate(tokens)}
@@ -86,9 +87,16 @@ def test_native_path_agrees_with_python_on_ascii(tmp_path):
     python_tok = WordPieceTokenizer(vocab)
     python_tok._native = None
 
-    for text in make_texts(rng):
-        try:
-            text.encode("ascii")
-        except UnicodeEncodeError:
+    handled = 0
+    latin = ["caf\u00e9 na\u00efve \u00fcber", "\u201csmart quotes\u201d",
+             "em\u2014dash and \u2026 ellipsis", "A\u0301 combining",
+             "se\u00f1or pi\u00f1ata", "\u00a0nbsp\u00a0split"]
+    for text in make_texts(rng) + latin:
+        native = tok._native.encode(text, 384)
+        if native is None:
             continue
-        assert tok.encode(text, 384) == python_tok.encode(text, 384), text
+        handled += 1
+        assert native == python_tok.encode(text, 384), repr(text)
+    # Most fuzz texts contain a CJK/emoji word and correctly fall back;
+    # pure-ASCII and Latin-diacritic texts must stay on the native path.
+    assert handled > 30

@@ -1,14 +1,19 @@
 """ctypes binding for the native C++ WordPiece fast path.
 
-Loads ``native/libwordpiece.so`` when present (build with ``make -C native``)
-and accelerates ASCII-only texts; anything containing non-ASCII bytes falls
-back to the pure-Python tokenizer, which owns the full Unicode semantics.
+Loads ``native/libwordpiece.so`` when present (build with ``make -C native``).
+ASCII is handled natively; common non-ASCII (Latin letters with diacritics,
+general punctuation like smart quotes and em-dashes, combining marks) goes
+through a fold table generated here with ``unicodedata`` so the semantics
+match the Python pipeline exactly. Texts containing codepoints outside the
+table fall back per-text to the pure-Python tokenizer (full Unicode).
 """
 
 from __future__ import annotations
 
 import ctypes
 import logging
+import unicodedata
+from functools import lru_cache
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -55,12 +60,83 @@ def load_native_library() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            lib.wp_set_fold_table.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int64,
+            ]
             _lib = lib
             logger.info("Loaded native WordPiece library: %s", candidate)
             return _lib
         except OSError as exc:
             logger.warning("Failed to load %s: %s", candidate, exc)
     return None
+
+
+# Codepoint ranges covered natively (everything else falls back per text):
+# Latin-1 Supplement through Latin Extended-B + IPA, combining marks,
+# Latin Extended Additional, and General Punctuation.
+_FOLD_RANGES = (
+    (0x0080, 0x0300),
+    (0x0300, 0x0370),   # combining diacritical marks (dropped)
+    (0x1E00, 0x1F00),   # Latin Extended Additional
+    (0x2000, 0x2070),   # General Punctuation (smart quotes, dashes, ...)
+)
+
+
+def _bert_is_whitespace(ch: str) -> bool:
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _bert_is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _bert_is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (
+        123 <= cp <= 126
+    ):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _strip_accents(text: str) -> str:
+    return "".join(
+        c for c in unicodedata.normalize("NFD", text)
+        if unicodedata.category(c) != "Mn"
+    )
+
+
+@lru_cache(maxsize=1)
+def _fold_table_blob() -> bytes:
+    """Build the cp -> (class, folded-bytes) table matching the Python
+    tokenizer pipeline (lower -> NFD -> drop Mn; BERT char classes)."""
+    lines = []
+    for start, stop in _FOLD_RANGES:
+        for cp in range(start, stop):
+            ch = chr(cp)
+            if _bert_is_whitespace(ch):
+                lines.append(f"{cp}\t1\t")
+                continue
+            if _bert_is_control(ch):
+                lines.append(f"{cp}\t0\t")
+                continue
+            folded = _strip_accents(ch.lower())
+            if folded == "":
+                lines.append(f"{cp}\t0\t")  # pure combining mark
+            elif len(folded) == 1 and _bert_is_punct(folded):
+                lines.append(f"{cp}\t2\t{folded}")
+            elif folded and not any(
+                _bert_is_punct(c) or _bert_is_whitespace(c) for c in folded
+            ):
+                lines.append(f"{cp}\t3\t{folded}")
+            # mixed-class folds: omit -> per-text Python fallback
+    return ("\n".join(lines) + "\n").encode("utf-8")
 
 
 class NativeWordPiece:
@@ -80,6 +156,8 @@ class NativeWordPiece:
         ordered = sorted(vocab.items(), key=lambda kv: kv[1])
         blob = "\n".join(token for token, _ in ordered).encode("utf-8")
         self._handle = lib.wp_create(blob, len(blob), bos_id, eos_id, unk_id)
+        fold = _fold_table_blob()
+        lib.wp_set_fold_table(self._handle, fold, len(fold))
         self._buf = (ctypes.c_int32 * 4096)()
 
     def __del__(self) -> None:  # pragma: no cover - interpreter teardown
@@ -92,11 +170,8 @@ class NativeWordPiece:
 
     def encode(self, text: str, max_length: int) -> Optional[List[int]]:
         """Returns token ids, or None when the text needs the Python path
-        (non-ASCII content)."""
-        try:
-            raw = text.encode("ascii")
-        except UnicodeEncodeError:
-            return None
+        (codepoints outside the fold table)."""
+        raw = text.encode("utf-8")
         max_tokens = min(max_length, len(self._buf))
         n = self._lib.wp_encode(
             self._handle, raw, len(raw), self._buf, max_tokens
