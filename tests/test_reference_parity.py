@@ -102,6 +102,37 @@ FIXTURES = {
              "after indexing; otherwise is_file_modified always reports "
              "True and the debounce loop rescans everything.")}},
     ],
+    "contentdict": [
+        {"uuid": "u1", "sessionId": "s6", "timestamp": "2024-05-05T09:00:00Z",
+         "content": {"text": "Top-level dict content with a text key, long "
+                             "enough to participate in chunking when paired "
+                             "with an answer from the assistant below."},
+         "role": "user"},
+        {"uuid": "a1", "sessionId": "s6", "timestamp": "2024-05-05T09:01:00Z",
+         "content": {"message": "Dict content carried under a message key, "
+                                "also long enough to matter for the chunker "
+                                "and its metadata bookkeeping fields."},
+         "role": "assistant"},
+    ],
+    "cameltools": [
+        {"uuid": "a1", "sessionId": "s7", "timestamp": "2024-05-06T09:00:00Z",
+         "functionCall": {"name": "Grep", "input": {"pattern": "TODO"}},
+         "message": {"role": "assistant", "content": text_block(
+             "Searching the codebase for remaining TODO markers before the "
+             "release branch is cut this afternoon.")}},
+    ],
+    "mixedtz": [
+        {"uuid": "u1", "sessionId": "s8",
+         "timestamp": "2024-05-07T03:00:00-05:00",
+         "message": {"role": "user", "content": text_block(
+             "A question stamped in a negative-offset timezone that should "
+             "sort before the answer despite the differing offsets used.")}},
+        {"uuid": "a1", "sessionId": "s8",
+         "timestamp": "2024-05-07T10:30:00+02:00",
+         "message": {"role": "assistant", "content": text_block(
+             "An answer stamped with a positive offset; chronological order "
+             "must be computed in absolute time across the two offsets.")}},
+    ],
     "timestamps": [
         {"uuid": "u1", "session_id": "s5", "createdAt": 1714554000,
          "message": {"role": "user", "content": text_block(

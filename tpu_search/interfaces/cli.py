@@ -92,18 +92,30 @@ def cli(ctx: click.Context, data_dir: Optional[str]) -> None:
 )
 @click.option("--force", is_flag=True, help="Force reindexing of all files")
 @click.option("--gpu", is_flag=True, help="Use TPU acceleration for faster indexing")
+@click.option(
+    "--trace",
+    default=None,
+    help="Write a jax.profiler device trace to this directory "
+    "(TensorBoard/Perfetto)",
+)
 @click.pass_context
-def index(ctx: click.Context, claude_dir: str, force: bool, gpu: bool) -> None:
+def index(
+    ctx: click.Context, claude_dir: str, force: bool, gpu: bool,
+    trace: Optional[str],
+) -> None:
     """Index Claude conversations for semantic search."""
+    from ..utils.profiling import device_trace
+
     engine = SearchEngine(ctx.obj["data_dir"], use_gpu=gpu)
     files = engine.scan_claude_projects(claude_dir)
 
     click.echo("🚀 Starting conversation indexing...")
     if force:
         click.echo("🗑️  Force flag detected - clearing all existing data...")
-    stats = engine.index_conversations(
-        files, force, progress=lambda msg: None
-    )
+    with device_trace(trace):
+        stats = engine.index_conversations(
+            files, force, progress=lambda msg: None
+        )
 
     click.echo("\n🎉 Indexing complete!")
     click.echo("📊 Statistics:")
@@ -115,6 +127,13 @@ def index(ctx: click.Context, claude_dir: str, force: bool, gpu: bool) -> None:
     if stats.get("chunks_removed", 0) > 0:
         click.echo(f"   • Chunks removed: {stats['chunks_removed']}")
     click.echo(f"   • Duration: {stats['duration']:.1f}s")
+    if stats.get("phases"):
+        click.echo("   • Phase breakdown:")
+        for name, info in stats["phases"].items():
+            click.echo(
+                f"     - {name}: {info['seconds']:.2f}s "
+                f"({info['fraction'] * 100:.0f}%)"
+            )
     if stats["errors"]:
         click.echo(f"   • Errors: {len(stats['errors'])}")
         for error in stats["errors"][:3]:
