@@ -209,3 +209,31 @@ class TestTrainCheckpoint:
         resumed, loss = step(restored, ids, ones, ids, ones)
         assert int(resumed.step) == 2
         assert bool(jnp.isfinite(loss))
+
+
+class TestShardedPallasLocalScan:
+    def test_pallas_local_impl_matches_xla(self, mesh8):
+        """The per-shard Pallas kernel path (used on TPU) must agree with
+        the XLA path — run both program variants in interpret mode."""
+        from tpu_search.parallel.sharded_index import _sharded_topk_fn
+
+        rng = np.random.default_rng(11)
+        d, n_local, k = 128, 1024, 7
+        vecs = jnp.asarray(
+            rng.standard_normal((8, n_local, d)).astype(np.float32)
+        )
+        mask = jnp.asarray(rng.random((8, n_local)) < 0.7)
+        queries = jnp.asarray(
+            rng.standard_normal((8, d)).astype(np.float32)
+        )
+
+        xla_fn = _sharded_topk_fn(mesh8, k, "ip", local_impl="xla")
+        pallas_fn = _sharded_topk_fn(
+            mesh8, k, "ip", local_impl="pallas", tile_n=1024, interpret=True
+        )
+        s1, i1 = xla_fn(vecs, mask, queries)
+        s2, i2 = pallas_fn(vecs, mask, queries)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-5
+        )

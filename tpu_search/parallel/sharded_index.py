@@ -37,8 +37,20 @@ _QUERY_BUCKETS = (1, 8, 32, 128, 512)
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 
-def _sharded_topk_fn(mesh: Mesh, k: int, metric: str):
-    """Build the jitted shard_map program for (local scan -> ICI merge)."""
+def _sharded_topk_fn(
+    mesh: Mesh,
+    k: int,
+    metric: str,
+    local_impl: str = "xla",  # "xla" | "pallas"
+    tile_n: int = 2048,
+    interpret: bool = False,
+):
+    """Build the jitted shard_map program for (local scan -> ICI merge).
+
+    The per-shard scan uses the hand-pipelined Pallas DMA kernel on TPU
+    when shapes qualify (same selection logic as FlatIndex), the XLA scan
+    otherwise.
+    """
 
     n_shards = mesh.shape["data"]
 
@@ -53,11 +65,19 @@ def _sharded_topk_fn(mesh: Mesh, k: int, metric: str):
     )
     def program(vectors, mask, queries):
         # vectors [1, local_cap, D]; mask [1, local_cap]; queries replicated.
-        # Un-jitted impl: nesting the jitted dispatcher inside shard_map
-        # confuses the static replication (VMA) inference.
-        local_scores, local_ids = _single_shot_topk_impl(
-            vectors[0], mask[0], queries, k, metric
-        )
+        if local_impl == "pallas":
+            from ..ops.pallas_topk_dma import pallas_flat_topk_dma
+
+            local_scores, local_ids = pallas_flat_topk_dma(
+                vectors[0], mask[0], queries, k,
+                tile_n=tile_n, interpret=interpret,
+            )
+        else:
+            # Un-jitted impl: nesting the jitted dispatcher inside shard_map
+            # confuses the static replication (VMA) inference.
+            local_scores, local_ids = _single_shot_topk_impl(
+                vectors[0], mask[0], queries, k, metric
+            )
         shard = jax.lax.axis_index("data")
         # local slot -> global id under round-robin placement
         global_ids = local_ids * n_shards + shard
@@ -248,10 +268,12 @@ class ShardedFlatIndex:
                 jax.device_put(jnp.asarray(per_shard), self._sharding(2)),
             )
 
-        key = (k_eff, self.metric)
+        local_impl, tile_n = self._pick_local_impl(padded_q, k_eff)
+        key = (k_eff, self.metric, local_impl, tile_n)
         if key not in self._search_fns:
             self._search_fns[key] = _sharded_topk_fn(
-                self.mesh, k_eff, self.metric
+                self.mesh, k_eff, self.metric,
+                local_impl=local_impl, tile_n=tile_n,
             )
         queries_replicated = jax.device_put(
             jnp.asarray(qbatch), NamedSharding(self.mesh, P(None, None))
@@ -278,6 +300,28 @@ class ShardedFlatIndex:
             scores = np.pad(scores, pad, constant_values=-np.inf)
             ids = np.pad(ids, pad, constant_values=-1)
         return scores, ids
+
+    def _pick_local_impl(self, padded_q: int, k_eff: int):
+        """Per-shard scan kernel choice (mirrors FlatIndex._pick_kernel)."""
+        import os
+
+        if self.dtype == "bfloat16":
+            tile = 4096 if padded_q <= 32 else 2048
+        else:
+            tile = 2048 if padded_q <= 32 else 0
+        platform = self.mesh.devices.flat[0].platform
+        use_pallas = (
+            tile > 0
+            and self.metric == "ip"
+            and platform not in ("cpu", "interpreter")
+            and os.environ.get("TPU_SEARCH_DISABLE_PALLAS") != "1"
+            and self.dim % 128 == 0
+            and self._local_capacity % tile == 0
+            and padded_q % 8 == 0
+            and padded_q <= 128
+            and k_eff <= 128
+        )
+        return ("pallas", tile) if use_pallas else ("xla", 0)
 
     # -- persistence (same on-disk format family as FlatIndex) ---------------
 
