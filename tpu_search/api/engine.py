@@ -39,9 +39,31 @@ def _enable_compilation_cache(cache_dir: Path) -> None:
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["SearchEngine", "SemanticSearchCLI", "DEFAULT_DATA_DIR", "resolve_data_dir"]
+__all__ = [
+    "SearchEngine",
+    "SemanticSearchCLI",
+    "DEFAULT_DATA_DIR",
+    "format_search_result",
+    "resolve_data_dir",
+]
 
 DEFAULT_DATA_DIR = "~/.claude-semantic-search/data"
+
+
+def format_search_result(result) -> Dict[str, Any]:
+    """SearchResult -> the interface-facing dict (single source of truth
+    for the result shape used by CLI/MCP/warm-server)."""
+    meta = result.metadata or {}
+    return {
+        "chunk_id": result.chunk_id,
+        "similarity": float(result.similarity),
+        "text": result.text,
+        "metadata": result.metadata,
+        "project": meta.get("project_name", "unknown"),
+        "session": meta.get("session_id", "unknown"),
+        "timestamp": meta.get("timestamp", "unknown"),
+        "has_code": meta.get("has_code", False),
+    }
 
 
 def resolve_data_dir(data_dir: Optional[str] = None) -> str:
@@ -287,22 +309,7 @@ class SearchEngine:
             filters,
         )
 
-        formatted = []
-        for result in results:
-            meta = result.metadata or {}
-            formatted.append(
-                {
-                    "chunk_id": result.chunk_id,
-                    "similarity": float(result.similarity),
-                    "text": result.text,
-                    "metadata": result.metadata,
-                    "project": meta.get("project_name", "unknown"),
-                    "session": meta.get("session_id", "unknown"),
-                    "timestamp": meta.get("timestamp", "unknown"),
-                    "has_code": meta.get("has_code", False),
-                }
-            )
-        return formatted
+        return [format_search_result(result) for result in results]
 
     # -- stats ---------------------------------------------------------------
 

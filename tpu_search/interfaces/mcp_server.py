@@ -320,31 +320,22 @@ def _get_stats() -> List[Dict[str, Any]]:
 
 
 def _get_status() -> List[Dict[str, Any]]:
-    cli = get_search_cli()
-    pid_file = Path(cli.data_dir) / "watcher.pid"
-    is_running = False
-    if pid_file.exists():
-        try:
-            import os
+    from .watcher import ConversationWatcher
 
-            pid = int(pid_file.read_text().strip())
-            os.kill(pid, 0)
-            is_running = True
-        except (OSError, ValueError):
-            is_running = False
+    cli = get_search_cli()
+    # Reuse the watcher's PID-liveness logic (incl. stale-PID cleanup).
+    is_running = ConversationWatcher(
+        data_dir=str(cli.data_dir)
+    ).is_daemon_running()
 
     last_indexed = "Never"
-    db_path = Path(cli.data_dir) / "metadata.db"
-    if db_path.exists():
-        try:
-            with sqlite3.connect(db_path) as conn:
-                row = conn.execute(
-                    "SELECT MAX(last_indexed) FROM files"
-                ).fetchone()
-                if row and row[0]:
-                    last_indexed = row[0]
-        except Exception:
-            pass
+    try:
+        cli.storage.initialize_metadata()
+        value = cli.storage.meta.last_indexed()
+        if value:
+            last_indexed = value
+    except Exception:
+        pass
     return [
         _text(
             "**Indexing Status**\n\n"

@@ -38,12 +38,13 @@ def socket_path_for(data_dir: str) -> Path:
 class _Request:
     """One in-flight request parked on the worker queue."""
 
-    __slots__ = ("payload", "event", "response")
+    __slots__ = ("payload", "event", "response", "fn")
 
-    def __init__(self, payload: Dict[str, Any]) -> None:
+    def __init__(self, payload: Dict[str, Any], fn=None) -> None:
         self.payload = payload
         self.event = threading.Event()
         self.response: Dict[str, Any] = {}
+        self.fn = fn
 
 
 class _BatchWorker:
@@ -76,6 +77,22 @@ class _BatchWorker:
         request.event.wait(timeout=REQUEST_TIMEOUT_S)
         return request.response or {"ok": False, "error": "worker timeout"}
 
+    def run(self, fn):
+        """Execute ``fn()`` ON the worker thread and return its result.
+
+        Used by the watcher's reindex path so indexing and searches share
+        one thread — concurrent engine access from the debounce Timer
+        thread would race the searches otherwise (shared SQLite
+        connection, index buffer swaps, tokenizer scratch buffer).
+        """
+        request = _Request({"op": "__local__"}, fn=fn)
+        self.queue.put(request)
+        request.event.wait()  # indexing can take minutes; no timeout
+        response = request.response
+        if not response.get("ok"):
+            raise RuntimeError(response.get("error", "worker failure"))
+        return response["value"]
+
     # -- worker side ---------------------------------------------------------
 
     def _loop(self) -> None:
@@ -106,9 +123,12 @@ class _BatchWorker:
                     request.response = {"ok": False, "error": str(exc)}
         for request in others:
             try:
-                request.response = _dispatch_simple(
-                    self.engine, request.payload
-                )
+                if request.payload.get("op") == "__local__":
+                    request.response = {"ok": True, "value": request.fn()}
+                else:
+                    request.response = _dispatch_simple(
+                        self.engine, request.payload
+                    )
             except Exception as exc:
                 request.response = {"ok": False, "error": str(exc)}
         for request in batch:
@@ -127,6 +147,8 @@ class _BatchWorker:
         texts = [r.payload.get("query", "") for r in searches]
         embeddings = engine.embedder._encode_texts(texts)
 
+        from ..api.engine import format_search_result
+
         for request, embedding in zip(searches, embeddings):
             payload = request.payload
             results = engine.storage.search(
@@ -138,22 +160,10 @@ class _BatchWorker:
                 ),
                 payload.get("filters") or None,
             )
-            formatted = []
-            for result in results:
-                meta = result.metadata or {}
-                formatted.append(
-                    {
-                        "chunk_id": result.chunk_id,
-                        "similarity": float(result.similarity),
-                        "text": result.text,
-                        "metadata": result.metadata,
-                        "project": meta.get("project_name", "unknown"),
-                        "session": meta.get("session_id", "unknown"),
-                        "timestamp": meta.get("timestamp", "unknown"),
-                        "has_code": meta.get("has_code", False),
-                    }
-                )
-            request.response = {"ok": True, "results": formatted}
+            request.response = {
+                "ok": True,
+                "results": [format_search_result(r) for r in results],
+            }
 
 
 class _Handler(socketserver.StreamRequestHandler):

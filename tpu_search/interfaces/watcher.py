@@ -42,6 +42,9 @@ class ConversationFileHandler:
         self, engine: SearchEngine, debounce_seconds: int = 5
     ) -> None:
         self.cli_instance = engine  # reference-compatible attribute name
+        # When a warm query server runs in this process, indexing routes
+        # through its worker thread so searches never race the reindex.
+        self.executor = None  # Optional[Callable[[Callable], Any]]
         self.debounce_seconds = debounce_seconds
         self.pending_files: Set[str] = set()
         self.last_trigger_time: Optional[datetime] = None
@@ -92,8 +95,11 @@ class ConversationFileHandler:
                 dir_files = sorted(Path(directory).glob("*.jsonl"))
                 if not dir_files:
                     continue
-                stats = self.cli_instance.index_conversations(
-                    dir_files, force=False
+                run = self.executor or (lambda fn: fn())
+                stats = run(
+                    lambda: self.cli_instance.index_conversations(
+                        dir_files, force=False
+                    )
                 )
                 logger.info(
                     "Incremental indexing complete: processed=%d unchanged=%d "
@@ -174,6 +180,7 @@ class ConversationWatcher:
         self.query_server = QueryServer(self.cli_instance, self.data_dir)
         try:
             self.query_server.start()
+            self.handler.executor = self.query_server._worker.run
         except OSError as exc:
             logger.warning("Query server failed to start: %s", exc)
             self.query_server = None
@@ -331,10 +338,26 @@ def start_daemon(
     try:
         pid = os.fork()
         if pid > 0:
-            print(f"✅ Watcher daemon started with PID: {pid}")
-            print(f"📁 Watching: {claude_dir}")
-            print(f"💾 Data directory: {data_dir}")
-            print(f"📝 Log file: {watcher.log_file}")
+            # Wait for the child to pass its startup checks (PID file is
+            # written after the already-running/daemonize validation) before
+            # claiming success.
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                if watcher.pid_file.exists():
+                    break
+                finished, status = os.waitpid(pid, os.WNOHANG)
+                if finished and status != 0:
+                    break
+                time.sleep(0.2)
+            if watcher.pid_file.exists():
+                print(f"✅ Watcher daemon started with PID: {pid}")
+                print(f"📁 Watching: {claude_dir}")
+                print(f"💾 Data directory: {data_dir}")
+                print(f"📝 Log file: {watcher.log_file}")
+            else:
+                print("❌ Watcher daemon failed to start "
+                      f"(see {watcher.log_file})")
+                sys.exit(1)
             return
     except OSError:
         pass  # fork unsupported: run in the foreground

@@ -146,7 +146,11 @@ class HybridStorage:
             self.logger.info("Falling back to CPU backend")
             self.config.use_gpu = False
         self._is_accelerated = False
-        return jax.devices("cpu")[0] if not accel else jax.devices()[0]
+        # Explicit cpu request (or no accelerator): place on the CPU backend.
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return jax.devices()[0]
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -296,11 +300,19 @@ class HybridStorage:
         if self.index is None:
             raise RuntimeError("Index not initialized")
 
+        # DB first: slot ids are deterministic (next ntotal onward), so the
+        # metadata rows are written before the vectors. If the upsert fails,
+        # no vectors were appended (a retry reindexes cleanly); if the append
+        # fails after the upsert, remove_chunks_for_file on retry finds the
+        # rows and tombstones consistently.
+        start_id = self.index.ntotal
+        planned = list(range(start_id, start_id + len(with_emb)))
+        self.meta.upsert_chunks(list(zip(with_emb, planned)))
         vec_ids = self.index.add(embeddings)
+        assert list(vec_ids) == planned, "index slot assignment drifted"
         for chunk, vec_id in zip(with_emb, vec_ids):
             self.chunk_id_to_faiss_id[chunk.id] = int(vec_id)
             self.faiss_id_to_chunk_id[int(vec_id)] = chunk.id
-        self.meta.upsert_chunks(list(zip(with_emb, (int(v) for v in vec_ids))))
         self.total_chunks += len(with_emb)
 
         if self.config.auto_save:

@@ -332,10 +332,13 @@ class MetadataStore:
     def restore_from(self, src_path: str) -> None:
         self.close()
         src = sqlite3.connect(src_path)
-        self.db = sqlite3.connect(str(self.db_path), check_same_thread=False)
-        self.db.row_factory = sqlite3.Row
+        dest = sqlite3.connect(str(self.db_path))
         try:
-            src.backup(self.db)
+            src.backup(dest)
+            dest.commit()
         finally:
+            dest.close()
             src.close()
-        self.db.commit()
+        # Reopen through open(): re-applies WAL/busy_timeout pragmas and
+        # bootstraps any table missing from the backup.
+        self.open()
