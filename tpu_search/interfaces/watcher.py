@@ -341,15 +341,23 @@ def start_daemon(
             # Wait for the child to pass its startup checks (PID file is
             # written after the already-running/daemonize validation) before
             # claiming success.
+            def pid_file_is_child():
+                try:
+                    return int(watcher.pid_file.read_text().strip()) == pid
+                except (OSError, ValueError):
+                    return False
+
             deadline = time.time() + 20
+            child_exited = False
             while time.time() < deadline:
-                if watcher.pid_file.exists():
+                if pid_file_is_child():
                     break
-                finished, status = os.waitpid(pid, os.WNOHANG)
-                if finished and status != 0:
+                finished, _status = os.waitpid(pid, os.WNOHANG)
+                if finished:
+                    child_exited = True
                     break
                 time.sleep(0.2)
-            if watcher.pid_file.exists():
+            if pid_file_is_child() and not child_exited:
                 print(f"✅ Watcher daemon started with PID: {pid}")
                 print(f"📁 Watching: {claude_dir}")
                 print(f"💾 Data directory: {data_dir}")
