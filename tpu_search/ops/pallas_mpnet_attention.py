@@ -35,39 +35,57 @@ __all__ = ["mpnet_flash_attention"]
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, kmask_ref, out_ref, *, scale):
-    # blocks: q/k/v/out [1, 1, S, hd]; bias [1, S, S]; kmask [1, 1, S]
-    q = q_ref[0, 0]  # [S, hd]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+    # blocks: q/k/v/out [BB, 1, S, hd]; bias [1, S, S]; kmask [BB, 1, S].
+    # BB > 1 amortizes grid/DMA overhead: one batched dot_general per cell
+    # covers BB batch rows while the per-head bias block stays resident.
+    q = q_ref[:, 0]  # [BB, S, hd]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
 
     scores = (
         jax.lax.dot_general(
             q,
             k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         * scale
     )
-    scores = scores + bias_ref[0]  # [S, S] f32, shared across batch
-    key_add = kmask_ref[0]  # [1, S] 0 / -inf
-    scores = scores + key_add
+    scores = scores + bias_ref[:]  # [1, S, S] f32 broadcasts over BB
+    scores = scores + kmask_ref[:, 0][:, None, :]  # [BB, 1, S] 0 / -inf
 
     # softmax with guard: rows whose keys are ALL masked (fully padded
     # query rows) would produce NaN; give them uniform weights instead.
-    row_max = jnp.max(scores, axis=1, keepdims=True)
+    row_max = jnp.max(scores, axis=2, keepdims=True)
     safe = jnp.isfinite(row_max)
     scores = jnp.where(safe, scores - jnp.where(safe, row_max, 0.0), 0.0)
     exp = jnp.exp(scores)
-    denom = jnp.sum(exp, axis=1, keepdims=True)
+    denom = jnp.sum(exp, axis=2, keepdims=True)
     probs = (exp / denom).astype(v.dtype)
 
-    out_ref[0, 0] = jax.lax.dot_general(
+    out_ref[:, 0] = jax.lax.dot_general(
         probs,
         v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
+
+
+def _pick_batch_block(b: int, s: int, itemsize: int) -> int:
+    """Largest batch block whose VMEM working set stays under ~12 MB.
+
+    Per grid cell: 4 q/k/v/out tiles (BB*S*hd*itemsize each), the shared
+    bias tile (S*S*4), and ~2.5 live [BB, S, S] f32 score intermediates
+    (scores, exp, quotient — Mosaic overlaps some).
+    """
+    budget = 12 * 1024 * 1024
+    for bb in (8, 4, 2, 1):
+        if b % bb:
+            continue
+        need = 4 * bb * s * 64 * itemsize + s * s * 4 + int(2.5 * bb * s * s * 4)
+        if need <= budget:
+            return bb
+    return 1
 
 
 @partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -84,23 +102,24 @@ def mpnet_flash_attention(
     # [B, 1, S]: TPU block rules want the 2nd-to-last block dim divisible by
     # 8 or equal to the array dim; a singleton middle dim satisfies that.
     key_mask_add = key_mask_add.reshape(b, 1, s)
+    bb_size = 1 if interpret else _pick_batch_block(b, s, q.dtype.itemsize)
 
     return pl.pallas_call(
         partial(_kernel, scale=scale),
-        grid=(h, b),  # batch iterates fastest -> per-head bias block stays
+        grid=(h, b // bb_size),  # batch fastest -> per-head bias stays put
         in_specs=[
             pl.BlockSpec(
-                (1, 1, s, hd),
+                (bb_size, 1, s, hd),
                 lambda hh, bb: (bb, hh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, hd),
+                (bb_size, 1, s, hd),
                 lambda hh, bb: (bb, hh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, s, hd),
+                (bb_size, 1, s, hd),
                 lambda hh, bb: (bb, hh, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -108,13 +127,13 @@ def mpnet_flash_attention(
                 (1, s, s), lambda hh, bb: (hh, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, s),
+                (bb_size, 1, s),
                 lambda hh, bb: (bb, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, s, hd),
+            (bb_size, 1, s, hd),
             lambda hh, bb: (bb, hh, 0, 0),
             memory_space=pltpu.VMEM,
         ),
