@@ -89,4 +89,4 @@ fi
 echo ""
 echo "🎉 Installation complete. Commands: claude-index, claude-search,"
 echo "   claude-stats, claude-watch, claude-start/stop/status,"
-echo "   claude-search-mcp."
+echo "   claude-serve, claude-search-mcp."

@@ -1,0 +1,280 @@
+"""HTTP front-end: routes, filter mapping, error handling, worker sharing."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+from tpu_search.interfaces.http_server import (
+    HttpFrontend,
+    MAX_TOP_K,
+    build_filters,
+)
+from tpu_search.storage.hybrid import SearchResult
+
+
+@pytest.fixture
+def engine():
+    mock = MagicMock()
+    mock.embedder.is_model_loaded = True
+    mock.embedder._encode_texts.side_effect = lambda texts: np.zeros(
+        (len(texts), 4), dtype=np.float32
+    )
+    mock.storage.search.return_value = [
+        SearchResult(
+            chunk_id="c1", similarity=0.9, text="hit",
+            metadata={"project_name": "p", "session_id": "s",
+                      "timestamp": "t", "has_code": False},
+        )
+    ]
+    mock.get_index_stats.return_value = {"total_chunks": 7}
+    mock.storage.get_all_projects.return_value = ["alpha", "beta"]
+    return mock
+
+
+@pytest.fixture
+def frontend(engine):
+    frontend = HttpFrontend(engine=engine, port=0)  # port 0: pick free port
+    frontend.start()
+    yield frontend
+    frontend.stop()
+
+
+def get(frontend, path):
+    url = f"http://127.0.0.1:{frontend.port}{path}"
+    try:
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def post(frontend, path, body, raw=None):
+    data = raw if raw is not None else json.dumps(body).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{frontend.port}{path}",
+        data=data,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+class TestRoutes:
+    def test_healthz(self, frontend):
+        status, body = get(frontend, "/healthz")
+        assert status == 200
+        assert body["ok"] is True and body["model_loaded"] is True
+
+    def test_search_get(self, frontend, engine):
+        status, body = get(frontend, "/v1/search?q=hello&top_k=3")
+        assert status == 200
+        assert body["results"][0]["chunk_id"] == "c1"
+        assert engine.storage.search.call_args[0][1].top_k == 3
+
+    def test_search_get_filters(self, frontend, engine):
+        status, _ = get(
+            frontend,
+            "/v1/search?q=x&project=alpha&has_code=true&after=2024-01-02",
+        )
+        assert status == 200
+        filters = engine.storage.search.call_args[0][2]
+        assert filters["project_name"] == "alpha"
+        assert filters["has_code"] is True
+        assert filters["timestamp"]["gte"].startswith("2024-01-02T00:00:00")
+
+    def test_search_post(self, frontend, engine):
+        status, body = post(
+            frontend,
+            "/v1/search",
+            {"query": "hello", "top_k": 5, "filters": {"has_code": True}},
+        )
+        assert status == 200
+        assert body["results"][0]["project"] == "p"
+        assert engine.storage.search.call_args[0][2] == {"has_code": True}
+
+    def test_stats_and_projects(self, frontend):
+        assert get(frontend, "/v1/stats")[1]["stats"]["total_chunks"] == 7
+        assert get(frontend, "/v1/projects")[1]["projects"] == [
+            "alpha", "beta",
+        ]
+
+    def test_chunk_found(self, frontend, engine):
+        chunk = MagicMock(id="c1", text="body", metadata={})
+        engine.storage.get_chunk_by_id.return_value = chunk
+        engine.storage._get_chunk_data.return_value = {
+            "project_name": "p", "session_id": "s",
+            "timestamp": "t", "has_code": False,
+        }
+        status, body = get(frontend, "/v1/chunks/c1")
+        assert status == 200
+        assert body["chunk"]["text"] == "body"
+
+    def test_chunk_missing_is_404(self, frontend, engine):
+        engine.storage.get_chunk_by_id.return_value = None
+        status, body = get(frontend, "/v1/chunks/nope")
+        assert status == 404
+        assert body["ok"] is False
+
+    def test_unknown_route_404(self, frontend):
+        assert get(frontend, "/v1/nothing")[0] == 404
+        assert post(frontend, "/v1/other", {})[0] == 404
+
+
+class TestValidation:
+    def test_missing_query_400(self, frontend):
+        status, body = get(frontend, "/v1/search?top_k=3")
+        assert status == 400 and "query" in body["error"]
+
+    def test_blank_query_400(self, frontend):
+        assert post(frontend, "/v1/search", {"query": "   "})[0] == 400
+
+    def test_bad_top_k_400(self, frontend):
+        assert get(frontend, "/v1/search?q=x&top_k=abc")[0] == 400
+        assert get(frontend, f"/v1/search?q=x&top_k={MAX_TOP_K + 1}")[0] == 400
+        assert get(frontend, "/v1/search?q=x&top_k=0")[0] == 400
+
+    def test_bad_date_400(self, frontend):
+        status, body = get(frontend, "/v1/search?q=x&after=01-02-2024")
+        assert status == 400 and "YYYY-MM-DD" in body["error"]
+
+    def test_malformed_json_400(self, frontend):
+        status, body = post(frontend, "/v1/search", None, raw=b"{not json")
+        assert status == 400 and "JSON" in body["error"]
+
+    def test_non_object_body_400(self, frontend):
+        assert post(frontend, "/v1/search", ["list"])[0] == 400
+
+    def test_bad_filters_type_400(self, frontend):
+        assert post(
+            frontend, "/v1/search", {"query": "x", "filters": [1]}
+        )[0] == 400
+
+    def test_engine_error_500(self, frontend, engine):
+        engine.embedder._encode_texts.side_effect = RuntimeError("boom")
+        status, body = post(frontend, "/v1/search", {"query": "x"})
+        assert status == 500 and "boom" in body["error"]
+
+
+class TestBuildFilters:
+    def test_empty(self):
+        assert build_filters() == {}
+
+    def test_all_fields(self):
+        filters = build_filters(
+            project="p", has_code=True, session="s",
+            after="2024-01-01", before="2024-02-01",
+        )
+        assert filters["project_name"] == "p"
+        assert filters["session_id"] == "s"
+        assert filters["timestamp"]["lte"].startswith("2024-02-01T23:59:59")
+
+    def test_bad_dates_raise(self):
+        with pytest.raises(ValueError):
+            build_filters(after="nope")
+        with pytest.raises(ValueError):
+            build_filters(before="2024/01/01")
+
+
+class TestWorkerSharing:
+    def test_shared_worker_batches_embeds(self, engine):
+        """HTTP requests through a shared _BatchWorker coalesce into shared
+        embed batches, same as socket clients. The worker is stalled on a
+        barrier task while the clients enqueue, so the batch window is
+        deterministic regardless of machine load."""
+        from tpu_search.interfaces.query_server import _BatchWorker
+
+        worker = _BatchWorker(engine)
+        frontend = HttpFrontend(worker=worker, port=0)
+        frontend.start()
+        try:
+            n = 8
+            codes = [None] * n
+            release = threading.Event()
+            stalled = threading.Event()
+
+            def stall():
+                stalled.set()
+                release.wait(timeout=60)
+
+            barrier = threading.Thread(target=worker.run, args=(stall,))
+            barrier.start()
+            stalled.wait(timeout=10)
+
+            def client(i):
+                codes[i] = post(
+                    frontend, "/v1/search", {"query": f"q{i}"}
+                )[0]
+
+            threads = [
+                threading.Thread(target=client, args=(i,)) for i in range(n)
+            ]
+            for t in threads:
+                t.start()
+            while worker.queue.qsize() < n:
+                pass
+            release.set()
+            barrier.join(timeout=60)
+            for t in threads:
+                t.join(timeout=60)
+            assert codes == [200] * n
+            calls = engine.embedder._encode_texts.call_args_list
+            assert sum(len(c[0][0]) for c in calls) == n
+            assert len(calls) == 1  # the queued-up requests share one batch
+        finally:
+            frontend.stop()
+            worker.stop()
+
+    def test_constructor_requires_exactly_one(self, engine):
+        with pytest.raises(ValueError):
+            HttpFrontend()
+        with pytest.raises(ValueError):
+            HttpFrontend(engine=engine, worker=object())
+
+
+class TestWatcherIntegration:
+    def test_watcher_serves_http_on_shared_worker(self, tmp_path):
+        """`watch --http-port N` exposes the daemon's warm worker over HTTP
+        and tears it down with the watcher."""
+        import time
+        from unittest.mock import patch
+
+        from tpu_search.interfaces.watcher import ConversationWatcher
+
+        claude = tmp_path / "projects"
+        claude.mkdir()
+        with patch("tpu_search.interfaces.watcher.SearchEngine") as SE, \
+                patch("tpu_search.interfaces.watcher.signal"):
+            SE.return_value.embedder.is_model_loaded = True
+            watcher = ConversationWatcher(
+                data_dir=str(tmp_path), http_port=0
+            )
+            thread = threading.Thread(
+                target=watcher.start_watching, args=(str(claude),),
+                daemon=True,
+            )
+            thread.start()
+            deadline = time.time() + 15
+            while time.time() < deadline and (
+                watcher.http_frontend is None
+                or not watcher.http_frontend.is_running
+            ):
+                time.sleep(0.05)
+            assert watcher.http_frontend is not None
+
+            port = watcher.http_frontend.port
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10
+            ) as resp:
+                assert json.loads(resp.read())["ok"] is True
+
+            watcher.is_running = False
+            thread.join(timeout=15)
+            assert watcher.http_frontend is None  # torn down with the watcher

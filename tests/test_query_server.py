@@ -116,11 +116,24 @@ class TestEngineRouting:
 class TestBatching:
     def test_concurrent_searches_batched(self, server, engine, tmp_path):
         """Concurrent requests arriving together must share embed batches
-        and all receive correct responses."""
+        and all receive correct responses. The worker is stalled on a
+        barrier task while the clients enqueue, so the batch window is
+        deterministic regardless of machine load."""
         import threading
 
         n_clients = 12
         responses = [None] * n_clients
+        release = threading.Event()
+        stalled = threading.Event()
+
+        def stall():
+            stalled.set()
+            release.wait(timeout=60)
+
+        worker = server._worker
+        barrier = threading.Thread(target=worker.run, args=(stall,))
+        barrier.start()
+        stalled.wait(timeout=10)
 
         def client(i):
             responses[i] = request(
@@ -133,6 +146,11 @@ class TestBatching:
         ]
         for t in threads:
             t.start()
+        # All clients must be parked on the queue before the worker wakes.
+        while worker.queue.qsize() < n_clients:
+            pass
+        release.set()
+        barrier.join(timeout=60)
         for t in threads:
             t.join(timeout=60)
 
@@ -141,5 +159,5 @@ class TestBatching:
         embed_calls = engine.embedder._encode_texts.call_args_list
         total_texts = sum(len(c[0][0]) for c in embed_calls)
         assert total_texts == n_clients
-        # at least one call must have carried more than one query
-        assert len(embed_calls) < n_clients
+        # the queued-up requests must share one embed batch
+        assert len(embed_calls) == 1

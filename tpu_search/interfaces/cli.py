@@ -431,9 +431,20 @@ def stats(ctx: click.Context, gpu: bool) -> None:
 @click.option("--debounce", default=5, help="Debounce interval in seconds (default: 5)")
 @click.option("--daemon", is_flag=True, help="Run as background daemon")
 @click.option("--gpu", is_flag=True, help="Use TPU acceleration for indexing")
+@click.option(
+    "--http-port",
+    default=None,
+    type=int,
+    help="Also serve the HTTP search API on this port",
+)
 @click.pass_context
 def watch(
-    ctx: click.Context, claude_dir: str, debounce: int, daemon: bool, gpu: bool
+    ctx: click.Context,
+    claude_dir: str,
+    debounce: int,
+    daemon: bool,
+    gpu: bool,
+    http_port: Optional[int],
 ) -> None:
     """Watch Claude conversations for changes and auto-index them."""
     if daemon:
@@ -444,6 +455,7 @@ def watch(
             claude_dir=claude_dir,
             debounce_seconds=debounce,
             use_gpu=gpu,
+            http_port=http_port,
         )
         return
 
@@ -453,6 +465,8 @@ def watch(
     click.echo(f"   • Watching: {claude_dir}")
     click.echo(f"   • Data directory: {ctx.obj['data_dir']}")
     click.echo(f"   • Debounce interval: {debounce} seconds")
+    if http_port is not None:
+        click.echo(f"   • HTTP search API: http://127.0.0.1:{http_port}")
     click.echo("   • Press Ctrl+C to stop")
     click.echo()
     try:
@@ -461,6 +475,7 @@ def watch(
             claude_dir=claude_dir,
             debounce_seconds=debounce,
             use_gpu=gpu,
+            http_port=http_port,
         )
     except KeyboardInterrupt:
         click.echo("\n👋 File watcher stopped")
@@ -477,8 +492,20 @@ def watch(
 )
 @click.option("--debounce", default=5, help="Debounce interval in seconds (default: 5)")
 @click.option("--gpu", is_flag=True, help="Use TPU acceleration for indexing")
+@click.option(
+    "--http-port",
+    default=None,
+    type=int,
+    help="Also serve the HTTP search API on this port",
+)
 @click.pass_context
-def start(ctx: click.Context, claude_dir: str, debounce: int, gpu: bool) -> None:
+def start(
+    ctx: click.Context,
+    claude_dir: str,
+    debounce: int,
+    gpu: bool,
+    http_port: Optional[int],
+) -> None:
     """Start the file watcher daemon."""
     from .watcher import start_daemon
 
@@ -487,6 +514,7 @@ def start(ctx: click.Context, claude_dir: str, debounce: int, gpu: bool) -> None
         claude_dir=claude_dir,
         debounce_seconds=debounce,
         use_gpu=gpu,
+        http_port=http_port,
     )
 
 
@@ -506,6 +534,56 @@ def status(ctx: click.Context) -> None:
     from .watcher import daemon_status
 
     daemon_status(data_dir=ctx.obj["data_dir"])
+
+
+@cli.command()
+@click.option("--host", default="127.0.0.1", help="Bind address")
+@click.option("--port", default=8765, help="Bind port (0 picks a free one)")
+@click.option("--gpu", is_flag=True, help="Use TPU acceleration for search")
+@click.pass_context
+def serve(ctx: click.Context, host: str, port: int, gpu: bool) -> None:
+    """Serve the search API over HTTP with a warm model and index.
+
+    Beyond-reference capability: the reference only exposes MCP stdio.
+    Routes: /healthz, /v1/search, /v1/chunks/<id>, /v1/stats, /v1/projects.
+    """
+    import time
+
+    from .http_server import HttpFrontend
+
+    engine = SearchEngine(
+        ctx.obj["data_dir"], use_gpu=gpu, use_warm_server=False
+    )
+    click.echo("🔥 Warming model and index...")
+    try:
+        engine.embedder.load_model()
+        engine._sync_embedding_dim()
+        engine.storage.initialize()
+        # Compile the common-case graphs (single short query + top-k scan at
+        # the default k) before accepting traffic, so the first client
+        # doesn't wait out a cold XLA compile behind the worker queue.
+        # (Other k values still compile on first use — k is a static shape
+        # in the scan program.)
+        try:
+            engine.search_conversations("server warmup query", top_k=10)
+        except Exception as exc:
+            logger.debug("serve warmup skipped: %s", exc)
+        frontend = HttpFrontend(engine=engine, host=host, port=port)
+        frontend.start()
+    except Exception as exc:
+        click.echo(f"❌ Failed to start server: {exc}")
+        sys.exit(1)
+    click.echo(
+        f"🌐 Search API on http://{frontend.host}:{frontend.port} "
+        f"(Ctrl+C to stop)"
+    )
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        click.echo("\n👋 Server stopped")
+    finally:
+        frontend.stop()
 
 
 # -- console-script shims (reference: src/cli.py:805-852) -------------------
@@ -542,6 +620,10 @@ def stop_command() -> None:
 
 def status_command() -> None:
     _run_subcommand("status")
+
+
+def serve_command() -> None:
+    _run_subcommand("serve")
 
 
 if __name__ == "__main__":

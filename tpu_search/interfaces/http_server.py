@@ -1,0 +1,285 @@
+"""HTTP front-end for the warm query server.
+
+The reference serves programmatic clients over MCP stdio only
+(mcp-server/index.ts); this front-end additionally exposes the same warm
+engine over plain HTTP so dashboards, curl, and non-MCP tooling can query
+without a cold start. It reuses the query server's ``_BatchWorker`` — all
+engine access stays serialized on one thread and concurrent searches share
+a single device embed batch — so attaching HTTP to a running watcher daemon
+adds no new concurrency surface.
+
+Routes (all JSON):
+
+- ``GET /healthz``                      liveness + model state
+- ``GET|POST /v1/search``               semantic search (query params or body)
+- ``GET /v1/chunks/<id>``               direct chunk retrieval
+- ``GET /v1/stats``                     index statistics
+- ``GET /v1/projects``                  indexed project names
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+from urllib.parse import parse_qs, unquote, urlsplit
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["HttpFrontend", "build_filters", "MAX_TOP_K"]
+
+MAX_TOP_K = 100
+MAX_BODY_BYTES = 1 << 20  # 1 MB: queries are sentences, not documents
+# Searches may hit a fresh (batch, seq) XLA compile (~1-2 min cold on a
+# tunneled TPU); unlike the socket clients the CLI falls back from, HTTP
+# callers have no local-engine fallback, so wait the compile out.
+SEARCH_TIMEOUT_S = 600.0
+
+
+def build_filters(
+    project: Optional[str] = None,
+    has_code: bool = False,
+    session: Optional[str] = None,
+    after: Optional[str] = None,
+    before: Optional[str] = None,
+) -> Dict[str, Any]:
+    """CLI-compatible filter dict from primitive fields (reference filter
+    surface: src/cli.py:575-605). Raises ValueError on bad YYYY-MM-DD dates.
+    """
+    filters: Dict[str, Any] = {}
+    if project:
+        filters["project_name"] = project
+    if has_code:
+        filters["has_code"] = True
+    if session:
+        filters["session_id"] = session
+    if after or before:
+        timestamp: Dict[str, str] = {}
+        if after:
+            try:
+                timestamp["gte"] = datetime.fromisoformat(
+                    f"{after}T00:00:00+00:00"
+                ).isoformat()
+            except ValueError:
+                raise ValueError(
+                    f"invalid 'after' date {after!r}; use YYYY-MM-DD"
+                )
+        if before:
+            try:
+                timestamp["lte"] = datetime.fromisoformat(
+                    f"{before}T23:59:59+00:00"
+                ).isoformat()
+            except ValueError:
+                raise ValueError(
+                    f"invalid 'before' date {before!r}; use YYYY-MM-DD"
+                )
+        filters["timestamp"] = timestamp
+    return filters
+
+
+class _HttpHandler(BaseHTTPRequestHandler):
+    server_version = "tpu-search"
+    protocol_version = "HTTP/1.1"
+
+    # -- plumbing ------------------------------------------------------------
+
+    def log_message(self, fmt: str, *args: Any) -> None:
+        logger.debug("http: " + fmt, *args)
+
+    def _send(self, code: int, payload: Dict[str, Any]) -> None:
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, message: str) -> None:
+        self._send(code, {"ok": False, "error": message})
+
+    @property
+    def _worker(self):
+        return self.server.worker  # type: ignore[attr-defined]
+
+    # -- routes --------------------------------------------------------------
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib handler name)
+        url = urlsplit(self.path)
+        try:
+            if url.path == "/healthz":
+                self._send(200, self._worker.submit({"op": "ping"}))
+            elif url.path == "/v1/search":
+                self._search(_params_from_query(parse_qs(url.query)))
+            elif url.path.startswith("/v1/chunks/"):
+                self._chunk(unquote(url.path[len("/v1/chunks/"):]))
+            elif url.path == "/v1/stats":
+                self._simple("stats")
+            elif url.path == "/v1/projects":
+                self._simple("projects")
+            else:
+                self._error(404, f"no such route: {url.path}")
+        except BrokenPipeError:
+            pass
+        except Exception as exc:  # defensive: a handler crash kills keep-alive
+            logger.exception("http handler failure")
+            try:
+                self._error(500, str(exc))
+            except OSError:
+                pass
+
+    def do_POST(self) -> None:  # noqa: N802
+        url = urlsplit(self.path)
+        if url.path != "/v1/search":
+            self._error(404, f"no such route: {url.path}")
+            return
+        try:
+            length = int(self.headers.get("Content-Length") or 0)
+        except ValueError:
+            self._error(400, "bad Content-Length")
+            return
+        if length > MAX_BODY_BYTES:
+            self._error(413, "request body too large")
+            return
+        raw = self.rfile.read(length) if length else b""
+        try:
+            body = json.loads(raw.decode("utf-8")) if raw else {}
+        except (json.JSONDecodeError, UnicodeDecodeError) as exc:
+            self._error(400, f"invalid JSON body: {exc}")
+            return
+        if not isinstance(body, dict):
+            self._error(400, "JSON body must be an object")
+            return
+        try:
+            self._search(body)
+        except BrokenPipeError:
+            pass
+
+    # -- operations ----------------------------------------------------------
+
+    def _search(self, params: Dict[str, Any]) -> None:
+        query = params.get("query")
+        if not isinstance(query, str) or not query.strip():
+            self._error(400, "missing required field: query")
+            return
+        try:
+            top_k = int(params.get("top_k", 10))
+        except (TypeError, ValueError):
+            self._error(400, f"top_k must be an integer")
+            return
+        if not 1 <= top_k <= MAX_TOP_K:
+            self._error(400, f"top_k must be in [1, {MAX_TOP_K}]")
+            return
+
+        filters = params.get("filters")
+        if filters is None:
+            try:
+                filters = build_filters(
+                    project=params.get("project"),
+                    has_code=bool(params.get("has_code")),
+                    session=params.get("session"),
+                    after=params.get("after"),
+                    before=params.get("before"),
+                )
+            except ValueError as exc:
+                self._error(400, str(exc))
+                return
+        elif not isinstance(filters, dict):
+            self._error(400, "filters must be an object")
+            return
+
+        response = self._worker.submit(
+            {
+                "op": "search",
+                "query": query,
+                "top_k": top_k,
+                "filters": filters or None,
+            },
+            timeout=SEARCH_TIMEOUT_S,
+        )
+        self._send(200 if response.get("ok") else 500, response)
+
+    def _chunk(self, chunk_id: str) -> None:
+        if not chunk_id:
+            self._error(400, "missing chunk id")
+            return
+        response = self._worker.submit(
+            {"op": "get_chunk", "chunk_id": chunk_id}
+        )
+        if response.get("ok") and response.get("chunk") is None:
+            self._error(404, f"chunk not found: {chunk_id}")
+            return
+        self._send(200 if response.get("ok") else 500, response)
+
+    def _simple(self, op: str) -> None:
+        response = self._worker.submit({"op": op})
+        self._send(200 if response.get("ok") else 500, response)
+
+
+def _params_from_query(qs: Dict[str, list]) -> Dict[str, Any]:
+    """Flatten parse_qs output; ``q`` is accepted as an alias for ``query``."""
+    flat = {k: v[-1] for k, v in qs.items()}
+    params: Dict[str, Any] = dict(flat)
+    if "query" not in params and "q" in flat:
+        params["query"] = flat["q"]
+    if "has_code" in flat:
+        params["has_code"] = flat["has_code"].lower() in ("1", "true", "yes")
+    return params
+
+
+class HttpFrontend:
+    """Serves a warm engine over HTTP.
+
+    Pass an existing ``_BatchWorker`` (e.g. the watcher daemon's) to share
+    its serialization and embed batching; pass an engine to own a private
+    worker instead.
+    """
+
+    def __init__(
+        self,
+        engine=None,
+        worker=None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        if (engine is None) == (worker is None):
+            raise ValueError("pass exactly one of engine= or worker=")
+        self._engine = engine
+        self._worker = worker
+        self._owns_worker = worker is None
+        self.host = host
+        self.port = port
+        self._server: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        if self._worker is None:
+            from .query_server import _BatchWorker
+
+            self._worker = _BatchWorker(self._engine)
+        self._server = ThreadingHTTPServer(
+            (self.host, self.port), _HttpHandler
+        )
+        self._server.daemon_threads = True
+        self._server.worker = self._worker  # type: ignore[attr-defined]
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        logger.info("HTTP front-end listening on %s:%d", self.host, self.port)
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        if self._owns_worker and self._worker is not None:
+            self._worker.stop()
+            self._worker = None
+
+    @property
+    def is_running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()

@@ -71,10 +71,12 @@ class _BatchWorker:
         self._running = False
         self.queue.put(None)  # wake the worker
 
-    def submit(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+    def submit(
+        self, payload: Dict[str, Any], timeout: float = REQUEST_TIMEOUT_S
+    ) -> Dict[str, Any]:
         request = _Request(payload)
         self.queue.put(request)
-        request.event.wait(timeout=REQUEST_TIMEOUT_S)
+        request.event.wait(timeout=timeout)
         return request.response or {"ok": False, "error": "worker timeout"}
 
     def run(self, fn):

@@ -127,10 +127,12 @@ class ConversationWatcher:
         data_dir: Optional[str] = None,
         debounce_seconds: int = 5,
         use_gpu: bool = False,
+        http_port: Optional[int] = None,
     ) -> None:
         self.data_dir = resolve_data_dir(data_dir)
         self.debounce_seconds = debounce_seconds
         self.use_gpu = use_gpu
+        self.http_port = http_port
         self.cli_instance = SearchEngine(
             self.data_dir, use_gpu, use_warm_server=False
         )
@@ -138,6 +140,7 @@ class ConversationWatcher:
             self.cli_instance, debounce_seconds
         )
         self.query_server = None  # started with watching; serves warm queries
+        self.http_frontend = None  # optional HTTP face on the same worker
         self.watch: Optional[Watch] = None
         self.is_running = False
         self.pid_file = Path(self.data_dir) / "watcher.pid"
@@ -154,15 +157,18 @@ class ConversationWatcher:
         logger.info("Starting file watcher for: %s", claude_path)
         logger.info("Debounce interval: %d seconds", self.debounce_seconds)
 
-        # 60s watchdog on model/storage init (reference: src/watcher.py:152).
+        # Watchdog on model/storage init (reference used 60s,
+        # src/watcher.py:152; raised to 180s here because attaching a
+        # tunneled TPU can stall for a minute+ while the device recovers
+        # from a previously killed process).
         def timeout_handler(signum, frame):
             raise TimeoutError(
-                "Model loading timeout (60s) - consider running "
+                "Model loading timeout (180s) - consider running "
                 "'setup-models' first"
             )
 
         old_handler = signal.signal(signal.SIGALRM, timeout_handler)
-        signal.alarm(60)
+        signal.alarm(180)
         try:
             self.cli_instance.storage.initialize()
             if not self.cli_instance.embedder.is_model_loaded:
@@ -185,6 +191,20 @@ class ConversationWatcher:
             logger.warning("Query server failed to start: %s", exc)
             self.query_server = None
 
+        # Optional HTTP face on the SAME worker: searches over HTTP share
+        # embed batches with socket clients and serialize against reindexing.
+        if self.http_port is not None and self.query_server is not None:
+            from .http_server import HttpFrontend
+
+            try:
+                self.http_frontend = HttpFrontend(
+                    worker=self.query_server._worker, port=self.http_port
+                )
+                self.http_frontend.start()
+            except OSError as exc:
+                logger.warning("HTTP front-end failed to start: %s", exc)
+                self.http_frontend = None
+
         self.watch = create_watch(str(claude_path), self.handler.on_event)
         self.watch.start()
         self.is_running = True
@@ -198,6 +218,9 @@ class ConversationWatcher:
             self.stop_watching()
 
     def stop_watching(self) -> None:
+        if self.http_frontend is not None:
+            self.http_frontend.stop()
+            self.http_frontend = None
         if self.query_server is not None:
             self.query_server.stop()
             self.query_server = None
@@ -316,9 +339,10 @@ def run_watcher(
     claude_dir: str = "~/.claude/projects",
     debounce_seconds: int = 5,
     use_gpu: bool = False,
+    http_port: Optional[int] = None,
 ) -> None:
     watcher = ConversationWatcher(
-        resolve_data_dir(data_dir), debounce_seconds, use_gpu
+        resolve_data_dir(data_dir), debounce_seconds, use_gpu, http_port
     )
     try:
         watcher.start_watching(claude_dir)
@@ -332,9 +356,13 @@ def start_daemon(
     claude_dir: str = "~/.claude/projects",
     debounce_seconds: int = 5,
     use_gpu: bool = False,
+    http_port: Optional[int] = None,
 ) -> None:
     data_dir = resolve_data_dir(data_dir)
-    watcher = ConversationWatcher(data_dir, debounce_seconds, use_gpu)
+    watcher = ConversationWatcher(
+        data_dir, debounce_seconds, use_gpu, http_port
+    )
+    pid: Optional[int] = None
     try:
         pid = os.fork()
         if pid > 0:
@@ -369,6 +397,20 @@ def start_daemon(
             return
     except OSError:
         pass  # fork unsupported: run in the foreground
+
+    # Child: detach from the controlling terminal. Without this the daemon
+    # keeps the parent's stdout/stderr pipes open, so shells running e.g.
+    # `claude-start | tee log` hang until the daemon itself exits. Daemon
+    # logging goes to watcher.log (setup_daemon_logging), not the terminal.
+    if pid == 0:
+        try:
+            os.setsid()
+            devnull = os.open(os.devnull, os.O_RDWR)
+            for fd in (0, 1, 2):
+                os.dup2(devnull, fd)
+            os.close(devnull)
+        except OSError:
+            pass
 
     try:
         watcher.start_daemon(claude_dir)
