@@ -85,6 +85,36 @@ class TestShardedIndex:
         _, got = sharded.search(normed(rng, 1, 8), k=40)
         assert (got[got >= 0] >= 13).all()
 
+    def test_incremental_appends_match_full_push(self, mesh8):
+        """Appends within capacity take the on-device scatter path (no full
+        corpus re-upload) and must be indistinguishable from a rebuilt
+        index; removals tombstone through the same path."""
+        rng = np.random.default_rng(3)
+        d = 32
+        first, second, third = (
+            normed(rng, 500, d), normed(rng, 37, d), normed(rng, 1, d)
+        )
+        queries = normed(rng, 4, d)
+
+        sharded = ShardedFlatIndex(dim=d, mesh=mesh8, dtype="float32")
+        sharded.add(first)  # initial push (capacity grows)
+        assert not sharded._update_fns  # scatter not used yet
+        ids2 = sharded.add(second)  # fits in capacity -> scatter path
+        sharded.add(third)
+        assert True in sharded._update_fns  # vector scatter compiled+used
+        removed = sharded.remove([5, int(ids2[0])])
+        assert removed == 2
+        assert False in sharded._update_fns  # tombstone scatter used
+
+        rebuilt = ShardedFlatIndex(dim=d, mesh=mesh8, dtype="float32")
+        rebuilt.add(np.concatenate([first, second, third]))
+        rebuilt.remove([5, int(ids2[0])])
+
+        got_scores, got_ids = sharded.search(queries, k=12)
+        ref_scores, ref_ids = rebuilt.search(queries, k=12)
+        assert np.array_equal(got_ids, ref_ids)
+        np.testing.assert_allclose(got_scores, ref_scores, rtol=1e-5)
+
     def test_incremental_adds(self, mesh8):
         rng = np.random.default_rng(3)
         d = 8

@@ -34,7 +34,56 @@ __all__ = ["ShardedFlatIndex"]
 
 _MIN_LOCAL_CAPACITY = 1024
 _QUERY_BUCKETS = (1, 8, 32, 128, 512)
+_UPDATE_BUCKETS = (256, 2048, 16384)  # padded append/remove batch sizes
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _scatter_update_fn(mesh: Mesh, with_vectors: bool):
+    """Jitted in-place shard update: write rows (or tombstones) at
+    (shard, slot) coordinates without re-uploading the corpus.
+
+    Every shard receives the same replicated update batch and scatters only
+    its own rows: targets on other shards (and padding rows, shard == -1)
+    are redirected to an out-of-range slot and dropped by the scatter.
+    The big sharded operands are donated, so an incremental append costs
+    one small h2d transfer + an on-device scatter instead of a full corpus
+    push (ROADMAP round-2 item 7).
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            (P("data", None, None),) if with_vectors else ()
+        ) + (P("data", None),) + (
+            (P(None, None),) if with_vectors else ()
+        ) + (P(None), P(None), P(None)),
+        out_specs=(
+            (P("data", None, None), P("data", None))
+            if with_vectors
+            else P("data", None)
+        ),
+        check_vma=False,
+    )
+    def program(*args):
+        if with_vectors:
+            vectors, valid, new_rows, shards, slots, values = args
+        else:
+            valid, shards, slots, values = args
+        me = jax.lax.axis_index("data")
+        cap = valid.shape[1]
+        target = jnp.where(shards == me, slots, cap)  # cap == OOB -> dropped
+        new_valid = valid[0].at[target].set(values, mode="drop")[None]
+        if with_vectors:
+            new_vectors = (
+                vectors[0]
+                .at[target]
+                .set(new_rows.astype(vectors.dtype), mode="drop")[None]
+            )
+            return new_vectors, new_valid
+        return new_valid
+
+    return jax.jit(program, donate_argnums=(0, 1) if with_vectors else (0,))
 
 
 def _sharded_topk_fn(
@@ -121,6 +170,7 @@ class ShardedFlatIndex:
         self._vectors: Optional[jax.Array] = None  # [S, local_cap, D] sharded
         self._valid: Optional[jax.Array] = None  # [S, local_cap] sharded
         self._search_fns: Dict[Tuple[int, str], callable] = {}
+        self._update_fns: Dict[bool, callable] = {}
 
     # -- size accounting -----------------------------------------------------
 
@@ -155,11 +205,13 @@ class ShardedFlatIndex:
             jnp.asarray(self._host_valid), self._sharding(2)
         )
 
-    def _ensure_capacity(self, needed_global: int) -> None:
+    def _ensure_capacity(self, needed_global: int) -> bool:
+        """Grow the host mirror if needed; True when a realloc happened
+        (device shards must then be re-pushed at the new capacity)."""
         needed_local = -(-needed_global // self.n_shards)
         target = max(_MIN_LOCAL_CAPACITY, next_pow2(needed_local))
         if target <= self._local_capacity:
-            return
+            return False
         new_vectors = np.zeros(
             (self.n_shards, target, self.dim), dtype=np.float32
         )
@@ -169,6 +221,48 @@ class ShardedFlatIndex:
             new_valid[:, : self._local_capacity] = self._host_valid
         self._local_capacity = target
         self._host_vectors, self._host_valid = new_vectors, new_valid
+        return True
+
+    def _scatter_to_device(
+        self,
+        ids: np.ndarray,
+        vectors: Optional[np.ndarray],
+        value: bool,
+    ) -> None:
+        """Incremental device update at global ids (padded to a size bucket
+        so each batch-size bucket compiles once). ``vectors=None`` flips
+        validity only (tombstones)."""
+        n = ids.shape[0]
+        padded_n = bucket_size(n, _UPDATE_BUCKETS)
+        shards = np.full((padded_n,), -1, dtype=np.int32)  # -1: no shard
+        slots = np.zeros((padded_n,), dtype=np.int32)
+        values = np.zeros((padded_n,), dtype=np.bool_)
+        shards[:n] = ids % self.n_shards
+        slots[:n] = ids // self.n_shards
+        values[:n] = value
+
+        with_vectors = vectors is not None
+        if with_vectors not in self._update_fns:
+            self._update_fns[with_vectors] = _scatter_update_fn(
+                self.mesh, with_vectors
+            )
+        replicated = NamedSharding(self.mesh, P(None))
+        coords = [
+            jax.device_put(jnp.asarray(shards), replicated),
+            jax.device_put(jnp.asarray(slots), replicated),
+            jax.device_put(jnp.asarray(values), replicated),
+        ]
+        if with_vectors:
+            rows = np.zeros((padded_n, self.dim), dtype=np.float32)
+            rows[:n] = vectors
+            rows_dev = jax.device_put(
+                jnp.asarray(rows), NamedSharding(self.mesh, P(None, None))
+            )
+            self._vectors, self._valid = self._update_fns[True](
+                self._vectors, self._valid, rows_dev, *coords
+            )
+        else:
+            self._valid = self._update_fns[False](self._valid, *coords)
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
         """Append rows round-robin across shards; returns global ids."""
@@ -181,14 +275,17 @@ class ShardedFlatIndex:
         if vectors.shape[1] != self.dim:
             raise ValueError(f"Expected dim {self.dim}, got {vectors.shape[1]}")
 
-        self._ensure_capacity(self._count + n)
+        grew = self._ensure_capacity(self._count + n)
         ids = np.arange(self._count, self._count + n, dtype=np.int64)
         shards = ids % self.n_shards
         slots = ids // self.n_shards
         self._host_vectors[shards, slots] = vectors
         self._host_valid[shards, slots] = True
         self._count += n
-        self._push()
+        if grew or self._vectors is None:
+            self._push()  # capacity changed: re-upload at the new shape
+        else:
+            self._scatter_to_device(ids, vectors, True)
         return ids
 
     def remove(self, ids) -> int:
@@ -200,7 +297,10 @@ class ShardedFlatIndex:
         slots = ids // self.n_shards
         n_live = int(self._host_valid[shards, slots].sum())
         self._host_valid[shards, slots] = False
-        self._push()
+        if self._valid is None:
+            self._push()
+        else:
+            self._scatter_to_device(ids, None, False)
         return n_live
 
     def compact(self) -> Dict[int, int]:
