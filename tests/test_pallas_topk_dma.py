@@ -1,0 +1,102 @@
+"""Manually-pipelined DMA scan kernel: parity vs the XLA reference path
+for both metrics, in interpret mode on the CPU backend (real-TPU numbers
+live in ops/pallas_topk_dma.py and benchmarks/)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_search.ops.pallas_topk_dma import pallas_flat_topk_dma
+from tpu_search.ops.topk_scan import flat_topk
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_matches_xla_path(metric, dtype):
+    rng = np.random.default_rng(0)
+    n, d, q, k = 4096, 128, 8, 10
+    # un-normalized rows so l2 and ip genuinely order differently
+    vecs_np = rng.standard_normal((n, d)).astype(np.float32) * rng.uniform(
+        0.5, 2.0, size=(n, 1)
+    ).astype(np.float32)
+    vecs = jnp.asarray(vecs_np).astype(
+        jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    )
+    mask = jnp.asarray(rng.random(n) < 0.6)
+    queries = jnp.asarray(normed(rng, q, d))
+
+    kwargs = {}
+    if metric == "l2":
+        v32 = vecs.astype(jnp.float32)
+        kwargs = dict(metric="l2", sq_norms=jnp.sum(v32 * v32, axis=1))
+    ps, pi = pallas_flat_topk_dma(
+        vecs, mask, queries, k, tile_n=1024, interpret=True, **kwargs
+    )
+    rs, ri = flat_topk(vecs, mask, queries, k, metric=metric)
+    assert np.array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_allclose(
+        np.asarray(ps), np.asarray(rs), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_l2_requires_norms():
+    rng = np.random.default_rng(1)
+    vecs = jnp.asarray(normed(rng, 1024, 128))
+    with pytest.raises(ValueError, match="sq_norms"):
+        pallas_flat_topk_dma(
+            vecs,
+            jnp.ones(1024, dtype=bool),
+            jnp.asarray(normed(rng, 8, 128)),
+            5,
+            tile_n=1024,
+            interpret=True,
+            metric="l2",
+        )
+
+
+def test_all_masked_tile_handled():
+    rng = np.random.default_rng(2)
+    n, d, k = 2048, 128, 5
+    vecs = jnp.asarray(normed(rng, n, d))
+    mask = np.ones(n, dtype=bool)
+    mask[1024:] = False  # entire second tile dead
+    ps, pi = pallas_flat_topk_dma(
+        vecs,
+        jnp.asarray(mask),
+        jnp.asarray(normed(rng, 8, d)),
+        k,
+        tile_n=1024,
+        interpret=True,
+    )
+    assert (np.asarray(pi) < 1024).all()
+
+
+def test_flat_index_l2_pallas_equals_xla():
+    """FlatIndex on the l2 metric returns identical results whether the
+    pallas path is enabled or not (CPU runs XLA either way; this pins the
+    score convention both kernels share)."""
+    from tpu_search.index.flat import FlatIndex
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((500, 64)).astype(np.float32)
+    queries = rng.standard_normal((3, 64)).astype(np.float32)
+
+    index = FlatIndex(dim=64, metric="l2", dtype="float32")
+    index.add(vecs)
+    scores, ids = index.search(queries, k=7)
+
+    # brute force nearest-by-l2
+    d2 = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    expect = np.argsort(d2, axis=1)[:, :7]
+    assert np.array_equal(ids, expect)
+    # cached norms helper agrees with numpy
+    norms = np.asarray(index._sq_norms())[:500]
+    np.testing.assert_allclose(
+        norms, (vecs**2).sum(1), rtol=1e-5, atol=1e-5
+    )

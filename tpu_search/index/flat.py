@@ -65,6 +65,12 @@ def _grow(new_buf, old_buf):
     )
 
 
+@jax.jit
+def _row_sq_norms(vectors):
+    v = vectors.astype(jnp.float32)
+    return jnp.sum(v * v, axis=1)
+
+
 class FlatIndex:
     """Exact-scan vector index held in device memory."""
 
@@ -90,6 +96,9 @@ class FlatIndex:
         self._vectors: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
         self._scales: Optional[jax.Array] = None  # int8 mode: [cap] f32
+        # l2 + pallas path: cached [cap] row |v|^2 (invalidated on any
+        # vector mutation, recomputed on next search — one cheap pass).
+        self._sq_cache: Optional[jax.Array] = None
 
     # -- size accounting -----------------------------------------------------
 
@@ -234,6 +243,7 @@ class FlatIndex:
                 )
         ids = np.arange(self._count, self._count + n, dtype=np.int64)
         self._count += n
+        self._sq_cache = None
         return ids
 
     def remove(self, ids) -> int:
@@ -267,6 +277,7 @@ class FlatIndex:
         self._vectors = None
         self._valid = None
         self._scales = None
+        self._sq_cache = None
         if kept.shape[0]:
             self.add(kept)
         return mapping
@@ -277,6 +288,7 @@ class FlatIndex:
         self._vectors = None
         self._valid = None
         self._scales = None
+        self._sq_cache = None
 
     # -- search ----------------------------------------------------------------
 
@@ -363,9 +375,10 @@ class FlatIndex:
 
     def _pick_kernel(self, padded_q: int, k_eff: int):
         """Choose the scan kernel: the manually-pipelined Pallas DMA kernel
-        on TPU for the cosine/IP path (measured >= XLA, up to 1.5x at batch
-        sizes — ops/pallas_topk_dma.py), the XLA scan otherwise (CPU, L2
-        metric, odd shapes, or TPU_SEARCH_DISABLE_PALLAS=1)."""
+        on TPU for the ip AND l2 paths (measured >= XLA, up to 1.5x at batch
+        sizes — ops/pallas_topk_dma.py; l2 folds the |v|^2 correction into
+        the fused penalty stream), the XLA scan otherwise (CPU, odd shapes,
+        or TPU_SEARCH_DISABLE_PALLAS=1)."""
         # VMEM budget: 2 tile slots + [Q, TILE] score temporaries must stay
         # under the ~16MB scoped limit, so the tile shrinks as Q grows.
         if self.dtype == "bfloat16":
@@ -374,7 +387,6 @@ class FlatIndex:
             tile = 2048 if padded_q <= 32 else 0  # f32 @ Q>32: XLA wins
         use_pallas = (
             tile > 0
-            and self.metric == "ip"
             and self.device.platform not in ("cpu", "interpreter")
             and os.environ.get("TPU_SEARCH_DISABLE_PALLAS") != "1"
             and self.dim % 128 == 0
@@ -395,8 +407,22 @@ class FlatIndex:
         if use_pallas:
             from ..ops.pallas_topk_dma import pallas_flat_topk_dma
 
+            if self.metric == "l2":
+                return partial(
+                    pallas_flat_topk_dma,
+                    tile_n=tile,
+                    metric="l2",
+                    sq_norms=self._sq_norms(),
+                )
             return partial(pallas_flat_topk_dma, tile_n=tile)
         return partial(flat_topk, metric=self.metric)
+
+    def _sq_norms(self) -> jax.Array:
+        """Cached [capacity] row squared norms for the l2 pallas path."""
+        if self._sq_cache is None:
+            with jax.default_device(self.device):
+                self._sq_cache = _row_sq_norms(self._vectors)
+        return self._sq_cache
 
     # -- persistence -----------------------------------------------------------
 

@@ -39,20 +39,21 @@ _LANE = 128
 
 def _kernel(
     vec_hbm,  # [N, D] corpus (HBM)
-    mask_hbm,  # [n_tiles, TILE/128, 128] f32 predicate (HBM, lane-packed)
+    aux_hbm,  # [n_tiles, TILE/128, 128] f32 row penalty (HBM, lane-packed)
     query_ref,  # [Q, D] queries (VMEM)
     out_scores_ref,  # [Q, K_PAD] (VMEM)
     out_ids_ref,  # [Q, K_PAD] (VMEM)
     vec_buf,  # scratch [2, TILE, D] (VMEM)
-    mask_buf,  # scratch [2, TILE/128, 128] (VMEM)
+    aux_buf,  # scratch [2, TILE/128, 128] (VMEM)
     best_scores,  # scratch [Q, K_PAD]
     best_ids,  # scratch [Q, K_PAD]
     vec_sems,  # DMA sems (2,)
-    mask_sems,  # DMA sems (2,)
+    aux_sems,  # DMA sems (2,)
     *,
     k: int,
     tile_n: int,
     n_tiles: int,
+    alpha: float,
 ):
     queries = query_ref[:]
 
@@ -63,18 +64,18 @@ def _kernel(
             vec_sems.at[slot],
         )
 
-    def mask_dma(slot, tile_idx):
+    def aux_dma(slot, tile_idx):
         return pltpu.make_async_copy(
-            mask_hbm.at[tile_idx],
-            mask_buf.at[slot],
-            mask_sems.at[slot],
+            aux_hbm.at[tile_idx],
+            aux_buf.at[slot],
+            aux_sems.at[slot],
         )
 
     best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
     best_ids[:] = jnp.zeros_like(best_ids[:])
 
     vec_dma(0, 0).start()
-    mask_dma(0, 0).start()
+    aux_dma(0, 0).start()
 
     def body(t, _):
         slot = jax.lax.rem(t, 2)
@@ -83,10 +84,10 @@ def _kernel(
         @pl.when(t + 1 < n_tiles)
         def _prefetch():
             vec_dma(next_slot, t + 1).start()
-            mask_dma(next_slot, t + 1).start()
+            aux_dma(next_slot, t + 1).start()
 
         vec_dma(slot, t).wait()
-        mask_dma(slot, t).wait()
+        aux_dma(slot, t).wait()
 
         tile = vec_buf[slot]
         scores = jax.lax.dot_general(
@@ -95,8 +96,12 @@ def _kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Q, TILE]
-        live = mask_buf[slot].reshape(1, tile_n) > 0.5
-        scores = jnp.where(live, scores, -jnp.inf)
+        if alpha != 1.0:
+            scores = scores * alpha
+        # Row penalty: 0 (ip, live) / |v|^2 (l2, live) / +inf (masked lane
+        # -> score -inf). One stream carries both the predicate and the
+        # metric correction.
+        scores = scores - aux_buf[slot].reshape(1, tile_n)
 
         tile_max = jnp.max(scores, axis=1)
         kth = best_scores[:, k - 1]
@@ -120,7 +125,7 @@ def _kernel(
     out_ids_ref[:] = best_ids[:]
 
 
-@partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "metric"))
 def pallas_flat_topk_dma(
     vectors: jax.Array,  # [N, D], N multiple of tile_n
     mask: jax.Array,  # [N] bool
@@ -128,20 +133,34 @@ def pallas_flat_topk_dma(
     k: int,
     tile_n: int = 1024,
     interpret: bool = False,
+    metric: str = "ip",
+    sq_norms: jax.Array = None,  # [N] f32 row |v|^2, required for "l2"
 ) -> Tuple[jax.Array, jax.Array]:
+    """Fused masked top-k scan. ``metric="ip"``: score = q.v; ``"l2"``:
+    score = 2 q.v - |v|^2 (same convention as ops.topk_scan._scores, so
+    top-k order == nearest-by-L2 and the two kernels interchange)."""
     n, d = vectors.shape
     q = queries.shape[0]
     k_pad = round_up(k, _LANE)
     n_tiles = n // tile_n
-    # Lane-packed mask: [n_tiles, TILE/128, 128] so per-tile DMA slices are
-    # layout-friendly ([N, 1] memrefs tile to a full 128-lane stripe in HBM
-    # and per-tile slicing of that breaks the Mosaic compiler).
-    mask_f32 = mask.astype(jnp.float32).reshape(
-        n_tiles, tile_n // _LANE, _LANE
-    )
+    # The mask and the l2 norm correction fold into ONE lane-packed f32
+    # penalty stream: live ip rows carry 0, live l2 rows carry |v|^2, and
+    # masked rows carry +inf (score - inf = -inf). Lane-packed
+    # [n_tiles, TILE/128, 128] so per-tile DMA slices are layout-friendly
+    # ([N, 1] memrefs tile to a full 128-lane stripe in HBM and per-tile
+    # slicing of that breaks the Mosaic compiler).
+    if metric == "l2":
+        if sq_norms is None:
+            raise ValueError("metric='l2' requires sq_norms")
+        penalty = jnp.where(mask, sq_norms.astype(jnp.float32), jnp.inf)
+        alpha = 2.0
+    else:
+        penalty = jnp.where(mask, 0.0, jnp.inf)
+        alpha = 1.0
+    aux_f32 = penalty.reshape(n_tiles, tile_n // _LANE, _LANE)
 
     out_scores, out_ids = pl.pallas_call(
-        partial(_kernel, k=k, tile_n=tile_n, n_tiles=n_tiles),
+        partial(_kernel, k=k, tile_n=tile_n, n_tiles=n_tiles, alpha=alpha),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # corpus stays in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),  # mask stays in HBM
@@ -170,5 +189,5 @@ def pallas_flat_topk_dma(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(vectors, mask_f32, queries)
+    )(vectors, aux_f32, queries)
     return out_scores[:, :k], out_ids[:, :k]
