@@ -24,12 +24,16 @@ def engine():
     mock.embedder._encode_texts.side_effect = lambda texts: np.zeros(
         (len(texts), 4), dtype=np.float32
     )
-    mock.storage.search.return_value = [
+    hit = [
         SearchResult(
             chunk_id="c1", similarity=0.9, text="hit",
             metadata={"project_name": "p", "session_id": "s",
                       "timestamp": "t", "has_code": False},
         )
+    ]
+    mock.storage.search.return_value = hit
+    mock.storage.search_many.side_effect = lambda embs, cfg, filters: [
+        list(hit) for _ in range(len(embs))
     ]
     mock.get_index_stats.return_value = {"total_chunks": 7}
     mock.storage.get_all_projects.return_value = ["alpha", "beta"]
@@ -77,7 +81,7 @@ class TestRoutes:
         status, body = get(frontend, "/v1/search?q=hello&top_k=3")
         assert status == 200
         assert body["results"][0]["chunk_id"] == "c1"
-        assert engine.storage.search.call_args[0][1].top_k == 3
+        assert engine.storage.search_many.call_args[0][1].top_k == 3
 
     def test_search_get_filters(self, frontend, engine):
         status, _ = get(
@@ -85,7 +89,7 @@ class TestRoutes:
             "/v1/search?q=x&project=alpha&has_code=true&after=2024-01-02",
         )
         assert status == 200
-        filters = engine.storage.search.call_args[0][2]
+        filters = engine.storage.search_many.call_args[0][2]
         assert filters["project_name"] == "alpha"
         assert filters["has_code"] is True
         assert filters["timestamp"]["gte"].startswith("2024-01-02T00:00:00")
@@ -98,7 +102,7 @@ class TestRoutes:
         )
         assert status == 200
         assert body["results"][0]["project"] == "p"
-        assert engine.storage.search.call_args[0][2] == {"has_code": True}
+        assert engine.storage.search_many.call_args[0][2] == {"has_code": True}
 
     def test_stats_and_projects(self, frontend):
         assert get(frontend, "/v1/stats")[1]["stats"]["total_chunks"] == 7

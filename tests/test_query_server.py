@@ -21,12 +21,16 @@ def engine():
     mock.embedder._encode_texts.side_effect = lambda texts: np.zeros(
         (len(texts), 4), dtype=np.float32
     )
-    mock.storage.search.return_value = [
+    hit = [
         SearchResult(
             chunk_id="c1", similarity=0.9, text="hit",
             metadata={"project_name": "p", "session_id": "s",
                       "timestamp": "t", "has_code": False},
         )
+    ]
+    mock.storage.search.return_value = hit
+    mock.storage.search_many.side_effect = lambda embs, cfg, filters: [
+        list(hit) for _ in range(len(embs))
     ]
     mock.get_index_stats.return_value = {"total_chunks": 42}
     mock.storage.get_all_projects.return_value = ["alpha"]
@@ -57,7 +61,7 @@ class TestProtocol:
         assert response["results"][0]["chunk_id"] == "c1"
         assert response["results"][0]["project"] == "p"
         engine.embedder._encode_texts.assert_called_once_with(["q"])
-        search_args = engine.storage.search.call_args
+        search_args = engine.storage.search_many.call_args
         assert search_args[0][1].top_k == 5
         assert search_args[0][2] == {"has_code": True}
 
@@ -159,5 +163,9 @@ class TestBatching:
         embed_calls = engine.embedder._encode_texts.call_args_list
         total_texts = sum(len(c[0][0]) for c in embed_calls)
         assert total_texts == n_clients
-        # the queued-up requests must share one embed batch
+        # the queued-up requests must share one embed batch ...
         assert len(embed_calls) == 1
+        # ... and (same top_k, no filters) ONE batched index scan
+        scan_calls = engine.storage.search_many.call_args_list
+        assert len(scan_calls) == 1
+        assert len(scan_calls[0][0][0]) == n_clients

@@ -100,6 +100,45 @@ class TestAddSearch:
         results = storage.search(np.array([5.0, 0, 0, 0], dtype=np.float32))
         assert results[0].similarity == pytest.approx(1.0, abs=1e-5)
 
+    def test_search_many_matches_singles(self, storage):
+        """The batched scan must return exactly what per-query searches do
+        (the warm query server groups same-filter searches through it)."""
+        storage.add_chunks(
+            [
+                make_chunk("c1", "alpha text", E1),
+                make_chunk("c2", "beta text", E2),
+                make_chunk("c3", "gamma text", E3),
+                make_chunk("c4", "delta text", E4),
+            ]
+        )
+        queries = np.array([E1, E2, E4], dtype=np.float32)
+        cfg = SearchConfig(top_k=3)
+        batched = storage.search_many(queries, cfg)
+        assert len(batched) == 3
+        for qi in range(3):
+            single = storage.search(queries[qi], cfg)
+            assert [r.chunk_id for r in batched[qi]] == [
+                r.chunk_id for r in single
+            ]
+            assert [r.similarity for r in batched[qi]] == pytest.approx(
+                [r.similarity for r in single]
+            )
+
+    def test_search_many_with_filters(self, storage):
+        storage.add_chunks(
+            [
+                make_chunk("c1", "alpha text", E1),
+                make_chunk("c2", "beta text", E2),
+            ]
+        )
+        # filter that matches nothing -> empty list per query
+        out = storage.search_many(
+            np.array([E1, E2], dtype=np.float32),
+            SearchConfig(top_k=2),
+            {"project_name": "no-such-project"},
+        )
+        assert out == [[], []]
+
 
 class TestFilters:
     def _seed(self, storage):

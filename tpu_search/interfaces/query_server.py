@@ -137,6 +137,8 @@ class _BatchWorker:
             request.event.set()
 
     def _run_searches(self, searches: List[_Request]) -> None:
+        import numpy as np
+
         from ..storage.hybrid import SearchConfig
 
         engine = self.engine
@@ -151,21 +153,32 @@ class _BatchWorker:
 
         from ..api.engine import format_search_result
 
+        # Group by (filters, top_k): each group's predicate mask and top-k
+        # shape are identical, so the whole group runs as ONE device scan
+        # (the corpus read amortizes over the group).
+        groups: Dict[str, List[Tuple[_Request, Any]]] = {}
         for request, embedding in zip(searches, embeddings):
             payload = request.payload
-            results = engine.storage.search(
-                embedding,
-                SearchConfig(
-                    top_k=payload.get("top_k", 10),
-                    include_metadata=True,
-                    include_text=True,
-                ),
-                payload.get("filters") or None,
+            key = json.dumps(
+                [payload.get("filters") or None, payload.get("top_k", 10)],
+                sort_keys=True,
             )
-            request.response = {
-                "ok": True,
-                "results": [format_search_result(r) for r in results],
-            }
+            groups.setdefault(key, []).append((request, embedding))
+
+        for key, members in groups.items():
+            filters, top_k = json.loads(key)
+            results_per_query = engine.storage.search_many(
+                np.stack([embedding for _, embedding in members]),
+                SearchConfig(
+                    top_k=top_k, include_metadata=True, include_text=True
+                ),
+                filters,
+            )
+            for (request, _), results in zip(members, results_per_query):
+                request.response = {
+                    "ok": True,
+                    "results": [format_search_result(r) for r in results],
+                }
 
 
 class _Handler(socketserver.StreamRequestHandler):

@@ -335,58 +335,84 @@ class HybridStorage:
         filters: Optional[Dict[str, Any]] = None,
     ) -> List[SearchResult]:
         """Top-k scan with filters fused as an on-device predicate mask."""
-        cfg = config or SearchConfig()
-        if self.index is None or self.index.ntotal == 0:
-            return []
+        query = np.asarray(query_embedding, dtype=np.float32).reshape(1, -1)
+        return self.search_many(query, config, filters)[0]
 
-        query = np.asarray(query_embedding, dtype=np.float32).reshape(-1)
+    def search_many(
+        self,
+        query_embeddings: np.ndarray,
+        config: Optional[SearchConfig] = None,
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> List[List[SearchResult]]:
+        """Batched variant of :meth:`search`: ``[Q, D]`` queries sharing one
+        filter set run as ONE device scan (the corpus read amortizes over
+        the whole batch) and one metadata fetch. Used by the warm query
+        server to coalesce concurrent same-filter searches."""
+        cfg = config or SearchConfig()
+        queries = np.asarray(query_embeddings, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        nq = queries.shape[0]
+        if self.index is None or self.index.ntotal == 0 or nq == 0:
+            return [[] for _ in range(nq)]
+
         if self.config.normalize_embeddings:
-            query = query / (np.linalg.norm(query) + 1e-8)
+            queries = queries / (
+                np.linalg.norm(queries, axis=1, keepdims=True) + 1e-8
+            )
 
         mask = mask_for_filters(self.meta._conn(), filters, self.index.ntotal)
         if mask is not None and not mask.any():
-            return []
+            return [[] for _ in range(nq)]
 
-        scores, ids = self.index.search(
-            query[None, :], k=cfg.top_k, mask=mask, nprobe=cfg.nprobe
+        all_scores, all_ids = self.index.search(
+            queries, k=cfg.top_k, mask=mask, nprobe=cfg.nprobe
         )
-        scores, ids = scores[0], ids[0]
-        hit = ids >= 0
-        scores, ids = scores[hit], ids[hit]
+        rows = self.meta.rows_for_vec_ids(
+            np.unique(all_ids[all_ids >= 0]).tolist()
+        )
 
-        if self.index.metric == "l2":
-            similarities = -scores  # score = -||q-v||^2  ->  squared distance
-        else:
-            similarities = scores
-            keep = similarities >= cfg.similarity_threshold
-            similarities, ids = similarities[keep], ids[keep]
+        out: List[List[SearchResult]] = []
+        for qi in range(nq):
+            scores, ids = all_scores[qi], all_ids[qi]
+            hit = ids >= 0
+            scores, ids = scores[hit], ids[hit]
 
-        rows = self.meta.rows_for_vec_ids(ids.tolist())
-        results: List[SearchResult] = []
-        for sim, vec_id in zip(similarities, ids):
-            row = rows.get(int(vec_id))
-            if row is None:
-                continue
-            chunk_id = row["id"]
-            result = SearchResult(chunk_id=chunk_id, similarity=float(sim))
-            meta_dict = (
-                json.loads(row["metadata"]) if row["metadata"] else {}
-            )
-            if cfg.include_metadata:
-                result.metadata = meta_dict
-            if cfg.include_text:
-                result.text = row["text"]
-            if cfg.include_metadata and cfg.include_text:
-                result.chunk = Chunk(
-                    id=chunk_id,
-                    text=row["text"],
-                    metadata=meta_dict,
-                    embedding=None,
+            if self.index.metric == "l2":
+                similarities = -scores  # score = -||q-v||^2 -> sq distance
+            else:
+                similarities = scores
+                keep = similarities >= cfg.similarity_threshold
+                similarities, ids = similarities[keep], ids[keep]
+
+            results: List[SearchResult] = []
+            for sim, vec_id in zip(similarities, ids):
+                row = rows.get(int(vec_id))
+                if row is None:
+                    continue
+                chunk_id = row["id"]
+                result = SearchResult(
+                    chunk_id=chunk_id, similarity=float(sim)
                 )
-            results.append(result)
-            if len(results) >= cfg.top_k:
-                break
-        return results
+                meta_dict = (
+                    json.loads(row["metadata"]) if row["metadata"] else {}
+                )
+                if cfg.include_metadata:
+                    result.metadata = meta_dict
+                if cfg.include_text:
+                    result.text = row["text"]
+                if cfg.include_metadata and cfg.include_text:
+                    result.chunk = Chunk(
+                        id=chunk_id,
+                        text=row["text"],
+                        metadata=meta_dict,
+                        embedding=None,
+                    )
+                results.append(result)
+                if len(results) >= cfg.top_k:
+                    break
+            out.append(results)
+        return out
 
     # -- point reads ---------------------------------------------------------
 
