@@ -5,14 +5,15 @@
 // small C++ library, bound through ctypes (no pybind11 dependency).
 //
 // Contract with the Python layer (tpu_search/models/native_tokenizer.py):
-// exact BERT-pipeline semantics (clean -> whitespace split -> lowercase +
-// accent strip -> punctuation split -> greedy longest-match WordPiece with
-// "##" continuations, UNK for >100-char words). ASCII is handled natively;
-// non-ASCII codepoints are resolved through a fold table the Python side
-// generates with unicodedata (covering Latin + general punctuation), so
-// "café", "naïve", smart quotes and em-dashes stay on the fast path. A
-// codepoint absent from the table makes wp_encode return -1 and the caller
-// falls back to the pure-Python implementation (full Unicode).
+// exact BERT-pipeline semantics (clean -> CJK isolation -> whitespace split
+// -> lowercase + accent strip -> punctuation split -> greedy longest-match
+// WordPiece with "##" continuations, UNK for >100-char words). ASCII is
+// handled natively; every other codepoint resolves through a full-Unicode
+// fold table the Python side generates with unicodedata, so diacritics,
+// CJK, wide punctuation and emoji stay on the fast path. A codepoint
+// marked class-4 (context-sensitive folding, e.g. Greek capital sigma)
+// makes wp_encode return -1 and the caller falls back to the pure-Python
+// implementation.
 //
 // Build: make -C native   (produces native/libwordpiece.so)
 
@@ -26,8 +27,16 @@
 namespace {
 
 // Character classes after folding (mirrors the Python pipeline's decision
-// points).
-enum class Cls : uint8_t { kDrop = 0, kSpace = 1, kPunct = 2, kWord = 3 };
+// points). kFallback marks codepoints whose per-character folding cannot
+// reproduce the Python pipeline (e.g. Greek capital sigma, whose lowercase
+// is context-sensitive) — encountering one aborts to the Python path.
+enum class Cls : uint8_t {
+  kDrop = 0,
+  kSpace = 1,
+  kPunct = 2,
+  kWord = 3,
+  kFallback = 4,
+};
 
 struct FoldEntry {
   Cls cls;
@@ -37,6 +46,11 @@ struct FoldEntry {
 struct Tokenizer {
   std::unordered_map<std::string, int32_t> vocab;
   std::unordered_map<uint32_t, FoldEntry> fold;  // non-ASCII codepoints
+  // Class for codepoints absent from the fold table. kFallback (the safe
+  // default) bails to Python; a COMPLETE table (every non-drop codepoint
+  // listed) sets this to kDrop so unassigned/stripped codepoints need no
+  // entries.
+  Cls fold_default = Cls::kFallback;
   int32_t unk_id = 3;
   int32_t bos_id = 0;
   int32_t eos_id = 2;
@@ -53,7 +67,8 @@ inline bool is_ws(unsigned char c) {
 }
 
 inline bool is_control(unsigned char c) {
-  return c < 32 && c != '\t' && c != '\n' && c != '\r';
+  // DEL (0x7F) is category Cc too — BERT's clean step drops it.
+  return (c < 32 && c != '\t' && c != '\n' && c != '\r') || c == 0x7F;
 }
 
 // Decode one UTF-8 codepoint at text[i]; advances i. Returns 0xFFFFFFFF on
@@ -187,6 +202,13 @@ void wp_set_fold_table(void* handle, const char* data, int64_t len) {
   }
 }
 
+// Class for codepoints missing from the fold table: 0 (drop) when the
+// Python side certifies the table lists every non-drop codepoint, 4
+// (fallback) otherwise.
+void wp_set_fold_default(void* handle, int32_t cls) {
+  static_cast<Tokenizer*>(handle)->fold_default = static_cast<Cls>(cls);
+}
+
 // Encode one text into out[0..max_tokens): <s> pieces </s>, truncated so the
 // total fits max_tokens (eos always present). Returns the token count, or
 // -1 when the text contains a codepoint outside the fold table (caller
@@ -227,10 +249,15 @@ int32_t wp_encode(void* handle, const char* text, int64_t text_len,
       continue;
     }
     uint32_t cp = decode_utf8(text, text_len, &i);
+    if (cp == 0xFFFFFFFF) return -1;  // malformed UTF-8: Python decides
+    static const FoldEntry kDefaultEntry{Cls::kDrop, ""};
     auto it = tok.fold.find(cp);
-    if (it == tok.fold.end()) return -1;  // Python fallback
-    const FoldEntry& entry = it->second;
-    switch (entry.cls) {
+    bool found = it != tok.fold.end();
+    const FoldEntry& entry = found ? it->second : kDefaultEntry;
+    Cls cls = found ? entry.cls : tok.fold_default;
+    switch (cls) {
+      case Cls::kFallback:
+        return -1;  // Python fallback
       case Cls::kDrop:
         break;
       case Cls::kSpace:

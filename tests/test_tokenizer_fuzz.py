@@ -74,9 +74,10 @@ def test_fuzz_matches_hf(style, tmp_path):
 
 
 def test_native_path_agrees_with_python(tmp_path):
-    """When the C++ library is built, any text it accepts (ASCII + the
-    Latin/punctuation fold table) must match the Python implementation;
-    texts outside the table must cleanly return None (fallback)."""
+    """When the C++ library is built, any text it accepts must match the
+    Python implementation. The full-Unicode fold table keeps CJK, emoji,
+    wide forms and diacritics on the native path; only context-sensitive
+    folds (Greek capital sigma) fall back."""
     rng = random.Random(2)
     tokens = build_vocab(rng, "mpnet")
     vocab = {t: i for i, t in enumerate(tokens)}
@@ -88,15 +89,24 @@ def test_native_path_agrees_with_python(tmp_path):
     python_tok._native = None
 
     handled = 0
-    latin = ["caf\u00e9 na\u00efve \u00fcber", "\u201csmart quotes\u201d",
-             "em\u2014dash and \u2026 ellipsis", "A\u0301 combining",
-             "se\u00f1or pi\u00f1ata", "\u00a0nbsp\u00a0split"]
-    for text in make_texts(rng) + latin:
+    unicode_texts = [
+        "caf\u00e9 na\u00efve \u00fcber", "\u201csmart quotes\u201d",
+        "em\u2014dash and \u2026 ellipsis", "A\u0301 combining",
+        "se\u00f1or pi\u00f1ata", "\u00a0nbsp\u00a0split",
+        "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8", "\u4e2d\u6587 mixed english", "emoji\U0001f642here",
+        "\uff21\uff4c\uff4c \uff57\uff49\uff44\uff45", "\u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442", "\ud55c\uad6d\uc5b4", "\ufb01ligature",
+    ]
+    for text in make_texts(rng) + unicode_texts:
         native = tok._native.encode(text, 384)
         if native is None:
             continue
         handled += 1
         assert native == python_tok.encode(text, 384), repr(text)
-    # Most fuzz texts contain a CJK/emoji word and correctly fall back;
-    # pure-ASCII and Latin-diacritic texts must stay on the native path.
-    assert handled > 30
+    # every fuzz/unicode text above is foldable per-character
+    assert handled == len(make_texts(rng) + unicode_texts)
+
+    # the one designed fallback: capital sigma (position-dependent lowercase)
+    assert tok._native.encode("\u03a3\u0399\u0393\u039c\u0391 sigma", 384) is None
+    assert tok.encode("\u03a3\u0399\u0393\u039c\u0391 sigma", 384) == python_tok.encode(
+        "\u03a3\u0399\u0393\u039c\u0391 sigma", 384
+    )

@@ -1,11 +1,13 @@
 """ctypes binding for the native C++ WordPiece fast path.
 
 Loads ``native/libwordpiece.so`` when present (build with ``make -C native``).
-ASCII is handled natively; common non-ASCII (Latin letters with diacritics,
-general punctuation like smart quotes and em-dashes, combining marks) goes
-through a fold table generated here with ``unicodedata`` so the semantics
-match the Python pipeline exactly. Texts containing codepoints outside the
-table fall back per-text to the pure-Python tokenizer (full Unicode).
+ASCII is handled natively; every other codepoint goes through a
+full-Unicode fold table generated here with ``unicodedata`` (disk-cached,
+keyed on the Unicode database version) so the semantics match the Python
+pipeline exactly — diacritics, CJK isolation, wide punctuation, emoji.
+The one per-character-unfoldable codepoint (Greek capital sigma, whose
+lowercase is position-dependent) forces a per-text fallback to the
+pure-Python tokenizer.
 """
 
 from __future__ import annotations
@@ -65,23 +67,19 @@ def load_native_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p,
                 ctypes.c_int64,
             ]
+            try:  # stale .so without the default hook degrades gracefully
+                lib.wp_set_fold_default.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_int32,
+                ]
+            except AttributeError:
+                pass
             _lib = lib
             logger.info("Loaded native WordPiece library: %s", candidate)
             return _lib
         except OSError as exc:
             logger.warning("Failed to load %s: %s", candidate, exc)
     return None
-
-
-# Codepoint ranges covered natively (everything else falls back per text):
-# Latin-1 Supplement through Latin Extended-B + IPA, combining marks,
-# Latin Extended Additional, and General Punctuation.
-_FOLD_RANGES = (
-    (0x0080, 0x0300),
-    (0x0300, 0x0370),   # combining diacritical marks (dropped)
-    (0x1E00, 0x1F00),   # Latin Extended Additional
-    (0x2000, 0x2070),   # General Punctuation (smart quotes, dashes, ...)
-)
 
 
 def _bert_is_whitespace(ch: str) -> bool:
@@ -112,31 +110,80 @@ def _strip_accents(text: str) -> str:
     )
 
 
+def _generate_fold_table() -> bytes:
+    """Build the full-Unicode cp -> (class, folded-bytes) table matching the
+    Python tokenizer pipeline (clean -> CJK isolation -> lower -> NFD ->
+    drop Mn -> punctuation split; tpu_search/models/tokenizer.py).
+
+    The table is COMPLETE: every codepoint with non-drop behavior is listed,
+    so the C++ side treats missing codepoints as dropped (default class 0).
+    The single per-character-unfoldable case — Greek capital sigma, whose
+    lowercase depends on word position — is marked class 4 (force the
+    Python fallback).
+    """
+    from .tokenizer import _is_cjk
+
+    lines = []
+    for cp in range(0x80, 0x110000):
+        if 0xD800 <= cp <= 0xDFFF:  # surrogates: unreachable via UTF-8
+            continue
+        ch = chr(cp)
+        if cp == 0xFFFD or _bert_is_control(ch):
+            continue  # dropped (table default)
+        if _bert_is_whitespace(ch):
+            lines.append(f"{cp}\t1\t")
+            continue
+        folded = _strip_accents(ch.lower())
+        if folded == "":
+            continue  # pure combining mark: dropped
+        if cp == 0x03A3:  # Σ: context-sensitive lowercase (final sigma)
+            lines.append(f"{cp}\t4\t")
+            continue
+        if _is_cjk(cp):
+            # isolated as its own word (tokenizer._isolate_cjk); the punct
+            # class reproduces that: flush, emit as standalone word
+            lines.append(
+                f"{cp}\t2\t{folded}" if len(folded) == 1 else f"{cp}\t4\t"
+            )
+            continue
+        if len(folded) == 1 and _bert_is_punct(folded):
+            lines.append(f"{cp}\t2\t{folded}")
+        elif not any(
+            _bert_is_punct(c) or _bert_is_whitespace(c) for c in folded
+        ):
+            lines.append(f"{cp}\t3\t{folded}")
+        else:
+            lines.append(f"{cp}\t4\t")  # mixed-class fold: Python decides
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
 @lru_cache(maxsize=1)
 def _fold_table_blob() -> bytes:
-    """Build the cp -> (class, folded-bytes) table matching the Python
-    tokenizer pipeline (lower -> NFD -> drop Mn; BERT char classes)."""
-    lines = []
-    for start, stop in _FOLD_RANGES:
-        for cp in range(start, stop):
-            ch = chr(cp)
-            if _bert_is_whitespace(ch):
-                lines.append(f"{cp}\t1\t")
-                continue
-            if _bert_is_control(ch):
-                lines.append(f"{cp}\t0\t")
-                continue
-            folded = _strip_accents(ch.lower())
-            if folded == "":
-                lines.append(f"{cp}\t0\t")  # pure combining mark
-            elif len(folded) == 1 and _bert_is_punct(folded):
-                lines.append(f"{cp}\t2\t{folded}")
-            elif folded and not any(
-                _bert_is_punct(c) or _bert_is_whitespace(c) for c in folded
-            ):
-                lines.append(f"{cp}\t3\t{folded}")
-            # mixed-class folds: omit -> per-text Python fallback
-    return ("\n".join(lines) + "\n").encode("utf-8")
+    """Full-Unicode fold table, disk-cached (generation walks every
+    codepoint through unicodedata, ~1.3s; the cache key includes the
+    Unicode database version so Python upgrades regenerate)."""
+    import tempfile
+
+    cache_dir = Path.home() / ".cache" / "tpu_search"
+    cache_file = (
+        cache_dir / f"fold_table_u{unicodedata.unidata_version}.bin"
+    )
+    try:
+        if cache_file.exists():
+            return cache_file.read_bytes()
+    except OSError:
+        pass
+    blob = _generate_fold_table()
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        with tempfile.NamedTemporaryFile(
+            dir=str(cache_dir), delete=False
+        ) as fh:
+            fh.write(blob)
+        Path(fh.name).replace(cache_file)  # atomic vs concurrent writers
+    except OSError:
+        pass
+    return blob
 
 
 class NativeWordPiece:
@@ -158,6 +205,9 @@ class NativeWordPiece:
         self._handle = lib.wp_create(blob, len(blob), bos_id, eos_id, unk_id)
         fold = _fold_table_blob()
         lib.wp_set_fold_table(self._handle, fold, len(fold))
+        if hasattr(lib, "wp_set_fold_default"):
+            # The generated table is complete: unlisted codepoints are drops.
+            lib.wp_set_fold_default(self._handle, 0)
         self._buf = (ctypes.c_int32 * 4096)()
 
     def __del__(self) -> None:  # pragma: no cover - interpreter teardown
