@@ -45,6 +45,31 @@ def test_matches_xla_path(metric, dtype):
     )
 
 
+def test_int8_matches_xla_path():
+    from tpu_search.ops.pallas_topk_dma import pallas_flat_topk_dma_int8
+    from tpu_search.ops.topk_scan import flat_topk_int8
+
+    rng = np.random.default_rng(4)
+    n, d, q, k = 4096, 128, 8, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    scales = (np.abs(v).max(axis=1) / 127.0).astype(np.float32)
+    vi8 = np.rint(v / scales[:, None]).astype(np.int8)
+    mask = jnp.asarray(rng.random(n) < 0.6)
+    queries = jnp.asarray(normed(rng, q, d))
+
+    ps, pi = pallas_flat_topk_dma_int8(
+        jnp.asarray(vi8), jnp.asarray(scales), mask, queries, k,
+        tile_n=1024, interpret=True,
+    )
+    rs, ri = flat_topk_int8(
+        jnp.asarray(vi8), jnp.asarray(scales), mask, queries, k
+    )
+    assert np.array_equal(np.asarray(pi), np.asarray(ri))
+    np.testing.assert_allclose(
+        np.asarray(ps), np.asarray(rs), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_l2_requires_norms():
     rng = np.random.default_rng(1)
     vecs = jnp.asarray(normed(rng, 1024, 128))

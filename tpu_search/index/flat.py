@@ -397,6 +397,26 @@ class FlatIndex:
         )
         if self.dtype == "int8":
             scales = self._scales
+            # 1-byte HBM reads leave more headroom than bf16, so tiles can
+            # double; tile 8192 at Q > 32 overflows VMEM (scores blow up).
+            int8_tile = 8192 if padded_q <= 32 else 4096
+            if (
+                self.device.platform not in ("cpu", "interpreter")
+                and os.environ.get("TPU_SEARCH_DISABLE_PALLAS") != "1"
+                and self.dim % 128 == 0
+                and self._capacity % int8_tile == 0
+                and padded_q % 8 == 0
+                and padded_q <= 128
+                and k_eff <= 128
+            ):
+                from ..ops.pallas_topk_dma import pallas_flat_topk_dma_int8
+
+                def int8_pallas(vectors, mask, queries, k):
+                    return pallas_flat_topk_dma_int8(
+                        vectors, scales, mask, queries, k, tile_n=int8_tile
+                    )
+
+                return int8_pallas
 
             def int8_kernel(vectors, mask, queries, k):
                 from ..ops.topk_scan import flat_topk_int8

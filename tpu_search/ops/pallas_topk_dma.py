@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.shapes import round_up
 from .pallas_topk import _select_topk
 
-__all__ = ["pallas_flat_topk_dma"]
+__all__ = ["pallas_flat_topk_dma", "pallas_flat_topk_dma_int8"]
 
 _LANE = 128
 
@@ -123,6 +123,152 @@ def _kernel(
     jax.lax.fori_loop(0, n_tiles, body, 0)
     out_scores_ref[:] = best_scores[:]
     out_ids_ref[:] = best_ids[:]
+
+
+def _kernel_int8(
+    vec_hbm,  # [N, D] int8 corpus (HBM)
+    aux_hbm,  # [n_tiles, 2, TILE/128, 128] f32: [scale, penalty] (HBM)
+    query_ref,  # [Q, D] f32 queries (VMEM)
+    out_scores_ref,
+    out_ids_ref,
+    vec_buf,  # scratch [2, TILE, D] int8
+    aux_buf,  # scratch [2, 2, TILE/128, 128] f32
+    best_scores,
+    best_ids,
+    vec_sems,
+    aux_sems,
+    *,
+    k: int,
+    tile_n: int,
+    n_tiles: int,
+):
+    queries = query_ref[:]
+
+    def vec_dma(slot, tile_idx):
+        return pltpu.make_async_copy(
+            vec_hbm.at[pl.ds(tile_idx * tile_n, tile_n), :],
+            vec_buf.at[slot],
+            vec_sems.at[slot],
+        )
+
+    def aux_dma(slot, tile_idx):
+        return pltpu.make_async_copy(
+            aux_hbm.at[tile_idx],
+            aux_buf.at[slot],
+            aux_sems.at[slot],
+        )
+
+    best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+    best_ids[:] = jnp.zeros_like(best_ids[:])
+    vec_dma(0, 0).start()
+    aux_dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        next_slot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _prefetch():
+            vec_dma(next_slot, t + 1).start()
+            aux_dma(next_slot, t + 1).start()
+
+        vec_dma(slot, t).wait()
+        aux_dma(slot, t).wait()
+
+        # int8 -> f32 in VMEM: HBM still only reads 1 byte/component (the
+        # whole point of the int8 mode); the convert rides the VPU while
+        # the next tile's DMA is in flight.
+        tile = vec_buf[slot].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            queries,
+            tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Q, TILE]
+        scale = aux_buf[slot, 0].reshape(1, tile_n)  # per-row dequant
+        penalty = aux_buf[slot, 1].reshape(1, tile_n)  # 0 / -inf mask
+        scores = scores * scale + penalty
+
+        tile_max = jnp.max(scores, axis=1)
+        kth = best_scores[:, k - 1]
+        should_merge = jnp.any(tile_max > kth)
+
+        @pl.when(should_merge)
+        def _merge():
+            tile_ids = t * tile_n + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
+            )
+            merged_s = jnp.concatenate([best_scores[:], scores], axis=1)
+            merged_i = jnp.concatenate([best_ids[:], tile_ids], axis=1)
+            new_s, new_i = _select_topk(merged_s, merged_i, k)
+            best_scores[:, 0:k] = new_s
+            best_ids[:, 0:k] = new_i
+
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
+    out_scores_ref[:] = best_scores[:]
+    out_ids_ref[:] = best_ids[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_flat_topk_dma_int8(
+    vectors: jax.Array,  # [N, D] int8, N multiple of tile_n
+    scales: jax.Array,  # [N] f32 per-row dequant scale
+    mask: jax.Array,  # [N] bool
+    queries: jax.Array,  # [Q, D] f32
+    k: int,
+    tile_n: int = 4096,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Int8-corpus IP scan, same contract as ops.topk_scan.flat_topk_int8:
+    score = (q . v_int8) * row_scale, masked lanes -inf. The per-row scale
+    and the additive mask stream together as one [2, TILE/128, 128] aux
+    block per tile."""
+    n, d = vectors.shape
+    q = queries.shape[0]
+    k_pad = round_up(k, _LANE)
+    n_tiles = n // tile_n
+    scale_packed = scales.astype(jnp.float32).reshape(
+        n_tiles, 1, tile_n // _LANE, _LANE
+    )
+    penalty_packed = jnp.where(mask, 0.0, -jnp.inf).reshape(
+        n_tiles, 1, tile_n // _LANE, _LANE
+    )
+    aux = jnp.concatenate([scale_packed, penalty_packed], axis=1)
+
+    out_scores, out_ids = pl.pallas_call(
+        partial(_kernel_int8, k=k, tile_n=tile_n, n_tiles=n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n, d), jnp.int8),
+            pltpu.VMEM((2, 2, tile_n // _LANE, _LANE), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d + n * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vectors, aux, queries)
+    return out_scores[:, :k], out_ids[:, :k]
 
 
 @partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "metric"))
