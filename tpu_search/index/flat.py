@@ -143,28 +143,57 @@ class FlatIndex:
             scales = None
             if dtype == "int8":
 
-                @jax.jit
-                def _qrows_device(v):
-                    row_scale = jnp.maximum(
-                        jnp.max(jnp.abs(v), axis=1) / 127.0, 1e-12
-                    )
-                    q = jnp.rint(v / row_scale[:, None]).astype(jnp.int8)
-                    return q, row_scale.astype(jnp.float32)
+                @partial(jax.jit, static_argnames=("capacity", "chunk"))
+                def _quantize_pad(v, capacity, chunk):
+                    # Chunked in-place quantization: the int8 output is
+                    # allocated once at full capacity and row blocks are
+                    # quantized into it through a fori_loop carry (XLA
+                    # aliases the dynamic_update_slice), so peak HBM is
+                    # source + output — never source + quantized + padded
+                    # copies (that transient OOMs a 6M x 768 bf16 corpus).
+                    # abs/max reduces in the input dtype (bf16 max is an
+                    # exact selection); the last chunk overlaps backwards,
+                    # rewriting identical row-local values.
+                    rows, d = v.shape
+                    qp = jnp.zeros((capacity, d), jnp.int8)
+                    sp = jnp.ones((capacity,), jnp.float32)
 
-                vectors, scales = _qrows_device(
-                    vectors.astype(jnp.float32)
+                    def body(ci, carry):
+                        qp, sp = carry
+                        start = jnp.minimum(ci * chunk, rows - chunk)
+                        blk = jax.lax.dynamic_slice(
+                            v, (start, 0), (chunk, d)
+                        )
+                        s = jnp.maximum(
+                            jnp.max(jnp.abs(blk), axis=1).astype(
+                                jnp.float32
+                            )
+                            / 127.0,
+                            1e-12,
+                        )
+                        qb = jnp.rint(
+                            blk.astype(jnp.float32) / s[:, None]
+                        ).astype(jnp.int8)
+                        qp = jax.lax.dynamic_update_slice(
+                            qp, qb, (start, 0)
+                        )
+                        sp = jax.lax.dynamic_update_slice(sp, s, (start,))
+                        return qp, sp
+
+                    n_chunks = -(-rows // chunk)
+                    return jax.lax.fori_loop(0, n_chunks, body, (qp, sp))
+
+                buf, scales = _quantize_pad(
+                    vectors, capacity=capacity, chunk=min(n, 262144)
                 )
-            elif vectors.dtype != _DTYPES[dtype]:  # same-dtype astype copies
-                vectors = vectors.astype(_DTYPES[dtype])
-            if capacity == n:
-                buf = vectors
             else:
-                pad = jnp.zeros((capacity - n, d), dtype=_DTYPES[dtype])
-                buf = jnp.concatenate([vectors, pad])
-                if scales is not None:
-                    scales = jnp.concatenate(
-                        [scales, jnp.ones((capacity - n,), jnp.float32)]
-                    )
+                if vectors.dtype != _DTYPES[dtype]:  # same-dtype copies
+                    vectors = vectors.astype(_DTYPES[dtype])
+                if capacity == n:
+                    buf = vectors
+                else:
+                    pad = jnp.zeros((capacity - n, d), dtype=_DTYPES[dtype])
+                    buf = jnp.concatenate([vectors, pad])
             valid = (
                 jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0).squeeze(-1)
                 < n
