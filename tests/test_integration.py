@@ -118,6 +118,90 @@ class TestEndToEnd:
         stats = engine.index_conversations(files, force=True)
         assert stats["files_processed"] == 2
 
+    def test_incremental_run_does_not_overwrite_other_files(
+        self, engine, tmp_path
+    ):
+        """A fresh process indexing a NEW file must not reuse chunk ids of
+        already-indexed files (the reference resets its counter per process,
+        src/chunker.py:44, and INSERT OR REPLACE then destroys earlier
+        chunks on incremental reindex)."""
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        before = engine.get_index_stats()["total_chunks"]
+
+        write_conversation(
+            engine._claude_dir / "-root-newproj" / "s3.jsonl",
+            "sess-new",
+            COOKING_CONVO,
+        )
+        fresh = SearchEngine(  # new process: chunk counter starts at 0
+            data_dir=str(tmp_path / "data"),
+            model_name="hash-768",
+            use_warm_server=False,
+        )
+        fresh.storage.config.device = "cpu"
+        fresh.storage.config.storage_dtype = "float32"
+        new_files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        stats = fresh.index_conversations(new_files)
+        assert stats["files_processed"] == 1  # only the new file
+        after = fresh.get_index_stats()["total_chunks"]
+        assert after == before + stats["chunks_indexed"]  # nothing lost
+
+    def test_split_chunks_carry_provenance_and_do_not_go_stale(
+        self, engine
+    ):
+        """Oversize-split chunks (chunker builds them without the
+        conversation, mirroring the reference) must still be removable by
+        file on reindex — the engine fills their provenance."""
+        import os
+
+        long_answer = ("The accelerator compiles each static shape once "
+                       "and caches the program for reuse across steps. ") * 40
+        path = write_conversation(
+            engine._claude_dir / "-root-longproj" / "s9.jsonl",
+            "sess-long",
+            [("user", "Explain compilation caching in depth please?"),
+             ("assistant", long_answer)],
+        )
+        engine.index_conversations([path])
+        stats = engine.get_index_stats()
+        total = stats["total_chunks"]
+        assert stats["chunk_types"].get("qa_pair_split", 0) >= 2
+
+        # split chunks are findable by project filter (provenance filled)
+        results = engine.search_conversations(
+            "compilation caching static shape",
+            filters={"project_name": "-root-longproj"},
+            top_k=5,
+        )
+        assert results
+
+        # modified file reindex: everything removed and re-added, no stales
+        future = path.stat().st_mtime + 60
+        os.utime(path, (future, future))
+        st = engine.index_conversations([path])
+        assert st["chunks_removed"] == total
+        assert engine.get_index_stats()["total_chunks"] == total
+
+    def test_optimize_drops_orphaned_vectors(self, engine):
+        """optimize() tombstones live index slots with no metadata row
+        (repairs databases damaged by the reference's id-collision bug)."""
+        files = sorted(engine._claude_dir.rglob("*.jsonl"))
+        engine.index_conversations(files)
+        storage = engine.storage
+        total = storage.index.live
+        # simulate collision damage: drop one DB row, leave its vector
+        row = storage.meta._conn().execute(
+            "SELECT id FROM chunks LIMIT 1"
+        ).fetchone()
+        storage.meta._conn().execute(
+            "DELETE FROM chunks WHERE id = ?", (row["id"],)
+        )
+        storage.meta._conn().commit()
+        storage.optimize()
+        assert storage.index.live == total - 1
+        assert storage.index.live == storage.index.ntotal  # compacted
+
     def test_project_filter_end_to_end(self, engine):
         files = sorted(engine._claude_dir.rglob("*.jsonl"))
         engine.index_conversations(files)

@@ -156,6 +156,14 @@ class SearchEngine:
             self.embedder.load_model()
         self._sync_embedding_dim()
         self.storage.initialize()
+        # Continue chunk numbering from the stored maximum. The reference
+        # resets its counter every process (src/chunker.py:44), so an
+        # incremental run reuses chunk_000001... and INSERT OR REPLACE
+        # silently overwrites other files' chunks.
+        self.chunker.chunk_counter = max(
+            self.chunker.chunk_counter,
+            self.storage.meta.max_chunk_counter(),
+        )
 
         if force:
             self.storage.clear_all_data()
@@ -262,6 +270,17 @@ class SearchEngine:
         if not chunks:
             stats["files_skipped"] += 1
             return
+        # Oversize-split chunks are built without the conversation
+        # (src/chunker.py:454 passes conversation=None, mirrored for
+        # parity) so they carry no session/project/file_path — in the
+        # reference they are therefore invisible to per-file removal and
+        # go stale on reindex. Fill the provenance here.
+        for chunk in chunks:
+            chunk.metadata.setdefault("session_id", conversation.session_id)
+            chunk.metadata.setdefault(
+                "project_name", conversation.project_name
+            )
+            chunk.metadata.setdefault("file_path", conversation.file_path)
         with self._timer.phase("embed"):
             self.embedder.generate_embeddings(chunks)
         with self._timer.phase("store"):

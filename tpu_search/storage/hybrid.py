@@ -548,9 +548,28 @@ class HybridStorage:
         self.logger.info("Restored from backup in %s", src)
 
     def optimize(self) -> None:
-        """Vacuum SQLite and compact the index (drop tombstones, renumber)."""
+        """Vacuum SQLite and compact the index (drop tombstones, renumber).
+
+        Also tombstones orphaned vectors — live index slots with no
+        metadata row (e.g. databases damaged by the reference's
+        chunk-id-collision overwrite, src/chunker.py:44) — so they stop
+        occupying HBM and candidate lanes.
+        """
         self.logger.info("Optimizing storage...")
         self.meta.vacuum()
+        if self.index is not None and self.index.ntotal:
+            referenced = set(self.meta.live_vec_ids())
+            orphans = [
+                slot
+                for slot in range(self.index.ntotal)
+                if slot not in referenced
+            ]
+            if orphans:
+                removed = self.index.remove(orphans)
+                if removed:
+                    self.logger.info(
+                        "Tombstoned %d orphaned vectors", removed
+                    )
         if self.index is not None and self.index.live != self.index.ntotal:
             mapping = self.index.compact()
             self.meta.update_vec_ids(mapping)

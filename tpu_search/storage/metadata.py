@@ -239,6 +239,28 @@ class MetadataStore:
         rev = {r["faiss_id"]: r["id"] for r in rows}
         return fwd, rev
 
+    def max_chunk_counter(self) -> int:
+        """Highest numeric suffix among ``chunk_NNNNNN`` ids (0 if none).
+
+        Seeds the chunker's counter so a fresh process continues numbering
+        instead of restarting at 1 — the reference restarts per process
+        (src/chunker.py:44) and its INSERT OR REPLACE then silently
+        overwrites earlier files' chunks on incremental reindex.
+        """
+        row = self._conn().execute(
+            """
+            SELECT MAX(CAST(SUBSTR(id, 7) AS INTEGER)) FROM chunks
+            WHERE id LIKE 'chunk\\_%' ESCAPE '\\'
+            """
+        ).fetchone()
+        return int(row[0]) if row and row[0] is not None else 0
+
+    def live_vec_ids(self) -> List[int]:
+        rows = self._conn().execute(
+            "SELECT faiss_id FROM chunks WHERE faiss_id IS NOT NULL"
+        ).fetchall()
+        return [r[0] for r in rows]
+
     def all_projects(self) -> List[str]:
         rows = self._conn().execute(
             """
