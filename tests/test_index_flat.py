@@ -338,3 +338,40 @@ class TestInt8Storage:
     def test_l2_metric_rejected(self):
         with pytest.raises(ValueError, match="ip"):
             FlatIndex(dim=8, metric="l2", dtype="int8")
+
+    @pytest.mark.parametrize("n", [1024, 900])  # aligned and padded
+    def test_from_device_vectors_prequantized(self, rng, n):
+        """Pre-quantized int8 + scales adoption (the path large corpora
+        must take — on-device quantization needs source AND output
+        resident) must match quantize-on-adopt."""
+        import jax.numpy as jnp
+
+        v = normed(rng, n, 16)
+        scales = (np.abs(v).max(axis=1) / 127.0).astype(np.float32)
+        vi8 = np.rint(v / scales[:, None]).astype(np.int8)
+
+        pre = FlatIndex.from_device_vectors(
+            jnp.asarray(vi8), dtype="int8", scales=jnp.asarray(scales)
+        )
+        ref = FlatIndex.from_device_vectors(
+            jnp.asarray(v, dtype=jnp.float32), dtype="int8"
+        )
+        assert pre.ntotal == n
+        queries = normed(rng, 4, 16)
+        s1, i1 = pre.search(queries, k=5)
+        s2, i2 = ref.search(queries, k=5)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+    def test_prequantized_requires_scales(self, rng):
+        import jax.numpy as jnp
+
+        vi8 = jnp.zeros((1024, 16), jnp.int8)
+        with pytest.raises(ValueError, match="scales"):
+            FlatIndex.from_device_vectors(vi8, dtype="int8")
+        with pytest.raises(ValueError, match="scales"):
+            FlatIndex.from_device_vectors(
+                jnp.zeros((1024, 16), jnp.float32),
+                dtype="float32",
+                scales=jnp.ones((1024,)),
+            )

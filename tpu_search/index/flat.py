@@ -124,10 +124,17 @@ class FlatIndex:
         vectors: "jax.Array",
         metric: str = "ip",
         dtype: str = "bfloat16",
+        scales: Optional["jax.Array"] = None,
     ) -> "FlatIndex":
         """Build an index around an already-device-resident ``[N, D]`` array
         without any host round trip (bulk-build path; also what the benchmark
-        uses — host<->device links may be slow/tunneled)."""
+        uses — host<->device links may be slow/tunneled).
+
+        Pre-quantized adoption: pass an int8 ``vectors`` with per-row f32
+        ``scales`` (and ``dtype="int8"``) to adopt zero-copy when N is
+        already capacity-aligned — on-device quantization needs the source
+        AND the int8 output resident, so corpora beyond ~6M x 768 must
+        arrive pre-quantized to reach the ~12M-row single-chip ceiling."""
         n, d = vectors.shape
         index = cls(
             dim=int(d), metric=metric, dtype=dtype, device=list(vectors.devices())[0]
@@ -139,6 +146,70 @@ class FlatIndex:
         # only matters for incremental adds, not bulk adoption).
         align = 65536 if n >= 65536 else _MIN_CAPACITY
         capacity = max(_MIN_CAPACITY, round_up(n, align))
+        if vectors.dtype == jnp.int8:
+            if dtype != "int8" or scales is None:
+                raise ValueError(
+                    "int8 vectors need dtype='int8' and per-row scales"
+                )
+            with jax.default_device(index.device):
+                # Pre-quantized adoption: zero-copy when aligned, else a
+                # chunked copy (a concatenate would transiently double an
+                # 8+ GB corpus).
+                if capacity == n:
+                    buf, sp = vectors, scales.astype(jnp.float32)
+                else:
+
+                    @partial(
+                        jax.jit, static_argnames=("capacity", "chunk")
+                    )
+                    def _pad_int8(v, s, capacity, chunk):
+                        rows, d = v.shape
+                        qp = jnp.zeros((capacity, d), jnp.int8)
+                        sp = jnp.ones((capacity,), jnp.float32)
+
+                        def body(ci, carry):
+                            qp, sp = carry
+                            start = jnp.minimum(ci * chunk, rows - chunk)
+                            qp = jax.lax.dynamic_update_slice(
+                                qp,
+                                jax.lax.dynamic_slice(
+                                    v, (start, 0), (chunk, d)
+                                ),
+                                (start, 0),
+                            )
+                            sp = jax.lax.dynamic_update_slice(
+                                sp,
+                                jax.lax.dynamic_slice(
+                                    s.astype(jnp.float32),
+                                    (start,),
+                                    (chunk,),
+                                ),
+                                (start,),
+                            )
+                            return qp, sp
+
+                        return jax.lax.fori_loop(
+                            0, -(-rows // chunk), body, (qp, sp)
+                        )
+
+                    buf, sp = _pad_int8(
+                        vectors, scales,
+                        capacity=capacity, chunk=min(n, 262144),
+                    )
+                index._vectors = buf
+                index._valid = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (capacity, 1), 0
+                    ).squeeze(-1)
+                    < n
+                )
+            index._scales = sp
+            index._capacity = capacity
+            index._count = int(n)
+            return index
+        if scales is not None:
+            raise ValueError("scales only apply to int8 vectors")
+
         with jax.default_device(index.device):
             scales = None
             if dtype == "int8":
