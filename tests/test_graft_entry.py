@@ -1,0 +1,63 @@
+"""Regression tests for the driver entry points (__graft_entry__.py).
+
+Round-1 failure mode: the driver process initialized a single-chip backend
+(axon TPU) before calling ``dryrun_multichip(8)``, which then raised
+"Mesh 4x2 needs 8 devices, have 1" (MULTICHIP_r01.json).  The dryrun must
+self-provision a virtual CPU mesh in that case.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def test_force_device_count_flags_replaces_existing():
+    from __graft_entry__ import _force_device_count_flags
+
+    assert (
+        _force_device_count_flags("", 8)
+        == "--xla_force_host_platform_device_count=8"
+    )
+    # An existing smaller count must be replaced, not kept.
+    out = _force_device_count_flags(
+        "--xla_other=1 --xla_force_host_platform_device_count=1", 8
+    )
+    assert "--xla_force_host_platform_device_count=8" in out
+    assert "device_count=1" not in out
+    assert "--xla_other=1" in out
+
+
+def test_dryrun_inline_on_provisioned_mesh():
+    """Under the test harness (8 virtual CPU devices) the dryrun runs
+    in-process without spawning a child."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_dryrun_self_provisions_after_single_device_backend_init():
+    """Reproduce the round-1 driver scenario: backend already initialized
+    with ONE device, then dryrun_multichip(8) — must succeed via the
+    subprocess fallback."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env.pop("JAX_PLATFORMS", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1; "
+        "import __graft_entry__ as g; g.dryrun_multichip(8); "
+        "print('DRYRUN_OK')"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+        timeout=570,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "DRYRUN_OK" in result.stdout
