@@ -207,3 +207,29 @@ class TestStatsAndInfo:
         assert cfg.model_name == "all-mpnet-base-v2"
         assert cfg.max_seq_length == 384
         assert cfg.normalize_embeddings is True
+
+
+class TestDeviceSelection:
+    def test_explicit_cpu_wins_over_accelerator(self, monkeypatch):
+        """config.device='cpu' must return a CPU device even when an
+        accelerator is attached (ADVICE.md round 1)."""
+        import jax
+
+        from tpu_search.models.encoder import EmbeddingConfig, EmbeddingGenerator
+
+        class FakeDev:
+            def __init__(self, platform):
+                self.platform = platform
+
+        tpu, cpu = FakeDev("tpu"), FakeDev("cpu")
+
+        def fake_devices(platform=None):
+            if platform == "cpu":
+                return [cpu]
+            return [tpu, cpu]
+
+        monkeypatch.setattr(jax, "devices", fake_devices)
+        gen = EmbeddingGenerator(EmbeddingConfig(device="cpu"))
+        assert gen._pick_device() is cpu
+        gen_auto = EmbeddingGenerator(EmbeddingConfig(device="auto"))
+        assert gen_auto._pick_device() is tpu

@@ -169,3 +169,26 @@ class TestBatching:
         scan_calls = engine.storage.search_many.call_args_list
         assert len(scan_calls) == 1
         assert len(scan_calls[0][0][0]) == n_clients
+
+
+class TestPartialBatchFailure:
+    def test_completed_group_responses_survive_later_failure(self, engine):
+        """If _run_searches dies midway, requests whose responses were
+        already written must keep them (ADVICE.md round 1)."""
+        from tpu_search.interfaces.query_server import _BatchWorker, _Request
+
+        worker = _BatchWorker(engine)
+        ok_req = _Request({"op": "search", "query": "a"})
+        bad_req = _Request({"op": "search", "query": "b"})
+
+        def boom(searches):
+            ok_req.response = {"ok": True, "results": []}
+            raise RuntimeError("group two exploded")
+
+        worker._run_searches = boom
+        worker._process([ok_req, bad_req])
+
+        assert ok_req.response == {"ok": True, "results": []}
+        assert bad_req.response["ok"] is False
+        assert "exploded" in bad_req.response["error"]
+        assert ok_req.event.is_set() and bad_req.event.is_set()

@@ -121,8 +121,11 @@ class _BatchWorker:
             try:
                 self._run_searches(searches)
             except Exception as exc:
+                # Only fail requests that have no response yet: earlier
+                # filter groups may have completed before the raise.
                 for request in searches:
-                    request.response = {"ok": False, "error": str(exc)}
+                    if not request.response:
+                        request.response = {"ok": False, "error": str(exc)}
         for request in others:
             try:
                 if request.payload.get("op") == "__local__":

@@ -214,8 +214,11 @@ class EmbeddingGenerator:
         accel = [
             d for d in jax.devices() if d.platform not in ("cpu", "interpreter")
         ]
-        if self.config.device == "cpu" or (not accel):
-            return jax.devices("cpu")[0] if not accel else jax.devices()[0]
+        # An explicit "cpu" request must win even when an accelerator is
+        # attached (mirrors HybridStorage._pick_device); on this rig a stray
+        # TPU attach can stall for minutes.
+        if self.config.device == "cpu" or not accel:
+            return jax.devices("cpu")[0]
         return accel[0]
 
     # -- embedding -----------------------------------------------------------
