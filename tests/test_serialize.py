@@ -1,0 +1,190 @@
+"""Streamed index persistence (tpu_search.index.serialize).
+
+Round-1 weakness: FlatIndex.save pulled the whole corpus device->host and
+wrote dequantized f32 (~37 GB for 12M x 768 int8), and load re-quantized,
+discarding the original scales.  The streamed format persists dtype-native
+in fixed-size chunks and must roundtrip bit-identically.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+from tpu_search.index.registry import load_index
+from tpu_search.index.serialize import (
+    MAGIC,
+    is_streamed_file,
+    iter_device_rows,
+    read_file,
+    upload_rows,
+    write_file,
+)
+
+
+def _make_corpus(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
+
+
+class TestLowLevel:
+    def test_write_read_sections_roundtrip(self, tmp_path):
+        path = str(tmp_path / "x.tpuidx")
+        a = np.arange(24, dtype=np.int8).reshape(6, 4)
+        b = np.linspace(0, 1, 6, dtype=np.float32)
+        write_file(
+            path,
+            {"kind": "flat", "count": 6},
+            [
+                ("vectors", "int8", (6, 4), iter([a[:3], a[3:]])),
+                ("scales", "float32", (6,), iter([b])),
+            ],
+        )
+        assert is_streamed_file(path)
+        header, arrays = read_file(path)
+        assert header["kind"] == "flat" and header["count"] == 6
+        np.testing.assert_array_equal(np.asarray(arrays["vectors"]), a)
+        np.testing.assert_array_equal(np.asarray(arrays["scales"]), b)
+
+    def test_write_rejects_byte_count_mismatch(self, tmp_path):
+        path = str(tmp_path / "bad.tpuidx")
+        a = np.zeros((2, 4), dtype=np.int8)
+        with pytest.raises(ValueError, match="expected"):
+            write_file(
+                path, {}, [("vectors", "int8", (6, 4), iter([a]))]
+            )
+
+    def test_iter_device_rows_fixed_shape_chunks(self):
+        import jax.numpy as jnp
+
+        arr = jnp.asarray(np.arange(40, dtype=np.float32).reshape(10, 4))
+        # chunk_bytes=48 -> 3 rows per chunk; 7 rows -> chunks 3+3+1 with
+        # the tail chunk overlapping backwards and trimmed.
+        chunks = list(iter_device_rows(arr, count=7, chunk_bytes=48))
+        got = np.concatenate(chunks)
+        np.testing.assert_array_equal(got, np.asarray(arr)[:7])
+
+    def test_upload_rows_chunked(self):
+        import jax
+
+        src = np.arange(36, dtype=np.float32).reshape(9, 4)
+        buf = upload_rows(
+            src, capacity=16, dtype=np.float32,
+            device=jax.devices("cpu")[0], chunk_bytes=32,
+        )
+        out = np.asarray(buf)
+        np.testing.assert_array_equal(out[:9], src)
+        assert (out[9:] == 0).all()
+
+    def test_upload_rows_small_count(self):
+        import jax
+
+        src = np.ones((3, 4), dtype=np.int8)
+        buf = upload_rows(
+            src, capacity=8, dtype=np.int8, device=jax.devices("cpu")[0]
+        )
+        out = np.asarray(buf)
+        assert (out[:3] == 1).all() and (out[3:] == 0).all()
+
+
+class TestFlatRoundtrip:
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+    def test_bit_identical_search_after_roundtrip(self, tmp_path, dtype):
+        v = _make_corpus(300, 16)
+        index = FlatIndex(dim=16, dtype=dtype)
+        index.add(v)
+        index.remove([5, 17])
+        q = _make_corpus(4, 16, seed=1)
+        s0, i0 = index.search(q, k=10)
+
+        path = str(tmp_path / "idx.tpuidx.npz")
+        index.save(path)
+        assert is_streamed_file(path)
+        loaded = FlatIndex.load(path)
+        assert loaded.dtype == dtype
+        assert loaded.ntotal == index.ntotal
+        s1, i1 = loaded.search(q, k=10)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(s0, s1)
+
+    def test_int8_scales_preserved_exactly(self, tmp_path):
+        v = _make_corpus(100, 8)
+        index = FlatIndex(dim=8, dtype="int8")
+        index.add(v)
+        path = str(tmp_path / "idx.tpuidx.npz")
+        index.save(path)
+        loaded = FlatIndex.load(path)
+        np.testing.assert_array_equal(
+            np.asarray(index._vectors[:100]), np.asarray(loaded._vectors[:100])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(index._scales[:100]), np.asarray(loaded._scales[:100])
+        )
+
+    def test_disk_is_dtype_native(self, tmp_path):
+        """int8 on disk must cost ~1 byte/element, not 4 (f32)."""
+        import os
+
+        n, d = 2048, 64
+        v = _make_corpus(n, d)
+        index = FlatIndex(dim=d, dtype="int8")
+        index.add(v)
+        path = str(tmp_path / "idx.tpuidx.npz")
+        index.save(path)
+        size = os.path.getsize(path)
+        # vectors n*d + scales 4n + valid n + header slack
+        assert size < n * d * 2, f"int8 index file too big: {size}"
+
+    def test_empty_index_roundtrip(self, tmp_path):
+        index = FlatIndex(dim=8, dtype="bfloat16")
+        path = str(tmp_path / "empty.tpuidx.npz")
+        index.save(path)
+        loaded = FlatIndex.load(path)
+        assert loaded.ntotal == 0
+        s, i = loaded.search(_make_corpus(1, 8), k=3)
+        assert (i == -1).all()
+
+    def test_legacy_npz_format_still_loads(self, tmp_path):
+        """Old data dirs (round-1 dequantized-f32 npz) must keep loading."""
+        import json
+
+        v = _make_corpus(50, 8)
+        path = tmp_path / "legacy.npz"
+        header = json.dumps(
+            {"kind": "flat", "dim": 8, "metric": "ip",
+             "dtype": "float32", "count": 50}
+        )
+        np.savez(
+            path, header=header, vectors=v,
+            valid=np.ones(50, dtype=np.bool_),
+        )
+        loaded = FlatIndex.load(str(path))
+        assert loaded.ntotal == 50
+        s, i = loaded.search(v[:2], k=1)
+        np.testing.assert_array_equal(i[:, 0], [0, 1])
+
+    def test_registry_peeks_both_formats(self, tmp_path):
+        v = _make_corpus(64, 8)
+        index = FlatIndex(dim=8, dtype="float32")
+        index.add(v)
+        new_path = str(tmp_path / "new.tpuidx.npz")
+        index.save(new_path)
+        assert isinstance(load_index(new_path), FlatIndex)
+
+    def test_multi_chunk_roundtrip(self, tmp_path, monkeypatch):
+        """Force tiny chunks so save AND load stream multiple chunks."""
+        import tpu_search.index.serialize as ser
+
+        monkeypatch.setattr(ser, "_CHUNK_BYTES", 256)
+        v = _make_corpus(500, 16)
+        index = FlatIndex(dim=16, dtype="int8")
+        index.add(v)
+        q = _make_corpus(3, 16, seed=2)
+        s0, i0 = index.search(q, k=7)
+        path = str(tmp_path / "chunked.tpuidx.npz")
+        index.save(path)
+        loaded = FlatIndex.load(path)
+        s1, i1 = loaded.search(q, k=7)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(s0, s1)

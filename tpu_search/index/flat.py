@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import os
 from functools import partial
-from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -547,39 +546,86 @@ class FlatIndex:
     # -- persistence -----------------------------------------------------------
 
     def save(self, path: str) -> None:
-        """Serialize to a single host file (replaces ``faiss.write_index``)."""
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        if self._count:
-            vectors = np.asarray(
-                self._vectors[: self._count].astype(jnp.float32)
-            )
-            if self.dtype == "int8":  # disk format is dequantized f32
-                vectors = (
-                    vectors * np.asarray(self._scales[: self._count])[:, None]
-                )
-            valid = np.asarray(self._valid[: self._count])
-        else:
-            vectors = np.empty((0, self.dim), dtype=np.float32)
-            valid = np.empty((0,), dtype=np.bool_)
-        header = json.dumps(
-            {
-                "kind": "flat",
-                "dim": self.dim,
-                "metric": self.metric,
-                "dtype": self.dtype,
-                "count": self._count,
-            }
+        """Serialize to a single host file (replaces ``faiss.write_index``).
+
+        Streamed + dtype-native: the corpus is pulled device->host in
+        fixed-shape chunks (peak host memory = one chunk, ~64 MiB) and
+        written in its STORAGE dtype — int8 corpora persist as int8 plus
+        per-row scales, so a 12M x 768 index costs ~9 GB on disk, not the
+        ~37 GB a dequantized-f32 format would, and the load roundtrip is
+        bit-lossless (no re-quantization)."""
+        from .serialize import device_section, write_file
+
+        header = {
+            "kind": "flat",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": self.dtype,
+            "count": self._count,
+        }
+        valid_u8 = (
+            self._valid.astype(jnp.uint8) if self._valid is not None else None
         )
-        # Uncompressed: float corpora barely compress and zlib would dominate
-        # save time (the reference re-wrote its whole index per file; we keep
-        # saves cheap instead).
-        np.savez(path, header=header, vectors=vectors, valid=valid)
+        sections = [
+            device_section("vectors", self.dtype, self._vectors, self._count),
+            device_section("valid", "uint8", valid_u8, self._count),
+        ]
+        if self.dtype == "int8":
+            sections.append(
+                device_section("scales", "float32", self._scales, self._count)
+            )
+        write_file(path, header, sections)
 
     @classmethod
     def load(
         cls, path: str, device: Optional[jax.Device] = None
     ) -> "FlatIndex":
+        from .serialize import is_streamed_file
+
+        if is_streamed_file(path):
+            return cls._load_streamed(path, device=device)
+        return cls._load_legacy_npz(path, device=device)
+
+    @classmethod
+    def _load_streamed(
+        cls, path: str, device: Optional[jax.Device] = None
+    ) -> "FlatIndex":
+        from .serialize import read_file, upload_rows
+
+        header, arrays = read_file(path)
+        index = cls(
+            dim=header["dim"],
+            metric=header["metric"],
+            dtype=header["dtype"],
+            device=device,
+        )
+        count = header["count"]
+        if not count:
+            return index
+        # Same alignment policy as from_device_vectors: capacity-align for
+        # the scan tiles, don't round a 12M-row corpus up to a power of two.
+        align = 65536 if count >= 65536 else _MIN_CAPACITY
+        capacity = max(_MIN_CAPACITY, round_up(count, align))
+        index._capacity = capacity
+        index._count = count
+        index._vectors = upload_rows(
+            arrays["vectors"], capacity, _DTYPES[index.dtype], index.device
+        )
+        with jax.default_device(index.device):
+            valid = np.zeros((capacity,), dtype=np.bool_)
+            valid[:count] = arrays["valid"].astype(np.bool_)
+            index._valid = jnp.asarray(valid)
+            if index.dtype == "int8":
+                scales = np.ones((capacity,), dtype=np.float32)
+                scales[:count] = arrays["scales"]
+                index._scales = jnp.asarray(scales)
+        return index
+
+    @classmethod
+    def _load_legacy_npz(
+        cls, path: str, device: Optional[jax.Device] = None
+    ) -> "FlatIndex":
+        """Round-1 format: dequantized-f32 npz (kept for old data dirs)."""
         with np.load(path, allow_pickle=False) as data:
             header = json.loads(str(data["header"]))
             vectors = data["vectors"]

@@ -34,6 +34,12 @@ def create_index(
 
 
 def _peek_kind(path: str) -> str:
+    from .serialize import is_streamed_file, read_file
+
+    if is_streamed_file(path):
+        header, _ = read_file(path)
+        return header.get("kind", "flat")
+    # Legacy round-1 npz format.
     with zipfile.ZipFile(path) as zf:
         with zf.open("header.npy") as fh:
             header = json.loads(str(np.load(fh)))

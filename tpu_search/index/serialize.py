@@ -1,0 +1,265 @@
+"""Streamed on-disk serialization for device-resident indexes.
+
+Replaces ``faiss.write_index`` (reference src/storage.py:870-885) at TPU
+scale.  Design constraints (CLAUDE.md; VERDICT round 1):
+
+- **Never a corpus-sized host buffer.**  The corpus is pulled
+  device->host in fixed-shape row chunks (one compiled slice program,
+  reused) and written straight to the file; load memory-maps the file and
+  uploads in fixed-shape chunks into a donated device buffer.  Peak host
+  memory is one chunk (default 64 MiB) regardless of corpus size.
+- **Dtype-native.**  int8 corpora persist as int8 + per-row f32 scales
+  (quantization is NOT redone on load — the roundtrip is lossless and
+  search results are bit-identical); bfloat16 persists as bfloat16.
+  The previous format dequantized to f32 on disk: ~37 GB for a
+  12M x 768 int8 corpus through a slow host tunnel, plus a lossy
+  re-quantization on load.
+
+File layout::
+
+    MAGIC "TPUSIDX2" | u64 header_len | header JSON | raw section bytes
+
+The header carries arbitrary index metadata plus a ``sections`` table of
+``{name, dtype, shape, offset}`` (offsets relative to the data start), so
+sections are random-accessible via ``np.memmap``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from pathlib import Path
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+__all__ = [
+    "MAGIC",
+    "is_streamed_file",
+    "write_file",
+    "read_file",
+    "iter_device_rows",
+    "upload_rows",
+    "device_section",
+]
+
+MAGIC = b"TPUSIDX2"
+
+# Default chunk budget for device<->host streaming. Larger chunks mean
+# fewer round-trips over the (potentially tunneled, high-latency) host
+# link; 64 MiB keeps peak host memory trivial.
+_CHUNK_BYTES = int(os.environ.get("TPU_SEARCH_IO_CHUNK_BYTES", 64 << 20))
+
+_NP_DTYPES = {
+    "int8": np.dtype(np.int8),
+    "uint8": np.dtype(np.uint8),
+    "int32": np.dtype(np.int32),
+    "int64": np.dtype(np.int64),
+    "float32": np.dtype(np.float32),
+    "bool": np.dtype(np.bool_),
+    "bfloat16": np.dtype(ml_dtypes.bfloat16),
+}
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return _NP_DTYPES[name]
+    except KeyError:
+        raise ValueError(f"Unknown section dtype: {name}") from None
+
+
+def is_streamed_file(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(len(MAGIC)) == MAGIC
+    except OSError:
+        return False
+
+
+# -- writing -------------------------------------------------------------
+
+
+def write_file(
+    path: str,
+    header: Dict,
+    sections: List[Tuple[str, str, Tuple[int, ...], Iterable[np.ndarray]]],
+) -> None:
+    """Write ``(name, dtype, shape, chunk_iter)`` sections after a JSON
+    header.  Chunks are written as they are produced (peak host memory =
+    one chunk); the file is replaced atomically."""
+    meta = []
+    offset = 0
+    for name, dtype, shape, _ in sections:
+        nbytes = int(np.prod(shape, dtype=np.int64)) * _np_dtype(dtype).itemsize
+        meta.append(
+            {"name": name, "dtype": dtype, "shape": list(shape), "offset": offset}
+        )
+        offset += nbytes
+
+    full_header = dict(header)
+    full_header["sections"] = meta
+    blob = json.dumps(full_header).encode("utf-8")
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp")
+    try:
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<Q", len(blob)))
+            f.write(blob)
+            for (name, dtype, shape, chunks), m in zip(sections, meta):
+                want = int(np.prod(shape, dtype=np.int64)) * _np_dtype(
+                    dtype
+                ).itemsize
+                written = 0
+                for chunk in chunks:
+                    chunk = np.ascontiguousarray(chunk)
+                    if chunk.dtype != _np_dtype(dtype):
+                        raise ValueError(
+                            f"section {name}: chunk dtype {chunk.dtype} != {dtype}"
+                        )
+                    f.write(chunk.tobytes())
+                    written += chunk.nbytes
+                if written != want:
+                    raise ValueError(
+                        f"section {name}: wrote {written} bytes, expected {want}"
+                    )
+        os.replace(tmp, path)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
+
+
+# -- reading -------------------------------------------------------------
+
+
+def read_file(path: str) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """Parse the header and memory-map every section (no bulk read)."""
+    with open(path, "rb") as f:
+        if f.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"Not a TPUSIDX2 file: {path}")
+        (header_len,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(header_len).decode("utf-8"))
+        data_start = f.tell()
+
+    arrays: Dict[str, np.ndarray] = {}
+    for m in header["sections"]:
+        shape = tuple(m["shape"])
+        if int(np.prod(shape, dtype=np.int64)) == 0:
+            arrays[m["name"]] = np.empty(shape, dtype=_np_dtype(m["dtype"]))
+            continue
+        arrays[m["name"]] = np.memmap(
+            path,
+            dtype=_np_dtype(m["dtype"]),
+            mode="r",
+            offset=data_start + m["offset"],
+            shape=shape,
+        )
+    return header, arrays
+
+
+# -- device streaming ----------------------------------------------------
+
+
+def iter_device_rows(
+    array: "jax.Array",
+    count: int,
+    chunk_bytes: int = 0,
+) -> Iterator[np.ndarray]:
+    """Yield the first ``count`` rows of a device array as host chunks.
+
+    Every device slice has the SAME shape (tail chunks overlap backwards
+    and the duplicate rows are trimmed host-side), so exactly one sliced
+    program is compiled no matter the corpus size, and peak host memory
+    is one chunk.
+    """
+    if count <= 0:
+        return
+    row_shape = array.shape[1:]
+    itemsize = np.dtype(array.dtype).itemsize
+    row_bytes = max(1, int(np.prod(row_shape, dtype=np.int64))) * itemsize
+    chunk_rows = max(1, (chunk_bytes or _CHUNK_BYTES) // row_bytes)
+    chunk_rows = min(chunk_rows, count, array.shape[0])
+
+    slice_fn = jax.jit(
+        lambda v, start: jax.lax.dynamic_slice(
+            v,
+            (start,) + (0,) * (v.ndim - 1),
+            (chunk_rows,) + row_shape,
+        )
+    )
+    target = 0
+    while target < count:
+        start = max(0, min(target, count - chunk_rows))
+        host = np.asarray(slice_fn(array, start))
+        take = min(chunk_rows, count - target)
+        yield host[target - start : target - start + take]
+        target += take
+
+
+def device_section(
+    name: str,
+    dtype: str,
+    array: Optional["jax.Array"],
+    count: int,
+    chunk_bytes: int = 0,
+) -> Tuple[str, str, Tuple[int, ...], Iterable[np.ndarray]]:
+    """Build a write_file section streaming the first ``count`` rows of a
+    device array (empty section when the array is None/count==0)."""
+    if array is None or count <= 0:
+        shape: Tuple[int, ...] = (0,) if array is None or array.ndim == 1 else (
+            (0,) + tuple(array.shape[1:])
+        )
+        return name, dtype, shape, iter(())
+    shape = (count,) + tuple(array.shape[1:])
+    return name, dtype, shape, iter_device_rows(array, count, chunk_bytes)
+
+
+def upload_rows(
+    source: np.ndarray,
+    capacity: int,
+    dtype,
+    device: "jax.Device",
+    chunk_bytes: int = 0,
+) -> "jax.Array":
+    """Upload host rows (typically a memmap) into a zero-padded
+    ``[capacity, ...]`` device buffer via fixed-shape donated updates.
+
+    Peak host memory is one chunk; overlapping tail writes rewrite
+    identical rows, so exactly one update program compiles.
+    """
+    count = source.shape[0]
+    row_shape = tuple(source.shape[1:])
+    itemsize = np.dtype(dtype).itemsize
+    row_bytes = max(1, int(np.prod(row_shape, dtype=np.int64))) * itemsize
+    chunk_rows = max(1, (chunk_bytes or _CHUNK_BYTES) // row_bytes)
+    chunk_rows = min(chunk_rows, max(count, 1), capacity)
+
+    update_fn = jax.jit(
+        lambda buf, blk, start: jax.lax.dynamic_update_slice(
+            buf, blk, (start,) + (0,) * (buf.ndim - 1)
+        ),
+        donate_argnums=(0,),
+    )
+
+    with jax.default_device(device):
+        buf = jnp.zeros((capacity,) + row_shape, dtype=dtype)
+        if count <= 0:
+            return buf
+        if count <= chunk_rows:
+            # Small corpus: one padded host chunk.
+            blk = np.zeros((chunk_rows,) + row_shape, dtype=np.dtype(dtype))
+            blk[:count] = source[:count]
+            return update_fn(buf, jnp.asarray(blk), 0)
+        target = 0
+        while target < count:
+            start = min(target, count - chunk_rows)
+            blk = np.ascontiguousarray(source[start : start + chunk_rows])
+            buf = update_fn(buf, jnp.asarray(blk), start)
+            target = start + chunk_rows
+        return buf
