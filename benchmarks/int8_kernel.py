@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Int8 scan kernel micro-benchmark (run on the real TPU).
+
+Times the Pallas int8 DMA kernel (MXU-native int8 x int8, residual-
+quantized queries) against the XLA int8 scan and the bf16 Pallas kernel
+at 1M x 768.  Round-1 numbers to beat: int8 pallas 4.93 ms (convert-
+bound) vs bf16 pallas 3.8 ms at Q=8; target <= 2.5 ms (VERDICT item 3).
+
+Timing: reps chained on-device, completion forced by a scalar fetch of
+the last result (block_until_ready is unreliable over the axon tunnel).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from tpu_search.ops.pallas_topk_dma import (
+        pallas_flat_topk_dma,
+        pallas_flat_topk_dma_int8,
+    )
+    from tpu_search.ops.topk_scan import flat_topk_int8
+
+    N, D, K = 1_048_576, 768, 10
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    with jax.default_device(dev):
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("n",))
+        def make(key, n):
+            rows = jax.random.normal(key, (n, D), jnp.float32)
+            return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+        corpus = make(jax.random.PRNGKey(0), N)
+
+        @jax.jit
+        def quantize(v):
+            s = jnp.maximum(jnp.max(jnp.abs(v), axis=1) / 127.0, 1e-12)
+            return jnp.rint(v / s[:, None]).astype(jnp.int8), s.astype(
+                jnp.float32
+            )
+
+        vi8, scales = quantize(corpus)
+        bf16 = corpus.astype(jnp.bfloat16)
+        mask = jnp.ones((N,), jnp.bool_)
+        queries = make(jax.random.PRNGKey(1), 128)
+        int(jnp.sum(vi8[0, :8]))  # force
+
+    def timeit(fn, reps=20):
+        s, ids = fn()  # warm/compile
+        t_sync = int(ids[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s, ids = fn()
+        t_sync = int(ids[0, 0])  # forces the whole chain
+        dt = (time.perf_counter() - t0) / reps
+        return dt * 1e3
+
+    results = {}
+    for q in (8, 128):
+        qs = queries[:q]
+        for tile in (8192, 4096):
+            if N % tile:
+                continue
+            try:
+                ms = timeit(
+                    lambda: pallas_flat_topk_dma_int8(
+                        vi8, scales, mask, qs, K, tile_n=tile
+                    )
+                )
+                results[f"int8_pallas_q{q}_t{tile}"] = ms
+                log(f"int8 pallas  Q={q:<3} tile={tile}: {ms:7.2f} ms")
+            except Exception as e:
+                log(f"int8 pallas  Q={q:<3} tile={tile}: FAILED {type(e).__name__}: {str(e)[:200]}")
+        ms = timeit(lambda: flat_topk_int8(vi8, scales, mask, qs, K))
+        results[f"int8_xla_q{q}"] = ms
+        log(f"int8 XLA     Q={q:<3}          : {ms:7.2f} ms")
+        tile_bf = 4096 if q <= 32 else 2048
+        ms = timeit(
+            lambda: pallas_flat_topk_dma(bf16, mask, qs, K, tile_n=tile_bf)
+        )
+        results[f"bf16_pallas_q{q}"] = ms
+        log(f"bf16 pallas  Q={q:<3} tile={tile_bf}: {ms:7.2f} ms")
+
+    # Parity: pallas ids == XLA ids
+    q8 = queries[:8]
+    _, ids_p = pallas_flat_topk_dma_int8(vi8, scales, mask, q8, K, tile_n=8192)
+    _, ids_x = flat_topk_int8(vi8, scales, mask, q8, K)
+    same = bool(jnp.all(ids_p == ids_x))
+    log(f"parity pallas==xla ids: {same}")
+    results["parity"] = same
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

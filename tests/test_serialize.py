@@ -115,8 +115,9 @@ class TestFlatRoundtrip:
         path = str(tmp_path / "idx.tpuidx.npz")
         index.save(path)
         loaded = FlatIndex.load(path)
+        # int8 corpora are word-packed on device: 100 rows = 25 word rows.
         np.testing.assert_array_equal(
-            np.asarray(index._vectors[:100]), np.asarray(loaded._vectors[:100])
+            np.asarray(index._vectors[:25]), np.asarray(loaded._vectors[:25])
         )
         np.testing.assert_array_equal(
             np.asarray(index._scales[:100]), np.asarray(loaded._scales[:100])

@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.int8_pack import (
+    pack_int8_rows,
+    pack_int8_rows_host,
+    unpack_int8_rows,
+)
 from ..ops.topk_scan import flat_topk
 from ..utils.shapes import bucket_size, next_pow2, round_up
 
@@ -55,6 +60,48 @@ def _append(vectors, valid, batch, batch_valid, start):
     vectors = jax.lax.dynamic_update_slice(vectors, batch, (start, 0))
     valid = jax.lax.dynamic_update_slice(valid, batch_valid, (start,))
     return vectors, valid
+
+
+def _packed_write(packed, batch_i8, start):
+    """Write [B, D] int8 rows (B multiple of 4) at logical slot ``start``
+    into a word-packed [cap/4, D] int32 buffer.  Traceable.
+
+    ``start`` may be unaligned: already-written rows in the boundary words
+    are re-read from the buffer, merged in front of the batch, and the
+    whole region is re-packed — fixed shapes, no host round trip.  The
+    region is B/4 + 2 words; its start is clamped so it never overruns the
+    buffer (the batch itself always fits: start + B <= capacity), which
+    requires capacity >= B + 8.  Rows of the region beyond start+B are
+    zeroed — they are always at/beyond the live count.
+    """
+    b, d = batch_i8.shape
+    cap_words = packed.shape[0]
+    n_words = b // 4 + 2
+    w0 = jnp.minimum(start // 4, cap_words - n_words)
+    off = start - w0 * 4  # 0..7 after clamping
+    old_words = jax.lax.dynamic_slice(packed, (w0, 0), (2, d))  # [2, d] i32
+    old_rows = (
+        jax.lax.bitcast_convert_type(old_words, jnp.int8)
+        .transpose(0, 2, 1)
+        .reshape(8, d)
+    )  # rows w0*4 .. w0*4+7
+    idx = jnp.arange(n_words * 4)
+    batch_part = batch_i8[jnp.clip(idx - off, 0, b - 1)]
+    old_part = old_rows[jnp.clip(idx, 0, 7)]
+    rows = jnp.where(
+        (idx < off)[:, None],
+        old_part,
+        jnp.where((idx < off + b)[:, None], batch_part, jnp.int8(0)),
+    )
+    words = jax.lax.bitcast_convert_type(
+        rows.reshape(n_words, 4, d).transpose(0, 2, 1), jnp.int32
+    )
+    return jax.lax.dynamic_update_slice(packed, words, (w0, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append_packed(packed, batch_i8, start):
+    return _packed_write(packed, batch_i8, start)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -124,19 +171,31 @@ class FlatIndex:
         metric: str = "ip",
         dtype: str = "bfloat16",
         scales: Optional["jax.Array"] = None,
+        packed: bool = False,
     ) -> "FlatIndex":
         """Build an index around an already-device-resident ``[N, D]`` array
         without any host round trip (bulk-build path; also what the benchmark
         uses — host<->device links may be slow/tunneled).
 
-        Pre-quantized adoption: pass an int8 ``vectors`` with per-row f32
-        ``scales`` (and ``dtype="int8"``) to adopt zero-copy when N is
-        already capacity-aligned — on-device quantization needs the source
-        AND the int8 output resident, so corpora beyond ~6M x 768 must
-        arrive pre-quantized to reach the ~12M-row single-chip ceiling."""
-        n, d = vectors.shape
+        Pre-quantized adoption: pass an int8 ``vectors`` (N % 4 == 0) with
+        per-row f32 ``scales`` (and ``dtype="int8"``); the corpus is
+        word-packed on device in chunks (peak HBM = source + packed, i.e.
+        2x the int8 bytes).  For corpora too big for that transient
+        (~12M x 768 on one chip), pass ``packed=True`` with ``vectors``
+        ALREADY in the ops.int8_pack ``[N/4, D]`` int32 layout — adopted
+        zero-copy when N is capacity-aligned."""
+        if packed:
+            if dtype != "int8" or scales is None:
+                raise ValueError(
+                    "packed adoption needs dtype='int8' and per-row scales"
+                )
+            n = int(vectors.shape[0]) * 4
+            d = int(vectors.shape[1])
+        else:
+            n, d = (int(s) for s in vectors.shape)
         index = cls(
-            dim=int(d), metric=metric, dtype=dtype, device=list(vectors.devices())[0]
+            dim=int(d), metric=metric, dtype=dtype,
+            device=list(vectors.devices())[0],
         )
         # Scan kernels need N to be a multiple of their tile; adopt the
         # buffer zero-copy when it already is (HBM-sized corpora cannot
@@ -145,34 +204,37 @@ class FlatIndex:
         # only matters for incremental adds, not bulk adoption).
         align = 65536 if n >= 65536 else _MIN_CAPACITY
         capacity = max(_MIN_CAPACITY, round_up(n, align))
-        if vectors.dtype == jnp.int8:
+        if packed or vectors.dtype == jnp.int8:
             if dtype != "int8" or scales is None:
                 raise ValueError(
                     "int8 vectors need dtype='int8' and per-row scales"
                 )
+            if n % 4:
+                raise ValueError(
+                    "pre-quantized int8 adoption requires N % 4 == 0 "
+                    "(int8 corpora are stored word-packed)"
+                )
             with jax.default_device(index.device):
-                # Pre-quantized adoption: zero-copy when aligned, else a
-                # chunked copy (a concatenate would transiently double an
-                # 8+ GB corpus).
-                if capacity == n:
-                    buf, sp = vectors, scales.astype(jnp.float32)
-                else:
+                if packed and capacity == n:
+                    # Zero-copy: already in the on-device storage layout.
+                    buf = vectors
+                    sp = scales.astype(jnp.float32)
+                elif packed:
 
-                    @partial(
-                        jax.jit, static_argnames=("capacity", "chunk")
-                    )
-                    def _pad_int8(v, s, capacity, chunk):
-                        rows, d = v.shape
-                        qp = jnp.zeros((capacity, d), jnp.int8)
+                    @partial(jax.jit, static_argnames=("capacity", "chunk"))
+                    def _pad_words(w, s, capacity, chunk):
+                        # chunk in WORD rows; words and chunk both aligned.
+                        wrows, d = w.shape
+                        qp = jnp.zeros((capacity // 4, d), jnp.int32)
                         sp = jnp.ones((capacity,), jnp.float32)
 
                         def body(ci, carry):
                             qp, sp = carry
-                            start = jnp.minimum(ci * chunk, rows - chunk)
+                            start = jnp.minimum(ci * chunk, wrows - chunk)
                             qp = jax.lax.dynamic_update_slice(
                                 qp,
                                 jax.lax.dynamic_slice(
-                                    v, (start, 0), (chunk, d)
+                                    w, (start, 0), (chunk, d)
                                 ),
                                 (start, 0),
                             )
@@ -180,8 +242,45 @@ class FlatIndex:
                                 sp,
                                 jax.lax.dynamic_slice(
                                     s.astype(jnp.float32),
-                                    (start,),
-                                    (chunk,),
+                                    (start * 4,),
+                                    (chunk * 4,),
+                                ),
+                                (start * 4,),
+                            )
+                            return qp, sp
+
+                        return jax.lax.fori_loop(
+                            0, -(-wrows // chunk), body, (qp, sp)
+                        )
+
+                    buf, sp = _pad_words(
+                        vectors, scales,
+                        capacity=capacity, chunk=min(n // 4, 65536),
+                    )
+                else:
+
+                    @partial(jax.jit, static_argnames=("capacity", "chunk"))
+                    def _pack_pad_int8(v, s, capacity, chunk):
+                        # chunk is a multiple of 4 and rows % 4 == 0, so
+                        # the backwards-overlap start is always 4-aligned
+                        # and each chunk packs to exactly chunk/4 words.
+                        rows, d = v.shape
+                        qp = jnp.zeros((capacity // 4, d), jnp.int32)
+                        sp = jnp.ones((capacity,), jnp.float32)
+
+                        def body(ci, carry):
+                            qp, sp = carry
+                            start = jnp.minimum(ci * chunk, rows - chunk)
+                            blk = jax.lax.dynamic_slice(
+                                v, (start, 0), (chunk, d)
+                            )
+                            qp = jax.lax.dynamic_update_slice(
+                                qp, pack_int8_rows(blk), (start // 4, 0)
+                            )
+                            sp = jax.lax.dynamic_update_slice(
+                                sp,
+                                jax.lax.dynamic_slice(
+                                    s.astype(jnp.float32), (start,), (chunk,)
                                 ),
                                 (start,),
                             )
@@ -191,7 +290,7 @@ class FlatIndex:
                             0, -(-rows // chunk), body, (qp, sp)
                         )
 
-                    buf, sp = _pad_int8(
+                    buf, sp = _pack_pad_int8(
                         vectors, scales,
                         capacity=capacity, chunk=min(n, 262144),
                     )
@@ -215,17 +314,19 @@ class FlatIndex:
 
                 @partial(jax.jit, static_argnames=("capacity", "chunk"))
                 def _quantize_pad(v, capacity, chunk):
-                    # Chunked in-place quantization: the int8 output is
-                    # allocated once at full capacity and row blocks are
-                    # quantized into it through a fori_loop carry (XLA
-                    # aliases the dynamic_update_slice), so peak HBM is
-                    # source + output — never source + quantized + padded
-                    # copies (that transient OOMs a 6M x 768 bf16 corpus).
+                    # Chunked in-place quantization into the word-packed
+                    # int8 layout: the int32 output is allocated once at
+                    # full capacity and row blocks are quantized+packed
+                    # into it through a fori_loop carry (XLA aliases the
+                    # dynamic_update_slice), so peak HBM is source +
+                    # output — never source + quantized + padded copies
+                    # (that transient OOMs a 6M x 768 bf16 corpus).
                     # abs/max reduces in the input dtype (bf16 max is an
                     # exact selection); the last chunk overlaps backwards,
-                    # rewriting identical row-local values.
+                    # rewriting identical row-local values (the packed
+                    # boundary-word merge makes unaligned starts exact).
                     rows, d = v.shape
-                    qp = jnp.zeros((capacity, d), jnp.int8)
+                    qp = jnp.zeros((capacity // 4, d), jnp.int32)
                     sp = jnp.ones((capacity,), jnp.float32)
 
                     def body(ci, carry):
@@ -244,17 +345,26 @@ class FlatIndex:
                         qb = jnp.rint(
                             blk.astype(jnp.float32) / s[:, None]
                         ).astype(jnp.int8)
-                        qp = jax.lax.dynamic_update_slice(
-                            qp, qb, (start, 0)
-                        )
+                        qp = _packed_write(qp, qb, start)
                         sp = jax.lax.dynamic_update_slice(sp, s, (start,))
                         return qp, sp
 
                     n_chunks = -(-rows // chunk)
                     return jax.lax.fori_loop(0, n_chunks, body, (qp, sp))
 
+                # _packed_write needs capacity >= chunk + 8 and a
+                # 4-multiple chunk; corpora smaller than one chunk are
+                # zero-padded up to it (cheap at that size — the
+                # no-transient constraint matters at multi-GB scale,
+                # where n >> chunk).
+                chunk = min(262144, max(4, ((capacity - 8) // 4) * 4))
+                src = vectors
+                if n < chunk:
+                    src = jnp.concatenate(
+                        [vectors, jnp.zeros((chunk - n, d), vectors.dtype)]
+                    )
                 buf, scales = _quantize_pad(
-                    vectors, capacity=capacity, chunk=min(n, 262144)
+                    src, capacity=capacity, chunk=chunk
                 )
             else:
                 if vectors.dtype != _DTYPES[dtype]:  # same-dtype copies
@@ -282,7 +392,15 @@ class FlatIndex:
         if target <= self._capacity:
             return
         with jax.default_device(self.device):
-            new_vecs = jnp.zeros((target, self.dim), dtype=_DTYPES[self.dtype])
+            # int8 corpora are stored word-PACKED ([cap/4, D] int32): the
+            # DMA engine streams int32-tiled data ~1.5x faster than
+            # int8-tiled at equal bytes (ops/int8_pack.py).
+            if self.dtype == "int8":
+                new_vecs = jnp.zeros((target // 4, self.dim), jnp.int32)
+            else:
+                new_vecs = jnp.zeros(
+                    (target, self.dim), dtype=_DTYPES[self.dtype]
+                )
             new_valid = jnp.zeros((target,), dtype=jnp.bool_)
             new_scales = (
                 jnp.ones((target,), dtype=jnp.float32)
@@ -312,7 +430,10 @@ class FlatIndex:
             )
 
         padded_n = bucket_size(n, _ADD_BUCKETS)
-        self._ensure_capacity(self._count + padded_n)
+        # int8: +4 slots so the packed append's boundary region (B/4 + 1
+        # words) always fits.
+        margin = 4 if self.dtype == "int8" else 0
+        self._ensure_capacity(self._count + padded_n + margin)
 
         batch = np.zeros((padded_n, self.dim), dtype=np.float32)
         batch[:n] = vectors
@@ -322,12 +443,11 @@ class FlatIndex:
         with jax.default_device(self.device):
             if self.dtype == "int8":
                 q, scales = _quantize_rows(batch)
-                self._vectors, self._valid = _append(
-                    self._vectors,
-                    self._valid,
-                    jnp.asarray(q),
-                    jnp.asarray(batch_valid),
-                    self._count,
+                self._vectors = _append_packed(
+                    self._vectors, jnp.asarray(q), self._count
+                )
+                self._valid = jax.lax.dynamic_update_slice(
+                    self._valid, jnp.asarray(batch_valid), (self._count,)
                 )
                 self._scales = jax.lax.dynamic_update_slice(
                     self._scales, jnp.asarray(scales), (self._count,)
@@ -363,11 +483,16 @@ class FlatIndex:
         if self._count == 0:
             return {}
         valid_np = np.asarray(self._valid[: self._count])
-        vecs_np = np.asarray(
-            self._vectors[: self._count].astype(jnp.float32)
-        )
         if self.dtype == "int8":
+            unpack = jax.jit(
+                lambda p: unpack_int8_rows(p).astype(jnp.float32)
+            )
+            vecs_np = np.asarray(unpack(self._vectors))[: self._count]
             vecs_np = vecs_np * np.asarray(self._scales[: self._count])[:, None]
+        else:
+            vecs_np = np.asarray(
+                self._vectors[: self._count].astype(jnp.float32)
+            )
         keep = np.nonzero(valid_np)[0]
         mapping = {int(old): new for new, old in enumerate(keep)}
         kept = vecs_np[keep]
@@ -508,19 +633,28 @@ class FlatIndex:
                 and padded_q <= 128
                 and k_eff <= 128
             ):
-                from ..ops.pallas_topk_dma import pallas_flat_topk_dma_int8
+                from ..ops.pallas_topk_dma import (
+                    pallas_flat_topk_dma_int8_packed,
+                )
 
                 def int8_pallas(vectors, mask, queries, k):
-                    return pallas_flat_topk_dma_int8(
+                    # vectors is the [cap/4, D] int32 word-packed corpus.
+                    return pallas_flat_topk_dma_int8_packed(
                         vectors, scales, mask, queries, k, tile_n=int8_tile
                     )
 
                 return int8_pallas
 
             def int8_kernel(vectors, mask, queries, k):
+                # XLA fallback (CPU, odd shapes, k > 128): unpack in-graph.
+                # This materializes a transient [cap, D] int8 copy — fine on
+                # CPU test corpora; on TPU the pallas path above covers all
+                # production shapes.
                 from ..ops.topk_scan import flat_topk_int8
 
-                return flat_topk_int8(vectors, scales, mask, queries, k)
+                return flat_topk_int8(
+                    unpack_int8_rows(vectors), scales, mask, queries, k
+                )
 
             return int8_kernel
         if use_pallas:
@@ -554,7 +688,11 @@ class FlatIndex:
         per-row scales, so a 12M x 768 index costs ~9 GB on disk, not the
         ~37 GB a dequantized-f32 format would, and the load roundtrip is
         bit-lossless (no re-quantization)."""
-        from .serialize import device_section, write_file
+        from .serialize import (
+            device_section,
+            iter_packed_int8_rows,
+            write_file,
+        )
 
         header = {
             "kind": "flat",
@@ -566,8 +704,21 @@ class FlatIndex:
         valid_u8 = (
             self._valid.astype(jnp.uint8) if self._valid is not None else None
         )
+        if self.dtype == "int8" and self._count:
+            # Disk format is plain int8 rows (portable); the device buffer
+            # is word-packed, so unpack in chunks while streaming.
+            vec_section = (
+                "vectors",
+                "int8",
+                (self._count, self.dim),
+                iter_packed_int8_rows(self._vectors, self._count),
+            )
+        else:
+            vec_section = device_section(
+                "vectors", self.dtype, self._vectors, self._count
+            )
         sections = [
-            device_section("vectors", self.dtype, self._vectors, self._count),
+            vec_section,
             device_section("valid", "uint8", valid_u8, self._count),
         ]
         if self.dtype == "int8":
@@ -590,7 +741,7 @@ class FlatIndex:
     def _load_streamed(
         cls, path: str, device: Optional[jax.Device] = None
     ) -> "FlatIndex":
-        from .serialize import read_file, upload_rows
+        from .serialize import read_file, upload_packed_int8_rows, upload_rows
 
         header, arrays = read_file(path)
         index = cls(
@@ -608,9 +759,14 @@ class FlatIndex:
         capacity = max(_MIN_CAPACITY, round_up(count, align))
         index._capacity = capacity
         index._count = count
-        index._vectors = upload_rows(
-            arrays["vectors"], capacity, _DTYPES[index.dtype], index.device
-        )
+        if index.dtype == "int8":
+            index._vectors = upload_packed_int8_rows(
+                arrays["vectors"], capacity, index.device
+            )
+        else:
+            index._vectors = upload_rows(
+                arrays["vectors"], capacity, _DTYPES[index.dtype], index.device
+            )
         with jax.default_device(index.device):
             valid = np.zeros((capacity,), dtype=np.bool_)
             valid[:count] = arrays["valid"].astype(np.bool_)
@@ -645,7 +801,7 @@ class FlatIndex:
             with jax.default_device(index.device):
                 if index.dtype == "int8":
                     q, scales = _quantize_rows(padded_v)
-                    index._vectors = jnp.asarray(q)
+                    index._vectors = jnp.asarray(pack_int8_rows_host(q))
                     index._scales = jnp.asarray(scales)
                 else:
                     index._vectors = jnp.asarray(

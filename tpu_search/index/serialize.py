@@ -45,6 +45,8 @@ __all__ = [
     "iter_device_rows",
     "upload_rows",
     "device_section",
+    "iter_packed_int8_rows",
+    "upload_packed_int8_rows",
 ]
 
 MAGIC = b"TPUSIDX2"
@@ -218,6 +220,76 @@ def device_section(
         return name, dtype, shape, iter(())
     shape = (count,) + tuple(array.shape[1:])
     return name, dtype, shape, iter_device_rows(array, count, chunk_bytes)
+
+
+def iter_packed_int8_rows(
+    packed: "jax.Array",
+    count: int,
+    chunk_bytes: int = 0,
+) -> Iterator[np.ndarray]:
+    """Yield the first ``count`` logical int8 rows of a word-packed
+    [cap/4, D] int32 corpus (ops.int8_pack layout) as host int8 chunks.
+
+    The disk format stays plain int8 rows (portable across layouts); the
+    unpack happens on device in fixed-shape chunks, so exactly one sliced
+    program compiles and peak host memory is one chunk.
+    """
+    from ..ops.int8_pack import unpack_int8_rows
+
+    if count <= 0:
+        return
+    d = packed.shape[1]
+    w_total = (count + 3) // 4
+    chunk_words = max(1, (chunk_bytes or _CHUNK_BYTES) // (d * 4))
+    chunk_words = min(chunk_words, w_total, packed.shape[0])
+
+    slice_fn = jax.jit(
+        lambda p, w0: unpack_int8_rows(
+            jax.lax.dynamic_slice(p, (w0, 0), (chunk_words, d))
+        )
+    )
+    w_target = 0
+    while w_target * 4 < count:
+        w0 = max(0, min(w_target, w_total - chunk_words))
+        host = np.asarray(slice_fn(packed, w0))  # [chunk_words*4, d] int8
+        row_lo = w_target * 4
+        row_hi = min(count, (w_target + chunk_words) * 4)
+        yield host[row_lo - w0 * 4 : row_hi - w0 * 4]
+        w_target += chunk_words
+
+
+def upload_packed_int8_rows(
+    source: np.ndarray,
+    capacity: int,
+    device: "jax.Device",
+    chunk_bytes: int = 0,
+) -> "jax.Array":
+    """Upload host int8 rows (typically a memmap) into a zero-padded
+    word-packed [capacity/4, D] int32 device buffer, packing each chunk
+    host-side (ops.int8_pack layout).  Peak host memory is one chunk."""
+    from ..ops.int8_pack import pack_int8_rows_host
+
+    count, d = source.shape
+    chunk_rows = max(4, ((chunk_bytes or _CHUNK_BYTES) // d) // 4 * 4)
+    chunk_rows = min(chunk_rows, max(4, -(-count // 4) * 4), capacity)
+
+    update_fn = jax.jit(
+        lambda buf, blk, w0: jax.lax.dynamic_update_slice(buf, blk, (w0, 0)),
+        donate_argnums=(0,),
+    )
+    with jax.default_device(device):
+        buf = jnp.zeros((capacity // 4, d), jnp.int32)
+        # The tail chunk writes exactly its own (padded-to-4) rows, so a
+        # word write never lands past capacity/4 (at most two compiled
+        # update shapes: full chunk + tail).
+        for start in range(0, count, chunk_rows):
+            take = min(chunk_rows, count - start)
+            rows4 = -(-take // 4) * 4
+            blk = np.zeros((rows4, d), dtype=np.int8)
+            blk[:take] = source[start : start + take]
+            words = pack_int8_rows_host(blk)
+            buf = update_fn(buf, jnp.asarray(words), start // 4)
+        return buf
 
 
 def upload_rows(

@@ -1,0 +1,57 @@
+"""Int8 row packing: 4 consecutive corpus rows per int32 word row.
+
+Measured on v5e (same-process A/B at 1M x 768, Q=8): the TPU DMA engine
+streams int32-tiled data ~1.5x faster than int8-tiled data at equal bytes
+(the (32, 128) int8 tiling pays per-element overheads), so the int8 corpus
+is stored as ``[N/4, D] int32`` — byte ``b`` (little-endian) of word
+``(s, c)`` is row ``4s+b``, column ``c``.  Inside the Pallas kernel,
+``pltpu.bitcast(words, int8)`` expands the sublane dim 4x and recovers the
+``[N, D]`` int8 tile exactly (verified empirically on hardware: bitcast
+maps byte b of sublane s to sublane 4s+b), feeding the MXU with zero
+unpack cost.  Net: 3.5 ms -> 2.6 ms for the 1M x 768 Q=8 scan.
+
+Host packing uses little-endian numpy views; x86 and the TPU DMA agree on
+byte order (verified on hardware).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "pack_int8_rows",
+    "unpack_int8_rows",
+    "pack_int8_rows_host",
+    "unpack_int8_rows_host",
+]
+
+
+def pack_int8_rows(vectors: jax.Array) -> jax.Array:
+    """[N, D] int8 -> [N/4, D] int32 (N must be a multiple of 4). Traceable."""
+    n, d = vectors.shape
+    grouped = vectors.reshape(n // 4, 4, d).transpose(0, 2, 1)  # [N/4, D, 4]
+    return jax.lax.bitcast_convert_type(grouped, jnp.int32)
+
+
+def unpack_int8_rows(packed: jax.Array) -> jax.Array:
+    """[C, D] int32 -> [4C, D] int8. Traceable (inverse of pack_int8_rows)."""
+    c, d = packed.shape
+    rows = jax.lax.bitcast_convert_type(packed, jnp.int8)  # [C, D, 4]
+    return rows.transpose(0, 2, 1).reshape(4 * c, d)
+
+
+def pack_int8_rows_host(vectors: np.ndarray) -> np.ndarray:
+    """Host-side equivalent of pack_int8_rows (one copy for the transpose)."""
+    n, d = vectors.shape
+    grouped = np.ascontiguousarray(
+        vectors.reshape(n // 4, 4, d).transpose(0, 2, 1)
+    )
+    return grouped.view(np.int32)[..., 0]
+
+
+def unpack_int8_rows_host(packed: np.ndarray) -> np.ndarray:
+    c, d = packed.shape
+    rows = np.ascontiguousarray(packed)[..., None].view(np.int8)  # [C, D, 4]
+    return np.ascontiguousarray(rows.transpose(0, 2, 1)).reshape(4 * c, d)

@@ -27,7 +27,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["flat_topk", "flat_topk_int8", "SCAN_CHUNK", "SINGLE_SHOT_LIMIT"]
+__all__ = [
+    "flat_topk",
+    "flat_topk_int8",
+    "quantize_queries",
+    "SCAN_CHUNK",
+    "SINGLE_SHOT_LIMIT",
+]
 
 # Rows per scan step. 64Ki rows x 768 dims x 2B (bf16) = 96 MiB per step read;
 # large enough to keep the MXU/HBM pipeline busy, small enough that the
@@ -117,6 +123,65 @@ def _chunked_topk(
     return top_scores, top_ids
 
 
+def quantize_queries(
+    queries: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Residual (two-digit) symmetric per-row int8 query quantization.
+
+    ``q ~ qs1*(q1 + rho*q2)`` with ``rho = qs2/qs1``: the first digit
+    quantizes the query, the second its residual, pushing the query-side
+    relative error to ~(1/127)^2 — measured recall@10 vs an f32-query scan
+    is IDENTICAL (the corpus quantization is the accuracy floor), while a
+    1-digit query costs ~1% recall.  Both digits ride ONE stacked
+    ``[2Q, D]`` int8 MXU pass per corpus tile, and the MXU is 128-row
+    granular, so the second digit is free for Q <= 64.
+
+    Returns ``(q_i8 [2Q, D] int8, rho [Q] f32, qs1 [Q] f32)``.  Shared by
+    the XLA and Pallas int8 paths — the exact sequence here and the
+    combine/dequant ordering at the call sites are the bit-parity contract
+    between them.  ``qs1`` is strictly positive, so multiplying top-k
+    scores by it AFTER selection preserves per-row order and ``-inf``
+    sentinels.
+    """
+    qs1 = jnp.maximum(
+        jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-12
+    ).astype(jnp.float32)
+    q1 = jnp.rint(queries / qs1[:, None])
+    resid = queries - qs1[:, None] * q1
+    qs2 = jnp.maximum(
+        jnp.max(jnp.abs(resid), axis=1) / 127.0, 1e-12
+    ).astype(jnp.float32)
+    q2 = jnp.rint(resid / qs2[:, None])
+    q_i8 = jnp.concatenate([q1, q2]).astype(jnp.int8)
+    return q_i8, qs2 / qs1, qs1
+
+
+def _combine_digit_dots(dots: jax.Array, rho: jax.Array) -> jax.Array:
+    """[2Q, C] int32 stacked digit dots -> [Q, C] f32 combined scores
+    (still missing the per-row qs1 factor, deferred past top-k)."""
+    q = dots.shape[0] // 2
+    return dots[:q].astype(jnp.float32) + rho[:, None] * dots[q:].astype(
+        jnp.float32
+    )
+
+
+def _int8_dots(q_i8: jax.Array, vectors: jax.Array) -> jax.Array:
+    """[Q, D] int8 x [C, D] int8 -> [Q, C] int32 on the MXU.
+
+    The MXU consumes int8 natively at 2x bf16 rate with exact int32
+    accumulation (|dot| <= 127*127*D < 2^31 for D < 133k), so no
+    VPU-side int8->f32 convert of the corpus is ever needed — that convert
+    was the round-1 int8 kernel's bottleneck (4.9 ms vs bf16's 3.8 ms at
+    1M x 768 despite half the HBM bytes).
+    """
+    return jax.lax.dot_general(
+        q_i8,
+        vectors,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _single_shot_topk_int8(
     vectors: jax.Array,  # [N, D] int8 (symmetric per-row quantized)
@@ -125,19 +190,17 @@ def _single_shot_topk_int8(
     queries: jax.Array,  # [Q, D] f32
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Int8-corpus IP scan: HBM reads are 1 byte/component; the int8->f32
-    convert fuses into the matmul read, and the per-row dequant scale is
-    applied to the [Q, N] scores (a single elementwise multiply)."""
-    dots = jax.lax.dot_general(
-        queries,
-        vectors.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    scores = dots * scales[None, :]
+    """Int8-corpus IP scan: HBM reads 1 byte/component and the MXU multiplies
+    int8 directly (int32 accumulation).  Queries are residual-quantized
+    (two stacked int8 digits, one MXU pass); per-row corpus scales
+    dequantize the combined scores; the per-row QUERY scale is deferred
+    until after top-k (positive per-row scaling is order-preserving)."""
+    q_i8, rho, qs1 = quantize_queries(queries)
+    dots = _int8_dots(q_i8, vectors)
+    scores = _combine_digit_dots(dots, rho) * scales[None, :]
     scores = jnp.where(mask[None, :], scores, -jnp.inf)
     top_scores, top_ids = jax.lax.top_k(scores, k)
-    return top_scores, top_ids.astype(jnp.int32)
+    return top_scores * qs1[:, None], top_ids.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k", "chunk"))
@@ -160,16 +223,12 @@ def _chunked_topk_int8(
         jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
         jnp.zeros((q, k), dtype=jnp.int32),
     )
+    q_i8, rho, qs1 = quantize_queries(queries)
 
     def step(carry, inputs):
         best_s, best_i = carry
         vc, sc, mc, base = inputs
-        s = jax.lax.dot_general(
-            queries,
-            vc.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        s = _combine_digit_dots(_int8_dots(q_i8, vc), rho)
         s = s * sc[None, :]
         s = jnp.where(mc[None, :], s, -jnp.inf)
         ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -184,7 +243,7 @@ def _chunked_topk_int8(
     (top_scores, top_ids), _ = jax.lax.scan(
         step, init, (vecs, scls, masks, bases)
     )
-    return top_scores, top_ids
+    return top_scores * qs1[:, None], top_ids
 
 
 def flat_topk_int8(
