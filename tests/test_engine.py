@@ -2,12 +2,15 @@
 dim mismatch — with a deliberately flaky embedder."""
 
 import json
+
+import numpy as np
 from pathlib import Path
 from unittest.mock import patch
 
 import pytest
 
 from tpu_search.api.engine import SearchEngine, resolve_data_dir
+from tpu_search.storage.hybrid import SearchConfig
 
 
 def write_file(path: Path, text="some user question that is long enough"):
@@ -158,3 +161,94 @@ class TestRetryAccounting:
         assert stats["files_processed"] == 1
         assert stats["chunks_created"] == stats["chunks_indexed"]
         assert stats["chunks_created"] == engine.storage.total_chunks
+
+
+class TestFusedQueryPath:
+    """The ONE-dispatch query path (encode+scan fused) must return exactly
+    what the classic two-dispatch path returns."""
+
+    @pytest.fixture
+    def real_model_engine(self, tmp_path):
+        import jax
+
+        from tpu_search.models import MPNetConfig, init_params
+        from tpu_search.models.convert import save_checkpoint
+
+        tiny = MPNetConfig(
+            vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+            intermediate_size=32, max_position=96,
+        )
+        vocab = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"] + [
+            f"tok{i}" for i in range(59)
+        ]
+        model_dir = tmp_path / "models" / "tiny-mpnet"
+        model_dir.mkdir(parents=True)
+        params = init_params(tiny, jax.random.PRNGKey(0))
+        save_checkpoint(str(model_dir / "model.tpu.npz"), params, tiny)
+        (model_dir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+
+        engine = SearchEngine(
+            data_dir=str(tmp_path),
+            model_name="tiny-mpnet",
+            use_warm_server=False,
+        )
+        claude_dir = tmp_path / "projects" / "-root-proj"
+        claude_dir.mkdir(parents=True)
+        lines = []
+        for i in range(6):
+            text = f"tok{i} tok{i+1} tok{i+2} " * 12
+            lines.append(json.dumps({
+                "uuid": f"u{i}", "sessionId": "s1",
+                "timestamp": f"2025-07-01T09:0{i}:00Z",
+                "message": {"role": "user" if i % 2 == 0 else "assistant",
+                            "content": [{"type": "text", "text": text}]},
+            }))
+        (claude_dir / "s1.jsonl").write_text("\n".join(lines) + "\n")
+        engine.index_conversations([str(claude_dir / "s1.jsonl")])
+        return engine
+
+    def test_fused_matches_classic(self, real_model_engine):
+        engine = real_model_engine
+        cfg = SearchConfig(top_k=3, include_metadata=True, include_text=True)
+        fused = engine._fused_search("tok1 tok2 tok3", None, cfg)
+        assert fused is not None and len(fused) > 0
+
+        emb = engine.embedder.generate_single_embedding("tok1 tok2 tok3")
+        classic = engine.storage.search(emb, cfg, None)
+        assert [r.chunk_id for r in fused] == [r.chunk_id for r in classic]
+        np.testing.assert_allclose(
+            [r.similarity for r in fused],
+            [r.similarity for r in classic],
+            rtol=1e-5,
+        )
+
+    def test_fused_respects_filters(self, real_model_engine):
+        engine = real_model_engine
+        cfg = SearchConfig(top_k=5, include_metadata=True, include_text=True)
+        fused = engine._fused_search(
+            "tok1 tok2", {"session_id": "nonexistent"}, cfg
+        )
+        assert fused == []
+
+    def test_search_conversations_uses_fused(self, real_model_engine):
+        engine = real_model_engine
+        calls = []
+        orig = engine._fused_search
+
+        def spy(*a, **k):
+            r = orig(*a, **k)
+            calls.append(r)
+            return r
+
+        engine._fused_search = spy
+        results = engine.search_conversations("tok2 tok3", top_k=2)
+        assert len(calls) == 1 and calls[0] is not None
+        assert len(results) > 0 and "chunk_id" in results[0]
+
+    def test_fused_jit_cached_across_searches(self, real_model_engine):
+        engine = real_model_engine
+        cfg = SearchConfig(top_k=3)
+        engine._fused_search("tok1", None, cfg)
+        fn1 = engine._fused_jit
+        engine._fused_search("tok2 tok3 tok4", None, cfg)
+        assert engine._fused_jit is fn1

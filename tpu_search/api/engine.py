@@ -97,6 +97,7 @@ class SearchEngine:
         # listening (False inside the daemon itself to avoid self-routing).
         self.use_warm_server = use_warm_server
         self._timer = PhaseTimer()
+        self._fused_jit = None  # built lazily by _fused_query_fn
         _enable_compilation_cache(self.data_dir / "jax_cache")
 
         self.parser = JSONLParser()
@@ -321,14 +322,131 @@ class SearchEngine:
         self.storage.initialize()
         self._check_index_dim()
 
+        cfg = SearchConfig(
+            top_k=top_k, include_metadata=True, include_text=True
+        )
+        fused = self._fused_search(query, filters, cfg)
+        if fused is not None:
+            return [format_search_result(result) for result in fused]
+
         query_embedding = self.embedder.generate_single_embedding(query)
         results = self.storage.search(
             query_embedding,
-            SearchConfig(top_k=top_k, include_metadata=True, include_text=True),
+            cfg,
             filters,
         )
 
         return [format_search_result(result) for result in results]
+
+    def _fused_search(
+        self,
+        query: str,
+        filters: Optional[Dict[str, Any]],
+        cfg: SearchConfig,
+    ) -> Optional[List[Any]]:
+        """ONE-dispatch query path: token ids (plus the filter mask, if
+        any) ship to the device, encode -> normalize -> masked scan ->
+        top-k run as a single jitted program, and one packed [Q, 2k] array
+        comes back.  The classic path pays two dispatches and two fetches
+        (embed, then scan) — on a high-latency host link each extra round
+        trip dominates the 2-4 ms device work.
+
+        Returns None when not applicable (hash encoder — host-side, no
+        graph to fuse; non-flat index; empty index), letting the caller
+        fall through to the classic path.
+        """
+        import numpy as np
+
+        from ..index.flat import FlatIndex
+
+        index = self.storage.index
+        if not isinstance(index, FlatIndex) or index.ntotal == 0:
+            return None
+        if index.capacity >= (1 << 24):  # f32 id packing would be lossy
+            return None
+        parts = self.embedder.fused_parts()
+        if parts is None:
+            return None
+        params, model_config, compute_dtype, normalize, device = parts
+
+        fmask = self.storage.filter_mask(filters)
+        if fmask is not None and not fmask.any():
+            return []
+        k_eff = min(cfg.top_k, index.capacity)
+        if k_eff <= 0:
+            return []
+        scan_key, buffers = index.make_scan_fn(8, k_eff)
+        ids, attn = self.embedder.pack_batch([query])
+
+        if fmask is not None:
+            padded = np.zeros((index.capacity,), dtype=np.bool_)
+            padded[: min(fmask.shape[0], index.capacity)] = fmask[
+                : index.capacity
+            ]
+            fmask = padded
+
+        fn = self._fused_query_fn(model_config, compute_dtype, normalize)
+        import jax
+
+        with jax.default_device(device):
+            packed = np.asarray(
+                fn(
+                    params,
+                    ids,
+                    attn,
+                    buffers,
+                    index._valid,
+                    fmask,
+                    scan_key=scan_key,
+                    k=k_eff,
+                )
+            )
+        scores = packed[:1, :k_eff]
+        out_ids = np.rint(packed[:1, k_eff:]).astype(np.int64)
+        out_ids[~np.isfinite(scores)] = -1
+        results = self.storage.hydrate_results(scores, out_ids, cfg)[0]
+        return results
+
+    def _fused_query_fn(self, model_config, compute_dtype, normalize):
+        """Build (once) the jitted fused encode+scan program."""
+        if self._fused_jit is not None:
+            return self._fused_jit
+
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..index.flat import scan_fn_for
+        from ..models.mpnet import encode as mpnet_encode
+
+        on_accel = self.embedder._pick_device().platform not in (
+            "cpu",
+            "interpreter",
+        )
+
+        @partial(jax.jit, static_argnames=("scan_key", "k"))
+        def fused(params, ids, attn, buffers, valid, fmask, scan_key, k):
+            impl = "pallas" if on_accel and ids.shape[1] >= 256 else "dense"
+            emb = mpnet_encode(
+                params, ids, attn, model_config,
+                compute_dtype=compute_dtype, normalize=normalize,
+                attention_impl=impl,
+            ).astype(jnp.float32)  # [B, H]
+            # Pad the query rows to the kernel's minimum of 8.
+            qb = jnp.zeros((8, emb.shape[1]), jnp.float32)
+            qb = jax.lax.dynamic_update_slice(qb, emb[:8], (0, 0))
+            mask = valid if fmask is None else jnp.logical_and(valid, fmask)
+            scores, out_ids = scan_fn_for(scan_key)(buffers, mask, qb, k)
+            # Pack scores+ids into ONE array: one host fetch, one round
+            # trip (ids are exact in f32 below 2^24 rows — a 768-d corpus
+            # cannot reach that row count in one chip's HBM).
+            return jnp.concatenate(
+                [scores, out_ids.astype(jnp.float32)], axis=1
+            )
+
+        self._fused_jit = fused
+        return fused
 
     # -- stats ---------------------------------------------------------------
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -36,7 +36,7 @@ from ..ops.int8_pack import (
 from ..ops.topk_scan import flat_topk
 from ..utils.shapes import bucket_size, next_pow2, round_up
 
-__all__ = ["FlatIndex"]
+__all__ = ["FlatIndex", "scan_fn_for"]
 
 _MIN_CAPACITY = 1024
 _ADD_BUCKETS = (256, 1024, 4096, 16384)
@@ -115,6 +115,77 @@ def _grow(new_buf, old_buf):
 def _row_sq_norms(vectors):
     v = vectors.astype(jnp.float32)
     return jnp.sum(v * v, axis=1)
+
+
+@lru_cache(maxsize=None)
+def scan_fn_for(scan_key: tuple):
+    """Resolve a make_scan_fn key to a stable pure scan function
+    ``fn(buffers, mask, qbatch, k) -> (scores, ids)``.
+
+    lru_cache guarantees the SAME function object per key, so jitted
+    callers that take the function (or its key) as a static argument hit
+    their trace cache across searches.
+    """
+    kind = scan_key[0]
+    if kind == "int8_pallas":
+        tile = scan_key[1]
+
+        def fn(buffers, mask, qbatch, k):
+            from ..ops.pallas_topk_dma import pallas_flat_topk_dma_int8_packed
+
+            vectors, scales = buffers
+            return pallas_flat_topk_dma_int8_packed(
+                vectors, scales, mask, qbatch, k, tile_n=tile
+            )
+
+        return fn
+    if kind == "int8_xla":
+
+        def fn(buffers, mask, qbatch, k):
+            # XLA fallback (CPU, odd shapes, k > 128): unpack in-graph.
+            # This materializes a transient [cap, D] int8 copy — fine on
+            # CPU test corpora; on TPU the pallas path covers all
+            # production shapes.
+            from ..ops.topk_scan import flat_topk_int8
+
+            vectors, scales = buffers
+            return flat_topk_int8(
+                unpack_int8_rows(vectors), scales, mask, qbatch, k
+            )
+
+        return fn
+    if kind == "pallas_l2":
+        tile = scan_key[1]
+
+        def fn(buffers, mask, qbatch, k):
+            from ..ops.pallas_topk_dma import pallas_flat_topk_dma
+
+            vectors, sq_norms = buffers
+            return pallas_flat_topk_dma(
+                vectors, mask, qbatch, k,
+                tile_n=tile, metric="l2", sq_norms=sq_norms,
+            )
+
+        return fn
+    if kind == "pallas_ip":
+        tile = scan_key[1]
+
+        def fn(buffers, mask, qbatch, k):
+            from ..ops.pallas_topk_dma import pallas_flat_topk_dma
+
+            (vectors,) = buffers
+            return pallas_flat_topk_dma(vectors, mask, qbatch, k, tile_n=tile)
+
+        return fn
+    if kind == "xla":
+        metric = scan_key[1]
+
+        def fn(buffers, mask, qbatch, k):
+            (vectors,) = buffers
+            return flat_topk(vectors, mask, qbatch, k, metric=metric)
+
+        return fn
+    raise ValueError(f"Unknown scan key: {scan_key}")
 
 
 class FlatIndex:
@@ -597,78 +668,63 @@ class FlatIndex:
             ids = np.pad(ids, pad, constant_values=-1)
         return scores, ids
 
-    def _pick_kernel(self, padded_q: int, k_eff: int):
-        """Choose the scan kernel: the manually-pipelined Pallas DMA kernel
-        on TPU for the ip AND l2 paths (measured >= XLA, up to 1.5x at batch
-        sizes — ops/pallas_topk_dma.py; l2 folds the |v|^2 correction into
-        the fused penalty stream), the XLA scan otherwise (CPU, odd shapes,
-        or TPU_SEARCH_DISABLE_PALLAS=1)."""
+    def make_scan_fn(self, padded_q: int, k_eff: int):
+        """Pick the scan implementation and return ``(scan_key, buffers)``.
+
+        ``scan_key`` is a small hashable tuple resolving (via
+        :func:`scan_fn_for`) to a STABLE pure function
+        ``fn(buffers, mask, qbatch, k)`` with every device dependency in
+        ``buffers`` — nothing device-resident is captured, so callers can
+        pass ``scan_key`` as a static jit argument and compose the scan
+        into larger programs (the fused query path) without retracing per
+        search.
+
+        Kernel choice: the manually-pipelined Pallas DMA kernel on TPU for
+        the ip AND l2 paths (measured >= XLA, up to 1.5x — see
+        ops/pallas_topk_dma.py; l2 folds the |v|^2 correction into the
+        fused penalty stream), the XLA scan otherwise (CPU, odd shapes, or
+        TPU_SEARCH_DISABLE_PALLAS=1).
+        """
         # VMEM budget: 2 tile slots + [Q, TILE] score temporaries must stay
         # under the ~16MB scoped limit, so the tile shrinks as Q grows.
         if self.dtype == "bfloat16":
             tile = 4096 if padded_q <= 32 else 2048
         else:
             tile = 2048 if padded_q <= 32 else 0  # f32 @ Q>32: XLA wins
-        use_pallas = (
-            tile > 0
-            and self.device.platform not in ("cpu", "interpreter")
+        pallas_ok = (
+            self.device.platform not in ("cpu", "interpreter")
             and os.environ.get("TPU_SEARCH_DISABLE_PALLAS") != "1"
             and self.dim % 128 == 0
-            and self._capacity % tile == 0
             and padded_q % 8 == 0
             and padded_q <= 128
             and k_eff <= 128
         )
         if self.dtype == "int8":
-            scales = self._scales
             # 1-byte HBM reads leave more headroom than bf16, so tiles can
             # double; tile 8192 at Q > 32 overflows VMEM (scores blow up).
             int8_tile = 8192 if padded_q <= 32 else 4096
-            if (
-                self.device.platform not in ("cpu", "interpreter")
-                and os.environ.get("TPU_SEARCH_DISABLE_PALLAS") != "1"
-                and self.dim % 128 == 0
-                and self._capacity % int8_tile == 0
-                and padded_q % 8 == 0
-                and padded_q <= 128
-                and k_eff <= 128
-            ):
-                from ..ops.pallas_topk_dma import (
-                    pallas_flat_topk_dma_int8_packed,
+            if pallas_ok and self._capacity % int8_tile == 0:
+                return ("int8_pallas", int8_tile), (
+                    self._vectors,
+                    self._scales,
                 )
-
-                def int8_pallas(vectors, mask, queries, k):
-                    # vectors is the [cap/4, D] int32 word-packed corpus.
-                    return pallas_flat_topk_dma_int8_packed(
-                        vectors, scales, mask, queries, k, tile_n=int8_tile
-                    )
-
-                return int8_pallas
-
-            def int8_kernel(vectors, mask, queries, k):
-                # XLA fallback (CPU, odd shapes, k > 128): unpack in-graph.
-                # This materializes a transient [cap, D] int8 copy — fine on
-                # CPU test corpora; on TPU the pallas path above covers all
-                # production shapes.
-                from ..ops.topk_scan import flat_topk_int8
-
-                return flat_topk_int8(
-                    unpack_int8_rows(vectors), scales, mask, queries, k
-                )
-
-            return int8_kernel
-        if use_pallas:
-            from ..ops.pallas_topk_dma import pallas_flat_topk_dma
-
+            return ("int8_xla",), (self._vectors, self._scales)
+        if tile > 0 and pallas_ok and self._capacity % tile == 0:
             if self.metric == "l2":
-                return partial(
-                    pallas_flat_topk_dma,
-                    tile_n=tile,
-                    metric="l2",
-                    sq_norms=self._sq_norms(),
-                )
-            return partial(pallas_flat_topk_dma, tile_n=tile)
-        return partial(flat_topk, metric=self.metric)
+                return ("pallas_l2", tile), (self._vectors, self._sq_norms())
+            return ("pallas_ip", tile), (self._vectors,)
+        return ("xla", self.metric), (self._vectors,)
+
+    def _pick_kernel(self, padded_q: int, k_eff: int):
+        """Legacy shim over make_scan_fn: kernel(vectors, mask, queries, k)
+        with the non-corpus buffers bound."""
+        scan_key, buffers = self.make_scan_fn(padded_q, k_eff)
+        fn = scan_fn_for(scan_key)
+
+        def kernel(vectors_unused, mask, queries, k):
+            return fn(buffers, mask, queries, k)
+
+        return kernel
 
     def _sq_norms(self) -> jax.Array:
         """Cached [capacity] row squared norms for the l2 pallas path."""

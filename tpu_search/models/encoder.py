@@ -274,6 +274,52 @@ class EmbeddingGenerator:
             )
         return embeddings
 
+    def pack_batch(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Tokenize + bucket-pad texts into ``(ids, mask)`` int32 arrays
+        ready for the jitted encoder graph.  Host-side only — used by the
+        fused query path to ship token ids (not embeddings) to the device
+        so encode+scan run as ONE dispatch."""
+        encoded = [
+            self._tokenizer.encode(t, self.config.max_seq_length)
+            for t in texts
+        ]
+        longest = max(len(s) for s in encoded)
+        seq_pad = bucket_size(longest, SEQ_BUCKETS)
+        batch_pad = bucket_size(len(encoded), BATCH_BUCKETS)
+        ids = np.full(
+            (batch_pad, seq_pad), self._tokenizer.pad_id, dtype=np.int32
+        )
+        mask = np.zeros((batch_pad, seq_pad), dtype=np.int32)
+        for row, seq in enumerate(encoded):
+            ids[row, : len(seq)] = seq
+            mask[row, : len(seq)] = 1
+        mask[len(encoded):, 0] = 1  # pad rows need one live token (mean)
+        return ids, mask
+
+    def fused_parts(self):
+        """(params, model_config, compute_dtype, normalize, device) for
+        composing the encoder graph into a larger jitted program (the
+        fused query path).  None when the hashing encoder is active (it
+        runs on host; there is nothing to fuse)."""
+        if self._hash_encoder is not None or self._params is None:
+            return None
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16
+            if self.config.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+        return (
+            self._params,
+            self._model_config,
+            dtype,
+            self.config.normalize_embeddings,
+            self._device,
+        )
+
     def _encode_texts(self, texts: Sequence[str]) -> np.ndarray:
         if self._hash_encoder is not None:
             return self._hash_encoder.encode(

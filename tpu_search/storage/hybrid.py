@@ -368,6 +368,27 @@ class HybridStorage:
         all_scores, all_ids = self.index.search(
             queries, k=cfg.top_k, mask=mask, nprobe=cfg.nprobe
         )
+        return self.hydrate_results(all_scores, all_ids, cfg)
+
+    def filter_mask(self, filters) -> Optional[np.ndarray]:
+        """Compile metadata filters to a [ntotal] bool predicate mask
+        (None = no filters). Exposed for the fused query path, which
+        uploads the mask alongside the token ids in one dispatch."""
+        if self.index is None:
+            return None
+        return mask_for_filters(self.meta._conn(), filters, self.index.ntotal)
+
+    def hydrate_results(
+        self,
+        all_scores: np.ndarray,
+        all_ids: np.ndarray,
+        config: Optional[SearchConfig] = None,
+    ) -> List[List[SearchResult]]:
+        """Join device scan output ([Q, k] scores/ids) back to SQLite rows
+        and build SearchResults — the tail of search_many, reusable by the
+        fused single-dispatch query path."""
+        cfg = config or SearchConfig()
+        nq = all_scores.shape[0]
         rows = self.meta.rows_for_vec_ids(
             np.unique(all_ids[all_ids >= 0]).tolist()
         )
