@@ -1,0 +1,123 @@
+"""Multi-host (DCN) wiring: 2-process localhost jax.distributed test.
+
+SURVEY.md section 4 prescribes faking the cluster rather than requiring
+one: two local processes join a jax.distributed job over localhost, each
+providing 4 virtual CPU devices (8 global), build a DCN-aware mesh, run
+the sharded index end-to-end (add -> search -> per-host save -> per-host
+load -> search), and assert results against a locally-computed reference.
+
+The worker script runs in child processes (jax.distributed must init
+before the backend, which the pytest process already initialized).
+"""
+
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, os, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_dir = sys.argv[3]
+
+from tpu_search.parallel import (
+    ShardedFlatIndex, build_mesh, initialize_distributed,
+)
+
+initialize_distributed(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+mesh = build_mesh(n_data=8, dcn_data=2)
+
+rng = np.random.default_rng(0)  # identical data on both processes
+d = 32
+vecs = rng.standard_normal((300, d)).astype(np.float32)
+vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+queries = rng.standard_normal((3, d)).astype(np.float32)
+queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+for dtype in ("float32", "int8"):
+    index = ShardedFlatIndex(dim=d, mesh=mesh, dtype=dtype)
+    index.add(vecs)
+    scores, ids = index.search(queries, k=5)
+
+    if dtype == "float32":
+        ref_ids = np.argsort(-(queries @ vecs.T), axis=1)[:, :5]
+        assert np.array_equal(ids, ref_ids), (dtype, ids, ref_ids)
+
+    # masked search across hosts
+    mask = np.zeros(300, bool); mask[::7] = True
+    _, masked_ids = index.search(queries, k=4, mask=mask)
+    assert (masked_ids[masked_ids >= 0] % 7 == 0).all()
+
+    # per-host persistence: each process writes only its shards
+    path = os.path.join(out_dir, f"dist_{dtype}.tpuidx")
+    index.save(path)
+    assert os.path.exists(path + f".host{pid}")
+    loaded = ShardedFlatIndex.load(path, mesh=mesh)
+    s2, i2 = loaded.search(queries, k=5)
+    assert np.array_equal(ids, i2), (dtype, ids, i2)
+    np.testing.assert_array_equal(scores, s2)
+
+print(f"WORKER_{pid}_OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_sharded_index(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env_base = {
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/bin:/bin",
+        "PYTHONPATH": str(REPO_ROOT),
+        "HOME": str(tmp_path),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port), str(tmp_path)],
+            env=env_base,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=REPO_ROOT,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"WORKER_{pid}_OK" in out
+    # manifest written once, host files written by each process
+    assert (tmp_path / "dist_float32.tpuidx").exists()
+    assert (tmp_path / "dist_float32.tpuidx.host0").exists()
+    assert (tmp_path / "dist_float32.tpuidx.host1").exists()

@@ -1,5 +1,11 @@
 """Multi-chip parallelism: meshes, sharded index, dp/tp encode, training."""
 
+from .distributed import (
+    initialize_distributed,
+    is_distributed,
+    process_count,
+    process_index,
+)
 from .encode import make_sharded_encode, shard_params
 from .mesh import build_mesh, data_sharding, encoder_param_specs, replicated
 from .sharded_index import ShardedFlatIndex
@@ -16,6 +22,10 @@ __all__ = [
     "ShardedFlatIndex",
     "TrainState",
     "build_mesh",
+    "initialize_distributed",
+    "is_distributed",
+    "process_count",
+    "process_index",
     "data_sharding",
     "encoder_param_specs",
     "init_train_state",

@@ -1,0 +1,87 @@
+"""Multi-host (DCN) wiring: ``jax.distributed`` init + hybrid meshes.
+
+SURVEY.md section 5.8 names the comm backend a first-class component:
+collectives ride ICI within a slice and DCN across hosts.  The reference
+has no distributed layer at all (its capability ceiling is one process,
+src/gpu_utils.py); here a multi-host deployment is:
+
+    # on every host (TPU pods auto-detect all three args):
+    from tpu_search.parallel import initialize_distributed, build_mesh
+    initialize_distributed()                      # jax.distributed
+    mesh = build_mesh(n_data=jax.device_count(),  # data axis spans hosts
+                      dcn_data=jax.process_count())
+
+Index shards then live in each host's chips' HBM; queries replicate;
+per-chip top-k results merge with ICI collectives inside a slice and DCN
+across slices — all inserted by GSPMD from the same shard_map program the
+single-host path uses.  Persistence is per-host (see
+``ShardedFlatIndex.save``): each process writes/reads only its addressable
+shards, so no host ever materializes another host's corpus slice.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "initialize_distributed",
+    "is_distributed",
+    "process_index",
+    "process_count",
+]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids=None,
+) -> None:
+    """Join the multi-host job via ``jax.distributed.initialize``.
+
+    On TPU pods all arguments auto-detect from the metadata server; on
+    CPU/GPU clusters pass them explicitly or via the environment
+    (``TPU_SEARCH_COORDINATOR``, ``TPU_SEARCH_NUM_PROCESSES``,
+    ``TPU_SEARCH_PROCESS_ID``).  Must run before any JAX backend use.
+    Idempotent: re-initialization attempts are logged and ignored.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "TPU_SEARCH_COORDINATOR"
+    )
+    if num_processes is None and os.environ.get("TPU_SEARCH_NUM_PROCESSES"):
+        num_processes = int(os.environ["TPU_SEARCH_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("TPU_SEARCH_PROCESS_ID"):
+        process_id = int(os.environ["TPU_SEARCH_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+        logger.info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+    except RuntimeError as exc:
+        # Already initialized (e.g. by a launcher) — not an error.
+        logger.info("jax.distributed already initialized: %s", exc)
+
+
+def is_distributed() -> bool:
+    return jax.process_count() > 1
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()

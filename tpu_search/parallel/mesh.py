@@ -31,8 +31,42 @@ def build_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    dcn_data: int = 1,
 ) -> Mesh:
-    """Construct a (data, model) mesh over the available devices."""
+    """Construct a (data, model) mesh over the available devices.
+
+    ``dcn_data > 1`` builds a multi-host hybrid mesh: the data axis factors
+    as (DCN hosts) x (ICI chips per host), laid out so the data-axis
+    collectives of the sharded index (all_gather of per-chip top-k) ride
+    ICI within a host slice and cross DCN only for the final small merge,
+    and the model axis never leaves a host.  Typical multi-host call:
+    ``build_mesh(n_data=jax.device_count(), dcn_data=jax.process_count())``.
+    """
+    if dcn_data > 1:
+        from jax.experimental import mesh_utils
+
+        devices = list(devices if devices is not None else jax.devices())
+        if n_data is None:
+            n_data = len(devices) // n_model
+        if n_data % dcn_data:
+            raise ValueError(
+                f"n_data={n_data} must divide by dcn_data={dcn_data}"
+            )
+        # TPU multi-slice granule is the slice; single-slice pods and
+        # CPU/GPU clusters granulate by process.
+        by_slice = getattr(devices[0], "slice_index", None) is not None and (
+            len({getattr(d, "slice_index", None) for d in devices}) == dcn_data
+        )
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (n_data // dcn_data, n_model),
+            (dcn_data, 1),
+            devices=devices,
+            process_is_granule=not by_slice,
+        )
+        # create_hybrid_device_mesh stacks DCN-major: reshape to (data, model)
+        return Mesh(
+            grid.reshape(n_data, n_model), axis_names=("data", "model")
+        )
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model

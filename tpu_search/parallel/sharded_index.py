@@ -764,7 +764,16 @@ class ShardedFlatIndex:
     def save(self, path: str) -> None:
         """Stream to the FlatIndex-compatible TPUSIDX2 format (global-id
         row order): a sharded save loads in the single-chip engine and
-        vice versa."""
+        vice versa.
+
+        Multi-host (``jax.process_count() > 1``): switches to per-host
+        shard files — every process writes only its ADDRESSABLE shards
+        (``<path>.host<p>``), no host ever pulls another host's corpus
+        slice over DCN, and process 0 writes a small manifest at
+        ``path``."""
+        if jax.process_count() > 1:
+            self._save_per_host(path)
+            return
         from ..index.serialize import write_file
 
         header = {
@@ -788,6 +797,151 @@ class ShardedFlatIndex:
             )
         write_file(path, header, sections)
 
+    # -- per-host persistence (multi-host / DCN deployments) -------------------
+
+    def _owned_shards(self):
+        """(shard_id, local [cap(,D)] device array) for every shard this
+        process addresses, sorted by shard id. n_model must be 1 (index
+        meshes are data-only)."""
+        if self.mesh.shape.get("model", 1) != 1:
+            raise ValueError(
+                "per-host persistence supports data-only index meshes"
+            )
+        out = []
+        for shard in self._vectors.addressable_shards:
+            s = shard.index[0].start or 0
+            out.append(s)
+        return sorted(out)
+
+    def _host_path(self, path: str, process: int) -> str:
+        return f"{path}.host{process}"
+
+    def _save_per_host(self, path: str) -> None:
+        from ..index.serialize import device_section, write_file
+
+        me = jax.process_index()
+        owned = self._owned_shards()
+        base_header = {
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": self.dtype,
+            "count": self._count,
+            "n_shards": self.n_shards,
+            "local_capacity": self._local_capacity,
+            "process_count": jax.process_count(),
+        }
+        def local_of(array):
+            return {
+                (sh.index[0].start or 0): sh.data[0]
+                for sh in array.addressable_shards
+            }
+
+        vec_locals = local_of(self._vectors)
+        valid_locals = local_of(self._valid)
+        scale_locals = local_of(self._scales) if self.dtype == "int8" else {}
+        sections = []
+        vec_dtype = "int32" if self.dtype == "int8" else self.dtype
+        for s in owned:
+            # raw device-layout buffers (packed words for int8): zero
+            # transform cost, chunk-streamed to disk.
+            local_vec = vec_locals[s]
+            sections.append(
+                device_section(
+                    f"vectors{s}", vec_dtype, local_vec, local_vec.shape[0]
+                )
+            )
+            local_valid = valid_locals[s]
+            sections.append(
+                device_section(
+                    f"valid{s}", "uint8",
+                    local_valid.astype(jnp.uint8), local_valid.shape[0],
+                )
+            )
+            if self.dtype == "int8":
+                local_scales = scale_locals[s]
+                sections.append(
+                    device_section(
+                        f"scales{s}", "float32",
+                        local_scales, local_scales.shape[0],
+                    )
+                )
+        write_file(
+            self._host_path(path, me),
+            {**base_header, "kind": "flat_shards_host",
+             "process": me, "shard_ids": owned},
+            sections,
+        )
+        if me == 0:
+            write_file(
+                path, {**base_header, "kind": "flat_shards_manifest"}, []
+            )
+        # save() returning on ANY process must imply every host's file (and
+        # the manifest) exists — otherwise a fast process races its own
+        # load/read of a file another process hasn't finished.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"tpu_search:save:{path}")
+
+    @classmethod
+    def _load_per_host(
+        cls, path: str, mesh: Mesh, header: Dict
+    ) -> "ShardedFlatIndex":
+        from ..index.serialize import read_file
+
+        index = cls(
+            dim=header["dim"], mesh=mesh,
+            metric=header["metric"], dtype=header["dtype"],
+        )
+        if header["n_shards"] != index.n_shards:
+            raise ValueError(
+                f"manifest has {header['n_shards']} shards, mesh has "
+                f"{index.n_shards} — per-host loads need the same topology"
+            )
+        me = jax.process_index()
+        host_header, arrays = read_file(index._host_path(path, me))
+        index._local_capacity = header["local_capacity"]
+        index._count = header["count"]
+        cap = index._local_capacity
+
+        # shard s lives on mesh.devices[s, 0]
+        devs = np.asarray(mesh.devices).reshape(index.n_shards, -1)
+
+        def assemble(prefix, full_shape, host_dtype):
+            sharding = NamedSharding(
+                mesh, P(*(("data",) + (None,) * (len(full_shape) - 1)))
+            )
+            pieces = []
+            for s in host_header["shard_ids"]:
+                local = np.asarray(arrays[f"{prefix}{s}"])
+                if prefix.startswith("valid"):
+                    local = local.astype(np.bool_)
+                pieces.append(
+                    jax.device_put(local[None].astype(host_dtype), devs[s, 0])
+                )
+            return jax.make_array_from_single_device_arrays(
+                full_shape, sharding, pieces
+            )
+
+        import ml_dtypes
+
+        S = index.n_shards
+        if index.dtype == "int8":
+            index._vectors = assemble(
+                "vectors", (S, cap // 4, index.dim), np.int32
+            )
+            index._scales = assemble("scales", (S, cap), np.float32)
+        else:
+            host_dtype = (
+                ml_dtypes.bfloat16
+                if index.dtype == "bfloat16"
+                else np.float32
+            )
+            index._vectors = assemble(
+                "vectors", (S, cap, index.dim), host_dtype
+            )
+        index._valid = assemble("valid", (S, cap), np.bool_)
+        return index
+
     @classmethod
     def load(
         cls, path: str, mesh: Mesh, dtype: Optional[str] = None
@@ -796,6 +950,8 @@ class ShardedFlatIndex:
 
         if is_streamed_file(path):
             header, arrays = read_file(path)
+            if header.get("kind") == "flat_shards_manifest":
+                return cls._load_per_host(path, mesh, header)
             vectors = arrays["vectors"]
             valid = arrays["valid"].astype(np.bool_)
             scales = arrays.get("scales")
