@@ -1,0 +1,329 @@
+"""Exhaustive CLI flag matrix (reference scope: tests/test_cli.py:478-1028 —
+date validation, chunk-id permutations, session/related-to orderings, JSON
+shapes).  Complements tests/test_cli.py's smoke coverage; every branchy path
+of the `search` command runs here."""
+
+import json
+from unittest.mock import MagicMock, patch
+
+import pytest
+from click.testing import CliRunner
+
+from tpu_search.interfaces.cli import cli
+
+
+@pytest.fixture
+def runner():
+    return CliRunner()
+
+
+@pytest.fixture
+def engine():
+    with patch("tpu_search.interfaces.cli.SearchEngine") as cls:
+        instance = MagicMock()
+        cls.return_value = instance
+        instance.search_conversations.return_value = []
+        yield instance
+
+
+def make_chunk(cid="c1", text="chunk body", session="s1"):
+    chunk = MagicMock()
+    chunk.id = cid
+    chunk.text = text
+    chunk.metadata = {
+        "project_name": "proj",
+        "session_id": session,
+        "timestamp": "2024-03-01T10:00:00+00:00",
+        "has_code": False,
+    }
+    return chunk
+
+
+class TestDateValidationMatrix:
+    """Reference scope: tests/test_cli.py:478-513."""
+
+    def test_after_builds_midnight_utc_bound(self, runner, engine):
+        runner.invoke(cli, ["search", "q", "--after", "2024-01-15"])
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["timestamp"]["gte"] == "2024-01-15T00:00:00+00:00"
+        assert "lte" not in filters["timestamp"]
+
+    def test_before_builds_end_of_day_bound(self, runner, engine):
+        runner.invoke(cli, ["search", "q", "--before", "2024-01-15"])
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["timestamp"]["lte"] == "2024-01-15T23:59:59+00:00"
+        assert "gte" not in filters["timestamp"]
+
+    def test_after_and_before_combined(self, runner, engine):
+        runner.invoke(
+            cli,
+            ["search", "q", "--after", "2024-01-01",
+             "--before", "2024-06-30"],
+        )
+        ts = engine.search_conversations.call_args[0][1]["timestamp"]
+        assert ts == {
+            "gte": "2024-01-01T00:00:00+00:00",
+            "lte": "2024-06-30T23:59:59+00:00",
+        }
+
+    @pytest.mark.parametrize("flag", ["--after", "--before"])
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "2024-13-01",  # bad month
+            "2024-02-30",  # bad day
+            "15-01-2024",  # wrong order
+            "yesterday",  # words
+            "2024/01/15",  # wrong separator
+            "2024-1",  # truncated
+        ],
+    )
+    def test_invalid_dates_rejected(self, runner, engine, flag, bad):
+        result = runner.invoke(cli, ["search", "q", flag, bad])
+        assert result.exit_code == 1
+        assert "Invalid date format" in result.output
+        assert flag.lstrip("-") in result.output
+        engine.search_conversations.assert_not_called()
+
+    def test_valid_after_invalid_before(self, runner, engine):
+        result = runner.invoke(
+            cli,
+            ["search", "q", "--after", "2024-01-01", "--before", "nope"],
+        )
+        assert result.exit_code == 1
+        engine.search_conversations.assert_not_called()
+
+    def test_dates_combine_with_other_filters(self, runner, engine):
+        runner.invoke(
+            cli,
+            ["search", "q", "--after", "2024-01-01", "--project", "p",
+             "--has-code", "--session", "s"],
+        )
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["project_name"] == "p"
+        assert filters["has_code"] is True
+        assert filters["session_id"] == "s"
+        assert "gte" in filters["timestamp"]
+
+
+class TestChunkIdMatrix:
+    """Reference scope: tests/test_cli.py:632-741."""
+
+    def _with_chunk(self, engine, text="body", data=None):
+        chunk = MagicMock()
+        chunk.text = text
+        engine.storage.get_chunk_by_id.return_value = chunk
+        engine.storage._get_chunk_data.return_value = data
+
+    def test_json_shape_complete(self, runner, engine):
+        self._with_chunk(
+            engine,
+            text="t" * 150,
+            data={"project_name": "p", "session_id": "s",
+                  "timestamp": "ts", "has_code": 1},
+        )
+        result = runner.invoke(
+            cli, ["search", "q", "--chunk-id", "cX", "--json"]
+        )
+        item = json.loads(result.output)["items"][0]
+        assert item["uid"] == "cX"
+        assert item["arg"] == "cX"
+        assert item["title"] == "t" * 100 + "..."  # >100 chars truncates
+        assert item["text"] == "t" * 150
+        assert item["quicklookurl"] == ""
+        assert item["subtitle"] == "Direct chunk retrieval"
+        assert item["variables"] == {
+            "project": "p", "session": "s", "timestamp": "ts",
+        }
+        assert "similarity" not in item["variables"]
+
+    def test_json_short_title_not_truncated(self, runner, engine):
+        self._with_chunk(engine, text="short", data={})
+        result = runner.invoke(
+            cli, ["search", "q", "--chunk-id", "c", "--json"]
+        )
+        assert json.loads(result.output)["items"][0]["title"] == "short"
+
+    def test_missing_metadata_defaults_unknown(self, runner, engine):
+        self._with_chunk(engine, data=None)
+        result = runner.invoke(cli, ["search", "q", "--chunk-id", "c"])
+        assert result.exit_code == 0
+        assert "Project: unknown" in result.output
+        assert "Session: unknown" in result.output
+
+    def test_no_code_flag_hidden(self, runner, engine):
+        self._with_chunk(engine, data={"has_code": 0})
+        result = runner.invoke(cli, ["search", "q", "--chunk-id", "c"])
+        assert "Contains code" not in result.output
+
+    def test_chunk_id_ignores_other_filters(self, runner, engine):
+        self._with_chunk(engine, data={})
+        result = runner.invoke(
+            cli,
+            ["search", "q", "--chunk-id", "c", "--project", "x",
+             "--has-code", "--after", "2024-01-01", "--top-k", "3"],
+        )
+        assert result.exit_code == 0
+        engine.search_conversations.assert_not_called()
+
+    def test_chunk_id_wins_over_related_to(self, runner, engine):
+        self._with_chunk(engine, data={})
+        result = runner.invoke(
+            cli, ["search", "q", "--chunk-id", "c", "--related-to", "r"]
+        )
+        assert result.exit_code == 0
+        engine.storage.get_chunks_by_session.assert_not_called()
+
+    def test_retrieval_exception_exits_one(self, runner, engine):
+        engine.storage.get_chunk_by_id.side_effect = RuntimeError("boom")
+        result = runner.invoke(cli, ["search", "q", "--chunk-id", "c"])
+        assert result.exit_code == 1
+        assert "Failed to retrieve chunk" in result.output
+
+
+class TestRelatedToMatrix:
+    """Reference scope: tests/test_cli.py:743-1028."""
+
+    def _setup(self, engine, siblings):
+        engine.storage._get_chunk_data.side_effect = lambda cid: (
+            {"session_id": "sess-9", "project_name": "p"}
+            if cid == "ref"
+            else None
+        )
+        engine.storage.get_chunks_by_session.return_value = siblings
+
+    def test_same_session_sorted_by_timestamp(self, runner, engine):
+        early = make_chunk("early", "early text")
+        early.metadata["timestamp"] = "2024-01-01T00:00:00+00:00"
+        late = make_chunk("late", "late text")
+        late.metadata["timestamp"] = "2024-12-31T00:00:00+00:00"
+        self._setup(engine, [late, early])  # unsorted input
+        result = runner.invoke(
+            cli, ["search", "q", "--related-to", "ref", "--same-session"]
+        )
+        assert result.output.index("early text") < result.output.index(
+            "late text"
+        )
+
+    def test_same_session_respects_top_k(self, runner, engine):
+        sibs = [make_chunk(f"c{i}", f"text-{i}") for i in range(8)]
+        self._setup(engine, sibs)
+        result = runner.invoke(
+            cli,
+            ["search", "q", "--related-to", "ref", "--same-session",
+             "--top-k", "3"],
+        )
+        assert "Found 3 related chunks" in result.output
+
+    def test_same_session_excludes_reference(self, runner, engine):
+        ref = make_chunk("ref", "the reference body")
+        sib = make_chunk("sib", "the sibling body")
+        self._setup(engine, [ref, sib])
+        result = runner.invoke(
+            cli, ["search", "q", "--related-to", "ref", "--same-session"]
+        )
+        assert "the sibling body" in result.output
+        assert "the reference body" not in result.output
+
+    def test_same_session_json_subtitle(self, runner, engine):
+        self._setup(engine, [make_chunk("sib", "s")])
+        result = runner.invoke(
+            cli,
+            ["search", "q", "--related-to", "ref", "--same-session",
+             "--json"],
+        )
+        payload = json.loads(result.output)
+        assert payload["items"][0]["subtitle"] == (
+            "Related to ref | Same session"
+        )
+        assert payload["items"][0]["variables"]["similarity"] == 1.0
+
+    def test_related_marker_in_text_output(self, runner, engine):
+        self._setup(engine, [make_chunk("sib", "sibling")])
+        result = runner.invoke(
+            cli, ["search", "q", "--related-to", "ref", "--same-session"]
+        )
+        assert "[Related]" in result.output
+        assert "Similarity:" not in result.output
+
+    def test_ref_without_session_exits_one(self, runner, engine):
+        engine.storage._get_chunk_data.side_effect = None
+        engine.storage._get_chunk_data.return_value = {"project_name": "p"}
+        result = runner.invoke(cli, ["search", "q", "--related-to", "ref"])
+        assert result.exit_code == 1
+        assert "no session ID" in result.output
+
+    def test_related_exception_exits_one(self, runner, engine):
+        engine.storage.initialize_metadata.side_effect = RuntimeError("db")
+        result = runner.invoke(cli, ["search", "q", "--related-to", "ref"])
+        assert result.exit_code == 1
+        assert "Failed to find related chunks" in result.output
+
+    def test_related_without_same_session_merges_other_filters(
+        self, runner, engine
+    ):
+        engine.storage._get_chunk_data.side_effect = lambda cid: {
+            "session_id": "sess-9"
+        }
+        runner.invoke(
+            cli,
+            ["search", "q", "--related-to", "ref", "--project", "alpha",
+             "--has-code"],
+        )
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters == {
+            "session_id": "sess-9",
+            "project_name": "alpha",
+            "has_code": True,
+        }
+
+    def test_explicit_session_flag_overridden_by_related(
+        self, runner, engine
+    ):
+        """--related-to derives the session and wins over --session
+        (reference behavior: the related chunk's session is the filter)."""
+        engine.storage._get_chunk_data.side_effect = lambda cid: {
+            "session_id": "sess-ref"
+        }
+        runner.invoke(
+            cli,
+            ["search", "q", "--related-to", "ref", "--session", "manual"],
+        )
+        filters = engine.search_conversations.call_args[0][1]
+        assert filters["session_id"] == "sess-ref"
+
+
+class TestSearchOutputMatrix:
+    def test_zero_results_text(self, runner, engine):
+        result = runner.invoke(cli, ["search", "nothing matches"])
+        assert result.exit_code == 0
+        assert "Found 0 results" in result.output
+
+    def test_zero_results_json_is_valid(self, runner, engine):
+        result = runner.invoke(cli, ["search", "q", "--json"])
+        assert json.loads(result.output) == {"items": []}
+
+    def test_gpu_flag_forwarded(self, runner):
+        with patch("tpu_search.interfaces.cli.SearchEngine") as cls:
+            cls.return_value.search_conversations.return_value = []
+            runner.invoke(cli, ["search", "q", "--gpu"])
+            assert cls.call_args[1].get("use_gpu") or (
+                len(cls.call_args[0]) > 1 and cls.call_args[0][1]
+            )
+
+    def test_json_similarity_in_subtitle(self, runner, engine):
+        engine.search_conversations.return_value = [
+            {
+                "chunk_id": "c9",
+                "similarity": 0.4567,
+                "text": "hello",
+                "project": "p",
+                "session": "s",
+                "timestamp": "t",
+                "has_code": False,
+            }
+        ]
+        result = runner.invoke(cli, ["search", "q", "--json"])
+        item = json.loads(result.output)["items"][0]
+        assert "Similarity: 0.457" in item["subtitle"]
+        assert item["variables"]["similarity"] == 0.4567

@@ -24,8 +24,27 @@ logging.basicConfig(
 logger = logging.getLogger(__name__)
 
 
-def _alfred_items(results: List[Dict[str, Any]], subtitle_fn) -> str:
-    """Alfred/launcher JSON format (reference: src/cli.py:611-640)."""
+def _alfred_items(
+    results: List[Dict[str, Any]],
+    subtitle_fn,
+    include_similarity: bool = True,
+) -> str:
+    """Alfred/launcher JSON format (reference: src/cli.py:611-640).
+
+    Single source of truth for the drop-in-compat JSON shape; the chunk-id
+    branch omits the similarity variable (direct retrieval has none)."""
+
+    def variables(r):
+        out = {}
+        if include_similarity:
+            out["similarity"] = r["similarity"]
+        out.update(
+            project=r["project"],
+            session=r["session"],
+            timestamp=r["timestamp"],
+        )
+        return out
+
     return json.dumps(
         {
             "items": [
@@ -40,12 +59,7 @@ def _alfred_items(results: List[Dict[str, Any]], subtitle_fn) -> str:
                     "arg": r["chunk_id"],
                     "text": r["text"],
                     "quicklookurl": "",
-                    "variables": {
-                        "similarity": r["similarity"],
-                        "project": r["project"],
-                        "session": r["session"],
-                        "timestamp": r["timestamp"],
-                    },
+                    "variables": variables(r),
                 }
                 for r in results
             ]
@@ -193,59 +207,29 @@ def search(
             if not chunk:
                 click.echo(f"❌ Chunk not found: {chunk_id}")
                 sys.exit(1)
-            chunk_data = engine.storage._get_chunk_data(chunk_id)
+            data = engine.storage._get_chunk_data(chunk_id) or {}
+            record = {
+                "chunk_id": chunk_id,
+                "text": chunk.text,
+                "project": data.get("project_name", "unknown"),
+                "session": data.get("session_id", "unknown"),
+                "timestamp": data.get("timestamp", "unknown"),
+                "has_code": data.get("has_code", False),
+            }
             if output_json:
                 click.echo(
-                    json.dumps(
-                        {
-                            "items": [
-                                {
-                                    "uid": chunk_id,
-                                    "title": (
-                                        chunk.text[:100] + "..."
-                                        if len(chunk.text) > 100
-                                        else chunk.text
-                                    ),
-                                    "subtitle": "Direct chunk retrieval",
-                                    "arg": chunk_id,
-                                    "text": chunk.text,
-                                    "quicklookurl": "",
-                                    "variables": {
-                                        "project": (
-                                            chunk_data.get(
-                                                "project_name", "unknown"
-                                            )
-                                            if chunk_data
-                                            else "unknown"
-                                        ),
-                                        "session": (
-                                            chunk_data.get(
-                                                "session_id", "unknown"
-                                            )
-                                            if chunk_data
-                                            else "unknown"
-                                        ),
-                                        "timestamp": (
-                                            chunk_data.get(
-                                                "timestamp", "unknown"
-                                            )
-                                            if chunk_data
-                                            else "unknown"
-                                        ),
-                                    },
-                                }
-                            ]
-                        },
-                        indent=2,
+                    _alfred_items(
+                        [record],
+                        lambda r: "Direct chunk retrieval",
+                        include_similarity=False,
                     )
                 )
             else:
                 click.echo(f"📄 Chunk: {chunk_id}")
-                data = chunk_data or {}
-                click.echo(f"   Project: {data.get('project_name', 'unknown')}")
-                click.echo(f"   Session: {data.get('session_id', 'unknown')}")
-                click.echo(f"   Time: {data.get('timestamp', 'unknown')}")
-                if data.get("has_code"):
+                click.echo(f"   Project: {record['project']}")
+                click.echo(f"   Session: {record['session']}")
+                click.echo(f"   Time: {record['timestamp']}")
+                if record["has_code"]:
                     click.echo("   🔧 Contains code")
                 click.echo()
                 click.echo(chunk.text)
