@@ -12,6 +12,7 @@ from __future__ import annotations
 import logging
 import os
 import signal
+import subprocess
 import sys
 import threading
 import time
@@ -133,18 +134,32 @@ class ConversationWatcher:
         self.debounce_seconds = debounce_seconds
         self.use_gpu = use_gpu
         self.http_port = http_port
-        self.cli_instance = SearchEngine(
-            self.data_dir, use_gpu, use_warm_server=False
-        )
-        self.handler = ConversationFileHandler(
-            self.cli_instance, debounce_seconds
-        )
+        # Engine construction is deferred to start_watching: building a
+        # SearchEngine can initialize the JAX backend (device probe, model
+        # cache), which the daemon *control* paths (start/stop/status in the
+        # parent process) must never do — the daemon child is spawned as a
+        # fresh interpreter precisely so no JAX-initialized process forks
+        # (reference forked eagerly, src/watcher.py:336-380).
+        self.cli_instance: Optional[SearchEngine] = None
+        self.handler: Optional[ConversationFileHandler] = None
         self.query_server = None  # started with watching; serves warm queries
         self.http_frontend = None  # optional HTTP face on the same worker
         self.watch: Optional[Watch] = None
         self.is_running = False
         self.pid_file = Path(self.data_dir) / "watcher.pid"
         self.log_file = Path(self.data_dir) / "watcher.log"
+
+    def _ensure_engine(self) -> SearchEngine:
+        """Build the warm engine on first use (JAX init happens here, never
+        in the parent that spawns the daemon)."""
+        if self.cli_instance is None:
+            self.cli_instance = SearchEngine(
+                self.data_dir, self.use_gpu, use_warm_server=False
+            )
+            self.handler = ConversationFileHandler(
+                self.cli_instance, self.debounce_seconds
+            )
+        return self.cli_instance
 
     # -- foreground loop ----------------------------------------------------
 
@@ -154,6 +169,7 @@ class ConversationWatcher:
             raise FileNotFoundError(
                 f"Claude projects directory not found: {claude_path}"
             )
+        self._ensure_engine()
         logger.info("Starting file watcher for: %s", claude_path)
         logger.info("Debounce interval: %d seconds", self.debounce_seconds)
 
@@ -226,7 +242,11 @@ class ConversationWatcher:
             self.query_server = None
         if self.watch is not None and self.watch.is_alive:
             self.watch.stop()
-        if self.handler.timer is not None and self.handler.timer.is_alive():
+        if (
+            self.handler is not None
+            and self.handler.timer is not None
+            and self.handler.timer.is_alive()
+        ):
             self.handler.timer.cancel()
         self.is_running = False
         logger.info("File watcher stopped")
@@ -235,10 +255,12 @@ class ConversationWatcher:
         return {
             "is_running": self.is_running,
             "watching_path": self.watch.root if self.watch else None,
-            "pending_files": len(self.handler.pending_files),
+            "pending_files": (
+                len(self.handler.pending_files) if self.handler else 0
+            ),
             "last_trigger_time": (
                 self.handler.last_trigger_time.isoformat()
-                if self.handler.last_trigger_time
+                if self.handler and self.handler.last_trigger_time
                 else None
             ),
             "debounce_seconds": self.debounce_seconds,
@@ -358,64 +380,93 @@ def start_daemon(
     use_gpu: bool = False,
     http_port: Optional[int] = None,
 ) -> None:
+    """Launch the daemon as a freshly spawned interpreter.
+
+    The reference fork()s from the caller (src/watcher.py:336-380); here the
+    caller may already hold an initialized JAX backend (a prior search, a
+    device probe for --gpu), and forking a JAX process is unsafe — XLA's
+    threads don't survive fork (jax emits "os.fork() was called" warnings
+    and can deadlock). Spawning re-executes Python, so the daemon always
+    initializes JAX in a clean process; stdio is detached at spawn so piped
+    shells (`claude-start | tee log`) don't hang on inherited fds.
+    """
     data_dir = resolve_data_dir(data_dir)
     watcher = ConversationWatcher(
         data_dir, debounce_seconds, use_gpu, http_port
     )
-    pid: Optional[int] = None
+    if watcher.is_daemon_running():
+        print("❌ Failed to start daemon: Watcher daemon is already running")
+        sys.exit(1)
+
+    cmd = [
+        sys.executable,
+        "-m",
+        "tpu_search.interfaces.watcher",
+        "--daemon-child",
+        "--data-dir",
+        data_dir,
+        "--claude-dir",
+        claude_dir,
+        "--debounce",
+        str(debounce_seconds),
+    ]
+    if use_gpu:
+        cmd.append("--gpu")
+    if http_port is not None:
+        cmd += ["--http-port", str(http_port)]
+    # The child must find this package even when running uninstalled from a
+    # source checkout.
+    env = dict(os.environ)
+    pkg_root = str(Path(__file__).resolve().parents[2])
+    env["PYTHONPATH"] = (
+        pkg_root + os.pathsep + env["PYTHONPATH"]
+        if env.get("PYTHONPATH")
+        else pkg_root
+    )
     try:
-        pid = os.fork()
-        if pid > 0:
-            # Wait for the child to pass its startup checks (PID file is
-            # written after the already-running/daemonize validation) before
-            # claiming success.
-            def pid_file_is_child():
-                try:
-                    return int(watcher.pid_file.read_text().strip()) == pid
-                except (OSError, ValueError):
-                    return False
-
-            deadline = time.time() + 20
-            child_exited = False
-            while time.time() < deadline:
-                if pid_file_is_child():
-                    break
-                finished, _status = os.waitpid(pid, os.WNOHANG)
-                if finished:
-                    child_exited = True
-                    break
-                time.sleep(0.2)
-            if pid_file_is_child() and not child_exited:
-                print(f"✅ Watcher daemon started with PID: {pid}")
-                print(f"📁 Watching: {claude_dir}")
-                print(f"💾 Data directory: {data_dir}")
-                print(f"📝 Log file: {watcher.log_file}")
-            else:
-                print("❌ Watcher daemon failed to start "
-                      f"(see {watcher.log_file})")
-                sys.exit(1)
-            return
-    except OSError:
-        pass  # fork unsupported: run in the foreground
-
-    # Child: detach from the controlling terminal. Without this the daemon
-    # keeps the parent's stdout/stderr pipes open, so shells running e.g.
-    # `claude-start | tee log` hang until the daemon itself exits. Daemon
-    # logging goes to watcher.log (setup_daemon_logging), not the terminal.
-    if pid == 0:
+        child = subprocess.Popen(
+            cmd,
+            stdin=subprocess.DEVNULL,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,
+            env=env,
+        )
+    except OSError as exc:
+        # No spawnable interpreter: run in the foreground as a last resort.
+        logger.warning("Spawn failed (%s); running watcher in-process", exc)
         try:
-            os.setsid()
-            devnull = os.open(os.devnull, os.O_RDWR)
-            for fd in (0, 1, 2):
-                os.dup2(devnull, fd)
-            os.close(devnull)
-        except OSError:
-            pass
+            watcher.start_daemon(claude_dir)
+        except Exception as inner:
+            print(f"❌ Failed to start daemon: {inner}")
+            sys.exit(1)
+        return
 
-    try:
-        watcher.start_daemon(claude_dir)
-    except Exception as exc:
-        print(f"❌ Failed to start daemon: {exc}")
+    # Wait for the child to pass its startup checks (the PID file is written
+    # after the already-running/daemonize validation) before claiming
+    # success.
+    def pid_file_is_child() -> bool:
+        try:
+            return int(watcher.pid_file.read_text().strip()) == child.pid
+        except (OSError, ValueError):
+            return False
+
+    deadline = time.time() + 20
+    child_exited = False
+    while time.time() < deadline:
+        if pid_file_is_child():
+            break
+        if child.poll() is not None:
+            child_exited = True
+            break
+        time.sleep(0.2)
+    if pid_file_is_child() and not child_exited:
+        print(f"✅ Watcher daemon started with PID: {child.pid}")
+        print(f"📁 Watching: {claude_dir}")
+        print(f"💾 Data directory: {data_dir}")
+        print(f"📝 Log file: {watcher.log_file}")
+    else:
+        print(f"❌ Watcher daemon failed to start (see {watcher.log_file})")
         sys.exit(1)
 
 
@@ -452,3 +503,45 @@ def daemon_status(data_dir: Optional[str] = None) -> bool:
         if watcher.log_file.exists():
             print(f"📝 Log file available: {watcher.log_file}")
     return watcher.is_daemon_running()
+
+
+def _child_main(argv: Optional[list] = None) -> None:
+    """Entry point of the spawned daemon process (``python -m
+    tpu_search.interfaces.watcher --daemon-child ...``)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="tpu_search.interfaces.watcher")
+    parser.add_argument("--daemon-child", action="store_true")
+    parser.add_argument("--data-dir", default=None)
+    parser.add_argument("--claude-dir", default="~/.claude/projects")
+    parser.add_argument("--debounce", type=int, default=5)
+    parser.add_argument("--gpu", action="store_true")
+    parser.add_argument("--http-port", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var (see
+    # tests/conftest.py); apply it via the authoritative config flag so a
+    # CPU-forced parent's spawned daemon stays on CPU.
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms and not args.gpu:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", platforms)
+        except Exception:
+            pass
+
+    watcher = ConversationWatcher(
+        resolve_data_dir(args.data_dir),
+        args.debounce,
+        args.gpu,
+        args.http_port,
+    )
+    if args.daemon_child:
+        watcher.start_daemon(args.claude_dir)
+    else:
+        watcher.start_watching(args.claude_dir)
+
+
+if __name__ == "__main__":
+    _child_main()
