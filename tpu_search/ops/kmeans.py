@@ -39,27 +39,44 @@ def assign_clusters(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "metric"))
+@partial(jax.jit, static_argnames=("k", "iters", "metric", "balance"))
 def kmeans(
     key: jax.Array,
     data: jax.Array,
     k: int,
     iters: int = 10,
     metric: str = "ip",
+    balance: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd iterations; returns (centroids [k, D], assignments [N]).
 
     Empty clusters keep their previous centroid (FAISS does random
     reassignment; for a coarse quantizer the difference is negligible and
     this stays branch-free under jit).
+
+    ``balance > 0`` enables capacity-balanced training: a per-cluster bias
+    is folded into the *training* assignment step and nudged against each
+    cluster's relative over/under-population (the auxiliary-loss-free
+    balancing trick — no point is ever mis-assigned at query time, because
+    the returned assignments and all later ``assign_clusters`` calls use
+    the unbiased nearest-centroid rule; the bias only pushes centroids to
+    split dense regions).  Even cluster sizes bound the padding of the IVF
+    index's dense ``[nlist, cap, D]`` block layout, where HBM cost scales
+    with the LARGEST cluster.  ``balance`` is the bias learning rate in
+    score units per relative-size excess; 0.2-0.5 works well.
     """
     n = data.shape[0]
     data = data.astype(jnp.float32)
     init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
     centroids = data[init_idx]
+    bias = jnp.zeros((k,), jnp.float32)
 
-    def step(centroids, _):
-        assign = jnp.argmax(_distances(data, centroids, metric), axis=1)
+    def step(carry, _):
+        centroids, bias = carry
+        scores = _distances(data, centroids, metric)
+        if balance:
+            scores = scores + bias[None, :]
+        assign = jnp.argmax(scores, axis=1)
         one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [N, k]
         sums = one_hot.T @ data  # [k, D]
         counts = jnp.sum(one_hot, axis=0)[:, None]  # [k, 1]
@@ -68,9 +85,14 @@ def kmeans(
         if metric == "ip":
             norms = jnp.linalg.norm(updated, axis=1, keepdims=True)
             updated = updated / jnp.maximum(norms, 1e-12)
-        return updated, None
+        if balance:
+            excess = counts[:, 0] * (k / n) - 1.0  # 0 = perfectly even
+            bias = bias - balance * excess
+        return (updated, bias), None
 
-    centroids, _ = jax.lax.scan(step, centroids, None, length=iters)
+    (centroids, _), _ = jax.lax.scan(
+        step, (centroids, bias), None, length=iters
+    )
     assignments = jnp.argmax(
         _distances(data, centroids, metric), axis=1
     ).astype(jnp.int32)

@@ -208,11 +208,20 @@ class HybridStorage:
                 metric="ip" if self.config.normalize_embeddings else "l2",
                 dtype=self.config.storage_dtype,
             )
+        dtype = self.config.storage_dtype
+        if self.config.index_type == "ivf" and dtype == "int8":
+            # int8 (per-row scales) is a FlatIndex storage mode; IVF blocks
+            # hold f32/bf16. Fall back rather than fail deep in the index.
+            self.logger.warning(
+                "storage_dtype 'int8' is not supported by the IVF index; "
+                "using 'bfloat16'"
+            )
+            dtype = "bfloat16"
         return create_index(
             self.config.index_type,
             dim=self.embedding_dim,
             metric="ip" if self.config.normalize_embeddings else "l2",
-            dtype=self.config.storage_dtype,
+            dtype=dtype,
             device=device,
             nlist=self.config.ivf_nlist,
         )
