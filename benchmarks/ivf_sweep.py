@@ -4,7 +4,14 @@
 Reproducible ANN quality harness (BASELINE.json config: "IVF coarse-quantized
 index (nlist/nprobe sweep) at >=0.95 recall@10 vs flat").  Run on TPU or CPU:
 
-    python benchmarks/ivf_sweep.py [--n 100000] [--dim 768]
+    python benchmarks/ivf_sweep.py [--n 1000000] [--dim 768]
+
+The corpus is generated ON DEVICE and adopted by both indexes as device
+arrays — at 1M x 768 nothing corpus-sized ever crosses the (slow,
+tunneled) host link.  Results (recall/QPS table, add/train wall time,
+block padding stats) are printed as JSON lines and written to
+``benchmarks/results/ivf_sweep_<n>x<dim>_<platform>.json`` so measured
+tables can be checked in (VERDICT r1 next-step #7).
 """
 
 from __future__ import annotations
@@ -24,7 +31,7 @@ if str(REPO_ROOT) not in sys.path:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=100_000)
+    parser.add_argument("--n", type=int, default=1_000_000)
     parser.add_argument("--dim", type=int, default=768)
     parser.add_argument("--queries", type=int, default=64)
     parser.add_argument("--k", type=int, default=10)
@@ -36,49 +43,101 @@ def main() -> None:
                         "sentence-embedding corpora sit around 0.3-0.6; "
                         "above ~1.0 the corpus is essentially unclustered "
                         "and any IVF needs nprobe ~ nlist.")
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=("float32", "bfloat16"),
+                        help="IVF block storage dtype")
+    parser.add_argument("--nlists", default="256,1024,4096")
+    parser.add_argument("--nprobes", default="1,4,8,16,32,64")
+    parser.add_argument("--train-sample", type=int, default=200_000)
+    parser.add_argument("--out", default=None)
     args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from tpu_search.index.flat import FlatIndex
     from tpu_search.index.ivf import IVFIndex
 
-    rng = np.random.default_rng(0)
-    print(f"corpus: {args.n} x {args.dim} ({args.clusters} blobs)")
-    centers = rng.standard_normal((args.clusters, args.dim)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    assign = rng.integers(0, args.clusters, args.n)
-    # per-dim sigma so the TOTAL noise norm ~= args.noise regardless of dim
-    sigma = args.noise / np.sqrt(args.dim)
-    corpus = centers[assign] + sigma * rng.standard_normal(
-        (args.n, args.dim)
-    ).astype(np.float32)
-    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    device = jax.devices()[0]
+    platform = device.platform
+    print(f"device: {device} ({platform})")
 
-    qsigma = 0.2 / np.sqrt(args.dim)
-    queries = corpus[rng.integers(0, args.n, args.queries)] + \
-        qsigma * rng.standard_normal((args.queries, args.dim)).astype(np.float32)
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    # -- on-device blobby corpus (one tiny h2d for nothing; d2h only for
+    # the [Q, D] query batch) ------------------------------------------------
+    @jax.jit
+    def make_corpus(key):
+        kc, ka, kn, kq, kqn = jax.random.split(key, 5)
+        centers = jax.random.normal(kc, (args.clusters, args.dim), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        assign = jax.random.randint(ka, (args.n,), 0, args.clusters)
+        sigma = args.noise / np.sqrt(args.dim)
+        corpus = centers[assign] + sigma * jax.random.normal(
+            kn, (args.n, args.dim), jnp.float32
+        )
+        corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
+        qidx = jax.random.randint(kq, (args.queries,), 0, args.n)
+        qsigma = 0.2 / np.sqrt(args.dim)
+        queries = corpus[qidx] + qsigma * jax.random.normal(
+            kqn, (args.queries, args.dim), jnp.float32
+        )
+        queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+        return corpus, queries
 
-    flat = FlatIndex(dim=args.dim, dtype="float32")
-    flat.add(corpus)
+    t0 = time.perf_counter()
+    with jax.default_device(device):
+        corpus, queries_dev = make_corpus(jax.random.PRNGKey(0))
+        queries = np.asarray(queries_dev)  # small
+        float(corpus[0, 0])  # force completion (scalar fetch, rig rule)
+    print(f"corpus gen (device): {time.perf_counter() - t0:.1f}s "
+          f"({args.n} x {args.dim})")
+
+    # -- exact reference ----------------------------------------------------
+    flat = FlatIndex.from_device_vectors(corpus, dtype=args.dtype)
+    _, ref_ids = flat.search(queries, k=args.k)  # warm/compile (same Q!)
     t0 = time.perf_counter()
     _, ref_ids = flat.search(queries, k=args.k)
     flat_time = time.perf_counter() - t0
-    print(f"flat scan: {args.queries / flat_time:.1f} qps (batched)")
+    flat_qps = args.queries / flat_time
+    del flat  # frees the bf16 corpus copy before the IVF blocks allocate
+    print(f"flat scan ({args.dtype}): {flat_qps:.1f} qps batched "
+          f"({flat_time * 1e3 / args.queries:.2f} ms/q amortized)")
 
     results = []
-    for nlist in (64, 256, 1024):
+    meta = {
+        "n": args.n, "dim": args.dim, "dtype": args.dtype,
+        "platform": platform, "queries": args.queries, "k": args.k,
+        "noise": args.noise, "flat_qps_batched": round(flat_qps, 1),
+    }
+    rng = np.random.default_rng(0)
+    for nlist in (int(x) for x in args.nlists.split(",")):
         if nlist * 4 > args.n:
             continue
-        ivf = IVFIndex(dim=args.dim, dtype="float32", nlist=nlist)
-        train_sample = corpus[
-            rng.choice(args.n, min(args.n, 50 * nlist), replace=False)
-        ]
-        ivf.train(train_sample)
-        ivf.add(corpus)
-        for nprobe in (1, 4, 8, 16, 32):
+        ivf = IVFIndex(dim=args.dim, dtype=args.dtype, nlist=nlist,
+                       device=device, train_iters=20)
+        n_train = min(args.n, max(50 * nlist, args.train_sample))
+        train_idx = rng.choice(args.n, n_train, replace=False)
+        with jax.default_device(device):
+            train_rows = jnp.take(corpus, jnp.asarray(train_idx), axis=0)
+        t0 = time.perf_counter()
+        ivf.train(train_rows)
+        float(ivf._dcent[0, 0])
+        train_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf.add(corpus)  # device adoption: no host round-trip
+        float(ivf._dsq[0, 0])
+        add_s = time.perf_counter() - t0
+        pad = ivf.padding_stats()
+        print(f"nlist={nlist}: train {train_s:.1f}s (n={n_train}), "
+              f"add {add_s:.1f}s, fill_fraction "
+              f"{pad['fill_fraction']:.2f} "
+              f"(max {pad['max_fill']}, min {pad['min_fill']})")
+        for nprobe in (int(x) for x in args.nprobes.split(",")):
             if nprobe > nlist:
                 continue
-            ivf.search(queries[:2], k=args.k, nprobe=nprobe)  # warm/compile
+            ivf.search(queries, k=args.k, nprobe=nprobe)  # warm (same Q)
             t0 = time.perf_counter()
             _, got = ivf.search(queries, k=args.k, nprobe=nprobe)
             elapsed = time.perf_counter() - t0
@@ -95,16 +154,32 @@ def main() -> None:
                 "nprobe": nprobe,
                 "recall_at_10": round(recall, 4),
                 "qps": round(args.queries / elapsed, 1),
+                "speedup_vs_flat": round(flat_time / elapsed, 2),
             }
             results.append(row)
             print(json.dumps(row))
+        meta[f"train_s_nlist{nlist}"] = round(train_s, 2)
+        meta[f"add_s_nlist{nlist}"] = round(add_s, 2)
+        meta[f"fill_fraction_nlist{nlist}"] = round(pad["fill_fraction"], 3)
+        ivf.clear()
 
     passing = [r for r in results if r["recall_at_10"] >= 0.95]
     if passing:
         best = max(passing, key=lambda r: r["qps"])
+        meta["best_at_recall95"] = best
         print(f"\nbest config at recall>=0.95: {json.dumps(best)}")
     else:
         print("\nWARNING: no configuration reached recall 0.95")
+
+    out = args.out or (
+        REPO_ROOT / "benchmarks" / "results"
+        / f"ivf_sweep_{args.n}x{args.dim}_{platform}.json"
+    )
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    Path(out).write_text(
+        json.dumps({"meta": meta, "sweep": results}, indent=1) + "\n"
+    )
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

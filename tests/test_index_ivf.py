@@ -260,10 +260,14 @@ class TestDeviceAuthoritative:
         data = (data / np.linalg.norm(data, axis=1, keepdims=True)).astype(
             np.float32
         )
-        balanced = IVFIndex(dim=32, dtype="float32", nlist=16, balanced=True)
+        balanced = IVFIndex(
+            dim=32, dtype="float32", nlist=16, balanced=True, seed=2
+        )
         balanced.train(data)
         balanced.add(data)
-        skewed = IVFIndex(dim=32, dtype="float32", nlist=16, balanced=False)
+        skewed = IVFIndex(
+            dim=32, dtype="float32", nlist=16, balanced=False, seed=2
+        )
         skewed.train(data)
         skewed.add(data)
         bstats = balanced.padding_stats()

@@ -57,7 +57,7 @@ _UPDATE_BUCKETS = (256, 4096, 65536, 1 << 20)
 _MIN_CLUSTER_CAPACITY = 64
 _SLOT_ALIGN = 64  # capacity granularity (f32 sublane-friendly, not pow2)
 _GROWTH = 1.25  # amortizes repeated small-increment capacity growth
-_BALANCE = 0.3  # balanced-kmeans bias learning rate (see ops/kmeans.py)
+_BALANCE = 0.3  # starvation-respawn threshold fraction (see ops/kmeans.py)
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 _LOAD_CHUNK_ROWS = 65536
 
@@ -288,7 +288,7 @@ class IVFIndex:
                 self.nlist,
                 iters=self.train_iters,
                 metric=self.metric,
-                balance=_BALANCE if self.balanced else 0.0,
+                balance=_BALANCE if self.balanced else -1.0,
             )
             self._dcent = centroids
         self.centroids = np.asarray(centroids)

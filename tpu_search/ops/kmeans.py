@@ -1,10 +1,17 @@
 """Mini-batch-free Lloyd k-means on device (IVF coarse quantizer trainer).
 
 Replaces FAISS's CPU k-means (used implicitly by IndexIVFFlat training,
-reference: src/storage.py:259-263).  Entirely jnp: the assignment step is one
-[N, k] matmul on the MXU, the update step a segment-sum — both batched, no
-Python-level per-point work.  Spherical variant (centroids re-normalized per
-iteration) for the cosine/IP metric.
+reference: src/storage.py:259-263).  Entirely jnp: the assignment step is a
+[N, k] matmul on the MXU, the update step a one-hot matmul — both batched,
+no Python-level per-point work.  Spherical variant (centroids re-normalized
+per iteration) for the cosine/IP metric.
+
+Memory discipline: the [N, k] score / one-hot intermediates are the only
+corpus-x-clusters-sized objects in the IVF stack, and at production scale
+they dwarf HBM (1M x 4096 f32 = 16 GB).  Both ``assign_clusters`` and the
+Lloyd accumulation therefore run as a ``lax.scan`` over fixed-size row
+chunks whenever N*k crosses ~0.5 GB — peak memory one chunk, MXU still fed
+[chunk, k] matmuls.
 """
 
 from __future__ import annotations
@@ -15,7 +22,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.shapes import round_up
+
 __all__ = ["kmeans", "assign_clusters"]
+
+_CHUNK = 65536
+# Above this many [N, k] f32 score elements (~0.5 GB), chunk the scan.
+_SINGLE_SHOT_ELEMS = 1 << 27
 
 
 def _distances(data: jax.Array, centroids: jax.Array, metric: str) -> jax.Array:
@@ -33,10 +46,27 @@ def _distances(data: jax.Array, centroids: jax.Array, metric: str) -> jax.Array:
 def assign_clusters(
     data: jax.Array, centroids: jax.Array, metric: str = "ip"
 ) -> jax.Array:
-    """Nearest-centroid assignment, [N] int32."""
-    return jnp.argmax(_distances(data, centroids, metric), axis=1).astype(
-        jnp.int32
+    """Nearest-centroid assignment, [N] int32 (chunked when N*k is big)."""
+    n = data.shape[0]
+    k = centroids.shape[0]
+    data = data.astype(jnp.float32)
+    if n * k <= _SINGLE_SHOT_ELEMS or n <= _CHUNK:
+        return jnp.argmax(_distances(data, centroids, metric), axis=1).astype(
+            jnp.int32
+        )
+    n_pad = round_up(n, _CHUNK)
+    chunks = jnp.pad(data, ((0, n_pad - n), (0, 0))).reshape(
+        n_pad // _CHUNK, _CHUNK, -1
     )
+
+    def body(_, chunk):
+        assign = jnp.argmax(
+            _distances(chunk, centroids, metric), axis=1
+        ).astype(jnp.int32)
+        return None, assign
+
+    _, out = jax.lax.scan(body, None, chunks)
+    return out.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("k", "iters", "metric", "balance"))
@@ -50,50 +80,104 @@ def kmeans(
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd iterations; returns (centroids [k, D], assignments [N]).
 
-    Empty clusters keep their previous centroid (FAISS does random
-    reassignment; for a coarse quantizer the difference is negligible and
-    this stays branch-free under jit).
+    Empty clusters are respawned each iteration as perturbed copies of the
+    heaviest cluster's centroid (FAISS repairs empty lists by splitting
+    the largest one the same way), deterministically per iteration so the
+    whole train is one reproducible jit program.
 
-    ``balance > 0`` enables capacity-balanced training: a per-cluster bias
-    is folded into the *training* assignment step and nudged against each
-    cluster's relative over/under-population (the auxiliary-loss-free
-    balancing trick — no point is ever mis-assigned at query time, because
-    the returned assignments and all later ``assign_clusters`` calls use
-    the unbiased nearest-centroid rule; the bias only pushes centroids to
-    split dense regions).  Even cluster sizes bound the padding of the IVF
+    ``balance > 0`` strengthens that repair into capacity balancing:
+    every cluster holding fewer than ``balance * n/k`` points is respawned
+    next to a heavy cluster (i-th lightest paired with i-th heaviest), so
+    centroids physically migrate into dense regions until sizes even out.
+    ``balance < 0`` disables repair entirely (legacy keep-centroid Lloyd).
+    Query-time assignment is always plain nearest-centroid — balancing
+    changes only where centroids land, never where a vector is stored
+    relative to them.  Even cluster sizes bound the padding of the IVF
     index's dense ``[nlist, cap, D]`` block layout, where HBM cost scales
-    with the LARGEST cluster.  ``balance`` is the bias learning rate in
-    score units per relative-size excess; 0.2-0.5 works well.
+    with the LARGEST cluster; 0.2-0.5 works well (respawn settles once
+    every cluster clears the threshold).
     """
-    n = data.shape[0]
+    n, d = data.shape
     data = data.astype(jnp.float32)
     init_idx = jax.random.choice(key, n, shape=(k,), replace=False)
     centroids = data[init_idx]
-    bias = jnp.zeros((k,), jnp.float32)
 
-    def step(carry, _):
-        centroids, bias = carry
-        scores = _distances(data, centroids, metric)
-        if balance:
-            scores = scores + bias[None, :]
-        assign = jnp.argmax(scores, axis=1)
-        one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [N, k]
-        sums = one_hot.T @ data  # [k, D]
-        counts = jnp.sum(one_hot, axis=0)[:, None]  # [k, 1]
+    chunked = n * k > _SINGLE_SHOT_ELEMS and n > _CHUNK
+    if chunked:
+        n_pad = round_up(n, _CHUNK)
+        chunks = jnp.pad(data, ((0, n_pad - n), (0, 0))).reshape(
+            n_pad // _CHUNK, _CHUNK, d
+        )
+        valid = (
+            jnp.arange(n_pad, dtype=jnp.int32) < n
+        ).astype(jnp.float32).reshape(n_pad // _CHUNK, _CHUNK)
+
+    def accumulate(centroids):
+        """One pass over the corpus -> (per-cluster sums, counts)."""
+        if not chunked:
+            assign = jnp.argmax(_distances(data, centroids, metric), axis=1)
+            one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            return one_hot.T @ data, jnp.sum(one_hot, axis=0)
+
+        def body(carry, chunk_and_valid):
+            sums, counts = carry
+            chunk, v = chunk_and_valid
+            assign = jnp.argmax(_distances(chunk, centroids, metric), axis=1)
+            one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            one_hot = one_hot * v[:, None]  # pad rows carry zero weight
+            return (sums + one_hot.T @ chunk, counts + one_hot.sum(0)), None
+
+        (sums, counts), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (chunks, valid),
+        )
+        return sums, counts
+
+    threshold = balance * n / k  # 0 => only truly empty clusters respawn
+    # Respawn burn-in: the tail iterations run plain Lloyd so freshly
+    # relocated centroids settle and capture before training ends.
+    settle = max(3, iters // 3)
+    # At most this many relocations per iteration — mass migration every
+    # step never converges.
+    max_respawn = max(1, k // 8)
+
+    def step(centroids, t):
+        sums, counts = accumulate(centroids)
+        counts = counts[:, None]
         updated = sums / jnp.maximum(counts, 1.0)
         updated = jnp.where(counts > 0, updated, centroids)
+        if balance >= 0:
+            # Starvation respawn: pair the i-th lightest cluster with the
+            # i-th heaviest and, if starved, relocate it there (tiny
+            # deterministic perturbation so rivals split the blob over
+            # later iterations).
+            order = jnp.argsort(counts[:, 0])  # ascending
+            donors = order[::-1]
+            starved = counts[order, 0] <= threshold
+            starved = starved & (jnp.arange(k) < max_respawn)
+            starved = starved & (t < iters - settle)
+            # Truly dead clusters respawn (FAISS-style repair) deep into
+            # the settle phase too — but not in the last two iterations,
+            # so every relocation gets Lloyd steps to capture points.
+            starved = starved | (
+                (counts[order, 0] == 0) & (t < iters - 2)
+            )
+            noise = jax.random.normal(
+                jax.random.fold_in(key, t.astype(jnp.int32)), (k, d)
+            )
+            respawn = updated[donors] + 0.05 * noise
+            new_at_order = jnp.where(
+                starved[:, None], respawn, updated[order]
+            )
+            updated = jnp.zeros_like(updated).at[order].set(new_at_order)
         if metric == "ip":
             norms = jnp.linalg.norm(updated, axis=1, keepdims=True)
             updated = updated / jnp.maximum(norms, 1e-12)
-        if balance:
-            excess = counts[:, 0] * (k / n) - 1.0  # 0 = perfectly even
-            bias = bias - balance * excess
-        return (updated, bias), None
+        return updated, None
 
-    (centroids, _), _ = jax.lax.scan(
-        step, (centroids, bias), None, length=iters
+    centroids, _ = jax.lax.scan(
+        step, centroids, jnp.arange(iters, dtype=jnp.float32)
     )
-    assignments = jnp.argmax(
-        _distances(data, centroids, metric), axis=1
-    ).astype(jnp.int32)
+    assignments = assign_clusters(data, centroids, metric)
     return centroids, assignments
