@@ -1,0 +1,283 @@
+// HNSW CPU baseline benchmark (decision data for PARITY.md).
+//
+// The reference builds faiss.IndexHNSWFlat (reference: src/storage.py:264-267)
+// as its ANN option; tpu_search deliberately maps "hnsw" to the exact TPU
+// scan + IVF instead (graph walks are pointer-chasing and branchy — the
+// opposite of what the MXU/HBM pipeline wants). VERDICT r1 asked for that
+// claim to be settled with numbers, so this is a faithful, SIMD-optimized,
+// single-file hnswlib-style HNSW (greedy upper-layer descent, ef beam on
+// layer 0, heuristic neighbor selection) measured on the same synthetic
+// corpus family as benchmarks/ivf_sweep.py. Single-threaded queries (faiss
+// HNSW queries are single-threaded per query too); build parallelism is
+// noted in the output rather than simulated.
+//
+// Build:  g++ -O3 -march=native -std=c++17 -o hnsw_bench hnsw_bench.cpp
+// Run:    ./hnsw_bench <n> <dim> <M> <efC> <nq> <k> <ef1,ef2,...>
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <vector>
+
+using Clock = std::chrono::steady_clock;
+
+static inline float dot(const float* a, const float* b, int d) {
+  float s = 0.f;
+#pragma omp simd reduction(+ : s)
+  for (int i = 0; i < d; ++i) s += a[i] * b[i];
+  return s;
+}
+
+// Distance = -inner_product (vectors are normalized, so this is cosine
+// distance up to an affine map). Dense layout: every node owns link slots
+// on every level up to its own.
+struct HNSWDense {
+  int dim, M, M0, efC;
+  const float* data;
+  std::vector<int> levels;
+  std::vector<std::vector<int>> l0;       // layer-0 links, [n][M0]
+  std::vector<std::vector<std::vector<int>>> up;  // upper links [n][lvl][M]
+  int entry = -1, max_level = -1;
+  std::mt19937 rng{42};
+  double level_mult;
+  std::vector<uint32_t> visited;
+  uint32_t stamp = 0;
+
+  HNSWDense(int dim, int M, int efC, size_t n, const float* data)
+      : dim(dim), M(M), M0(2 * M), efC(efC), data(data),
+        level_mult(1.0 / std::log(double(M))), visited(n, 0) {}
+
+  float dist(int a, const float* q) const {
+    return -dot(data + size_t(a) * dim, q, dim);
+  }
+  float dpair(int a, int b) const {
+    return -dot(data + size_t(a) * dim, data + size_t(b) * dim, dim);
+  }
+
+  std::vector<int>& nb(int node, int level) {
+    return level == 0 ? l0[node] : up[node][level - 1];
+  }
+
+  int greedy(int start, const float* q, int level) {
+    int cur = start;
+    float cd = dist(cur, q);
+    for (bool moved = true; moved;) {
+      moved = false;
+      for (int x : nb(cur, level)) {
+        float d = dist(x, q);
+        if (d < cd) { cd = d; cur = x; moved = true; }
+      }
+    }
+    return cur;
+  }
+
+  std::vector<std::pair<float, int>> beam(int start, const float* q, int ef,
+                                          int level) {
+    using P = std::pair<float, int>;
+    ++stamp;
+    std::priority_queue<P, std::vector<P>, std::greater<P>> cand;
+    std::priority_queue<P> best;
+    float d0 = dist(start, q);
+    cand.push({d0, start});
+    best.push({d0, start});
+    visited[start] = stamp;
+    while (!cand.empty()) {
+      auto [d, c] = cand.top();
+      if (int(best.size()) >= ef && d > best.top().first) break;
+      cand.pop();
+      for (int x : nb(c, level)) {
+        if (visited[x] == stamp) continue;
+        visited[x] = stamp;
+        float dx = dist(x, q);
+        if (int(best.size()) < ef || dx < best.top().first) {
+          cand.push({dx, x});
+          best.push({dx, x});
+          if (int(best.size()) > ef) best.pop();
+        }
+      }
+    }
+    std::vector<P> out(best.size());
+    for (size_t i = out.size(); i-- > 0;) { out[i] = best.top(); best.pop(); }
+    return out;
+  }
+
+  void select(std::vector<std::pair<float, int>>& cand, int m) {
+    if (int(cand.size()) <= m) return;
+    std::vector<std::pair<float, int>> kept;
+    kept.reserve(m);
+    std::vector<std::pair<float, int>> rest;
+    for (auto& p : cand) {
+      if (int(kept.size()) >= m) break;
+      bool ok = true;
+      for (auto& k : kept)
+        if (dpair(p.second, k.second) < p.first) { ok = false; break; }
+      if (ok) kept.push_back(p); else rest.push_back(p);
+    }
+    for (auto& p : rest) {
+      if (int(kept.size()) >= m) break;
+      kept.push_back(p);
+    }
+    cand.swap(kept);
+  }
+
+  void shrink_link(int a, int b, int level) {
+    auto& v = nb(a, level);
+    int cap = level == 0 ? M0 : M;
+    if (int(v.size()) < cap) { v.push_back(b); return; }
+    std::vector<std::pair<float, int>> cand;
+    cand.reserve(v.size() + 1);
+    const float* av = data + size_t(a) * dim;
+    cand.push_back({-dot(data + size_t(b) * dim, av, dim), b});
+    for (int x : v) cand.push_back({-dot(data + size_t(x) * dim, av, dim), x});
+    std::sort(cand.begin(), cand.end());
+    select(cand, cap);
+    v.clear();
+    for (auto& p : cand) v.push_back(p.second);
+  }
+
+  void add(int node) {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    int level = int(-std::log(std::max(u(rng), 1e-12)) * level_mult);
+    levels.push_back(level);
+    l0.emplace_back();
+    up.emplace_back(level > 0 ? level : 0);
+    const float* q = data + size_t(node) * dim;
+    if (entry < 0) { entry = node; max_level = level; return; }
+    int cur = entry;
+    for (int l = max_level; l > level; --l) cur = greedy(cur, q, l);
+    for (int l = std::min(level, max_level); l >= 0; --l) {
+      auto res = beam(cur, q, efC, l);
+      cur = res.front().second;
+      auto cand = res;
+      select(cand, l == 0 ? M0 : M);
+      int cap = l == 0 ? M0 : M;
+      auto& v = nb(node, l);
+      for (auto& p : cand) {
+        if (int(v.size()) >= cap) break;
+        v.push_back(p.second);
+        shrink_link(p.second, node, l);
+      }
+    }
+    if (level > max_level) { entry = node; max_level = level; }
+  }
+
+  std::vector<int> search(const float* q, int k, int ef) {
+    int cur = entry;
+    for (int l = max_level; l > 0; --l) cur = greedy(cur, q, l);
+    auto res = beam(cur, q, std::max(ef, k), 0);
+    std::vector<int> out;
+    for (int i = 0; i < k && i < int(res.size()); ++i)
+      out.push_back(res[i].second);
+    return out;
+  }
+};
+
+int main(int argc, char** argv) {
+  size_t n = argc > 1 ? atoll(argv[1]) : 1000000;
+  int dim = argc > 2 ? atoi(argv[2]) : 768;
+  int M = argc > 3 ? atoi(argv[3]) : 16;
+  int efC = argc > 4 ? atoi(argv[4]) : 100;
+  int nq = argc > 5 ? atoi(argv[5]) : 64;
+  int k = argc > 6 ? atoi(argv[6]) : 10;
+  const char* efs = argc > 7 ? argv[7] : "16,32,64,128";
+
+  // Same corpus family as benchmarks/ivf_sweep.py: 256 unit blobs, relative
+  // noise 0.4; queries are corpus rows re-noised at 0.2.
+  const int blobs = 256;
+  std::mt19937 rng(0);
+  std::normal_distribution<float> gauss(0.f, 1.f);
+  std::vector<float> centers(size_t(blobs) * dim);
+  for (auto& x : centers) x = gauss(rng);
+  for (int c = 0; c < blobs; ++c) {
+    float* v = centers.data() + size_t(c) * dim;
+    float nrm = std::sqrt(dot(v, v, dim));
+    for (int i = 0; i < dim; ++i) v[i] /= nrm;
+  }
+  float sigma = 0.4f / std::sqrt(float(dim));
+  std::vector<float> corpus(n * size_t(dim));
+  std::uniform_int_distribution<int> pick(0, blobs - 1);
+  for (size_t r = 0; r < n; ++r) {
+    int c = pick(rng);
+    float* v = corpus.data() + r * dim;
+    const float* ctr = centers.data() + size_t(c) * dim;
+    for (int i = 0; i < dim; ++i) v[i] = ctr[i] + sigma * gauss(rng);
+    float nrm = std::sqrt(dot(v, v, dim));
+    for (int i = 0; i < dim; ++i) v[i] /= nrm;
+  }
+  float qsigma = 0.2f / std::sqrt(float(dim));
+  std::vector<float> queries(size_t(nq) * dim);
+  std::uniform_int_distribution<size_t> qpick(0, n - 1);
+  for (int r = 0; r < nq; ++r) {
+    float* v = queries.data() + size_t(r) * dim;
+    const float* src = corpus.data() + qpick(rng) * dim;
+    for (int i = 0; i < dim; ++i) v[i] = src[i] + qsigma * gauss(rng);
+    float nrm = std::sqrt(dot(v, v, dim));
+    for (int i = 0; i < dim; ++i) v[i] /= nrm;
+  }
+  fprintf(stderr, "corpus ready: %zu x %d\n", n, dim);
+
+  // Brute-force ground truth (also the exact-scan CPU baseline number).
+  std::vector<std::vector<int>> truth(nq);
+  auto t0 = Clock::now();
+  for (int qi = 0; qi < nq; ++qi) {
+    const float* q = queries.data() + size_t(qi) * dim;
+    std::priority_queue<std::pair<float, int>> heap;  // max-heap of -ip
+    for (size_t r = 0; r < n; ++r) {
+      float d = -dot(corpus.data() + r * dim, q, dim);
+      if (int(heap.size()) < k) heap.push({d, int(r)});
+      else if (d < heap.top().first) { heap.pop(); heap.push({d, int(r)}); }
+    }
+    auto& t = truth[qi];
+    t.resize(heap.size());
+    for (size_t i = t.size(); i-- > 0;) { t[i] = heap.top().second; heap.pop(); }
+  }
+  double brute_s = std::chrono::duration<double>(Clock::now() - t0).count();
+  printf("{\"what\": \"cpu_exact_scan\", \"n\": %zu, \"dim\": %d, "
+         "\"qps_1core\": %.2f, \"ms_per_query\": %.1f}\n",
+         n, dim, nq / brute_s, brute_s * 1e3 / nq);
+  fflush(stdout);
+
+  HNSWDense index(dim, M, efC, n, corpus.data());
+  t0 = Clock::now();
+  for (size_t r = 0; r < n; ++r) {
+    index.add(int(r));
+    if ((r + 1) % 100000 == 0)
+      fprintf(stderr, "built %zu (%.0fs)\n", r + 1,
+              std::chrono::duration<double>(Clock::now() - t0).count());
+  }
+  double build_s = std::chrono::duration<double>(Clock::now() - t0).count();
+  printf("{\"what\": \"hnsw_build\", \"M\": %d, \"efC\": %d, "
+         "\"build_s_1core\": %.1f, \"note\": "
+         "\"faiss parallel build divides this by core count\"}\n",
+         M, efC, build_s);
+  fflush(stdout);
+
+  for (const char* p = efs; *p;) {
+    int ef = atoi(p);
+    while (*p && *p != ',') ++p;
+    if (*p == ',') ++p;
+    // warm
+    for (int qi = 0; qi < nq; ++qi)
+      index.search(queries.data() + size_t(qi) * dim, k, ef);
+    t0 = Clock::now();
+    double hits = 0;
+    for (int qi = 0; qi < nq; ++qi) {
+      auto got = index.search(queries.data() + size_t(qi) * dim, k, ef);
+      for (int g : got)
+        for (int t : truth[qi])
+          if (g == t) { hits += 1; break; }
+    }
+    double el = std::chrono::duration<double>(Clock::now() - t0).count();
+    printf("{\"what\": \"hnsw_query\", \"ef\": %d, \"recall_at_10\": %.4f, "
+           "\"qps_1core\": %.1f, \"ms_per_query\": %.3f}\n",
+           ef, hits / (double(nq) * k), nq / el, el * 1e3 / nq);
+    fflush(stdout);
+  }
+  return 0;
+}

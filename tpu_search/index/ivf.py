@@ -162,6 +162,14 @@ def _ivf_search(
     k: int,
     metric: str,
 ) -> Tuple[jax.Array, jax.Array]:
+    """Probe-scan IVF search with a running top-k merge.
+
+    The probed candidates are consumed one probe rank at a time
+    (``lax.scan`` of length nprobe, each step gathering one [Q, cap, D]
+    block batch and folding its scores into a [Q, k] accumulator), so the
+    transient is Q*cap*D regardless of nprobe — a vmapped all-probes
+    gather would materialize Q*nprobe*cap*D — many GBs at production
+    shapes, which OOMs the chip."""
     cluster_scores = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
     )
@@ -170,26 +178,39 @@ def _ivf_search(
         cluster_scores = 2.0 * cluster_scores - sq[None, :]
     _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)  # [Q, nprobe]
 
-    def per_query(query, probes):
-        cand_vecs = blocks[probes]  # [nprobe, cap, D]
-        cand_ids = block_ids[probes].reshape(-1)
-        cand_mask = block_mask[probes].reshape(-1)
-        flat_vecs = cand_vecs.reshape(-1, cand_vecs.shape[-1])
+    q = queries.shape[0]
+    qcast = queries.astype(blocks.dtype)
+
+    def probe_step(carry, p):
+        best_s, best_i = carry  # [Q, k]
+        cids = probe_ids[:, p]  # [Q] cluster per query at this probe rank
+        cand = blocks[cids]  # [Q, cap, D]
         # Same scoring contract as ops.topk_scan._scores: the query is cast
         # to the storage dtype, accumulation stays f32 at HIGHEST precision.
-        scores = jnp.dot(
-            flat_vecs,
-            query.astype(blocks.dtype),
+        scores = jax.lax.dot_general(
+            cand,
+            qcast,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
+        )  # [Q, cap]
         if metric == "l2":
-            scores = 2.0 * scores - block_sq[probes].reshape(-1)
-        scores = jnp.where(cand_mask, scores, -jnp.inf)
-        top_scores, sel = jax.lax.top_k(scores, k)
-        return top_scores, cand_ids[sel]
+            scores = 2.0 * scores - block_sq[cids]
+        scores = jnp.where(block_mask[cids], scores, -jnp.inf)
+        merged_s = jnp.concatenate([best_s, scores], axis=1)
+        merged_i = jnp.concatenate([best_i, block_ids[cids]], axis=1)
+        top_s, sel = jax.lax.top_k(merged_s, k)
+        top_i = jnp.take_along_axis(merged_i, sel, axis=1)
+        return (top_s, top_i), None
 
-    return jax.vmap(per_query)(queries, probe_ids)
+    init = (
+        jnp.full((q, k), -jnp.inf, jnp.float32),
+        jnp.full((q, k), -1, jnp.int32),
+    )
+    (scores, ids), _ = jax.lax.scan(
+        probe_step, init, jnp.arange(nprobe, dtype=jnp.int32)
+    )
+    return scores, ids
 
 
 class IVFIndex:

@@ -113,26 +113,40 @@ def kmeans(
         ).astype(jnp.float32).reshape(n_pad // _CHUNK, _CHUNK)
 
     def accumulate(centroids):
-        """One pass over the corpus -> (per-cluster sums, counts)."""
+        """One pass over the corpus -> (sums, sum of |x|^2, counts)."""
         if not chunked:
             assign = jnp.argmax(_distances(data, centroids, metric), axis=1)
             one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
-            return one_hot.T @ data, jnp.sum(one_hot, axis=0)
+            rsq = jnp.sum(data * data, axis=1)
+            return (
+                one_hot.T @ data,
+                one_hot.T @ rsq,
+                jnp.sum(one_hot, axis=0),
+            )
 
         def body(carry, chunk_and_valid):
-            sums, counts = carry
+            sums, sumsq, counts = carry
             chunk, v = chunk_and_valid
             assign = jnp.argmax(_distances(chunk, centroids, metric), axis=1)
             one_hot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
             one_hot = one_hot * v[:, None]  # pad rows carry zero weight
-            return (sums + one_hot.T @ chunk, counts + one_hot.sum(0)), None
+            rsq = jnp.sum(chunk * chunk, axis=1)
+            return (
+                sums + one_hot.T @ chunk,
+                sumsq + one_hot.T @ rsq,
+                counts + one_hot.sum(0),
+            ), None
 
-        (sums, counts), _ = jax.lax.scan(
+        (sums, sumsq, counts), _ = jax.lax.scan(
             body,
-            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (
+                jnp.zeros((k, d), jnp.float32),
+                jnp.zeros((k,), jnp.float32),
+                jnp.zeros((k,), jnp.float32),
+            ),
             (chunks, valid),
         )
-        return sums, counts
+        return sums, sumsq, counts
 
     threshold = balance * n / k  # 0 => only truly empty clusters respawn
     # Respawn burn-in: the tail iterations run plain Lloyd so freshly
@@ -143,15 +157,22 @@ def kmeans(
     max_respawn = max(1, k // 8)
 
     def step(centroids, t):
-        sums, counts = accumulate(centroids)
+        sums, sumsq, counts = accumulate(centroids)
         counts = counts[:, None]
         updated = sums / jnp.maximum(counts, 1.0)
+        # Per-cluster RMS radius (sqrt of E|x|^2 - |mean|^2): how far the
+        # cluster's members actually sit from its centroid.
+        radius = jnp.sqrt(
+            jnp.clip(
+                sumsq / jnp.maximum(counts[:, 0], 1.0)
+                - jnp.sum(updated * updated, axis=1),
+                1e-8,
+            )
+        )
         updated = jnp.where(counts > 0, updated, centroids)
         if balance >= 0:
             # Starvation respawn: pair the i-th lightest cluster with the
-            # i-th heaviest and, if starved, relocate it there (tiny
-            # deterministic perturbation so rivals split the blob over
-            # later iterations).
+            # i-th heaviest and, if starved, relocate it there.
             order = jnp.argsort(counts[:, 0])  # ascending
             donors = order[::-1]
             starved = counts[order, 0] <= threshold
@@ -166,7 +187,23 @@ def kmeans(
             noise = jax.random.normal(
                 jax.random.fold_in(key, t.astype(jnp.int32)), (k, d)
             )
-            respawn = updated[donors] + 0.05 * noise
+            unit = noise / jnp.maximum(
+                jnp.linalg.norm(noise, axis=1, keepdims=True), 1e-12
+            )
+            if metric == "l2":
+                # Land the rival ON the donor blob's RMS surface: members
+                # sit ~radius from the centroid, so a surface respawn
+                # bisects the blob through its center (midpoint rule).
+                offset = radius[donors][:, None]
+            else:
+                # ip re-normalizes centroids, which costs an off-center
+                # rival ~eps^2/2 of score against every member — a
+                # surface-sized eps captures nothing. A member x prefers
+                # the rival iff (x . u) * eps > eps^2/2 * (x . c), and
+                # x . u ~ N(0, r/sqrt(d)), so eps ~ r/sqrt(d) keeps the
+                # initial capture fraction ~30% instead of ~0.
+                offset = radius[donors][:, None] / jnp.sqrt(float(d))
+            respawn = updated[donors] + offset * unit
             new_at_order = jnp.where(
                 starved[:, None], respawn, updated[order]
             )
