@@ -49,6 +49,10 @@ def main() -> None:
     parser.add_argument("--nlists", default="256,1024,4096")
     parser.add_argument("--nprobes", default="1,4,8,16,32,64")
     parser.add_argument("--train-sample", type=int, default=200_000)
+    parser.add_argument("--qbatches", default="1,8,64",
+                        help="query batch sizes for the latency table "
+                        "(Q=1 is the CLI/MCP single-query mode where "
+                        "IVF's bandwidth saving actually lands)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
@@ -95,15 +99,25 @@ def main() -> None:
           f"({args.n} x {args.dim})")
 
     # -- exact reference ----------------------------------------------------
+    qbatches = [int(x) for x in args.qbatches.split(",") if int(x) <= args.queries]
     flat = FlatIndex.from_device_vectors(corpus, dtype=args.dtype)
     _, ref_ids = flat.search(queries, k=args.k)  # warm/compile (same Q!)
     t0 = time.perf_counter()
     _, ref_ids = flat.search(queries, k=args.k)
     flat_time = time.perf_counter() - t0
     flat_qps = args.queries / flat_time
+    flat_by_q = {}
+    for qb in qbatches:
+        reps = max(1, 16 // qb)
+        flat.search(queries[:qb], k=args.k)  # warm this bucket
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            flat.search(queries[:qb], k=args.k)
+        flat_by_q[qb] = (time.perf_counter() - t0) / reps
     del flat  # frees the bf16 corpus copy before the IVF blocks allocate
-    print(f"flat scan ({args.dtype}): {flat_qps:.1f} qps batched "
-          f"({flat_time * 1e3 / args.queries:.2f} ms/q amortized)")
+    print(f"flat scan ({args.dtype}): {flat_qps:.1f} qps batched; per-batch "
+          + ", ".join(f"Q={qb}: {s * 1e3:.1f} ms"
+                      for qb, s in flat_by_q.items()))
 
     results = []
     meta = {
@@ -149,12 +163,23 @@ def main() -> None:
                     ]
                 )
             )
+            by_q = {}
+            for qb in qbatches:
+                reps = max(1, 16 // qb)
+                ivf.search(queries[:qb], k=args.k, nprobe=nprobe)  # warm
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    ivf.search(queries[:qb], k=args.k, nprobe=nprobe)
+                s = (time.perf_counter() - t0) / reps
+                by_q[f"ms_q{qb}"] = round(s * 1e3, 2)
+                by_q[f"speedup_vs_flat_q{qb}"] = round(flat_by_q[qb] / s, 2)
             row = {
                 "nlist": nlist,
                 "nprobe": nprobe,
                 "recall_at_10": round(recall, 4),
                 "qps": round(args.queries / elapsed, 1),
                 "speedup_vs_flat": round(flat_time / elapsed, 2),
+                **by_q,
             }
             results.append(row)
             print(json.dumps(row))

@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
-"""Narrated end-to-end demo: parse -> chunk -> embed -> store -> search.
+"""Narrated end-to-end demo of every tpu_search layer.
 
-Reference parity: scripts/integration_demo.py (5-phase walkthrough).  Runs
-against real ~/.claude/projects data when present, otherwise generates a
-small fixture corpus.  Uses the configured model (CLAUDE_SEARCH_MODEL;
-hash-768 works without downloads).
+Reference parity: scripts/integration_demo.py (the reference walks parse ->
+chunk -> embed -> store -> search in five narrated phases over live
+~/.claude/projects data).  This demo covers the same pipeline plus the
+TPU-native specifics: device/dtype selection, persistence roundtrip through
+the streamed TPUSIDX2 container, fused filtered search, and chunk-id
+retrieval.  Runs against real ~/.claude/projects data when present,
+otherwise generates a fixture corpus.  Uses the configured model
+(CLAUDE_SEARCH_MODEL; hash-768 works without downloads).
+
+    python scripts/integration_demo.py
 """
 
 from __future__ import annotations
@@ -20,9 +26,27 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
-from tpu_search.api.engine import SearchEngine, resolve_data_dir
+from tpu_search.api.engine import SearchEngine
 from tpu_search.ingest.chunker import ConversationChunker
 from tpu_search.ingest.parser import JSONLParser
+
+WIDTH = 70
+
+
+def banner(title: str) -> None:
+    print()
+    print("=" * WIDTH)
+    print(title)
+    print("=" * WIDTH)
+
+
+def preview(text: str, limit: int = 110) -> str:
+    flat = " ".join((text or "").split())
+    return flat[:limit] + ("..." if len(flat) > limit else "")
+
+
+# ---------------------------------------------------------------------------
+# Phase 0 — discovery
 
 
 def find_sample_files(limit: int = 5):
@@ -31,79 +55,225 @@ def find_sample_files(limit: int = 5):
         files = sorted(claude.rglob("*.jsonl"))[:limit]
         if files:
             return files, None
-    # fixture fallback
+
+    # Fixture fallback: two sessions, code, tool use, and noise lines, so
+    # every chunking strategy and filter has something to bite on.
     tmp = Path(tempfile.mkdtemp(prefix="tpu_search_demo_"))
     proj = tmp / "demo-project"
     proj.mkdir()
-    lines = [
-        {"uuid": "u1", "sessionId": "demo", "timestamp": "2025-01-01T10:00:00Z",
-         "message": {"role": "user", "content":
-                     "How do I keep my JAX training step from recompiling "
-                     "every iteration when batch sizes vary?"}},
-        {"uuid": "a1", "sessionId": "demo", "timestamp": "2025-01-01T10:01:00Z",
-         "message": {"role": "assistant", "content":
-                     "Pad inputs to a small set of bucket shapes so XLA "
-                     "reuses cached executables:\n```python\n"
-                     "def bucket(n):\n    for b in (8, 32, 128):\n"
-                     "        if n <= b:\n            return b\n"
-                     "    return 512\n```\nEach distinct shape compiles once."}},
+
+    def msg(uid, session, ts, role, content):
+        return {"uuid": uid, "sessionId": session, "timestamp": ts,
+                "message": {"role": role, "content": content}}
+
+    session_a = [
+        msg("u1", "jit-tuning", "2025-01-01T10:00:00Z", "user",
+            "How do I keep my JAX training step from recompiling every "
+            "iteration when batch sizes vary? Each new shape seems to "
+            "trigger a fresh XLA compile and the step stalls for seconds."),
+        msg("a1", "jit-tuning", "2025-01-01T10:01:00Z", "assistant",
+            "Pad inputs to a small set of bucket shapes so XLA reuses "
+            "cached executables:\n```python\ndef bucket(n):\n"
+            "    for b in (8, 32, 128):\n        if n <= b:\n"
+            "            return b\n    return 512\n```\n"
+            "Each distinct shape compiles once; everything after is a "
+            "cache hit. Mask out the padding inside the loss."),
+        msg("u2", "jit-tuning", "2025-01-01T10:05:00Z", "user",
+            "That worked. Can I also persist compiles across processes so "
+            "the CLI does not pay the 30 second cold start every run?"),
+        msg("a2", "jit-tuning", "2025-01-01T10:06:00Z", "assistant",
+            "Yes - set jax.config.update('jax_compilation_cache_dir', ...) "
+            "early; XLA then serializes executables to disk and a second "
+            "process with identical shapes deserializes instead of "
+            "recompiling."),
     ]
-    with open(proj / "demo.jsonl", "w") as fh:
-        for line in lines:
+    session_b = [
+        msg("u3", "mesh-debug", "2025-01-02T09:00:00Z", "user",
+            "My sharded matmul is all-gathering the whole activation "
+            "instead of keeping it sharded over the mesh. Throughput "
+            "dropped by 4x after I added the second axis."),
+        {"uuid": "a3", "sessionId": "mesh-debug",
+         "timestamp": "2025-01-02T09:02:00Z",
+         "message": {"role": "assistant", "content": [
+             {"type": "text", "text":
+              "Check the out_specs of your shard_map: an unconstrained "
+              "output forces XLA to materialize the gathered value. Pin "
+              "it with PartitionSpec('data', None) and the collective "
+              "disappears."},
+             {"type": "code", "language": "python", "text":
+              "out = shard_map(step, mesh,\n"
+              "    in_specs=(P('data', None),),\n"
+              "    out_specs=P('data', None))(x)\n"
+              "# psum only where the math needs it\n"}]}},
+    ]
+    noise = [
+        "not valid json at all",
+        json.dumps(msg("h1", "jit-tuning", "2025-01-01T10:07:00Z", "user",
+                       "PreToolUse hook fired")),
+    ]
+    with open(proj / "jit-tuning.jsonl", "w") as fh:
+        for line in session_a:
             fh.write(json.dumps(line) + "\n")
-    return [proj / "demo.jsonl"], tmp
+        for line in noise:
+            fh.write(line + "\n")
+    with open(proj / "mesh-debug.jsonl", "w") as fh:
+        for line in session_b:
+            fh.write(json.dumps(line) + "\n")
+    return [proj / "jit-tuning.jsonl", proj / "mesh-debug.jsonl"], tmp
 
 
-def main() -> None:
-    print("=" * 70)
-    print("tpu_search integration demo")
-    print("=" * 70)
+# ---------------------------------------------------------------------------
 
-    files, fixture_root = find_sample_files()
-    source = "fixture" if fixture_root else "~/.claude/projects"
-    print(f"\nPhase 1 — discovery: {len(files)} file(s) from {source}")
 
+def demonstrate_parsing(files):
+    banner("PHASE 1 - PARSING (tolerant JSONL ingestion)")
     parser = JSONLParser()
-    conversations = [c for c in (parser.parse_file(str(f)) for f in files) if c]
-    total_messages = sum(c.total_messages for c in conversations)
-    print(
-        f"Phase 2 — parsing: {len(conversations)} conversation(s), "
-        f"{total_messages} messages"
-    )
+    conversations = []
+    for path in files:
+        conversation = parser.parse_file(str(path))
+        if conversation is None:
+            print(f"  {path.name}: unparseable, skipped")
+            continue
+        conversations.append(conversation)
+        print(
+            f"  {path.name}: {conversation.total_messages} messages, "
+            f"session={conversation.session_id!r}, "
+            f"project={conversation.project_name!r}"
+        )
+    print(f"\n  -> {len(conversations)} conversation(s) "
+          "(malformed lines and hook noise dropped in-stream)")
+    return conversations
 
+
+def demonstrate_chunking(conversations):
+    banner("PHASE 2 - SMART CHUNKING (qa pairs, code, context windows)")
     chunker = ConversationChunker()
     all_chunks = []
     for conversation in conversations:
-        all_chunks.extend(chunker.chunk_conversation(conversation))
+        chunks = chunker.chunk_conversation(conversation)
+        all_chunks.extend(chunks)
     stats = chunker.get_chunk_stats(all_chunks)
-    print(
-        f"Phase 3 — chunking: {stats.get('total_chunks', 0)} chunks "
-        f"{stats.get('chunk_types', {})}"
+    print(f"  total chunks: {stats.get('total_chunks', 0)}")
+    for kind, count in sorted(stats.get("chunk_types", {}).items()):
+        print(f"    {kind:>16}: {count}")
+    print(f"  avg chars/chunk: {stats.get('avg_chunk_size', 0):.0f}")
+    shown = set()
+    for chunk in all_chunks:
+        kind = chunk.metadata.get("chunk_type")
+        if kind in shown:
+            continue
+        shown.add(kind)
+        print(f"\n  sample [{kind}] {chunk.id[:24]}...")
+        print(f"    {preview(chunk.text)}")
+        if len(shown) >= 3:
+            break
+    return all_chunks
+
+
+def demonstrate_engine(files, data_dir, model):
+    banner(f"PHASE 3 - EMBEDDING + STORAGE (model={model})")
+    engine = SearchEngine(
+        data_dir=data_dir, model_name=model, use_warm_server=False
     )
+    t0 = time.time()
+    stats = engine.index_conversations(files)
+    wall = time.time() - t0
+    print(f"  files processed : {stats['files_processed']}")
+    print(f"  chunks indexed  : {stats['chunks_indexed']}")
+    print(f"  wall time       : {wall:.1f}s "
+          f"({stats['chunks_indexed'] / max(wall, 1e-9):.0f} chunks/s "
+          "incl. model load + compile)")
+    for phase, detail in stats.get("phases", {}).items():
+        print(f"    {phase:>10}: {detail['seconds']:.2f}s "
+              f"({detail['calls']} calls, {detail['fraction']:.0%})")
+
+    info = engine.get_index_stats()
+    index_info = info.get("index", info)
+    print("\n  storage state:")
+    print(f"    total chunks : {info.get('total_chunks')}")
+    print(f"    index        : {index_info}")
+    return engine
+
+
+def demonstrate_persistence(engine, data_dir, model):
+    banner("PHASE 4 - PERSISTENCE (streamed TPUSIDX2 roundtrip)")
+    engine.storage.save_index()
+    index_path = Path(engine.storage.index_path)
+    print(f"  saved: {index_path.name} "
+          f"({index_path.stat().st_size / 1024:.1f} KiB, "
+          "dtype-native, chunk-streamed)")
+    engine.storage.close()
+
+    t0 = time.time()
+    reloaded = SearchEngine(
+        data_dir=data_dir, model_name=model, use_warm_server=False
+    )
+    reloaded.storage.initialize()
+    print(f"  reload: {reloaded.storage.index.ntotal} vectors in "
+          f"{time.time() - t0:.2f}s (fresh process would pay the same)")
+    return reloaded
+
+
+def demonstrate_search(engine):
+    banner("PHASE 5 - SEMANTIC SEARCH (fused filters, chunk retrieval)")
+    queries = [
+        ("avoid jit recompilation with shape buckets", None),
+        ("sharded matmul all-gather regression", None),
+        ("compilation cache across processes", {"has_code": False}),
+    ]
+    first_hit = None
+    for query, filters in queries:
+        t0 = time.time()
+        results = engine.search_conversations(query, filters=filters, top_k=3)
+        ms = (time.time() - t0) * 1e3
+        tag = f" filters={filters}" if filters else ""
+        print(f"\n  '{query}'{tag}  [{ms:.0f} ms]")
+        if not results:
+            print("    (no hits)")
+            continue
+        for i, result in enumerate(results, 1):
+            print(f"    {i}. [{result['similarity']:.3f}] "
+                  f"{result['session']}: {preview(result['text'], 80)}")
+        if first_hit is None:
+            first_hit = results[0]["chunk_id"]
+
+    if first_hit:
+        chunk = engine.storage.get_chunk_by_id(first_hit)
+        print(f"\n  chunk-id retrieval ({first_hit[:32]}...):")
+        print(f"    {preview(chunk.text if chunk else '', 100)}")
+
+
+def main() -> None:
+    banner("tpu_search integration demo - full pipeline walkthrough")
+    total_t0 = time.time()
+
+    files, fixture_root = find_sample_files()
+    source = "generated fixture" if fixture_root else "~/.claude/projects"
+    print(f"\n  input: {len(files)} file(s) from {source}")
+    for path in files:
+        print(f"    {path.name} ({path.stat().st_size} bytes)")
+
+    conversations = demonstrate_parsing(files)
+    if not conversations:
+        print("No parseable conversations; nothing to demo.")
+        sys.exit(1)
+    chunks = demonstrate_chunking(conversations)
 
     data_dir = tempfile.mkdtemp(prefix="tpu_search_demo_data_")
     model = os.environ.get("CLAUDE_SEARCH_MODEL", "hash-768")
-    engine = SearchEngine(data_dir=data_dir, model_name=model)
-    t0 = time.time()
-    index_stats = engine.index_conversations(files)
-    print(
-        f"Phase 4 — embed+store ({model}): "
-        f"{index_stats['chunks_indexed']} chunks indexed in "
-        f"{time.time() - t0:.1f}s"
-    )
+    engine = demonstrate_engine(files, data_dir, model)
+    engine = demonstrate_persistence(engine, data_dir, model)
+    demonstrate_search(engine)
 
-    query = "avoid jit recompilation with shape buckets"
-    results = engine.search_conversations(query, top_k=3)
-    print(f"Phase 5 — search: '{query}' -> {len(results)} hits")
-    for i, result in enumerate(results, 1):
-        snippet = (result["text"] or "")[:120].replace("\n", " ")
-        print(
-            f"  {i}. [{result['similarity']:.3f}] "
-            f"{result['project']}: {snippet}..."
-        )
-
-    print("\nDemo complete.")
-    print(f"(data dir: {data_dir})")
+    banner("SUMMARY")
+    print(f"  conversations : {len(conversations)}")
+    print(f"  chunks        : {len(chunks)}")
+    print(f"  model         : {model}")
+    print(f"  data dir      : {data_dir}")
+    print(f"  total wall    : {time.time() - total_t0:.1f}s")
+    print("\nNext steps: claude-index to index your real history, "
+          "claude-start for the auto-indexing daemon + warm search, "
+          "claude-search / MCP / HTTP for queries.")
 
 
 if __name__ == "__main__":

@@ -162,14 +162,25 @@ def _ivf_search(
     k: int,
     metric: str,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Probe-scan IVF search with a running top-k merge.
+    """Cluster-grouped IVF scan with a running top-k merge.
 
-    The probed candidates are consumed one probe rank at a time
-    (``lax.scan`` of length nprobe, each step gathering one [Q, cap, D]
-    block batch and folding its scores into a [Q, k] accumulator), so the
-    transient is Q*cap*D regardless of nprobe — a vmapped all-probes
-    gather would materialize Q*nprobe*cap*D — many GBs at production
-    shapes, which OOMs the chip."""
+    The probed cluster set is deduplicated ON DEVICE across the whole
+    query batch, then consumed one cluster per ``lax.scan`` step: a single
+    [cap, D] block read feeds one [Q, D] x [D, cap] MXU matmul, with a
+    per-query membership mask deciding which queries see that cluster's
+    scores.  Three shapes of waste this avoids at production scale:
+
+    - a vmapped all-probes gather materializes Q*nprobe*cap*D (many GBs:
+      OOMs the chip at 1M x 768, Q=128),
+    - per-query [Q, cap, D] gathers copy every hot cluster once PER QUERY
+      (batched queries probe heavily-overlapping cluster sets, so the
+      same HBM block was being re-read up to Q times),
+    - batched matvecs instead of one dense matmul leave the MXU idle.
+
+    Transient memory is one [Q, cap] score tile; HBM traffic is
+    n_steps * cap * D bytes where n_steps = min(Q * nprobe, nlist) — the
+    sweep-measured dedup win shows up directly in benchmarks/ivf_sweep.py.
+    """
     cluster_scores = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
     )
@@ -179,37 +190,68 @@ def _ivf_search(
     _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)  # [Q, nprobe]
 
     q = queries.shape[0]
+    nlist = blocks.shape[0]
     qcast = queries.astype(blocks.dtype)
 
-    def probe_step(carry, p):
+    # Device-side dedup: sort the flat probe list, blank repeats with an
+    # out-of-range sentinel, sort again so unique ids lead. Sentinel steps
+    # run with an all-False membership mask (their matmul result is
+    # discarded); they only exist to keep the scan length static.
+    n_steps = min(q * nprobe, nlist)
+    flat_probes = jnp.sort(probe_ids.reshape(-1))
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), flat_probes[1:] != flat_probes[:-1]]
+    )
+    uniq = jnp.sort(jnp.where(first, flat_probes, nlist))[:n_steps]
+    # Runtime trip count: a while_loop bounded by the ACTUAL unique-cluster
+    # count, so sentinel entries cost nothing (a fixed-length scan would
+    # still burn one block read per padding step).
+    n_uniq = jnp.minimum(jnp.sum(first.astype(jnp.int32)), n_steps)
+
+    def cluster_step(carry, c):
         best_s, best_i = carry  # [Q, k]
-        cids = probe_ids[:, p]  # [Q] cluster per query at this probe rank
-        cand = blocks[cids]  # [Q, cap, D]
+        live = c < nlist
+        c_safe = jnp.minimum(c, nlist - 1)
+        block = blocks[c_safe]  # ONE [cap, D] HBM read for all queries
         # Same scoring contract as ops.topk_scan._scores: the query is cast
         # to the storage dtype, accumulation stays f32 at HIGHEST precision.
         scores = jax.lax.dot_general(
-            cand,
             qcast,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            block,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [Q, cap]
         if metric == "l2":
-            scores = 2.0 * scores - block_sq[cids]
-        scores = jnp.where(block_mask[cids], scores, -jnp.inf)
+            scores = 2.0 * scores - block_sq[c_safe][None, :]
+        member = live & jnp.any(probe_ids == c, axis=1)  # [Q]
+        scores = jnp.where(
+            member[:, None] & block_mask[c_safe][None, :], scores, -jnp.inf
+        )
         merged_s = jnp.concatenate([best_s, scores], axis=1)
-        merged_i = jnp.concatenate([best_i, block_ids[cids]], axis=1)
+        merged_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(block_ids[c_safe], (q, block.shape[0]))],
+            axis=1,
+        )
         top_s, sel = jax.lax.top_k(merged_s, k)
         top_i = jnp.take_along_axis(merged_i, sel, axis=1)
         return (top_s, top_i), None
 
     init = (
+        jnp.array(0, jnp.int32),
         jnp.full((q, k), -jnp.inf, jnp.float32),
         jnp.full((q, k), -1, jnp.int32),
     )
-    (scores, ids), _ = jax.lax.scan(
-        probe_step, init, jnp.arange(nprobe, dtype=jnp.int32)
-    )
+
+    def cond(state):
+        return state[0] < n_uniq
+
+    def body(state):
+        i, best_s, best_i = state
+        (top_s, top_i), _ = cluster_step((best_s, best_i), uniq[i])
+        return i + 1, top_s, top_i
+
+    _, scores, ids = jax.lax.while_loop(cond, body, init)
     return scores, ids
 
 
