@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Pallas DMA scan kernel tile sweep at production corpus sizes.
+
+The FlatIndex tile picks (index/flat.py _pick_kernel) were tuned at
+1M x 768; this sweeps tile_n across 1M/4M/10M rows to confirm they hold
+at scale (ROADMAP: "10M-row tiling sweep").  bf16 runs up to 4M rows
+(6 GB); 10M rows runs int8 (word-packed, ~7.7 GB + scales) — the same
+configuration the 12M single-chip capacity claim uses.
+
+Timing discipline (CLAUDE.md): reps chained on device, completion forced
+by one scalar fetch; the tunnel RTT never lands inside the timed region.
+
+    python benchmarks/tile_sweep.py [--sizes 1048576,4194304,10485760]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+D = 768
+K = 10
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sizes", default="1048576,4194304,10485760")
+    parser.add_argument("--tiles", default="2048,4096,8192,16384")
+    parser.add_argument("--qs", default="8,128")
+    parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from tpu_search.ops.int8_pack import pack_int8_rows
+    from tpu_search.ops.pallas_topk_dma import (
+        pallas_flat_topk_dma,
+        pallas_flat_topk_dma_int8_packed,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    sizes = [int(x) for x in args.sizes.split(",")]
+    tiles = [int(x) for x in args.tiles.split(",")]
+    qs = [int(x) for x in args.qs.split(",")]
+
+    results = []
+
+    for n in sizes:
+        # Build the corpus in chunks directly in its storage form so peak
+        # HBM stays bounded: int8 packed words [n/4, D] + scales, and a
+        # bf16 copy only when it fits alongside (<= 4M rows).
+        make_bf16 = n <= (4 << 20)
+        log(f"[gen] {n} rows (bf16 copy: {make_bf16})")
+
+        chunk = 1 << 18  # 256k rows: ~768 MB f32 transient inside gen
+
+        @jax.jit
+        def gen_chunk(key):
+            rows = jax.random.normal(key, (chunk, D), jnp.float32)
+            rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+            s = jnp.maximum(jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12)
+            i8 = jnp.rint(rows / s[:, None]).astype(jnp.int8)
+            return pack_int8_rows(i8), s, rows.astype(jnp.bfloat16)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def place(buf, blk, w0):
+            return jax.lax.dynamic_update_slice(buf, blk, (w0, 0))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def place1(buf, blk, i0):
+            return jax.lax.dynamic_update_slice(buf, blk, (i0,))
+
+        with jax.default_device(dev):
+            packed = jnp.zeros((n // 4, D), jnp.int32)
+            scales = jnp.zeros((n,), jnp.float32)
+            bf16 = (
+                jnp.zeros((n, D), jnp.bfloat16) if make_bf16 else None
+            )
+            for start in range(0, n, chunk):
+                words, s, b = gen_chunk(jax.random.PRNGKey(start))
+                packed = place(packed, words, start // 4)
+                scales = place1(scales, s, start)
+                if make_bf16:
+                    bf16 = place(bf16, b, start)
+            float(scales[0])  # force
+            mask = jnp.ones((n,), jnp.bool_)
+            qkey = jax.random.PRNGKey(99)
+            qall = jax.random.normal(qkey, (max(qs), D), jnp.float32)
+            qall = qall / jnp.linalg.norm(qall, axis=1, keepdims=True)
+
+        def time_fn(fn, *fargs, reps=args.reps):
+            out = fn(*fargs)  # compile/warm
+            int(out[1][0, 0])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*fargs)
+            int(out[1][0, 0])  # one scalar fetch forces the chain
+            return (time.perf_counter() - t0) / reps * 1e3
+
+        for q in qs:
+            qbatch = qall[:q]
+            for tile in tiles:
+                if n % tile:
+                    continue
+                # int8 packed path
+                try:
+                    ms = time_fn(
+                        lambda: pallas_flat_topk_dma_int8_packed(
+                            packed, scales, mask, qbatch, K, tile_n=tile
+                        )
+                    )
+                    row = {"n": n, "dtype": "int8", "q": q, "tile": tile,
+                           "ms": round(ms, 3),
+                           "gbps": round(n * D / ms / 1e6, 1)}
+                    results.append(row)
+                    print(json.dumps(row), flush=True)
+                except Exception as exc:
+                    log(f"[skip] int8 n={n} q={q} tile={tile}: "
+                        f"{type(exc).__name__}: {str(exc)[:120]}")
+                if bf16 is None:
+                    continue
+                try:
+                    ms = time_fn(
+                        lambda: pallas_flat_topk_dma(
+                            bf16, mask, qbatch, K, tile_n=tile
+                        )
+                    )
+                    row = {"n": n, "dtype": "bfloat16", "q": q,
+                           "tile": tile, "ms": round(ms, 3),
+                           "gbps": round(n * D * 2 / ms / 1e6, 1)}
+                    results.append(row)
+                    print(json.dumps(row), flush=True)
+                except Exception as exc:
+                    log(f"[skip] bf16 n={n} q={q} tile={tile}: "
+                        f"{type(exc).__name__}: {str(exc)[:120]}")
+        # free before the next size
+        del packed, scales, mask, qall
+        if bf16 is not None:
+            del bf16
+
+    best = {}
+    for row in results:
+        key = (row["n"], row["dtype"], row["q"])
+        if key not in best or row["ms"] < best[key]["ms"]:
+            best[key] = row
+    log("\nbest tiles:")
+    for key in sorted(best):
+        log(f"  n={key[0]:>9} {key[1]:>8} Q={key[2]:>3}: "
+            f"tile {best[key]['tile']} @ {best[key]['ms']} ms "
+            f"({best[key]['gbps']} GB/s effective)")
+
+    out = args.out or (
+        REPO_ROOT / "benchmarks" / "results"
+        / f"tile_sweep_{dev.platform}.json"
+    )
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    Path(out).write_text(json.dumps(
+        {"sweep": results,
+         "best": {f"{k[0]}_{k[1]}_q{k[2]}": v for k, v in best.items()}},
+        indent=1) + "\n")
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Fused IVF probe-scan kernel: schedule construction + parity vs the XLA
+cluster-grouped path, in interpret mode on the CPU backend (real-TPU
+numbers live in benchmarks/ivf_sweep.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_search.index.ivf import _ivf_search
+from tpu_search.ops.pallas_ivf_scan import (
+    build_probe_schedule,
+    pallas_ivf_topk,
+)
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def make_state(rng, nlist=4, cap=256, d=64, metric="ip", tomb_frac=0.2):
+    """Hand-built IVF device state with ragged fills + tombstones."""
+    fills = rng.integers(cap // 4, cap + 1, size=nlist).astype(np.int32)
+    blocks = np.zeros((nlist, cap, d), np.float32)
+    valid = np.zeros((nlist, cap), bool)
+    ids = np.full((nlist, cap), -1, np.int32)
+    centroids = normed(rng, nlist, d)
+    gid = 0
+    for c in range(nlist):
+        rows = centroids[c] + 0.3 * rng.standard_normal((fills[c], d))
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        blocks[c, : fills[c]] = rows
+        valid[c, : fills[c]] = rng.random(fills[c]) > tomb_frac
+        ids[c, : fills[c]] = np.arange(gid, gid + fills[c])
+        gid += fills[c]
+    sq = np.sum(blocks.astype(np.float32) ** 2, axis=-1)
+    return centroids, blocks, ids, valid, sq, fills
+
+
+class TestSchedule:
+    def test_schedule_covers_fill_prefixes_once(self):
+        rng = np.random.default_rng(3)
+        nlist, cap, tile = 8, 512, 128
+        fills = rng.integers(0, cap + 1, size=nlist).astype(np.int32)
+        probe = jnp.asarray(
+            rng.integers(0, nlist, size=(4, 3)), dtype=jnp.int32
+        )
+        offs, clusters, n_sched = build_probe_schedule(
+            probe, jnp.asarray(fills), cap, tile
+        )
+        offs, clusters = np.asarray(offs), np.asarray(clusters)
+        n_sched = int(n_sched)
+        probed = sorted(set(np.asarray(probe).ravel().tolist()))
+        expect = []
+        for c in probed:
+            for m in range(-(-int(fills[c]) // tile)):
+                expect.append((c * (cap // tile) + m, c))
+        assert n_sched == len(expect)
+        got = sorted(zip(offs[:n_sched].tolist(), clusters[:n_sched].tolist()))
+        assert got == sorted(expect)
+
+    def test_empty_clusters_schedule_nothing(self):
+        fills = jnp.zeros((4,), jnp.int32)
+        probe = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+        _, _, n_sched = build_probe_schedule(probe, fills, 256, 128)
+        assert int(n_sched) == 0
+
+
+class TestKernelParity:
+    @pytest.mark.parametrize("metric", ["ip", "l2"])
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_matches_xla_grouped_path(self, metric, dtype):
+        rng = np.random.default_rng(0)
+        nlist, cap, d, q, nprobe, k = 6, 256, 64, 8, 3, 10
+        centroids, blocks, ids, valid, sq, fills = make_state(
+            rng, nlist, cap, d, metric
+        )
+        jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        dblocks = jnp.asarray(blocks).astype(jdt)
+        dsq = jnp.sum(
+            dblocks.astype(jnp.float32) * dblocks.astype(jnp.float32),
+            axis=-1,
+        )
+        queries = jnp.asarray(normed(rng, q, d))
+        dcent = jnp.asarray(centroids)
+        dids = jnp.asarray(ids)
+        dvalid = jnp.asarray(valid)
+
+        rs, ri = _ivf_search(
+            dcent, dblocks, dids, dvalid, dsq, queries, nprobe, k, metric
+        )
+
+        # kernel path (the _ivf_search_pallas steps, interpret mode)
+        cluster_scores = queries @ dcent.T
+        if metric == "l2":
+            cs = jnp.sum(dcent * dcent, axis=-1)
+            cluster_scores = 2.0 * cluster_scores - cs[None, :]
+        _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)
+        penalty = jnp.where(
+            dvalid, dsq if metric == "l2" else 0.0, jnp.inf
+        )
+        ps, flat_pos = pallas_ivf_topk(
+            dblocks,
+            penalty,
+            jnp.asarray(fills),
+            probe_ids.astype(jnp.int32),
+            queries,
+            k,
+            tile_n=128,
+            interpret=True,
+            metric=metric,
+        )
+        pi = jnp.where(
+            jnp.isfinite(ps),
+            dids.reshape(-1)[jnp.clip(flat_pos, 0, None)],
+            -1,
+        )
+        assert np.array_equal(np.asarray(pi), np.asarray(ri)), (
+            np.asarray(pi),
+            np.asarray(ri),
+        )
+        rs_np, ps_np = np.asarray(rs), np.asarray(ps)
+        finite = np.isfinite(rs_np)
+        np.testing.assert_allclose(
+            ps_np[finite], rs_np[finite], rtol=1e-5, atol=1e-5
+        )
+        assert (ps_np[~finite] == -np.inf).all()
+
+    def test_mask_and_fewer_candidates_than_k(self):
+        rng = np.random.default_rng(5)
+        nlist, cap, d, q, nprobe, k = 4, 256, 32, 1, 1, 50
+        centroids, blocks, ids, valid, sq, fills = make_state(
+            rng, nlist, cap, d, tomb_frac=0.9
+        )
+        dblocks = jnp.asarray(blocks)
+        dsq = jnp.asarray(sq)
+        dvalid = jnp.asarray(valid)
+        dids = jnp.asarray(ids)
+        queries = jnp.asarray(normed(rng, q, d))
+        dcent = jnp.asarray(centroids)
+        rs, ri = _ivf_search(
+            dcent, dblocks, dids, dvalid, dsq, queries, nprobe, k, "ip"
+        )
+        _, probe_ids = jax.lax.top_k(queries @ dcent.T, nprobe)
+        penalty = jnp.where(dvalid, 0.0, jnp.inf)
+        ps, flat_pos = pallas_ivf_topk(
+            dblocks, penalty, jnp.asarray(fills),
+            probe_ids.astype(jnp.int32), queries, k,
+            tile_n=128, interpret=True,
+        )
+        pi = jnp.where(
+            jnp.isfinite(ps),
+            dids.reshape(-1)[jnp.clip(flat_pos, 0, None)],
+            -1,
+        )
+        assert np.array_equal(np.asarray(pi), np.asarray(ri))

@@ -687,8 +687,11 @@ class FlatIndex:
         """
         # VMEM budget: 2 tile slots + [Q, TILE] score temporaries must stay
         # under the ~16MB scoped limit, so the tile shrinks as Q grows.
+        # Tile choices re-validated at 1M/4M/10M rows on hardware
+        # (benchmarks/results/tile_sweep_tpu.json): bf16 favors 2048 at
+        # every Q (3.49 vs 3.60 ms at 1M Q=8).
         if self.dtype == "bfloat16":
-            tile = 4096 if padded_q <= 32 else 2048
+            tile = 2048
         else:
             tile = 2048 if padded_q <= 32 else 0  # f32 @ Q>32: XLA wins
         pallas_ok = (
@@ -702,7 +705,13 @@ class FlatIndex:
         if self.dtype == "int8":
             # 1-byte HBM reads leave more headroom than bf16, so tiles can
             # double; tile 8192 at Q > 32 overflows VMEM (scores blow up).
-            int8_tile = 8192 if padded_q <= 32 else 4096
+            # Sweep: at Q>32 tile 4096 wins below ~2M rows (5.45 vs
+            # 5.85 ms at 1M), 2048 wins at 4M/10M (15.9/29.6 vs
+            # 16.0/32.1 ms).
+            if padded_q <= 32:
+                int8_tile = 8192
+            else:
+                int8_tile = 4096 if self._capacity < (2 << 20) else 2048
             if pallas_ok and self._capacity % int8_tile == 0:
                 return ("int8_pallas", int8_tile), (
                     self._vectors,

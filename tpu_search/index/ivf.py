@@ -54,8 +54,12 @@ _QUERY_BUCKETS = (1, 8, 32, 128)
 # out-of-range cluster id and are dropped by the scatter) so incremental
 # watcher adds and bulk million-row adoptions share a handful of programs.
 _UPDATE_BUCKETS = (256, 4096, 65536, 1 << 20)
-_MIN_CLUSTER_CAPACITY = 64
-_SLOT_ALIGN = 64  # capacity granularity (f32 sublane-friendly, not pow2)
+_MIN_CLUSTER_CAPACITY = 256
+# Capacity granularity: multiples of the Pallas probe-scan kernel's DMA
+# tile (ops/pallas_ivf_scan.py), so every cluster's fill prefix tiles
+# exactly; still far from the old pow2 rounding (<= 255 pad slots/cluster).
+_SLOT_ALIGN = 256
+_KERNEL_TILES = (1024, 512, 256)  # largest divisor of cap wins
 _GROWTH = 1.25  # amortizes repeated small-increment capacity growth
 _BALANCE = 0.3  # starvation-respawn threshold fraction (see ops/kmeans.py)
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -255,6 +259,54 @@ def _ivf_search(
     return scores, ids
 
 
+@partial(
+    jax.jit, static_argnames=("nprobe", "k", "metric", "tile_n")
+)
+def _ivf_search_pallas(
+    centroids: jax.Array,
+    blocks: jax.Array,  # [nlist, cap, D], cap % tile_n == 0
+    block_ids: jax.Array,
+    block_mask: jax.Array,
+    block_sq: jax.Array,
+    fills: jax.Array,  # [nlist] int32
+    queries: jax.Array,
+    nprobe: int,
+    k: int,
+    metric: str,
+    tile_n: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """TPU probe scan through ops.pallas_ivf_scan: reads only each probed
+    cluster's FILL prefix (the XLA grouped path streams the full padded
+    cap), one dispatch, same results."""
+    from ..ops.pallas_ivf_scan import pallas_ivf_topk
+
+    cluster_scores = jnp.dot(
+        queries, centroids.T, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        sq = jnp.sum(centroids * centroids, axis=-1)
+        cluster_scores = 2.0 * cluster_scores - sq[None, :]
+    _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)
+
+    if metric == "l2":
+        penalty = jnp.where(block_mask, block_sq, jnp.inf)
+    else:
+        penalty = jnp.where(block_mask, 0.0, jnp.inf)
+    scores, flat_pos = pallas_ivf_topk(
+        blocks,
+        penalty,
+        fills,
+        probe_ids.astype(jnp.int32),
+        queries,
+        k,
+        tile_n=tile_n,
+        metric=metric,
+    )
+    ids = block_ids.reshape(-1)[jnp.clip(flat_pos, 0, None)]
+    ids = jnp.where(jnp.isfinite(scores), ids, -1)
+    return scores, ids
+
+
 class IVFIndex:
     """Coarse-quantized ANN index with device-resident dense cluster blocks."""
 
@@ -300,6 +352,8 @@ class IVFIndex:
         self._dids: Optional[jax.Array] = None  # [nlist, cap] int32
         self._dvalid: Optional[jax.Array] = None  # [nlist, cap] bool
         self._dsq: Optional[jax.Array] = None  # [nlist, cap] f32
+        self._dfill: Optional[jax.Array] = None  # [nlist] int32 (lazy)
+        self._pallas_ok: Optional[bool] = None  # probe-scan kernel health
 
     # -- size accounting -----------------------------------------------------
 
@@ -411,6 +465,14 @@ class IVFIndex:
                 )
         self._cluster_capacity = target
 
+    def _device_fills(self) -> jax.Array:
+        """Device copy of the per-cluster fill prefix lengths (lazy; the
+        pallas probe scan schedules DMA tiles from it)."""
+        if self._dfill is None:
+            with jax.default_device(self.device):
+                self._dfill = jnp.asarray(self._fill, jnp.int32)
+        return self._dfill
+
     def _append_slot_lookup(
         self, ids: np.ndarray, clusters: np.ndarray, slots: np.ndarray
     ) -> None:
@@ -493,6 +555,7 @@ class IVFIndex:
         self._ids[assign, slots] = ids32
         self._valid[assign, slots] = True
         self._fill += counts.astype(np.int32)
+        self._dfill = None
         self._append_slot_lookup(ids, assign, slots)
         self._count += n
 
@@ -588,6 +651,7 @@ class IVFIndex:
             )
         self._ids, self._valid = new_ids, new_valid
         self._fill = new_valid.sum(axis=1).astype(np.int32)
+        self._dfill = None
         self._count = len(keep_ids)
         cc, pp = np.nonzero(new_valid)
         self._slot_cluster = np.full((self._count,), -1, np.int32)
@@ -622,6 +686,7 @@ class IVFIndex:
         self._cluster_capacity = 0
         self._count = 0
         self._ids = self._valid = self._fill = None
+        self._dfill = None
         self._slot_cluster = np.empty((0,), np.int32)
         self._slot_pos = np.empty((0,), np.int32)
         self._dblocks = self._dids = self._dvalid = self._dsq = None
@@ -667,18 +732,55 @@ class IVFIndex:
                 jax.device_put(per_block, self.device),
             )
 
+        kernel_tile = 0
+        if (
+            self.device.platform == "tpu"
+            and self._pallas_ok is not False
+            and k_eff <= 128
+            and self._cluster_capacity >= _MIN_CLUSTER_CAPACITY
+        ):
+            for t in _KERNEL_TILES:
+                if self._cluster_capacity % t == 0:
+                    kernel_tile = t
+                    break
         with jax.default_device(self.device):
-            scores, ids = _ivf_search(
-                self._dcent,
-                self._dblocks,
-                self._dids,
-                block_mask,
-                self._dsq,
-                jnp.asarray(qbatch),
-                nprobe_eff,
-                k_eff,
-                self.metric,
-            )
+            if kernel_tile:
+                try:
+                    scores, ids = _ivf_search_pallas(
+                        self._dcent,
+                        self._dblocks,
+                        self._dids,
+                        block_mask,
+                        self._dsq,
+                        self._device_fills(),
+                        jnp.asarray(qbatch),
+                        nprobe_eff,
+                        k_eff,
+                        self.metric,
+                        kernel_tile,
+                    )
+                    self._pallas_ok = True
+                except Exception as exc:  # Mosaic/compile failure: fall back
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "IVF pallas scan unavailable (%s); using XLA path",
+                        exc,
+                    )
+                    self._pallas_ok = False
+                    kernel_tile = 0
+            if not kernel_tile:
+                scores, ids = _ivf_search(
+                    self._dcent,
+                    self._dblocks,
+                    self._dids,
+                    block_mask,
+                    self._dsq,
+                    jnp.asarray(qbatch),
+                    nprobe_eff,
+                    k_eff,
+                    self.metric,
+                )
             if self._count < (1 << 24):
                 # one host fetch (see FlatIndex.search); ids exact below 2^24
                 packed = jnp.concatenate(

@@ -1,0 +1,275 @@
+"""Pallas TPU kernel: fused IVF probe scan over dense cluster blocks.
+
+The XLA cluster-grouped IVF path (index/ivf.py ``_ivf_search``) reads every
+probed cluster once — but it reads the block's full ``cap`` rows, and cap is
+sized by the LARGEST cluster, so at measured 1M-scale fills (~0.35 of cap)
+roughly 2/3 of the streamed bytes are padding.  This kernel removes that:
+
+1. An XLA pre-pass turns the per-query probe lists into a **flattened DMA
+   schedule**: the deduplicated probed clusters, each contributing
+   ``ceil(fill[c] / TILE)`` tile entries of ``(row_offset, cluster_id)``.
+   Padding slots beyond a cluster's fill are never scheduled.
+2. The kernel (same manually-pipelined two-slot DMA structure as
+   ops/pallas_topk_dma.py) walks the schedule with a RUNTIME trip count:
+   per tile one async copy from the flat ``[nlist*cap, D]`` corpus view +
+   one lane-packed f32 penalty stream, one [Q, TILE] MXU matmul, a
+   per-query membership mask (query q sees cluster c's scores only if c is
+   in q's probe list), and a pruning-gated running top-k merge.
+3. Returned ids are FLAT SLOT POSITIONS (cluster * cap + slot); the caller
+   maps them to global ids with one tiny gather from ``block_ids``.
+
+Requirements: ``cap % tile_n == 0`` and ``tile_n % 128 == 0`` (the index
+layer aligns cluster capacity accordingly), Q padded to the caller's query
+bucket, k <= 128.  Bit-identical to the XLA grouped path (same score
+convention as ops.topk_scan._scores) — parity-tested in
+tests/test_pallas_ivf_scan.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.shapes import cdiv, round_up
+from .pallas_topk import _select_topk
+
+__all__ = ["pallas_ivf_topk", "build_probe_schedule"]
+
+_LANE = 128
+
+
+def build_probe_schedule(
+    probe_ids: jax.Array,  # [Q, nprobe] int32 cluster ids
+    fills: jax.Array,  # [nlist] int32 live-prefix length per cluster
+    cap: int,
+    tile_n: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dedup the probed clusters and emit the flattened tile schedule.
+
+    Returns ``(tile_idx [max_sched+1], clusters [max_sched+1], n_sched)``
+    where entry j covers corpus tile ``tile_idx[j]`` (rows
+    [tile_idx[j]*tile_n, (tile_idx[j]+1)*tile_n) of the flat corpus) of
+    cluster clusters[j]; entries at j >= n_sched are never consumed (the
+    kernel's trip count is the runtime scalar n_sched).  The +1 padding
+    keeps the kernel's lookahead prefetch in bounds.  Indices are in
+    whole-tile units so the kernel's DMA slices a [n_tiles, TILE, D] view
+    by its leading dim — Mosaic cannot prove sublane divisibility of a
+    runtime ROW offset, but a leading-dim index needs no proof.
+    """
+    q, nprobe = probe_ids.shape
+    nlist = fills.shape[0]
+    n_steps = min(q * nprobe, nlist)
+    max_sched = n_steps * cdiv(cap, tile_n)
+
+    flat = jnp.sort(probe_ids.reshape(-1))
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]]
+    )
+    uniq = jnp.sort(jnp.where(first, flat, nlist))[:n_steps]  # sentinels last
+    live = uniq < nlist
+    fills_u = jnp.where(live, fills[jnp.minimum(uniq, nlist - 1)], 0)
+    tiles_u = cdiv_dyn(fills_u, tile_n)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles_u, dtype=jnp.int32)]
+    )  # [n_steps + 1]
+    n_sched = starts[-1]
+
+    j = jnp.arange(max_sched + 1, dtype=jnp.int32)
+    step = jnp.clip(
+        jnp.searchsorted(starts[1:], j, side="right"), 0, n_steps - 1
+    ).astype(jnp.int32)
+    within = j - starts[step]
+    clusters = uniq[step]
+    tile_idx = (
+        jnp.minimum(clusters, nlist - 1) * (cap // tile_n) + within
+    ).astype(jnp.int32)
+    return tile_idx, clusters.astype(jnp.int32), n_sched
+
+
+def cdiv_dyn(a: jax.Array, b: int) -> jax.Array:
+    return (a + (b - 1)) // b
+
+
+def _kernel_ivf(
+    nsched_ref,  # SMEM [1] int32 runtime trip count
+    tidx_ref,  # SMEM [max_sched+1] int32 corpus tile indices
+    cluster_ref,  # SMEM [max_sched+1] int32 cluster id per tile
+    vec_hbm,  # [n_tiles, TILE, D] tiled corpus view (HBM)
+    pen_hbm,  # [n_tiles, TILE/128, 128] f32 penalty (HBM, lane-packed)
+    query_ref,  # [Q, D] queries (VMEM)
+    probe_ref,  # [Q, nprobe] int32 probe lists (VMEM)
+    out_scores_ref,  # [Q, K_PAD]
+    out_ids_ref,  # [Q, K_PAD] flat slot positions
+    vec_buf,  # scratch [2, TILE, D]
+    pen_buf,  # scratch [2, TILE/128, 128] f32
+    best_scores,
+    best_ids,
+    vec_sems,
+    pen_sems,
+    *,
+    k: int,
+    tile_n: int,
+    alpha: float,
+):
+    queries = query_ref[:]
+    n_sched = nsched_ref[0]
+
+    def vec_dma(slot, j):
+        return pltpu.make_async_copy(
+            vec_hbm.at[tidx_ref[j]],
+            vec_buf.at[slot],
+            vec_sems.at[slot],
+        )
+
+    def pen_dma(slot, j):
+        return pltpu.make_async_copy(
+            pen_hbm.at[tidx_ref[j]],
+            pen_buf.at[slot],
+            pen_sems.at[slot],
+        )
+
+    best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+    best_ids[:] = jnp.zeros_like(best_ids[:])
+
+    @pl.when(n_sched > 0)
+    def _start():
+        vec_dma(0, 0).start()
+        pen_dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        next_slot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_sched)
+        def _prefetch():
+            vec_dma(next_slot, t + 1).start()
+            pen_dma(next_slot, t + 1).start()
+
+        vec_dma(slot, t).wait()
+        pen_dma(slot, t).wait()
+
+        tile = vec_buf[slot]
+        scores = jax.lax.dot_general(
+            queries.astype(tile.dtype),
+            tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Q, TILE]
+        if alpha != 1.0:
+            scores = scores * alpha
+        # Slot penalty: 0 (ip, live) / |v|^2 (l2, live) / +inf (tombstone,
+        # predicate-masked, or padding slot past the fill).
+        scores = scores - pen_buf[slot].reshape(1, tile_n)
+        # Membership: query q only sees clusters on its own probe list.
+        c = cluster_ref[t]
+        member = jnp.any(probe_ref[:] == c, axis=1)  # [Q]
+        scores = jnp.where(member[:, None], scores, -jnp.inf)
+
+        tile_max = jnp.max(scores, axis=1)
+        kth = best_scores[:, k - 1]
+        should_merge = jnp.any(tile_max > kth)
+
+        @pl.when(should_merge)
+        def _merge():
+            tile_ids = tidx_ref[t] * tile_n + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
+            )
+            merged_s = jnp.concatenate([best_scores[:], scores], axis=1)
+            merged_i = jnp.concatenate([best_ids[:], tile_ids], axis=1)
+            new_s, new_i = _select_topk(merged_s, merged_i, k)
+            best_scores[:, 0:k] = new_s
+            best_ids[:, 0:k] = new_i
+
+        return 0
+
+    jax.lax.fori_loop(0, n_sched, body, 0)
+    out_scores_ref[:] = best_scores[:]
+    out_ids_ref[:] = best_ids[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret", "metric"))
+def pallas_ivf_topk(
+    blocks: jax.Array,  # [nlist, cap, D] storage dtype, cap % tile_n == 0
+    penalty: jax.Array,  # [nlist, cap] f32 (0 live / |v|^2 l2 / +inf dead)
+    fills: jax.Array,  # [nlist] int32
+    probe_ids: jax.Array,  # [Q, nprobe] int32
+    queries: jax.Array,  # [Q, D] f32
+    k: int,
+    tile_n: int = 256,
+    interpret: bool = False,
+    metric: str = "ip",
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused IVF probe scan; returns (scores [Q, k], FLAT slot ids [Q, k]).
+
+    Slot id = cluster * cap + slot; map to global ids via
+    ``block_ids.reshape(-1)[ids]`` (invalid lanes carry -inf score)."""
+    nlist, cap, d = blocks.shape
+    q = queries.shape[0]
+    if cap % tile_n or tile_n % _LANE:
+        raise ValueError(
+            f"cap ({cap}) must be a multiple of tile_n ({tile_n}), "
+            f"tile_n a multiple of {_LANE}"
+        )
+    k_pad = round_up(k, _LANE)
+    alpha = 2.0 if metric == "l2" else 1.0
+
+    tile_idx, clusters, n_sched = build_probe_schedule(
+        probe_ids, fills, cap, tile_n
+    )
+    n_tiles = nlist * cap // tile_n
+    vec_tiled = blocks.reshape(n_tiles, tile_n, d)
+    pen_tiled = penalty.astype(jnp.float32).reshape(
+        n_tiles, tile_n // _LANE, _LANE
+    )
+
+    out_scores, out_ids = pl.pallas_call(
+        partial(_kernel_ivf, k=k, tile_n=tile_n, alpha=alpha),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # corpus stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # penalty stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n, d), blocks.dtype),
+            pltpu.VMEM((2, tile_n // _LANE, _LANE), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * min(q * probe_ids.shape[1], nlist) * cap * d,
+            bytes_accessed=min(q * probe_ids.shape[1], nlist)
+            * cap
+            * (d * blocks.dtype.itemsize + 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        n_sched.reshape(1),
+        tile_idx,
+        clusters,
+        vec_tiled,
+        pen_tiled,
+        queries,
+        probe_ids,
+    )
+    return out_scores[:, :k], out_ids[:, :k]
