@@ -366,3 +366,19 @@ class TestDeviceAuthoritative:
         storage.initialize()
         assert storage.index.dtype == "bfloat16"
         storage.close()
+
+    def test_capacity_stays_kernel_aligned(self, corpus):
+        """cap must remain a multiple of the pallas scan tile granularity
+        through growth and compaction-shrink (ops/pallas_ivf_scan.py)."""
+        from tpu_search.index.ivf import _MIN_CLUSTER_CAPACITY, _SLOT_ALIGN
+
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=4)
+        for start in range(0, 1600, 97):
+            ivf.add(corpus[start : start + 97])
+            assert ivf._cluster_capacity % _SLOT_ALIGN == 0
+            assert ivf._cluster_capacity >= _MIN_CLUSTER_CAPACITY
+        ids = ivf.add(corpus[1600:1800])
+        ivf.remove(np.arange(0, 1500))
+        ivf.compact()
+        assert ivf._cluster_capacity % _SLOT_ALIGN == 0
+        assert ivf.live == ivf.ntotal
