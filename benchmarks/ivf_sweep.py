@@ -48,7 +48,7 @@ def main() -> None:
                         help="IVF block storage dtype")
     parser.add_argument("--nlists", default="256,1024,4096")
     parser.add_argument("--nprobes", default="1,4,8,16,32,64")
-    parser.add_argument("--train-sample", type=int, default=200_000)
+    parser.add_argument("--train-sample", type=int, default=500_000)
     parser.add_argument("--qbatches", default="1,8,64",
                         help="query batch sizes for the latency table "
                         "(Q=1 is the CLI/MCP single-query mode where "
@@ -130,7 +130,7 @@ def main() -> None:
         if nlist * 4 > args.n:
             continue
         ivf = IVFIndex(dim=args.dim, dtype=args.dtype, nlist=nlist,
-                       device=device, train_iters=20)
+                       device=device, train_iters=40)
         n_train = min(args.n, max(50 * nlist, args.train_sample))
         train_idx = rng.choice(args.n, n_train, replace=False)
         with jax.default_device(device):

@@ -61,7 +61,7 @@ _MIN_CLUSTER_CAPACITY = 256
 _SLOT_ALIGN = 256
 _KERNEL_TILES = (1024, 512, 256)  # largest divisor of cap wins
 _GROWTH = 1.25  # amortizes repeated small-increment capacity growth
-_BALANCE = 0.3  # starvation-respawn threshold fraction (see ops/kmeans.py)
+_BALANCE = 0.5  # starvation-respawn threshold fraction (see ops/kmeans.py)
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 _LOAD_CHUNK_ROWS = 65536
 
