@@ -351,12 +351,12 @@ class TestDeviceAuthoritative:
         _, got5 = loaded.search(rows[5], k=6, nprobe=2)
         assert 5 not in set(got5.ravel())
 
-    def test_hybrid_int8_ivf_falls_back(self, tmp_path):
+    def test_hybrid_int8_ivf(self, tmp_path):
         from tpu_search.storage.hybrid import HybridStorage, StorageConfig
 
         storage = HybridStorage(
             StorageConfig(
-                data_dir=str(tmp_path),
+                data_dir=str(tmp_path / "ip"),
                 embedding_dim=16,
                 index_type="ivf",
                 ivf_nlist=4,
@@ -366,7 +366,22 @@ class TestDeviceAuthoritative:
             )
         )
         storage.initialize()
-        assert storage.index.dtype == "bfloat16"
+        assert storage.index.dtype == "int8"  # ip metric: supported
+        storage.close()
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path / "l2"),
+                embedding_dim=16,
+                index_type="ivf",
+                ivf_nlist=4,
+                auto_save=False,
+                storage_dtype="int8",
+                normalize_embeddings=False,  # l2 metric
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        assert storage.index.dtype == "bfloat16"  # falls back with warning
         storage.close()
 
     def test_capacity_stays_kernel_aligned(self, corpus):
@@ -384,3 +399,59 @@ class TestDeviceAuthoritative:
         ivf.compact()
         assert ivf._cluster_capacity % _SLOT_ALIGN == 0
         assert ivf.live == ivf.ntotal
+
+
+class TestInt8:
+    """int8 IVF blocks: per-slot symmetric scales, MXU int8 scoring
+    (capacity parity with FlatIndex's int8 storage; ip metric only)."""
+
+    def test_recall_close_to_f32(self, corpus, queries, flat_reference):
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=32)
+        ivf.train(corpus)
+        ivf.add(corpus)
+        _, ids = ivf.search(queries, k=10, nprobe=8)
+        assert recall_at_k(ids, flat_reference, 10) >= 0.9
+
+    def test_matches_f32_ivf_closely(self, corpus, queries):
+        f32 = IVFIndex(dim=32, dtype="float32", nlist=8)
+        f32.train(corpus)
+        f32.add(corpus)
+        i8 = IVFIndex(dim=32, dtype="int8", nlist=8)
+        i8.train(corpus)
+        i8.add(corpus)
+        s1, ids1 = f32.search(queries, k=10, nprobe=8)
+        s2, ids2 = i8.search(queries, k=10, nprobe=8)
+        overlap = recall_at_k(ids2, ids1, 10)
+        assert overlap >= 0.9
+        np.testing.assert_allclose(s1, s2, atol=0.02)
+
+    def test_l2_rejected(self):
+        with pytest.raises(ValueError, match="ip"):
+            IVFIndex(dim=8, dtype="int8", metric="l2")
+
+    def test_roundtrip_lossless(self, corpus, queries, tmp_path):
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=8)
+        ids = ivf.add(corpus[:800])
+        ivf.remove(ids[:100])
+        path = tmp_path / "i8.tpuidx"
+        ivf.save(str(path))
+        loaded = load_index(str(path))
+        assert loaded.dtype == "int8"
+        s1, i1 = ivf.search(queries, k=10, nprobe=8)
+        s2, i2 = loaded.search(queries, k=10, nprobe=8)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    def test_mask_and_compact(self, corpus):
+        rng = np.random.default_rng(11)
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=8)
+        ids = ivf.add(corpus[:500])
+        mask = rng.random(500) < 0.3
+        _, got = ivf.search(corpus[:4], k=10, nprobe=8, mask=mask)
+        allowed = set(np.nonzero(mask)[0])
+        assert all(i in allowed for row in got for i in row if i >= 0)
+        ivf.remove(ids[:200])
+        mapping = ivf.compact()
+        assert ivf.live == 300
+        _, got = ivf.search(corpus[432], k=1, nprobe=8)
+        assert got[0, 0] == mapping[432]

@@ -88,8 +88,10 @@ class TestKernelParity:
         dids = jnp.asarray(ids)
         dvalid = jnp.asarray(valid)
 
+        ones = jnp.ones(dvalid.shape, jnp.float32)
         rs, ri = _ivf_search(
-            dcent, dblocks, dids, dvalid, dsq, queries, nprobe, k, metric
+            dcent, dblocks, dids, dvalid, dsq, ones, queries, nprobe, k,
+            metric,
         )
 
         # kernel path (the _ivf_search_pallas steps, interpret mode)
@@ -141,7 +143,8 @@ class TestKernelParity:
         queries = jnp.asarray(normed(rng, q, d))
         dcent = jnp.asarray(centroids)
         rs, ri = _ivf_search(
-            dcent, dblocks, dids, dvalid, dsq, queries, nprobe, k, "ip"
+            dcent, dblocks, dids, dvalid, dsq,
+            jnp.ones(dvalid.shape, jnp.float32), queries, nprobe, k, "ip",
         )
         _, probe_ids = jax.lax.top_k(queries @ dcent.T, nprobe)
         penalty = jnp.where(dvalid, 0.0, jnp.inf)

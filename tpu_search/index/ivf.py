@@ -62,36 +62,55 @@ _SLOT_ALIGN = 256
 _KERNEL_TILES = (1024, 512, 256)  # largest divisor of cap wins
 _GROWTH = 1.25  # amortizes repeated small-increment capacity growth
 _BALANCE = 0.5  # starvation-respawn threshold fraction (see ops/kmeans.py)
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
 _LOAD_CHUNK_ROWS = 65536
 
 
 # -- device programs ---------------------------------------------------------
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _scatter_rows(
     blocks: jax.Array,  # [nlist, cap, D] storage dtype (donated)
     dids: jax.Array,  # [nlist, cap] int32 (donated)
     dvalid: jax.Array,  # [nlist, cap] bool (donated)
     dsq: jax.Array,  # [nlist, cap] f32 |v|^2 of the STORED value (donated)
+    dscale: jax.Array,  # [nlist, cap] f32 per-slot dequant scale (donated)
     clusters: jax.Array,  # [B] int32; rows with cluster == nlist are dropped
     slots: jax.Array,  # [B] int32
     vecs: jax.Array,  # [B, D] f32 (add) or storage dtype (load)
     new_ids: jax.Array,  # [B] int32
     new_valid: jax.Array,  # [B] bool
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """One donated in-place scatter landing an update batch in HBM."""
-    stored = vecs.astype(blocks.dtype)
-    sq = jnp.sum(
-        stored.astype(jnp.float32) * stored.astype(jnp.float32), axis=-1
-    )
+    new_scales: jax.Array,  # [B] f32 (pre-quantized int8 load path; else 1s)
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One donated in-place scatter landing an update batch in HBM.
+
+    int8 blocks quantize float input rows in-graph (symmetric per-row
+    scales, same scheme as FlatIndex); already-int8 input rows (the
+    streamed load path) adopt ``new_scales`` verbatim."""
+    if blocks.dtype == jnp.int8 and vecs.dtype != jnp.int8:
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(vecs.astype(jnp.float32)), axis=1) / 127.0,
+            1e-12,
+        )
+        stored = jnp.rint(vecs.astype(jnp.float32) / scale[:, None]).astype(
+            jnp.int8
+        )
+    elif blocks.dtype == jnp.int8:
+        stored = vecs
+        scale = new_scales.astype(jnp.float32)
+    else:
+        stored = vecs.astype(blocks.dtype)
+        scale = jnp.ones(vecs.shape[:1], jnp.float32)
+    dequant = stored.astype(jnp.float32) * scale[:, None]
+    sq = jnp.sum(dequant * dequant, axis=-1)
     idx = (clusters, slots)
     blocks = blocks.at[idx].set(stored, mode="drop")
     dids = dids.at[idx].set(new_ids, mode="drop")
     dvalid = dvalid.at[idx].set(new_valid, mode="drop")
     dsq = dsq.at[idx].set(sq, mode="drop")
-    return blocks, dids, dvalid, dsq
+    dscale = dscale.at[idx].set(scale, mode="drop")
+    return blocks, dids, dvalid, dsq, dscale
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -107,8 +126,9 @@ def _grow_blocks(
     dids: jax.Array,
     dvalid: jax.Array,
     dsq: jax.Array,
+    dscale: jax.Array,
     new_cap: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Re-lay the cluster blocks out at a larger capacity ON DEVICE —
     growth never round-trips the corpus through the host."""
     grow = new_cap - blocks.shape[1]
@@ -116,26 +136,29 @@ def _grow_blocks(
     dids = jnp.pad(dids, ((0, 0), (0, grow)), constant_values=-1)
     dvalid = jnp.pad(dvalid, ((0, 0), (0, grow)))
     dsq = jnp.pad(dsq, ((0, 0), (0, grow)))
-    return blocks, dids, dvalid, dsq
+    dscale = jnp.pad(dscale, ((0, 0), (0, grow)), constant_values=1.0)
+    return blocks, dids, dvalid, dsq, dscale
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _permute_slots(
     blocks: jax.Array,
     dids: jax.Array,
     dvalid: jax.Array,
     dsq: jax.Array,
+    dscale: jax.Array,
     perm: jax.Array,  # [nlist, cap] int32 within-cluster permutation
     lut: jax.Array,  # [count] int32 old id -> new id (-1 = removed)
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Compaction: live rows to the cluster front + id renumbering, all on
     device (the host only computes the tiny permutation/lookup tables)."""
     blocks = jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
     dsq = jnp.take_along_axis(dsq, perm, axis=1)
+    dscale = jnp.take_along_axis(dscale, perm, axis=1)
     dvalid = jnp.take_along_axis(dvalid, perm, axis=1)
     old = jnp.take_along_axis(dids, perm, axis=1)
     dids = jnp.where(dvalid, lut[jnp.clip(old, 0, lut.shape[0] - 1)], -1)
-    return blocks, dids, dvalid, dsq
+    return blocks, dids, dvalid, dsq, dscale
 
 
 @partial(jax.jit, static_argnames=("new_cap",))
@@ -144,13 +167,15 @@ def _shrink_blocks(
     dids: jax.Array,
     dvalid: jax.Array,
     dsq: jax.Array,
+    dscale: jax.Array,
     new_cap: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     return (
         blocks[:, :new_cap],
         dids[:, :new_cap],
         dvalid[:, :new_cap],
         dsq[:, :new_cap],
+        dscale[:, :new_cap],
     )
 
 
@@ -161,6 +186,7 @@ def _ivf_search(
     block_ids: jax.Array,  # [nlist, cap] int32 global ids (-1 = empty)
     block_mask: jax.Array,  # [nlist, cap] bool (valid & predicate)
     block_sq: jax.Array,  # [nlist, cap] f32 (used for l2 only)
+    block_scale: jax.Array,  # [nlist, cap] f32 (int8 dequant; else 1s)
     queries: jax.Array,  # [Q, D] f32
     nprobe: int,
     k: int,
@@ -195,7 +221,17 @@ def _ivf_search(
 
     q = queries.shape[0]
     nlist = blocks.shape[0]
-    qcast = queries.astype(blocks.dtype)
+    int8 = blocks.dtype == jnp.int8
+    if int8:
+        # Residual-quantized queries feed int8 x int8 MXU dots; the
+        # positive per-row qs1 factor is order-preserving, so the running
+        # merge works in pre-qs1 units and qs1 multiplies at the end
+        # (same contract as ops.topk_scan.flat_topk_int8).
+        from ..ops.topk_scan import _combine_digit_dots, quantize_queries
+
+        q_i8, rho, qs1 = quantize_queries(queries)
+    else:
+        qcast = queries.astype(blocks.dtype)
 
     # Device-side dedup: sort the flat probe list, blank repeats with an
     # out-of-range sentinel, sort again so unique ids lead. Sentinel steps
@@ -217,15 +253,27 @@ def _ivf_search(
         live = c < nlist
         c_safe = jnp.minimum(c, nlist - 1)
         block = blocks[c_safe]  # ONE [cap, D] HBM read for all queries
-        # Same scoring contract as ops.topk_scan._scores: the query is cast
-        # to the storage dtype, accumulation stays f32 at HIGHEST precision.
-        scores = jax.lax.dot_general(
-            qcast,
-            block,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Q, cap]
+        if int8:
+            dots = jax.lax.dot_general(
+                q_i8,
+                block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [2Q, cap] int32 on the MXU
+            scores = _combine_digit_dots(dots, rho) * block_scale[c_safe][
+                None, :
+            ]
+        else:
+            # Same scoring contract as ops.topk_scan._scores: the query is
+            # cast to the storage dtype, accumulation stays f32 at HIGHEST
+            # precision.
+            scores = jax.lax.dot_general(
+                qcast,
+                block,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Q, cap]
         if metric == "l2":
             scores = 2.0 * scores - block_sq[c_safe][None, :]
         member = live & jnp.any(probe_ids == c, axis=1)  # [Q]
@@ -256,6 +304,8 @@ def _ivf_search(
         return i + 1, top_s, top_i
 
     _, scores, ids = jax.lax.while_loop(cond, body, init)
+    if int8:
+        scores = scores * qs1[:, None]
     return scores, ids
 
 
@@ -325,8 +375,12 @@ class IVFIndex:
             raise ValueError(f"Unknown metric: {metric}")
         if dtype not in _DTYPES:
             raise ValueError(
-                f"IVFIndex supports dtypes {sorted(_DTYPES)}, got {dtype!r} "
-                "(int8 storage is a FlatIndex feature)"
+                f"IVFIndex supports dtypes {sorted(_DTYPES)}, got {dtype!r}"
+            )
+        if dtype == "int8" and metric == "l2":
+            raise ValueError(
+                "int8 IVF storage supports metric='ip' only (same contract "
+                "as FlatIndex int8)"
             )
         self.dim = dim
         self.metric = metric
@@ -352,6 +406,7 @@ class IVFIndex:
         self._dids: Optional[jax.Array] = None  # [nlist, cap] int32
         self._dvalid: Optional[jax.Array] = None  # [nlist, cap] bool
         self._dsq: Optional[jax.Array] = None  # [nlist, cap] f32
+        self._dscale: Optional[jax.Array] = None  # [nlist, cap] f32
         self._dfill: Optional[jax.Array] = None  # [nlist] int32 (lazy)
         self._pallas_ok: Optional[bool] = None  # probe-scan kernel health
 
@@ -425,6 +480,7 @@ class IVFIndex:
                 self._dids = jnp.full((self.nlist, cap), -1, jnp.int32)
                 self._dvalid = jnp.zeros((self.nlist, cap), bool)
                 self._dsq = jnp.zeros((self.nlist, cap), jnp.float32)
+                self._dscale = jnp.ones((self.nlist, cap), jnp.float32)
 
     def _ensure_cluster_capacity(self, needed_max: int) -> None:
         target = max(_MIN_CLUSTER_CAPACITY, round_up(needed_max, _SLOT_ALIGN))
@@ -456,11 +512,13 @@ class IVFIndex:
                     self._dids,
                     self._dvalid,
                     self._dsq,
+                    self._dscale,
                 ) = _grow_blocks(
                     self._dblocks,
                     self._dids,
                     self._dvalid,
                     self._dsq,
+                    self._dscale,
                     new_cap=target,
                 )
         self._cluster_capacity = target
@@ -573,16 +631,19 @@ class IVFIndex:
                 self._dids,
                 self._dvalid,
                 self._dsq,
+                self._dscale,
             ) = _scatter_rows(
                 self._dblocks,
                 self._dids,
                 self._dvalid,
                 self._dsq,
+                self._dscale,
                 jnp.asarray(cl),
                 jnp.asarray(sl),
                 padded,
                 jnp.asarray(nid),
                 jnp.ones((b,), bool),
+                jnp.ones((b,), jnp.float32),
             )
         return ids
 
@@ -641,11 +702,13 @@ class IVFIndex:
                 self._dids,
                 self._dvalid,
                 self._dsq,
+                self._dscale,
             ) = _permute_slots(
                 self._dblocks,
                 self._dids,
                 self._dvalid,
                 self._dsq,
+                self._dscale,
                 jnp.asarray(perm),
                 jnp.asarray(lut),
             )
@@ -670,11 +733,13 @@ class IVFIndex:
                     self._dids,
                     self._dvalid,
                     self._dsq,
+                    self._dscale,
                 ) = _shrink_blocks(
                     self._dblocks,
                     self._dids,
                     self._dvalid,
                     self._dsq,
+                    self._dscale,
                     new_cap=target,
                 )
             self._ids = self._ids[:, :target]
@@ -689,7 +754,8 @@ class IVFIndex:
         self._dfill = None
         self._slot_cluster = np.empty((0,), np.int32)
         self._slot_pos = np.empty((0,), np.int32)
-        self._dblocks = self._dids = self._dvalid = self._dsq = None
+        self._dblocks = self._dids = self._dvalid = None
+        self._dsq = self._dscale = None
 
     # -- search --------------------------------------------------------------
 
@@ -736,6 +802,7 @@ class IVFIndex:
         if (
             self.device.platform == "tpu"
             and self._pallas_ok is not False
+            and self.dtype != "int8"  # probe-scan kernel is f32/bf16 (yet)
             and k_eff <= 128
             and self._cluster_capacity >= _MIN_CLUSTER_CAPACITY
         ):
@@ -776,6 +843,7 @@ class IVFIndex:
                     self._dids,
                     block_mask,
                     self._dsq,
+                    self._dscale,
                     jnp.asarray(qbatch),
                     nprobe_eff,
                     k_eff,
@@ -863,10 +931,16 @@ class IVFIndex:
             dense_ids = self._ids[keep].astype(np.int32)
             dense_valid = self._valid[keep].astype(np.uint8)
             vec_chunks = self._iter_dense_rows()
+            if self.dtype == "int8":
+                # [nlist, cap] f32: ~1/384 of the vector bytes — one pull.
+                dense_scales = np.asarray(self._dscale)[keep].astype(
+                    np.float32
+                )
         else:
             dense_ids = np.empty((0,), np.int32)
             dense_valid = np.empty((0,), np.uint8)
             vec_chunks = iter(())
+            dense_scales = np.empty((0,), np.float32)
         centroids = (
             self.centroids
             if self.centroids is not None
@@ -884,6 +958,10 @@ class IVFIndex:
                 iter([np.ascontiguousarray(centroids, np.float32)]),
             ),
         ]
+        if self.dtype == "int8":
+            sections.append(
+                ("scales", "float32", (total,), iter([dense_scales]))
+            )
         write_file(path, header, sections)
 
     @classmethod
@@ -939,6 +1017,7 @@ class IVFIndex:
         # host memory = one chunk.
         index._materialize()
         vecs = arrays["vectors"]  # memmap [total, D] storage dtype
+        scales = arrays.get("scales")
         chunk = min(_LOAD_CHUNK_ROWS, max(total, 1))
         np_dtype = np.asarray(jnp.zeros((), _DTYPES[index.dtype])).dtype
         with jax.default_device(index.device):
@@ -954,21 +1033,27 @@ class IVFIndex:
                 nid[:take] = dense_ids[start : start + take]
                 nval = np.zeros((chunk,), np.bool_)
                 nval[:take] = dense_valid[start : start + take]
+                nsc = np.ones((chunk,), np.float32)
+                if scales is not None:
+                    nsc[:take] = scales[start : start + take]
                 (
                     index._dblocks,
                     index._dids,
                     index._dvalid,
                     index._dsq,
+                    index._dscale,
                 ) = _scatter_rows(
                     index._dblocks,
                     index._dids,
                     index._dvalid,
                     index._dsq,
+                    index._dscale,
                     jnp.asarray(cl),
                     jnp.asarray(sl),
                     jnp.asarray(blk),
                     jnp.asarray(nid),
                     jnp.asarray(nval),
+                    jnp.asarray(nsc),
                 )
         return index
 
@@ -1017,4 +1102,5 @@ class IVFIndex:
                 stored.astype(jnp.float32) * stored.astype(jnp.float32),
                 axis=-1,
             )
+            index._dscale = jnp.ones(stored.shape[:2], jnp.float32)
         return index

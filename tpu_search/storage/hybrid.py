@@ -209,12 +209,17 @@ class HybridStorage:
                 dtype=self.config.storage_dtype,
             )
         dtype = self.config.storage_dtype
-        if self.config.index_type == "ivf" and dtype == "int8":
-            # int8 (per-row scales) is a FlatIndex storage mode; IVF blocks
-            # hold f32/bf16. Fall back rather than fail deep in the index.
+        if (
+            self.config.index_type == "ivf"
+            and dtype == "int8"
+            and not self.config.normalize_embeddings
+        ):
+            # int8 IVF blocks score ip-only (per-slot symmetric scales);
+            # un-normalized (l2) storage falls back rather than failing
+            # deep in the index.
             self.logger.warning(
-                "storage_dtype 'int8' is not supported by the IVF index; "
-                "using 'bfloat16'"
+                "storage_dtype 'int8' with l2 metric is not supported by "
+                "the IVF index; using 'bfloat16'"
             )
             dtype = "bfloat16"
         return create_index(
