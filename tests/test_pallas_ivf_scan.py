@@ -159,3 +159,52 @@ class TestKernelParity:
             -1,
         )
         assert np.array_equal(np.asarray(pi), np.asarray(ri))
+
+    def test_int8_matches_xla_grouped_path(self):
+        from tpu_search.ops.pallas_ivf_scan import pallas_ivf_topk_int8
+
+        rng = np.random.default_rng(2)
+        nlist, cap, d, q, nprobe, k = 6, 256, 64, 8, 3, 10
+        centroids, blocks, ids, valid, sq, fills = make_state(
+            rng, nlist, cap, d
+        )
+        # quantize per slot (the index quantizes at scatter time)
+        scales = np.maximum(
+            np.abs(blocks).max(axis=-1) / 127.0, 1e-12
+        ).astype(np.float32)
+        i8 = np.rint(blocks / scales[:, :, None]).astype(np.int8)
+        dblocks = jnp.asarray(i8)
+        dscale = jnp.asarray(scales)
+        dsq = jnp.asarray(sq)
+        dvalid = jnp.asarray(valid)
+        dids = jnp.asarray(ids)
+        queries = jnp.asarray(normed(rng, q, d))
+        dcent = jnp.asarray(centroids)
+
+        rs, ri = _ivf_search(
+            dcent, dblocks, dids, dvalid, dsq, dscale, queries, nprobe, k,
+            "ip",
+        )
+        _, probe_ids = jax.lax.top_k(queries @ dcent.T, nprobe)
+        ps, flat_pos = pallas_ivf_topk_int8(
+            dblocks,
+            dscale,
+            jnp.where(dvalid, 0.0, -jnp.inf),
+            jnp.asarray(fills),
+            probe_ids.astype(jnp.int32),
+            queries,
+            k,
+            tile_n=128,
+            interpret=True,
+        )
+        pi = jnp.where(
+            jnp.isfinite(ps),
+            dids.reshape(-1)[jnp.clip(flat_pos, 0, None)],
+            -1,
+        )
+        assert np.array_equal(np.asarray(pi), np.asarray(ri))
+        rs_np, ps_np = np.asarray(rs), np.asarray(ps)
+        finite = np.isfinite(rs_np)
+        np.testing.assert_allclose(
+            ps_np[finite], rs_np[finite], rtol=1e-5, atol=1e-5
+        )

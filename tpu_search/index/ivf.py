@@ -318,6 +318,7 @@ def _ivf_search_pallas(
     block_ids: jax.Array,
     block_mask: jax.Array,
     block_sq: jax.Array,
+    block_scale: jax.Array,  # [nlist, cap] f32 (int8 dequant)
     fills: jax.Array,  # [nlist] int32
     queries: jax.Array,
     nprobe: int,
@@ -328,7 +329,7 @@ def _ivf_search_pallas(
     """TPU probe scan through ops.pallas_ivf_scan: reads only each probed
     cluster's FILL prefix (the XLA grouped path streams the full padded
     cap), one dispatch, same results."""
-    from ..ops.pallas_ivf_scan import pallas_ivf_topk
+    from ..ops.pallas_ivf_scan import pallas_ivf_topk, pallas_ivf_topk_int8
 
     cluster_scores = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
@@ -338,20 +339,33 @@ def _ivf_search_pallas(
         cluster_scores = 2.0 * cluster_scores - sq[None, :]
     _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)
 
-    if metric == "l2":
-        penalty = jnp.where(block_mask, block_sq, jnp.inf)
+    if blocks.dtype == jnp.int8:
+        # int8 kernel: ADDITIVE 0 / -inf penalty (applied after dequant).
+        scores, flat_pos = pallas_ivf_topk_int8(
+            blocks,
+            block_scale,
+            jnp.where(block_mask, 0.0, -jnp.inf),
+            fills,
+            probe_ids.astype(jnp.int32),
+            queries,
+            k,
+            tile_n=tile_n,
+        )
     else:
-        penalty = jnp.where(block_mask, 0.0, jnp.inf)
-    scores, flat_pos = pallas_ivf_topk(
-        blocks,
-        penalty,
-        fills,
-        probe_ids.astype(jnp.int32),
-        queries,
-        k,
-        tile_n=tile_n,
-        metric=metric,
-    )
+        if metric == "l2":
+            penalty = jnp.where(block_mask, block_sq, jnp.inf)
+        else:
+            penalty = jnp.where(block_mask, 0.0, jnp.inf)
+        scores, flat_pos = pallas_ivf_topk(
+            blocks,
+            penalty,
+            fills,
+            probe_ids.astype(jnp.int32),
+            queries,
+            k,
+            tile_n=tile_n,
+            metric=metric,
+        )
     ids = block_ids.reshape(-1)[jnp.clip(flat_pos, 0, None)]
     ids = jnp.where(jnp.isfinite(scores), ids, -1)
     return scores, ids
@@ -802,7 +816,6 @@ class IVFIndex:
         if (
             self.device.platform == "tpu"
             and self._pallas_ok is not False
-            and self.dtype != "int8"  # probe-scan kernel is f32/bf16 (yet)
             and k_eff <= 128
             and self._cluster_capacity >= _MIN_CLUSTER_CAPACITY
         ):
@@ -819,6 +832,7 @@ class IVFIndex:
                         self._dids,
                         block_mask,
                         self._dsq,
+                        self._dscale,
                         self._device_fills(),
                         jnp.asarray(qbatch),
                         nprobe_eff,

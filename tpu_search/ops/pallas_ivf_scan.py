@@ -38,7 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.shapes import cdiv, round_up
 from .pallas_topk import _select_topk
 
-__all__ = ["pallas_ivf_topk", "build_probe_schedule"]
+__all__ = [
+    "pallas_ivf_topk",
+    "pallas_ivf_topk_int8",
+    "build_probe_schedule",
+]
 
 _LANE = 128
 
@@ -273,3 +277,195 @@ def pallas_ivf_topk(
         probe_ids,
     )
     return out_scores[:, :k], out_ids[:, :k]
+
+def _kernel_ivf_int8(
+    nsched_ref,  # SMEM [1] int32 runtime trip count
+    tidx_ref,  # SMEM [max_sched+1] int32 corpus tile indices
+    cluster_ref,  # SMEM [max_sched+1] int32 cluster id per tile
+    vec_hbm,  # [n_tiles, TILE, D] int8 tiled corpus view (HBM)
+    aux_hbm,  # [n_tiles, 2, TILE/128, 128] f32 [scale, penalty] (HBM)
+    query_ref,  # [2Q, D] int8 stacked digit queries (VMEM)
+    rho_ref,  # [Q, LANE] f32 per-row digit ratio qs2/qs1 (VMEM, bcast)
+    probe_ref,  # [Q, nprobe] int32 probe lists (VMEM)
+    out_scores_ref,  # [Q, K_PAD] (pre-qs1 units)
+    out_ids_ref,  # [Q, K_PAD] flat slot positions
+    vec_buf,  # scratch [2, TILE, D] int8
+    aux_buf,  # scratch [2, 2, TILE/128, 128] f32
+    best_scores,
+    best_ids,
+    vec_sems,
+    aux_sems,
+    *,
+    k: int,
+    tile_n: int,
+):
+    """int8 variant: int8 x int8 MXU dots with int32 accumulation
+    (residual-quantized queries, ops.topk_scan.quantize_queries contract),
+    per-slot dequant scales and the additive 0/-inf penalty riding one
+    stacked aux stream — the IVF twin of pallas_topk_dma._kernel_int8."""
+    queries = query_ref[:]
+    n_q = queries.shape[0] // 2
+    rho = rho_ref[:, 0:1]  # [Q, 1]
+    n_sched = nsched_ref[0]
+
+    def vec_dma(slot, j):
+        return pltpu.make_async_copy(
+            vec_hbm.at[tidx_ref[j]], vec_buf.at[slot], vec_sems.at[slot]
+        )
+
+    def aux_dma(slot, j):
+        return pltpu.make_async_copy(
+            aux_hbm.at[tidx_ref[j]], aux_buf.at[slot], aux_sems.at[slot]
+        )
+
+    best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+    best_ids[:] = jnp.zeros_like(best_ids[:])
+
+    @pl.when(n_sched > 0)
+    def _start():
+        vec_dma(0, 0).start()
+        aux_dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        next_slot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_sched)
+        def _prefetch():
+            vec_dma(next_slot, t + 1).start()
+            aux_dma(next_slot, t + 1).start()
+
+        vec_dma(slot, t).wait()
+        aux_dma(slot, t).wait()
+
+        dots = jax.lax.dot_general(
+            queries,
+            vec_buf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [2Q, TILE] int32
+        combined = dots[:n_q].astype(jnp.float32) + rho * dots[
+            n_q:
+        ].astype(jnp.float32)
+        scale = aux_buf[slot, 0].reshape(1, tile_n)
+        penalty = aux_buf[slot, 1].reshape(1, tile_n)  # 0 / -inf
+        scores = combined * scale + penalty
+        c = cluster_ref[t]
+        member = jnp.any(probe_ref[:] == c, axis=1)  # [Q]
+        scores = jnp.where(member[:, None], scores, -jnp.inf)
+
+        tile_max = jnp.max(scores, axis=1)
+        kth = best_scores[:, k - 1]
+        should_merge = jnp.any(tile_max > kth)
+
+        @pl.when(should_merge)
+        def _merge():
+            tile_ids = tidx_ref[t] * tile_n + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
+            )
+            merged_s = jnp.concatenate([best_scores[:], scores], axis=1)
+            merged_i = jnp.concatenate([best_ids[:], tile_ids], axis=1)
+            new_s, new_i = _select_topk(merged_s, merged_i, k)
+            best_scores[:, 0:k] = new_s
+            best_ids[:, 0:k] = new_i
+
+        return 0
+
+    jax.lax.fori_loop(0, n_sched, body, 0)
+    out_scores_ref[:] = best_scores[:]
+    out_ids_ref[:] = best_ids[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_ivf_topk_int8(
+    blocks: jax.Array,  # [nlist, cap, D] int8, cap % tile_n == 0
+    scales: jax.Array,  # [nlist, cap] f32 per-slot dequant scale
+    penalty: jax.Array,  # [nlist, cap] f32 ADDITIVE (0 live / -inf dead)
+    fills: jax.Array,  # [nlist] int32
+    probe_ids: jax.Array,  # [Q, nprobe] int32
+    queries: jax.Array,  # [Q, D] f32
+    k: int,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 fused IVF probe scan (ip metric); returns (scores [Q, k],
+    FLAT slot ids [Q, k]).  Same score contract as the int8 grouped XLA
+    path in index/ivf.py (_combine_digit_dots then * qs1 post-merge)."""
+    from .topk_scan import quantize_queries
+
+    nlist, cap, d = blocks.shape
+    q = queries.shape[0]
+    if cap % tile_n or tile_n % _LANE:
+        raise ValueError(
+            f"cap ({cap}) must be a multiple of tile_n ({tile_n}), "
+            f"tile_n a multiple of {_LANE}"
+        )
+    k_pad = round_up(k, _LANE)
+
+    tile_idx, clusters, n_sched = build_probe_schedule(
+        probe_ids, fills, cap, tile_n
+    )
+    n_tiles = nlist * cap // tile_n
+    vec_tiled = blocks.reshape(n_tiles, tile_n, d)
+    aux = jnp.stack(
+        [
+            scales.astype(jnp.float32).reshape(
+                n_tiles, tile_n // _LANE, _LANE
+            ),
+            penalty.astype(jnp.float32).reshape(
+                n_tiles, tile_n // _LANE, _LANE
+            ),
+        ],
+        axis=1,
+    )  # [n_tiles, 2, TILE/128, 128]
+    q_i8, rho, qs1 = quantize_queries(queries)
+    rho_bcast = jnp.broadcast_to(rho[:, None], (q, _LANE))
+
+    out_scores, out_ids = pl.pallas_call(
+        partial(_kernel_ivf_int8, k=k, tile_n=tile_n),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n, d), jnp.int8),
+            pltpu.VMEM((2, 2, tile_n // _LANE, _LANE), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * q * min(q * probe_ids.shape[1], nlist) * cap * d,
+            bytes_accessed=min(q * probe_ids.shape[1], nlist)
+            * cap
+            * (d + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        n_sched.reshape(1),
+        tile_idx,
+        clusters,
+        vec_tiled,
+        aux,
+        q_i8,
+        rho_bcast,
+        probe_ids,
+    )
+    return out_scores[:, :k] * qs1[:, None], out_ids[:, :k]
