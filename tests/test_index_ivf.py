@@ -455,3 +455,45 @@ class TestInt8:
         assert ivf.live == 300
         _, got = ivf.search(corpus[432], k=1, nprobe=8)
         assert got[0, 0] == mapping[432]
+
+
+class TestRebalance:
+    def test_rebalance_preserves_search(self, corpus, queries):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
+        # skew: train only on the first two blobs, then add everything
+        ivf.train(corpus[:200])
+        ids = ivf.add(corpus)
+        ivf.remove(ids[:100])
+        before = ivf.padding_stats()
+        flat = FlatIndex(dim=32, dtype="float32")
+        flat.add(corpus)
+        _, ref = flat.search(queries, k=10)
+
+        after = ivf.rebalance(train_sample=2000)
+        assert ivf.ntotal == 2000 and ivf.live == 1900
+        # ids preserved: the removed prefix stays gone
+        _, got = ivf.search(queries, k=10, nprobe=8)
+        assert (got[got >= 0] >= 100).all()
+        live_ref = np.where(ref >= 100, ref, -1)
+        hits = np.mean([
+            len(set(g[g >= 0]) & set(r[r >= 0])) / max((r >= 0).sum(), 1)
+            for g, r in zip(got, live_ref)
+        ])
+        assert hits >= 0.9
+        # layout efficiency must not degrade
+        assert after["max_fill"] <= before["max_fill"] * 1.5
+
+    def test_rebalance_int8(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=8)
+        ids = ivf.add(corpus[:600])
+        s1, i1 = ivf.search(corpus[:4], k=5, nprobe=8)
+        ivf.rebalance(train_sample=600)
+        s2, i2 = ivf.search(corpus[:4], k=5, nprobe=8)
+        # same quantized corpus, new layout: identical results
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+    def test_auto_nlist(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=0)
+        ivf.add(corpus)
+        assert ivf.nlist == int(round(2000 ** 0.5))

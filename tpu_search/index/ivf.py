@@ -591,7 +591,11 @@ class IVFIndex:
             raise ValueError(f"Expected dim {self.dim}, got {vectors.shape[1]}")
         if not self.is_trained:
             # Friendlier than FAISS's hard error: auto-train on first batch
-            # (clamping nlist if the batch is small).
+            # (clamping nlist if the batch is small).  nlist=0 sizes the
+            # quantizer as ~sqrt(n) (the standard IVF guidance), clamped
+            # to [16, 4096].
+            if self.nlist == 0:
+                self.nlist = int(min(4096, max(16, round(n ** 0.5))))
             if n < self.nlist:
                 self.nlist = max(1, n // 2 or 1)
             self.train(vectors)
@@ -660,6 +664,119 @@ class IVFIndex:
                 jnp.ones((b,), jnp.float32),
             )
         return ids
+
+
+    def rebalance(
+        self,
+        train_sample: int = 500_000,
+        seed: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Retrain the coarse quantizer on the LIVE corpus and re-lay every
+        live row out under the new centroids, preserving global ids.
+
+        Incremental adds drift cluster fills away from the balanced
+        training distribution (one hot topic swells one cluster), and max
+        fill sets both the HBM block capacity and the per-probe scan cost
+        — so long-lived indexes should rebalance periodically (FAISS users
+        re-train IndexIVF for the same reason).  Rows are gathered,
+        re-assigned, and re-scattered entirely on device (one [live, D]
+        transient); tombstoned slots are dropped (ids stay SPARSE — unlike
+        ``compact()`` nothing is renumbered).  Returns padding_stats().
+        """
+        if self._count == 0 or self._fill is None:
+            return self.padding_stats()
+        cc, pp = np.nonzero(self._valid)
+        live = len(cc)
+        if live < max(self.nlist, 2):
+            return self.padding_stats()
+        ids64 = self._ids[cc, pp].astype(np.int64)
+        cap = self._cluster_capacity
+        flat_idx = (cc.astype(np.int64) * cap + pp).astype(np.int32)
+        b = bucket_size(live, _UPDATE_BUCKETS)
+        fi = np.zeros((b,), np.int32)
+        fi[:live] = flat_idx
+
+        with jax.default_device(self.device):
+            flat_blocks = self._dblocks.reshape(
+                self.nlist * cap, self.dim
+            )
+            rows = jnp.take(flat_blocks, jnp.asarray(fi), axis=0)
+            if self.dtype == "int8":
+                flat_scale = self._dscale.reshape(self.nlist * cap)
+                rows_f32 = rows.astype(jnp.float32) * jnp.take(
+                    flat_scale, jnp.asarray(fi)
+                )[:, None]
+            else:
+                rows_f32 = rows.astype(jnp.float32)
+            n_train = min(live, max(50 * self.nlist, train_sample))
+            rng = np.random.default_rng(
+                self.seed if seed is None else seed
+            )
+            tr_idx = rng.choice(live, n_train, replace=False)
+            train_rows = jnp.take(rows_f32, jnp.asarray(tr_idx), axis=0)
+            self.train(train_rows)
+            assign_all = assign_clusters(
+                rows_f32, self._dcent, self.metric
+            )
+        assign = np.asarray(assign_all)[:live]
+
+        # Fresh layout sized to the new (balanced) fills.
+        counts = np.bincount(assign, minlength=self.nlist)
+        old_count = self._count
+        self._cluster_capacity = 0
+        self._ids = self._valid = self._fill = None
+        self._dblocks = self._dids = self._dvalid = None
+        self._dsq = self._dscale = self._dfill = None
+        self._ensure_cluster_capacity(int(counts.max()))
+        self._materialize()
+
+        order = np.argsort(assign, kind="stable")
+        starts = np.zeros((self.nlist,), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        ranks = np.empty((live,), np.int64)
+        ranks[order] = np.arange(live) - starts[assign[order]]
+        slots = ranks.astype(np.int32)  # already in original row order
+        ids32 = ids64.astype(np.int32)
+        self._ids[assign, slots] = ids32
+        self._valid[assign, slots] = True
+        self._fill = counts.astype(np.int32)
+        self._count = old_count
+        self._slot_cluster = np.full((old_count,), -1, np.int32)
+        self._slot_pos = np.full((old_count,), -1, np.int32)
+        self._slot_cluster[ids64] = assign.astype(np.int32)
+        self._slot_pos[ids64] = slots
+
+        cl = np.full((b,), self.nlist, np.int32)
+        cl[:live] = assign
+        sl = np.zeros((b,), np.int32)
+        sl[:live] = slots
+        nid = np.zeros((b,), np.int32)
+        nid[:live] = ids32
+        with jax.default_device(self.device):
+            (
+                self._dblocks,
+                self._dids,
+                self._dvalid,
+                self._dsq,
+                self._dscale,
+            ) = _scatter_rows(
+                self._dblocks,
+                self._dids,
+                self._dvalid,
+                self._dsq,
+                self._dscale,
+                jnp.asarray(cl),
+                jnp.asarray(sl),
+                rows_f32,
+                jnp.asarray(nid),
+                jnp.asarray(
+                    np.concatenate(
+                        [np.ones((live,), bool), np.zeros((b - live,), bool)]
+                    )
+                ),
+                jnp.ones((b,), jnp.float32),
+            )
+        return self.padding_stats()
 
     def remove(self, ids) -> int:
         ids = np.asarray(list(ids) if not hasattr(ids, "shape") else ids)
