@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Compile the HNSW-vs-TPU decision table (PARITY.md ANN decision data).
+
+Inputs: the measured outputs of native/csrc/hnsw_bench.cpp (100k and 1M
+runs on this host's CPU) plus the measured TPU numbers already checked in
+(bench.py detail, benchmarks/results/*.json).  Emits
+``benchmarks/results/hnsw_decision.json`` with measured rows and clearly
+labeled extrapolations for 6M/12M (HNSW query latency grows ~log N at
+fixed ef; build grows ~N log N — both anchored to the two measured
+points).
+
+    python benchmarks/hnsw_decision.py --m100k hnsw_100k.out --m1m hnsw_1m.out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def parse_run(path: str) -> dict:
+    out = {"queries": []}
+    for line in Path(path).read_text().splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        d = json.loads(line)
+        if d.get("what") == "cpu_exact_scan":
+            out["exact"] = d
+        elif d.get("what") == "hnsw_build":
+            out["build"] = d
+        elif d.get("what") == "hnsw_query":
+            out["queries"].append(d)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m100k", required=True)
+    ap.add_argument("--m1m", required=True)
+    ap.add_argument("--out", default=str(
+        REPO_ROOT / "benchmarks" / "results" / "hnsw_decision.json"))
+    args = ap.parse_args()
+
+    r100k = parse_run(args.m100k)
+    r1m = parse_run(args.m1m)
+    n0, n1 = r100k["exact"]["n"], r1m["exact"]["n"]
+
+    def best_q(run, min_recall=0.95):
+        ok = [q for q in run["queries"] if q["recall_at_10"] >= min_recall]
+        return min(ok, key=lambda q: q["ms_per_query"]) if ok else None
+
+    q0, q1 = best_q(r100k), best_q(r1m)
+    b0, b1 = r100k["build"]["build_s_1core"], r1m["build"]["build_s_1core"]
+
+    # Anchored scaling fits: query ms = a + c*log2(N); build s = k*N*log2(N)
+    c = (q1["ms_per_query"] - q0["ms_per_query"]) / (
+        math.log2(n1) - math.log2(n0)
+    )
+    a = q0["ms_per_query"] - c * math.log2(n0)
+    kb = b1 / (n1 * math.log2(n1))
+
+    def project(n):
+        return {
+            "n": n,
+            "est_query_ms_1core": round(a + c * math.log2(n), 3),
+            "est_build_s_1core": round(kb * n * math.log2(n)),
+            "est_build_h_8core": round(kb * n * math.log2(n) / 8 / 3600, 1),
+            "ram_gb_f32_plus_graph": round(n * 768 * 4 / 1e9 + n * 144 / 1e9, 1),
+            "extrapolated": True,
+        }
+
+    result = {
+        "method": (
+            "hnsw_bench.cpp (hnswlib-style, M=16 efC=100, AVX-512, "
+            "single-core queries like faiss HNSW) on the same blobby "
+            "corpus family as ivf_sweep.py; 6M/12M rows are labeled "
+            "extrapolations anchored to the measured 100k/1M points "
+            "(query ~ a + c*log2 N at fixed ef; build ~ k*N*log2 N)"
+        ),
+        "cpu_measured": {
+            "exact_scan": [r100k["exact"], r1m["exact"]],
+            "hnsw_build": [r100k["build"], r1m["build"]],
+            "hnsw_query_all": {
+                "100k": r100k["queries"],
+                "1m": r1m["queries"],
+            },
+            "hnsw_best_recall95": {"100k": q0, "1m": q1},
+        },
+        "cpu_projected": [project(6_000_000), project(12_000_000)],
+        "tpu_measured": {
+            "source": (
+                "bench.py detail + benchmarks/results/"
+                "ivf_sweep_1000000x768_tpu.json + tile_sweep_tpu.json "
+                "(one v5e chip)"
+            ),
+            "exact_1m_bf16_device_scan_ms": 3.3,
+            "exact_1m_recall": 1.0,
+            "exact_1m_qps_batched": 2361,
+            "fused_query_e2e_device_ms": 4.3,
+            "ivf_1m_recall1_qps_batched": 1575,
+            "int8_10m_q8_device_scan_ms": 12.3,
+            "index_build_1m_s": 6.0,
+            "index_build_note": (
+                "adoption of device-resident vectors: no graph "
+                "construction; IVF train+add ~8 s, flat ~0 s"
+            ),
+        },
+    }
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result["cpu_measured"]["hnsw_best_recall95"], indent=1))
+    print(json.dumps(result["cpu_projected"], indent=1))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
