@@ -375,3 +375,32 @@ class TestInt8Storage:
                 dtype="float32",
                 scales=jnp.ones((1024,)),
             )
+
+
+class TestMaskCache:
+    def test_mask_cache_reuses_and_invalidates(self):
+        rng = np.random.default_rng(0)
+        index = FlatIndex(dim=16, dtype="float32")
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        index.add(vecs)
+        mask = rng.random(200) < 0.5
+        s1, i1 = index.search(vecs[:2], k=5, mask=mask)
+        assert len(index._mask_cache) == 1
+        s2, i2 = index.search(vecs[:2], k=5, mask=mask)
+        assert np.array_equal(i1, i2)
+        assert len(index._mask_cache) == 1  # reused, not re-added
+        # mutation invalidates: removed ids must vanish from masked results
+        index.remove(i1[0][:1])
+        assert len(index._mask_cache) == 0
+        _, i3 = index.search(vecs[:2], k=5, mask=mask)
+        assert i1[0][0] not in set(i3[0].tolist())
+
+    def test_mask_cache_bounded(self):
+        rng = np.random.default_rng(1)
+        index = FlatIndex(dim=8, dtype="float32")
+        index.add(rng.standard_normal((50, 8)).astype(np.float32))
+        for i in range(12):
+            m = np.zeros(50, bool)
+            m[i : i + 5] = True
+            index.search(np.ones(8, np.float32), k=3, mask=m)
+        assert len(index._mask_cache) <= 8

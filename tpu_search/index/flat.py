@@ -216,6 +216,27 @@ class FlatIndex:
         # l2 + pallas path: cached [cap] row |v|^2 (invalidated on any
         # vector mutation, recomputed on next search — one cheap pass).
         self._sq_cache: Optional[jax.Array] = None
+        # Predicate-mask cache: filtered searches repeat the same filter
+        # across queries (every CLI/MCP call with --project etc.), and the
+        # combined valid&predicate device mask otherwise costs a [cap]
+        # host upload + an extra eager dispatch PER SEARCH — a whole
+        # tunnel round-trip on this rig. Keyed by mask digest, invalidated
+        # by any _valid reassignment (see the property below).
+        self._mask_cache: dict = {}
+
+    # Every mutation path reassigns the (immutable) _valid device array;
+    # routing the attribute through a setter invalidates the mask cache at
+    # all of those sites at once.
+    @property
+    def _valid(self) -> Optional[jax.Array]:
+        return self.__valid
+
+    @_valid.setter
+    def _valid(self, value: Optional[jax.Array]) -> None:
+        self.__valid = value
+        cache = getattr(self, "_mask_cache", None)
+        if cache:
+            cache.clear()
 
     # -- size accounting -----------------------------------------------------
 
@@ -626,12 +647,27 @@ class FlatIndex:
 
         full_mask = self._valid
         if mask is not None:
+            import hashlib
+
             mask = np.asarray(mask, dtype=np.bool_)
-            padded_mask = np.zeros((self._capacity,), dtype=np.bool_)
-            padded_mask[: min(mask.shape[0], self._capacity)] = mask[
-                : self._capacity
-            ]
-            full_mask = jnp.logical_and(full_mask, jnp.asarray(padded_mask))
+            digest = hashlib.blake2b(
+                mask.tobytes(), digest_size=16
+            ).digest()
+            cached = self._mask_cache.get(digest)
+            if cached is not None:
+                full_mask = cached
+            else:
+                padded_mask = np.zeros((self._capacity,), dtype=np.bool_)
+                padded_mask[: min(mask.shape[0], self._capacity)] = mask[
+                    : self._capacity
+                ]
+                with jax.default_device(self.device):
+                    full_mask = jnp.logical_and(
+                        full_mask, jnp.asarray(padded_mask)
+                    )
+                if len(self._mask_cache) >= 8:  # FIFO bound
+                    self._mask_cache.pop(next(iter(self._mask_cache)))
+                self._mask_cache[digest] = full_mask
 
         with jax.default_device(self.device):
             kernel = self._pick_kernel(padded_q, k_eff)
