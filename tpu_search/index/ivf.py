@@ -423,6 +423,23 @@ class IVFIndex:
         self._dscale: Optional[jax.Array] = None  # [nlist, cap] f32
         self._dfill: Optional[jax.Array] = None  # [nlist] int32 (lazy)
         self._pallas_ok: Optional[bool] = None  # probe-scan kernel health
+        # Digest-keyed device cache of combined valid&predicate block masks
+        # (same rationale as FlatIndex._mask_cache: repeated filters
+        # otherwise pay a [nlist, cap] host translation + upload + eager
+        # combine dispatch per search). Invalidated whenever _dvalid is
+        # reassigned (every mutation path) via the property below.
+        self._mask_cache: dict = {}
+
+    @property
+    def _dvalid(self) -> Optional[jax.Array]:
+        return self.__dvalid
+
+    @_dvalid.setter
+    def _dvalid(self, value: Optional[jax.Array]) -> None:
+        self.__dvalid = value
+        cache = getattr(self, "_mask_cache", None)
+        if cache:
+            cache.clear()
 
     # -- size accounting -----------------------------------------------------
 
@@ -917,17 +934,31 @@ class IVFIndex:
 
         block_mask = self._dvalid
         if mask is not None:
+            import hashlib
+
             mask = np.asarray(mask, dtype=np.bool_)
-            horizon = np.zeros((self._count,), dtype=np.bool_)
-            horizon[: min(mask.shape[0], self._count)] = mask[: self._count]
-            # translate global-id mask into block layout (host metadata)
-            per_block = np.zeros_like(self._valid)
-            live = self._ids >= 0
-            per_block[live] = horizon[self._ids[live]]
-            block_mask = jnp.logical_and(
-                self._dvalid,
-                jax.device_put(per_block, self.device),
-            )
+            digest = hashlib.blake2b(
+                mask.tobytes(), digest_size=16
+            ).digest()
+            cached = self._mask_cache.get(digest)
+            if cached is not None:
+                block_mask = cached
+            else:
+                horizon = np.zeros((self._count,), dtype=np.bool_)
+                horizon[: min(mask.shape[0], self._count)] = mask[
+                    : self._count
+                ]
+                # translate global-id mask into block layout (host metadata)
+                per_block = np.zeros_like(self._valid)
+                live = self._ids >= 0
+                per_block[live] = horizon[self._ids[live]]
+                block_mask = jnp.logical_and(
+                    self._dvalid,
+                    jax.device_put(per_block, self.device),
+                )
+                if len(self._mask_cache) >= 8:
+                    self._mask_cache.pop(next(iter(self._mask_cache)))
+                self._mask_cache[digest] = block_mask
 
         kernel_tile = 0
         if (
