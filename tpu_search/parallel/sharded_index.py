@@ -304,7 +304,7 @@ class ShardedFlatIndex:
         # Sharded device state ([S, ...] leading shard axis). int8 vectors
         # are word-packed: [S, local_cap/4, D] int32.
         self._vectors: Optional[jax.Array] = None
-        self._valid: Optional[jax.Array] = None
+        self._valid: Optional[jax.Array] = None  # (see property below)
         self._scales: Optional[jax.Array] = None  # int8: [S, local_cap] f32
         self._sq_cache: Optional[jax.Array] = None  # l2: [S, local_cap] f32
         self._search_fns: Dict[Tuple, callable] = {}
@@ -312,6 +312,20 @@ class ShardedFlatIndex:
         self._append_int8 = None
 
     # -- size accounting -----------------------------------------------------
+
+    # Every mutation path reassigns the (immutable) sharded _valid array;
+    # routing the attribute through a setter invalidates the predicate-mask
+    # cache at all of those sites at once (same pattern as FlatIndex).
+    @property
+    def _valid(self):
+        return self.__valid
+
+    @_valid.setter
+    def _valid(self, value):
+        self.__valid = value
+        cache = getattr(self, "_mask_cache", None)
+        if cache:
+            cache.clear()
 
     @property
     def ntotal(self) -> int:
@@ -615,16 +629,34 @@ class ShardedFlatIndex:
 
         full_mask = self._valid
         if mask is not None:
+            import hashlib
+
             mask = np.asarray(mask, dtype=np.bool_)
-            horizon = self.n_shards * self._local_capacity
-            padded = np.zeros((horizon,), dtype=np.bool_)
-            padded[: min(mask.shape[0], horizon)] = mask[:horizon]
-            # global id g -> shard g % S, slot g // S
-            per_shard = padded.reshape(self._local_capacity, self.n_shards).T
-            full_mask = jnp.logical_and(
-                self._valid,
-                jax.device_put(jnp.asarray(per_shard), self._sharding(2)),
-            )
+            digest = hashlib.blake2b(
+                mask.tobytes(), digest_size=16
+            ).digest()
+            if not hasattr(self, "_mask_cache"):
+                self._mask_cache = {}
+            cached = self._mask_cache.get(digest)
+            if cached is not None:
+                full_mask = cached
+            else:
+                horizon = self.n_shards * self._local_capacity
+                padded = np.zeros((horizon,), dtype=np.bool_)
+                padded[: min(mask.shape[0], horizon)] = mask[:horizon]
+                # global id g -> shard g % S, slot g // S
+                per_shard = padded.reshape(
+                    self._local_capacity, self.n_shards
+                ).T
+                full_mask = jnp.logical_and(
+                    self._valid,
+                    jax.device_put(
+                        jnp.asarray(per_shard), self._sharding(2)
+                    ),
+                )
+                if len(self._mask_cache) >= 8:
+                    self._mask_cache.pop(next(iter(self._mask_cache)))
+                self._mask_cache[digest] = full_mask
 
         local_impl, tile_n = self._pick_local_impl(padded_q, k_eff)
         key = (k_eff, self.metric, local_impl, tile_n, self._local_capacity)
