@@ -70,10 +70,22 @@ class TestShardedIndex:
         sharded = ShardedFlatIndex(dim=d, mesh=mesh8, dtype="float32")
         sharded.add(vecs)
         mask = rng.random(300) < 0.2
-        _, ids = sharded.search(normed(rng, 2, d), k=10, mask=mask)
+        q = normed(rng, 2, d)
+        _, ids = sharded.search(q, k=10, mask=mask)
         allowed = set(np.nonzero(mask)[0])
         for row in ids:
             assert all(i in allowed for i in row if i >= 0)
+        # repeated filter hits the device-side mask cache...
+        assert len(sharded._mask_cache) == 1
+        _, ids2 = sharded.search(q, k=10, mask=mask)
+        assert np.array_equal(ids, ids2)
+        assert len(sharded._mask_cache) == 1
+        # ...and any mutation invalidates it
+        keep = ids[0][ids[0] >= 0]
+        sharded.remove(keep[:1])
+        assert len(sharded._mask_cache) == 0
+        _, ids3 = sharded.search(q, k=10, mask=mask)
+        assert keep[0] not in set(ids3[0].tolist())
 
     def test_remove_and_counts(self, mesh8):
         rng = np.random.default_rng(2)
