@@ -58,6 +58,8 @@ def main() -> None:
     q0, q1 = best_q(r100k), best_q(r1m)
     b0, b1 = r100k["build"]["build_s_1core"], r1m["build"]["build_s_1core"]
 
+    if n0 == n1:
+        raise SystemExit("need two runs at different corpus sizes")
     # Anchored scaling fits: query ms = a + c*log2(N); build s = k*N*log2(N)
     c = (q1["ms_per_query"] - q0["ms_per_query"]) / (
         math.log2(n1) - math.log2(n0)
