@@ -55,7 +55,16 @@ def main() -> None:
         ok = [q for q in run["queries"] if q["recall_at_10"] >= min_recall]
         return min(ok, key=lambda q: q["ms_per_query"]) if ok else None
 
-    q0, q1 = best_q(r100k), best_q(r1m)
+    # Latency scaling anchors on the largest ef measured at BOTH sizes
+    # (recall at fixed ef is NOT constant across sizes — it collapsed from
+    # 0.997@100k to 0.856@1M at ef=64 on this corpus — so the recall
+    # column must be read alongside the latency one).
+    common_ef = max(
+        set(q["ef"] for q in r100k["queries"])
+        & set(q["ef"] for q in r1m["queries"])
+    )
+    q0 = next(q for q in r100k["queries"] if q["ef"] == common_ef)
+    q1 = next(q for q in r1m["queries"] if q["ef"] == common_ef)
     b0, b1 = r100k["build"]["build_s_1core"], r1m["build"]["build_s_1core"]
 
     if n0 == n1:
@@ -92,7 +101,12 @@ def main() -> None:
                 "100k": r100k["queries"],
                 "1m": r1m["queries"],
             },
-            "hnsw_best_recall95": {"100k": q0, "1m": q1},
+            "hnsw_best_recall95": {
+                "100k": best_q(r100k),
+                "1m": best_q(r1m),
+                "note": "null = no measured ef reached recall 0.95",
+            },
+            "latency_fit_anchor_ef": common_ef,
         },
         "cpu_projected": [project(6_000_000), project(12_000_000)],
         "tpu_measured": {
