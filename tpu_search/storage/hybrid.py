@@ -111,8 +111,10 @@ class HybridStorage:
         self._initialized = False
 
         if self.config.index_type == "hnsw":
-            # Graph-walk ANN maps poorly to the MXU; the exact scan is faster
-            # than HNSW until far beyond this corpus scale. IVF covers ANN.
+            # Graph-walk ANN maps poorly to the MXU; measured at 1M x 768
+            # the CPU HNSW option never reaches recall 0.95 while the exact
+            # scan holds 1.0 at 2,300+ qps batched (decision table:
+            # PARITY.md "ANN decision"). IVF covers the ANN need.
             self.logger.warning(
                 "index_type 'hnsw' is not TPU-native; using 'flat' "
                 "(exact scan saturates HBM bandwidth; use 'ivf' for ANN)"
