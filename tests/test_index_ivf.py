@@ -497,3 +497,23 @@ class TestRebalance:
         ivf = IVFIndex(dim=32, dtype="float32", nlist=0)
         ivf.add(corpus)
         assert ivf.nlist == int(round(2000 ** 0.5))
+
+    def test_maybe_rebalance_triggers_on_skew(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
+        # train on a narrow slice so later adds all pile into few clusters
+        ivf.train(corpus[:64])
+        ivf.add(corpus)
+        stats = ivf.padding_stats()
+        mean_fill = ivf.live / ivf.nlist
+        if stats["max_fill"] > 1.5 * mean_fill:
+            assert ivf.maybe_rebalance(skew_threshold=1.5) is True
+            after = ivf.padding_stats()
+            assert after["max_fill"] <= stats["max_fill"]
+        # balanced layout must NOT retrigger
+        assert ivf.maybe_rebalance(skew_threshold=10.0) is False
+
+    def test_maybe_rebalance_noop_when_small(self):
+        rng = np.random.default_rng(3)
+        ivf = IVFIndex(dim=8, dtype="float32", nlist=4)
+        ivf.add(normed(rng, 16, 8))
+        assert ivf.maybe_rebalance() is False

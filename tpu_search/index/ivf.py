@@ -683,6 +683,29 @@ class IVFIndex:
         return ids
 
 
+    def maybe_rebalance(
+        self,
+        skew_threshold: float = 2.5,
+        train_sample: int = 500_000,
+    ) -> bool:
+        """Rebalance when incremental adds have skewed the layout.
+
+        Triggers when the hottest cluster holds more than
+        ``skew_threshold`` times the mean live fill (max fill sets both
+        the HBM block capacity and the per-probe scan cost). Cheap to
+        call after every bulk add; returns True if a rebalance ran.
+        """
+        if self._fill is None or self.nlist < 2:
+            return False
+        live = int(self._valid.sum())
+        if live < max(self.nlist * 8, 2):
+            return False
+        mean_fill = live / self.nlist
+        if int(self._fill.max()) <= skew_threshold * mean_fill:
+            return False
+        self.rebalance(train_sample=train_sample)
+        return True
+
     def rebalance(
         self,
         train_sample: int = 500_000,
