@@ -279,6 +279,18 @@ class TestDeviceAuthoritative:
         # small scale)
         assert bstats["fill_fraction"] >= 0.45
 
+    def test_remove_on_untrained_empty_cleared(self, corpus):
+        # ADVICE r2: remove() must return 0 (not TypeError) when _valid is
+        # None — untrained, empty, or freshly cleared — as reached via
+        # HybridStorage.delete_chunk* when metadata outlives the index.
+        ivf = IVFIndex(dim=8, dtype="float32", nlist=4)
+        assert ivf.remove([3]) == 0
+        assert ivf.remove(np.array([0, 1, 2])) == 0
+        ivf2 = IVFIndex(dim=32, dtype="float32", nlist=4)
+        ids = ivf2.add(corpus[:100])
+        ivf2.clear()
+        assert ivf2.remove(ids[:5]) == 0
+
     def test_remove_bogus_ids(self, corpus):
         ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
         ids = ivf.add(corpus[:100])
@@ -492,6 +504,29 @@ class TestRebalance:
         # same quantized corpus, new layout: identical results
         assert np.array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+    def test_rebalance_chunked_many_chunks(self, corpus):
+        # ADVICE r2: rebalance streams gather/assign/scatter in
+        # _LOAD_CHUNK_ROWS chunks. Force multiple chunks with a tiny chunk
+        # size and check the result is identical to the unchunked layout
+        # semantics (search results preserved, ids preserved).
+        import tpu_search.index.ivf as ivf_mod
+
+        old_chunk = ivf_mod._LOAD_CHUNK_ROWS
+        ivf_mod._LOAD_CHUNK_ROWS = 300  # 2000 live rows -> 7 chunks
+        try:
+            ivf = IVFIndex(dim=32, dtype="float32", nlist=8)
+            ivf.train(corpus[:200])
+            ids = ivf.add(corpus)
+            ivf.remove(ids[:50])
+            s1, i1 = ivf.search(corpus[:4], k=5, nprobe=8)
+            ivf.rebalance(train_sample=2000)
+            s2, i2 = ivf.search(corpus[:4], k=5, nprobe=8)
+            assert np.array_equal(i1, i2)
+            np.testing.assert_allclose(s1, s2, rtol=1e-5)
+            assert ivf.live == 1950
+        finally:
+            ivf_mod._LOAD_CHUNK_ROWS = old_chunk
 
     def test_auto_nlist(self, corpus):
         ivf = IVFIndex(dim=32, dtype="float32", nlist=0)

@@ -120,6 +120,26 @@ def _scatter_tombstones(
     return dvalid.at[(clusters, slots)].set(False, mode="drop")
 
 
+@jax.jit
+def _gather_dequant(
+    flat_blocks: jax.Array, flat_scale: jax.Array, fi: jax.Array
+) -> jax.Array:
+    """Gather flat slot indices as dequantized f32 rows (rebalance assign
+    pass; for f32/bf16 blocks flat_scale is all-ones so the multiply is
+    exact)."""
+    rows = jnp.take(flat_blocks, fi, axis=0).astype(jnp.float32)
+    return rows * jnp.take(flat_scale, fi)[:, None]
+
+
+@jax.jit
+def _gather_stored(
+    flat_blocks: jax.Array, flat_scale: jax.Array, fi: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Gather flat slot indices in STORAGE dtype with their per-slot
+    scales (rebalance move pass — int8 rows keep their original scales)."""
+    return jnp.take(flat_blocks, fi, axis=0), jnp.take(flat_scale, fi)
+
+
 @partial(jax.jit, static_argnames=("new_cap",))
 def _grow_blocks(
     blocks: jax.Array,
@@ -719,9 +739,15 @@ class IVFIndex:
         fill sets both the HBM block capacity and the per-probe scan cost
         — so long-lived indexes should rebalance periodically (FAISS users
         re-train IndexIVF for the same reason).  Rows are gathered,
-        re-assigned, and re-scattered entirely on device (one [live, D]
-        transient); tombstoned slots are dropped (ids stay SPARSE — unlike
-        ``compact()`` nothing is renumbered).  Returns padding_stats().
+        re-assigned, and re-scattered entirely on device in
+        ``_LOAD_CHUNK_ROWS`` chunks (the same streaming discipline as
+        ``_load_streamed``), so peak transient HBM is one chunk — NOT a
+        ``[live, D]`` float32 copy, which at the hardware-verified
+        6.3M x 768 scale would be ~18 GB on top of the old+new blocks.
+        Tombstoned slots are dropped (ids stay SPARSE — unlike
+        ``compact()`` nothing is renumbered); int8 rows move with their
+        original per-slot scales (bit-lossless, no re-quantization).
+        Returns padding_stats().
         """
         if self._count == 0 or self._fill is None:
             return self.padding_stats()
@@ -732,33 +758,35 @@ class IVFIndex:
         ids64 = self._ids[cc, pp].astype(np.int64)
         cap = self._cluster_capacity
         flat_idx = (cc.astype(np.int64) * cap + pp).astype(np.int32)
-        b = bucket_size(live, _UPDATE_BUCKETS)
-        fi = np.zeros((b,), np.int32)
+        chunk = _LOAD_CHUNK_ROWS
+        n_chunks = -(-live // chunk)
+        fi = np.zeros((n_chunks * chunk,), np.int32)
         fi[:live] = flat_idx
 
         with jax.default_device(self.device):
-            flat_blocks = self._dblocks.reshape(
-                self.nlist * cap, self.dim
-            )
-            rows = jnp.take(flat_blocks, jnp.asarray(fi), axis=0)
-            if self.dtype == "int8":
-                flat_scale = self._dscale.reshape(self.nlist * cap)
-                rows_f32 = rows.astype(jnp.float32) * jnp.take(
-                    flat_scale, jnp.asarray(fi)
-                )[:, None]
-            else:
-                rows_f32 = rows.astype(jnp.float32)
+            flat_blocks = self._dblocks.reshape(self.nlist * cap, self.dim)
+            flat_scale = self._dscale.reshape(self.nlist * cap)
+            # Train on a sample (one [n_train, D] f32 transient — that is
+            # the k-means working set, unavoidable and bounded by
+            # train_sample).
             n_train = min(live, max(50 * self.nlist, train_sample))
             rng = np.random.default_rng(
                 self.seed if seed is None else seed
             )
             tr_idx = rng.choice(live, n_train, replace=False)
-            train_rows = jnp.take(rows_f32, jnp.asarray(tr_idx), axis=0)
-            self.train(train_rows)
-            assign_all = assign_clusters(
-                rows_f32, self._dcent, self.metric
+            train_rows = _gather_dequant(
+                flat_blocks, flat_scale, jnp.asarray(flat_idx[tr_idx])
             )
-        assign = np.asarray(assign_all)[:live]
+            self.train(train_rows)
+            del train_rows
+            # Chunked assignment pass: one [chunk, D] f32 transient.
+            assign = np.empty((live,), np.int64)
+            for c0 in range(0, live, chunk):
+                cfi = jnp.asarray(fi[c0 : c0 + chunk])
+                rows_f32 = _gather_dequant(flat_blocks, flat_scale, cfi)
+                a = assign_clusters(rows_f32, self._dcent, self.metric)
+                hi = min(c0 + chunk, live)
+                assign[c0:hi] = np.asarray(a)[: hi - c0]
 
         # Fresh layout sized to the new (balanced) fills.
         counts = np.bincount(assign, minlength=self.nlist)
@@ -786,39 +814,53 @@ class IVFIndex:
         self._slot_cluster[ids64] = assign.astype(np.int32)
         self._slot_pos[ids64] = slots
 
-        cl = np.full((b,), self.nlist, np.int32)
+        # Chunked move pass: gather each chunk of STORED rows (with their
+        # per-slot scales — int8 moves bit-losslessly, no re-quantization)
+        # from the old blocks and scatter it into the new layout.  Peak
+        # HBM is old blocks + new blocks + one chunk transient; padding
+        # rows carry cluster == nlist and are dropped by the scatter.
+        cl = np.full((n_chunks * chunk,), self.nlist, np.int32)
         cl[:live] = assign
-        sl = np.zeros((b,), np.int32)
+        sl = np.zeros((n_chunks * chunk,), np.int32)
         sl[:live] = slots
-        nid = np.zeros((b,), np.int32)
+        nid = np.zeros((n_chunks * chunk,), np.int32)
         nid[:live] = ids32
+        lv = np.zeros((n_chunks * chunk,), bool)
+        lv[:live] = True
         with jax.default_device(self.device):
-            (
-                self._dblocks,
-                self._dids,
-                self._dvalid,
-                self._dsq,
-                self._dscale,
-            ) = _scatter_rows(
-                self._dblocks,
-                self._dids,
-                self._dvalid,
-                self._dsq,
-                self._dscale,
-                jnp.asarray(cl),
-                jnp.asarray(sl),
-                rows_f32,
-                jnp.asarray(nid),
-                jnp.asarray(
-                    np.concatenate(
-                        [np.ones((live,), bool), np.zeros((b - live,), bool)]
-                    )
-                ),
-                jnp.ones((b,), jnp.float32),
-            )
+            for c0 in range(0, n_chunks * chunk, chunk):
+                c1 = c0 + chunk
+                stored, scales = _gather_stored(
+                    flat_blocks, flat_scale, jnp.asarray(fi[c0:c1])
+                )
+                (
+                    self._dblocks,
+                    self._dids,
+                    self._dvalid,
+                    self._dsq,
+                    self._dscale,
+                ) = _scatter_rows(
+                    self._dblocks,
+                    self._dids,
+                    self._dvalid,
+                    self._dsq,
+                    self._dscale,
+                    jnp.asarray(cl[c0:c1]),
+                    jnp.asarray(sl[c0:c1]),
+                    stored,
+                    jnp.asarray(nid[c0:c1]),
+                    jnp.asarray(lv[c0:c1]),
+                    scales,
+                )
+        del flat_blocks, flat_scale
         return self.padding_stats()
 
     def remove(self, ids) -> int:
+        # Untrained / empty / freshly cleared index: nothing to remove.
+        # (Reachable through HybridStorage.delete_chunk* when chunk
+        # metadata outlives a recreated vector index.)
+        if self._valid is None or self._count == 0:
+            return 0
         ids = np.asarray(list(ids) if not hasattr(ids, "shape") else ids)
         if ids.size == 0:
             return 0

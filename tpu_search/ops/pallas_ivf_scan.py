@@ -158,11 +158,16 @@ def _kernel_ivf(
         pen_dma(slot, t).wait()
 
         tile = vec_buf[slot]
+        # precision=HIGHEST matches the XLA grouped path (_ivf_search) so
+        # the documented bit-parity claim holds for float32 storage too
+        # (bf16/int8 tiles are unaffected — their inputs are already
+        # low-precision).
         scores = jax.lax.dot_general(
             queries.astype(tile.dtype),
             tile,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [Q, TILE]
         if alpha != 1.0:
             scores = scores * alpha
