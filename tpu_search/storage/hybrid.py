@@ -49,6 +49,13 @@ class StorageConfig:
     embedding_dim: int = 768
     index_type: str = "flat"  # "flat" | "ivf" ("hnsw" falls back to flat)
     ivf_nlist: int = 100
+    # Automatic IVF rebalance: after every write batch the hottest
+    # cluster's fill is compared against skew * mean live fill, and the
+    # coarse quantizer is retrained + the layout re-laid out on device
+    # when it exceeds it (IVFIndex.maybe_rebalance). Replaces the
+    # reference's stubbed _rebuild_faiss_index (src/storage.py:944-967).
+    # <= 0 disables.
+    ivf_rebalance_skew: float = 2.5
     hnsw_m: int = 16  # accepted for config parity; unused (see index_type)
     normalize_embeddings: bool = True
     auto_save: bool = True
@@ -331,9 +338,37 @@ class HybridStorage:
             self.faiss_id_to_chunk_id[int(vec_id)] = chunk.id
         self.total_chunks += len(with_emb)
 
+        self._maybe_rebalance_index()
+
         if self.config.auto_save:
             self._maybe_save()
         self.logger.info("Added %d chunks to storage", len(with_emb))
+
+    def _maybe_rebalance_index(self) -> bool:
+        """Skew-triggered IVF rebalance on the product write path.
+
+        Incremental watcher adds drift cluster fills; when the hottest
+        cluster exceeds ``ivf_rebalance_skew`` x the mean live fill the
+        coarse quantizer is retrained and every row re-laid out on device
+        (ids preserved, so the chunk_id<->vec_id maps stay valid). This is
+        the working version of the reference's stubbed
+        ``_rebuild_faiss_index`` (src/storage.py:944-967)."""
+        if self.config.ivf_rebalance_skew <= 0 or self.index is None:
+            return False
+        maybe = getattr(self.index, "maybe_rebalance", None)
+        if maybe is None:
+            return False
+        ran = bool(maybe(skew_threshold=self.config.ivf_rebalance_skew))
+        if ran:
+            stats = self.index.padding_stats()
+            self.logger.info(
+                "IVF layout skew exceeded %.1fx mean fill; rebalanced "
+                "(fill_fraction=%.2f max_fill=%d)",
+                self.config.ivf_rebalance_skew,
+                stats.get("fill_fraction", 1.0),
+                stats.get("max_fill", 0),
+            )
+        return ran
 
     def _maybe_save(self) -> None:
         if (
@@ -611,6 +646,7 @@ class HybridStorage:
             mapping = self.index.compact()
             self.meta.update_vec_ids(mapping)
             self._rebuild_id_mappings()
+        self._maybe_rebalance_index()
         self.logger.info("Storage optimization complete")
 
     # -- stats ---------------------------------------------------------------
