@@ -37,7 +37,7 @@ Recall target vs flat: >= 0.95 @ k=10 on reasonable nlist/nprobe settings
 from __future__ import annotations
 
 import json
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Iterator, Optional, Tuple, Union
 
 import jax
@@ -47,7 +47,7 @@ import numpy as np
 from ..ops.kmeans import assign_clusters, kmeans
 from ..utils.shapes import bucket_size, round_up
 
-__all__ = ["IVFIndex"]
+__all__ = ["IVFIndex", "ivf_scan_fn_for"]
 
 _QUERY_BUCKETS = (1, 8, 32, 128)
 # Device scatter batches are padded to these row counts (pad rows carry an
@@ -391,6 +391,39 @@ def _ivf_search_pallas(
     return scores, ids
 
 
+@lru_cache(maxsize=None)
+def ivf_scan_fn_for(scan_key: tuple):
+    """Resolve an ``IVFIndex.make_scan_fn`` key to a stable pure function
+    ``fn(buffers, block_mask, qbatch, k) -> (scores, ids)`` covering the
+    FULL IVF pipeline (centroid scan, probe schedule, block scan, top-k).
+
+    lru_cache guarantees the SAME function object per key, so jitted
+    callers taking the key as a static argument (the engine's fused
+    one-dispatch query) hit their trace cache across searches."""
+    kind = scan_key[0]
+    if kind == "ivf_pallas":
+        _, metric, nprobe, tile = scan_key
+
+        def fn(buffers, block_mask, qbatch, k):
+            cent, blocks, bids, bsq, bscale, fills = buffers
+            return _ivf_search_pallas(
+                cent, blocks, bids, block_mask, bsq, bscale, fills,
+                qbatch, nprobe, k, metric, tile,
+            )
+
+        return fn
+    _, metric, nprobe = scan_key
+
+    def fn(buffers, block_mask, qbatch, k):
+        cent, blocks, bids, bsq, bscale, fills = buffers
+        return _ivf_search(
+            cent, blocks, bids, block_mask, bsq, bscale,
+            qbatch, nprobe, k, metric,
+        )
+
+    return fn
+
+
 class IVFIndex:
     """Coarse-quantized ANN index with device-resident dense cluster blocks."""
 
@@ -581,6 +614,76 @@ class IVFIndex:
             with jax.default_device(self.device):
                 self._dfill = jnp.asarray(self._fill, jnp.int32)
         return self._dfill
+
+    def device_block_mask(self, mask=None) -> jax.Array:
+        """Valid & global-id-predicate mask translated to block layout.
+
+        ``mask`` is a host bool array over GLOBAL ids (the storage filter
+        horizon); None means live-slots-only. Results are device-resident
+        and digest-cached (repeated filters otherwise pay a [nlist, cap]
+        host translation + upload + eager combine per search); the cache
+        is invalidated whenever ``_dvalid`` is reassigned."""
+        if mask is None:
+            return self._dvalid
+        import hashlib
+
+        mask = np.asarray(mask, dtype=np.bool_)
+        digest = hashlib.blake2b(mask.tobytes(), digest_size=16).digest()
+        cached = self._mask_cache.get(digest)
+        if cached is not None:
+            return cached
+        horizon = np.zeros((self._count,), dtype=np.bool_)
+        horizon[: min(mask.shape[0], self._count)] = mask[: self._count]
+        # translate global-id mask into block layout (host metadata)
+        per_block = np.zeros_like(self._valid)
+        live = self._ids >= 0
+        per_block[live] = horizon[self._ids[live]]
+        block_mask = jnp.logical_and(
+            self._dvalid,
+            jax.device_put(per_block, self.device),
+        )
+        if len(self._mask_cache) >= 8:
+            self._mask_cache.pop(next(iter(self._mask_cache)))
+        self._mask_cache[digest] = block_mask
+        return block_mask
+
+    def _kernel_tile_for(self, k_eff: int) -> int:
+        """Pallas probe-scan DMA tile for this layout (0 = use XLA path)."""
+        if (
+            self.device.platform == "tpu"
+            and self._pallas_ok is not False
+            and k_eff <= 128
+            and self._cluster_capacity >= _MIN_CLUSTER_CAPACITY
+        ):
+            for t in _KERNEL_TILES:
+                if self._cluster_capacity % t == 0:
+                    return t
+        return 0
+
+    def make_scan_fn(self, k_eff: int, nprobe: int):
+        """Pick the probe-scan implementation and return
+        ``(scan_key, buffers)`` — same contract as
+        ``FlatIndex.make_scan_fn``: ``scan_key`` is a small hashable tuple
+        resolving (via :func:`ivf_scan_fn_for`) to a STABLE pure function
+        ``fn(buffers, block_mask, qbatch, k) -> (scores, ids)`` with every
+        device dependency in ``buffers``, so callers can compose the whole
+        IVF pipeline (centroid scan -> probe schedule -> block scan ->
+        top-k) into one larger jitted program (the fused query path)."""
+        nprobe_eff = min(nprobe, self.nlist)
+        tile = self._kernel_tile_for(k_eff)
+        if tile:
+            scan_key = ("ivf_pallas", self.metric, nprobe_eff, tile)
+        else:
+            scan_key = ("ivf_xla", self.metric, nprobe_eff)
+        buffers = (
+            self._dcent,
+            self._dblocks,
+            self._dids,
+            self._dsq,
+            self._dscale,
+            self._device_fills(),
+        )
+        return scan_key, buffers
 
     def _append_slot_lookup(
         self, ids: np.ndarray, clusters: np.ndarray, slots: np.ndarray
@@ -997,45 +1100,8 @@ class IVFIndex:
         qbatch = np.zeros((padded_q, self.dim), dtype=np.float32)
         qbatch[:q] = queries
 
-        block_mask = self._dvalid
-        if mask is not None:
-            import hashlib
-
-            mask = np.asarray(mask, dtype=np.bool_)
-            digest = hashlib.blake2b(
-                mask.tobytes(), digest_size=16
-            ).digest()
-            cached = self._mask_cache.get(digest)
-            if cached is not None:
-                block_mask = cached
-            else:
-                horizon = np.zeros((self._count,), dtype=np.bool_)
-                horizon[: min(mask.shape[0], self._count)] = mask[
-                    : self._count
-                ]
-                # translate global-id mask into block layout (host metadata)
-                per_block = np.zeros_like(self._valid)
-                live = self._ids >= 0
-                per_block[live] = horizon[self._ids[live]]
-                block_mask = jnp.logical_and(
-                    self._dvalid,
-                    jax.device_put(per_block, self.device),
-                )
-                if len(self._mask_cache) >= 8:
-                    self._mask_cache.pop(next(iter(self._mask_cache)))
-                self._mask_cache[digest] = block_mask
-
-        kernel_tile = 0
-        if (
-            self.device.platform == "tpu"
-            and self._pallas_ok is not False
-            and k_eff <= 128
-            and self._cluster_capacity >= _MIN_CLUSTER_CAPACITY
-        ):
-            for t in _KERNEL_TILES:
-                if self._cluster_capacity % t == 0:
-                    kernel_tile = t
-                    break
+        block_mask = self.device_block_mask(mask)
+        kernel_tile = self._kernel_tile_for(k_eff)
         with jax.default_device(self.device):
             if kernel_tile:
                 try:
