@@ -1,0 +1,301 @@
+"""ShardedIVFIndex over the 8-device virtual mesh: per-shard probe scan +
+ICI merge must match the single-chip IVFIndex, slot allocation must stay
+balanced, and TPUSIDX2 saves must be interchangeable with IVFIndex."""
+
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+from tpu_search.index.ivf import IVFIndex
+from tpu_search.parallel.mesh import build_mesh
+from tpu_search.parallel.sharded_ivf import ShardedIVFIndex, _water_fill
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+
+    return build_mesh(n_data=len(jax.devices()), n_model=1)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    return normed(rng, 2000, 32)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    rng = np.random.default_rng(8)
+    return normed(rng, 5, 32)
+
+
+class TestWaterFill:
+    def test_balances_exactly(self):
+        fills = np.array([5, 0, 3, 0], np.int64)
+        counts = _water_fill(fills, 8)
+        assert counts.sum() == 8
+        after = fills + counts
+        assert after.max() - after.min() <= 1 or after.max() == fills.max()
+
+    def test_minimizes_max(self):
+        fills = np.array([10, 0, 0, 0], np.int64)
+        counts = _water_fill(fills, 6)
+        assert counts.sum() == 6
+        assert (fills + counts).max() == 10  # nothing added to the hot shard
+        assert counts[0] == 0
+
+    def test_zero(self):
+        assert _water_fill(np.array([1, 2], np.int64), 0).sum() == 0
+
+
+class TestParityWithSingleChip:
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+    def test_matches_ivf_index(self, mesh, corpus, queries, dtype):
+        single = IVFIndex(dim=32, dtype=dtype, nlist=8, seed=3)
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype=dtype, nlist=8, seed=3
+        )
+        ids_a = single.add(corpus)
+        ids_b = sharded.add(corpus)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        # Same seed + same training data -> same centroids -> same probes.
+        np.testing.assert_allclose(
+            single.centroids, sharded.centroids, rtol=1e-6
+        )
+        s1, i1 = single.search(queries, k=10, nprobe=8)
+        s2, i2 = sharded.search(queries, k=10, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        # Ties can order differently across the merge; compare id sets on
+        # clearly-separated scores, exact ids on the top hit.
+        assert (i1[:, 0] == i2[:, 0]).all()
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+    def test_l2_metric(self, mesh, corpus, queries):
+        single = IVFIndex(dim=32, metric="l2", dtype="float32", nlist=8)
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, metric="l2", dtype="float32", nlist=8
+        )
+        single.add(corpus)
+        sharded.add(corpus)
+        s1, i1 = single.search(queries, k=5, nprobe=8)
+        s2, i2 = sharded.search(queries, k=5, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+    def test_recall_vs_flat(self, mesh, corpus, queries):
+        flat = FlatIndex(dim=32, dtype="float32")
+        flat.add(corpus)
+        _, ref = flat.search(queries, k=10)
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=8
+        )
+        sharded.add(corpus)
+        _, got = sharded.search(queries, k=10, nprobe=8)
+        # nprobe == nlist: an exhaustive probe must be exact
+        for r, g in zip(ref, got):
+            assert set(r) == set(g[g >= 0])
+
+
+class TestMutation:
+    def test_incremental_adds_balanced(self, mesh, corpus):
+        sharded = ShardedIVFIndex(dim=32, mesh=mesh, nlist=4)
+        for c0 in range(0, 2000, 250):
+            sharded.add(corpus[c0 : c0 + 250])
+        assert sharded.ntotal == 2000 and sharded.live == 2000
+        # Per-shard fills within each cluster stay water-filled (max-min
+        # spread <= 1 since every batch balances onto the minimum).
+        fills = sharded._fill
+        assert (fills.max(axis=1) - fills.min(axis=1) <= 1).all()
+
+    def test_remove_and_masked_search(self, mesh, corpus, queries):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=8
+        )
+        ids = sharded.add(corpus)
+        assert sharded.remove(ids[:100]) == 100
+        assert sharded.remove(ids[:100]) == 0  # already tombstoned
+        assert sharded.live == 1900
+        _, got = sharded.search(queries, k=10, nprobe=8)
+        assert (got[got >= 0] >= 100).all()
+        # predicate mask on top of tombstones
+        mask = np.zeros((2000,), bool)
+        mask[500:600] = True
+        _, got = sharded.search(queries, k=10, nprobe=8, mask=mask)
+        live = got[got >= 0]
+        assert len(live) and ((live >= 500) & (live < 600)).all()
+
+    def test_remove_on_empty(self, mesh):
+        sharded = ShardedIVFIndex(dim=8, mesh=mesh, nlist=4)
+        assert sharded.remove([3]) == 0
+
+    def test_capacity_growth_preserves_rows(self, mesh):
+        import tpu_search.parallel.sharded_ivf as m
+
+        rng = np.random.default_rng(4)
+        old_align = m._SLOT_ALIGN
+        m._SLOT_ALIGN = 8  # force growth with small batches
+        try:
+            sharded = ShardedIVFIndex(
+                dim=16, mesh=mesh, dtype="float32", nlist=2
+            )
+            all_rows = normed(rng, 800, 16)
+            sharded.train(all_rows[:64])
+            for c0 in range(0, 800, 100):
+                sharded.add(all_rows[c0 : c0 + 100])
+            assert sharded.ntotal == 800 and sharded.live == 800
+            # every row still findable post-growth (exhaustive probe)
+            _, got = sharded.search(all_rows[::97], k=1, nprobe=2)
+            want = np.arange(800)[::97]
+            assert (got[:, 0] == want).all()
+        finally:
+            m._SLOT_ALIGN = old_align
+
+    def test_device_adoption(self, mesh, corpus):
+        import jax.numpy as jnp
+
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=4
+        )
+        sharded.train(corpus[:200])
+        ids = sharded.add(jnp.asarray(corpus[:500]))
+        assert len(ids) == 500 and sharded.live == 500
+        _, got = sharded.search(corpus[:3], k=1, nprobe=4)
+        assert (got[:, 0] == np.arange(3)).all()
+
+
+class TestCompact:
+    def test_compact_renumbers_and_preserves_search(
+        self, mesh, corpus, queries
+    ):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=8
+        )
+        ids = sharded.add(corpus)
+        sharded.remove(ids[::3])
+        live_before = sharded.live
+        mapping = sharded.compact()
+        assert sharded.ntotal == live_before == sharded.live
+        assert len(mapping) == live_before
+        # renumbered ids are contiguous and searches resolve through them
+        _, got = sharded.search(queries, k=10, nprobe=8)
+        live = got[got >= 0]
+        assert len(live) and (live < live_before).all()
+        # a surviving vector maps to its new id
+        survivor_old = int(ids[1])  # ids[::3] removed -> 1 survives
+        _, hit = sharded.search(corpus[survivor_old], k=1, nprobe=8)
+        assert hit[0, 0] == mapping[survivor_old]
+
+
+class TestHybridIntegration:
+    def test_storage_sharded_ivf_end_to_end(self, tmp_path):
+        from tpu_search.ingest.chunker import Chunk
+        from tpu_search.storage.hybrid import (
+            HybridStorage, SearchConfig, StorageConfig,
+        )
+
+        rng = np.random.default_rng(9)
+        vecs = normed(rng, 80, 16)
+        config = StorageConfig(
+            data_dir=str(tmp_path),
+            embedding_dim=16,
+            index_type="ivf",
+            ivf_nlist=4,
+            auto_save=True,
+            storage_dtype="float32",
+            shard_devices=8,
+        )
+        storage = HybridStorage(config)
+        storage.initialize()
+        assert isinstance(storage.index, ShardedIVFIndex)
+        assert storage.index.n_shards == 8
+
+        def mk(i):
+            return Chunk(
+                id=f"c{i}", text=f"text {i}",
+                metadata={"chunk_type": "qa_pair", "session_id": "s",
+                          "project_name": "p", "file_path": "/f",
+                          "timestamp": "2024-01-01T00:00:00+00:00",
+                          "has_code": i % 2 == 0, "has_tools": False,
+                          "message_count": 1, "char_count": 6,
+                          "word_count": 2},
+                embedding=list(vecs[i]),
+            )
+
+        storage.add_chunks([mk(i) for i in range(80)])
+        results = storage.search(vecs[33], SearchConfig(top_k=3, nprobe=4))
+        assert results[0].chunk_id == "c33"
+        # filtered search goes through the sharded block mask
+        results = storage.search(
+            vecs[33], SearchConfig(top_k=3, nprobe=4),
+            filters={"has_code": True},
+        )
+        assert results and all(
+            int(r.chunk_id[1:]) % 2 == 0 for r in results
+        )
+        storage.close()
+
+        # save/load roundtrip through the storage facade
+        storage2 = HybridStorage(config)
+        storage2.initialize()
+        assert isinstance(storage2.index, ShardedIVFIndex)
+        assert storage2.index.ntotal == 80
+        results = storage2.search(vecs[7], SearchConfig(top_k=1, nprobe=4))
+        assert results[0].chunk_id == "c7"
+        storage2.close()
+
+
+class TestPersistence:
+    def test_roundtrip_sharded(self, mesh, corpus, queries, tmp_path):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=8
+        )
+        ids = sharded.add(corpus)
+        sharded.remove(ids[:50])
+        s1, i1 = sharded.search(queries, k=5, nprobe=8)
+        path = str(tmp_path / "ivf.tpuidx")
+        sharded.save(path)
+        loaded = ShardedIVFIndex.load(path, mesh)
+        assert loaded.ntotal == sharded.ntotal
+        assert loaded.live == sharded.live
+        s2, i2 = loaded.search(queries, k=5, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        np.testing.assert_array_equal(i1, i2)
+
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    def test_sharded_save_loads_in_single_chip(
+        self, mesh, corpus, queries, tmp_path, dtype
+    ):
+        sharded = ShardedIVFIndex(dim=32, mesh=mesh, dtype=dtype, nlist=8)
+        sharded.add(corpus)
+        s1, i1 = sharded.search(queries, k=5, nprobe=8)
+        path = str(tmp_path / "x.tpuidx")
+        sharded.save(path)
+        single = IVFIndex.load(path)
+        assert single.ntotal == sharded.ntotal
+        s2, i2 = single.search(queries, k=5, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+    def test_single_chip_save_loads_sharded(
+        self, mesh, corpus, queries, tmp_path
+    ):
+        single = IVFIndex(dim=32, dtype="float32", nlist=8)
+        single.add(corpus)
+        s1, i1 = single.search(queries, k=5, nprobe=8)
+        path = str(tmp_path / "y.tpuidx")
+        single.save(path)
+        sharded = ShardedIVFIndex.load(path, mesh)
+        assert sharded.ntotal == single.ntotal
+        s2, i2 = sharded.search(queries, k=5, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])

@@ -199,8 +199,7 @@ def _shrink_blocks(
     )
 
 
-@partial(jax.jit, static_argnames=("nprobe", "k", "metric"))
-def _ivf_search(
+def _ivf_search_impl(
     centroids: jax.Array,  # [nlist, D] f32
     blocks: jax.Array,  # [nlist, cap, D] storage dtype
     block_ids: jax.Array,  # [nlist, cap] int32 global ids (-1 = empty)
@@ -329,10 +328,16 @@ def _ivf_search(
     return scores, ids
 
 
-@partial(
-    jax.jit, static_argnames=("nprobe", "k", "metric", "tile_n")
-)
-def _ivf_search_pallas(
+# Jitted wrapper for direct dispatch; the raw impl composes into larger
+# programs (the fused query path via ivf_scan_fn_for, and the per-shard
+# local scan inside parallel/sharded_ivf.py's shard_map, where a nested
+# jit would confuse the static replication inference).
+_ivf_search = partial(
+    jax.jit, static_argnames=("nprobe", "k", "metric")
+)(_ivf_search_impl)
+
+
+def _ivf_search_pallas_impl(
     centroids: jax.Array,
     blocks: jax.Array,  # [nlist, cap, D], cap % tile_n == 0
     block_ids: jax.Array,
@@ -389,6 +394,11 @@ def _ivf_search_pallas(
     ids = block_ids.reshape(-1)[jnp.clip(flat_pos, 0, None)]
     ids = jnp.where(jnp.isfinite(scores), ids, -1)
     return scores, ids
+
+
+_ivf_search_pallas = partial(
+    jax.jit, static_argnames=("nprobe", "k", "metric", "tile_n")
+)(_ivf_search_pallas_impl)
 
 
 @lru_cache(maxsize=None)

@@ -1,0 +1,985 @@
+"""Multi-chip sharded IVF index: per-chip probe scan + ICI top-k merge.
+
+Completes SURVEY.md section 2.2's "IVF coarse-quantized path ... multi-chip
+shard + ICI top-k merge" (reference IVF option: src/storage.py:259-263) for
+corpora past one chip's HBM.
+
+Sharding design (TPU-first, mirrors :class:`ShardedFlatIndex`):
+
+- **Replicated centroids.** The coarse quantizer is tiny ([nlist, D] f32);
+  every chip scores all centroids in the same few-microsecond matmul, so
+  the probe schedule needs no communication at all.
+- **Slot-sharded cluster blocks.** The logical ``[nlist, cap, D]`` block
+  array is sharded along the SLOT axis (``PartitionSpec(None, 'data',
+  None)``): every cluster's slots are spread over all chips, each chip
+  holding a ``[nlist, cap/S, D]`` slice.  A query probes the same clusters
+  on every chip but each chip reads only its 1/S of every probed block —
+  per-chip scan work and HBM traffic are 1/S of the single-chip index, so
+  latency scales down linearly with chips (the alternative, placing whole
+  clusters on single chips, idles every chip that owns no probed cluster
+  and bounds cluster size by one chip's HBM).
+- **Balanced slot allocation.** New rows of a cluster water-fill the
+  least-filled shard slices, so per-chip fill prefixes stay even without
+  any rebalancing migrations; global slot ids encode the owning shard
+  (``slot // local_cap``), which keeps update scatters shard-local.
+- **ICI merge.** Per-chip top-k results meet in a ``lax.all_gather`` over
+  the ``data`` axis followed by a replicated k-way merge — one jitted
+  ``shard_map`` program end to end, collectives riding ICI.
+
+The stored-id planes hold GLOBAL ids (same as the single-chip
+:class:`IVFIndex`), so no id translation happens in the merge, and
+persistence writes the identical TPUSIDX2 ``kind="ivf"`` container —
+sharded and single-chip saves are interchangeable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.ivf import (
+    _DTYPES,
+    _KERNEL_TILES,
+    _MIN_CLUSTER_CAPACITY,
+    _ivf_search_impl,
+    _ivf_search_pallas_impl,
+)
+from ..ops.kmeans import assign_clusters, kmeans
+from ..utils.shapes import bucket_size, round_up
+
+__all__ = ["ShardedIVFIndex"]
+
+_QUERY_BUCKETS = (1, 8, 32, 128)
+_UPDATE_BUCKETS = (256, 4096, 65536, 1 << 20)
+_SLOT_ALIGN = 256  # per-shard slot granularity (pallas DMA tile multiple)
+_GROWTH = 1.25
+_BALANCE = 0.5
+
+
+def _water_fill(fills: np.ndarray, n: int) -> np.ndarray:
+    """Distribute ``n`` new rows over shards minimizing the resulting max
+    fill (exact integer water-filling). Returns per-shard counts."""
+    fills = fills.astype(np.int64)
+    if n <= 0:
+        return np.zeros_like(fills)
+    lo, hi = int(fills.min()) + 1, int(fills.max()) + n
+    while lo < hi:  # smallest level L with capacity-below-L >= n
+        mid = (lo + hi) // 2
+        if int(np.maximum(mid - fills, 0).sum()) >= n:
+            hi = mid
+        else:
+            lo = mid + 1
+    counts = np.maximum(lo - fills, 0)
+    excess = int(counts.sum()) - n
+    if excess > 0:
+        at_level = np.nonzero(counts > 0)[0]
+        counts[at_level[:excess]] -= 1
+    return counts
+
+
+def _scatter_body(blocks, dids, dvalid, dsq, dscale,
+                  clusters, slots, vecs, new_ids, new_valid, new_scales):
+    """Shared scatter math (same contract as index.ivf._scatter_rows);
+    ``slots`` are local to the executing shard, out-of-range rows drop."""
+    if blocks.dtype == jnp.int8 and vecs.dtype != jnp.int8:
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(vecs.astype(jnp.float32)), axis=1) / 127.0,
+            1e-12,
+        )
+        stored = jnp.rint(
+            vecs.astype(jnp.float32) / scale[:, None]
+        ).astype(jnp.int8)
+    elif blocks.dtype == jnp.int8:
+        stored = vecs
+        scale = new_scales.astype(jnp.float32)
+    else:
+        stored = vecs.astype(blocks.dtype)
+        scale = jnp.ones(vecs.shape[:1], jnp.float32)
+    dequant = stored.astype(jnp.float32) * scale[:, None]
+    sq = jnp.sum(dequant * dequant, axis=-1)
+    idx = (clusters, slots)
+    blocks = blocks.at[idx].set(stored, mode="drop")
+    dids = dids.at[idx].set(new_ids, mode="drop")
+    dvalid = dvalid.at[idx].set(new_valid, mode="drop")
+    dsq = dsq.at[idx].set(sq, mode="drop")
+    dscale = dscale.at[idx].set(scale, mode="drop")
+    return blocks, dids, dvalid, dsq, dscale
+
+
+class ShardedIVFIndex:
+    """IVF index sharded over the 'data' axis of a device mesh.
+
+    Device-authoritative like :class:`IVFIndex`: vector blocks live only in
+    (sharded) HBM; the host keeps the small slot metadata.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        metric: str = "ip",
+        dtype: str = "bfloat16",
+        nlist: int = 100,
+        train_iters: int = 10,
+        seed: int = 0,
+        balanced: bool = True,
+    ) -> None:
+        if metric not in ("ip", "l2"):
+            raise ValueError(f"Unknown metric: {metric}")
+        if dtype not in _DTYPES:
+            raise ValueError(
+                f"ShardedIVFIndex supports dtypes {sorted(_DTYPES)}, "
+                f"got {dtype!r}"
+            )
+        if dtype == "int8" and metric == "l2":
+            raise ValueError(
+                "int8 IVF storage supports metric='ip' only"
+            )
+        self.dim = dim
+        self.mesh = mesh
+        self.metric = metric
+        self.dtype = dtype
+        self.nlist = nlist
+        self.train_iters = train_iters
+        self.seed = seed
+        self.balanced = balanced
+        self.n_shards = mesh.shape["data"]
+
+        self.centroids: Optional[np.ndarray] = None  # [nlist, D] f32 host
+        self._local_capacity = 0  # slots per cluster PER SHARD
+        self._count = 0
+        # Host slot metadata. Slots are GLOBAL: slot = shard * lcap + local.
+        self._ids: Optional[np.ndarray] = None  # [nlist, cap]
+        self._valid: Optional[np.ndarray] = None  # [nlist, cap]
+        self._fill: Optional[np.ndarray] = None  # [nlist, S] per-shard fill
+        self._slot_cluster = np.empty((0,), np.int32)
+        self._slot_pos = np.empty((0,), np.int32)  # global slot
+        # Sharded device state.
+        self._dcent: Optional[jax.Array] = None  # replicated [nlist, D]
+        self._dblocks: Optional[jax.Array] = None  # [nlist, cap, D]
+        self._dids: Optional[jax.Array] = None
+        self._dvalid: Optional[jax.Array] = None
+        self._dsq: Optional[jax.Array] = None
+        self._dscale: Optional[jax.Array] = None
+        self._dfill: Optional[jax.Array] = None  # [S, nlist] sharded (lazy)
+        self._pallas_ok: Optional[bool] = None
+        self._mask_cache: dict = {}
+        self._search_fns: Dict[Tuple, callable] = {}
+        self._scatter_fns: Dict[Tuple, callable] = {}
+
+    # _dvalid reassignment invalidates the predicate-mask cache (same
+    # pattern as IVFIndex/ShardedFlatIndex).
+    @property
+    def _dvalid(self) -> Optional[jax.Array]:
+        return self.__dvalid
+
+    @_dvalid.setter
+    def _dvalid(self, value: Optional[jax.Array]) -> None:
+        self.__dvalid = value
+        cache = getattr(self, "_mask_cache", None)
+        if cache:
+            cache.clear()
+
+    # -- size accounting -----------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return self._count
+
+    @property
+    def live(self) -> int:
+        return int(self._valid.sum()) if self._valid is not None else 0
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    @property
+    def _cluster_capacity(self) -> int:
+        """Global slots per cluster (all shards)."""
+        return self._local_capacity * self.n_shards
+
+    @property
+    def capacity(self) -> int:
+        return self.nlist * self._cluster_capacity
+
+    def padding_stats(self) -> Dict[str, float]:
+        if self._fill is None or self._local_capacity == 0:
+            return {"slots": 0, "filled": 0, "fill_fraction": 1.0}
+        filled = int(self._fill.sum())
+        slots = self.capacity
+        per_cluster = self._fill.sum(axis=1)
+        return {
+            "slots": slots,
+            "filled": filled,
+            "fill_fraction": filled / slots,
+            "max_fill": int(per_cluster.max()),
+            "min_fill": int(per_cluster.min()),
+            "max_shard_fill": int(self._fill.max()),
+        }
+
+    # -- sharding helpers ----------------------------------------------------
+
+    def _spec(self, spec) -> NamedSharding:
+        return NamedSharding(self.mesh, spec)
+
+    def _put_replicated(self, x, ndim=None):
+        nd = x.ndim if ndim is None else ndim
+        return jax.device_put(x, self._spec(P(*((None,) * nd))))
+
+    # -- training ------------------------------------------------------------
+
+    def train(self, vectors) -> None:
+        """Fit the coarse quantizer (replicated balanced k-means: the
+        training computation is identical on every chip, so the resulting
+        centroids are replicated without a broadcast)."""
+        n = vectors.shape[0]
+        if n < self.nlist:
+            raise ValueError(
+                f"Need >= nlist={self.nlist} training vectors, got {n}"
+            )
+        dv = self._put_replicated(jnp.asarray(vectors, dtype=jnp.float32))
+        centroids, _ = kmeans(
+            jax.random.PRNGKey(self.seed),
+            dv,
+            self.nlist,
+            iters=self.train_iters,
+            metric=self.metric,
+            balance=_BALANCE if self.balanced else -1.0,
+        )
+        self.centroids = np.asarray(centroids)
+        self._dcent = self._put_replicated(jnp.asarray(self.centroids))
+
+    # -- device block management --------------------------------------------
+
+    def _materialize(self) -> None:
+        lcap = self._local_capacity
+        if self._dcent is None and self.centroids is not None:
+            self._dcent = self._put_replicated(
+                jnp.asarray(self.centroids, jnp.float32)
+            )
+        if self._dblocks is None and lcap:
+            cap = lcap * self.n_shards
+            sh3 = self._spec(P(None, "data", None))
+            sh2 = self._spec(P(None, "data"))
+            self._dblocks = jax.jit(
+                lambda: jnp.zeros(
+                    (self.nlist, cap, self.dim), _DTYPES[self.dtype]
+                ),
+                out_shardings=sh3,
+            )()
+            self._dids = jax.jit(
+                lambda: jnp.full((self.nlist, cap), -1, jnp.int32),
+                out_shardings=sh2,
+            )()
+            self._dvalid = jax.jit(
+                lambda: jnp.zeros((self.nlist, cap), bool),
+                out_shardings=sh2,
+            )()
+            self._dsq = jax.jit(
+                lambda: jnp.zeros((self.nlist, cap), jnp.float32),
+                out_shardings=sh2,
+            )()
+            self._dscale = jax.jit(
+                lambda: jnp.ones((self.nlist, cap), jnp.float32),
+                out_shardings=sh2,
+            )()
+
+    def _ensure_local_capacity(self, needed_local_max: int) -> None:
+        target = max(
+            _SLOT_ALIGN, round_up(needed_local_max, _SLOT_ALIGN)
+        )
+        if target <= self._local_capacity:
+            return
+        if self._local_capacity:
+            target = max(
+                target,
+                round_up(int(self._local_capacity * _GROWTH), _SLOT_ALIGN),
+            )
+        old_lcap = self._local_capacity
+        self._local_capacity = target
+        if old_lcap == 0 or self._dblocks is None:
+            if self._ids is None:
+                cap = target * self.n_shards
+                self._ids = np.full((self.nlist, cap), -1, np.int32)
+                self._valid = np.zeros((self.nlist, cap), np.bool_)
+            return
+
+        # Per-shard growth: pad each shard's local slice; host global-slot
+        # coordinates relocate from s*old_lcap+j to s*target+j.
+        grow = target - old_lcap
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, "data", None), P(None, "data"), P(None, "data"),
+                P(None, "data"), P(None, "data"),
+            ),
+            out_specs=(
+                P(None, "data", None), P(None, "data"), P(None, "data"),
+                P(None, "data"), P(None, "data"),
+            ),
+            check_vma=False,
+        )
+        def grow_prog(blocks, dids, dvalid, dsq, dscale):
+            blocks = jnp.pad(blocks, ((0, 0), (0, grow), (0, 0)))
+            dids = jnp.pad(dids, ((0, 0), (0, grow)), constant_values=-1)
+            dvalid = jnp.pad(dvalid, ((0, 0), (0, grow)))
+            dsq = jnp.pad(dsq, ((0, 0), (0, grow)))
+            dscale = jnp.pad(
+                dscale, ((0, 0), (0, grow)), constant_values=1.0
+            )
+            return blocks, dids, dvalid, dsq, dscale
+
+        (
+            self._dblocks, self._dids, self._dvalid, self._dsq, self._dscale
+        ) = jax.jit(grow_prog)(
+            self._dblocks, self._dids, self._dvalid, self._dsq, self._dscale
+        )
+        self._dfill = None
+
+        def regrow(a, fill_value):
+            a3 = a.reshape(self.nlist, self.n_shards, old_lcap)
+            out = np.full(
+                (self.nlist, self.n_shards, target), fill_value, a.dtype
+            )
+            out[:, :, :old_lcap] = a3
+            return out.reshape(self.nlist, self.n_shards * target)
+
+        self._ids = regrow(self._ids, -1)
+        self._valid = regrow(self._valid, False)
+        if len(self._slot_cluster):
+            known = self._slot_pos >= 0
+            s = self._slot_pos[known] // old_lcap
+            j = self._slot_pos[known] % old_lcap
+            self._slot_pos[known] = (s * target + j).astype(np.int32)
+
+    def _device_fills(self) -> jax.Array:
+        """[S, nlist] per-shard fill prefix lengths, sharded over 'data'
+        (the pallas probe scan schedules its DMA tiles from the local
+        row)."""
+        if self._dfill is None:
+            self._dfill = jax.device_put(
+                jnp.asarray(self._fill.T, jnp.int32),
+                self._spec(P("data", None)),
+            )
+        return self._dfill
+
+    # -- mutation ------------------------------------------------------------
+
+    def _scatter_fn(self, b: int):
+        key = (b, self._local_capacity)
+        fn = self._scatter_fns.get(key)
+        if fn is not None:
+            return fn
+        lcap = self._local_capacity
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, "data", None), P(None, "data"), P(None, "data"),
+                P(None, "data"), P(None, "data"),
+                P(None), P(None), P(None, None), P(None), P(None), P(None),
+            ),
+            out_specs=(
+                P(None, "data", None), P(None, "data"), P(None, "data"),
+                P(None, "data"), P(None, "data"),
+            ),
+            check_vma=False,
+        )
+        def scatter_prog(blocks, dids, dvalid, dsq, dscale,
+                         cl, gslot, vecs, nid, nvalid, nscale):
+            s = jax.lax.axis_index("data")
+            local = gslot - s * lcap  # rows of other shards go OOB -> drop
+            return _scatter_body(
+                blocks, dids, dvalid, dsq, dscale,
+                cl, local, vecs, nid, nvalid, nscale,
+            )
+
+        fn = jax.jit(scatter_prog, donate_argnums=(0, 1, 2, 3, 4))
+        if len(self._scatter_fns) >= 16:
+            self._scatter_fns.clear()
+        self._scatter_fns[key] = fn
+        return fn
+
+    def _plan_slots(
+        self, assign: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Water-fill each cluster's new rows over shard slices WITHOUT
+        touching device state: returns (shards, locals, needed_local_max)
+        per row.  The caller grows capacity to ``needed_local_max`` first,
+        then commits via :meth:`_commit_slots` (global slot ids depend on
+        the post-growth local capacity)."""
+        n = len(assign)
+        shards = np.empty((n,), np.int64)
+        locals_ = np.empty((n,), np.int64)
+        counts = np.bincount(assign, minlength=self.nlist)
+        needed = 0
+        for c in np.nonzero(counts)[0]:
+            rows = np.nonzero(assign == c)[0]
+            per_shard = _water_fill(self._fill[c], len(rows))
+            sh, lo = [], []
+            for s in np.nonzero(per_shard)[0]:
+                f0 = int(self._fill[c, s])
+                sh.append(np.full((per_shard[s],), s, np.int64))
+                lo.append(np.arange(f0, f0 + per_shard[s], dtype=np.int64))
+                needed = max(needed, f0 + int(per_shard[s]))
+            shards[rows] = np.concatenate(sh)
+            locals_[rows] = np.concatenate(lo)
+        return shards, locals_, needed
+
+    def _commit_slots(
+        self, assign: np.ndarray, shards: np.ndarray, locals_: np.ndarray
+    ) -> np.ndarray:
+        """Turn a plan into global slots at the CURRENT local capacity and
+        bump the fills."""
+        gslots = shards * self._local_capacity + locals_
+        np.add.at(self._fill, (assign, shards), 1)
+        return gslots
+
+    def add(self, vectors) -> np.ndarray:
+        """Append vectors; returns global ids (host or device input)."""
+        on_device = isinstance(vectors, jax.Array)
+        if not on_device:
+            vectors = np.asarray(vectors, dtype=np.float32)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        n = vectors.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.int64)
+        if vectors.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected dim {self.dim}, got {vectors.shape[1]}"
+            )
+        if not self.is_trained:
+            if self.nlist == 0:
+                self.nlist = int(min(4096, max(16, round(n ** 0.5))))
+            if n < self.nlist:
+                self.nlist = max(1, n // 2 or 1)
+            self.train(vectors)
+
+        b = bucket_size(n, _UPDATE_BUCKETS)
+        if on_device:
+            dv = vectors.astype(jnp.float32)
+            padded = self._put_replicated(
+                jnp.pad(dv, ((0, b - n), (0, 0)))
+            )
+        else:
+            host = np.zeros((b, self.dim), np.float32)
+            host[:n] = vectors
+            padded = self._put_replicated(jnp.asarray(host))
+        assign = np.asarray(
+            assign_clusters(padded, self._dcent, self.metric)
+        )[:n]
+
+        if self._fill is None:
+            self._fill = np.zeros((self.nlist, self.n_shards), np.int32)
+        shards, locals_, need_local = self._plan_slots(assign)
+        self._ensure_local_capacity(need_local)
+        self._materialize()
+        gslots = self._commit_slots(assign, shards, locals_)
+
+        ids = np.arange(self._count, self._count + n, dtype=np.int64)
+        ids32 = ids.astype(np.int32)
+        self._ids[assign, gslots] = ids32
+        self._valid[assign, gslots] = True
+        self._dfill = None
+        self._append_slot_lookup(ids, assign, gslots)
+        self._count += n
+
+        cl = np.full((b,), self.nlist, np.int32)
+        cl[:n] = assign
+        sl = np.zeros((b,), np.int32)
+        sl[:n] = gslots
+        nid = np.zeros((b,), np.int32)
+        nid[:n] = ids32
+        rep = self._put_replicated
+        (
+            self._dblocks, self._dids, self._dvalid, self._dsq, self._dscale
+        ) = self._scatter_fn(b)(
+            self._dblocks, self._dids, self._dvalid, self._dsq, self._dscale,
+            rep(jnp.asarray(cl)), rep(jnp.asarray(sl)), padded,
+            rep(jnp.asarray(nid)),
+            rep(jnp.ones((b,), bool)),
+            rep(jnp.ones((b,), jnp.float32)),
+        )
+        return ids
+
+    def _append_slot_lookup(self, ids, clusters, gslots) -> None:
+        need = int(ids.max()) + 1 if len(ids) else 0
+        if need > len(self._slot_cluster):
+            new_len = max(need, 2 * len(self._slot_cluster), 1024)
+            self._slot_cluster = np.concatenate(
+                [self._slot_cluster,
+                 np.full((new_len - len(self._slot_cluster),), -1, np.int32)]
+            )
+            self._slot_pos = np.concatenate(
+                [self._slot_pos,
+                 np.full((new_len - len(self._slot_pos),), -1, np.int32)]
+            )
+        self._slot_cluster[ids] = np.asarray(clusters, np.int32)
+        self._slot_pos[ids] = np.asarray(gslots, np.int32)
+
+    def remove(self, ids) -> int:
+        if self._valid is None or self._count == 0:
+            return 0
+        ids = np.asarray(list(ids) if not hasattr(ids, "shape") else ids)
+        if ids.size == 0:
+            return 0
+        ids = ids.astype(np.int64).ravel()
+        in_range = (ids >= 0) & (ids < len(self._slot_cluster))
+        ids = ids[in_range]
+        cl = self._slot_cluster[ids]
+        pos = self._slot_pos[ids]
+        known = cl >= 0
+        cl, pos = cl[known], pos[known]
+        was_live = self._valid[cl, pos]
+        cl, pos = cl[was_live], pos[was_live]
+        removed = int(len(cl))
+        if not removed:
+            return 0
+        self._valid[cl, pos] = False
+        b = bucket_size(removed, _UPDATE_BUCKETS)
+        pcl = np.full((b,), self.nlist, np.int32)
+        pcl[:removed] = cl
+        psl = np.zeros((b,), np.int32)
+        psl[:removed] = pos
+        lcap = self._local_capacity
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(None, "data"), P(None), P(None)),
+            out_specs=P(None, "data"),
+            check_vma=False,
+        )
+        def tombstone_prog(dvalid, clusters, gslot):
+            s = jax.lax.axis_index("data")
+            local = gslot - s * lcap
+            return dvalid.at[(clusters, local)].set(False, mode="drop")
+
+        rep = self._put_replicated
+        self._dvalid = jax.jit(tombstone_prog, donate_argnums=(0,))(
+            self._dvalid, rep(jnp.asarray(pcl)), rep(jnp.asarray(psl))
+        )
+        return removed
+
+    def compact(self) -> Dict[int, int]:
+        """Drop tombstones and renumber ids contiguously (order-preserving
+        within each shard slice): live slots move to every (cluster, shard)
+        prefix via one per-shard ``take_along_axis`` program; the host only
+        computes the tiny permutation and old->new id tables (same contract
+        as ``IVFIndex.compact``). Capacity is kept (no shrink) — the freed
+        tail slots serve future adds."""
+        if self._count == 0:
+            return {}
+        keep_ids = np.sort(self._ids[self._valid].astype(np.int64))
+        mapping = {int(old): new for new, old in enumerate(keep_ids)}
+        if not len(keep_ids):
+            self.clear()
+            return {}
+        lut = np.full((self._count,), -1, np.int32)
+        lut[keep_ids] = np.arange(len(keep_ids), dtype=np.int32)
+        lcap = self._local_capacity
+        v3 = self._valid.reshape(self.nlist, self.n_shards, lcap)
+        perm3 = np.argsort(~v3, axis=2, kind="stable").astype(np.int32)
+        new_valid3 = np.take_along_axis(v3, perm3, axis=2)
+        ids3 = self._ids.reshape(self.nlist, self.n_shards, lcap)
+        old_at = np.take_along_axis(ids3, perm3, axis=2)
+        new_ids3 = np.where(
+            new_valid3, lut[np.clip(old_at, 0, self._count - 1)], -1
+        ).astype(np.int32)
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, "data", None), P(None, "data"), P(None, "data"),
+                P(None, "data"),
+            ),
+            out_specs=(
+                P(None, "data", None), P(None, "data"), P(None, "data"),
+            ),
+            check_vma=False,
+        )
+        def permute_prog(blocks, dsq, dscale, perm):
+            blocks = jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
+            dsq = jnp.take_along_axis(dsq, perm, axis=1)
+            dscale = jnp.take_along_axis(dscale, perm, axis=1)
+            return blocks, dsq, dscale
+
+        sh2 = self._spec(P(None, "data"))
+        perm_local = jax.device_put(
+            perm3.reshape(self.nlist, self.n_shards * lcap), sh2
+        )
+        self._dblocks, self._dsq, self._dscale = jax.jit(
+            permute_prog, donate_argnums=(0, 1, 2)
+        )(self._dblocks, self._dsq, self._dscale, perm_local)
+        new_ids = new_ids3.reshape(self.nlist, self.n_shards * lcap)
+        new_valid = new_valid3.reshape(self.nlist, self.n_shards * lcap)
+        self._dids = jax.device_put(new_ids, sh2)
+        self._dvalid = jax.device_put(new_valid, sh2)
+        self._ids, self._valid = new_ids, new_valid
+        self._fill = new_valid3.sum(axis=2).astype(np.int32)
+        self._dfill = None
+        self._count = len(keep_ids)
+        cc, ss, jj = np.nonzero(new_valid3)
+        gslots = (ss * lcap + jj).astype(np.int64)
+        new_id_of = new_ids3[cc, ss, jj].astype(np.int64)
+        self._slot_cluster = np.full((self._count,), -1, np.int32)
+        self._slot_pos = np.full((self._count,), -1, np.int32)
+        self._slot_cluster[new_id_of] = cc.astype(np.int32)
+        self._slot_pos[new_id_of] = gslots.astype(np.int32)
+        return mapping
+
+    def clear(self) -> None:
+        self._local_capacity = 0
+        self._count = 0
+        self._ids = self._valid = self._fill = None
+        self._dblocks = self._dids = self._dvalid = None
+        self._dsq = self._dscale = self._dfill = None
+        self._slot_cluster = np.empty((0,), np.int32)
+        self._slot_pos = np.empty((0,), np.int32)
+        self._search_fns.clear()
+        self._scatter_fns.clear()
+
+    # -- search --------------------------------------------------------------
+
+    def device_block_mask(self, mask=None) -> jax.Array:
+        """Valid & global-id-predicate mask in (sharded) block layout."""
+        if mask is None:
+            return self._dvalid
+        import hashlib
+
+        mask = np.asarray(mask, dtype=np.bool_)
+        digest = hashlib.blake2b(mask.tobytes(), digest_size=16).digest()
+        cached = self._mask_cache.get(digest)
+        if cached is not None:
+            return cached
+        horizon = np.zeros((self._count,), dtype=np.bool_)
+        horizon[: min(mask.shape[0], self._count)] = mask[: self._count]
+        per_block = np.zeros_like(self._valid)
+        live = self._ids >= 0
+        per_block[live] = horizon[self._ids[live]]
+        block_mask = jax.jit(
+            jnp.logical_and, out_shardings=self._spec(P(None, "data"))
+        )(
+            self._dvalid,
+            jax.device_put(per_block, self._spec(P(None, "data"))),
+        )
+        if len(self._mask_cache) >= 8:
+            self._mask_cache.pop(next(iter(self._mask_cache)))
+        self._mask_cache[digest] = block_mask
+        return block_mask
+
+    def _local_impl(self, k_eff: int) -> Tuple[str, int]:
+        platform = self.mesh.devices.flat[0].platform
+        if (
+            platform == "tpu"
+            and self._pallas_ok is not False
+            and k_eff <= 128
+            and self._local_capacity >= _MIN_CLUSTER_CAPACITY
+        ):
+            for t in _KERNEL_TILES:
+                if self._local_capacity % t == 0:
+                    return "pallas", t
+        return "xla", 0
+
+    def _search_fn(self, nprobe: int, k: int, local_impl: str, tile: int):
+        key = (nprobe, k, local_impl, tile, self._local_capacity)
+        fn = self._search_fns.get(key)
+        if fn is not None:
+            return fn
+        metric = self.metric
+        n_shards = self.n_shards
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, None),          # centroids (replicated)
+                P(None, "data", None),  # blocks
+                P(None, "data"),        # ids (global)
+                P(None, "data"),        # mask
+                P(None, "data"),        # sq
+                P(None, "data"),        # scale
+                P("data", None),        # fills [S, nlist]
+                P(None, None),          # queries (replicated)
+            ),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        def program(cent, blocks, bids, bmask, bsq, bscale, fills, queries):
+            if local_impl == "pallas":
+                ls, li = _ivf_search_pallas_impl(
+                    cent, blocks, bids, bmask, bsq, bscale,
+                    fills.reshape(-1), queries, nprobe, k, metric, tile,
+                )
+            else:
+                ls, li = _ivf_search_impl(
+                    cent, blocks, bids, bmask, bsq, bscale,
+                    queries, nprobe, k, metric,
+                )
+            # Stored ids are GLOBAL: merge needs no translation.
+            all_s = jax.lax.all_gather(ls, "data")  # [S, Q, k]
+            all_i = jax.lax.all_gather(li, "data")
+            q = ls.shape[0]
+            cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(q, -1)
+            cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(q, -1)
+            top_s, sel = jax.lax.top_k(cat_s, k)
+            top_i = jnp.take_along_axis(cat_i, sel, axis=1)
+            return top_s, top_i
+
+        fn = jax.jit(program)
+        if len(self._search_fns) >= 32:
+            self._search_fns.clear()
+        self._search_fns[key] = fn
+        return fn
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        mask: Optional[np.ndarray] = None,
+        nprobe: int = 8,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Replicated queries -> per-shard probe scan -> ICI merge."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        q = queries.shape[0]
+        if self._count == 0 or k <= 0:
+            shape = (q, max(k, 0))
+            return (
+                np.full(shape, -np.inf, dtype=np.float32),
+                np.full(shape, -1, dtype=np.int64),
+            )
+        nprobe_eff = min(nprobe, self.nlist)
+        # Per-shard candidate pool: each shard sees lcap slots per probed
+        # cluster; the ICI merge then recovers the global top-k from
+        # S * k_eff candidates.
+        k_eff = min(k, nprobe_eff * self._local_capacity)
+        padded_q = bucket_size(q, _QUERY_BUCKETS)
+        qbatch = np.zeros((padded_q, self.dim), dtype=np.float32)
+        qbatch[:q] = queries
+
+        block_mask = self.device_block_mask(mask)
+        local_impl, tile = self._local_impl(k_eff)
+        try:
+            fn = self._search_fn(nprobe_eff, k_eff, local_impl, tile)
+            scores, ids = fn(
+                self._dcent, self._dblocks, self._dids, block_mask,
+                self._dsq, self._dscale, self._device_fills(),
+                self._put_replicated(jnp.asarray(qbatch)),
+            )
+        except Exception:
+            if local_impl != "pallas":
+                raise
+            self._pallas_ok = False
+            fn = self._search_fn(nprobe_eff, k_eff, "xla", 0)
+            scores, ids = fn(
+                self._dcent, self._dblocks, self._dids, block_mask,
+                self._dsq, self._dscale, self._device_fills(),
+                self._put_replicated(jnp.asarray(qbatch)),
+            )
+        if self._count < (1 << 24):
+            packed = np.asarray(
+                jnp.concatenate(
+                    [scores[:q], ids[:q].astype(jnp.float32)], axis=1
+                )
+            )
+            scores = packed[:, :k_eff]
+            ids = np.rint(packed[:, k_eff:]).astype(np.int64)
+        else:
+            scores = np.asarray(scores[:q])
+            ids = np.asarray(ids[:q], dtype=np.int64)
+        ids[~np.isfinite(scores)] = -1
+        if k_eff < k:
+            pad = ((0, 0), (0, k - k_eff))
+            scores = np.pad(scores, pad, constant_values=-np.inf)
+            ids = np.pad(ids, pad, constant_values=-1)
+        return scores, ids
+
+    # -- persistence ---------------------------------------------------------
+
+    def _iter_dense_rows(self) -> Iterator[np.ndarray]:
+        """Stream each cluster's filled shard prefixes d2h in cluster
+        order (shard 0's prefix, then shard 1's, ...) — the same dense
+        per-cluster row stream the single-chip IVF container stores."""
+        lcap = self._local_capacity
+        for c in range(self.nlist):
+            if not self._fill[c].sum():
+                continue
+            row = np.asarray(self._dblocks[c])  # [cap, D] one cluster pull
+            parts = [
+                row[s * lcap : s * lcap + int(self._fill[c, s])]
+                for s in range(self.n_shards)
+                if self._fill[c, s]
+            ]
+            yield np.concatenate(parts, axis=0)
+
+    def _dense_order(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(clusters, gslots) of every assigned slot in dense save order."""
+        lcap = self._local_capacity
+        cl, gs = [], []
+        for c in range(self.nlist):
+            for s in range(self.n_shards):
+                f = int(self._fill[c, s])
+                if f:
+                    cl.append(np.full((f,), c, np.int64))
+                    gs.append(s * lcap + np.arange(f, dtype=np.int64))
+        if not cl:
+            return (np.empty((0,), np.int64), np.empty((0,), np.int64))
+        return np.concatenate(cl), np.concatenate(gs)
+
+    def save(self, path: str) -> None:
+        """Write the SAME TPUSIDX2 ``kind="ivf"`` container as
+        :class:`IVFIndex` (per-cluster dense row prefixes), so sharded and
+        single-chip saves are interchangeable."""
+        from ..index.serialize import write_file
+
+        fill_per_cluster = (
+            self._fill.sum(axis=1).astype(np.int32)
+            if self._fill is not None
+            else np.zeros((self.nlist,), np.int32)
+        )
+        header = {
+            "kind": "ivf",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": self.dtype,
+            "nlist": self.nlist,
+            "count": self._count,
+            "cluster_capacity": self._cluster_capacity,
+        }
+        total = int(fill_per_cluster.sum())
+        if total:
+            cl, gs = self._dense_order()
+            dense_ids = self._ids[cl, gs].astype(np.int32)
+            dense_valid = self._valid[cl, gs].astype(np.uint8)
+            vec_chunks = self._iter_dense_rows()
+            if self.dtype == "int8":
+                dense_scales = np.asarray(self._dscale)[cl, gs].astype(
+                    np.float32
+                )
+        else:
+            dense_ids = np.empty((0,), np.int32)
+            dense_valid = np.empty((0,), np.uint8)
+            vec_chunks = iter(())
+            dense_scales = np.empty((0,), np.float32)
+        centroids = (
+            self.centroids
+            if self.centroids is not None
+            else np.empty((0, self.dim), np.float32)
+        )
+        sections = [
+            ("vectors", self.dtype, (total, self.dim), vec_chunks),
+            ("ids", "int32", (total,), iter([dense_ids])),
+            ("valid", "uint8", (total,), iter([dense_valid])),
+            (
+                "fill", "int32", (self.nlist,),
+                iter([fill_per_cluster]),
+            ),
+            (
+                "centroids", "float32", tuple(centroids.shape),
+                iter([np.ascontiguousarray(centroids, np.float32)]),
+            ),
+        ]
+        if self.dtype == "int8":
+            sections.append(
+                ("scales", "float32", (total,), iter([dense_scales]))
+            )
+        write_file(path, header, sections)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh) -> "ShardedIVFIndex":
+        """Load any ``kind="ivf"`` TPUSIDX2 file (single-chip or sharded
+        save) and re-lay the rows out over this mesh."""
+        from ..index.serialize import read_file
+
+        header, arrays = read_file(path)
+        if header.get("kind") != "ivf":
+            raise ValueError(f"Not an IVF container: {path}")
+        index = cls(
+            dim=header["dim"],
+            mesh=mesh,
+            metric=header["metric"],
+            dtype=header["dtype"],
+            nlist=header["nlist"],
+        )
+        fill = np.asarray(arrays["fill"], np.int64)
+        total = int(fill.sum())
+        cents = np.asarray(arrays["centroids"], np.float32)
+        if len(cents):
+            index.centroids = cents
+            index._dcent = index._put_replicated(jnp.asarray(cents))
+        index._count = int(header["count"])
+        if not total:
+            return index
+
+        dense_ids = np.asarray(arrays["ids"], np.int64)
+        dense_valid = np.asarray(arrays["valid"]).astype(np.bool_)
+        clusters = np.repeat(
+            np.arange(index.nlist, dtype=np.int64), fill
+        )
+        index._fill = np.zeros((index.nlist, index.n_shards), np.int32)
+        shards, locals_, need_local = index._plan_slots(clusters)
+        index._ensure_local_capacity(need_local)
+        index._materialize()
+        gslots = index._commit_slots(clusters, shards, locals_)
+
+        index._ids[clusters, gslots] = dense_ids.astype(np.int32)
+        index._valid[clusters, gslots] = dense_valid
+        index._append_slot_lookup(dense_ids, clusters, gslots)
+        index._dfill = None
+
+        vecs = arrays["vectors"]  # mmap; stream in chunks
+        scales = (
+            np.asarray(arrays["scales"], np.float32)
+            if index.dtype == "int8"
+            else None
+        )
+        chunk = 65536
+        rep = index._put_replicated
+        for c0 in range(0, total, chunk):
+            c1 = min(c0 + chunk, total)
+            b = bucket_size(c1 - c0, _UPDATE_BUCKETS)
+            cl = np.full((b,), index.nlist, np.int32)
+            cl[: c1 - c0] = clusters[c0:c1]
+            sl = np.zeros((b,), np.int32)
+            sl[: c1 - c0] = gslots[c0:c1]
+            nid = np.zeros((b,), np.int32)
+            nid[: c1 - c0] = dense_ids[c0:c1]
+            nvalid = np.zeros((b,), np.bool_)
+            nvalid[: c1 - c0] = dense_valid[c0:c1]
+            rows = np.zeros((b, index.dim), _np_dtype_of(index.dtype))
+            rows[: c1 - c0] = np.asarray(vecs[c0:c1])
+            nscale = np.ones((b,), np.float32)
+            if scales is not None:
+                nscale[: c1 - c0] = scales[c0:c1]
+            (
+                index._dblocks, index._dids, index._dvalid,
+                index._dsq, index._dscale,
+            ) = index._scatter_fn(b)(
+                index._dblocks, index._dids, index._dvalid,
+                index._dsq, index._dscale,
+                rep(jnp.asarray(cl)), rep(jnp.asarray(sl)),
+                rep(jnp.asarray(rows)),
+                rep(jnp.asarray(nid)), rep(jnp.asarray(nvalid)),
+                rep(jnp.asarray(nscale)),
+            )
+        # Tombstoned rows occupy their saved prefix slot; host fills
+        # already counted them (fill counts assigned slots, not live).
+        return index
+
+
+def _np_dtype_of(dtype: str):
+    return np.asarray(jnp.zeros((), _DTYPES[dtype])).dtype

@@ -169,15 +169,16 @@ class HybridStorage:
         self.meta.open()
 
     def _index_mesh(self):
-        """Mesh to shard the flat index over, or None for single-device.
+        """Mesh to shard the index over, or None for single-device.
 
         Multi-chip serving: each chip holds a corpus slice, queries fan out
-        and top-k merges over ICI (parallel/sharded_index.py). Auto-enabled
-        when several accelerator devices are attached.
+        and top-k merges over ICI (parallel/sharded_index.py for flat,
+        parallel/sharded_ivf.py for IVF). Auto-enabled when several
+        accelerator devices are attached.
         """
         import jax
 
-        if self.config.index_type != "flat":
+        if self.config.index_type not in ("flat", "ivf"):
             return None
         n = self.config.shard_devices
         if n == 1:
@@ -205,7 +206,7 @@ class HybridStorage:
         return build_mesh(n_data=len(devices), n_model=1, devices=devices)
 
     def _build_index(self, device, mesh):
-        if mesh is not None:
+        if mesh is not None and self.config.index_type == "flat":
             from ..parallel.sharded_index import ShardedFlatIndex
 
             self.logger.info(
@@ -231,6 +232,19 @@ class HybridStorage:
                 "the IVF index; using 'bfloat16'"
             )
             dtype = "bfloat16"
+        if mesh is not None:  # index_type == "ivf" (the mesh gate)
+            from ..parallel.sharded_ivf import ShardedIVFIndex
+
+            self.logger.info(
+                "Sharded IVF index over %d devices", mesh.shape["data"]
+            )
+            return ShardedIVFIndex(
+                dim=self.embedding_dim,
+                mesh=mesh,
+                metric="ip" if self.config.normalize_embeddings else "l2",
+                dtype=dtype,
+                nlist=self.config.ivf_nlist,
+            )
         return create_index(
             self.config.index_type,
             dim=self.embedding_dim,
@@ -258,7 +272,13 @@ class HybridStorage:
 
         if self.index_path.exists():
             try:
-                if mesh is not None:
+                if mesh is not None and self.config.index_type == "ivf":
+                    from ..parallel.sharded_ivf import ShardedIVFIndex
+
+                    self.index = ShardedIVFIndex.load(
+                        str(self.index_path), mesh=mesh
+                    )
+                elif mesh is not None:
                     from ..parallel.sharded_index import ShardedFlatIndex
 
                     self.index = ShardedFlatIndex.load(
