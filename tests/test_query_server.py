@@ -18,6 +18,9 @@ from tpu_search.storage.hybrid import SearchResult
 def engine():
     mock = MagicMock()
     mock.embedder.is_model_loaded = True
+    # Not fusable (mock engine): the worker must fall through to the
+    # classic embed-batch + search_many path these tests assert on.
+    mock._fused_search_many.return_value = None
     mock.embedder._encode_texts.side_effect = lambda texts: np.zeros(
         (len(texts), 4), dtype=np.float32
     )

@@ -346,26 +346,44 @@ class SearchEngine:
         filters: Optional[Dict[str, Any]],
         cfg: SearchConfig,
     ) -> Optional[List[Any]]:
+        """ONE-dispatch single query (see :meth:`_fused_search_many`)."""
+        many = self._fused_search_many([query], filters, cfg)
+        return None if many is None else many[0]
+
+    def _fused_search_many(
+        self,
+        queries: List[str],
+        filters: Optional[Dict[str, Any]],
+        cfg: SearchConfig,
+    ) -> Optional[List[List[Any]]]:
         """ONE-dispatch query path: token ids (plus the filter mask, if
         any) ship to the device, encode -> normalize -> masked scan ->
         top-k run as a single jitted program, and one packed [Q, 2k] array
         comes back.  The classic path pays two dispatches and two fetches
         (embed, then scan) — on a high-latency host link each extra round
-        trip dominates the 2-4 ms device work.
+        trip dominates the 2-4 ms device work.  Up to 8 same-filter
+        queries (a warm-server batching window) share the single dispatch:
+        the flat kernel's minimum query block is 8 rows, so batching
+        windows ride the padding that a lone query already pays for.
 
         Works for the single-device FlatIndex AND IVFIndex (the whole IVF
         pipeline — centroid scan, probe schedule, probed block scan — is
         already one program, so folding the encoder onto the front keeps
         it one dispatch; VERDICT r2 item 4).  Returns None when not
         applicable (hash encoder — host-side, no graph to fuse; sharded
-        index; empty index), letting the caller fall through to the
-        classic path.
+        index; empty index; window > 8), letting the caller fall through
+        to the classic path.
         """
         import numpy as np
 
         from ..index.flat import FlatIndex
         from ..index.ivf import IVFIndex
 
+        q = len(queries)
+        if q == 0:
+            return []
+        if q > 8:
+            return None
         index = self.storage.index
         if index is None or getattr(index, "ntotal", 0) == 0:
             return None
@@ -385,7 +403,7 @@ class SearchEngine:
 
         fmask = self.storage.filter_mask(filters)
         if fmask is not None and not fmask.any():
-            return []
+            return [[] for _ in range(q)]
 
         if is_ivf:
             nprobe_eff = min(cfg.nprobe, index.nlist)
@@ -393,8 +411,12 @@ class SearchEngine:
         else:
             k_eff = min(cfg.top_k, index.capacity)
         if k_eff <= 0:
-            return []
-        ids, attn = self.embedder.pack_batch([query])
+            return [[] for _ in range(q)]
+        ids, attn = self.embedder.pack_batch(queries)
+        if ids.shape[0] < 8:
+            pad = 8 - ids.shape[0]
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            attn = np.pad(attn, ((0, pad), (0, 0)))
 
         if is_ivf:
             scan_key, buffers = index.make_scan_fn(k_eff, cfg.nprobe)
@@ -440,11 +462,10 @@ class SearchEngine:
             if scan_key[0] == "ivf_pallas":
                 index._pallas_ok = False
             return None
-        scores = packed[:1, :k_eff]
-        out_ids = np.rint(packed[:1, k_eff:]).astype(np.int64)
+        scores = packed[:q, :k_eff]
+        out_ids = np.rint(packed[:q, k_eff:]).astype(np.int64)
         out_ids[~np.isfinite(scores)] = -1
-        results = self.storage.hydrate_results(scores, out_ids, cfg)[0]
-        return results
+        return self.storage.hydrate_results(scores, out_ids, cfg)
 
     def _fused_query_fn(self, model_config, compute_dtype, normalize):
         """Build (and cache) the jitted fused encode+scan program.
@@ -482,11 +503,12 @@ class SearchEngine:
                 attention_impl=impl,
             ).astype(jnp.float32)  # [B, H]
             if scan_key[0].startswith("ivf"):
-                # IVF scan functions take any Q (bucketed internally by
-                # the caller); `valid` is already the combined
-                # valid & predicate block mask.
+                # IVF scan functions take any Q; the window is padded to
+                # the same 8-row block the flat kernel needs, so single
+                # queries and batching windows share one trace. `valid`
+                # is already the combined valid & predicate block mask.
                 scores, out_ids = ivf_scan_fn_for(scan_key)(
-                    buffers, valid, emb[:1], k
+                    buffers, valid, emb[:8], k
                 )
             else:
                 # Pad the query rows to the flat kernel's minimum of 8.
