@@ -251,6 +251,21 @@ class TestFusedQueryPath:
         assert len(calls) == 1 and calls[0] is not None
         assert len(results) > 0 and "chunk_id" in results[0]
 
+    def test_fused_many_matches_classic(self, real_model_engine):
+        # Batching windows (here 12 queries -> the 32-row bucket) must
+        # return exactly what per-query classic searches return.
+        engine = real_model_engine
+        cfg = SearchConfig(top_k=3, include_metadata=True, include_text=True)
+        texts = [f"tok{i} tok{i+1}" for i in range(12)]
+        fused = engine._fused_search_many(texts, None, cfg)
+        assert fused is not None and len(fused) == 12
+        for text, res in zip(texts, fused):
+            emb = engine.embedder.generate_single_embedding(text)
+            classic = engine.storage.search(emb, cfg, None)
+            assert [r.chunk_id for r in res] == [
+                r.chunk_id for r in classic
+            ]
+
     def test_fused_jit_cached_across_searches(self, real_model_engine):
         engine = real_model_engine
         cfg = SearchConfig(top_k=3)

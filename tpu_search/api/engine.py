@@ -371,8 +371,8 @@ class SearchEngine:
         already one program, so folding the encoder onto the front keeps
         it one dispatch; VERDICT r2 item 4).  Returns None when not
         applicable (hash encoder — host-side, no graph to fuse; sharded
-        index; empty index; window > 8), letting the caller fall through
-        to the classic path.
+        index; empty index; window > 32), letting the caller fall
+        through to the classic path.
         """
         import numpy as np
 
@@ -382,8 +382,9 @@ class SearchEngine:
         q = len(queries)
         if q == 0:
             return []
-        if q > 8:
+        if q > 32:
             return None
+        q_pad = 8 if q <= 8 else 32
         index = self.storage.index
         if index is None or getattr(index, "ntotal", 0) == 0:
             return None
@@ -413,8 +414,8 @@ class SearchEngine:
         if k_eff <= 0:
             return [[] for _ in range(q)]
         ids, attn = self.embedder.pack_batch(queries)
-        if ids.shape[0] < 8:
-            pad = 8 - ids.shape[0]
+        if ids.shape[0] < q_pad:
+            pad = q_pad - ids.shape[0]
             ids = np.pad(ids, ((0, pad), (0, 0)))
             attn = np.pad(attn, ((0, pad), (0, 0)))
 
@@ -425,7 +426,7 @@ class SearchEngine:
             valid = index.device_block_mask(fmask)
             fmask = None
         else:
-            scan_key, buffers = index.make_scan_fn(8, k_eff)
+            scan_key, buffers = index.make_scan_fn(q_pad, k_eff)
             valid = index._valid
             if fmask is not None:
                 padded = np.zeros((index.capacity,), dtype=np.bool_)
@@ -449,6 +450,7 @@ class SearchEngine:
                         fmask,
                         scan_key=scan_key,
                         k=k_eff,
+                        q_pad=q_pad,
                     )
                 )
         except Exception as exc:
@@ -494,8 +496,10 @@ class SearchEngine:
         from ..index.ivf import ivf_scan_fn_for
         from ..models.mpnet import encode as mpnet_encode
 
-        @partial(jax.jit, static_argnames=("scan_key", "k"))
-        def fused(params, ids, attn, buffers, valid, fmask, scan_key, k):
+        @partial(jax.jit, static_argnames=("scan_key", "k", "q_pad"))
+        def fused(
+            params, ids, attn, buffers, valid, fmask, scan_key, k, q_pad=8
+        ):
             impl = "pallas" if on_accel and ids.shape[1] >= 256 else "dense"
             emb = mpnet_encode(
                 params, ids, attn, model_config,
@@ -504,16 +508,17 @@ class SearchEngine:
             ).astype(jnp.float32)  # [B, H]
             if scan_key[0].startswith("ivf"):
                 # IVF scan functions take any Q; the window is padded to
-                # the same 8-row block the flat kernel needs, so single
-                # queries and batching windows share one trace. `valid`
-                # is already the combined valid & predicate block mask.
+                # the same query-row bucket the flat kernel uses, so
+                # single queries and batching windows share few traces.
+                # `valid` is already the combined valid & predicate mask.
                 scores, out_ids = ivf_scan_fn_for(scan_key)(
-                    buffers, valid, emb[:8], k
+                    buffers, valid, emb[:q_pad], k
                 )
             else:
-                # Pad the query rows to the flat kernel's minimum of 8.
-                qb = jnp.zeros((8, emb.shape[1]), jnp.float32)
-                qb = jax.lax.dynamic_update_slice(qb, emb[:8], (0, 0))
+                # Pad the query rows to the kernel's query bucket
+                # (minimum block is 8 rows).
+                qb = jnp.zeros((q_pad, emb.shape[1]), jnp.float32)
+                qb = jax.lax.dynamic_update_slice(qb, emb[:q_pad], (0, 0))
                 mask = (
                     valid
                     if fmask is None

@@ -72,11 +72,16 @@ class _BatchWorker:
         self.queue.put(None)  # wake the worker
 
     def submit(
-        self, payload: Dict[str, Any], timeout: float = REQUEST_TIMEOUT_S
+        self, payload: Dict[str, Any], timeout: Optional[float] = None
     ) -> Dict[str, Any]:
         request = _Request(payload)
         self.queue.put(request)
-        request.event.wait(timeout=timeout)
+        # Module attr read at call time so deployments can raise it (the
+        # FIRST query after a cold daemon start may sit behind an XLA
+        # compile far longer than a steady-state search).
+        request.event.wait(
+            timeout=REQUEST_TIMEOUT_S if timeout is None else timeout
+        )
         return request.response or {"ok": False, "error": "worker timeout"}
 
     def run(self, fn):
@@ -275,6 +280,10 @@ def _dispatch_simple(engine, req: Dict[str, Any]) -> Dict[str, Any]:
 class _UnixServer(socketserver.ThreadingMixIn, socketserver.UnixStreamServer):
     daemon_threads = True
     allow_reuse_address = True
+    # Default backlog (5) refuses connections under concurrent client
+    # bursts — the whole point of the warm server is many simultaneous
+    # short-lived callers.
+    request_queue_size = 128
 
 
 class QueryServer:
