@@ -217,8 +217,13 @@ def _attention(
         scores = scores + bias_and_mask  # rel-pos bias + padding mask, f32
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
-    return ctx @ lp["o_w"] + lp["o_b"]
+    # Output projection contracted directly over (head, head_dim): XLA
+    # folds the [B, h, S, hd] -> [B, S, H] relayout into the GEMM input
+    # read instead of materializing a transpose copy per layer (profiled
+    # at ~4 ms/forward at b128 s384 — see
+    # benchmarks/results/encoder_profile_r3.md).
+    ow = lp["o_w"].reshape(nh, hd, h)
+    return jnp.einsum("bnsd,ndh->bsh", ctx, ow) + lp["o_b"]
 
 
 def _block(
@@ -226,12 +231,21 @@ def _block(
     lp: Dict[str, jax.Array],
     bias_and_mask: jax.Array,
     config: MPNetConfig,
+    gelu_approx: bool = False,
 ) -> jax.Array:
     attn = _attention(x, lp, bias_and_mask, config)
     x = _layer_norm(
         attn + x, lp["attn_ln_scale"], lp["attn_ln_bias"], config.layer_norm_eps
     )
-    ff = jax.nn.gelu(x @ lp["ff_in_w"] + lp["ff_in_b"], approximate=False)
+    # HF MPNet/BERT use exact (erf) gelu; under bf16 compute the tanh
+    # approximation is selected instead (see forward_hidden): its error
+    # (< 3e-4 on activations) sits below the bf16 matmul rounding floor —
+    # measured embedding cosine vs the f32 reference is identical
+    # (0.999999 both ways) while erf costs ~18 ms/forward of VPU time at
+    # b128 s384 (benchmarks/results/encoder_profile_r3.md).
+    ff = jax.nn.gelu(
+        x @ lp["ff_in_w"] + lp["ff_in_b"], approximate=gelu_approx
+    )
     ff = ff @ lp["ff_out_w"] + lp["ff_out_b"]
     return _layer_norm(
         ff + x, lp["ff_ln_scale"], lp["ff_ln_bias"], config.layer_norm_eps
@@ -307,9 +321,10 @@ def forward_hidden(
         bias_and_mask = bias + ext_mask[:, None, None, :]  # [B, h, S, S] f32
 
     layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+    gelu_approx = jnp.dtype(compute_dtype) != jnp.float32
 
     def step(carry, lp):
-        return _block(carry, lp, bias_and_mask, config), None
+        return _block(carry, lp, bias_and_mask, config, gelu_approx), None
 
     x, _ = jax.lax.scan(step, x, layers)
     return x
