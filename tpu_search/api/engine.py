@@ -462,7 +462,10 @@ class SearchEngine:
                 exc,
             )
             if scan_key[0] == "ivf_pallas":
-                index._pallas_ok = False
+                from ..index.ivf import is_transient_compile_error
+
+                if not is_transient_compile_error(exc):
+                    index._pallas_ok = False
             return None
         scores = packed[:q, :k_eff]
         out_ids = np.rint(packed[:q, k_eff:]).astype(np.int64)

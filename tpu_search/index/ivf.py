@@ -47,7 +47,7 @@ import numpy as np
 from ..ops.kmeans import assign_clusters, kmeans
 from ..utils.shapes import bucket_size, round_up
 
-__all__ = ["IVFIndex", "ivf_scan_fn_for"]
+__all__ = ["IVFIndex", "ivf_scan_fn_for", "is_transient_compile_error"]
 
 _QUERY_BUCKETS = (1, 8, 32, 128)
 # Device scatter batches are padded to these row counts (pad rows carry an
@@ -399,6 +399,22 @@ def _ivf_search_pallas_impl(
 _ivf_search_pallas = partial(
     jax.jit, static_argnames=("nprobe", "k", "metric", "tile_n")
 )(_ivf_search_pallas_impl)
+
+
+def is_transient_compile_error(exc: BaseException) -> bool:
+    """Heuristic: remote-compile-service flakes (HTTP 5xx, deadline,
+    unavailable) must NOT permanently downgrade a kernel — only genuine
+    Mosaic/lowering failures should latch the XLA fallback.  (This rig's
+    compile helper 500s transiently; a single flake used to disable the
+    pallas probe scan for the life of the index.)"""
+    text = str(exc)
+    return any(
+        marker in text
+        for marker in (
+            "remote_compile", "HTTP 5", "DEADLINE", "UNAVAILABLE",
+            "Socket closed", "Connection reset",
+        )
+    )
 
 
 @lru_cache(maxsize=None)
@@ -1133,11 +1149,14 @@ class IVFIndex:
                 except Exception as exc:  # Mosaic/compile failure: fall back
                     import logging
 
+                    transient = is_transient_compile_error(exc)
                     logging.getLogger(__name__).warning(
-                        "IVF pallas scan unavailable (%s); using XLA path",
+                        "IVF pallas scan unavailable (%s); using XLA path%s",
                         exc,
+                        " this call (transient)" if transient else "",
                     )
-                    self._pallas_ok = False
+                    if not transient:
+                        self._pallas_ok = False
                     kernel_tile = 0
             if not kernel_tile:
                 scores, ids = _ivf_search(

@@ -780,10 +780,13 @@ class ShardedIVFIndex:
                 self._dsq, self._dscale, self._device_fills(),
                 self._put_replicated(jnp.asarray(qbatch)),
             )
-        except Exception:
+        except Exception as exc:
             if local_impl != "pallas":
                 raise
-            self._pallas_ok = False
+            from ..index.ivf import is_transient_compile_error
+
+            if not is_transient_compile_error(exc):
+                self._pallas_ok = False
             fn = self._search_fn(nprobe_eff, k_eff, "xla", 0)
             scores, ids = fn(
                 self._dcent, self._dblocks, self._dids, block_mask,
