@@ -193,7 +193,10 @@ class _BatchWorker:
                     filters,
                     cfg,
                 )
-                if fused is not None:
+                # Contract: a list of per-query result lists; anything
+                # else (None = not fusable, or a test double) falls
+                # through to the classic path.
+                if isinstance(fused, list):
                     respond(members, fused)
                     continue
             pending[key] = members
