@@ -21,6 +21,8 @@ from tpu_search.storage.hybrid import SearchResult
 def engine():
     mock = MagicMock()
     mock.embedder.is_model_loaded = True
+    # Not fusable (mock engine): fall through to the classic batch path.
+    mock._fused_dispatch_many.return_value = None
     mock.embedder._encode_texts.side_effect = lambda texts: np.zeros(
         (len(texts), 4), dtype=np.float32
     )

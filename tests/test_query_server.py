@@ -18,6 +18,8 @@ from tpu_search.storage.hybrid import SearchResult
 def engine():
     mock = MagicMock()
     mock.embedder.is_model_loaded = True
+    # Not fusable (mock engine): fall through to the classic batch path.
+    mock._fused_dispatch_many.return_value = None
     # Not fusable (mock engine): the worker must fall through to the
     # classic embed-batch + search_many path these tests assert on.
     mock._fused_search_many.return_value = None
@@ -207,3 +209,113 @@ class TestPartialBatchFailure:
         assert bad_req.response["ok"] is False
         assert "exploded" in bad_req.response["error"]
         assert ok_req.event.is_set() and bad_req.event.is_set()
+
+
+class TestPipelinedFusedServing:
+    """Round-3 serving pipeline: fused windows dispatch on the worker
+    thread and are fetched/hydrated by the finisher pool — concurrent
+    clients must all get CORRECT per-query results (no cross-wiring), and
+    a mutation op must barrier behind in-flight fetches."""
+
+    @pytest.fixture
+    def real_engine(self, tmp_path):
+        import jax
+
+        from tpu_search.api.engine import SearchEngine
+        from tpu_search.models import MPNetConfig, init_params
+        from tpu_search.models.convert import save_checkpoint
+
+        tiny = MPNetConfig(
+            vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+            intermediate_size=32, max_position=96,
+        )
+        vocab = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"] + [
+            f"tok{i}" for i in range(59)
+        ]
+        model_dir = tmp_path / "models" / "tiny-mpnet"
+        model_dir.mkdir(parents=True)
+        params = init_params(tiny, jax.random.PRNGKey(0))
+        save_checkpoint(str(model_dir / "model.tpu.npz"), params, tiny)
+        (model_dir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+
+        engine = SearchEngine(
+            data_dir=str(tmp_path), model_name="tiny-mpnet",
+            use_warm_server=False,
+        )
+        claude_dir = tmp_path / "projects" / "-proj"
+        claude_dir.mkdir(parents=True)
+        lines = []
+        for i in range(8):
+            text = f"tok{i} tok{i+1} tok{i+2} " * 12
+            lines.append(json.dumps({
+                "uuid": f"u{i}", "sessionId": "s1",
+                "timestamp": f"2025-07-01T09:0{i}:00Z",
+                "message": {
+                    "role": "user" if i % 2 == 0 else "assistant",
+                    "content": [{"type": "text", "text": text}],
+                },
+            }))
+        (claude_dir / "s1.jsonl").write_text("\n".join(lines) + "\n")
+        engine.index_conversations([str(claude_dir / "s1.jsonl")])
+        return engine
+
+    def test_concurrent_fused_results_not_crosswired(
+        self, real_engine, tmp_path
+    ):
+        import threading
+
+        server = QueryServer(real_engine, str(tmp_path))
+        server.start()
+        try:
+            # ground truth per query via the direct engine path
+            queries = [f"tok{i} tok{i+1} tok{i+2}" for i in range(6)]
+            expected = {
+                q: real_engine.search_conversations(q, top_k=2)[0][
+                    "chunk_id"
+                ]
+                for q in queries
+            }
+            responses = {}
+            lock = threading.Lock()
+
+            def client(q):
+                r = request(
+                    str(tmp_path),
+                    {"op": "search", "query": q, "top_k": 2},
+                    timeout=120.0,
+                )
+                with lock:
+                    responses[q] = r
+
+            for _ in range(2):  # two rounds: warm + pipelined
+                responses.clear()
+                threads = [
+                    threading.Thread(target=client, args=(q,))
+                    for q in queries
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join(timeout=120)
+            for q in queries:
+                r = responses[q]
+                assert r and r.get("ok"), r
+                assert r["results"][0]["chunk_id"] == expected[q], q
+        finally:
+            server.stop()
+
+    def test_mutation_barriers_behind_inflight_fetches(self, real_engine):
+        from tpu_search.interfaces.query_server import _BatchWorker
+
+        worker = _BatchWorker(real_engine)
+        try:
+            r = worker.submit(
+                {"op": "search", "query": "tok1 tok2", "top_k": 1},
+                timeout=120.0,
+            )
+            assert r.get("ok"), r
+            # a __local__ op (the watcher reindex path) must run after the
+            # finisher pool drains — smoke that it completes and returns
+            assert worker.run(lambda: 42) == 42
+        finally:
+            worker.stop()

@@ -38,31 +38,43 @@ def socket_path_for(data_dir: str) -> Path:
 class _Request:
     """One in-flight request parked on the worker queue."""
 
-    __slots__ = ("payload", "event", "response", "fn")
+    __slots__ = ("payload", "event", "response", "fn", "handed")
 
     def __init__(self, payload: Dict[str, Any], fn=None) -> None:
         self.payload = payload
         self.event = threading.Event()
         self.response: Dict[str, Any] = {}
         self.fn = fn
+        self.handed = False  # owned by the finisher pool from here on
 
 
 class _BatchWorker:
-    """Single worker thread owning all engine access.
+    """Single DISPATCH thread owning all engine mutation/tokenizer access,
+    plus a small finisher pool that overlaps result fetches.
 
-    Serializing through one thread removes SQLite/engine thread races, and
-    concurrent searches arriving within the batching window share ONE
-    embedding batch on the device (the expensive step; the per-request
-    filtered index scans stay separate because their predicate masks
-    differ). Window: whatever is queued when the worker frees up — no added
-    latency for a lone request.
+    Serializing dispatch through one thread removes SQLite-write/engine/
+    tokenizer thread races, and concurrent searches arriving within the
+    batching window share ONE device dispatch (the fused path). The
+    expensive part of a window on a high-latency host link is the result
+    FETCH (one round trip each): fused windows hand their in-flight
+    device output to the finisher pool, so while window N's fetch is on
+    the wire the worker is already tokenizing and dispatching window N+1
+    — up to PIPELINE windows overlap. Window: whatever is queued when
+    the worker frees up — no added latency for a lone request.
     """
 
     MAX_BATCH = 32
+    PIPELINE = 4  # in-flight fetch/hydrate jobs (bounds device output RAM)
 
     def __init__(self, engine) -> None:
+        import concurrent.futures
+
         self.engine = engine
         self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self._finisher = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self.PIPELINE, thread_name_prefix="qs-finish"
+        )
+        self._inflight = threading.Semaphore(self.PIPELINE)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
         self._thread.start()
@@ -70,6 +82,18 @@ class _BatchWorker:
     def stop(self) -> None:
         self._running = False
         self.queue.put(None)  # wake the worker
+        self._finisher.shutdown(wait=False)
+
+    def _drain_inflight(self) -> None:
+        """Barrier: wait for every in-flight fetch/hydrate to finish.
+
+        Called before non-search ops (reindex and other engine mutations
+        run via :meth:`run`) so a mutation never overlaps a fetch that
+        hydrates against pre-mutation metadata."""
+        for _ in range(self.PIPELINE):
+            self._inflight.acquire()
+        for _ in range(self.PIPELINE):
+            self._inflight.release()
 
     def submit(
         self, payload: Dict[str, Any], timeout: Optional[float] = None
@@ -126,11 +150,15 @@ class _BatchWorker:
             try:
                 self._run_searches(searches)
             except Exception as exc:
-                # Only fail requests that have no response yet: earlier
-                # filter groups may have completed before the raise.
+                # Only fail requests that have no response yet AND were
+                # not handed to the finisher pool (their fetch may still
+                # succeed); earlier filter groups may have completed
+                # before the raise.
                 for request in searches:
-                    if not request.response:
+                    if not request.response and not request.handed:
                         request.response = {"ok": False, "error": str(exc)}
+        if others:
+            self._drain_inflight()
         for request in others:
             try:
                 if request.payload.get("op") == "__local__":
@@ -142,7 +170,8 @@ class _BatchWorker:
             except Exception as exc:
                 request.response = {"ok": False, "error": str(exc)}
         for request in batch:
-            request.event.set()
+            if not request.handed:  # pipelined ones respond when fetched
+                request.event.set()
 
     def _run_searches(self, searches: List[_Request]) -> None:
         import numpy as np
@@ -187,17 +216,29 @@ class _BatchWorker:
             cfg = SearchConfig(
                 top_k=top_k, include_metadata=True, include_text=True
             )
-            if len(members) <= 8:
-                fused = engine._fused_search_many(
+            if len(members) <= 32:
+                dispatched = engine._fused_dispatch_many(
                     [r.payload.get("query", "") for r in members],
                     filters,
                     cfg,
                 )
-                # Contract: a list of per-query result lists; anything
-                # else (None = not fusable, or a test double) falls
-                # through to the classic path.
-                if isinstance(fused, list):
-                    respond(members, fused)
+                if isinstance(dispatched, list):  # degenerate: no matches
+                    respond(members, dispatched)
+                    for request in members:
+                        request.event.set()
+                    continue
+                from ..api.engine import _FusedPending
+
+                if isinstance(dispatched, _FusedPending):
+                    # Hand the in-flight device output to the finisher
+                    # pool; the worker moves on to the next window while
+                    # this fetch rides the host link.
+                    for request in members:
+                        request.handed = True
+                    self._inflight.acquire()
+                    self._finisher.submit(
+                        self._finish_fused, members, dispatched, cfg
+                    )
                     continue
             pending[key] = members
         if not pending:
@@ -221,6 +262,29 @@ class _BatchWorker:
                 filters,
             )
             respond(members, results_per_query)
+
+    def _finish_fused(self, members, dispatched, cfg) -> None:
+        """Finisher-pool side: fetch the packed device result, hydrate,
+        respond.  SQLite reads here are safe: the stdlib sqlite3 module is
+        serialized (threadsafety 3) and mutations are barriered behind
+        :meth:`_drain_inflight` on the dispatch thread."""
+        from ..api.engine import format_search_result
+
+        try:
+            results_per_query = self.engine._fused_collect(dispatched, cfg)
+            for request, results in zip(members, results_per_query):
+                request.response = {
+                    "ok": True,
+                    "results": [format_search_result(r) for r in results],
+                }
+        except Exception as exc:
+            for request in members:
+                if not request.response:
+                    request.response = {"ok": False, "error": str(exc)}
+        finally:
+            self._inflight.release()
+            for request in members:
+                request.event.set()
 
 
 class _Handler(socketserver.StreamRequestHandler):
