@@ -511,11 +511,16 @@ def bench_serving() -> dict:
     config = MPNetConfig()
     model_dir = data_dir / "models" / "bench-mpnet"
     model_dir.mkdir(parents=True)
+    # Init the checkpoint params on the HOST CPU backend: save_checkpoint
+    # round-trips every tensor through np.asarray, and a d2h pull of
+    # 420 MB over this rig's tunnel runs at ~13 MB/s (~30 min).
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        bench_params = init_params(config, jax.random.PRNGKey(5))
     save_checkpoint(
-        str(model_dir / "model.tpu.npz"),
-        init_params(config, jax.random.PRNGKey(5)),
-        config,
+        str(model_dir / "model.tpu.npz"), bench_params, config
     )
+    del bench_params
     specials = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"]
     with open(model_dir / "vocab.txt", "w") as fh:
         fh.write("\n".join(specials) + "\n")
@@ -834,6 +839,7 @@ def main() -> None:
     # host-tunnel RTT per dispatch (rtt_floor_ms); the device-side cost of
     # the same program is detail.fused_device_ms_*.
     serving_qps = serving["serving_qps_c8"]
+    serving_qps_c16 = serving["serving_qps_c16"]
     fused_qps = search["fused_qps_b1_bf16"]
     colocated_qps = 1000.0 / search["fused_device_ms_bf16"]
     headline = {
@@ -843,6 +849,10 @@ def main() -> None:
         "vs_baseline": round(serving_qps / BASELINE_SEARCH_QPS, 1),
         "serving_recall10": round(serving["serving_recall10"], 4),
         "serving_p50_ms": round(serving["serving_p50_ms_c8"], 1),
+        "serving_qps_c16": round(serving_qps_c16, 1),
+        "serving_vs_baseline_c16": round(
+            serving_qps_c16 / BASELINE_SEARCH_QPS, 1
+        ),
         "serial_qps": round(serving["serving_serial_qps"], 1),
         "rtt_floor_ms": round(search["rtt_floor_ms"], 1),
         "fused_1dispatch_qps_b1": round(fused_qps, 2),
