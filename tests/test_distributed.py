@@ -32,7 +32,7 @@ port = sys.argv[2]
 out_dir = sys.argv[3]
 
 from tpu_search.parallel import (
-    ShardedFlatIndex, build_mesh, initialize_distributed,
+    ShardedFlatIndex, ShardedIVFIndex, build_mesh, initialize_distributed,
 )
 
 initialize_distributed(
@@ -72,6 +72,23 @@ for dtype in ("float32", "int8"):
     s2, i2 = loaded.search(queries, k=5)
     assert np.array_equal(ids, i2), (dtype, ids, i2)
     np.testing.assert_array_equal(scores, s2)
+
+# Sharded IVF: add -> search -> per-host save -> per-host load -> search
+for dtype in ("float32", "int8"):
+    ivf = ShardedIVFIndex(dim=d, mesh=mesh, dtype=dtype, nlist=4, seed=3)
+    ivf.add(vecs)
+    scores, ids = ivf.search(queries, k=5, nprobe=4)  # exhaustive probe
+    if dtype == "float32":
+        ref_ids = np.argsort(-(queries @ vecs.T), axis=1)[:, :5]
+        assert sorted(ids[0]) == sorted(ref_ids[0]), (ids, ref_ids)
+    path = os.path.join(out_dir, f"ivf_{dtype}.tpuidx")
+    ivf.save(path)
+    assert os.path.exists(path + f".host{pid}")
+    loaded = ShardedIVFIndex.load(path, mesh=mesh)
+    assert loaded.ntotal == ivf.ntotal and loaded.live == ivf.live
+    s2, i2 = loaded.search(queries, k=5, nprobe=4)
+    np.testing.assert_array_equal(scores, s2)
+    assert all(set(a) == set(b) for a, b in zip(ids, i2))
 
 print(f"WORKER_{pid}_OK", flush=True)
 """

@@ -609,6 +609,33 @@ class TestRebalance:
         # balanced layout must NOT retrigger
         assert ivf.maybe_rebalance(skew_threshold=10.0) is False
 
+    def test_maybe_rebalance_futility_guard(self):
+        # An inherently skewed corpus (one tight blob) stays skewed after
+        # retraining; the guard must silence re-triggers until the corpus
+        # grows 10% past the futile point.
+        rng = np.random.default_rng(5)
+        broad = normed(rng, 200, 16)
+        hot = broad[3][None] + 0.005 * rng.standard_normal((600, 16))
+        hot = (hot / np.linalg.norm(hot, axis=1, keepdims=True)).astype(
+            np.float32
+        )
+        ivf = IVFIndex(dim=16, dtype="float32", nlist=4, seed=1)
+        ivf.add(broad)
+        ivf.add(hot)
+        mean_fill = ivf.live / ivf.nlist
+        assert ivf._fill.max() > 2.0 * mean_fill  # skewed for real
+        assert ivf.maybe_rebalance(skew_threshold=2.0) is True
+        if getattr(ivf, "_rebalance_futile_at", 0):
+            # still skewed -> immediate retrigger must be suppressed
+            assert ivf.maybe_rebalance(skew_threshold=2.0) is False
+            # 10% growth re-arms the trigger
+            more = hot[:90] + 0.001
+            more = (
+                more / np.linalg.norm(more, axis=1, keepdims=True)
+            ).astype(np.float32)
+            ivf.add(more)
+            assert ivf.maybe_rebalance(skew_threshold=2.0) is True
+
     def test_maybe_rebalance_noop_when_small(self):
         rng = np.random.default_rng(3)
         ivf = IVFIndex(dim=8, dtype="float32", nlist=4)

@@ -299,3 +299,76 @@ class TestPersistence:
         np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
         for r1, r2 in zip(i1, i2):
             assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+
+class TestRebalance:
+    def test_rebalance_preserves_rows_and_balances(
+        self, mesh, corpus, queries
+    ):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=8, seed=3
+        )
+        sharded.add(corpus)
+        # exhaustive probe == exact scan: results must survive the re-layout
+        s1, i1 = sharded.search(queries, k=10, nprobe=8)
+        stats = sharded.rebalance(train_sample=1000)
+        assert sharded.ntotal == 2000 and sharded.live == 2000
+        s2, i2 = sharded.search(queries, k=10, nprobe=8)
+        np.testing.assert_allclose(
+            np.sort(s1, axis=1), np.sort(s2, axis=1), rtol=2e-5, atol=1e-6
+        )
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+        # fresh water-filled layout: per-cluster shard fills spread <= 1
+        fills = sharded._fill
+        assert (fills.max(axis=1) - fills.min(axis=1) <= 1).all()
+        assert stats["filled"] == 2000
+
+    def test_rebalance_int8_bit_lossless(self, mesh, corpus, queries):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="int8", nlist=8, seed=3
+        )
+        sharded.add(corpus)
+        s1, _ = sharded.search(queries, k=10, nprobe=8)
+        sharded.rebalance(train_sample=1000)
+        s2, _ = sharded.search(queries, k=10, nprobe=8)
+        # stored rows move with their original scales: every per-row score
+        # is recomputed from IDENTICAL quantized values, so the sorted
+        # score vectors match bit-for-bit (tie order may permute ids)
+        np.testing.assert_array_equal(s1, s2)
+
+    def test_rebalance_keeps_tombstones_dropped(self, mesh, corpus):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=8
+        )
+        ids = sharded.add(corpus)
+        sharded.remove(ids[::4])
+        live_before = sharded.live
+        sharded.rebalance(train_sample=1000)
+        assert sharded.live == live_before
+        assert sharded.ntotal == 2000  # ids stay sparse, nothing renumbered
+        _, got = sharded.search(corpus[1][None], k=1, nprobe=8)
+        assert got[0, 0] == 1  # surviving id unchanged
+        _, got = sharded.search(corpus[::4][:3], k=1, nprobe=8)
+        assert (got[:, 0] % 4 != 0).all()  # removed rows stay gone
+
+    def test_maybe_rebalance_triggers_on_skew(self, mesh):
+        rng = np.random.default_rng(11)
+        broad = normed(rng, 400, 16)
+        sharded = ShardedIVFIndex(
+            dim=16, mesh=mesh, dtype="float32", nlist=4, seed=1
+        )
+        sharded.add(broad)
+        assert not sharded.maybe_rebalance(skew_threshold=2.5)
+        # pile one tight direction onto a single cluster
+        hot = normed(rng, 1, 16) + 0.01 * rng.standard_normal((800, 16))
+        hot = (hot / np.linalg.norm(hot, axis=1, keepdims=True)).astype(
+            np.float32
+        )
+        sharded.add(hot)
+        per_cluster = sharded._fill.sum(axis=1)
+        assert per_cluster.max() > 2.0 * per_cluster.mean()
+        assert sharded.maybe_rebalance(skew_threshold=2.0)
+        after = sharded._fill.sum(axis=1)
+        assert after.max() < per_cluster.max()
+        assert sharded.live == 1200

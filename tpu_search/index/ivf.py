@@ -843,16 +843,29 @@ class IVFIndex:
         ``skew_threshold`` times the mean live fill (max fill sets both
         the HBM block capacity and the per-probe scan cost). Cheap to
         call after every bulk add; returns True if a rebalance ran.
+
+        Futility guard: when a rebalance leaves the skew above the
+        threshold (the corpus is INHERENTLY skewed — e.g. one tight
+        topic dominating — and k-means cannot split it), re-triggering
+        on every subsequent add would retrain + re-lay out the whole
+        index each time for nothing. The live count at the futile
+        rebalance is remembered and the trigger stays quiet until the
+        corpus has grown 10% past it.
         """
         if self._fill is None or self.nlist < 2:
             return False
         live = int(self._valid.sum())
         if live < max(self.nlist * 8, 2):
             return False
+        futile_at = getattr(self, "_rebalance_futile_at", 0)
+        if futile_at and live < 1.1 * futile_at:
+            return False
         mean_fill = live / self.nlist
         if int(self._fill.max()) <= skew_threshold * mean_fill:
             return False
         self.rebalance(train_sample=train_sample)
+        still_skewed = int(self._fill.max()) > skew_threshold * mean_fill
+        self._rebalance_futile_at = live if still_skewed else 0
         return True
 
     def rebalance(

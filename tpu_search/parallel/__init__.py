@@ -9,6 +9,7 @@ from .distributed import (
 from .encode import make_sharded_encode, shard_params
 from .mesh import build_mesh, data_sharding, encoder_param_specs, replicated
 from .sharded_index import ShardedFlatIndex
+from .sharded_ivf import ShardedIVFIndex
 from .train import (
     TrainState,
     init_train_state,
@@ -20,6 +21,7 @@ from .train import (
 
 __all__ = [
     "ShardedFlatIndex",
+    "ShardedIVFIndex",
     "TrainState",
     "build_mesh",
     "initialize_distributed",

@@ -46,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..index.ivf import (
     _DTYPES,
     _KERNEL_TILES,
+    _LOAD_CHUNK_ROWS,
     _MIN_CLUSTER_CAPACITY,
     _ivf_search_impl,
     _ivf_search_pallas_impl,
@@ -172,6 +173,7 @@ class ShardedIVFIndex:
         self._mask_cache: dict = {}
         self._search_fns: Dict[Tuple, callable] = {}
         self._scatter_fns: Dict[Tuple, callable] = {}
+        self._gather_fns: Dict[Tuple, callable] = {}
 
     # _dvalid reassignment invalidates the predicate-mask cache (same
     # pattern as IVFIndex/ShardedFlatIndex).
@@ -422,9 +424,15 @@ class ShardedIVFIndex:
         shards = np.empty((n,), np.int64)
         locals_ = np.empty((n,), np.int64)
         counts = np.bincount(assign, minlength=self.nlist)
+        # Group rows by cluster once (stable sort keeps original order
+        # within each cluster) instead of scanning ``assign`` per cluster
+        # — rebalance plans the whole corpus in one call.
+        order = np.argsort(assign, kind="stable")
+        starts = np.zeros((self.nlist,), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
         needed = 0
         for c in np.nonzero(counts)[0]:
-            rows = np.nonzero(assign == c)[0]
+            rows = order[starts[c] : starts[c] + counts[c]]
             per_shard = _water_fill(self._fill[c], len(rows))
             sh, lo = [], []
             for s in np.nonzero(per_shard)[0]:
@@ -650,6 +658,201 @@ class ShardedIVFIndex:
         self._slot_pos = np.empty((0,), np.int32)
         self._search_fns.clear()
         self._scatter_fns.clear()
+        self._gather_fns.clear()
+
+    # -- rebalance -----------------------------------------------------------
+
+    def _gather_fn(self, b: int, lcap: int):
+        """Replicated gather of STORED rows + per-slot scales by (cluster,
+        global slot): the owning shard contributes each row, a psum over
+        'data' replicates the chunk (exactly one shard is non-zero per
+        row, so the sum is exact — int8/bf16 values pass through float32
+        losslessly)."""
+        key = (b, lcap)
+        fn = self._gather_fns.get(key)
+        if fn is not None:
+            return fn
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(None, "data", None), P(None, "data"),
+                P(None), P(None),
+            ),
+            out_specs=(P(None, None), P(None)),
+            check_vma=False,
+        )
+        def gather_prog(blocks, dscale, cl, gs):
+            s = jax.lax.axis_index("data")
+            local = gs - s * lcap
+            own = (local >= 0) & (local < lcap)
+            lidx = jnp.where(own, local, 0)
+            rows = blocks[cl, lidx].astype(jnp.float32)
+            sc = dscale[cl, lidx]
+            rows = jnp.where(own[:, None], rows, 0.0)
+            sc = jnp.where(own, sc, 0.0)
+            return (
+                jax.lax.psum(rows, "data"),
+                jax.lax.psum(sc, "data"),
+            )
+
+        fn = jax.jit(gather_prog)
+        if len(self._gather_fns) >= 8:
+            self._gather_fns.clear()
+        self._gather_fns[key] = fn
+        return fn
+
+    def maybe_rebalance(
+        self,
+        skew_threshold: float = 2.5,
+        train_sample: int = 500_000,
+    ) -> bool:
+        """Rebalance when incremental adds have skewed the layout (same
+        trigger and futility guard as :meth:`IVFIndex.maybe_rebalance`,
+        on per-cluster fills summed over shards). Returns True if a
+        rebalance ran."""
+        if self._fill is None or self.nlist < 2:
+            return False
+        live = int(self._valid.sum())
+        if live < max(self.nlist * 8, 2):
+            return False
+        futile_at = getattr(self, "_rebalance_futile_at", 0)
+        if futile_at and live < 1.1 * futile_at:
+            return False
+        mean_fill = live / self.nlist
+        if int(self._fill.sum(axis=1).max()) <= skew_threshold * mean_fill:
+            return False
+        self.rebalance(train_sample=train_sample)
+        still_skewed = (
+            int(self._fill.sum(axis=1).max()) > skew_threshold * mean_fill
+        )
+        self._rebalance_futile_at = live if still_skewed else 0
+        return True
+
+    def rebalance(
+        self,
+        train_sample: int = 500_000,
+        seed: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Retrain the coarse quantizer on the LIVE corpus and re-lay every
+        live row out under the new centroids, preserving global ids —
+        the sharded counterpart of :meth:`IVFIndex.rebalance` (the
+        reference's analog is the stubbed ``_rebuild_faiss_index``,
+        reference src/storage.py:944-967).
+
+        All row movement stays on device: chunks of stored rows are
+        gathered from the owning shards (one psum-replicated
+        ``[chunk, D]`` transient), re-assigned, and re-scattered
+        shard-locally into the fresh water-filled layout. int8 rows move
+        with their original per-slot scales (bit-lossless). Tombstoned
+        slots are dropped; ids stay sparse. Peak HBM is old blocks + new
+        blocks + one chunk. Returns padding_stats()."""
+        if self._count == 0 or self._fill is None:
+            return self.padding_stats()
+        cc, pp = np.nonzero(self._valid)
+        live = len(cc)
+        if live < max(self.nlist, 2):
+            return self.padding_stats()
+        ids64 = self._ids[cc, pp].astype(np.int64)
+        old_lcap = self._local_capacity
+        old_blocks, old_scale = self._dblocks, self._dscale
+        b = bucket_size(min(live, _LOAD_CHUNK_ROWS), _UPDATE_BUCKETS)
+        gather = self._gather_fn(b, old_lcap)
+        rep = self._put_replicated
+
+        def gather_chunk(idx_lo: int, idx_hi: int, sel=None):
+            ocl = np.zeros((b,), np.int32)
+            ogs = np.zeros((b,), np.int32)
+            take = idx_hi - idx_lo
+            if sel is None:
+                ocl[:take] = cc[idx_lo:idx_hi]
+                ogs[:take] = pp[idx_lo:idx_hi]
+            else:
+                ocl[:take] = cc[sel]
+                ogs[:take] = pp[sel]
+            return gather(
+                old_blocks, old_scale,
+                rep(jnp.asarray(ocl)), rep(jnp.asarray(ogs)),
+            )
+
+        # Train on a bounded sample (chunk-gathered, concatenated on
+        # device — the [n_train, D] f32 working set is the k-means
+        # input, bounded by train_sample).
+        n_train = min(live, max(50 * self.nlist, train_sample))
+        rng = np.random.default_rng(self.seed if seed is None else seed)
+        tr_idx = rng.choice(live, n_train, replace=False)
+        parts = []
+        for c0 in range(0, n_train, b):
+            hi = min(c0 + b, n_train)
+            rows_f, sc = gather_chunk(c0, hi, sel=tr_idx[c0:hi])
+            parts.append((rows_f * sc[:, None])[: hi - c0])
+        self.train(jnp.concatenate(parts) if len(parts) > 1 else parts[0])
+        del parts
+
+        # Chunked assignment pass (one [b, D] transient per chunk; only
+        # the tiny [b] assignment vector crosses d2h).
+        assign = np.empty((live,), np.int64)
+        for c0 in range(0, live, b):
+            hi = min(c0 + b, live)
+            rows_f, sc = gather_chunk(c0, hi)
+            a = assign_clusters(
+                rows_f * sc[:, None], self._dcent, self.metric
+            )
+            assign[c0:hi] = np.asarray(a)[: hi - c0]
+
+        # Fresh water-filled layout sized to the new (balanced) fills.
+        old_count = self._count
+        self._local_capacity = 0
+        self._ids = self._valid = None
+        self._dblocks = self._dids = self._dvalid = None
+        self._dsq = self._dscale = self._dfill = None
+        self._fill = np.zeros((self.nlist, self.n_shards), np.int32)
+        shards, locals_, need_local = self._plan_slots(assign)
+        self._ensure_local_capacity(need_local)
+        self._materialize()
+        gslots = self._commit_slots(assign, shards, locals_)
+
+        ids32 = ids64.astype(np.int32)
+        self._ids[assign, gslots] = ids32
+        self._valid[assign, gslots] = True
+        self._count = old_count
+        self._slot_cluster = np.full((old_count,), -1, np.int32)
+        self._slot_pos = np.full((old_count,), -1, np.int32)
+        self._slot_cluster[ids64] = assign.astype(np.int32)
+        self._slot_pos[ids64] = gslots.astype(np.int32)
+        self._dfill = None
+
+        # Chunked move pass: stored rows + original scales travel from
+        # the old blocks into the new layout bit-losslessly (the float32
+        # transit holds int8/bf16 values exactly; padding rows carry
+        # cluster == nlist and drop in the scatter).
+        stored_dt = _DTYPES[self.dtype]
+        scatter = self._scatter_fn(b)
+        for c0 in range(0, live, b):
+            hi = min(c0 + b, live)
+            rows_f, sc = gather_chunk(c0, hi)
+            ncl = np.full((b,), self.nlist, np.int32)
+            ncl[: hi - c0] = assign[c0:hi]
+            ngs = np.zeros((b,), np.int32)
+            ngs[: hi - c0] = gslots[c0:hi]
+            nid = np.zeros((b,), np.int32)
+            nid[: hi - c0] = ids32[c0:hi]
+            nvalid = np.zeros((b,), bool)
+            nvalid[: hi - c0] = True
+            (
+                self._dblocks, self._dids, self._dvalid,
+                self._dsq, self._dscale,
+            ) = scatter(
+                self._dblocks, self._dids, self._dvalid,
+                self._dsq, self._dscale,
+                rep(jnp.asarray(ncl)), rep(jnp.asarray(ngs)),
+                rows_f.astype(stored_dt),
+                rep(jnp.asarray(nid)), rep(jnp.asarray(nvalid)),
+                jnp.maximum(sc, 1e-12),
+            )
+        del old_blocks, old_scale
+        return self.padding_stats()
 
     # -- search --------------------------------------------------------------
 
@@ -846,7 +1049,16 @@ class ShardedIVFIndex:
     def save(self, path: str) -> None:
         """Write the SAME TPUSIDX2 ``kind="ivf"`` container as
         :class:`IVFIndex` (per-cluster dense row prefixes), so sharded and
-        single-chip saves are interchangeable."""
+        single-chip saves are interchangeable.
+
+        Multi-host (``jax.process_count() > 1``): switches to per-host
+        shard files — every process writes only its ADDRESSABLE block
+        slices (``<path>.host<p>``), no host ever pulls another host's
+        corpus slice over DCN, and process 0 writes a manifest (with the
+        replicated host metadata: ids/valid/fill/centroids) at ``path``."""
+        if jax.process_count() > 1:
+            self._save_per_host(path)
+            return
         from ..index.serialize import write_file
 
         fill_per_cluster = (
@@ -902,13 +1114,204 @@ class ShardedIVFIndex:
             )
         write_file(path, header, sections)
 
+    # -- per-host persistence (multi-host / DCN deployments) -------------------
+
+    def _host_path(self, path: str, process: int) -> str:
+        return f"{path}.host{process}"
+
+    def _save_per_host(self, path: str) -> None:
+        from ..index.serialize import device_section, write_file
+
+        if self.mesh.shape.get("model", 1) != 1:
+            raise ValueError(
+                "per-host persistence supports data-only index meshes"
+            )
+        me = jax.process_index()
+        lcap = self._local_capacity
+        base_header = {
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": self.dtype,
+            "nlist": self.nlist,
+            "count": self._count,
+            "n_shards": self.n_shards,
+            "local_capacity": lcap,
+            "process_count": jax.process_count(),
+        }
+        owned: Dict[int, jax.Array] = {}
+        scale_locals: Dict[int, jax.Array] = {}
+        if self._dblocks is not None:
+            for sh in self._dblocks.addressable_shards:
+                owned[(sh.index[1].start or 0) // lcap] = sh.data
+            if self.dtype == "int8":
+                for sh in self._dscale.addressable_shards:
+                    scale_locals[(sh.index[1].start or 0) // lcap] = sh.data
+        sections = []
+        for s in sorted(owned):
+            # raw device-layout [nlist, lcap, D] slice: zero transform
+            # cost, chunk-streamed to disk
+            sections.append(
+                device_section(
+                    f"blocks{s}", self.dtype, owned[s], self.nlist
+                )
+            )
+            if self.dtype == "int8":
+                sections.append(
+                    device_section(
+                        f"scales{s}", "float32", scale_locals[s], self.nlist
+                    )
+                )
+        write_file(
+            self._host_path(path, me),
+            {**base_header, "kind": "ivf_shards_host",
+             "process": me, "shard_ids": sorted(owned)},
+            sections,
+        )
+        if me == 0:
+            # Host metadata is replicated (every process plans slots from
+            # the same stream), so process 0's copy is authoritative.
+            ids = (
+                self._ids if self._ids is not None
+                else np.full((self.nlist, 0), -1, np.int32)
+            )
+            valid = (
+                self._valid if self._valid is not None
+                else np.zeros((self.nlist, 0), np.bool_)
+            )
+            fill = (
+                self._fill if self._fill is not None
+                else np.zeros((self.nlist, self.n_shards), np.int32)
+            )
+            centroids = (
+                self.centroids if self.centroids is not None
+                else np.empty((0, self.dim), np.float32)
+            )
+            write_file(
+                path,
+                {**base_header, "kind": "ivf_shards_manifest"},
+                [
+                    ("ids", "int32", tuple(ids.shape),
+                     iter([np.ascontiguousarray(ids, np.int32)])),
+                    ("valid", "uint8", tuple(valid.shape),
+                     iter([np.ascontiguousarray(valid, np.uint8)])),
+                    ("fill", "int32", tuple(fill.shape),
+                     iter([np.ascontiguousarray(fill, np.int32)])),
+                    ("centroids", "float32", tuple(centroids.shape),
+                     iter([np.ascontiguousarray(centroids, np.float32)])),
+                ],
+            )
+        # save() returning on ANY process must imply every host's file
+        # (and the manifest) exists.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"tpu_search:ivfsave:{path}")
+
+    @classmethod
+    def _load_per_host(
+        cls, path: str, mesh: Mesh, header: Dict
+    ) -> "ShardedIVFIndex":
+        from ..index.serialize import read_file
+
+        index = cls(
+            dim=header["dim"], mesh=mesh, metric=header["metric"],
+            dtype=header["dtype"], nlist=header["nlist"],
+        )
+        if header["n_shards"] != index.n_shards:
+            raise ValueError(
+                f"manifest has {header['n_shards']} shards, mesh has "
+                f"{index.n_shards} — per-host loads need the same topology"
+            )
+        _, marrays = read_file(path)
+        index._count = int(header["count"])
+        cents = np.asarray(marrays["centroids"], np.float32)
+        if len(cents):
+            index.centroids = cents
+            index._dcent = index._put_replicated(jnp.asarray(cents))
+        lcap = int(header["local_capacity"])
+        if lcap == 0:
+            return index
+        index._local_capacity = lcap
+        index._ids = np.ascontiguousarray(marrays["ids"], np.int32)
+        index._valid = np.asarray(marrays["valid"]).astype(np.bool_)
+        index._fill = np.ascontiguousarray(marrays["fill"], np.int32)
+        cc, gs = np.nonzero(index._ids >= 0)
+        sl_ids = index._ids[cc, gs].astype(np.int64)
+        index._append_slot_lookup(sl_ids, cc, gs)
+
+        me = jax.process_index()
+        host_header, arrays = read_file(index._host_path(path, me))
+        cap = lcap * index.n_shards
+        devs = np.asarray(mesh.devices).reshape(index.n_shards, -1)
+
+        def assemble(prefix, full_shape, host_dtype):
+            nd = len(full_shape)
+            sharding = NamedSharding(
+                mesh, P(*((None, "data") + (None,) * (nd - 2)))
+            )
+            pieces = [
+                jax.device_put(
+                    np.ascontiguousarray(
+                        np.asarray(arrays[f"{prefix}{s}"]), host_dtype
+                    ),
+                    devs[s, 0],
+                )
+                for s in host_header["shard_ids"]
+            ]
+            return jax.make_array_from_single_device_arrays(
+                full_shape, sharding, pieces
+            )
+
+        import ml_dtypes
+
+        host_dt = {
+            "float32": np.float32,
+            "bfloat16": ml_dtypes.bfloat16,
+            "int8": np.int8,
+        }[index.dtype]
+        index._dblocks = assemble(
+            "blocks", (index.nlist, cap, index.dim), host_dt
+        )
+        sh2 = index._spec(P(None, "data"))
+        if index.dtype == "int8":
+            index._dscale = assemble("scales", (index.nlist, cap), np.float32)
+        else:
+            index._dscale = jax.jit(
+                lambda: jnp.ones((index.nlist, cap), jnp.float32),
+                out_shardings=sh2,
+            )()
+        index._dids = jax.make_array_from_callback(
+            (index.nlist, cap), sh2, lambda idx: index._ids[idx]
+        )
+        index._dvalid = jax.make_array_from_callback(
+            (index.nlist, cap), sh2, lambda idx: index._valid[idx]
+        )
+
+        # dsq is derived state: recompute shard-locally (empty slots are
+        # zero rows -> sq 0, identical to what the scatter wrote).
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, "data", None), P(None, "data")),
+            out_specs=P(None, "data"),
+            check_vma=False,
+        )
+        def sq_prog(blocks, scale):
+            deq = blocks.astype(jnp.float32) * scale[:, :, None]
+            return jnp.sum(deq * deq, axis=-1)
+
+        index._dsq = jax.jit(sq_prog)(index._dblocks, index._dscale)
+        return index
+
     @classmethod
     def load(cls, path: str, mesh: Mesh) -> "ShardedIVFIndex":
         """Load any ``kind="ivf"`` TPUSIDX2 file (single-chip or sharded
-        save) and re-lay the rows out over this mesh."""
+        save) and re-lay the rows out over this mesh; per-host manifests
+        (multi-host saves) reload each host's own shard file."""
         from ..index.serialize import read_file
 
         header, arrays = read_file(path)
+        if header.get("kind") == "ivf_shards_manifest":
+            return cls._load_per_host(path, mesh, header)
         if header.get("kind") != "ivf":
             raise ValueError(f"Not an IVF container: {path}")
         index = cls(
