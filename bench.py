@@ -721,6 +721,26 @@ def bench_serving() -> dict:
         run_clients(16, 3)
         qps_c8, p50_c8, p99_c8 = run_clients(8, 25)
         qps_c16, p50_c16, p99_c16 = run_clients(16, 15)
+        # Optional extra client counts (experiment sweeps):
+        # BENCH_SERVING_EXTRA_CLIENTS="32,64"
+        extra_counts = [
+            int(x)
+            for x in os.environ.get(
+                "BENCH_SERVING_EXTRA_CLIENTS", ""
+            ).split(",")
+            if x.strip()
+        ]
+        extra: dict = {}
+        for c in extra_counts:
+            run_clients(c, 2)
+            qps_c, p50_c, p99_c = run_clients(c, max(3, 400 // c))
+            extra[f"serving_qps_c{c}"] = qps_c
+            extra[f"serving_p50_ms_c{c}"] = p50_c
+            extra[f"serving_p99_ms_c{c}"] = p99_c
+            log(
+                f"[serving] c{c} qps={qps_c:.1f} p50={p50_c:.1f}ms "
+                f"p99={p99_c:.1f}ms"
+            )
     finally:
         server.stop()
         engine.storage.index = None  # free HBM before the next bench
@@ -740,6 +760,7 @@ def bench_serving() -> dict:
         "serving_p99_ms_c8": p99_c8,
         "serving_qps_c16": qps_c16,
         "serving_p50_ms_c16": p50_c16,
+        **extra,
     }
 
 

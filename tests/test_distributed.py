@@ -89,6 +89,12 @@ for dtype in ("float32", "int8"):
     s2, i2 = loaded.search(queries, k=5, nprobe=4)
     np.testing.assert_array_equal(scores, s2)
     assert all(set(a) == set(b) for a, b in zip(ids, i2))
+    # loaded index stays mutable (host metadata must be real copies,
+    # not the save file's read-only mmaps)
+    new_ids = loaded.add(vecs[:4])
+    assert loaded.remove(new_ids[:2]) == 2
+    _, i3 = loaded.search(vecs[0], k=1, nprobe=4)
+    assert i3[0, 0] == 0  # duplicate (id 300) removed; original survives
 
 print(f"WORKER_{pid}_OK", flush=True)
 """

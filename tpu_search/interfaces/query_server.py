@@ -64,17 +64,23 @@ class _BatchWorker:
     """
 
     MAX_BATCH = 32
-    PIPELINE = 4  # in-flight fetch/hydrate jobs (bounds device output RAM)
+    # In-flight fetch/hydrate jobs. Deeper pipelines shave the queue wait
+    # behind each result fetch on high-latency host links (each fetch is
+    # one round trip; N of them overlap); the device output parked per
+    # job is one packed [Q, 2k] float32 — tiny — so the practical bound
+    # is host threads, not RAM. Deployments tune via env.
+    PIPELINE = max(1, int(os.environ.get("CLAUDE_SEARCH_QS_PIPELINE", "4")))
 
     def __init__(self, engine) -> None:
         import concurrent.futures
 
         self.engine = engine
+        self.pipeline = type(self).PIPELINE
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._finisher = concurrent.futures.ThreadPoolExecutor(
-            max_workers=self.PIPELINE, thread_name_prefix="qs-finish"
+            max_workers=self.pipeline, thread_name_prefix="qs-finish"
         )
-        self._inflight = threading.Semaphore(self.PIPELINE)
+        self._inflight = threading.Semaphore(self.pipeline)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._running = True
         self._thread.start()
@@ -90,9 +96,9 @@ class _BatchWorker:
         Called before non-search ops (reindex and other engine mutations
         run via :meth:`run`) so a mutation never overlaps a fetch that
         hydrates against pre-mutation metadata."""
-        for _ in range(self.PIPELINE):
+        for _ in range(self.pipeline):
             self._inflight.acquire()
-        for _ in range(self.PIPELINE):
+        for _ in range(self.pipeline):
             self._inflight.release()
 
     def submit(

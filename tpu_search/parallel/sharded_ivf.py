@@ -1231,9 +1231,11 @@ class ShardedIVFIndex:
         if lcap == 0:
             return index
         index._local_capacity = lcap
-        index._ids = np.ascontiguousarray(marrays["ids"], np.int32)
+        # np.array(copy=True): the sections are read-only mmaps and these
+        # three are mutated in place by later adds/removes.
+        index._ids = np.array(marrays["ids"], np.int32, copy=True)
         index._valid = np.asarray(marrays["valid"]).astype(np.bool_)
-        index._fill = np.ascontiguousarray(marrays["fill"], np.int32)
+        index._fill = np.array(marrays["fill"], np.int32, copy=True)
         cc, gs = np.nonzero(index._ids >= 0)
         sl_ids = index._ids[cc, gs].astype(np.int64)
         index._append_slot_lookup(sl_ids, cc, gs)
