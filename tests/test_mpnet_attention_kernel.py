@@ -23,12 +23,18 @@ TINY = M.MPNetConfig(
 @pytest.fixture(autouse=True)
 def interpret_kernel(monkeypatch):
     original = PA.mpnet_flash_attention
+    original_nsh = PA.mpnet_flash_attention_nsh
 
     def interpreted(*args, **kwargs):
         kwargs.pop("interpret", None)
         return original(*args, interpret=True, **kwargs)
 
+    def interpreted_nsh(*args, **kwargs):
+        kwargs.pop("interpret", None)
+        return original_nsh(*args, interpret=True, **kwargs)
+
     monkeypatch.setattr(PA, "mpnet_flash_attention", interpreted)
+    monkeypatch.setattr(PA, "mpnet_flash_attention_nsh", interpreted_nsh)
 
 
 def test_matches_dense_with_padding():
@@ -54,6 +60,75 @@ def test_matches_dense_with_padding():
         )
     )
     np.testing.assert_allclose(pallas, dense, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "hidden,heads",
+    [(128, 2), (128, 4)],  # hd=64 (mpnet/bert-base) and hd=32 (MiniLM)
+)
+def test_layout_native_matches_dense(hidden, heads):
+    """The [B, S, H]-layout kernel (no HBM head transpose) must match the
+    dense path bit-for-tolerance, padding included.  H is a multiple of
+    128 here, so _attention dispatches to mpnet_flash_attention_nsh."""
+    config = M.MPNetConfig(
+        vocab_size=64,
+        hidden_size=hidden,
+        num_layers=2,
+        num_heads=heads,
+        intermediate_size=2 * hidden,
+        max_position=96,
+    )
+    params = M.init_params(config, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(3)
+    ids = rng.integers(4, 64, size=(3, 16)).astype(np.int32)
+    mask = np.ones((3, 16), np.int32)
+    mask[0, 10:] = 0
+    ids[0, 10:] = 1
+    mask[2, 4:] = 0
+    ids[2, 4:] = 1
+
+    dense = np.asarray(
+        M.encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    pallas = np.asarray(
+        M.encode(
+            params,
+            jnp.asarray(ids),
+            jnp.asarray(mask),
+            config,
+            attention_impl="pallas",
+        )
+    )
+    np.testing.assert_allclose(pallas, dense, atol=1e-5)
+
+
+def test_layout_native_kernel_direct():
+    rng = np.random.default_rng(4)
+    b, nh, s, hd = 2, 2, 16, 64
+    h = nh * hd
+    q = jnp.asarray(rng.standard_normal((b, s, h)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h)), dtype=jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((nh, s, s)), dtype=jnp.float32)
+    kmask = jnp.zeros((b, s), jnp.float32)
+
+    got = PA.mpnet_flash_attention_nsh(
+        q, k, v, bias, kmask, num_heads=nh, scale=0.5
+    )
+
+    qh = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * 0.5 + bias[None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    want = (
+        jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, s, h)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
 
 
 def test_kernel_direct():

@@ -68,8 +68,12 @@ class _BatchWorker:
     # behind each result fetch on high-latency host links (each fetch is
     # one round trip; N of them overlap); the device output parked per
     # job is one packed [Q, 2k] float32 — tiny — so the practical bound
-    # is host threads, not RAM. Deployments tune via env.
-    PIPELINE = max(1, int(os.environ.get("CLAUDE_SEARCH_QS_PIPELINE", "4")))
+    # is host threads contending for CPU. Measured on the bench rig
+    # (1M x 768, single host core): depth 8 beats 4 by ~20-40% at every
+    # client count (c8 201 vs 146 qps, c32 567 vs ~480), depth 16 is
+    # WORSE than 8 everywhere (thread contention). Deployments tune via
+    # env.
+    PIPELINE = max(1, int(os.environ.get("CLAUDE_SEARCH_QS_PIPELINE", "8")))
 
     def __init__(self, engine) -> None:
         import concurrent.futures

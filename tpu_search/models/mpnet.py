@@ -178,6 +178,49 @@ def _attention(
     b, s, h = x.shape
     nh, hd = config.num_heads, config.head_dim
 
+    if isinstance(bias_and_mask, tuple) and isinstance(
+        bias_and_mask[0], str
+    ):
+        # Custom MPNet kernel: batch-free shared bias, scores stay in VMEM
+        # (ops/pallas_mpnet_attention.py).
+        _, shared_bias, key_mask_add = bias_and_mask
+        if h % 128 == 0 and 128 % hd == 0 and nh % (128 // hd) == 0:
+            # Layout-native kernel: q/k/v stay in the projection GEMM's
+            # [B, S, H] layout and heads are split inside the kernel —
+            # the per-layer [B, S, H] -> [B, h, S, hd] HBM transposes
+            # (~11 ms/forward at b128 s384 across 12 layers) never
+            # exist, and the context comes back in [B, S, H] so the
+            # output projection is a plain GEMM.
+            from ..ops.pallas_mpnet_attention import (
+                mpnet_flash_attention_nsh,
+            )
+
+            ctx = mpnet_flash_attention_nsh(
+                x @ lp["q_w"] + lp["q_b"],
+                x @ lp["k_w"] + lp["k_b"],
+                x @ lp["v_w"] + lp["v_b"],
+                shared_bias,
+                key_mask_add,
+                num_heads=nh,
+                scale=1.0 / math.sqrt(hd),
+            )
+            return ctx @ lp["o_w"] + lp["o_b"]
+        from ..ops.pallas_mpnet_attention import mpnet_flash_attention
+
+        def proj(w, bb):
+            return (x @ w + bb).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+
+        ctx = mpnet_flash_attention(
+            proj(lp["q_w"], lp["q_b"]),
+            proj(lp["k_w"], lp["k_b"]),
+            proj(lp["v_w"], lp["v_b"]),
+            shared_bias,
+            key_mask_add,
+            scale=1.0 / math.sqrt(hd),
+        )
+        ow = lp["o_w"].reshape(nh, hd, h)
+        return jnp.einsum("bnsd,ndh->bsh", ctx, ow) + lp["o_b"]
+
     def proj(w, bb):
         return (x @ w + bb).reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
 
@@ -185,19 +228,7 @@ def _attention(
     k = proj(lp["k_w"], lp["k_b"])
     v = proj(lp["v_w"], lp["v_b"])
 
-    if isinstance(bias_and_mask, tuple) and isinstance(
-        bias_and_mask[0], str
-    ):
-        # Custom MPNet kernel: batch-free shared bias, scores stay in VMEM
-        # (ops/pallas_mpnet_attention.py).
-        _, shared_bias, key_mask_add = bias_and_mask
-        from ..ops.pallas_mpnet_attention import mpnet_flash_attention
-
-        ctx = mpnet_flash_attention(
-            q, k, v, shared_bias, key_mask_add,
-            scale=1.0 / math.sqrt(hd),
-        )
-    elif isinstance(bias_and_mask, tuple):
+    if isinstance(bias_and_mask, tuple):
         # Stock flash path: (ab bias tiles, segment ids). The S x S score
         # matrix never materializes per layer — online softmax over K/V
         # tiles (jax.experimental.pallas TPU flash attention kernel).
