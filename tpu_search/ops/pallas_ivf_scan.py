@@ -159,15 +159,21 @@ def _kernel_ivf(
 
         tile = vec_buf[slot]
         # precision=HIGHEST matches the XLA grouped path (_ivf_search) so
-        # the documented bit-parity claim holds for float32 storage too
-        # (bf16/int8 tiles are unaffected — their inputs are already
-        # low-precision).
+        # the documented bit-parity claim holds for float32 storage too.
+        # It must be pinned ONLY for f32 tiles: Mosaic rejects an fp32
+        # contract precision on bf16 operands ("Bad lhs type"), and the
+        # bf16 MXU matmul accumulates in f32 natively anyway so default
+        # precision is already bit-identical to the XLA path there.
         scores = jax.lax.dot_general(
             queries.astype(tile.dtype),
             tile,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            **(
+                {"precision": jax.lax.Precision.HIGHEST}
+                if tile.dtype == jnp.float32
+                else {}
+            ),
         )  # [Q, TILE]
         if alpha != 1.0:
             scores = scores * alpha
