@@ -674,25 +674,44 @@ def bench_serving() -> dict:
         serial_qps = 1.0 / float(np.mean(lat))
         serial_p50 = float(np.percentile(lat, 50) * 1e3)
 
-        # Concurrent clients, single-query requests.
-        def run_clients(n_clients, per_client):
+        # Concurrent clients, single-query requests.  persistent=True is
+        # the steady-caller shape (MCP daemon, HTTP front-end, load
+        # generator): one long-lived connection per client streaming
+        # requests — the server's handler is line-oriented, so this is
+        # the same code path minus the per-request connect + accept +
+        # thread spawn that burns the single host core at high rates.
+        # persistent=False models one-shot CLI callers (fresh connection
+        # per request) and is reported alongside for context.
+        from tpu_search.interfaces.query_server import QueryClient
+
+        def run_clients(n_clients, per_client, persistent=True):
             lats, errors = [], []
             barrier = threading.Barrier(n_clients + 1)
 
             def client(cid):
                 my = []
+                qc = (
+                    QueryClient(str(data_dir), timeout=600.0)
+                    if persistent
+                    else None
+                )
                 barrier.wait()
                 for j in range(per_client):
                     t = texts[80 + (cid * per_client + j) % 300]
                     t0 = time.perf_counter()
-                    r = qs_request(
-                        str(data_dir),
-                        {"op": "search", "query": t, "top_k": TOP_K},
-                        timeout=600.0,
-                    )
+                    if persistent:
+                        r = qc.search(t, top_k=TOP_K)
+                    else:
+                        r = qs_request(
+                            str(data_dir),
+                            {"op": "search", "query": t, "top_k": TOP_K},
+                            timeout=600.0,
+                        )
                     my.append(time.perf_counter() - t0)
                     if not (r and r.get("ok")):
                         errors.append(r)
+                if qc is not None:
+                    qc.close()
                 lats.append(my)
 
             threads = [
@@ -722,6 +741,9 @@ def bench_serving() -> dict:
         qps_c8, p50_c8, p99_c8 = run_clients(8, 25)
         qps_c16, p50_c16, p99_c16 = run_clients(16, 15)
         qps_c32, p50_c32, p99_c32 = run_clients(32, 12)
+        # One-shot-caller pattern (fresh connection per request) at c8,
+        # for the CLI-shaped context number.
+        qps_c8r, p50_c8r, _ = run_clients(8, 15, persistent=False)
         # Optional extra client counts (experiment sweeps):
         # BENCH_SERVING_EXTRA_CLIENTS="32,64"
         extra_counts = [
@@ -751,7 +773,8 @@ def bench_serving() -> dict:
         f"[serving] socket e2e: serial qps={serial_qps:.1f} "
         f"p50={serial_p50:.1f}ms | c8 qps={qps_c8:.1f} p50={p50_c8:.1f}ms "
         f"p99={p99_c8:.1f}ms | c16 qps={qps_c16:.1f} p50={p50_c16:.1f}ms "
-        f"| c32 qps={qps_c32:.1f} p50={p50_c32:.1f}ms p99={p99_c32:.1f}ms"
+        f"| c32 qps={qps_c32:.1f} p50={p50_c32:.1f}ms p99={p99_c32:.1f}ms "
+        f"| c8 reconnect-per-request qps={qps_c8r:.1f} p50={p50_c8r:.1f}ms"
     )
     return {
         "serving_recall10": recall,
@@ -765,6 +788,8 @@ def bench_serving() -> dict:
         "serving_qps_c32": qps_c32,
         "serving_p50_ms_c32": p50_c32,
         "serving_p99_ms_c32": p99_c32,
+        "serving_qps_c8_reconnect": qps_c8r,
+        "serving_p50_ms_c8_reconnect": p50_c8r,
         **extra,
     }
 

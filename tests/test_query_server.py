@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from tpu_search.interfaces.query_server import (
+    QueryClient,
     QueryServer,
     request,
     socket_path_for,
@@ -69,6 +70,36 @@ class TestProtocol:
         search_args = engine.storage.search_many.call_args
         assert search_args[0][1].top_k == 5
         assert search_args[0][2] == {"has_code": True}
+
+    def test_persistent_client_streams_requests(self, server, tmp_path):
+        """QueryClient keeps ONE connection open across many requests
+        (the steady-caller pattern the serving bench headlines)."""
+        with QueryClient(str(tmp_path)) as qc:
+            for _ in range(3):
+                response = qc.search("q", top_k=5)
+                assert response["ok"] is True
+                assert response["results"][0]["chunk_id"] == "c1"
+            assert qc.request({"op": "ping"})["ok"] is True
+            sock_before = qc._sock
+            assert qc.search("again")["ok"] is True
+            assert qc._sock is sock_before  # no reconnect happened
+
+    def test_persistent_client_reconnects_after_drop(
+        self, engine, tmp_path
+    ):
+        server = QueryServer(engine, str(tmp_path))
+        server.start()
+        try:
+            qc = QueryClient(str(tmp_path))
+            assert qc.search("q")["ok"] is True
+            # Kill the server-side connection by bouncing the server.
+            server.stop()
+            server = QueryServer(engine, str(tmp_path))
+            server.start()
+            assert qc.search("q2")["ok"] is True  # transparent reconnect
+            qc.close()
+        finally:
+            server.stop()
 
     def test_stats_and_projects(self, server, tmp_path):
         assert request(str(tmp_path), {"op": "stats"})["stats"][

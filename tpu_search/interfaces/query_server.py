@@ -26,7 +26,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["QueryServer", "request", "socket_path_for"]
+__all__ = ["QueryServer", "QueryClient", "request", "socket_path_for"]
 
 REQUEST_TIMEOUT_S = 30.0
 
@@ -362,6 +362,35 @@ class _UnixServer(socketserver.ThreadingMixIn, socketserver.UnixStreamServer):
     # short-lived callers.
     request_queue_size = 128
 
+    # ``shutdown()`` only stops the accept loop; handler threads keep
+    # serving established (long-lived QueryClient) connections against a
+    # worker that has already stopped.  Track live connections so
+    # ``stop()`` can sever them — clients see EOF and reconnect.
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self._active_conns: set = set()
+        self._active_lock = threading.Lock()
+
+    def get_request(self):
+        request, addr = super().get_request()
+        with self._active_lock:
+            self._active_conns.add(request)
+        return request, addr
+
+    def shutdown_request(self, request) -> None:
+        with self._active_lock:
+            self._active_conns.discard(request)
+        super().shutdown_request(request)
+
+    def close_active_connections(self) -> None:
+        with self._active_lock:
+            conns = list(self._active_conns)
+        for conn in conns:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+
 
 class QueryServer:
     """Serves a warm engine over ``<data_dir>/query.sock``."""
@@ -392,6 +421,7 @@ class QueryServer:
             self._worker = None
         if self._server is not None:
             self._server.shutdown()
+            self._server.close_active_connections()
             self._server.server_close()
             self._server = None
         if self.socket_path.exists():
@@ -403,6 +433,82 @@ class QueryServer:
     @property
     def is_running(self) -> bool:
         return self._thread is not None and self._thread.is_alive()
+
+
+class QueryClient:
+    """Persistent-connection client for the warm server.
+
+    :func:`request` opens a fresh connection per call — right for
+    one-shot CLI invocations, but a steady caller (MCP daemon, HTTP
+    front-end, load generator) paying a connect + server-side accept +
+    thread spawn per request burns the single host core on churn at
+    high rates.  The server's handler already speaks one-JSON-line-per-
+    request over a long-lived connection; this client keeps one socket
+    open and streams requests down it (reconnecting once on a dropped
+    socket).  Not thread-safe — use one instance per caller thread.
+    """
+
+    def __init__(
+        self, data_dir: str, timeout: float = REQUEST_TIMEOUT_S
+    ) -> None:
+        self._path = str(socket_path_for(data_dir))
+        self._timeout = timeout
+        self._sock: Optional[socket.socket] = None
+        self._rfile = None
+
+    def _connect(self) -> None:
+        self.close()
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        sock.settimeout(self._timeout)
+        sock.connect(self._path)
+        self._sock = sock
+        self._rfile = sock.makefile("rb")
+
+    def request(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Send one request; raises OSError if the server is unreachable."""
+        data = (json.dumps(payload) + "\n").encode("utf-8")
+        for attempt in (0, 1):
+            if self._sock is None:
+                self._connect()
+            try:
+                self._sock.sendall(data)
+                line = self._rfile.readline()
+                if line:
+                    return json.loads(line.decode("utf-8"))
+                # Server closed the connection; reconnect once.
+                self._sock = None
+            except OSError:
+                self._sock = None
+                if attempt:
+                    raise
+        raise OSError("query server closed the connection")
+
+    def search(
+        self, query: str, top_k: int = 10, **kwargs: Any
+    ) -> Dict[str, Any]:
+        return self.request(
+            {"op": "search", "query": query, "top_k": top_k, **kwargs}
+        )
+
+    def close(self) -> None:
+        if self._rfile is not None:
+            try:
+                self._rfile.close()
+            except OSError:
+                pass
+            self._rfile = None
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+
+    def __enter__(self) -> "QueryClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def request(
