@@ -1,0 +1,120 @@
+"""Parity tests for the fused int8 FFN kernel pair (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_search.ops import pallas_int8_gemm as G
+
+
+def _gelu(y):
+    c = 0.7978845608028654
+    return 0.5 * y * (1.0 + np.tanh(c * (y + 0.044715 * y**3)))
+
+
+def test_ffn_in_matches_reference_and_amax():
+    rng = np.random.default_rng(0)
+    m, k, n = 16, 128, 256
+    x_q = rng.integers(-127, 128, size=(m, k)).astype(np.int8)
+    w_q = rng.integers(-127, 128, size=(k, n)).astype(np.int8)
+    sx = rng.uniform(0.001, 0.02, size=m).astype(np.float32)
+    sw = rng.uniform(0.001, 0.02, size=n).astype(np.float32)
+    bias = rng.standard_normal(n).astype(np.float32) * 0.1
+
+    h, amax = G.int8_ffn_in(
+        jnp.asarray(x_q),
+        jnp.asarray(w_q),
+        jnp.asarray(sx),
+        jnp.asarray(sw),
+        jnp.asarray(bias),
+        out_dtype=jnp.float32,
+        interpret=True,
+    )
+    h, amax = np.asarray(h), np.asarray(amax)
+
+    acc = x_q.astype(np.int64) @ w_q.astype(np.int64)
+    want = _gelu(
+        acc.astype(np.float64) * sx[:, None] * sw[None, :] + bias[None, :]
+    )
+    np.testing.assert_allclose(h, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        amax[:, 0], np.abs(want).max(axis=1), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_ffn_out_matches_quantize_then_gemm():
+    rng = np.random.default_rng(1)
+    m, k, n = 16, 256, 128
+    h = (rng.standard_normal((m, k)) * 2.0).astype(np.float32)
+    h[5] = 0.0  # all-zero row: inv guard must hold
+    amax = np.abs(h).max(axis=1, keepdims=True).astype(np.float32)
+    w_q = rng.integers(-127, 128, size=(k, n)).astype(np.int8)
+    sw = rng.uniform(0.001, 0.02, size=n).astype(np.float32)
+    bias = rng.standard_normal(n).astype(np.float32) * 0.1
+    res = rng.standard_normal((m, n)).astype(np.float32)
+
+    got = np.asarray(
+        G.int8_ffn_out(
+            jnp.asarray(h),
+            jnp.asarray(amax),
+            jnp.asarray(w_q),
+            jnp.asarray(sw),
+            jnp.asarray(bias),
+            jnp.asarray(res),
+            out_dtype=jnp.float32,
+            interpret=True,
+        )
+    )
+
+    inv = np.where(amax > 0, 127.0 / np.where(amax > 0, amax, 1.0), 0.0)
+    h_q = np.clip(np.round(h * inv), -127, 127).astype(np.int64)
+    scale = np.where(amax > 0, amax / 127.0, 1.0)
+    want = (
+        (h_q @ w_q.astype(np.int64)).astype(np.float64)
+        * scale
+        * sw[None, :]
+        + bias[None, :]
+        + res
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_ffn_pair_end_to_end_accuracy():
+    """Full quantized FFN ~ f32 FFN to ~1% relative error."""
+    rng = np.random.default_rng(2)
+    m, hdim, idim = 32, 128, 512
+    x = rng.standard_normal((m, hdim)).astype(np.float32)
+    w1 = (rng.standard_normal((hdim, idim)) * 0.05).astype(np.float32)
+    w2 = (rng.standard_normal((idim, hdim)) * 0.05).astype(np.float32)
+    b1 = rng.standard_normal(idim).astype(np.float32) * 0.01
+    b2 = rng.standard_normal(hdim).astype(np.float32) * 0.01
+
+    x_q, sx = G.quantize_rows(jnp.asarray(x))
+    w1_q, sw1 = G.quantize_rows(jnp.asarray(w1.T))
+    w2_q, sw2 = G.quantize_rows(jnp.asarray(w2.T))
+
+    h, amax = G.int8_ffn_in(
+        x_q,
+        np.asarray(w1_q).T,
+        sx,
+        sw1,
+        jnp.asarray(b1),
+        out_dtype=jnp.float32,
+        interpret=True,
+    )
+    got = np.asarray(
+        G.int8_ffn_out(
+            h,
+            amax,
+            np.asarray(w2_q).T,
+            sw2,
+            jnp.asarray(b2),
+            jnp.asarray(x),
+            out_dtype=jnp.float32,
+            interpret=True,
+        )
+    )
+
+    want = _gelu(x @ w1 + b1) @ w2 + b2 + x
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.015, rel

@@ -1,0 +1,84 @@
+"""Parity tests for the int8 MXU GEMM kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_search.ops import pallas_int8_gemm as G
+
+
+def _ref(x_q, w_q, sx, sw, bias, fuse_gelu):
+    acc = x_q.astype(np.int64) @ w_q.astype(np.int64)
+    y = acc.astype(np.float64) * sx[:, None] * sw[None, :] + bias[None, :]
+    if fuse_gelu:
+        c = 0.7978845608028654
+        y = 0.5 * y * (1.0 + np.tanh(c * (y + 0.044715 * y**3)))
+    return y
+
+
+@pytest.mark.parametrize("fuse_gelu", [False, True])
+def test_matches_integer_reference(fuse_gelu):
+    rng = np.random.default_rng(0)
+    m, k, n = 16, 256, 128
+    x_q = rng.integers(-127, 128, size=(m, k)).astype(np.int8)
+    w_q = rng.integers(-127, 128, size=(k, n)).astype(np.int8)
+    sx = rng.uniform(0.001, 0.1, size=m).astype(np.float32)
+    sw = rng.uniform(0.001, 0.1, size=n).astype(np.float32)
+    bias = rng.standard_normal(n).astype(np.float32)
+
+    got = np.asarray(
+        G.int8_gemm(
+            jnp.asarray(x_q),
+            jnp.asarray(w_q),
+            jnp.asarray(sx),
+            jnp.asarray(sw),
+            jnp.asarray(bias),
+            fuse_gelu=fuse_gelu,
+            out_dtype=jnp.float32,
+            interpret=True,
+        )
+    )
+    want = _ref(x_q, w_q, sx, sw, bias, fuse_gelu)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_quantize_rows_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((8, 64)).astype(np.float32) * 3.0
+    x[3] = 0.0  # all-zero row must not produce 0/0
+    x_q, sx = G.quantize_rows(jnp.asarray(x))
+    x_q, sx = np.asarray(x_q), np.asarray(sx)
+    assert x_q.dtype == np.int8
+    back = x_q.astype(np.float32) * sx[:, None]
+    # max error is half a quantization step per element
+    steps = np.where(np.abs(x).max(axis=1) > 0, np.abs(x).max(axis=1), 1.0)
+    bound = np.broadcast_to((steps / 127.0)[:, None] * 0.51 + 1e-7, x.shape)
+    np.testing.assert_array_less(np.abs(back - x), bound)
+    assert np.all(x_q[3] == 0)
+
+
+def test_quantized_linear_accuracy():
+    """W8A8 per-row x per-channel GEMM ~ f32 GEMM to <1% relative error."""
+    rng = np.random.default_rng(2)
+    m, k, n = 32, 256, 128
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = (rng.standard_normal((k, n)) * 0.05).astype(np.float32)
+    bias = rng.standard_normal(n).astype(np.float32) * 0.01
+
+    x_q, sx = G.quantize_rows(jnp.asarray(x))
+    w_q, sw = G.quantize_rows(jnp.asarray(w.T))  # per-output-channel
+    got = np.asarray(
+        G.int8_gemm(
+            x_q,
+            np.asarray(w_q).T,
+            sx,
+            sw,
+            jnp.asarray(bias),
+            out_dtype=jnp.float32,
+            interpret=True,
+        )
+    )
+    want = x @ w + bias
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.01, rel

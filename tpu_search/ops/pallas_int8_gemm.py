@@ -1,0 +1,382 @@
+"""Pallas TPU int8 GEMM for the encoder's quantized matmul path.
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs
+197 TOP/s peak).  The encoder sits AT the measured bf16 chained-GEMM
+ceiling (benchmarks/results/encoder_profile_r3.md), so the only way
+past it is feeding the MXU int8.  This kernel is the building block:
+
+    y[m, n] = (sum_k x_q[m, k] * w_q[k, n]) * sx[m] * sw[n] (+ b[n]) (gelu?)
+
+with exact int32 accumulation on the MXU and a float epilogue (scales,
+bias, optional tanh-gelu) fused in VMEM so the int32 accumulator never
+touches HBM.  ``x_q`` uses dynamic per-row (per-token) scales, ``w_q``
+static per-column (per-output-channel) scales — the outer-product
+dequantization is exact, so all quantization error comes from the
+int8 rounding of the operands themselves.
+
+Quantization of activations/weights lives in plain XLA
+(:func:`quantize_rows`) — one VPU pass, fused by XLA into the producing
+op's epilogue where possible.
+
+Replaces (with :mod:`tpu_search.models.mpnet` wiring) the torch fp32
+GEMMs of the reference encoder (reference: src/embeddings.py:216-222);
+the reference has no quantized inference path at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["int8_gemm", "quantize_rows", "int8_ffn_in", "int8_ffn_out"]
+
+
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization: ``x ~= x_q * sx[:, None]``.
+
+    Returns ``(x_q [M, K] int8, sx [M] f32)``.  Row maxima are computed
+    in f32; all-zero rows get scale 1 to avoid 0/0.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    sx = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    x_q = jnp.clip(
+        jnp.round(xf / sx[:, None]), -127.0, 127.0
+    ).astype(jnp.int8)
+    return x_q, sx
+
+
+def _kernel(
+    x_ref,  # [BM, K] int8
+    w_ref,  # [K, BN] int8
+    sx_ref,  # [BM, 1] f32 per-row scales
+    sw_ref,  # [1, BN] f32 per-column scales (bias pre-folded separately)
+    b_ref,  # [1, BN] f32 bias
+    out_ref,  # [BM, BN]
+    *,
+    fuse_gelu: bool,
+):
+    acc = jax.lax.dot_general(
+        x_ref[...],
+        w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx_ref[...] * sw_ref[...] + b_ref[...]
+    if fuse_gelu:
+        # tanh-approx gelu, matching the encoder's bf16 compute path
+        # (models/mpnet.py _block).
+        c = 0.7978845608028654  # sqrt(2/pi)
+        y = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+def _pick_blocks(m: int, n: int, k: int, out_itemsize: int):
+    """VMEM-budgeted (BM, BN): x/w int8 tiles + int32 acc + f32 epilogue."""
+    budget = int(13.5 * 1024 * 1024)
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if m % bm:
+            continue
+        for bn in (512, 256, 128):
+            if n % bn:
+                continue
+            need = (
+                2 * (bm * k + k * bn)  # double-buffered int8 operand tiles
+                + bm * bn * 4  # int32 accumulator
+                + 2 * bm * bn * 4  # f32 epilogue intermediates
+                + 2 * bm * bn * out_itemsize
+            )
+            if need <= budget:
+                return bm, bn
+    return 8, 128
+
+
+# ---------------------------------------------------------------------------
+# Fused FFN pair: the quantization boundaries live INSIDE the kernels.
+#
+# A naive W8A8 FFN loses its 2x MXU win to HBM boundary passes: a
+# standalone quantize of the [M, I] gelu output costs a full read + an
+# int8 write + a separate row-max pass (~1 ms/layer at b128 s384).
+# Instead:
+#
+#   int8_ffn_in : xq int8 -> h = gelu(deq GEMM) bf16, AND the running
+#                 per-row |h| max accumulated across N-blocks into a
+#                 second output — the row scale exists when the kernel
+#                 finishes, no extra pass over h.
+#   int8_ffn_out: h bf16 + row max -> quantize to int8 IN VMEM (h is
+#                 read once, no int8 copy of h ever exists in HBM) ->
+#                 int8 MXU GEMM -> dequant + bias + residual add.
+# ---------------------------------------------------------------------------
+
+
+def _ffn_in_kernel(
+    x_ref,  # [BM, K] int8
+    w_ref,  # [K, BN] int8
+    sx_ref,  # [BM, 1] f32
+    sw_ref,  # [1, BN] f32
+    b_ref,  # [1, BN] f32
+    h_ref,  # [BM, BN] out (bf16)
+    amax_ref,  # [BM, 1] f32 out — running row max of |h|, final at last j
+):
+    j = pl.program_id(1)
+    acc = jax.lax.dot_general(
+        x_ref[...],
+        w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx_ref[...] * sw_ref[...] + b_ref[...]
+    c = 0.7978845608028654
+    y = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    h_ref[...] = y.astype(h_ref.dtype)
+    # Output blocks with a j-constant index map persist across the inner
+    # j sweep (TPU grids run sequentially), so amax_ref accumulates the
+    # true row max over the whole row.
+    block_max = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        amax_ref[...] = block_max
+
+    @pl.when(j > 0)
+    def _accum():
+        amax_ref[...] = jnp.maximum(amax_ref[...], block_max)
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def int8_ffn_in(
+    x_q: jax.Array,  # [M, K] int8 (per-row quantized activations)
+    w_q: jax.Array,  # [K, N] int8 (per-column quantized ff_in weight)
+    sx: jax.Array,  # [M] f32
+    sw: jax.Array,  # [N] f32
+    bias: jax.Array,  # [N] f32
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """FFN first GEMM + gelu, returning ``(h [M, N], row_amax [M, 1] f32)``.
+
+    ``row_amax`` is ``max_n |h[m, n]|`` — exactly what :func:`int8_ffn_out`
+    needs to quantize ``h`` on the fly, computed for free in this kernel's
+    epilogue instead of a standalone 450 MB pass at encoder shapes.
+    """
+    m, k = x_q.shape
+    _, n = w_q.shape
+    bm, bn = _pick_blocks(m, n, k, jnp.dtype(out_dtype).itemsize)
+
+    return pl.pallas_call(
+        _ffn_in_kernel,
+        # i outer / j inner: the x block and row-max accumulator stay
+        # resident across each row sweep.
+        grid=(m // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec(
+                (bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n), out_dtype),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k
+            + k * n
+            + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=m * n,
+        ),
+        interpret=interpret,
+    )(
+        x_q,
+        w_q,
+        sx.reshape(m, 1).astype(jnp.float32),
+        sw.reshape(1, n).astype(jnp.float32),
+        bias.reshape(1, n).astype(jnp.float32),
+    )
+
+
+def _ffn_out_kernel(
+    h_ref,  # [BM, K] bf16 (gelu activations)
+    amax_ref,  # [BM, 1] f32 row max of |h|
+    w_ref,  # [K, N] int8 (whole ff_out weight — N is the model dim)
+    sw_ref,  # [1, N] f32
+    b_ref,  # [1, N] f32
+    res_ref,  # [BM, N] residual (bf16)
+    out_ref,  # [BM, N]
+):
+    amax = amax_ref[...]
+    inv = jnp.where(amax > 0.0, 127.0 / amax, 0.0)  # [BM, 1]
+    h_q = jnp.clip(
+        jnp.round(h_ref[...].astype(jnp.float32) * inv), -127.0, 127.0
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        h_q,
+        w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+    y = (
+        acc.astype(jnp.float32) * scale * sw_ref[...]
+        + b_ref[...]
+        + res_ref[...].astype(jnp.float32)
+    )
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+def _pick_bm_ffn_out(m: int, k: int, n: int, itemsize: int) -> int:
+    budget = int(13.0 * 1024 * 1024)
+    for bm in (256, 128, 64, 32, 16, 8):
+        if m % bm:
+            continue
+        need = (
+            2 * bm * k * 2  # double-buffered bf16 h tiles
+            + bm * k  # int8 quantized copy
+            + k * n  # whole int8 weight (resident)
+            + bm * n * 4  # int32/f32 accumulator
+            + 2 * 2 * bm * n * itemsize  # residual + out tiles
+        )
+        if need <= budget:
+            return bm
+    return 8
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def int8_ffn_out(
+    h: jax.Array,  # [M, K] bf16 activations (int8_ffn_in output)
+    row_amax: jax.Array,  # [M, 1] f32 (int8_ffn_in output)
+    w_q: jax.Array,  # [K, N] int8
+    sw: jax.Array,  # [N] f32
+    bias: jax.Array,  # [N] f32
+    residual: jax.Array,  # [M, N] added before the write-back
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """FFN second GEMM with in-VMEM activation quantization + residual.
+
+    ``h`` is quantized per-row inside the kernel using ``row_amax`` — the
+    int8 copy of the [M, K] activation never exists in HBM and ``h`` is
+    read exactly once (the whole [K, N] int8 weight stays VMEM-resident
+    across the row sweep).
+    """
+    m, k = h.shape
+    _, n = w_q.shape
+    bm = _pick_bm_ffn_out(m, k, n, jnp.dtype(out_dtype).itemsize)
+
+    return pl.pallas_call(
+        _ffn_out_kernel,
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2
+            + k * n
+            + 2 * m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        h,
+        row_amax.reshape(m, 1).astype(jnp.float32),
+        w_q,
+        sw.reshape(1, n).astype(jnp.float32),
+        bias.reshape(1, n).astype(jnp.float32),
+        residual,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fuse_gelu", "out_dtype", "interpret"),
+)
+def int8_gemm(
+    x_q: jax.Array,  # [M, K] int8
+    w_q: jax.Array,  # [K, N] int8
+    sx: jax.Array,  # [M] f32 per-row scales
+    sw: jax.Array,  # [N] f32 per-column scales
+    bias: jax.Array,  # [N] f32
+    fuse_gelu: bool = False,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """``(x_q * sx) @ (w_q * sw) + bias`` on the int8 MXU, epilogue fused.
+
+    M, K, N must be multiples of the chosen block sizes (the encoder's
+    shapes — K, N in {768, 3072}, M = batch*seq — always are; callers
+    with ragged M pad rows, the per-row scales make padded rows cheap).
+    """
+    m, k = x_q.shape
+    _, n = w_q.shape
+    bm, bn = _pick_blocks(m, n, k, jnp.dtype(out_dtype).itemsize)
+
+    return pl.pallas_call(
+        partial(_kernel, fuse_gelu=fuse_gelu),
+        grid=(m // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec(
+                (bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=m * n if fuse_gelu else 0,
+        ),
+        interpret=interpret,
+    )(
+        x_q,
+        w_q,
+        sx.reshape(m, 1).astype(jnp.float32),
+        sw.reshape(1, n).astype(jnp.float32),
+        bias.reshape(1, n).astype(jnp.float32),
+    )
