@@ -1,0 +1,219 @@
+#!/usr/bin/env python3
+"""Int8 Pallas GEMM micro-benchmark at encoder FFN shapes (real TPU).
+
+Context (benchmarks/results/encoder_profile_r3.md): the bf16 encoder is
+AT its measured chained-GEMM ceiling (~151 TF/s effective, forward 70 ms
+= 1,823 texts/s).  The v5e MXU's int8 path peaks at 394 TOP/s, but
+XLA's own int8 GEMM measured 106 TOP/s — slower than bf16.  This bench
+answers whether the hand-written Pallas kernels (ops/pallas_int8_gemm)
+clear the bf16 ceiling at the shapes that matter:
+
+    ffn_in : [M, 768] x [768, 3072]  (+ gelu)
+    ffn_out: [M, 3072] x [3072, 768] (+ residual)
+    M = batch 128 * seq 384 = 49,152
+
+Timing per the tunnel rules: reps dispatched back-to-back, completion
+forced by a scalar fetch from the last result.
+"""
+
+import sys
+import time
+from functools import partial
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from tpu_search.ops.pallas_int8_gemm import (
+        int8_ffn_fused,
+        int8_ffn_in,
+        int8_ffn_out,
+        int8_gemm,
+        quantize_rows,
+    )
+
+    M, H, I = 49152, 768, 3072
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def make_inputs(key):
+        kx, k1, k2, kb1, kb2, kr = jax.random.split(key, 6)
+        x = jax.random.normal(kx, (M, H), jnp.float32) * 0.5
+        w1 = jax.random.normal(k1, (H, I), jnp.float32) * 0.02
+        w2 = jax.random.normal(k2, (I, H), jnp.float32) * 0.02
+        b1 = jax.random.normal(kb1, (I,), jnp.float32) * 0.01
+        b2 = jax.random.normal(kb2, (H,), jnp.float32) * 0.01
+        res = jax.random.normal(kr, (M, H), jnp.float32) * 0.5
+        return x, w1, w2, b1, b2, res
+
+    x, w1, w2, b1, b2, res = make_inputs(key)
+
+    @jax.jit
+    def quant_weights(w1, w2):
+        def qcol(w):
+            amax = jnp.max(jnp.abs(w), axis=0)
+            s = jnp.where(amax > 0, amax / 127.0, 1.0)
+            wq = jnp.clip(jnp.round(w / s[None, :]), -127, 127).astype(
+                jnp.int8
+            )
+            return wq, s
+
+        w1q, s1 = qcol(w1)
+        w2q, s2 = qcol(w2)
+        return w1q, s1, w2q, s2
+
+    w1q, s1, w2q, s2 = quant_weights(w1, w2)
+    xb = x.astype(jnp.bfloat16)
+    w1b = w1.astype(jnp.bfloat16)
+    w2b = w2.astype(jnp.bfloat16)
+    resb = res.astype(jnp.bfloat16)
+    int(jnp.sum(w1q[0, :8]))  # force materialization
+
+    # --- contenders -------------------------------------------------------
+    @jax.jit
+    def bf16_ffn(xb, w1b, b1, w2b, b2, resb):
+        h = jax.nn.gelu(
+            xb @ w1b + b1.astype(jnp.bfloat16), approximate=True
+        )
+        return h @ w2b + b2.astype(jnp.bfloat16) + resb
+
+    @jax.jit
+    def int8_ffn_pair(xb, w1q, s1, b1, w2q, s2, b2, resb):
+        xq, sx = quantize_rows(xb)
+        h, amax = int8_ffn_in(xq, w1q, sx, s1, b1)
+        return int8_ffn_out(h, amax, w2q, s2, b2, resb)
+
+    @partial(jax.jit, static_argnames=("splits",))
+    def int8_fused(xb, w1q, s1, b1, w2q, s2, b2, resb, splits=2):
+        xq, sx = quantize_rows(xb)
+        return int8_ffn_fused(
+            xq, sx, w1q, s1, b1, w2q, s2, b2, resb, splits=splits
+        )
+
+    @jax.jit
+    def xla_int8_ffn(xb, w1q, s1, b1, w2q, s2, b2, resb):
+        xq, sx = quantize_rows(xb)
+        acc = jax.lax.dot_general(
+            xq, w1q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        h = jax.nn.gelu(
+            acc.astype(jnp.float32) * sx[:, None] * s1[None, :] + b1,
+            approximate=True,
+        ).astype(jnp.bfloat16)
+        hq, sh = quantize_rows(h)
+        acc2 = jax.lax.dot_general(
+            hq, w2q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc2.astype(jnp.float32) * sh[:, None] * s2[None, :] + b2
+        return (y + resb.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # In-jit chained timing (the encoder-profile method): reps dependent
+    # iterations inside ONE jitted program, so per-dispatch tunnel
+    # overhead is paid once, and each iteration consumes the previous
+    # output (no DCE, true steady-state).  chain(step) builds
+    # x -> step(x) -> step(...) with a tiny renormalization between
+    # iterations to stop values exploding.
+    REPS = 24
+
+    def make_chain(step):
+        @jax.jit
+        def chained(x0):
+            def body(x, _):
+                y = step(x)
+                y = (y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6)).astype(
+                    x0.dtype
+                )
+                return y, ()
+
+            y, _ = jax.lax.scan(body, x0, None, length=REPS)
+            return jnp.sum(y[:1, :4].astype(jnp.float32))
+
+        return chained
+
+    def timeit_chain(step, x0, reps_outer=3):
+        chained = make_chain(step)
+        _ = float(chained(x0))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps_outer):
+            s = chained(x0)
+        _ = float(s)
+        return (time.perf_counter() - t0) / (reps_outer * REPS) * 1e3
+
+    def timeit(fn, reps=30):
+        out = fn()
+        _ = float(jnp.sum(out[0, :4]))  # warm + sync
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        _ = float(jnp.sum(out[0, :4]))
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    flops_pair = 2 * M * H * I * 2  # two GEMMs
+
+    results = {}
+    for name, step in [
+        ("bf16_xla_ffn", lambda v: bf16_ffn(v, w1b, b1, w2b, b2, resb)),
+        (
+            "int8_pallas_ffn",
+            lambda v: int8_ffn_pair(v, w1q, s1, b1, w2q, s2, b2, resb),
+        ),
+        (
+            "int8_fused_s1",
+            lambda v: int8_fused(v, w1q, s1, b1, w2q, s2, b2, resb, splits=1),
+        ),
+        (
+            "int8_fused_s2",
+            lambda v: int8_fused(v, w1q, s1, b1, w2q, s2, b2, resb, splits=2),
+        ),
+        (
+            "int8_fused_s4",
+            lambda v: int8_fused(v, w1q, s1, b1, w2q, s2, b2, resb, splits=4),
+        ),
+        (
+            "int8_xla_ffn",
+            lambda v: xla_int8_ffn(v, w1q, s1, b1, w2q, s2, b2, resb),
+        ),
+    ]:
+        try:
+            ms = timeit_chain(step, xb)
+            tops = flops_pair / (ms * 1e-3) / 1e12
+            results[name] = {"ms": round(ms, 3), "tops": round(tops, 1)}
+            log(f"{name:<18}: {ms:7.2f} ms  ({tops:6.1f} T/s eff)")
+        except Exception as e:
+            log(f"{name:<18}: FAILED {type(e).__name__}: {str(e)[:300]}")
+            results[name] = None
+
+    # Accuracy: int8 pair vs f32 reference on a slice.
+    import numpy as np
+
+    y_ref = np.asarray(
+        bf16_ffn(xb[:512], w1b, b1, w2b, b2, resb[:512]), np.float32
+    )
+    y_i8 = np.asarray(
+        int8_ffn_pair(xb[:512], w1q, s1, b1, w2q, s2, b2, resb[:512]),
+        np.float32,
+    )
+    cos = float(
+        (y_ref * y_i8).sum()
+        / (np.linalg.norm(y_ref) * np.linalg.norm(y_i8))
+    )
+    results["cos_vs_bf16"] = round(cos, 6)
+    log(f"cosine(int8 pair, bf16 ref) = {cos:.6f}")
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,62 @@ def test_ffn_pair_end_to_end_accuracy():
     want = _gelu(x @ w1 + b1) @ w2 + b2 + x
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 0.015, rel
+
+
+def test_ffn_fused_matches_pair():
+    """The one-kernel FFN is bit-comparable to the two-kernel pair (same
+    quantization boundaries, same math order in f32)."""
+    rng = np.random.default_rng(3)
+    m, hdim, idim = 32, 128, 512
+    x_q = rng.integers(-127, 128, size=(m, hdim)).astype(np.int8)
+    x_q[7] = 0  # all-zero row: both scale guards must agree
+    sx = rng.uniform(0.001, 0.02, size=m).astype(np.float32)
+    w1_q = rng.integers(-127, 128, size=(hdim, idim)).astype(np.int8)
+    s1 = rng.uniform(0.001, 0.02, size=idim).astype(np.float32)
+    b1 = rng.standard_normal(idim).astype(np.float32) * 0.01
+    w2_q = rng.integers(-127, 128, size=(idim, hdim)).astype(np.int8)
+    s2 = rng.uniform(0.001, 0.02, size=hdim).astype(np.float32)
+    b2 = rng.standard_normal(hdim).astype(np.float32) * 0.01
+    res = rng.standard_normal((m, hdim)).astype(np.float32)
+
+    args = [jnp.asarray(a) for a in (x_q, sx, w1_q, s1, b1, w2_q, s2, b2, res)]
+    fused = np.asarray(
+        G.int8_ffn_fused(*args, out_dtype=jnp.float32, interpret=True)
+    )
+
+    h, amax = G.int8_ffn_in(
+        args[0], args[2], args[1], args[3], args[4],
+        out_dtype=jnp.float32, interpret=True,
+    )
+    pair = np.asarray(
+        G.int8_ffn_out(
+            h, amax, args[5], args[6], args[7], args[8],
+            out_dtype=jnp.float32, interpret=True,
+        )
+    )
+    # Identical quantization decisions; only f32 association differs.
+    np.testing.assert_allclose(fused, pair, rtol=1e-5, atol=1e-5)
+
+
+def test_encode_with_int8_ffn_close_to_f32():
+    """Full model forward with the W8A8 FFN (interpret mode on CPU) stays
+    within quantization noise of the f32 reference path."""
+    from tpu_search.models.mpnet import MPNetConfig, encode, init_params
+
+    config = MPNetConfig(
+        vocab_size=100,
+        hidden_size=128,
+        num_layers=2,
+        num_heads=2,
+        intermediate_size=512,
+        max_position=40,
+    )
+    params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(4, 100, size=(4, 32)), jnp.int32)
+    mask = jnp.ones((4, 32), jnp.int32).at[2, 20:].set(0)
+
+    ref = np.asarray(encode(params, ids, mask, config))
+    got = np.asarray(encode(params, ids, mask, config, int8_ffn=True))
+    cos = np.sum(ref * got, axis=1)  # both L2-normalized
+    assert np.all(cos > 0.999), cos

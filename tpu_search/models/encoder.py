@@ -21,6 +21,7 @@ encoder graphs.  TPU-first specifics:
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -58,6 +59,12 @@ class EmbeddingConfig:
     show_progress: bool = True
     cache_dir: Optional[str] = None
     compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
+    # W8A8 FFN via the fused Pallas int8 kernel (+8% texts/s at b128
+    # s384 on v5e, embedding cosine vs bf16 0.99992 — below typical
+    # retrieval noise but not bit-comparable, hence opt-in).  Env
+    # override: CLAUDE_SEARCH_INT8_FFN=1.  Only takes effect under
+    # bfloat16 compute on an accelerator.
+    quantize_ffn: bool = False
 
 
 @dataclass
@@ -158,11 +165,17 @@ class EmbeddingGenerator:
             else jnp.float32
         )
         model_config = self._model_config
+        on_tpu = getattr(self._device, "platform", "cpu") == "tpu"
+        int8_ffn = (
+            self.config.quantize_ffn
+            or os.environ.get("CLAUDE_SEARCH_INT8_FFN", "") == "1"
+        ) and dtype == jnp.bfloat16 and on_tpu
         base = partial(
             mpnet_encode,
             config=model_config,
             compute_dtype=dtype,
             normalize=self.config.normalize_embeddings,
+            int8_ffn=int8_ffn,
         )
         # Attention impl per sequence bucket (measured, full 12-layer encode,
         # bf16): the batch-blocked pallas kernel wins ~11% at S=384 where the
@@ -173,7 +186,6 @@ class EmbeddingGenerator:
             impl: jax.jit(partial(base, attention_impl=impl))
             for impl in ("dense", "pallas")
         }
-        on_tpu = getattr(self._device, "platform", "cpu") == "tpu"
 
         def _dispatch(params, input_ids, attention_mask):
             impl = (

@@ -268,6 +268,38 @@ def _block(
     x = _layer_norm(
         attn + x, lp["attn_ln_scale"], lp["attn_ln_bias"], config.layer_norm_eps
     )
+    if "ff_in_wq" in lp:
+        # W8A8 FFN: the whole GEMM1 + gelu + requantize + GEMM2 +
+        # residual chain runs in one Pallas kernel with both int8
+        # weights VMEM-resident and the [M, I] activation never touching
+        # HBM (ops/pallas_int8_gemm.int8_ffn_fused — measured 2.3 ms vs
+        # 3.1 ms bf16 per pair at b128 s384 on v5e). Weights were
+        # per-column quantized in forward_hidden; activations per-row
+        # here. Opt-in via EmbeddingConfig.quantize_ffn.
+        from ..ops.pallas_int8_gemm import int8_ffn_fused, quantize_rows
+
+        b, s, h = x.shape
+        x2 = x.reshape(b * s, h)
+        x_q, sx = quantize_rows(x2)
+        ff = int8_ffn_fused(
+            x_q,
+            sx,
+            lp["ff_in_wq"],
+            lp["ff_in_ws"],
+            lp["ff_in_b"],
+            lp["ff_out_wq"],
+            lp["ff_out_ws"],
+            lp["ff_out_b"],
+            x2,
+            out_dtype=x.dtype,
+            interpret=jax.default_backend() != "tpu",
+        )
+        return _layer_norm(
+            ff.reshape(b, s, h),
+            lp["ff_ln_scale"],
+            lp["ff_ln_bias"],
+            config.layer_norm_eps,
+        )
     # HF MPNet/BERT use exact (erf) gelu; under bf16 compute the tanh
     # approximation is selected instead (see forward_hidden): its error
     # (< 3e-4 on activations) sits below the bf16 matmul rounding floor —
@@ -295,6 +327,7 @@ def forward_hidden(
     config: MPNetConfig,
     compute_dtype=jnp.float32,
     attention_impl: str = "dense",  # "dense" | "flash" (TPU pallas kernel)
+    int8_ffn: bool = False,
 ) -> jax.Array:
     """Token ids -> last hidden state ``[B, S, H]`` (MPNetModel parity).
 
@@ -353,6 +386,29 @@ def forward_hidden(
 
     layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
     gelu_approx = jnp.dtype(compute_dtype) != jnp.float32
+    if int8_ffn:
+        # Per-output-column symmetric int8 weight quantization, stacked
+        # across layers so lax.scan slices one layer's [H, I] per step.
+        # Done in-graph per forward (~0.3 ms at b128 s384, 0.4% of the
+        # forward) — keeps params a single source of truth and the
+        # function pure; XLA dead-code-eliminates the f32 FFN weights
+        # from the scan carry.
+        def _qcol_stacked(w):  # [L, in, out] -> int8 [L, in, out], [L, out]
+            wf = w.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(wf), axis=1)
+            s = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+            wq = jnp.clip(
+                jnp.round(wf / s[:, None, :]), -127.0, 127.0
+            ).astype(jnp.int8)
+            return wq, s
+
+        layers = dict(layers)
+        layers["ff_in_wq"], layers["ff_in_ws"] = _qcol_stacked(
+            layers.pop("ff_in_w")
+        )
+        layers["ff_out_wq"], layers["ff_out_ws"] = _qcol_stacked(
+            layers.pop("ff_out_w")
+        )
 
     def step(carry, lp):
         return _block(carry, lp, bias_and_mask, config, gelu_approx), None
@@ -369,6 +425,7 @@ def encode(
     compute_dtype=jnp.float32,
     normalize: bool = True,
     attention_impl: str = "dense",
+    int8_ffn: bool = False,
 ) -> jax.Array:
     """Token ids -> sentence embeddings ``[B, H]``.
 
@@ -377,7 +434,7 @@ def encode(
     """
     hidden = forward_hidden(
         params, input_ids, attention_mask, config, compute_dtype,
-        attention_impl,
+        attention_impl, int8_ffn,
     ).astype(jnp.float32)
     mask = attention_mask.astype(jnp.float32)[:, :, None]
     summed = jnp.sum(hidden * mask, axis=1)

@@ -32,7 +32,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["int8_gemm", "quantize_rows", "int8_ffn_in", "int8_ffn_out"]
+__all__ = [
+    "int8_gemm",
+    "quantize_rows",
+    "int8_ffn_in",
+    "int8_ffn_out",
+    "int8_ffn_fused",
+]
 
 
 def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -315,6 +321,163 @@ def int8_ffn_out(
         w_q,
         sw.reshape(1, n).astype(jnp.float32),
         bias.reshape(1, n).astype(jnp.float32),
+        residual,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused FFN: both GEMMs in ONE kernel, h never leaves VMEM.
+#
+# The two-kernel pair above still pays the [M, I] gelu activation a full
+# HBM round trip (write in ffn_in, read in ffn_out — ~600 MB at encoder
+# shapes, ~0.75 ms of pure bandwidth).  But at transformer FFN sizes
+# both weight matrices TOGETHER are tiny (768x3072 + 3072x768 int8 =
+# 4.5 MB), so they can sit VMEM-resident while a row-block of x streams
+# through:  x_q -> GEMM1 -> gelu -> rowmax -> quantize -> GEMM2 ->
+# dequant + bias + residual, all on-chip.  HBM traffic drops to
+# x + out + residual + weights-once (~190 MB): the measured win is
+# 2.62 -> ~1.9 ms/pair vs 3.22 ms bf16 (benchmarks/int8_gemm_bench.py).
+# ---------------------------------------------------------------------------
+
+
+def _ffn_fused_kernel(
+    x_ref,  # [BM, H] int8
+    sx_ref,  # [BM, 1] f32
+    w1_ref,  # [H, I] int8 (resident)
+    s1_ref,  # [1, I] f32
+    b1_ref,  # [1, I] f32
+    w2_ref,  # [I, H] int8 (resident)
+    s2_ref,  # [1, H] f32
+    b2_ref,  # [1, H] f32
+    res_ref,  # [BM, H]
+    out_ref,  # [BM, H]
+    *,
+    splits: int,
+):
+    # ``splits`` > 1 carves the row block into independent sub-chains —
+    # an attempt to overlap one sub-block's VPU epilogue (gelu +
+    # requantize) with the next one's MXU GEMMs.  Measured on v5e at
+    # encoder shapes it LOSES (s1 2.40 ms, s2 2.58, s4 2.83 — Mosaic
+    # does not cross-schedule the chains and smaller GEMMs waste MXU),
+    # so the default stays 1; the knob remains for other shapes.
+    bm = x_ref.shape[0]
+    sub = bm // splits
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    s1 = s1_ref[...]
+    b1 = b1_ref[...]
+    s2 = s2_ref[...]
+    b2 = b2_ref[...]
+    c = 0.7978845608028654  # sqrt(2/pi), tanh-approx gelu
+    for k in range(splits):
+        rows = slice(k * sub, (k + 1) * sub)
+        acc1 = jax.lax.dot_general(
+            x_ref[rows, :],
+            w1,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc1.astype(jnp.float32) * sx_ref[rows, :] * s1 + b1
+        h = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+        amax = jnp.max(jnp.abs(h), axis=1, keepdims=True)  # [sub, 1]
+        inv = jnp.where(amax > 0.0, 127.0 / amax, 0.0)
+        h_q = jnp.clip(jnp.round(h * inv), -127.0, 127.0).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(
+            h_q,
+            w2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scale = jnp.where(amax > 0.0, amax / 127.0, 1.0)
+        out = (
+            acc2.astype(jnp.float32) * scale * s2
+            + b2
+            + res_ref[rows, :].astype(jnp.float32)
+        )
+        out_ref[rows, :] = out.astype(out_ref.dtype)
+
+
+def _pick_bm_fused(m: int, h: int, i: int, itemsize: int) -> int:
+    budget = int(13.5 * 1024 * 1024)
+    resident = h * i + i * h  # both int8 weights
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if m % bm:
+            continue
+        need = (
+            resident
+            + 2 * bm * h  # double-buffered x int8 (+ slack for sx)
+            + bm * i * 4  # int32 acc1 / f32 h
+            + bm * i * 4  # gelu/quantize intermediates
+            + bm * i  # h_q int8
+            + bm * h * 4  # acc2
+            + 2 * 2 * bm * h * itemsize  # residual + out tiles
+        )
+        if need <= budget:
+            return bm
+    return 8
+
+
+@partial(jax.jit, static_argnames=("out_dtype", "interpret", "splits"))
+def int8_ffn_fused(
+    x_q: jax.Array,  # [M, H] int8 (per-row quantized activations)
+    sx: jax.Array,  # [M] f32
+    w1_q: jax.Array,  # [H, I] int8
+    s1: jax.Array,  # [I] f32
+    b1: jax.Array,  # [I] f32
+    w2_q: jax.Array,  # [I, H] int8
+    s2: jax.Array,  # [H] f32
+    b2: jax.Array,  # [H] f32
+    residual: jax.Array,  # [M, H]
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    splits: int = 1,
+) -> jax.Array:
+    """Whole W8A8 FFN (GEMM1 + gelu + requant + GEMM2 + residual) in one
+    kernel; the [M, I] activation never exists in HBM.
+
+    Requires ``H * I * 2`` int8 weight bytes to fit VMEM alongside one
+    row-block — true for transformer FFNs up to ~H=1536 at I=4H.
+    """
+    m, h = x_q.shape
+    _, i = w1_q.shape
+    bm = _pick_bm_fused(m, h, i, jnp.dtype(out_dtype).itemsize)
+    while splits > 1 and (bm % splits or (bm // splits) % 8):
+        splits //= 2
+
+    return pl.pallas_call(
+        partial(_ffn_fused_kernel, splits=splits),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, h), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, i), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, h), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, h), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, h), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * h * i,
+            bytes_accessed=m * h * (2 + 2 * jnp.dtype(out_dtype).itemsize)
+            + 2 * h * i,
+            transcendentals=m * i,
+        ),
+        interpret=interpret,
+    )(
+        x_q,
+        sx.reshape(m, 1).astype(jnp.float32),
+        w1_q,
+        s1.reshape(1, i).astype(jnp.float32),
+        b1.reshape(1, i).astype(jnp.float32),
+        w2_q,
+        s2.reshape(1, h).astype(jnp.float32),
+        b2.reshape(1, h).astype(jnp.float32),
         residual,
     )
 
