@@ -164,6 +164,34 @@ class TestEngineRouting:
         )
         assert engine.use_warm_server is False
 
+    def test_engine_reuses_persistent_connection(self, server, tmp_path):
+        """A long-lived engine (the MCP-server shape) streams warm-server
+        requests down ONE connection instead of reconnecting per call."""
+        from tpu_search.api.engine import SearchEngine
+
+        cli_engine = SearchEngine(
+            data_dir=str(tmp_path), model_name="hash-768"
+        )
+        assert cli_engine.search_conversations("q1", top_k=2)
+        client = cli_engine._warm_clients.client
+        sock = client._sock
+        assert sock is not None
+        for _ in range(3):
+            assert cli_engine.search_conversations("qN", top_k=2)
+        assert cli_engine.get_index_stats() == {"total_chunks": 42}
+        assert cli_engine._warm_clients.client is client
+        assert client._sock is sock  # no reconnect happened
+
+    def test_engine_falls_back_local_when_no_server(self, tmp_path):
+        """With no daemon listening the warm route returns None and the
+        engine serves locally (existing behavior, now via QueryClient)."""
+        from tpu_search.api.engine import SearchEngine
+
+        cli_engine = SearchEngine(
+            data_dir=str(tmp_path), model_name="hash-768"
+        )
+        assert cli_engine._warm_request({"op": "ping"}) is None
+
 
 class TestBatching:
     def test_concurrent_searches_batched(self, server, engine, tmp_path):

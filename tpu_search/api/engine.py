@@ -11,6 +11,7 @@ from __future__ import annotations
 import logging
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
@@ -108,6 +109,9 @@ class SearchEngine:
         # listening (False inside the daemon itself to avoid self-routing).
         self.use_warm_server = use_warm_server
         self._timer = PhaseTimer()
+        # Per-thread persistent connections to the warm server
+        # (QueryClient is single-connection, not thread-safe).
+        self._warm_clients = threading.local()
         # Fused encode+scan programs keyed by (model config, dtype,
         # normalize, platform); built lazily by _fused_query_fn.
         self._fused_jit: Dict[Any, Any] = {}
@@ -319,10 +323,7 @@ class SearchEngine:
         per-invocation cold start, src/cli.py:237-241).
         """
         if self.use_warm_server:
-            from ..interfaces import query_server
-
-            response = query_server.request(
-                str(self.data_dir),
+            response = self._warm_request(
                 {"op": "search", "query": query, "filters": filters,
                  "top_k": top_k},
             )
@@ -584,15 +585,36 @@ class SearchEngine:
         index load included) while the watcher daemon sits on a hot copy
         with a `stats` op already served (VERDICT r1 weak #8)."""
         if self.use_warm_server:
-            from ..interfaces import query_server
-
-            response = query_server.request(
-                str(self.data_dir), {"op": "stats"}
-            )
+            response = self._warm_request({"op": "stats"})
             if response is not None and response.get("ok"):
                 return response["stats"]
         self.storage.initialize()
         return self.storage.get_stats()
+
+    def _warm_request(
+        self, payload: Dict[str, Any]
+    ) -> Optional[Dict[str, Any]]:
+        """Route one request to the watcher daemon's warm server.
+
+        Long-lived engine holders (the MCP server keeps one engine for
+        its whole stdio session) stream requests down a persistent
+        per-thread connection instead of paying connect + accept +
+        thread-spawn per call; one-shot CLI processes cost the same as
+        before (one connect, then exit).  Returns None when no server is
+        listening — callers fall through to the local path.
+        """
+        from ..interfaces.query_server import QueryClient, socket_path_for
+
+        client = getattr(self._warm_clients, "client", None)
+        if client is None or client._path != str(
+            socket_path_for(str(self.data_dir))
+        ):
+            client = QueryClient(str(self.data_dir))
+            self._warm_clients.client = client
+        try:
+            return client.request(payload)
+        except (OSError, ValueError):
+            return None
 
 
 # Reference-compatible name (src/cli.py:35).
