@@ -738,6 +738,13 @@ def bench_serving() -> dict:
         # its compile must not land inside a timed region).
         run_clients(8, 4)
         run_clients(32, 2)
+        # Unmeasured concurrent warmup: compiles the windowed fused
+        # shapes (q_pad 8/32) and settles the finisher pool so the FIRST
+        # measured client count isn't order-biased (c8 measured ~35% low
+        # when it ran cold while the later counts rode its warmup).
+        run_clients(8, 6)
+        run_clients(32, 3)
+
         qps_c8, p50_c8, p99_c8 = run_clients(8, 25)
         qps_c16, p50_c16, p99_c16 = run_clients(16, 15)
         qps_c32, p50_c32, p99_c32 = run_clients(32, 12)

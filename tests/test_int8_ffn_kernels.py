@@ -155,6 +155,57 @@ def test_ffn_fused_matches_pair():
     np.testing.assert_allclose(fused, pair, rtol=1e-5, atol=1e-5)
 
 
+def test_ffn_ln_fused_matches_composed_sequence():
+    """The whole-half-block kernel (LN1 + quantize + FFN + residual +
+    LN2) equals layer_norm -> quantize -> int8_ffn_fused -> layer_norm
+    composed from the already-verified pieces."""
+    rng = np.random.default_rng(4)
+    m, hdim, idim = 32, 128, 512
+    eps = 1e-5
+    pre = (rng.standard_normal((m, hdim)) * 0.7).astype(np.float32)
+    w1_q = rng.integers(-127, 128, size=(hdim, idim)).astype(np.int8)
+    s1 = rng.uniform(0.001, 0.02, size=idim).astype(np.float32)
+    b1 = rng.standard_normal(idim).astype(np.float32) * 0.01
+    w2_q = rng.integers(-127, 128, size=(idim, hdim)).astype(np.int8)
+    s2 = rng.uniform(0.001, 0.02, size=hdim).astype(np.float32)
+    b2 = rng.standard_normal(hdim).astype(np.float32) * 0.01
+    aln_s = rng.uniform(0.8, 1.2, size=hdim).astype(np.float32)
+    aln_b = rng.standard_normal(hdim).astype(np.float32) * 0.05
+    fln_s = rng.uniform(0.8, 1.2, size=hdim).astype(np.float32)
+    fln_b = rng.standard_normal(hdim).astype(np.float32) * 0.05
+
+    got = np.asarray(
+        G.int8_ffn_ln_fused(
+            jnp.asarray(pre), jnp.asarray(w1_q), jnp.asarray(s1),
+            jnp.asarray(b1), jnp.asarray(w2_q), jnp.asarray(s2),
+            jnp.asarray(b2), jnp.asarray(aln_s), jnp.asarray(aln_b),
+            jnp.asarray(fln_s), jnp.asarray(fln_b),
+            eps=eps, out_dtype=jnp.float32, interpret=True,
+        )
+    )
+
+    def ln(v, sc, bi):
+        mean = v.mean(axis=1, keepdims=True)
+        var = ((v - mean) ** 2).mean(axis=1, keepdims=True)
+        return (v - mean) / np.sqrt(var + eps) * sc + bi
+
+    xln = ln(pre, aln_s, aln_b).astype(np.float32)
+    amax = np.abs(xln).max(axis=1, keepdims=True)
+    inv = np.where(amax > 0, 127.0 / np.where(amax > 0, amax, 1.0), 0.0)
+    x_q = np.clip(np.round(xln * inv), -127, 127).astype(np.int8)
+    sx = np.where(amax > 0, amax / 127.0, 1.0)[:, 0]
+    ff = np.asarray(
+        G.int8_ffn_fused(
+            jnp.asarray(x_q), jnp.asarray(sx), jnp.asarray(w1_q),
+            jnp.asarray(s1), jnp.asarray(b1), jnp.asarray(w2_q),
+            jnp.asarray(s2), jnp.asarray(b2), jnp.asarray(xln),
+            out_dtype=jnp.float32, interpret=True,
+        )
+    )
+    want = ln(ff, fln_s, fln_b)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_encode_with_int8_ffn_close_to_f32():
     """Full model forward with the W8A8 FFN (interpret mode on CPU) stays
     within quantization noise of the f32 reference path."""

@@ -265,41 +265,39 @@ def _block(
     gelu_approx: bool = False,
 ) -> jax.Array:
     attn = _attention(x, lp, bias_and_mask, config)
-    x = _layer_norm(
-        attn + x, lp["attn_ln_scale"], lp["attn_ln_bias"], config.layer_norm_eps
-    )
     if "ff_in_wq" in lp:
-        # W8A8 FFN: the whole GEMM1 + gelu + requantize + GEMM2 +
-        # residual chain runs in one Pallas kernel with both int8
-        # weights VMEM-resident and the [M, I] activation never touching
-        # HBM (ops/pallas_int8_gemm.int8_ffn_fused — measured 2.3 ms vs
-        # 3.1 ms bf16 per pair at b128 s384 on v5e). Weights were
-        # per-column quantized in forward_hidden; activations per-row
-        # here. Opt-in via EmbeddingConfig.quantize_ffn.
-        from ..ops.pallas_int8_gemm import int8_ffn_fused, quantize_rows
+        # W8A8 half-block: the ENTIRE post-attention half of the layer —
+        # post-attention layernorm, per-row int8 quantize, FFN GEMM1 +
+        # gelu + requantize + GEMM2, residual add, post-FFN layernorm —
+        # runs in one Pallas kernel with both int8 weights VMEM-resident
+        # and the [M, I] activation never touching HBM; the [M, H]
+        # residual stream is read and written exactly once
+        # (ops/pallas_int8_gemm.int8_ffn_ln_fused). Weights were
+        # per-column quantized in forward_hidden; activations per-row in
+        # the kernel. Opt-in via EmbeddingConfig.quantize_ffn.
+        from ..ops.pallas_int8_gemm import int8_ffn_ln_fused
 
         b, s, h = x.shape
-        x2 = x.reshape(b * s, h)
-        x_q, sx = quantize_rows(x2)
-        ff = int8_ffn_fused(
-            x_q,
-            sx,
+        out = int8_ffn_ln_fused(
+            (attn + x).reshape(b * s, h),
             lp["ff_in_wq"],
             lp["ff_in_ws"],
             lp["ff_in_b"],
             lp["ff_out_wq"],
             lp["ff_out_ws"],
             lp["ff_out_b"],
-            x2,
+            lp["attn_ln_scale"],
+            lp["attn_ln_bias"],
+            lp["ff_ln_scale"],
+            lp["ff_ln_bias"],
+            eps=config.layer_norm_eps,
             out_dtype=x.dtype,
             interpret=jax.default_backend() != "tpu",
         )
-        return _layer_norm(
-            ff.reshape(b, s, h),
-            lp["ff_ln_scale"],
-            lp["ff_ln_bias"],
-            config.layer_norm_eps,
-        )
+        return out.reshape(b, s, h)
+    x = _layer_norm(
+        attn + x, lp["attn_ln_scale"], lp["attn_ln_bias"], config.layer_norm_eps
+    )
     # HF MPNet/BERT use exact (erf) gelu; under bf16 compute the tanh
     # approximation is selected instead (see forward_hidden): its error
     # (< 3e-4 on activations) sits below the bf16 matmul rounding floor —

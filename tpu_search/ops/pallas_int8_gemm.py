@@ -38,6 +38,7 @@ __all__ = [
     "int8_ffn_in",
     "int8_ffn_out",
     "int8_ffn_fused",
+    "int8_ffn_ln_fused",
 ]
 
 
@@ -322,6 +323,162 @@ def int8_ffn_out(
         sw.reshape(1, n).astype(jnp.float32),
         bias.reshape(1, n).astype(jnp.float32),
         residual,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Whole-half-block fusion: attn-LN + quantize + FFN + ff-LN in ONE kernel.
+#
+# In the transformer block, the fused FFN kernel below still leaves four
+# full [M, H] HBM passes around itself per layer: the post-attention
+# layernorm (read + write), the activation quantize (read + write), and
+# the post-FFN layernorm (read + write after the kernel's own write).
+# All of that is row-local math over the same rows the kernel already
+# holds in VMEM, so this variant takes the PRE-layernorm residual stream
+# (attn + x) and does:  LN1 (f32 stats) -> per-row int8 quantize ->
+# GEMM1 -> gelu -> requantize -> GEMM2 -> +residual(LN1 output) ->
+# LN2 -> write.  One read and one write of the [M, H] stream per layer
+# — everything else lives and dies in VMEM.  The math is identical to
+# the unfused sequence (LN stats in f32, same quantization decisions),
+# so accuracy is unchanged vs int8_ffn_fused + XLA layernorms.
+# ---------------------------------------------------------------------------
+
+
+def _ffn_ln_fused_kernel(
+    pre_ref,  # [BM, H] pre-LN residual stream (attn + x)
+    w1_ref,  # [H, I] int8 (resident)
+    s1_ref,  # [1, I] f32
+    b1_ref,  # [1, I] f32
+    w2_ref,  # [I, H] int8 (resident)
+    s2_ref,  # [1, H] f32
+    b2_ref,  # [1, H] f32
+    aln_s_ref,  # [1, H] f32 post-attention LN scale
+    aln_b_ref,  # [1, H] f32
+    fln_s_ref,  # [1, H] f32 post-FFN LN scale
+    fln_b_ref,  # [1, H] f32
+    out_ref,  # [BM, H]
+    *,
+    eps: float,
+):
+    xf = pre_ref[...].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    xln = (xf - mean) * jax.lax.rsqrt(var + eps) * aln_s_ref[
+        ...
+    ] + aln_b_ref[...]
+    # Residual enters the FFN at compute precision (the unfused path
+    # hands the LN output around as bf16); round-trip through the
+    # output dtype so results match the composed sequence bit-for-bit.
+    xc = xln.astype(out_ref.dtype)
+    xq_src = xc.astype(jnp.float32)
+    amax_x = jnp.max(jnp.abs(xq_src), axis=1, keepdims=True)
+    inv_x = jnp.where(amax_x > 0.0, 127.0 / amax_x, 0.0)
+    x_q = jnp.clip(jnp.round(xq_src * inv_x), -127.0, 127.0).astype(
+        jnp.int8
+    )
+    sx = jnp.where(amax_x > 0.0, amax_x / 127.0, 1.0)
+
+    acc1 = jax.lax.dot_general(
+        x_q,
+        w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc1.astype(jnp.float32) * sx * s1_ref[...] + b1_ref[...]
+    c = 0.7978845608028654  # sqrt(2/pi), tanh-approx gelu
+    h = 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    amax_h = jnp.max(jnp.abs(h), axis=1, keepdims=True)
+    inv_h = jnp.where(amax_h > 0.0, 127.0 / amax_h, 0.0)
+    h_q = jnp.clip(jnp.round(h * inv_h), -127.0, 127.0).astype(jnp.int8)
+    acc2 = jax.lax.dot_general(
+        h_q,
+        w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scale_h = jnp.where(amax_h > 0.0, amax_h / 127.0, 1.0)
+    ff = (
+        acc2.astype(jnp.float32) * scale_h * s2_ref[...]
+        + b2_ref[...]
+        + xq_src
+    )
+    # The unfused path materializes (ff + residual) in compute dtype
+    # before the second layernorm reads it; mirror that rounding.
+    ffc = ff.astype(out_ref.dtype).astype(jnp.float32)
+    mean2 = jnp.mean(ffc, axis=1, keepdims=True)
+    var2 = jnp.mean(jnp.square(ffc - mean2), axis=1, keepdims=True)
+    out = (ffc - mean2) * jax.lax.rsqrt(var2 + eps) * fln_s_ref[
+        ...
+    ] + fln_b_ref[...]
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("eps", "out_dtype", "interpret"))
+def int8_ffn_ln_fused(
+    pre: jax.Array,  # [M, H] pre-LN residual stream (attn + x)
+    w1_q: jax.Array,  # [H, I] int8
+    s1: jax.Array,  # [I] f32
+    b1: jax.Array,  # [I] f32
+    w2_q: jax.Array,  # [I, H] int8
+    s2: jax.Array,  # [H] f32
+    b2: jax.Array,  # [H] f32
+    attn_ln_scale: jax.Array,  # [H]
+    attn_ln_bias: jax.Array,  # [H]
+    ff_ln_scale: jax.Array,  # [H]
+    ff_ln_bias: jax.Array,  # [H]
+    eps: float = 1e-5,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """LN1 + W8A8 FFN + residual + LN2 in one kernel: the whole
+    post-attention half of a transformer block with ONE [M, H] HBM read
+    and ONE write."""
+    m, h = pre.shape
+    _, i = w1_q.shape
+    bm = _pick_bm_fused(m, h, i, jnp.dtype(out_dtype).itemsize)
+
+    def row(v, n):
+        return v.reshape(1, n).astype(jnp.float32)
+
+    return pl.pallas_call(
+        partial(_ffn_ln_fused_kernel, eps=eps),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, h), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, i), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((i, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, h), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, h), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * h * i,
+            bytes_accessed=2 * m * h * jnp.dtype(out_dtype).itemsize
+            + 2 * h * i,
+            transcendentals=m * i,
+        ),
+        interpret=interpret,
+    )(
+        pre,
+        w1_q,
+        row(s1, i),
+        row(b1, i),
+        w2_q,
+        row(s2, h),
+        row(b2, h),
+        row(attn_ln_scale, h),
+        row(attn_ln_bias, h),
+        row(ff_ln_scale, h),
+        row(ff_ln_bias, h),
     )
 
 
