@@ -503,6 +503,46 @@ class TestInt8:
         with pytest.raises(ValueError, match="ip"):
             IVFIndex(dim=8, dtype="int8", metric="l2")
 
+    def test_residual_encoding_beats_raw(self, corpus, queries):
+        """by_residual (the int8 default) must track the f32 scores at
+        least as closely as raw encoding — residuals are smaller than
+        the vectors, so the int8 step size shrinks."""
+        f32 = IVFIndex(dim=32, dtype="float32", nlist=8)
+        f32.train(corpus)
+        f32.add(corpus)
+        s_ref, _ = f32.search(queries, k=10, nprobe=8)
+
+        def score_err(by_residual):
+            ivf = IVFIndex(
+                dim=32, dtype="int8", nlist=8, by_residual=by_residual
+            )
+            ivf.train(corpus)
+            ivf.add(corpus)
+            s, _ = ivf.search(queries, k=10, nprobe=8)
+            return float(np.mean(np.abs(s - s_ref)))
+
+        err_res = score_err(True)
+        err_raw = score_err(False)
+        assert err_res < err_raw, (err_res, err_raw)
+
+    def test_residual_flag_off_for_float_dtypes(self):
+        assert not IVFIndex(dim=8, dtype="bfloat16").by_residual
+        assert not IVFIndex(dim=8, dtype="float32", by_residual=True).by_residual
+        assert IVFIndex(dim=8, dtype="int8").by_residual
+
+    def test_residual_roundtrip(self, corpus, queries, tmp_path):
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=8)
+        ids = ivf.add(corpus[:800])
+        ivf.remove(ids[:50])
+        path = tmp_path / "res.tpuidx"
+        ivf.save(str(path))
+        loaded = load_index(str(path))
+        assert loaded.by_residual is True
+        s1, i1 = ivf.search(queries, k=10, nprobe=8)
+        s2, i2 = loaded.search(queries, k=10, nprobe=8)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
     def test_roundtrip_lossless(self, corpus, queries, tmp_path):
         ivf = IVFIndex(dim=32, dtype="int8", nlist=8)
         ids = ivf.add(corpus[:800])
@@ -557,15 +597,34 @@ class TestRebalance:
         # layout efficiency must not degrade
         assert after["max_fill"] <= before["max_fill"] * 1.5
 
-    def test_rebalance_int8(self, corpus):
-        ivf = IVFIndex(dim=32, dtype="int8", nlist=8)
-        ids = ivf.add(corpus[:600])
+    def test_rebalance_int8_raw_bit_lossless(self, corpus):
+        # by_residual=False moves raw int8 rows with their scales:
+        # same quantized corpus, new layout -> identical results.
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=8, by_residual=False)
+        ivf.add(corpus[:600])
         s1, i1 = ivf.search(corpus[:4], k=5, nprobe=8)
         ivf.rebalance(train_sample=600)
         s2, i2 = ivf.search(corpus[:4], k=5, nprobe=8)
-        # same quantized corpus, new layout: identical results
         assert np.array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+    def test_rebalance_int8_residual_reencodes(self, corpus):
+        # by_residual (the int8 default) re-encodes rows against the
+        # retrained centroids — results stay equivalent up to the (small)
+        # re-quantization noise, ids preserved.
+        ivf = IVFIndex(dim=32, dtype="int8", nlist=8)
+        assert ivf.by_residual
+        ivf.add(corpus[:600])
+        s1, i1 = ivf.search(corpus[:8], k=5, nprobe=8)
+        ivf.rebalance(train_sample=600)
+        s2, i2 = ivf.search(corpus[:8], k=5, nprobe=8)
+        overlap = np.mean([
+            len(set(a) & set(b)) / 5.0 for a, b in zip(i1, i2)
+        ])
+        assert overlap >= 0.85, overlap
+        # each query's own row must stay its top hit
+        assert np.array_equal(i1[:, 0], i2[:, 0])
+        np.testing.assert_allclose(s1[:, 0], s2[:, 0], atol=0.02)
 
     def test_rebalance_chunked_many_chunks(self, corpus):
         # ADVICE r2: rebalance streams gather/assign/scatter in

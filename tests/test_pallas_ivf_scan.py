@@ -208,3 +208,57 @@ class TestKernelParity:
         np.testing.assert_allclose(
             ps_np[finite], rs_np[finite], rtol=1e-5, atol=1e-5
         )
+
+    def test_int8_residual_bias_matches_xla_grouped_path(self):
+        """by_residual scoring: the kernel's per-probe q.centroid bias
+        must reproduce the XLA grouped path's residual scores."""
+        from tpu_search.ops.pallas_ivf_scan import pallas_ivf_topk_int8
+
+        rng = np.random.default_rng(5)
+        nlist, cap, d, q, nprobe, k = 6, 256, 64, 8, 3, 10
+        centroids, blocks, ids, valid, sq, fills = make_state(
+            rng, nlist, cap, d
+        )
+        # residual-encode per slot against each cluster's centroid
+        resid = blocks - centroids[:, None, :]
+        scales = np.maximum(
+            np.abs(resid).max(axis=-1) / 127.0, 1e-12
+        ).astype(np.float32)
+        i8 = np.rint(resid / scales[:, :, None]).astype(np.int8)
+        dblocks = jnp.asarray(i8)
+        dscale = jnp.asarray(scales)
+        dvalid = jnp.asarray(valid)
+        dids = jnp.asarray(ids)
+        queries = jnp.asarray(normed(rng, q, d))
+        dcent = jnp.asarray(centroids)
+
+        rs, ri = _ivf_search(
+            dcent, dblocks, dids, dvalid, jnp.asarray(sq), dscale,
+            queries, nprobe, k, "ip", by_residual=True,
+        )
+        cluster_scores = queries @ dcent.T
+        _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)
+        cbias = jnp.take_along_axis(cluster_scores, probe_ids, axis=1)
+        ps, flat_pos = pallas_ivf_topk_int8(
+            dblocks,
+            dscale,
+            jnp.where(dvalid, 0.0, -jnp.inf),
+            jnp.asarray(fills),
+            probe_ids.astype(jnp.int32),
+            queries,
+            k,
+            tile_n=128,
+            interpret=True,
+            cbias=cbias,
+        )
+        pi = jnp.where(
+            jnp.isfinite(ps),
+            dids.reshape(-1)[jnp.clip(flat_pos, 0, None)],
+            -1,
+        )
+        assert np.array_equal(np.asarray(pi), np.asarray(ri))
+        rs_np, ps_np = np.asarray(rs), np.asarray(ps)
+        finite = np.isfinite(rs_np)
+        np.testing.assert_allclose(
+            ps_np[finite], rs_np[finite], rtol=1e-4, atol=1e-4
+        )

@@ -325,17 +325,36 @@ class TestRebalance:
         assert stats["filled"] == 2000
 
     def test_rebalance_int8_bit_lossless(self, mesh, corpus, queries):
+        # by_residual=False moves raw int8 rows with their scales: every
+        # per-row score is recomputed from IDENTICAL quantized values, so
+        # the sorted score vectors match bit-for-bit (tie order may
+        # permute ids).
         sharded = ShardedIVFIndex(
-            dim=32, mesh=mesh, dtype="int8", nlist=8, seed=3
+            dim=32, mesh=mesh, dtype="int8", nlist=8, seed=3,
+            by_residual=False,
         )
         sharded.add(corpus)
         s1, _ = sharded.search(queries, k=10, nprobe=8)
         sharded.rebalance(train_sample=1000)
         s2, _ = sharded.search(queries, k=10, nprobe=8)
-        # stored rows move with their original scales: every per-row score
-        # is recomputed from IDENTICAL quantized values, so the sorted
-        # score vectors match bit-for-bit (tie order may permute ids)
         np.testing.assert_array_equal(s1, s2)
+
+    def test_rebalance_int8_residual_reencodes(self, mesh, corpus, queries):
+        # by_residual (the int8 default) re-encodes rows vs the retrained
+        # centroids: equivalent up to re-quantization noise.
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="int8", nlist=8, seed=3
+        )
+        assert sharded.by_residual
+        sharded.add(corpus)
+        s1, i1 = sharded.search(queries, k=10, nprobe=8)
+        sharded.rebalance(train_sample=1000)
+        s2, i2 = sharded.search(queries, k=10, nprobe=8)
+        overlap = np.mean([
+            len(set(a) & set(b)) / 10.0 for a, b in zip(i1, i2)
+        ])
+        assert overlap >= 0.85, overlap
+        np.testing.assert_allclose(s1[:, 0], s2[:, 0], atol=0.02)
 
     def test_rebalance_keeps_tombstones_dropped(self, mesh, corpus):
         sharded = ShardedIVFIndex(

@@ -28,7 +28,7 @@ tests/test_pallas_ivf_scan.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -298,6 +298,7 @@ def _kernel_ivf_int8(
     query_ref,  # [2Q, D] int8 stacked digit queries (VMEM)
     rho_ref,  # [Q, LANE] f32 per-row digit ratio qs2/qs1 (VMEM, bcast)
     probe_ref,  # [Q, nprobe] int32 probe lists (VMEM)
+    cbias_ref,  # [Q, nprobe] f32 per-probe additive bias (pre-qs1 units)
     out_scores_ref,  # [Q, K_PAD] (pre-qs1 units)
     out_ids_ref,  # [Q, K_PAD] flat slot positions
     vec_buf,  # scratch [2, TILE, D] int8
@@ -360,9 +361,15 @@ def _kernel_ivf_int8(
         ].astype(jnp.float32)
         scale = aux_buf[slot, 0].reshape(1, tile_n)
         penalty = aux_buf[slot, 1].reshape(1, tile_n)  # 0 / -inf
-        scores = combined * scale + penalty
         c = cluster_ref[t]
-        member = jnp.any(probe_ref[:] == c, axis=1)  # [Q]
+        pos = probe_ref[:] == c  # [Q, nprobe]
+        member = jnp.any(pos, axis=1)  # [Q]
+        # Per-(query, cluster) additive bias (residual-encoded blocks:
+        # the q.centroid term, pre-divided by qs1; zeros otherwise).
+        # Each cluster appears at most once per probe row, so the
+        # masked sum selects exactly that entry.
+        bias = jnp.sum(jnp.where(pos, cbias_ref[:], 0.0), axis=1)  # [Q]
+        scores = combined * scale + penalty + bias[:, None]
         scores = jnp.where(member[:, None], scores, -jnp.inf)
 
         tile_max = jnp.max(scores, axis=1)
@@ -398,10 +405,16 @@ def pallas_ivf_topk_int8(
     k: int,
     tile_n: int = 512,
     interpret: bool = False,
+    cbias: Optional[jax.Array] = None,  # [Q, nprobe] f32 additive per probe
 ) -> Tuple[jax.Array, jax.Array]:
     """int8 fused IVF probe scan (ip metric); returns (scores [Q, k],
     FLAT slot ids [Q, k]).  Same score contract as the int8 grouped XLA
-    path in index/ivf.py (_combine_digit_dots then * qs1 post-merge)."""
+    path in index/ivf.py (_combine_digit_dots then * qs1 post-merge).
+
+    ``cbias`` adds a per-(query, probed-cluster) term to every row of
+    that cluster — the ``q . centroid`` part of residual-encoded blocks
+    (by_residual indexes).  It enters in FINAL score units; the wrapper
+    divides by qs1 so the kernel's pre-qs1 merge stays order-correct."""
     from .topk_scan import quantize_queries
 
     nlist, cap, d = blocks.shape
@@ -431,6 +444,12 @@ def pallas_ivf_topk_int8(
     )  # [n_tiles, 2, TILE/128, 128]
     q_i8, rho, qs1 = quantize_queries(queries)
     rho_bcast = jnp.broadcast_to(rho[:, None], (q, _LANE))
+    nprobe = probe_ids.shape[1]
+    if cbias is None:
+        cbias_pre = jnp.zeros((q, nprobe), jnp.float32)
+    else:
+        # qs1 is strictly positive: dividing keeps per-row order intact.
+        cbias_pre = cbias.astype(jnp.float32) / qs1[:, None]
 
     out_scores, out_ids = pl.pallas_call(
         partial(_kernel_ivf_int8, k=k, tile_n=tile_n),
@@ -440,6 +459,7 @@ def pallas_ivf_topk_int8(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -478,5 +498,6 @@ def pallas_ivf_topk_int8(
         q_i8,
         rho_bcast,
         probe_ids,
+        cbias_pre,
     )
     return out_scores[:, :k] * qs1[:, None], out_ids[:, :k]

@@ -85,24 +85,31 @@ def _water_fill(fills: np.ndarray, n: int) -> np.ndarray:
 
 
 def _scatter_body(blocks, dids, dvalid, dsq, dscale,
-                  clusters, slots, vecs, new_ids, new_valid, new_scales):
+                  clusters, slots, vecs, new_ids, new_valid, new_scales,
+                  centroids, residual):
     """Shared scatter math (same contract as index.ivf._scatter_rows);
-    ``slots`` are local to the executing shard, out-of-range rows drop."""
+    ``slots`` are local to the executing shard, out-of-range rows drop.
+    ``residual`` (int8 by_residual indexes) encodes float rows as
+    ``v - centroid[cluster]`` — see index.ivf._scatter_rows_impl."""
+    nlist = blocks.shape[0]
+    cent_rows = (
+        centroids[jnp.minimum(clusters, nlist - 1)]
+        if residual
+        else jnp.zeros((vecs.shape[0], blocks.shape[2]), jnp.float32)
+    )
     if blocks.dtype == jnp.int8 and vecs.dtype != jnp.int8:
+        target = vecs.astype(jnp.float32) - cent_rows
         scale = jnp.maximum(
-            jnp.max(jnp.abs(vecs.astype(jnp.float32)), axis=1) / 127.0,
-            1e-12,
+            jnp.max(jnp.abs(target), axis=1) / 127.0, 1e-12
         )
-        stored = jnp.rint(
-            vecs.astype(jnp.float32) / scale[:, None]
-        ).astype(jnp.int8)
+        stored = jnp.rint(target / scale[:, None]).astype(jnp.int8)
     elif blocks.dtype == jnp.int8:
         stored = vecs
         scale = new_scales.astype(jnp.float32)
     else:
         stored = vecs.astype(blocks.dtype)
         scale = jnp.ones(vecs.shape[:1], jnp.float32)
-    dequant = stored.astype(jnp.float32) * scale[:, None]
+    dequant = stored.astype(jnp.float32) * scale[:, None] + cent_rows
     sq = jnp.sum(dequant * dequant, axis=-1)
     idx = (clusters, slots)
     blocks = blocks.at[idx].set(stored, mode="drop")
@@ -130,6 +137,7 @@ class ShardedIVFIndex:
         train_iters: int = 10,
         seed: int = 0,
         balanced: bool = True,
+        by_residual: Optional[bool] = None,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
@@ -150,6 +158,12 @@ class ShardedIVFIndex:
         self.train_iters = train_iters
         self.seed = seed
         self.balanced = balanced
+        # Same default + semantics as IVFIndex.by_residual: int8 rows
+        # store residuals vs their cluster centroid.
+        self.by_residual = (
+            dtype == "int8" if by_residual is None
+            else bool(by_residual) and dtype == "int8"
+        )
         self.n_shards = mesh.shape["data"]
 
         self.centroids: Optional[np.ndarray] = None  # [nlist, D] f32 host
@@ -382,6 +396,7 @@ class ShardedIVFIndex:
         if fn is not None:
             return fn
         lcap = self._local_capacity
+        residual = self.by_residual
 
         @partial(
             shard_map,
@@ -390,6 +405,7 @@ class ShardedIVFIndex:
                 P(None, "data", None), P(None, "data"), P(None, "data"),
                 P(None, "data"), P(None, "data"),
                 P(None), P(None), P(None, None), P(None), P(None), P(None),
+                P(None, None),  # centroids (replicated)
             ),
             out_specs=(
                 P(None, "data", None), P(None, "data"), P(None, "data"),
@@ -398,12 +414,12 @@ class ShardedIVFIndex:
             check_vma=False,
         )
         def scatter_prog(blocks, dids, dvalid, dsq, dscale,
-                         cl, gslot, vecs, nid, nvalid, nscale):
+                         cl, gslot, vecs, nid, nvalid, nscale, cent):
             s = jax.lax.axis_index("data")
             local = gslot - s * lcap  # rows of other shards go OOB -> drop
             return _scatter_body(
                 blocks, dids, dvalid, dsq, dscale,
-                cl, local, vecs, nid, nvalid, nscale,
+                cl, local, vecs, nid, nvalid, nscale, cent, residual,
             )
 
         fn = jax.jit(scatter_prog, donate_argnums=(0, 1, 2, 3, 4))
@@ -518,6 +534,7 @@ class ShardedIVFIndex:
             rep(jnp.asarray(nid)),
             rep(jnp.ones((b,), bool)),
             rep(jnp.ones((b,), jnp.float32)),
+            self._dcent,
         )
         return ids
 
@@ -760,6 +777,10 @@ class ShardedIVFIndex:
         b = bucket_size(min(live, _LOAD_CHUNK_ROWS), _UPDATE_BUCKETS)
         gather = self._gather_fn(b, old_lcap)
         rep = self._put_replicated
+        by_res = self.by_residual
+        # Residual rows reconstruct against the centroids they were
+        # encoded with — keep the pre-retrain copy alive (tiny).
+        old_cent = self._dcent if by_res else None
 
         def gather_chunk(idx_lo: int, idx_hi: int, sel=None):
             ocl = np.zeros((b,), np.int32)
@@ -771,10 +792,18 @@ class ShardedIVFIndex:
             else:
                 ocl[:take] = cc[sel]
                 ogs[:take] = pp[sel]
-            return gather(
+            rows_f, sc = gather(
                 old_blocks, old_scale,
                 rep(jnp.asarray(ocl)), rep(jnp.asarray(ogs)),
             )
+            return rows_f, sc, ocl
+
+        def recon(rows_f, sc, ocl):
+            """Dequantized f32 rows (+ old centroid for residual rows)."""
+            rows = rows_f * sc[:, None]
+            if by_res:
+                rows = rows + old_cent[jnp.asarray(ocl)]
+            return rows
 
         # Train on a bounded sample (chunk-gathered, concatenated on
         # device — the [n_train, D] f32 working set is the k-means
@@ -785,8 +814,8 @@ class ShardedIVFIndex:
         parts = []
         for c0 in range(0, n_train, b):
             hi = min(c0 + b, n_train)
-            rows_f, sc = gather_chunk(c0, hi, sel=tr_idx[c0:hi])
-            parts.append((rows_f * sc[:, None])[: hi - c0])
+            rows_f, sc, ocl = gather_chunk(c0, hi, sel=tr_idx[c0:hi])
+            parts.append(recon(rows_f, sc, ocl)[: hi - c0])
         self.train(jnp.concatenate(parts) if len(parts) > 1 else parts[0])
         del parts
 
@@ -795,9 +824,9 @@ class ShardedIVFIndex:
         assign = np.empty((live,), np.int64)
         for c0 in range(0, live, b):
             hi = min(c0 + b, live)
-            rows_f, sc = gather_chunk(c0, hi)
+            rows_f, sc, ocl = gather_chunk(c0, hi)
             a = assign_clusters(
-                rows_f * sc[:, None], self._dcent, self.metric
+                recon(rows_f, sc, ocl), self._dcent, self.metric
             )
             assign[c0:hi] = np.asarray(a)[: hi - c0]
 
@@ -826,12 +855,21 @@ class ShardedIVFIndex:
         # Chunked move pass: stored rows + original scales travel from
         # the old blocks into the new layout bit-losslessly (the float32
         # transit holds int8/bf16 values exactly; padding rows carry
-        # cluster == nlist and drop in the scatter).
+        # cluster == nlist and drop in the scatter).  Residual rows
+        # cannot move raw — their base centroid just changed — so they
+        # reconstruct against the old centroids and re-encode against
+        # the new ones (same re-encode as IVFIndex.rebalance).
         stored_dt = _DTYPES[self.dtype]
         scatter = self._scatter_fn(b)
         for c0 in range(0, live, b):
             hi = min(c0 + b, live)
-            rows_f, sc = gather_chunk(c0, hi)
+            rows_f, sc, ocl = gather_chunk(c0, hi)
+            if by_res:
+                move_rows = recon(rows_f, sc, ocl)  # f32: re-encoded below
+                move_scales = jnp.ones((b,), jnp.float32)
+            else:
+                move_rows = rows_f.astype(stored_dt)
+                move_scales = jnp.maximum(sc, 1e-12)
             ncl = np.full((b,), self.nlist, np.int32)
             ncl[: hi - c0] = assign[c0:hi]
             ngs = np.zeros((b,), np.int32)
@@ -847,9 +885,10 @@ class ShardedIVFIndex:
                 self._dblocks, self._dids, self._dvalid,
                 self._dsq, self._dscale,
                 rep(jnp.asarray(ncl)), rep(jnp.asarray(ngs)),
-                rows_f.astype(stored_dt),
+                move_rows,
                 rep(jnp.asarray(nid)), rep(jnp.asarray(nvalid)),
-                jnp.maximum(sc, 1e-12),
+                move_scales,
+                self._dcent,
             )
         del old_blocks, old_scale
         return self.padding_stats()
@@ -903,6 +942,7 @@ class ShardedIVFIndex:
             return fn
         metric = self.metric
         n_shards = self.n_shards
+        by_res = self.by_residual
 
         @partial(
             shard_map,
@@ -925,11 +965,12 @@ class ShardedIVFIndex:
                 ls, li = _ivf_search_pallas_impl(
                     cent, blocks, bids, bmask, bsq, bscale,
                     fills.reshape(-1), queries, nprobe, k, metric, tile,
+                    by_res,
                 )
             else:
                 ls, li = _ivf_search_impl(
                     cent, blocks, bids, bmask, bsq, bscale,
-                    queries, nprobe, k, metric,
+                    queries, nprobe, k, metric, by_res,
                 )
             # Stored ids are GLOBAL: merge needs no translation.
             all_s = jax.lax.all_gather(ls, "data")  # [S, Q, k]
@@ -1074,6 +1115,7 @@ class ShardedIVFIndex:
             "nlist": self.nlist,
             "count": self._count,
             "cluster_capacity": self._cluster_capacity,
+            "by_residual": self.by_residual,
         }
         total = int(fill_per_cluster.sum())
         if total:
@@ -1137,6 +1179,7 @@ class ShardedIVFIndex:
             "n_shards": self.n_shards,
             "local_capacity": lcap,
             "process_count": jax.process_count(),
+            "by_residual": self.by_residual,
         }
         owned: Dict[int, jax.Array] = {}
         scale_locals: Dict[int, jax.Array] = {}
@@ -1215,6 +1258,7 @@ class ShardedIVFIndex:
         index = cls(
             dim=header["dim"], mesh=mesh, metric=header["metric"],
             dtype=header["dtype"], nlist=header["nlist"],
+            by_residual=bool(header.get("by_residual", False)),
         )
         if header["n_shards"] != index.n_shards:
             raise ValueError(
@@ -1322,6 +1366,7 @@ class ShardedIVFIndex:
             metric=header["metric"],
             dtype=header["dtype"],
             nlist=header["nlist"],
+            by_residual=bool(header.get("by_residual", False)),
         )
         fill = np.asarray(arrays["fill"], np.int64)
         total = int(fill.sum())
@@ -1383,6 +1428,7 @@ class ShardedIVFIndex:
                 rep(jnp.asarray(rows)),
                 rep(jnp.asarray(nid)), rep(jnp.asarray(nvalid)),
                 rep(jnp.asarray(nscale)),
+                index._dcent,
             )
         # Tombstoned rows occupy their saved prefix slot; host fills
         # already counted them (fill counts assigned slots, not live).
