@@ -168,7 +168,9 @@ class TestFusedQueryPath:
     """The ONE-dispatch query path (encode+scan fused) must return exactly
     what the classic two-dispatch path returns."""
 
-    @pytest.fixture(params=["flat", "ivf"])
+    @pytest.fixture(
+        params=["flat", "ivf", "sharded_flat", "sharded_ivf"]
+    )
     def real_model_engine(self, tmp_path, request):
         import jax
 
@@ -193,11 +195,16 @@ class TestFusedQueryPath:
             model_name="tiny-mpnet",
             use_warm_server=False,
         )
-        if request.param == "ivf":
+        if request.param.endswith("ivf"):
             # The fused one-dispatch path must cover IVF too (VERDICT r2
             # item 4): same tests run against an IVF-backed engine.
             engine.storage.config.index_type = "ivf"
             engine.storage.config.ivf_nlist = 2
+        if request.param.startswith("sharded"):
+            # ... and the sharded (multi-chip) indexes: the shard_map
+            # scan traces into the same one-dispatch program, so
+            # multi-chip serving pays one host round trip too.
+            engine.storage.config.shard_devices = 8
         claude_dir = tmp_path / "projects" / "-root-proj"
         claude_dir.mkdir(parents=True)
         lines = []

@@ -115,6 +115,9 @@ class SearchEngine:
         # Fused encode+scan programs keyed by (model config, dtype,
         # normalize, platform); built lazily by _fused_query_fn.
         self._fused_jit: Dict[Any, Any] = {}
+        # Mesh-replicated encoder params for the fused sharded-index
+        # dispatch, keyed (model_config, dtype, mesh).
+        self._fused_params_rep: Dict[Any, Any] = {}
         _enable_compilation_cache(self.data_dir / "jax_cache")
 
         self.parser = JSONLParser()
@@ -418,8 +421,18 @@ class SearchEngine:
         if index is None or getattr(index, "ntotal", 0) == 0:
             return None
         is_ivf = isinstance(index, IVFIndex)
+        is_sharded = False
         if not is_ivf and not isinstance(index, FlatIndex):
-            return None
+            # Sharded (multi-chip) indexes fuse too: their shard_map scan
+            # programs trace into the same one-dispatch jit, so multi-chip
+            # serving pays ONE host round trip like single-chip serving.
+            if index.__class__.__name__ not in (
+                "ShardedFlatIndex",
+                "ShardedIVFIndex",
+            ):
+                return None
+            is_sharded = True
+            is_ivf = index.__class__.__name__ == "ShardedIVFIndex"
         if is_ivf and index.centroids is None:
             return None
         # f32 id packing would be lossy past 2^24 (flat packs slot ids up
@@ -437,7 +450,14 @@ class SearchEngine:
 
         if is_ivf:
             nprobe_eff = min(cfg.nprobe, index.nlist)
-            k_eff = min(cfg.top_k, nprobe_eff * index._cluster_capacity)
+            cap = (
+                index._local_capacity
+                if is_sharded
+                else index._cluster_capacity
+            )
+            k_eff = min(cfg.top_k, nprobe_eff * cap)
+        elif is_sharded:
+            k_eff = min(cfg.top_k, index._local_capacity)
         else:
             k_eff = min(cfg.top_k, index.capacity)
         if k_eff <= 0:
@@ -454,6 +474,12 @@ class SearchEngine:
             # (device-cached per filter digest).
             valid = index.device_block_mask(fmask)
             fmask = None
+        elif is_sharded:
+            scan_key, buffers = index.make_scan_fn(q_pad, k_eff)
+            # Sharded flat folds valid & predicate into one sharded
+            # [S, local_cap] mask (device-cached per filter digest).
+            valid = index.device_mask(fmask)
+            fmask = None
         else:
             scan_key, buffers = index.make_scan_fn(q_pad, k_eff)
             valid = index._valid
@@ -467,8 +493,31 @@ class SearchEngine:
         fn = self._fused_query_fn(model_config, compute_dtype, normalize)
         import jax
 
+        if is_sharded:
+            # Encoder params must be mesh-replicated so GSPMD compiles
+            # ONE program spanning the replicated encode and the sharded
+            # scan (a single-device-committed pytree would conflict with
+            # the mesh-sharded index buffers).  Cached per (model, mesh).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep_key = (model_config, str(compute_dtype), index.mesh)
+            params_rep = self._fused_params_rep.get(rep_key)
+            if params_rep is None:
+                params_rep = jax.device_put(
+                    params, NamedSharding(index.mesh, PartitionSpec())
+                )
+                if len(self._fused_params_rep) >= 4:
+                    self._fused_params_rep.clear()
+                self._fused_params_rep[rep_key] = params_rep
+            params = params_rep
+
         try:
-            with jax.default_device(device):
+            from contextlib import nullcontext
+
+            # Sharded dispatch: the mesh (from the buffer shardings)
+            # decides placement; a single default device would fight it.
+            ctx = nullcontext() if is_sharded else jax.default_device(device)
+            with ctx:
                 # Dispatch only: compile/trace errors surface HERE; the
                 # device output is fetched later by _fused_collect.
                 packed_dev = fn(
@@ -490,7 +539,9 @@ class SearchEngine:
                 "Fused query path unavailable (%s); using classic path",
                 exc,
             )
-            if scan_key[0] == "ivf_pallas":
+            if scan_key[0] == "ivf_pallas" or (
+                scan_key[0] == "sharded_ivf" and scan_key[5] == "pallas"
+            ):
                 from ..index.ivf import is_transient_compile_error
 
                 if not is_transient_compile_error(exc):
@@ -547,7 +598,23 @@ class SearchEngine:
                 compute_dtype=compute_dtype, normalize=normalize,
                 attention_impl=impl,
             ).astype(jnp.float32)  # [B, H]
-            if scan_key[0].startswith("ivf"):
+            if scan_key[0] == "sharded_ivf":
+                # Sharded shard_map scans trace straight into this jit:
+                # encode (replicated) + per-shard probe scan + ICI merge
+                # compile as ONE SPMD program — multi-chip serving pays
+                # a single host round trip.
+                from ..parallel.sharded_ivf import sharded_ivf_scan_fn_for
+
+                scores, out_ids = sharded_ivf_scan_fn_for(scan_key)(
+                    buffers, valid, emb[:q_pad], k
+                )
+            elif scan_key[0] == "sharded_flat":
+                from ..parallel.sharded_index import sharded_scan_fn_for
+
+                scores, out_ids = sharded_scan_fn_for(scan_key)(
+                    buffers, valid, emb[:q_pad], k
+                )
+            elif scan_key[0].startswith("ivf"):
                 # IVF scan functions take any Q; the window is padded to
                 # the same query-row bucket the flat kernel uses, so
                 # single queries and batching windows share few traces.

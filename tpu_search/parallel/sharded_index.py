@@ -177,7 +177,7 @@ def _append_int8_fn(mesh: Mesh):
     return jax.jit(program, donate_argnums=(0, 1, 2))
 
 
-def _sharded_topk_fn(
+def _sharded_topk_program(
     mesh: Mesh,
     k: int,
     metric: str,
@@ -185,12 +185,15 @@ def _sharded_topk_fn(
     tile_n: int = 2048,
     interpret: bool = False,
 ):
-    """Build the jitted shard_map program for (local scan -> ICI merge).
+    """Build the UN-jitted shard_map program for (local scan -> ICI merge).
 
     The per-shard scan uses the hand-pipelined Pallas DMA kernels on TPU
     when shapes qualify (same selection logic as FlatIndex.make_scan_fn:
     ip, l2-with-norms, and word-packed int8 variants), the XLA scan
-    otherwise.
+    otherwise.  Returned un-jitted so callers can either jit it directly
+    (:func:`_sharded_topk_fn`) or trace it inside a LARGER jitted program
+    (the engine's fused encode+scan dispatch — the sharded analog of
+    ``FlatIndex.make_scan_fn``'s contract).
     """
 
     n_shards = mesh.shape["data"]
@@ -268,7 +271,44 @@ def _sharded_topk_fn(
         top_ids = jnp.take_along_axis(cat_ids, sel, axis=1)
         return top_scores, top_ids
 
-    return jax.jit(program)
+    return program
+
+
+def _sharded_topk_fn(
+    mesh: Mesh,
+    k: int,
+    metric: str,
+    local_impl: str = "xla",
+    tile_n: int = 2048,
+    interpret: bool = False,
+):
+    """Jitted standalone wrapper of :func:`_sharded_topk_program`."""
+    return jax.jit(
+        _sharded_topk_program(
+            mesh, k, metric,
+            local_impl=local_impl, tile_n=tile_n, interpret=interpret,
+        )
+    )
+
+
+def sharded_scan_fn_for(scan_key: tuple):
+    """Resolve a ``ShardedFlatIndex.make_scan_fn`` key to a pure scan fn.
+
+    Same contract as ``index.flat.scan_fn_for``: the returned
+    ``fn(buffers, mask, qbatch, k) -> (scores, ids)`` is deterministic in
+    ``scan_key`` alone (``jax.sharding.Mesh`` is hashable, so the mesh
+    rides the static key), letting the engine's fused one-dispatch query
+    program treat sharded and single-device indexes uniformly while its
+    jit trace cache stays keyed correctly."""
+    _, mesh, k_eff, metric, local_impl, tile_n = scan_key
+    program = _sharded_topk_program(
+        mesh, k_eff, metric, local_impl=local_impl, tile_n=tile_n
+    )
+
+    def fn(buffers, mask, qbatch, k):
+        return program(*buffers, mask, qbatch)
+
+    return fn
 
 
 class ShardedFlatIndex:
@@ -602,6 +642,59 @@ class ShardedFlatIndex:
 
     # -- search --------------------------------------------------------------
 
+    def device_mask(self, mask: Optional[np.ndarray] = None) -> jax.Array:
+        """Sharded ``[S, local_cap]`` bool mask: valid slots AND the host
+        predicate (global id ``g`` lives at shard ``g % S``, slot
+        ``g // S``).  Device copies are cached per mask digest so repeated
+        same-filter searches (the warm server's common case) pay no
+        host->device transfer."""
+        if mask is None:
+            return self._valid
+        import hashlib
+
+        mask = np.asarray(mask, dtype=np.bool_)
+        digest = hashlib.blake2b(mask.tobytes(), digest_size=16).digest()
+        if not hasattr(self, "_mask_cache"):
+            self._mask_cache = {}
+        cached = self._mask_cache.get(digest)
+        if cached is not None:
+            return cached
+        horizon = self.n_shards * self._local_capacity
+        padded = np.zeros((horizon,), dtype=np.bool_)
+        padded[: min(mask.shape[0], horizon)] = mask[:horizon]
+        per_shard = padded.reshape(
+            self._local_capacity, self.n_shards
+        ).T
+        full_mask = jnp.logical_and(
+            self._valid,
+            jax.device_put(jnp.asarray(per_shard), self._sharding(2)),
+        )
+        if len(self._mask_cache) >= 8:
+            self._mask_cache.pop(next(iter(self._mask_cache)))
+        self._mask_cache[digest] = full_mask
+        return full_mask
+
+    def make_scan_fn(self, q_pad: int, k: int):
+        """Pick the per-shard scan implementation and return
+        ``(scan_key, buffers)`` — the sharded analog of
+        ``FlatIndex.make_scan_fn``: ``scan_key`` resolves via
+        :func:`sharded_scan_fn_for` to a pure function
+        ``fn(buffers, mask, qbatch, k)`` whose shard_map program the
+        engine's fused one-dispatch query traces into its own jit (the
+        mesh itself is part of the hashable key)."""
+        k_eff = min(k, self._local_capacity)
+        local_impl, tile_n = self._pick_local_impl(q_pad, k_eff)
+        scan_key = (
+            "sharded_flat", self.mesh, k_eff, self.metric,
+            local_impl, tile_n,
+        )
+        extra = ()
+        if local_impl.startswith("int8"):
+            extra = (self._scales,)
+        elif local_impl == "pallas_l2":
+            extra = (self._sq_norms(),)
+        return scan_key, (self._vectors, *extra)
+
     def search(
         self,
         queries: np.ndarray,
@@ -627,36 +720,7 @@ class ShardedFlatIndex:
         qbatch = np.zeros((padded_q, self.dim), dtype=np.float32)
         qbatch[:q] = queries
 
-        full_mask = self._valid
-        if mask is not None:
-            import hashlib
-
-            mask = np.asarray(mask, dtype=np.bool_)
-            digest = hashlib.blake2b(
-                mask.tobytes(), digest_size=16
-            ).digest()
-            if not hasattr(self, "_mask_cache"):
-                self._mask_cache = {}
-            cached = self._mask_cache.get(digest)
-            if cached is not None:
-                full_mask = cached
-            else:
-                horizon = self.n_shards * self._local_capacity
-                padded = np.zeros((horizon,), dtype=np.bool_)
-                padded[: min(mask.shape[0], horizon)] = mask[:horizon]
-                # global id g -> shard g % S, slot g // S
-                per_shard = padded.reshape(
-                    self._local_capacity, self.n_shards
-                ).T
-                full_mask = jnp.logical_and(
-                    self._valid,
-                    jax.device_put(
-                        jnp.asarray(per_shard), self._sharding(2)
-                    ),
-                )
-                if len(self._mask_cache) >= 8:
-                    self._mask_cache.pop(next(iter(self._mask_cache)))
-                self._mask_cache[digest] = full_mask
+        full_mask = self.device_mask(mask)
 
         local_impl, tile_n = self._pick_local_impl(padded_q, k_eff)
         key = (k_eff, self.metric, local_impl, tile_n, self._local_capacity)

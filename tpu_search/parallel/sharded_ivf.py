@@ -120,6 +120,80 @@ def _scatter_body(blocks, dids, dvalid, dsq, dscale,
     return blocks, dids, dvalid, dsq, dscale
 
 
+def _sharded_ivf_program(
+    mesh,
+    nprobe: int,
+    k: int,
+    metric: str,
+    local_impl: str,
+    tile: int,
+    by_res: bool,
+):
+    """UN-jitted shard_map program: per-shard probe scan -> ICI merge.
+
+    Un-jitted so :meth:`ShardedIVFIndex._search_fn` can jit it standalone
+    and the engine's fused one-dispatch query can trace it inside a
+    larger jitted program (encode + probe scan + merge, one dispatch)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),          # centroids (replicated)
+            P(None, "data", None),  # blocks
+            P(None, "data"),        # ids (global)
+            P(None, "data"),        # mask
+            P(None, "data"),        # sq
+            P(None, "data"),        # scale
+            P("data", None),        # fills [S, nlist]
+            P(None, None),          # queries (replicated)
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def program(cent, blocks, bids, bmask, bsq, bscale, fills, queries):
+        if local_impl == "pallas":
+            ls, li = _ivf_search_pallas_impl(
+                cent, blocks, bids, bmask, bsq, bscale,
+                fills.reshape(-1), queries, nprobe, k, metric, tile,
+                by_res,
+            )
+        else:
+            ls, li = _ivf_search_impl(
+                cent, blocks, bids, bmask, bsq, bscale,
+                queries, nprobe, k, metric, by_res,
+            )
+        # Stored ids are GLOBAL: merge needs no translation.
+        all_s = jax.lax.all_gather(ls, "data")  # [S, Q, k]
+        all_i = jax.lax.all_gather(li, "data")
+        q = ls.shape[0]
+        cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(q, -1)
+        cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(q, -1)
+        top_s, sel = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return top_s, top_i
+
+    return program
+
+
+def sharded_ivf_scan_fn_for(scan_key: tuple):
+    """Resolve a ``ShardedIVFIndex.make_scan_fn`` key to a pure scan fn
+    (contract of ``index.ivf.ivf_scan_fn_for``; deterministic in the
+    hashable ``scan_key`` alone, mesh included)."""
+    _, mesh, nprobe, k_eff, metric, local_impl, tile, by_res = scan_key
+    program = _sharded_ivf_program(
+        mesh, nprobe, k_eff, metric, local_impl, tile, by_res
+    )
+
+    def fn(buffers, block_mask, qbatch, k):
+        cent, blocks, bids, bsq, bscale, fills = buffers
+        return program(
+            cent, blocks, bids, block_mask, bsq, bscale, fills, qbatch
+        )
+
+    return fn
+
+
 class ShardedIVFIndex:
     """IVF index sharded over the 'data' axis of a device mesh.
 
@@ -940,53 +1014,40 @@ class ShardedIVFIndex:
         fn = self._search_fns.get(key)
         if fn is not None:
             return fn
-        metric = self.metric
-        n_shards = self.n_shards
-        by_res = self.by_residual
-
-        @partial(
-            shard_map,
-            mesh=self.mesh,
-            in_specs=(
-                P(None, None),          # centroids (replicated)
-                P(None, "data", None),  # blocks
-                P(None, "data"),        # ids (global)
-                P(None, "data"),        # mask
-                P(None, "data"),        # sq
-                P(None, "data"),        # scale
-                P("data", None),        # fills [S, nlist]
-                P(None, None),          # queries (replicated)
-            ),
-            out_specs=(P(None, None), P(None, None)),
-            check_vma=False,
+        fn = jax.jit(
+            _sharded_ivf_program(
+                self.mesh, nprobe, k, self.metric, local_impl, tile,
+                self.by_residual,
+            )
         )
-        def program(cent, blocks, bids, bmask, bsq, bscale, fills, queries):
-            if local_impl == "pallas":
-                ls, li = _ivf_search_pallas_impl(
-                    cent, blocks, bids, bmask, bsq, bscale,
-                    fills.reshape(-1), queries, nprobe, k, metric, tile,
-                    by_res,
-                )
-            else:
-                ls, li = _ivf_search_impl(
-                    cent, blocks, bids, bmask, bsq, bscale,
-                    queries, nprobe, k, metric, by_res,
-                )
-            # Stored ids are GLOBAL: merge needs no translation.
-            all_s = jax.lax.all_gather(ls, "data")  # [S, Q, k]
-            all_i = jax.lax.all_gather(li, "data")
-            q = ls.shape[0]
-            cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(q, -1)
-            cat_i = jnp.transpose(all_i, (1, 0, 2)).reshape(q, -1)
-            top_s, sel = jax.lax.top_k(cat_s, k)
-            top_i = jnp.take_along_axis(cat_i, sel, axis=1)
-            return top_s, top_i
-
-        fn = jax.jit(program)
         if len(self._search_fns) >= 32:
             self._search_fns.clear()
         self._search_fns[key] = fn
         return fn
+
+    def make_scan_fn(self, k_eff: int, nprobe: int):
+        """Pick the probe-scan implementation and return
+        ``(scan_key, buffers)`` — same contract as
+        ``IVFIndex.make_scan_fn``: ``scan_key`` resolves via
+        :func:`sharded_ivf_scan_fn_for` to a pure function
+        ``fn(buffers, block_mask, qbatch, k)`` whose shard_map program
+        the engine's fused one-dispatch query traces into its own jit
+        (the mesh rides the hashable key)."""
+        nprobe_eff = min(nprobe, self.nlist)
+        local_impl, tile = self._local_impl(k_eff)
+        scan_key = (
+            "sharded_ivf", self.mesh, nprobe_eff, k_eff, self.metric,
+            local_impl, tile, self.by_residual,
+        )
+        buffers = (
+            self._dcent,
+            self._dblocks,
+            self._dids,
+            self._dsq,
+            self._dscale,
+            self._device_fills(),
+        )
+        return scan_key, buffers
 
     def search(
         self,
