@@ -1,0 +1,130 @@
+"""int8 IVF residual-encoding A/B on hardware.
+
+Measures recall@10 and batched QPS at the bench operating point
+(clustered 1M x 768 corpus, nlist=1024, nprobe=16 — same generator as
+bench.py bench_ivf) for by_residual=False (raw rows, the round-2
+encoding) vs by_residual=True (the int8 default since round 3:
+rows store ``v - centroid[cluster]``, shrinking the int8 step size).
+
+Writes benchmarks/results/int8_residual_recall_tpu.json.
+
+Usage:  python benchmarks/int8_residual_ab.py  [--n 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_search.index.ivf import IVFIndex
+
+DIM = 768
+K = 10
+RECALL_SAMPLE = 64
+
+
+def make_corpus(n: int, clusters: int):
+    @jax.jit
+    def gen(key):
+        kc, ka, kn, kq, kqn = jax.random.split(key, 5)
+        centers = jax.random.normal(kc, (clusters, DIM), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        assign = jax.random.randint(ka, (n,), 0, clusters)
+        sigma = 0.4 / np.sqrt(DIM)
+        corpus = centers[assign] + sigma * jax.random.normal(
+            kn, (n, DIM), jnp.float32
+        )
+        corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
+        qidx = jax.random.randint(kq, (128,), 0, n)
+        qsigma = 0.2 / np.sqrt(DIM)
+        queries = corpus[qidx] + qsigma * jax.random.normal(
+            kqn, (128, DIM), jnp.float32
+        )
+        queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+        return corpus, queries
+
+    corpus, queries = gen(jax.random.PRNGKey(21))
+    float(corpus[0, 0])  # force completion (rig rule: scalar fetch)
+    return corpus, queries
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    args = ap.parse_args()
+    n = args.n
+    nlist = 1024 if n >= 200_000 else max(16, int(n**0.5) // 4)
+    nprobe = 16
+    clusters = 256 if n >= 200_000 else 16
+
+    print(f"generating clustered {n}x{DIM} corpus on device...")
+    corpus, queries_dev = make_corpus(n, clusters)
+    queries = np.asarray(queries_dev)
+
+    brute = jax.jit(
+        lambda q, v: jax.lax.top_k(
+            jax.lax.dot_general(
+                q, v, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ),
+            K,
+        )[1]
+    )
+    ref_ids = np.asarray(brute(queries_dev[:RECALL_SAMPLE], corpus))
+
+    rng = np.random.default_rng(22)
+    train_idx = rng.choice(n, min(n, 500_000), replace=False)
+    train_rows = jnp.take(corpus, jnp.asarray(train_idx), axis=0)
+
+    out = {
+        "n": n, "dim": DIM, "nlist": nlist, "nprobe": nprobe, "k": K,
+        "recall_sample": RECALL_SAMPLE,
+        "device": str(jax.devices()[0]),
+    }
+    for by_residual in (False, True):
+        tag = "residual" if by_residual else "raw"
+        index = IVFIndex(
+            dim=DIM, dtype="int8", nlist=nlist, train_iters=40,
+            by_residual=by_residual,
+        )
+        index.train(train_rows)
+        index.add(corpus)
+
+        _, got = index.search(queries[:RECALL_SAMPLE], k=K, nprobe=nprobe)
+        recall = float(np.mean([
+            len(set(got[i]) & set(ref_ids[i])) / K
+            for i in range(RECALL_SAMPLE)
+        ]))
+
+        index.search(queries, k=K, nprobe=nprobe)  # warm
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            index.search(queries, k=K, nprobe=nprobe)
+        qps = (128 * reps) / (time.perf_counter() - t0)
+        out[f"recall_{tag}"] = recall
+        out[f"qps_b128_{tag}"] = qps
+        print(f"{tag}: recall@10 {recall:.3f}  qps_b128 {qps:.0f}")
+        del index
+
+    dest = Path(__file__).parent / "results" / "int8_residual_recall_tpu.json"
+    dest.write_text(json.dumps(out, indent=2) + "\n")
+    print("wrote", dest)
+
+
+if __name__ == "__main__":
+    main()
