@@ -1,0 +1,167 @@
+"""End-to-end indexing throughput on hardware: the BASELINE "index 1k
+conversations" row (reference README.md:347: ~5 min CPU, ~30 s CUDA,
+~2 min MPS).
+
+Runs the FULL product pipeline — JSONL parse -> chunk -> WordPiece
+tokenize -> mpnet encode (TPU) -> SQLite metadata + vector index — via
+``SearchEngine.index_conversations`` over synthetic-but-realistic
+conversation files (alternating user/assistant turns, code blocks, tool
+noise lines, a malformed line per ~50 files), using a full-size
+random-weight mpnet-base checkpoint (identical FLOPs to trained
+weights) and the real tokenizer.
+
+The encoder is warmed on a one-file run first (persistent compile cache
+makes this the steady-state shape); the timed run indexes the remaining
+conversations cold through every host stage.
+
+Writes benchmarks/results/index_e2e_1k_tpu.json.
+
+Usage:  python benchmarks/index_e2e.py  [--conversations 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+import numpy as np
+
+REF_CPU_S = 300.0  # reference README.md:347, 1k conversations on CPU
+REF_CUDA_S = 30.0  # same row, NVIDIA CUDA
+
+
+def write_conversations(root: Path, n_conv: int, vocab_n: int) -> list:
+    """Synthetic Claude-Code-shaped JSONL transcripts (verify-fixture
+    recipe: text turns, code blocks, tool noise, malformed lines)."""
+    rng = np.random.default_rng(7)
+    files = []
+    proj = root / "claude-projects" / "-root-bench"
+    proj.mkdir(parents=True, exist_ok=True)
+
+    def words(k):
+        return " ".join(
+            f"tok{i}" for i in rng.integers(0, vocab_n, size=k)
+        )
+
+    for c in range(n_conv):
+        lines = []
+        n_msgs = int(rng.integers(8, 16))
+        for m in range(n_msgs):
+            role = "user" if m % 2 == 0 else "assistant"
+            content = [{"type": "text", "text": words(int(rng.integers(50, 200)))}]
+            if role == "assistant" and m % 4 == 1:
+                code = "\n".join(
+                    f"def f{j}(): return {j}" for j in range(6)
+                )
+                content.append(
+                    {"type": "code", "language": "python", "text": code}
+                )
+            msg = {
+                "uuid": f"u{c}-{m}",
+                "sessionId": f"s{c}",
+                "timestamp": f"2025-07-{(c % 28) + 1:02d}T{m % 24:02d}:00:00Z",
+                "message": {"role": role, "content": content},
+            }
+            lines.append(json.dumps(msg))
+            if m == 2:
+                lines.append("PreToolUse hook fired")  # noise line
+        if c % 50 == 17:
+            lines.append('{"broken json')  # malformed line
+        f = proj / f"s{c}.jsonl"
+        f.write_text("\n".join(lines) + "\n")
+        files.append(f)
+    return files
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conversations", type=int, default=1000)
+    args = ap.parse_args()
+
+    import jax
+
+    from tpu_search.api.engine import SearchEngine
+    from tpu_search.models import init_params
+    from tpu_search.models.convert import save_checkpoint
+    from tpu_search.models.mpnet import MPNetConfig
+
+    data_dir = Path("/tmp/tpu_bench_index")
+    shutil.rmtree(data_dir, ignore_errors=True)
+
+    config = MPNetConfig()
+    model_dir = data_dir / "models" / "bench-mpnet"
+    model_dir.mkdir(parents=True)
+    # Init params on the host CPU backend (save_checkpoint pulls every
+    # tensor; a 420 MB d2h over the tunnel takes ~30 min).
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(config, jax.random.PRNGKey(5))
+    save_checkpoint(str(model_dir / "model.tpu.npz"), params, config)
+    del params
+    specials = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"]
+    with open(model_dir / "vocab.txt", "w") as fh:
+        fh.write("\n".join(specials) + "\n")
+        for i in range(config.vocab_size - len(specials)):
+            fh.write(f"tok{i}\n")
+    vocab_n = config.vocab_size - len(specials)
+
+    print(f"writing {args.conversations} synthetic conversations...")
+    files = write_conversations(data_dir, args.conversations, vocab_n)
+
+    engine = SearchEngine(
+        data_dir=str(data_dir),
+        model_name="bench-mpnet",
+        use_warm_server=False,
+    )
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    engine.storage.config.auto_save = False
+    engine.embedder.load_model()
+    engine._sync_embedding_dim()
+    engine.storage.initialize()
+
+    # Warm the per-bucket encode graphs on the first file only.
+    t0 = time.perf_counter()
+    engine.index_conversations([files[0]])
+    warm_s = time.perf_counter() - t0
+    print(f"warmup file: {warm_s:.1f}s (compiles ride the persistent cache)")
+
+    timed = files[1:]
+    t0 = time.perf_counter()
+    stats = engine.index_conversations(timed)
+    wall_s = time.perf_counter() - t0
+
+    n_conv = len(timed)
+    chunks = stats.get("chunks_indexed", 0)
+    per_1k_s = wall_s * (1000.0 / n_conv)
+    out = {
+        "device": str(jax.devices()[0]),
+        "conversations": n_conv,
+        "files_processed": stats.get("files_processed"),
+        "chunks_indexed": chunks,
+        "wall_s": round(wall_s, 2),
+        "warmup_first_file_s": round(warm_s, 2),
+        "s_per_1k_conversations": round(per_1k_s, 2),
+        "chunks_per_s": round(chunks / wall_s, 1) if wall_s else None,
+        "vs_ref_cpu": round(REF_CPU_S / per_1k_s, 1),
+        "vs_ref_cuda": round(REF_CUDA_S / per_1k_s, 1),
+        "ref_rows": "README.md:347 — 1k conversations: ~300s CPU, ~30s CUDA",
+        "errors": len(stats.get("errors", [])),
+        "phases": stats.get("phases"),
+    }
+    print(json.dumps(out, indent=2))
+    dest = Path(__file__).parent / "results" / "index_e2e_1k_tpu.json"
+    dest.write_text(json.dumps(out, indent=2) + "\n")
+    print("wrote", dest)
+    shutil.rmtree(data_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

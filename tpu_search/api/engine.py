@@ -14,13 +14,20 @@ import sys
 import threading
 import time
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from ..ingest.chunker import ChunkingConfig, ConversationChunker
 from ..ingest.parser import JSONLParser
 from ..models.encoder import EmbeddingConfig, EmbeddingGenerator
 from ..storage.hybrid import HybridStorage, SearchConfig, StorageConfig
 from ..utils.profiling import PhaseTimer
+
+# Cross-file embedding wave size (chunks): parse/chunk accumulates files
+# until this many chunks are pending, then one generate_embeddings call
+# embeds them all in dense b128 seq buckets. Big enough to amortize the
+# per-dispatch host-link round trip, small enough that a wave-level
+# failure retries cheaply file-by-file.
+_EMBED_WAVE_CHUNKS = int(os.environ.get("CLAUDE_SEARCH_EMBED_WAVE", 2048))
 
 
 def _enable_compilation_cache(cache_dir: Path) -> None:
@@ -219,6 +226,65 @@ class SearchEngine:
                 pass
 
         failed: List[Path] = []
+        # Cross-file batching: parse/chunk accumulates files into a wave,
+        # then ONE generate_embeddings call embeds the whole wave in
+        # dense seq-bucketed b128 batches and ONE add_chunks lands them
+        # in the index.  Per-file embedding pays a device dispatch (and,
+        # on a remote accelerator, a host-link round trip) per ~dozen
+        # chunks — measured on hardware it was 87% of the 1k-conversation
+        # indexing wall time (benchmarks/results/index_e2e_1k_tpu.json).
+        # Error containment is preserved: a wave-level failure falls back
+        # to the per-file path, so one poisoned file still fails alone.
+        wave: List[Tuple[Path, List[Any]]] = []
+        wave_chunks = 0
+
+        def flush_wave() -> None:
+            nonlocal wave, wave_chunks
+            if not wave:
+                return
+            batch = wave
+            wave = []
+            wave_chunks = 0
+            all_chunks = [c for _, cs in batch for c in cs]
+            try:
+                with self._timer.phase("embed"):
+                    self.embedder.generate_embeddings(all_chunks)
+                with self._timer.phase("store"):
+                    self.storage.add_chunks(all_chunks)
+            except Exception as exc:
+                logger.warning(
+                    "Wave embed/store failed (%s); retrying file-by-file",
+                    exc,
+                )
+                for file_path, chunks in batch:
+                    try:
+                        with self._timer.phase("embed"):
+                            self.embedder.generate_embeddings(chunks)
+                        with self._timer.phase("store"):
+                            self.storage.add_chunks(chunks)
+                            self.storage.update_file_info(
+                                str(file_path), len(chunks)
+                            )
+                        stats["chunks_created"] += len(chunks)
+                        stats["chunks_indexed"] += len(chunks)
+                        stats["files_processed"] += 1
+                    except Exception as file_exc:
+                        message = (
+                            f"Error processing {file_path}: {file_exc}"
+                        )
+                        stats["errors"].append(message)
+                        logger.error(message)
+                        failed.append(file_path)
+                return
+            with self._timer.phase("store"):
+                for file_path, chunks in batch:
+                    self.storage.update_file_info(
+                        str(file_path), len(chunks)
+                    )
+                    stats["chunks_created"] += len(chunks)
+                    stats["chunks_indexed"] += len(chunks)
+                    stats["files_processed"] += 1
+
         for file_path in iterator:
             try:
                 if not force and not self.storage.is_file_modified(
@@ -227,12 +293,18 @@ class SearchEngine:
                     stats["files_unchanged"] += 1
                     continue
                 report(f"Processing {file_path.name}")
-                self._index_one_file(file_path, stats)
+                chunks = self._prepare_one_file(file_path, stats)
+                if chunks:
+                    wave.append((file_path, chunks))
+                    wave_chunks += len(chunks)
+                    if wave_chunks >= _EMBED_WAVE_CHUNKS:
+                        flush_wave()
             except Exception as exc:
                 message = f"Error processing {file_path}: {exc}"
                 stats["errors"].append(message)
                 logger.error(message)
                 failed.append(file_path)
+        flush_wave()
 
         if failed:
             report(f"Retrying {len(failed)} failed files")
@@ -271,12 +343,17 @@ class SearchEngine:
                 f"switching models."
             )
 
-    def _index_one_file(self, file_path: Path, stats: Dict[str, Any]) -> None:
-        # chunks_removed is counted immediately (the deletion really
-        # happened, even if embedding fails below); the remaining counters
-        # merge only on success so a failed-then-retried file is not
-        # double-counted (the reference double-counts here: src/cli.py:146
-        # vs :209).
+    def _prepare_one_file(
+        self, file_path: Path, stats: Dict[str, Any]
+    ) -> Optional[List[Any]]:
+        """Parse + chunk one file; returns provenance-filled chunks ready
+        to embed, or None when the file yields nothing.
+
+        chunks_removed is counted immediately (the deletion really
+        happened, even if embedding fails later); the remaining counters
+        merge only on success so a failed-then-retried file is not
+        double-counted (the reference double-counts here: src/cli.py:146
+        vs :209)."""
         removed = self.storage.remove_chunks_for_file(str(file_path))
         if removed:
             stats["chunks_removed"] += removed
@@ -285,12 +362,12 @@ class SearchEngine:
             conversation = self.parser.parse_file(str(file_path))
         if conversation is None:
             stats["files_skipped"] += 1
-            return
+            return None
         with self._timer.phase("chunk"):
             chunks = self.chunker.chunk_conversation(conversation)
         if not chunks:
             stats["files_skipped"] += 1
-            return
+            return None
         # Oversize-split chunks are built without the conversation
         # (src/chunker.py:454 passes conversation=None, mirrored for
         # parity) so they carry no session/project/file_path — in the
@@ -302,6 +379,12 @@ class SearchEngine:
                 "project_name", conversation.project_name
             )
             chunk.metadata.setdefault("file_path", conversation.file_path)
+        return chunks
+
+    def _index_one_file(self, file_path: Path, stats: Dict[str, Any]) -> None:
+        chunks = self._prepare_one_file(file_path, stats)
+        if chunks is None:
+            return
         with self._timer.phase("embed"):
             self.embedder.generate_embeddings(chunks)
         with self._timer.phase("store"):
