@@ -79,6 +79,56 @@ class TestRetryRound:
         assert stats["errors"] == []
 
 
+class TestWaveFallback:
+    def test_wave_store_failure_falls_back_without_duplicates(
+        self, engine, tmp_path
+    ):
+        """A wave-level add_chunks failure AFTER vectors may have landed
+        must heal through the per-file path (whose leading remove
+        tombstones them) — never duplicate rows."""
+        files = [
+            write_file(tmp_path / "proj" / f"f{i}.jsonl", text=f"file {i} ")
+            for i in range(3)
+        ]
+        original = engine.storage.add_chunks
+        calls = {"n": 0}
+
+        def flaky_wave(chunks):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                original(chunks)  # vectors actually land...
+                raise RuntimeError("post-store wave failure")  # ...then boom
+            return original(chunks)
+
+        with patch.object(engine.storage, "add_chunks", flaky_wave):
+            stats = engine.index_conversations(files)
+        assert stats["errors"] == []
+        assert stats["files_processed"] == 3
+        # one live row per chunk: the per-file retry tombstoned the
+        # wave-landed copies before re-adding (ntotal keeps the
+        # tombstoned slots, FAISS parity)
+        assert engine.storage.index.live == stats["chunks_indexed"]
+
+    def test_wave_embed_failure_isolates_poisoned_file(
+        self, engine, tmp_path
+    ):
+        good = write_file(tmp_path / "proj" / "good.jsonl", text="fine text ")
+        bad = write_file(tmp_path / "proj" / "bad.jsonl", text="poison ")
+        original = engine.embedder.generate_embeddings
+
+        def poisoned(chunks):
+            if any("poison" in c.text for c in chunks):
+                raise RuntimeError("poisoned chunk")
+            return original(chunks)
+
+        with patch.object(
+            engine.embedder, "generate_embeddings", poisoned
+        ):
+            stats = engine.index_conversations([good, bad])
+        assert stats["files_processed"] == 1
+        assert len(stats["errors"]) == 1 and "bad.jsonl" in stats["errors"][0]
+
+
 class TestForceAndDims:
     def test_force_clears_existing(self, engine, tmp_path):
         f = write_file(tmp_path / "proj" / "a.jsonl")

@@ -256,18 +256,13 @@ class SearchEngine:
                     "Wave embed/store failed (%s); retrying file-by-file",
                     exc,
                 )
-                for file_path, chunks in batch:
+                # Full per-file path (re-parse included): its leading
+                # remove_chunks_for_file tombstones any vectors a
+                # partially-applied wave may have landed, so the re-add
+                # can never duplicate rows.
+                for file_path, _ in batch:
                     try:
-                        with self._timer.phase("embed"):
-                            self.embedder.generate_embeddings(chunks)
-                        with self._timer.phase("store"):
-                            self.storage.add_chunks(chunks)
-                            self.storage.update_file_info(
-                                str(file_path), len(chunks)
-                            )
-                        stats["chunks_created"] += len(chunks)
-                        stats["chunks_indexed"] += len(chunks)
-                        stats["files_processed"] += 1
+                        self._index_one_file(file_path, stats)
                     except Exception as file_exc:
                         message = (
                             f"Error processing {file_path}: {file_exc}"
