@@ -272,13 +272,13 @@ class SearchEngine:
                         failed.append(file_path)
                 return
             with self._timer.phase("store"):
-                for file_path, chunks in batch:
-                    self.storage.update_file_info(
-                        str(file_path), len(chunks)
-                    )
-                    stats["chunks_created"] += len(chunks)
-                    stats["chunks_indexed"] += len(chunks)
-                    stats["files_processed"] += 1
+                self.storage.update_file_infos(
+                    [(str(fp), len(cs)) for fp, cs in batch]
+                )
+            for _, chunks in batch:
+                stats["chunks_created"] += len(chunks)
+                stats["chunks_indexed"] += len(chunks)
+                stats["files_processed"] += 1
 
         for file_path in iterator:
             try:

@@ -24,7 +24,7 @@ import shutil
 from dataclasses import dataclass
 from pathlib import Path
 from time import monotonic
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -594,6 +594,10 @@ class HybridStorage:
 
     def update_file_info(self, file_path: str, chunk_count: int) -> None:
         self.meta.update_file_info(file_path, chunk_count)
+
+    def update_file_infos(self, infos: List[Tuple[str, int]]) -> None:
+        """One transaction for a wave of (path, chunk_count) updates."""
+        self.meta.update_file_infos(infos)
 
     def is_file_modified(self, file_path: str) -> bool:
         return self.meta.is_file_modified(file_path)

@@ -295,24 +295,37 @@ class MetadataStore:
     # -- incremental file tracking -------------------------------------------
 
     def update_file_info(self, file_path: str, chunk_count: int) -> None:
-        try:
-            last_modified = datetime.fromtimestamp(os.path.getmtime(file_path))
-        except OSError:
-            last_modified = datetime.now()
+        self.update_file_infos([(file_path, chunk_count)])
+
+    def update_file_infos(
+        self, infos: List[Tuple[str, int]]
+    ) -> None:
+        """Batch variant: one transaction for a whole wave of files (a
+        WAL commit per file costs ~5 ms; a 1k-file reindex pays seconds
+        for nothing)."""
+        if not infos:
+            return
+        now = datetime.now().isoformat()
+        rows = []
+        for file_path, chunk_count in infos:
+            try:
+                last_modified = datetime.fromtimestamp(
+                    os.path.getmtime(file_path)
+                )
+            except OSError:
+                last_modified = datetime.now()
+            rows.append(
+                (file_path, last_modified.isoformat(), now, chunk_count)
+            )
         db = self._conn()
         with self.write_lock():
-            db.execute(
+            db.executemany(
                 """
                 INSERT OR REPLACE INTO files
                 (path, last_modified, last_indexed, chunk_count)
                 VALUES (?, ?, ?, ?)
                 """,
-                (
-                    file_path,
-                    last_modified.isoformat(),
-                    datetime.now().isoformat(),
-                    chunk_count,
-                ),
+                rows,
             )
             db.commit()
 
