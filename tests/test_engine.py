@@ -28,6 +28,15 @@ def write_file(path: Path, text="some user question that is long enough"):
     return path
 
 
+def _bump_mtime(path: Path, seconds: float = 10.0) -> None:
+    """Push a file's mtime firmly past the recorded one (datetime-based
+    mtime comparison would miss same-instant rewrites)."""
+    import os
+
+    st = path.stat()
+    os.utime(path, (st.st_atime + seconds, st.st_mtime + seconds))
+
+
 @pytest.fixture
 def engine(tmp_path):
     engine = SearchEngine(
@@ -127,6 +136,61 @@ class TestWaveFallback:
             stats = engine.index_conversations([good, bad])
         assert stats["files_processed"] == 1
         assert len(stats["errors"]) == 1 and "bad.jsonl" in stats["errors"][0]
+
+
+class TestWaveRemoveAccounting:
+    def test_reindex_counts_removed_once(self, engine, tmp_path):
+        """Re-indexing changed files removes old rows in ONE batched
+        flush-time dispatch; chunks_removed must equal exactly the old
+        live rows and the index must hold only the new copies."""
+        files = [
+            write_file(tmp_path / "proj" / f"f{i}.jsonl", text=f"file {i} ")
+            for i in range(3)
+        ]
+        first = engine.index_conversations(files)
+        assert first["chunks_removed"] == 0
+        old_total = engine.storage.total_chunks
+
+        for i, f in enumerate(files):
+            write_file(f, text=f"file {i} changed content ")
+            _bump_mtime(f)
+        second = engine.index_conversations(files)
+        assert second["chunks_removed"] == old_total
+        assert engine.storage.index.live == engine.storage.total_chunks
+        assert engine.storage.total_chunks == second["chunks_indexed"]
+
+    def test_wave_fallback_does_not_double_count_removed(
+        self, engine, tmp_path
+    ):
+        """When the batched flush removal already counted the genuine old
+        rows, the per-file fallback's own re-remove (which only finds the
+        wave's partial landing) must NOT count again."""
+        files = [
+            write_file(tmp_path / "proj" / f"f{i}.jsonl", text=f"file {i} ")
+            for i in range(3)
+        ]
+        engine.index_conversations(files)
+        old_total = engine.storage.total_chunks
+
+        for i, f in enumerate(files):
+            write_file(f, text=f"file {i} changed content ")
+            _bump_mtime(f)
+
+        original = engine.storage.add_chunks
+        calls = {"n": 0}
+
+        def flaky_wave(chunks):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                original(chunks)  # vectors land...
+                raise RuntimeError("post-store wave failure")  # ...then boom
+            return original(chunks)
+
+        with patch.object(engine.storage, "add_chunks", flaky_wave):
+            stats = engine.index_conversations(files)
+        assert stats["errors"] == []
+        assert stats["chunks_removed"] == old_total  # once, not twice
+        assert engine.storage.index.live == engine.storage.total_chunks
 
 
 class TestForceAndDims:

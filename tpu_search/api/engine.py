@@ -233,8 +233,12 @@ class SearchEngine:
         # on a remote accelerator, a host-link round trip) per ~dozen
         # chunks — measured on hardware it was 87% of the 1k-conversation
         # indexing wall time (benchmarks/results/index_e2e_1k_tpu.json).
-        # Error containment is preserved: a wave-level failure falls back
-        # to the per-file path, so one poisoned file still fails alone.
+        # Old rows are removed (one batched tombstone dispatch) only at
+        # flush time, so files stay SEARCHABLE on a warm engine while the
+        # wave accumulates — the old-to-new gap is the flush itself, not
+        # the whole accumulation window.  Error containment is preserved:
+        # a wave-level failure falls back to the per-file path, so one
+        # poisoned file still fails alone.
         wave: List[Tuple[Path, List[Any]]] = []
         wave_chunks = 0
 
@@ -246,10 +250,17 @@ class SearchEngine:
             wave = []
             wave_chunks = 0
             all_chunks = [c for _, cs in batch for c in cs]
+            removed_counted = False
             try:
                 with self._timer.phase("embed"):
                     self.embedder.generate_embeddings(all_chunks)
                 with self._timer.phase("store"):
+                    removed = self.storage.remove_chunks_for_files(
+                        [str(fp) for fp, _ in batch]
+                    )
+                    removed_counted = True
+                    if removed:
+                        stats["chunks_removed"] += removed
                     self.storage.add_chunks(all_chunks)
             except Exception as exc:
                 logger.warning(
@@ -259,10 +270,16 @@ class SearchEngine:
                 # Full per-file path (re-parse included): its leading
                 # remove_chunks_for_file tombstones any vectors a
                 # partially-applied wave may have landed, so the re-add
-                # can never duplicate rows.
+                # can never duplicate rows.  If the batch removal above
+                # already counted the genuine old rows, the per-file
+                # re-remove only finds the wave's own partial landing —
+                # don't count that (no-double-count guarantee).
                 for file_path, _ in batch:
                     try:
-                        self._index_one_file(file_path, stats)
+                        self._index_one_file(
+                            file_path, stats,
+                            count_removed=not removed_counted,
+                        )
                     except Exception as file_exc:
                         message = (
                             f"Error processing {file_path}: {file_exc}"
@@ -271,11 +288,37 @@ class SearchEngine:
                         logger.error(message)
                         failed.append(file_path)
                 return
-            with self._timer.phase("store"):
-                self.storage.update_file_infos(
-                    [(str(fp), len(cs)) for fp, cs in batch]
+            # File-info rows are bookkeeping, not data: a failure here
+            # must not lose the stored chunks or crash the run — fall
+            # back to per-file updates and fail only the file that
+            # cannot be recorded (it re-indexes next run).
+            try:
+                with self._timer.phase("store"):
+                    self.storage.update_file_infos(
+                        [(str(fp), len(cs)) for fp, cs in batch]
+                    )
+                recorded = list(batch)
+            except Exception as exc:
+                logger.warning(
+                    "Batched file-info update failed (%s); retrying "
+                    "file-by-file",
+                    exc,
                 )
-            for _, chunks in batch:
+                recorded = []
+                for file_path, chunks in batch:
+                    try:
+                        self.storage.update_file_info(
+                            str(file_path), len(chunks)
+                        )
+                        recorded.append((file_path, chunks))
+                    except Exception as file_exc:
+                        message = (
+                            f"Error processing {file_path}: {file_exc}"
+                        )
+                        stats["errors"].append(message)
+                        logger.error(message)
+                        failed.append(file_path)
+            for _, chunks in recorded:
                 stats["chunks_created"] += len(chunks)
                 stats["chunks_indexed"] += len(chunks)
                 stats["files_processed"] += 1
@@ -288,7 +331,7 @@ class SearchEngine:
                     stats["files_unchanged"] += 1
                     continue
                 report(f"Processing {file_path.name}")
-                chunks = self._prepare_one_file(file_path, stats)
+                chunks = self._prepare_one_file(file_path, stats, remove=False)
                 if chunks:
                     wave.append((file_path, chunks))
                     wave_chunks += len(chunks)
@@ -339,7 +382,11 @@ class SearchEngine:
             )
 
     def _prepare_one_file(
-        self, file_path: Path, stats: Dict[str, Any]
+        self,
+        file_path: Path,
+        stats: Dict[str, Any],
+        remove: bool = True,
+        count_removed: bool = True,
     ) -> Optional[List[Any]]:
         """Parse + chunk one file; returns provenance-filled chunks ready
         to embed, or None when the file yields nothing.
@@ -348,10 +395,15 @@ class SearchEngine:
         happened, even if embedding fails later); the remaining counters
         merge only on success so a failed-then-retried file is not
         double-counted (the reference double-counts here: src/cli.py:146
-        vs :209)."""
-        removed = self.storage.remove_chunks_for_file(str(file_path))
-        if removed:
-            stats["chunks_removed"] += removed
+        vs :209).  The wave path passes ``remove=False`` — it batches the
+        removal into flush time so files stay searchable while a wave
+        accumulates — and its failure fallback passes
+        ``count_removed=False`` when the batch removal already counted
+        the genuine old rows."""
+        if remove:
+            removed = self.storage.remove_chunks_for_file(str(file_path))
+            if removed and count_removed:
+                stats["chunks_removed"] += removed
 
         with self._timer.phase("parse"):
             conversation = self.parser.parse_file(str(file_path))
@@ -376,8 +428,15 @@ class SearchEngine:
             chunk.metadata.setdefault("file_path", conversation.file_path)
         return chunks
 
-    def _index_one_file(self, file_path: Path, stats: Dict[str, Any]) -> None:
-        chunks = self._prepare_one_file(file_path, stats)
+    def _index_one_file(
+        self,
+        file_path: Path,
+        stats: Dict[str, Any],
+        count_removed: bool = True,
+    ) -> None:
+        chunks = self._prepare_one_file(
+            file_path, stats, count_removed=count_removed
+        )
         if chunks is None:
             return
         with self._timer.phase("embed"):

@@ -566,7 +566,13 @@ class HybridStorage:
 
         (Reference leaves orphaned FAISS rows behind: src/storage.py:843-844.)
         """
-        removed = self.meta.delete_chunks_for_file(file_path)
+        return self.remove_chunks_for_files([file_path])
+
+    def remove_chunks_for_files(self, file_paths: List[str]) -> int:
+        """Batch variant of :meth:`remove_chunks_for_file`: one SQLite
+        transaction and ONE tombstone dispatch cover a whole indexing
+        wave (per-file removes would pay a device round trip each)."""
+        removed = self.meta.delete_chunks_for_files(file_paths)
         if not removed:
             return 0
         vec_ids = []
@@ -577,6 +583,10 @@ class HybridStorage:
                 vec_ids.append(vec_id)
         if self.index is not None and vec_ids:
             self.index.remove(vec_ids)
+        # Keep the warm-engine counter honest (pre-existing bug: the
+        # per-file remove never decremented, so total_chunks drifted up
+        # on every warm reindex until the next reload recomputed it).
+        self.total_chunks = max(0, self.total_chunks - len(removed))
         return len(removed)
 
     def clear_all_data(self) -> None:

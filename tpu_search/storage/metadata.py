@@ -162,15 +162,29 @@ class MetadataStore:
 
     def delete_chunks_for_file(self, file_path: str) -> List[Tuple[str, int]]:
         """Delete all chunks of a file; returns their (chunk_id, vec_id)."""
+        return self.delete_chunks_for_files([file_path])
+
+    def delete_chunks_for_files(
+        self, file_paths: List[str]
+    ) -> List[Tuple[str, int]]:
+        """Batch variant: one transaction for a wave of files; returns all
+        their (chunk_id, vec_id) rows."""
+        if not file_paths:
+            return []
         db = self._conn()
+        out: List[Tuple[str, int]] = []
         with self.write_lock():
-            rows = db.execute(
-                "SELECT id, faiss_id FROM chunks WHERE file_path = ?",
-                (file_path,),
-            ).fetchall()
-            db.execute("DELETE FROM chunks WHERE file_path = ?", (file_path,))
+            for file_path in file_paths:
+                rows = db.execute(
+                    "SELECT id, faiss_id FROM chunks WHERE file_path = ?",
+                    (file_path,),
+                ).fetchall()
+                out.extend((r["id"], r["faiss_id"]) for r in rows)
+                db.execute(
+                    "DELETE FROM chunks WHERE file_path = ?", (file_path,)
+                )
             db.commit()
-        return [(r["id"], r["faiss_id"]) for r in rows]
+        return out
 
     def clear(self) -> None:
         db = self._conn()
