@@ -1,0 +1,328 @@
+"""Int4 word-packed storage: pack/quantize roundtrips, XLA scan scoring,
+Pallas kernel parity (interpret mode), FlatIndex lifecycle, and hybrid
+storage integration.
+
+The int4 mode is the TPU-native analog of FAISS's SQ4 scalar quantizer
+(half the HBM bytes of int8 -> 2x rows per chip); see ops/int4_pack.py
+for the layout contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_search.ops.int4_pack import (
+    NIBBLE_BIAS,
+    bytes_to_words_host,
+    pack_int4_rows,
+    pack_int4_rows_host,
+    quantize_rows_int4,
+    quantize_rows_int4_host,
+    unpack_int4_planes,
+    unpack_int4_rows,
+    unpack_int4_rows_host,
+    words_to_bytes_host,
+)
+from tpu_search.ops.topk_scan import flat_topk, flat_topk_int4
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestPacking:
+    def test_host_roundtrip(self):
+        rng = np.random.default_rng(0)
+        u = rng.integers(0, 16, size=(64, 24), dtype=np.uint8)
+        w = pack_int4_rows_host(u)
+        assert w.shape == (8, 24) and w.dtype == np.int32
+        assert (unpack_int4_rows_host(w) == u).all()
+
+    def test_bytes_words_roundtrip(self):
+        rng = np.random.default_rng(1)
+        b = rng.integers(0, 256, size=(16, 12), dtype=np.uint8)
+        assert (words_to_bytes_host(bytes_to_words_host(b)) == b).all()
+
+    def test_traceable_matches_host(self):
+        rng = np.random.default_rng(2)
+        u = rng.integers(0, 16, size=(128, 32), dtype=np.uint8)
+        w_host = pack_int4_rows_host(u)
+        w_dev = np.asarray(pack_int4_rows(jnp.asarray(u.astype(np.int8))))
+        assert (w_dev == w_host).all()
+        u_dev = np.asarray(unpack_int4_rows(jnp.asarray(w_host)))
+        assert (u_dev.astype(np.uint8) == u).all()
+
+    def test_planes_mapping(self):
+        rng = np.random.default_rng(3)
+        u = rng.integers(0, 16, size=(64, 16), dtype=np.uint8)
+        lo, hi = unpack_int4_planes(jnp.asarray(pack_int4_rows_host(u)))
+        assert (np.asarray(lo).astype(np.uint8) == u[0::2]).all()
+        assert (np.asarray(hi).astype(np.uint8) == u[1::2]).all()
+
+    def test_quantize_bounds_and_error(self):
+        rng = np.random.default_rng(4)
+        v = rng.standard_normal((256, 64)).astype(np.float32)
+        u, s = quantize_rows_int4_host(v)
+        assert u.min() >= 1 and u.max() <= 15
+        deq = (u.astype(np.float32) - NIBBLE_BIAS) * s[:, None]
+        assert np.abs(deq - v).max() <= s.max() / 2 + 1e-6
+
+    def test_quantize_traceable_parity(self):
+        rng = np.random.default_rng(5)
+        v = rng.standard_normal((64, 32)).astype(np.float32)
+        u, s = quantize_rows_int4_host(v)
+        uj, sj = quantize_rows_int4(jnp.asarray(v))
+        assert (np.asarray(uj).astype(np.uint8) == u).all()
+        np.testing.assert_allclose(np.asarray(sj), s, rtol=1e-6)
+
+
+class TestScan:
+    def test_scores_match_dequantized_matmul(self):
+        rng = np.random.default_rng(6)
+        n, d, q, k = 2048, 128, 8, 10
+        v = normed(rng, n, d)
+        u, s = quantize_rows_int4_host(v)
+        w = pack_int4_rows_host(u)
+        queries = normed(rng, q, d)
+        mask = np.ones(n, bool)
+        scores, ids = flat_topk_int4(
+            jnp.asarray(w), jnp.asarray(s), jnp.asarray(mask),
+            jnp.asarray(queries), k,
+        )
+        scores, ids = np.asarray(scores), np.asarray(ids)
+        deq = (u.astype(np.float32) - NIBBLE_BIAS) * s[:, None]
+        ref = queries @ deq.T
+        for r in range(q):
+            np.testing.assert_allclose(
+                scores[r], ref[r, ids[r]], rtol=2e-4, atol=2e-5
+            )
+
+    def test_mask_respected(self):
+        rng = np.random.default_rng(7)
+        n, d, k = 1024, 64, 5
+        v = normed(rng, n, d)
+        u, s = quantize_rows_int4_host(v)
+        w = pack_int4_rows_host(u)
+        mask = np.zeros(n, bool)
+        mask[100:200] = True
+        _, ids = flat_topk_int4(
+            jnp.asarray(w), jnp.asarray(s), jnp.asarray(mask),
+            jnp.asarray(normed(rng, 4, d)), k,
+        )
+        ids = np.asarray(ids)
+        assert ((ids >= 100) & (ids < 200)).all()
+
+    def test_chunked_matches_single_shot(self):
+        from tpu_search.ops.topk_scan import (
+            _chunked_topk_int4,
+            _single_shot_topk_int4,
+        )
+
+        rng = np.random.default_rng(8)
+        n, d, q, k = 4096, 64, 4, 7
+        v = normed(rng, n, d)
+        u, s = quantize_rows_int4_host(v)
+        w = jnp.asarray(pack_int4_rows_host(u))
+        sj = jnp.asarray(s)
+        m = jnp.asarray(rng.random(n) < 0.7)
+        qs = jnp.asarray(normed(rng, q, d))
+        s1, i1 = _single_shot_topk_int4(w, sj, m, qs, k)
+        s2, i2 = _chunked_topk_int4(w, sj, m, qs, k, 1024)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s2), rtol=1e-6
+        )
+
+    def test_recall_vs_f32_is_reasonable(self):
+        # 4-bit per-row symmetric quantization on unit-norm data; random
+        # gaussian corpora are the adversarial case for recall (scores
+        # are near-uniform), so this is a conservative floor.
+        rng = np.random.default_rng(9)
+        n, d, q, k = 8192, 768, 16, 10
+        v = normed(rng, n, d)
+        u, s = quantize_rows_int4_host(v)
+        w = pack_int4_rows_host(u)
+        queries = normed(rng, q, d)
+        mask = np.ones(n, bool)
+        _, i4 = flat_topk_int4(
+            jnp.asarray(w), jnp.asarray(s), jnp.asarray(mask),
+            jnp.asarray(queries), k,
+        )
+        _, ifl = flat_topk(
+            jnp.asarray(v), jnp.asarray(mask), jnp.asarray(queries), k
+        )
+        i4, ifl = np.asarray(i4), np.asarray(ifl)
+        recall = np.mean(
+            [len(set(i4[r]) & set(ifl[r])) / k for r in range(q)]
+        )
+        assert recall >= 0.6, recall
+
+
+class TestPallasKernel:
+    def test_matches_xla_path(self):
+        from tpu_search.ops.pallas_topk_dma import pallas_flat_topk_dma_int4
+
+        rng = np.random.default_rng(10)
+        n, d, q, k = 4096, 128, 8, 10
+        v = rng.standard_normal((n, d)).astype(np.float32)
+        u, s = quantize_rows_int4_host(v)
+        w = pack_int4_rows_host(u)
+        mask = jnp.asarray(rng.random(n) < 0.6)
+        queries = jnp.asarray(normed(rng, q, d))
+        ps, pi = pallas_flat_topk_dma_int4(
+            jnp.asarray(w), jnp.asarray(s), mask, queries, k,
+            tile_n=1024, interpret=True,
+        )
+        rs, ri = flat_topk_int4(
+            jnp.asarray(w), jnp.asarray(s), mask, queries, k
+        )
+        assert np.array_equal(np.asarray(pi), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(ps), np.asarray(rs), rtol=1e-5, atol=1e-5
+        )
+
+    def test_all_masked_tile_handled(self):
+        from tpu_search.ops.pallas_topk_dma import pallas_flat_topk_dma_int4
+
+        rng = np.random.default_rng(11)
+        n, d, k = 2048, 128, 5
+        v = normed(rng, n, d)
+        u, s = quantize_rows_int4_host(v)
+        w = pack_int4_rows_host(u)
+        mask = np.ones(n, bool)
+        mask[1024:] = False
+        _, pi = pallas_flat_topk_dma_int4(
+            jnp.asarray(w), jnp.asarray(s), jnp.asarray(mask),
+            jnp.asarray(normed(rng, 8, d)), k,
+            tile_n=1024, interpret=True,
+        )
+        assert (np.asarray(pi) < 1024).all()
+
+
+class TestFlatIndexInt4:
+    def make_index(self, rng, n=600, d=64):
+        from tpu_search.index.flat import FlatIndex
+
+        index = FlatIndex(dim=d, metric="ip", dtype="int4")
+        v = normed(rng, n, d)
+        index.add(v)
+        return index, v
+
+    def test_l2_rejected(self):
+        from tpu_search.index.flat import FlatIndex
+
+        with pytest.raises(ValueError, match="ip"):
+            FlatIndex(dim=16, metric="l2", dtype="int4")
+
+    def test_add_search(self):
+        rng = np.random.default_rng(12)
+        index, v = self.make_index(rng)
+        scores, ids = index.search(v[:5], k=1)
+        assert (ids[:, 0] == np.arange(5)).all()  # self-retrieval
+        assert (scores[:, 0] > 0.97).all()
+
+    def test_incremental_adds_across_word_boundaries(self):
+        # Adds of odd sizes force unaligned packed writes; every row must
+        # survive the boundary merges exactly.
+        from tpu_search.index.flat import FlatIndex
+
+        rng = np.random.default_rng(13)
+        d = 32
+        index = FlatIndex(dim=d, metric="ip", dtype="int4")
+        all_rows = []
+        for size in (3, 5, 1, 9, 2, 13, 7):
+            v = normed(rng, size, d)
+            index.add(v)
+            all_rows.append(v)
+        v = np.concatenate(all_rows)
+        scores, ids = index.search(v, k=1)
+        assert (ids[:, 0] == np.arange(len(v))).all()
+
+    def test_remove_and_compact(self):
+        rng = np.random.default_rng(14)
+        index, v = self.make_index(rng, n=100)
+        assert index.remove([0, 1, 2]) == 3
+        assert index.live == 97
+        _, ids = index.search(v[0], k=1)
+        assert ids[0, 0] != 0
+        mapping = index.compact()
+        assert len(mapping) == 97
+        assert index.live == 97
+
+    def test_save_load_roundtrip_bit_identical(self, tmp_path):
+        rng = np.random.default_rng(15)
+        index, v = self.make_index(rng, n=257)  # odd: trailing nibble pad
+        index.remove([5])
+        q = normed(rng, 6, 64)
+        s1, i1 = index.search(q, k=9)
+        path = str(tmp_path / "int4.idx")
+        index.save(path)
+        from tpu_search.index.flat import FlatIndex
+
+        loaded = FlatIndex.load(path)
+        assert loaded.dtype == "int4"
+        assert loaded.ntotal == index.ntotal
+        s2, i2 = loaded.search(q, k=9)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)  # bit-identical
+
+    def test_from_device_vectors(self):
+        from tpu_search.index.flat import FlatIndex
+
+        rng = np.random.default_rng(16)
+        v = normed(rng, 2048, 64)
+        index = FlatIndex.from_device_vectors(
+            jnp.asarray(v), metric="ip", dtype="int4"
+        )
+        assert index.ntotal == 2048
+        scores, ids = index.search(v[:8], k=1)
+        assert (ids[:, 0] == np.arange(8)).all()
+
+    def test_disk_bytes_are_half_int8(self, tmp_path):
+        from tpu_search.index.flat import FlatIndex
+
+        rng = np.random.default_rng(17)
+        v = normed(rng, 512, 128)
+        sizes = {}
+        for dtype in ("int8", "int4"):
+            idx = FlatIndex(dim=128, metric="ip", dtype=dtype)
+            idx.add(v)
+            p = str(tmp_path / f"{dtype}.idx")
+            idx.save(p)
+            import os
+
+            sizes[dtype] = os.path.getsize(p)
+        # vectors section halves; valid/scales/header overhead is shared
+        assert sizes["int4"] < sizes["int8"] * 0.6
+
+
+class TestHybridInt4:
+    def test_end_to_end(self, tmp_path):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+        from tpu_search.ingest.chunker import Chunk
+
+        rng = np.random.default_rng(18)
+        config = StorageConfig(
+            data_dir=str(tmp_path), storage_dtype="int4", device="cpu"
+        )
+        storage = HybridStorage(config)
+        storage.initialize()
+        embs = normed(rng, 20, storage.embedding_dim)
+        chunks = [
+            Chunk(
+                id=f"c{i}",
+                text=f"chunk {i}",
+                metadata={"session_id": "s1", "project_name": "p"},
+                embedding=embs[i],
+            )
+            for i in range(20)
+        ]
+        storage.add_chunks(chunks)
+        assert storage.index.dtype == "int4"
+        from tpu_search.storage.hybrid import SearchConfig
+
+        results = storage.search(embs[7], SearchConfig(top_k=3))
+        assert results[0].chunk_id == "c7"
+        storage.close()

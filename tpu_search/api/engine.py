@@ -138,6 +138,16 @@ class SearchEngine:
                 auto_batch_size=True,
             )
         )
+        # Index engine knobs (env-tunable; defaults come from
+        # StorageConfig): CLAUDE_SEARCH_INDEX_TYPE = flat|ivf,
+        # CLAUDE_SEARCH_STORAGE_DTYPE = float32|bfloat16|int8|int4.
+        storage_kwargs: Dict[str, Any] = {}
+        env_index_type = os.environ.get("CLAUDE_SEARCH_INDEX_TYPE")
+        if env_index_type:
+            storage_kwargs["index_type"] = env_index_type
+        env_dtype = os.environ.get("CLAUDE_SEARCH_STORAGE_DTYPE")
+        if env_dtype:
+            storage_kwargs["storage_dtype"] = env_dtype
         self.storage = HybridStorage(
             StorageConfig(
                 data_dir=str(self.data_dir),
@@ -148,6 +158,7 @@ class SearchEngine:
                 # its whole FAISS index after every file, src/storage.py:403);
                 # close() still flushes.
                 save_interval_s=save_interval_s,
+                **storage_kwargs,
             )
         )
 

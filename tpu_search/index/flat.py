@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.int4_pack import (
+    pack_int4_rows,
+    quantize_rows_int4,
+    quantize_rows_int4_host,
+    unpack_int4_rows,
+)
 from ..ops.int8_pack import (
     pack_int8_rows,
     pack_int8_rows_host,
@@ -44,7 +50,14 @@ _ADD_BUCKETS = (256, 1024, 4096, 16384)
 # the padded rows are free next to the corpus read).
 _QUERY_BUCKETS = (8, 32, 128, 512)
 
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
+# "int4" has no jnp dtype: the buffer is [cap/8, D] int32 words
+# (ops.int4_pack layout) and rows dequantize as (nibble - 8) * scale.
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "int8": jnp.int8,
+    "int4": jnp.int32,
+}
 
 
 def _quantize_rows(vectors: np.ndarray):
@@ -104,6 +117,39 @@ def _append_packed(packed, batch_i8, start):
     return _packed_write(packed, batch_i8, start)
 
 
+def _packed_write4(packed, batch_u4, start):
+    """Int4 twin of :func:`_packed_write`: write [B, D] biased-nibble rows
+    (B multiple of 8) at logical slot ``start`` into a word-packed
+    [cap/8, D] int32 buffer (ops.int4_pack layout).  Traceable.
+
+    The merge region is B/8 + 2 words (16 boundary rows); requires
+    capacity >= B + 16.  Region rows beyond start+B are zeroed — always
+    at/beyond the live count."""
+    b, d = batch_u4.shape
+    cap_words = packed.shape[0]
+    n_words = b // 8 + 2
+    w0 = jnp.minimum(start // 8, cap_words - n_words)
+    off = start - w0 * 8  # 0..15 after clamping
+    old_words = jax.lax.dynamic_slice(packed, (w0, 0), (2, d))
+    old_rows = unpack_int4_rows(old_words)  # [16, d] biased nibbles
+    idx = jnp.arange(n_words * 8)
+    batch_part = batch_u4[jnp.clip(idx - off, 0, b - 1)]
+    old_part = old_rows[jnp.clip(idx, 0, 15)]
+    rows = jnp.where(
+        (idx < off)[:, None],
+        old_part,
+        jnp.where((idx < off + b)[:, None], batch_part, jnp.int8(0)),
+    )
+    return jax.lax.dynamic_update_slice(
+        packed, pack_int4_rows(rows), (w0, 0)
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append_packed4(packed, batch_u4, start):
+    return _packed_write4(packed, batch_u4, start)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _grow(new_buf, old_buf):
     return jax.lax.dynamic_update_slice(
@@ -154,6 +200,27 @@ def scan_fn_for(scan_key: tuple):
             )
 
         return fn
+    if kind == "int4_pallas":
+        tile = scan_key[1]
+
+        def fn(buffers, mask, qbatch, k):
+            from ..ops.pallas_topk_dma import pallas_flat_topk_dma_int4
+
+            words, scales = buffers
+            return pallas_flat_topk_dma_int4(
+                words, scales, mask, qbatch, k, tile_n=tile
+            )
+
+        return fn
+    if kind == "int4_xla":
+
+        def fn(buffers, mask, qbatch, k):
+            from ..ops.topk_scan import flat_topk_int4
+
+            words, scales = buffers
+            return flat_topk_int4(words, scales, mask, qbatch, k)
+
+        return fn
     if kind == "pallas_l2":
         tile = scan_key[1]
 
@@ -202,8 +269,10 @@ class FlatIndex:
             raise ValueError(f"Unknown metric: {metric}")
         if dtype not in _DTYPES:
             raise ValueError(f"Unknown storage dtype: {dtype}")
-        if dtype == "int8" and metric != "ip":
-            raise ValueError("int8 storage supports the 'ip' metric only")
+        if dtype in ("int8", "int4") and metric != "ip":
+            raise ValueError(
+                f"{dtype} storage supports the 'ip' metric only"
+            )
         self.dim = dim
         self.metric = metric
         self.dtype = dtype
@@ -458,6 +527,40 @@ class FlatIndex:
                 buf, scales = _quantize_pad(
                     src, capacity=capacity, chunk=chunk
                 )
+            elif dtype == "int4":
+
+                @partial(jax.jit, static_argnames=("capacity", "chunk"))
+                def _quantize_pad4(v, capacity, chunk):
+                    # Int4 twin of the int8 _quantize_pad: chunked
+                    # quantize into the word-packed nibble layout, peak
+                    # HBM = source + output.
+                    rows, d = v.shape
+                    qp = jnp.zeros((capacity // 8, d), jnp.int32)
+                    sp = jnp.ones((capacity,), jnp.float32)
+
+                    def body(ci, carry):
+                        qp, sp = carry
+                        start = jnp.minimum(ci * chunk, rows - chunk)
+                        blk = jax.lax.dynamic_slice(
+                            v, (start, 0), (chunk, d)
+                        )
+                        qb, s = quantize_rows_int4(blk)
+                        qp = _packed_write4(qp, qb, start)
+                        sp = jax.lax.dynamic_update_slice(sp, s, (start,))
+                        return qp, sp
+
+                    n_chunks = -(-rows // chunk)
+                    return jax.lax.fori_loop(0, n_chunks, body, (qp, sp))
+
+                chunk = min(262144, max(8, ((capacity - 16) // 8) * 8))
+                src = vectors
+                if n < chunk:
+                    src = jnp.concatenate(
+                        [vectors, jnp.zeros((chunk - n, d), vectors.dtype)]
+                    )
+                buf, scales = _quantize_pad4(
+                    src, capacity=capacity, chunk=chunk
+                )
             else:
                 if vectors.dtype != _DTYPES[dtype]:  # same-dtype copies
                     vectors = vectors.astype(_DTYPES[dtype])
@@ -489,6 +592,8 @@ class FlatIndex:
             # int8-tiled at equal bytes (ops/int8_pack.py).
             if self.dtype == "int8":
                 new_vecs = jnp.zeros((target // 4, self.dim), jnp.int32)
+            elif self.dtype == "int4":
+                new_vecs = jnp.zeros((target // 8, self.dim), jnp.int32)
             else:
                 new_vecs = jnp.zeros(
                     (target, self.dim), dtype=_DTYPES[self.dtype]
@@ -496,7 +601,7 @@ class FlatIndex:
             new_valid = jnp.zeros((target,), dtype=jnp.bool_)
             new_scales = (
                 jnp.ones((target,), dtype=jnp.float32)
-                if self.dtype == "int8"
+                if self.dtype in ("int8", "int4")
                 else None
             )
             if self._vectors is not None:
@@ -522,9 +627,9 @@ class FlatIndex:
             )
 
         padded_n = bucket_size(n, _ADD_BUCKETS)
-        # int8: +4 slots so the packed append's boundary region (B/4 + 1
-        # words) always fits.
-        margin = 4 if self.dtype == "int8" else 0
+        # int8/int4: margin slots so the packed append's boundary region
+        # (B/word_rows + 2 words) always fits.
+        margin = {"int8": 4, "int4": 16}.get(self.dtype, 0)
         self._ensure_capacity(self._count + padded_n + margin)
 
         batch = np.zeros((padded_n, self.dim), dtype=np.float32)
@@ -533,7 +638,20 @@ class FlatIndex:
         batch_valid[:n] = True
 
         with jax.default_device(self.device):
-            if self.dtype == "int8":
+            if self.dtype == "int4":
+                u, scales = quantize_rows_int4_host(batch)
+                self._vectors = _append_packed4(
+                    self._vectors,
+                    jnp.asarray(u.astype(np.int8)),
+                    self._count,
+                )
+                self._valid = jax.lax.dynamic_update_slice(
+                    self._valid, jnp.asarray(batch_valid), (self._count,)
+                )
+                self._scales = jax.lax.dynamic_update_slice(
+                    self._scales, jnp.asarray(scales), (self._count,)
+                )
+            elif self.dtype == "int8":
                 q, scales = _quantize_rows(batch)
                 self._vectors = _append_packed(
                     self._vectors, jnp.asarray(q), self._count
@@ -575,7 +693,13 @@ class FlatIndex:
         if self._count == 0:
             return {}
         valid_np = np.asarray(self._valid[: self._count])
-        if self.dtype == "int8":
+        if self.dtype == "int4":
+            unpack = jax.jit(
+                lambda p: unpack_int4_rows(p).astype(jnp.float32) - 8.0
+            )
+            vecs_np = np.asarray(unpack(self._vectors))[: self._count]
+            vecs_np = vecs_np * np.asarray(self._scales[: self._count])[:, None]
+        elif self.dtype == "int8":
             unpack = jax.jit(
                 lambda p: unpack_int8_rows(p).astype(jnp.float32)
             )
@@ -754,6 +878,19 @@ class FlatIndex:
                     self._scales,
                 )
             return ("int8_xla",), (self._vectors, self._scales)
+        if self.dtype == "int4":
+            # Half the HBM bytes of int8 but the same per-row MXU and VMEM
+            # plane/score transients, so tile picks track the int8 table.
+            if padded_q <= 32:
+                int4_tile = 8192
+            else:
+                int4_tile = 4096 if self._capacity < (2 << 20) else 2048
+            if pallas_ok and self._capacity % int4_tile == 0:
+                return ("int4_pallas", int4_tile), (
+                    self._vectors,
+                    self._scales,
+                )
+            return ("int4_xla",), (self._vectors, self._scales)
         if tile > 0 and pallas_ok and self._capacity % tile == 0:
             if self.metric == "l2":
                 return ("pallas_l2", tile), (self._vectors, self._sq_norms())
@@ -814,6 +951,17 @@ class FlatIndex:
                 (self._count, self.dim),
                 iter_packed_int8_rows(self._vectors, self._count),
             )
+        elif self.dtype == "int4" and self._count:
+            # Disk format is nibble-pair byte rows (half a byte per
+            # component on disk too).
+            from .serialize import iter_packed_int4_bytes
+
+            vec_section = (
+                "vectors",
+                "uint8",
+                ((self._count + 1) // 2, self.dim),
+                iter_packed_int4_bytes(self._vectors, self._count),
+            )
         else:
             vec_section = device_section(
                 "vectors", self.dtype, self._vectors, self._count
@@ -822,7 +970,7 @@ class FlatIndex:
             vec_section,
             device_section("valid", "uint8", valid_u8, self._count),
         ]
-        if self.dtype == "int8":
+        if self.dtype in ("int8", "int4"):
             sections.append(
                 device_section("scales", "float32", self._scales, self._count)
             )
@@ -864,6 +1012,12 @@ class FlatIndex:
             index._vectors = upload_packed_int8_rows(
                 arrays["vectors"], capacity, index.device
             )
+        elif index.dtype == "int4":
+            from .serialize import upload_packed_int4_bytes
+
+            index._vectors = upload_packed_int4_bytes(
+                arrays["vectors"], capacity, index.device
+            )
         else:
             index._vectors = upload_rows(
                 arrays["vectors"], capacity, _DTYPES[index.dtype], index.device
@@ -872,7 +1026,7 @@ class FlatIndex:
             valid = np.zeros((capacity,), dtype=np.bool_)
             valid[:count] = arrays["valid"].astype(np.bool_)
             index._valid = jnp.asarray(valid)
-            if index.dtype == "int8":
+            if index.dtype in ("int8", "int4"):
                 scales = np.ones((capacity,), dtype=np.float32)
                 scales[:count] = arrays["scales"]
                 index._scales = jnp.asarray(scales)
@@ -903,6 +1057,12 @@ class FlatIndex:
                 if index.dtype == "int8":
                     q, scales = _quantize_rows(padded_v)
                     index._vectors = jnp.asarray(pack_int8_rows_host(q))
+                    index._scales = jnp.asarray(scales)
+                elif index.dtype == "int4":
+                    from ..ops.int4_pack import pack_int4_rows_host
+
+                    u, scales = quantize_rows_int4_host(padded_v)
+                    index._vectors = jnp.asarray(pack_int4_rows_host(u))
                     index._scales = jnp.asarray(scales)
                 else:
                     index._vectors = jnp.asarray(

@@ -47,6 +47,8 @@ __all__ = [
     "device_section",
     "iter_packed_int8_rows",
     "upload_packed_int8_rows",
+    "iter_packed_int4_bytes",
+    "upload_packed_int4_bytes",
 ]
 
 MAGIC = b"TPUSIDX2"
@@ -288,6 +290,77 @@ def upload_packed_int8_rows(
             blk = np.zeros((rows4, d), dtype=np.int8)
             blk[:take] = source[start : start + take]
             words = pack_int8_rows_host(blk)
+            buf = update_fn(buf, jnp.asarray(words), start // 4)
+        return buf
+
+
+def iter_packed_int4_bytes(
+    packed: "jax.Array",
+    count: int,
+    chunk_bytes: int = 0,
+) -> Iterator[np.ndarray]:
+    """Yield the nibble-pair BYTE rows covering the first ``count`` logical
+    rows of a word-packed [cap/8, D] int32 int4 corpus (ops.int4_pack
+    layout) as host uint8 chunks.
+
+    The disk format is byte rows (byte ``m`` = logical rows ``2m`` low /
+    ``2m+1`` high — already the within-word byte layout, so the transform
+    is a pure bitcast + transpose per fixed-shape device chunk).  Total
+    yielded shape: [ceil(count/2), D]."""
+    if count <= 0:
+        return
+    d = packed.shape[1]
+    count_b = (count + 1) // 2  # byte rows to persist
+    w_total = (count_b + 3) // 4
+    chunk_words = max(1, (chunk_bytes or _CHUNK_BYTES) // (d * 4))
+    chunk_words = min(chunk_words, w_total, packed.shape[0])
+
+    def to_bytes(w):
+        rows = jax.lax.bitcast_convert_type(w, jnp.uint8)  # [C, D, 4]
+        return rows.transpose(0, 2, 1).reshape(4 * chunk_words, d)
+
+    slice_fn = jax.jit(
+        lambda p, w0: to_bytes(
+            jax.lax.dynamic_slice(p, (w0, 0), (chunk_words, d))
+        )
+    )
+    b_target = 0
+    while b_target < count_b:
+        w0 = max(0, min(b_target // 4, w_total - chunk_words))
+        host = np.asarray(slice_fn(packed, w0))  # [chunk_words*4, d] uint8
+        row_lo = (b_target // 4) * 4
+        row_hi = min(count_b, row_lo + chunk_words * 4)
+        yield host[row_lo - w0 * 4 : row_hi - w0 * 4]
+        b_target = row_hi
+
+
+def upload_packed_int4_bytes(
+    source: np.ndarray,
+    capacity: int,
+    device: "jax.Device",
+    chunk_bytes: int = 0,
+) -> "jax.Array":
+    """Upload host nibble-pair byte rows (typically a memmap; see
+    :func:`iter_packed_int4_bytes`) into a zero-padded word-packed
+    [capacity/8, D] int32 device buffer.  Peak host memory is one chunk."""
+    from ..ops.int4_pack import bytes_to_words_host
+
+    count_b, d = source.shape
+    chunk_rows = max(4, ((chunk_bytes or _CHUNK_BYTES) // d) // 4 * 4)
+    chunk_rows = min(chunk_rows, max(4, -(-count_b // 4) * 4), capacity // 2)
+
+    update_fn = jax.jit(
+        lambda buf, blk, w0: jax.lax.dynamic_update_slice(buf, blk, (w0, 0)),
+        donate_argnums=(0,),
+    )
+    with jax.default_device(device):
+        buf = jnp.zeros((capacity // 8, d), jnp.int32)
+        for start in range(0, count_b, chunk_rows):
+            take = min(chunk_rows, count_b - start)
+            rows4 = -(-take // 4) * 4
+            blk = np.zeros((rows4, d), dtype=np.uint8)
+            blk[:take] = source[start : start + take]
+            words = bytes_to_words_host(blk)
             buf = update_fn(buf, jnp.asarray(words), start // 4)
         return buf
 

@@ -1,0 +1,165 @@
+"""Int4 row packing: 8 consecutive corpus rows per int32 word row.
+
+Half the HBM bytes of int8 (ops/int8_pack.py) — the TPU-native analog of
+FAISS's SQ4 scalar quantizer (reference storage builds FAISS flat/IVF
+indexes at src/storage.py:252-299; FAISS offers SQ4/PQ for compression).
+Product quantization's codebook gathers are VPU-hostile on TPU; a dense
+4-bit scalar code keeps every byte on the MXU path instead.
+
+Layout contract (shared by the Pallas kernel, the XLA fallback, and the
+serializer):
+
+- Rows are quantized to SIGNED 4-bit values ``q in [-7, 7]`` with a
+  per-row symmetric scale ``s = max|v| / 7`` and stored BIASED as
+  ``u = q + 8 in [1, 15]`` (unsigned nibbles).  The bias makes in-kernel
+  unpack two int32 VPU ops (``w & 0x0F0F0F0F`` / ``(w >> 4) & ...``):
+  sign-extending packed nibbles is not SWAR-safe (a per-nibble
+  ``(x ^ 8) - 8`` borrows across byte boundaries), but biased nibbles
+  need no sign handling at all — the bias is removed EXACTLY in int32
+  after the MXU via the per-query correction ``dot(q_int8, 8*ones) =
+  8 * sum(q_int8)``.
+- Byte row ``m`` packs logical rows ``2m`` (low nibble) and ``2m + 1``
+  (high nibble).
+- Word row ``s`` packs byte rows ``4s .. 4s+3`` as its 4 little-endian
+  bytes (same byte<->sublane mapping the int8 packing verified on
+  hardware: ``pltpu.bitcast(words, int8)`` maps byte ``b`` of sublane
+  ``s`` to sublane ``4s + b``).
+
+So after the kernel's two mask/shift ops and a bitcast, plane sublane
+``u`` holds logical row ``2u`` (low plane) / ``2u + 1`` (high plane), and
+the [N/8, D] int32 words stream through the SAME ~1.5x-faster int32 DMA
+path the int8 packing measured.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "quantize_rows_int4_host",
+    "quantize_rows_int4",
+    "pack_int4_rows",
+    "unpack_int4_rows",
+    "pack_int4_rows_host",
+    "unpack_int4_rows_host",
+    "bytes_to_words_host",
+    "words_to_bytes_host",
+    "unpack_int4_planes",
+    "NIBBLE_BIAS",
+]
+
+# Stored nibble = signed code + NIBBLE_BIAS.
+NIBBLE_BIAS = 8
+_LO_MASK = 0x0F0F0F0F
+
+
+def quantize_rows_int4_host(
+    vectors: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[N, D] float -> (biased nibbles [N, D] uint8 in [1, 15], scales [N] f32).
+
+    Symmetric per-row quantization ``v ~ (u - 8) * scale`` with
+    ``scale = max|v| / 7`` (codes span [-7, 7]; the -8 code is unused so
+    the bias never saturates)."""
+    scales = np.abs(vectors).max(axis=1) / 7.0
+    scales = np.maximum(scales, 1e-12)
+    q = np.rint(vectors / scales[:, None]).astype(np.int32)
+    u = (np.clip(q, -7, 7) + NIBBLE_BIAS).astype(np.uint8)
+    return u, scales.astype(np.float32)
+
+
+def quantize_rows_int4(vectors: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Traceable twin of :func:`quantize_rows_int4_host` (int8 nibbles)."""
+    v = vectors.astype(jnp.float32)
+    scales = jnp.maximum(jnp.max(jnp.abs(v), axis=1) / 7.0, 1e-12)
+    q = jnp.rint(v / scales[:, None])
+    u = (jnp.clip(q, -7.0, 7.0) + NIBBLE_BIAS).astype(jnp.int8)
+    return u, scales.astype(jnp.float32)
+
+
+# -- nibble rows <-> byte rows --------------------------------------------
+
+
+def _rows_to_bytes_host(u: np.ndarray) -> np.ndarray:
+    """[N, D] biased nibbles (uint8) -> [N/2, D] bytes (lo=row 2m, hi=2m+1)."""
+    lo = u[0::2].astype(np.uint8)
+    hi = u[1::2].astype(np.uint8)
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def _bytes_to_rows_host(b: np.ndarray) -> np.ndarray:
+    """[M, D] bytes -> [2M, D] biased nibbles (uint8)."""
+    m, d = b.shape
+    out = np.empty((2 * m, d), dtype=np.uint8)
+    out[0::2] = b & 0x0F
+    out[1::2] = b >> 4
+    return out
+
+
+def bytes_to_words_host(b: np.ndarray) -> np.ndarray:
+    """[M, D] byte rows (M % 4 == 0) -> [M/4, D] int32 words (disk->device)."""
+    m, d = b.shape
+    grouped = np.ascontiguousarray(
+        b.reshape(m // 4, 4, d).transpose(0, 2, 1)
+    )
+    return grouped.view(np.int32)[..., 0]
+
+
+def words_to_bytes_host(words: np.ndarray) -> np.ndarray:
+    """[C, D] int32 words -> [4C, D] byte rows (device->disk)."""
+    c, d = words.shape
+    rows = np.ascontiguousarray(words)[..., None].view(np.uint8)  # [C, D, 4]
+    return np.ascontiguousarray(rows.transpose(0, 2, 1)).reshape(4 * c, d)
+
+
+def pack_int4_rows_host(u: np.ndarray) -> np.ndarray:
+    """[N, D] biased nibbles (uint8, N % 8 == 0) -> [N/8, D] int32 words."""
+    return bytes_to_words_host(_rows_to_bytes_host(u))
+
+
+def unpack_int4_rows_host(packed: np.ndarray) -> np.ndarray:
+    """[C, D] int32 words -> [8C, D] biased nibbles (uint8)."""
+    return _bytes_to_rows_host(words_to_bytes_host(packed))
+
+
+# -- traceable -------------------------------------------------------------
+
+
+def pack_int4_rows(u: jax.Array) -> jax.Array:
+    """[N, D] biased nibbles (int8/uint8, N % 8 == 0) -> [N/8, D] int32.
+    Traceable (device-side quantize+pack for bulk adoption)."""
+    n, d = u.shape
+    u32 = u.astype(jnp.int32)
+    b = (u32[0::2] | (u32[1::2] << 4)).astype(jnp.uint8)  # [N/2, D]
+    grouped = b.reshape(n // 8, 4, d).transpose(0, 2, 1)  # [N/8, D, 4]
+    return jax.lax.bitcast_convert_type(grouped, jnp.int32)
+
+
+def unpack_int4_rows(packed: jax.Array) -> jax.Array:
+    """[C, D] int32 -> [8C, D] biased nibbles (int8). Traceable inverse."""
+    lo, hi = unpack_int4_planes(packed)
+    c8, d = lo.shape
+    # lo sublane u = row 2u, hi sublane u = row 2u+1 -> interleave.
+    return jnp.stack([lo, hi], axis=1).reshape(2 * c8, d)
+
+
+def unpack_int4_planes(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[C, D] int32 words -> (lo, hi) [4C, D] int8 biased-nibble planes.
+
+    EXACTLY the int32 mask/shift + bitcast sequence the Pallas kernel
+    runs (its bit-parity contract): lo plane sublane ``u`` is logical row
+    ``2u``, hi plane row ``2u + 1``.  Values are in [0, 15], so the int8
+    planes feed the MXU with no sign handling."""
+    c, d = packed.shape
+    lo_w = jnp.bitwise_and(packed, _LO_MASK)
+    hi_w = jnp.bitwise_and(jnp.right_shift(packed, 4), _LO_MASK)
+
+    def to_plane(w):
+        rows = jax.lax.bitcast_convert_type(w, jnp.int8)  # [C, D, 4]
+        return rows.transpose(0, 2, 1).reshape(4 * c, d)
+
+    return to_plane(lo_w), to_plane(hi_w)

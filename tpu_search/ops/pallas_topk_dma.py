@@ -36,9 +36,11 @@ __all__ = [
     "pallas_flat_topk_dma",
     "pallas_flat_topk_dma_int8",
     "pallas_flat_topk_dma_int8_packed",
+    "pallas_flat_topk_dma_int4",
 ]
 
 _LANE = 128
+_NIBBLE_LO = 0x0F0F0F0F
 
 
 def _kernel(
@@ -230,6 +232,208 @@ def _kernel_int8(
     jax.lax.fori_loop(0, n_tiles, body, 0)
     out_scores_ref[:] = best_scores[:]
     out_ids_ref[:] = best_ids[:]
+
+
+def _kernel_int4(
+    vec_hbm,  # [N/8, D] int32 word-packed biased nibbles (HBM)
+    aux_hbm,  # [n_tiles, 2, TILE/128, 128] f32: [scale, penalty], PLANE order
+    query_ref,  # [2Q, D] int8 stacked digit queries (VMEM)
+    rho_ref,  # [Q, LANE] f32 per-row digit ratio (VMEM, bcast)
+    qoff_ref,  # [2Q, LANE] int32 per-digit bias offset 8*sum(q) (VMEM)
+    out_scores_ref,
+    out_ids_ref,
+    vec_buf,  # scratch [2, TILE/8, D] int32
+    aux_buf,  # scratch [2, 2, TILE/128, 128] f32
+    best_scores,
+    best_ids,
+    vec_sems,
+    aux_sems,
+    *,
+    k: int,
+    tile_n: int,
+    n_tiles: int,
+    interpret: bool = False,
+):
+    queries = query_ref[:]
+    n_q = queries.shape[0] // 2
+    rho = rho_ref[:, 0:1]  # [Q, 1]
+    qoff = qoff_ref[:, 0:1]  # [2Q, 1] int32
+    rows_per_dma = tile_n // 8
+    half = tile_n // 2
+
+    def vec_dma(slot, tile_idx):
+        return pltpu.make_async_copy(
+            vec_hbm.at[pl.ds(tile_idx * rows_per_dma, rows_per_dma), :],
+            vec_buf.at[slot],
+            vec_sems.at[slot],
+        )
+
+    def aux_dma(slot, tile_idx):
+        return pltpu.make_async_copy(
+            aux_hbm.at[tile_idx],
+            aux_buf.at[slot],
+            aux_sems.at[slot],
+        )
+
+    def to_int8_plane(w):
+        # int32 [TILE/8, D] -> int8 [TILE/2, D], sublane 4s+b = byte b of
+        # word s.  pltpu.bitcast does this layout-natively on TPU; the
+        # interpret path reproduces the SAME mapping with lax ops (the
+        # equivalence is the hardware-verified contract of ops.int8_pack).
+        if interpret:
+            r = jax.lax.bitcast_convert_type(w, jnp.int8)  # [TILE/8, D, 4]
+            return r.transpose(0, 2, 1).reshape(half, w.shape[1])
+        return pltpu.bitcast(w, jnp.int8)
+
+    best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+    best_ids[:] = jnp.zeros_like(best_ids[:])
+    vec_dma(0, 0).start()
+    aux_dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        next_slot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _prefetch():
+            vec_dma(next_slot, t + 1).start()
+            aux_dma(next_slot, t + 1).start()
+
+        vec_dma(slot, t).wait()
+        aux_dma(slot, t).wait()
+
+        # Two int32 VPU ops split the words into biased-nibble planes
+        # (values 0..15 — the bias sidesteps nibble sign extension, which
+        # is not SWAR-safe); each plane feeds the MXU as int8 directly.
+        # The bias is removed EXACTLY in int32 via the per-digit query
+        # offset before the f32 digit combine (ops.int4_pack contract).
+        w = vec_buf[slot]
+        lo = to_int8_plane(jnp.bitwise_and(w, _NIBBLE_LO))
+        hi = to_int8_plane(
+            jnp.bitwise_and(jax.lax.shift_right_logical(w, 4), _NIBBLE_LO)
+        )
+        dots_lo = jax.lax.dot_general(
+            queries, lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [2Q, TILE/2] — plane column u = logical row 2u
+        dots_hi = jax.lax.dot_general(
+            queries, hi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [2Q, TILE/2] — plane column u = logical row 2u + 1
+        dots = jnp.concatenate([dots_lo, dots_hi], axis=1) - qoff
+        combined = dots[:n_q].astype(jnp.float32) + rho * dots[
+            n_q:
+        ].astype(jnp.float32)
+        scale = aux_buf[slot, 0].reshape(1, tile_n)  # plane-ordered
+        penalty = aux_buf[slot, 1].reshape(1, tile_n)
+        scores = combined * scale + penalty
+
+        tile_max = jnp.max(scores, axis=1)
+        kth = best_scores[:, k - 1]
+        should_merge = jnp.any(tile_max > kth)
+
+        @pl.when(should_merge)
+        def _merge():
+            # Plane column j -> logical tile row: 2j in the low plane,
+            # 2(j - TILE/2) + 1 in the high plane.
+            j = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            local = jnp.where(j < half, 2 * j, 2 * j - tile_n + 1)
+            tile_ids = t * tile_n + local
+            merged_s = jnp.concatenate([best_scores[:], scores], axis=1)
+            merged_i = jnp.concatenate([best_ids[:], tile_ids], axis=1)
+            new_s, new_i = _select_topk(merged_s, merged_i, k)
+            best_scores[:, 0:k] = new_s
+            best_ids[:, 0:k] = new_i
+
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
+    out_scores_ref[:] = best_scores[:]
+    out_ids_ref[:] = best_ids[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_flat_topk_dma_int4(
+    words: jax.Array,  # [N/8, D] int32 (ops.int4_pack layout)
+    scales: jax.Array,  # [N] f32 per-row dequant scale
+    mask: jax.Array,  # [N] bool
+    queries: jax.Array,  # [Q, D] f32
+    k: int,
+    tile_n: int = 8192,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Int4-corpus IP scan over a word-packed corpus (8 rows per int32 —
+    see ops.int4_pack): half the HBM bytes of the int8 scan at the same
+    MXU cost per row.  Row scores are bit-identical to
+    ops.topk_scan.flat_topk_int4 (same integer bias removal, same f32
+    combine order); within-tile top-k tie order may differ (the kernel
+    scores rows in plane order)."""
+    from .topk_scan import quantize_queries, query_nibble_offsets
+
+    n, d = words.shape[0] * 8, words.shape[1]
+    q = queries.shape[0]
+    k_pad = round_up(k, _LANE)
+    n_tiles = n // tile_n
+    q_i8, rho, qs1 = quantize_queries(queries)
+    rho_bcast = jnp.broadcast_to(rho[:, None], (q, _LANE))
+    qoff = query_nibble_offsets(q_i8)
+    qoff_bcast = jnp.broadcast_to(qoff[:, None], (2 * q, _LANE))
+    # Per-row aux streams are pre-permuted into the kernel's PLANE order
+    # (even logical rows first, then odd) so in-kernel scores line up
+    # with their scale/penalty without any lane shuffles.
+    half = tile_n // 2
+
+    def plane_permute(x):
+        t = x.reshape(n_tiles, half, 2)
+        return jnp.concatenate([t[:, :, 0], t[:, :, 1]], axis=1)
+
+    scale_packed = plane_permute(scales.astype(jnp.float32)).reshape(
+        n_tiles, 1, tile_n // _LANE, _LANE
+    )
+    penalty_packed = plane_permute(
+        jnp.where(mask, 0.0, -jnp.inf)
+    ).reshape(n_tiles, 1, tile_n // _LANE, _LANE)
+    aux = jnp.concatenate([scale_packed, penalty_packed], axis=1)
+
+    out_scores, out_ids = pl.pallas_call(
+        partial(
+            _kernel_int4,
+            k=k, tile_n=tile_n, n_tiles=n_tiles, interpret=interpret,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n // 8, d), jnp.int32),
+            pltpu.VMEM((2, 2, tile_n // _LANE, _LANE), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=n * d // 2 + n * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(words, aux, q_i8, rho_bcast, qoff_bcast)
+    return out_scores[:, :k] * qs1[:, None], out_ids[:, :k]
 
 
 def _int8_call(vectors, scales, mask, queries, k, tile_n, interpret, packed):

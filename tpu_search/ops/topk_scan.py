@@ -30,7 +30,9 @@ import jax.numpy as jnp
 __all__ = [
     "flat_topk",
     "flat_topk_int8",
+    "flat_topk_int4",
     "quantize_queries",
+    "query_nibble_offsets",
     "SCAN_CHUNK",
     "SINGLE_SHOT_LIMIT",
 ]
@@ -244,6 +246,124 @@ def _chunked_topk_int8(
         step, init, (vecs, scls, masks, bases)
     )
     return top_scores * qs1[:, None], top_ids
+
+
+def query_nibble_offsets(q_i8: jax.Array) -> jax.Array:
+    """[2Q, D] int8 stacked digit queries -> [2Q] int32 bias offsets.
+
+    Int4 corpora store BIASED nibbles ``u = q + 8`` (ops.int4_pack), so
+    ``dot(query, u) = dot(query, q) + 8 * sum(query)``.  The correction
+    is a per-query-digit int32 scalar, removed EXACTLY before the f32
+    digit combine — shared by the XLA and Pallas int4 paths (part of
+    their bit-parity contract)."""
+    from .int4_pack import NIBBLE_BIAS
+
+    return NIBBLE_BIAS * jnp.sum(q_i8.astype(jnp.int32), axis=1)
+
+
+def _combine_int4_digit_dots(
+    dots: jax.Array, qoff: jax.Array, rho: jax.Array
+) -> jax.Array:
+    """[2Q, C] int32 biased-nibble dots -> [Q, C] f32 combined scores
+    (bias removed in exact int32; qs1 factor still deferred past top-k)."""
+    q = dots.shape[0] // 2
+    d = dots - qoff[:, None]  # exact: |dot| <= 127*15*D + 8*127*D << 2^31
+    return d[:q].astype(jnp.float32) + rho[:, None] * d[q:].astype(
+        jnp.float32
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _single_shot_topk_int4(
+    words: jax.Array,  # [N/8, D] int32 word-packed biased nibbles
+    scales: jax.Array,  # [N] f32 dequant scale per row
+    mask: jax.Array,  # [N] bool
+    queries: jax.Array,  # [Q, D] f32
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Int4-corpus IP scan: HBM reads half a byte per component; the MXU
+    multiplies int8 queries against biased-nibble planes (int32
+    accumulation) and the bias is removed exactly via the per-query
+    offset.  Same residual-digit query quantization as the int8 path."""
+    from .int4_pack import unpack_int4_rows
+
+    q_i8, rho, qs1 = quantize_queries(queries)
+    qoff = query_nibble_offsets(q_i8)
+    rows = unpack_int4_rows(words)  # [N, D] biased nibbles, int8
+    dots = _int8_dots(q_i8, rows)
+    scores = _combine_int4_digit_dots(dots, qoff, rho) * scales[None, :]
+    scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    return top_scores * qs1[:, None], top_ids.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def _chunked_topk_int4(
+    words: jax.Array,
+    scales: jax.Array,
+    mask: jax.Array,
+    queries: jax.Array,
+    k: int,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    from .int4_pack import unpack_int4_rows
+
+    w_rows, d = words.shape
+    n = w_rows * 8
+    q = queries.shape[0]
+    n_chunks = n // chunk
+    wchunk = chunk // 8
+    wcs = words.reshape(n_chunks, wchunk, d)
+    scls = scales.reshape(n_chunks, chunk)
+    masks = mask.reshape(n_chunks, chunk)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    init = (
+        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((q, k), dtype=jnp.int32),
+    )
+    q_i8, rho, qs1 = quantize_queries(queries)
+    qoff = query_nibble_offsets(q_i8)
+
+    def step(carry, inputs):
+        best_s, best_i = carry
+        wc, sc, mc, base = inputs
+        rows = unpack_int4_rows(wc)  # [chunk, D] transient only
+        s = _combine_int4_digit_dots(_int8_dots(q_i8, rows), qoff, rho)
+        s = s * sc[None, :]
+        s = jnp.where(mc[None, :], s, -jnp.inf)
+        ids = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (q, chunk))], axis=1
+        )
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    (top_scores, top_ids), _ = jax.lax.scan(
+        step, init, (wcs, scls, masks, bases)
+    )
+    return top_scores * qs1[:, None], top_ids
+
+
+def flat_topk_int4(
+    words: jax.Array,
+    scales: jax.Array,
+    mask: jax.Array,
+    queries: jax.Array,
+    k: int,
+    chunk: int = SCAN_CHUNK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-structure top-k over a word-packed int4 corpus (IP metric).
+
+    Same contract as ``flat_topk_int8`` with ``words`` in the
+    ops.int4_pack ``[N/8, D]`` int32 layout; scores are approximate to
+    the 4-bit quantization (see tests for measured recall)."""
+    n = words.shape[0] * 8
+    q = queries.shape[0]
+    if n * q <= SINGLE_SHOT_LIMIT or n < 2 * chunk:
+        return _single_shot_topk_int4(words, scales, mask, queries, k)
+    return _chunked_topk_int4(words, scales, mask, queries, k, chunk)
 
 
 def flat_topk_int8(

@@ -64,7 +64,9 @@ class StorageConfig:
     gpu_memory_fraction: float = 0.8
     # TPU-native knobs
     device: str = "auto"  # "auto" | "tpu" | "cpu"
-    storage_dtype: str = "bfloat16"  # HBM corpus dtype ("float32" | "bfloat16")
+    # HBM corpus dtype: "float32" | "bfloat16" | "int8" | "int4"
+    # (int8/int4 are ip-only; int4 is flat-index-only today).
+    storage_dtype: str = "bfloat16"
     save_interval_s: float = 0.0  # min seconds between auto-saves (0 = always)
     # Corpus sharding over a device mesh (flat index only):
     #   0 = auto (shard over all accelerator devices when more than one),
@@ -206,6 +208,31 @@ class HybridStorage:
         return build_mesh(n_data=len(devices), n_model=1, devices=devices)
 
     def _build_index(self, device, mesh):
+        dtype = self.config.storage_dtype
+        if (
+            dtype in ("int8", "int4")
+            and not self.config.normalize_embeddings
+        ):
+            # Quantized storage scores ip-only (per-row/slot symmetric
+            # scales); un-normalized (l2) corpora fall back rather than
+            # failing deep in the index.
+            self.logger.warning(
+                "storage_dtype '%s' with l2 metric is not supported; "
+                "using 'bfloat16'",
+                dtype,
+            )
+            dtype = "bfloat16"
+        if dtype == "int4" and (
+            self.config.index_type == "ivf" or mesh is not None
+        ):
+            # int4 is a FlatIndex storage mode today; IVF/sharded int4 is
+            # tracked in ROADMAP.md.
+            self.logger.warning(
+                "storage_dtype 'int4' is not yet supported by the %s "
+                "index; using 'int8'",
+                "sharded" if mesh is not None else "ivf",
+            )
+            dtype = "int8"
         if mesh is not None and self.config.index_type == "flat":
             from ..parallel.sharded_index import ShardedFlatIndex
 
@@ -216,22 +243,8 @@ class HybridStorage:
                 dim=self.embedding_dim,
                 mesh=mesh,
                 metric="ip" if self.config.normalize_embeddings else "l2",
-                dtype=self.config.storage_dtype,
+                dtype=dtype,
             )
-        dtype = self.config.storage_dtype
-        if (
-            self.config.index_type == "ivf"
-            and dtype == "int8"
-            and not self.config.normalize_embeddings
-        ):
-            # int8 IVF blocks score ip-only (per-slot symmetric scales);
-            # un-normalized (l2) storage falls back rather than failing
-            # deep in the index.
-            self.logger.warning(
-                "storage_dtype 'int8' with l2 metric is not supported by "
-                "the IVF index; using 'bfloat16'"
-            )
-            dtype = "bfloat16"
         if mesh is not None:  # index_type == "ivf" (the mesh gate)
             from ..parallel.sharded_ivf import ShardedIVFIndex
 
