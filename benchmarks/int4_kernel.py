@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""Int4 Pallas scan kernel: hardware A/B vs int8 + single-chip capacity.
+
+Phase 1 (default 1M x 768): times the int4 DMA kernel across tiles
+against the production int8 kernel on the SAME corpus, and measures
+recall@10 of both quantized paths against the bf16 exact scan (ids
+compared on device; only [Q, K] id blocks ever cross the host link).
+
+Phase 2 (--capacity N, default 24M): builds an int4 corpus too large for
+int8 on one chip (24M x 768 int4 = 9.2 GB vs 18.4 GB int8) and times the
+scan — the 2x rows-per-chip capacity claim, measured.
+
+Timing discipline (CLAUDE.md): reps chained on device, completion forced
+by one scalar fetch; the tunnel RTT never lands inside the timed region.
+
+    python benchmarks/int4_kernel.py [--n 1048576] [--capacity 25165824]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+D = 768
+K = 10
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=1 << 20)
+    parser.add_argument("--capacity", type=int, default=24 << 20)
+    parser.add_argument("--tiles", default="2048,4096,8192,16384")
+    parser.add_argument("--qs", default="8,128")
+    parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--skip-capacity", action="store_true")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from tpu_search.ops.int4_pack import pack_int4_rows, quantize_rows_int4
+    from tpu_search.ops.int8_pack import pack_int8_rows
+    from tpu_search.ops.pallas_topk_dma import (
+        pallas_flat_topk_dma,
+        pallas_flat_topk_dma_int4,
+        pallas_flat_topk_dma_int8_packed,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    tiles = [int(x) for x in args.tiles.split(",")]
+    qs = [int(x) for x in args.qs.split(",")]
+    results = {"device": str(dev), "ab": [], "recall": [], "capacity": []}
+
+    chunk = 1 << 18
+
+    @jax.jit
+    def gen_chunk(key):
+        rows = jax.random.normal(key, (chunk, D), jnp.float32)
+        rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+        s8 = jnp.maximum(jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12)
+        i8 = jnp.rint(rows / s8[:, None]).astype(jnp.int8)
+        u4, s4 = quantize_rows_int4(rows)
+        return (
+            pack_int8_rows(i8), s8,
+            pack_int4_rows(u4), s4,
+            rows.astype(jnp.bfloat16),
+        )
+
+    @jax.jit
+    def gen_chunk_int4_only(key):
+        rows = jax.random.normal(key, (chunk, D), jnp.float32)
+        rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+        u4, s4 = quantize_rows_int4(rows)
+        return pack_int4_rows(u4), s4
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def place(buf, blk, w0):
+        return jax.lax.dynamic_update_slice(buf, blk, (w0, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def place1(buf, blk, i0):
+        return jax.lax.dynamic_update_slice(buf, blk, (i0,))
+
+    def time_fn(fn, reps=args.reps):
+        out = fn()  # compile/warm
+        int(out[1][0, 0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        int(out[1][0, 0])
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    # ---- Phase 1: A/B at --n rows -------------------------------------
+    n = args.n
+    log(f"[gen] {n} rows int8+int4+bf16")
+    with jax.default_device(dev):
+        p8 = jnp.zeros((n // 4, D), jnp.int32)
+        s8 = jnp.zeros((n,), jnp.float32)
+        p4 = jnp.zeros((n // 8, D), jnp.int32)
+        s4 = jnp.zeros((n,), jnp.float32)
+        bf16 = jnp.zeros((n, D), jnp.bfloat16)
+        for start in range(0, n, chunk):
+            w8, c8, w4, c4, b = gen_chunk(jax.random.PRNGKey(start))
+            p8 = place(p8, w8, start // 4)
+            s8 = place1(s8, c8, start)
+            p4 = place(p4, w4, start // 8)
+            s4 = place1(s4, c4, start)
+            bf16 = place(bf16, b, start)
+        float(s8[0])
+        mask = jnp.ones((n,), jnp.bool_)
+        qall = jax.random.normal(jax.random.PRNGKey(99), (max(qs), D))
+        qall = (qall / jnp.linalg.norm(qall, axis=1, keepdims=True)).astype(
+            jnp.float32
+        )
+
+    for q in qs:
+        qbatch = qall[:q]
+        # int8 production pick for reference
+        tile8 = 8192 if q <= 32 else 4096
+        ms8 = time_fn(
+            lambda: pallas_flat_topk_dma_int8_packed(
+                p8, s8, mask, qbatch, K, tile_n=tile8
+            )
+        )
+        row = {"n": n, "dtype": "int8", "q": q, "tile": tile8,
+               "ms": round(ms8, 3),
+               "gbps": round(n * D / ms8 / 1e6, 1)}
+        results["ab"].append(row)
+        print(json.dumps(row), flush=True)
+        for tile in tiles:
+            if n % tile:
+                continue
+            try:
+                ms = time_fn(
+                    lambda: pallas_flat_topk_dma_int4(
+                        p4, s4, mask, qbatch, K, tile_n=tile
+                    )
+                )
+            except Exception as exc:
+                log(f"[skip] int4 q={q} tile={tile}: "
+                    f"{type(exc).__name__}: {str(exc)[:120]}")
+                continue
+            row = {"n": n, "dtype": "int4", "q": q, "tile": tile,
+                   "ms": round(ms, 3),
+                   "gbps": round(n * D / 2 / ms / 1e6, 1),
+                   "vs_int8": round(ms8 / ms, 2)}
+            results["ab"].append(row)
+            print(json.dumps(row), flush=True)
+
+    # recall vs bf16 exact, computed on device (no big d2h)
+    q = max(qs)
+    qbatch = qall[:q]
+    _, ids_bf = pallas_flat_topk_dma(bf16, mask, qbatch, K, tile_n=2048)
+    _, ids_8 = pallas_flat_topk_dma_int8_packed(
+        p8, s8, mask, qbatch, K, tile_n=4096
+    )
+    _, ids_4 = pallas_flat_topk_dma_int4(
+        p4, s4, mask, qbatch, K, tile_n=4096
+    )
+
+    @jax.jit
+    def recall(a, b):
+        hit = (a[:, :, None] == b[:, None, :]).any(-1)
+        return jnp.mean(hit.astype(jnp.float32))
+
+    r8 = float(recall(ids_bf, ids_8))
+    r4 = float(recall(ids_bf, ids_4))
+    results["recall"] = [
+        {"n": n, "q": q, "k": K, "dtype": "int8", "recall": round(r8, 4)},
+        {"n": n, "q": q, "k": K, "dtype": "int4", "recall": round(r4, 4)},
+    ]
+    print(json.dumps(results["recall"]), flush=True)
+    del p8, s8, p4, s4, bf16, mask, ids_bf, ids_8, ids_4
+
+    # ---- Phase 2: int4 capacity run -----------------------------------
+    if not args.skip_capacity:
+        cn = args.capacity
+        log(f"[gen] capacity corpus {cn} rows int4 "
+            f"({cn * D / 2 / 1e9:.1f} GB)")
+        with jax.default_device(dev):
+            p4 = jnp.zeros((cn // 8, D), jnp.int32)
+            s4 = jnp.zeros((cn,), jnp.float32)
+            for start in range(0, cn, chunk):
+                w4, c4 = gen_chunk_int4_only(jax.random.PRNGKey(start))
+                p4 = place(p4, w4, start // 8)
+                s4 = place1(s4, c4, start)
+            float(s4[0])
+            mask = jnp.ones((cn,), jnp.bool_)
+        for q in qs:
+            qbatch = qall[:q]
+            for tile in tiles:
+                if cn % tile:
+                    continue
+                try:
+                    ms = time_fn(
+                        lambda: pallas_flat_topk_dma_int4(
+                            p4, s4, mask, qbatch, K, tile_n=tile
+                        ),
+                        reps=max(5, args.reps // 4),
+                    )
+                except Exception as exc:
+                    log(f"[skip] cap q={q} tile={tile}: "
+                        f"{type(exc).__name__}: {str(exc)[:120]}")
+                    continue
+                row = {"n": cn, "dtype": "int4", "q": q, "tile": tile,
+                       "ms": round(ms, 3),
+                       "gbps": round(cn * D / 2 / ms / 1e6, 1)}
+                results["capacity"].append(row)
+                print(json.dumps(row), flush=True)
+
+    out = args.out or (
+        REPO_ROOT / "benchmarks" / "results"
+        / f"int4_kernel_{dev.platform}.json"
+    )
+    Path(out).parent.mkdir(parents=True, exist_ok=True)
+    Path(out).write_text(json.dumps(results, indent=1) + "\n")
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,16 @@ _SLOT_ALIGN = 256
 _KERNEL_TILES = (1024, 512, 256)  # largest divisor of cap wins
 _GROWTH = 1.25  # amortizes repeated small-increment capacity growth
 _BALANCE = 0.5  # starvation-respawn threshold fraction (see ops/kmeans.py)
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
+# "int4" blocks are word-packed: [nlist, cap/8, D] int32 with slot p in
+# nibble p%8 of word p//8 (shift 4*(p%8)) — the ops.int4_pack contract.
+# int32 block dtype is unambiguous (no other storage mode uses it), so the
+# device programs below branch on ``blocks.dtype == jnp.int32``.
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "int8": jnp.int8,
+    "int4": jnp.int32,
+}
 _LOAD_CHUNK_ROWS = 65536
 
 
@@ -96,12 +105,22 @@ def _scatter_rows_impl(
     the same ``by_residual`` encoding.  Already-int8 rows are assumed to
     be residuals under the SAME centroids."""
     nlist = blocks.shape[0]
+    int4 = blocks.dtype == jnp.int32
     cent_rows = (
         centroids[jnp.minimum(clusters, nlist - 1)]
         if residual
         else jnp.zeros((vecs.shape[0], blocks.shape[2]), jnp.float32)
     )
-    if blocks.dtype == jnp.int8 and vecs.dtype != jnp.int8:
+    if int4 and vecs.dtype != jnp.int8:
+        target = vecs.astype(jnp.float32) - cent_rows
+        scale = jnp.maximum(jnp.max(jnp.abs(target), axis=1) / 7.0, 1e-12)
+        stored = (
+            jnp.clip(jnp.rint(target / scale[:, None]), -7.0, 7.0) + 8.0
+        ).astype(jnp.int32)  # biased nibbles [1, 15]
+    elif int4:
+        stored = vecs.astype(jnp.int32)  # already biased nibbles (load/move)
+        scale = new_scales.astype(jnp.float32)
+    elif blocks.dtype == jnp.int8 and vecs.dtype != jnp.int8:
         target = vecs.astype(jnp.float32) - cent_rows
         scale = jnp.maximum(
             jnp.max(jnp.abs(target), axis=1) / 127.0, 1e-12
@@ -113,10 +132,51 @@ def _scatter_rows_impl(
     else:
         stored = vecs.astype(blocks.dtype)
         scale = jnp.ones(vecs.shape[:1], jnp.float32)
-    dequant = stored.astype(jnp.float32) * scale[:, None] + cent_rows
+    if int4:
+        dequant = (stored.astype(jnp.float32) - 8.0) * scale[
+            :, None
+        ] + cent_rows
+    else:
+        dequant = stored.astype(jnp.float32) * scale[:, None] + cent_rows
     sq = jnp.sum(dequant * dequant, axis=-1)
     idx = (clusters, slots)
-    blocks = blocks.at[idx].set(stored, mode="drop")
+    if int4:
+        # Word read-modify-write: batch rows land at nibble granularity.
+        # Duplicate TARGET WORDS are common (adds assign contiguous slots)
+        # but duplicate SLOTS never happen, so per-word nibble
+        # contributions are bit-disjoint and OR == ADD: sort rows by
+        # target word, segment-sum the shifted nibble contributions and
+        # masks, then one gather + merge + unique-index scatter.
+        b = vecs.shape[0]
+        cap_w, d = blocks.shape[1], blocks.shape[2]
+        widx = clusters.astype(jnp.int32) * cap_w + slots // 8
+        widx = jnp.where(clusters >= nlist, nlist * cap_w, widx)  # OOB drop
+        shift = 4 * (slots % 8)  # [B]
+        order = jnp.argsort(widx)
+        w_sorted = widx[order]
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), w_sorted[1:] != w_sorted[:-1]]
+        )
+        seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1  # [B]
+        contrib = (stored << shift[:, None])[order]  # [B, D]
+        nmask = (jnp.int32(0xF) << shift)[order]  # [B]
+        sum_contrib = jax.ops.segment_sum(contrib, seg_id, num_segments=b)
+        sum_mask = jax.ops.segment_sum(nmask, seg_id, num_segments=b)
+        seg_n = jax.ops.segment_sum(
+            jnp.ones((b,), jnp.int32), seg_id, num_segments=b
+        )
+        uw = jax.ops.segment_max(w_sorted, seg_id, num_segments=b)
+        uw = jnp.where(seg_n > 0, uw, nlist * cap_w)  # empty segs drop
+        flat_w = blocks.reshape(nlist * cap_w, d)
+        old = jnp.take(
+            flat_w, jnp.clip(uw, 0, nlist * cap_w - 1), axis=0
+        )
+        merged = (old & ~sum_mask[:, None]) | sum_contrib
+        blocks = flat_w.at[uw].set(merged, mode="drop").reshape(
+            nlist, cap_w, d
+        )
+    else:
+        blocks = blocks.at[idx].set(stored, mode="drop")
     dids = dids.at[idx].set(new_ids, mode="drop")
     dvalid = dvalid.at[idx].set(new_valid, mode="drop")
     dsq = dsq.at[idx].set(sq, mode="drop")
@@ -148,8 +208,16 @@ def _gather_dequant(
     """Gather flat slot indices as dequantized f32 rows (rebalance assign
     pass; for f32/bf16 blocks flat_scale is all-ones so the multiply is
     exact).  ``residual`` reconstructs ``stored * scale + centroid`` —
-    the cluster is recovered from the flat index (``fi // cap``)."""
-    rows = jnp.take(flat_blocks, fi, axis=0).astype(jnp.float32)
+    the cluster is recovered from the flat index (``fi // cap``).  int4
+    blocks (int32 words) gather the word row and extract slot ``p``'s
+    nibble at shift ``4*(p%8)`` (cap % 8 == 0, so ``fi // 8`` lands in
+    the right cluster's words)."""
+    if flat_blocks.dtype == jnp.int32:
+        words = jnp.take(flat_blocks, fi // 8, axis=0)
+        u = (words >> (4 * (fi % 8))[:, None]) & 0xF
+        rows = u.astype(jnp.float32) - 8.0
+    else:
+        rows = jnp.take(flat_blocks, fi, axis=0).astype(jnp.float32)
     rows = rows * jnp.take(flat_scale, fi)[:, None]
     if residual:
         rows = rows + centroids[fi // cap]
@@ -161,7 +229,13 @@ def _gather_stored(
     flat_blocks: jax.Array, flat_scale: jax.Array, fi: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Gather flat slot indices in STORAGE dtype with their per-slot
-    scales (rebalance move pass — int8 rows keep their original scales)."""
+    scales (rebalance move pass — int8 rows keep their original scales).
+    int4 blocks return biased nibble values as int8 rows (the scatter's
+    pre-quantized int4 path re-packs them bit-losslessly)."""
+    if flat_blocks.dtype == jnp.int32:
+        words = jnp.take(flat_blocks, fi // 8, axis=0)
+        u = (words >> (4 * (fi % 8))[:, None]) & 0xF
+        return u.astype(jnp.int8), jnp.take(flat_scale, fi)
     return jnp.take(flat_blocks, fi, axis=0), jnp.take(flat_scale, fi)
 
 
@@ -175,9 +249,14 @@ def _grow_blocks(
     new_cap: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Re-lay the cluster blocks out at a larger capacity ON DEVICE —
-    growth never round-trips the corpus through the host."""
-    grow = new_cap - blocks.shape[1]
-    blocks = jnp.pad(blocks, ((0, 0), (0, grow), (0, 0)))
+    growth never round-trips the corpus through the host.  int4 blocks
+    (int32 words) grow by new_cap/8 word rows; slot-level arrays by
+    new_cap."""
+    new_rows = new_cap // 8 if blocks.dtype == jnp.int32 else new_cap
+    blocks = jnp.pad(
+        blocks, ((0, 0), (0, new_rows - blocks.shape[1]), (0, 0))
+    )
+    grow = new_cap - dids.shape[1]
     dids = jnp.pad(dids, ((0, 0), (0, grow)), constant_values=-1)
     dvalid = jnp.pad(dvalid, ((0, 0), (0, grow)))
     dsq = jnp.pad(dsq, ((0, 0), (0, grow)))
@@ -196,8 +275,39 @@ def _permute_slots(
     lut: jax.Array,  # [count] int32 old id -> new id (-1 = removed)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Compaction: live rows to the cluster front + id renumbering, all on
-    device (the host only computes the tiny permutation/lookup tables)."""
-    blocks = jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
+    device (the host only computes the tiny permutation/lookup tables).
+
+    int4 blocks permute at NIBBLE granularity: a fori_loop walks cluster
+    chunks (bounded transient: one [g, cap, D] int32 unpack per chunk),
+    gathers each slot's word, extracts its nibble, and shift-adds the
+    permuted nibbles back into fresh words."""
+    if blocks.dtype == jnp.int32:
+        nlist, cap_w, d = blocks.shape
+        cap = cap_w * 8
+        g = max(1, min(nlist, (64 << 20) // (cap * d * 4)))
+        n_ch = -(-nlist // g)
+
+        def body(ci, out):
+            c0 = jnp.minimum(ci * g, nlist - g)
+            wchunk = jax.lax.dynamic_slice(
+                blocks, (c0, 0, 0), (g, cap_w, d)
+            )
+            pchunk = jax.lax.dynamic_slice(perm, (c0, 0), (g, cap))
+            ow = jnp.take_along_axis(
+                wchunk, (pchunk // 8)[:, :, None], axis=1
+            )  # [g, cap, d]
+            u = (ow >> (4 * (pchunk % 8))[:, :, None]) & 0xF
+            u8 = u.reshape(g, cap_w, 8, d)
+            words = jnp.zeros((g, cap_w, d), jnp.int32)
+            for j in range(8):
+                words = words | (u8[:, :, j, :] << (4 * j))
+            return jax.lax.dynamic_update_slice(out, words, (c0, 0, 0))
+
+        blocks = jax.lax.fori_loop(
+            0, n_ch, body, jnp.zeros_like(blocks)
+        )
+    else:
+        blocks = jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
     dsq = jnp.take_along_axis(dsq, perm, axis=1)
     dscale = jnp.take_along_axis(dscale, perm, axis=1)
     dvalid = jnp.take_along_axis(dvalid, perm, axis=1)
@@ -215,8 +325,9 @@ def _shrink_blocks(
     dscale: jax.Array,
     new_cap: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    new_rows = new_cap // 8 if blocks.dtype == jnp.int32 else new_cap
     return (
-        blocks[:, :new_cap],
+        blocks[:, :new_rows],
         dids[:, :new_cap],
         dvalid[:, :new_cap],
         dsq[:, :new_cap],
@@ -267,15 +378,23 @@ def _ivf_search_impl(
     q = queries.shape[0]
     nlist = blocks.shape[0]
     int8 = blocks.dtype == jnp.int8
-    if int8:
+    int4 = blocks.dtype == jnp.int32
+    if int8 or int4:
         # Residual-quantized queries feed int8 x int8 MXU dots; the
         # positive per-row qs1 factor is order-preserving, so the running
         # merge works in pre-qs1 units and qs1 multiplies at the end
-        # (same contract as ops.topk_scan.flat_topk_int8).
-        from ..ops.topk_scan import _combine_digit_dots, quantize_queries
+        # (same contract as ops.topk_scan.flat_topk_int8 / _int4).
+        from ..ops.topk_scan import (
+            _combine_digit_dots,
+            _combine_int4_digit_dots,
+            query_nibble_offsets,
+            quantize_queries,
+        )
 
         q_i8, rho, qs1 = quantize_queries(queries)
         inv_qs1 = 1.0 / qs1  # qs1 is clamped positive by contract
+        if int4:
+            qoff = query_nibble_offsets(q_i8)
     else:
         qcast = queries.astype(blocks.dtype)
 
@@ -299,7 +418,24 @@ def _ivf_search_impl(
         live = c < nlist
         c_safe = jnp.minimum(c, nlist - 1)
         block = blocks[c_safe]  # ONE [cap, D] HBM read for all queries
-        if int8:
+        if int4:
+            from ..ops.int4_pack import unpack_int4_rows
+
+            rows = unpack_int4_rows(block)  # [cap, D] biased nibbles
+            dots = jax.lax.dot_general(
+                q_i8,
+                rows,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [2Q, cap] int32 on the MXU
+            scores = _combine_int4_digit_dots(
+                dots, qoff, rho
+            ) * block_scale[c_safe][None, :]
+            if by_residual:
+                scores = scores + (
+                    cluster_scores[:, c_safe] * inv_qs1
+                )[:, None]
+        elif int8:
             dots = jax.lax.dot_general(
                 q_i8,
                 block,
@@ -336,7 +472,12 @@ def _ivf_search_impl(
         )
         merged_s = jnp.concatenate([best_s, scores], axis=1)
         merged_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(block_ids[c_safe], (q, block.shape[0]))],
+            [
+                best_i,
+                jnp.broadcast_to(
+                    block_ids[c_safe], (q, block_ids.shape[1])
+                ),
+            ],
             axis=1,
         )
         top_s, sel = jax.lax.top_k(merged_s, k)
@@ -358,7 +499,7 @@ def _ivf_search_impl(
         return i + 1, top_s, top_i
 
     _, scores, ids = jax.lax.while_loop(cond, body, init)
-    if int8:
+    if int8 or int4:
         scores = scores * qs1[:, None]
     return scores, ids
 
@@ -390,7 +531,11 @@ def _ivf_search_pallas_impl(
     """TPU probe scan through ops.pallas_ivf_scan: reads only each probed
     cluster's FILL prefix (the XLA grouped path streams the full padded
     cap), one dispatch, same results."""
-    from ..ops.pallas_ivf_scan import pallas_ivf_topk, pallas_ivf_topk_int8
+    from ..ops.pallas_ivf_scan import (
+        pallas_ivf_topk,
+        pallas_ivf_topk_int4,
+        pallas_ivf_topk_int8,
+    )
 
     cluster_scores = jnp.dot(
         queries, centroids.T, preferred_element_type=jnp.float32
@@ -400,7 +545,25 @@ def _ivf_search_pallas_impl(
         cluster_scores = 2.0 * cluster_scores - sq[None, :]
     _, probe_ids = jax.lax.top_k(cluster_scores, nprobe)
 
-    if blocks.dtype == jnp.int8:
+    if blocks.dtype == jnp.int32:
+        # int4 word-packed blocks (same additive-penalty contract as int8).
+        cbias = (
+            jnp.take_along_axis(cluster_scores, probe_ids, axis=1)
+            if by_residual
+            else None
+        )
+        scores, flat_pos = pallas_ivf_topk_int4(
+            blocks,
+            block_scale,
+            jnp.where(block_mask, 0.0, -jnp.inf),
+            fills,
+            probe_ids.astype(jnp.int32),
+            queries,
+            k,
+            tile_n=tile_n,
+            cbias=cbias,
+        )
+    elif blocks.dtype == jnp.int8:
         # int8 kernel: ADDITIVE 0 / -inf penalty (applied after dequant).
         cbias = (
             jnp.take_along_axis(cluster_scores, probe_ids, axis=1)
@@ -514,10 +677,10 @@ class IVFIndex:
             raise ValueError(
                 f"IVFIndex supports dtypes {sorted(_DTYPES)}, got {dtype!r}"
             )
-        if dtype == "int8" and metric == "l2":
+        if dtype in ("int8", "int4") and metric == "l2":
             raise ValueError(
-                "int8 IVF storage supports metric='ip' only (same contract "
-                "as FlatIndex int8)"
+                f"{dtype} IVF storage supports metric='ip' only (same "
+                "contract as FlatIndex)"
             )
         self.dim = dim
         self.metric = metric
@@ -533,9 +696,12 @@ class IVFIndex:
         # step size shrinks accordingly — measured recall@10 0.92 -> 0.97
         # at 200k x 768 (same speed; the q.centroid term rides the
         # centroid scan that probe selection already pays for).
+        # (int4's coarser step size benefits even more: residuals shrink
+        # the quantization range ~2.6x, recovering most of the 4-bit
+        # recall loss on clustered corpora.)
         self.by_residual = (
-            dtype == "int8" if by_residual is None
-            else bool(by_residual) and dtype == "int8"
+            dtype in ("int8", "int4") if by_residual is None
+            else bool(by_residual) and dtype in ("int8", "int4")
         )
 
         self.centroids: Optional[np.ndarray] = None  # [nlist, D] f32 (host)
@@ -638,8 +804,9 @@ class IVFIndex:
             if self._dcent is None and self.centroids is not None:
                 self._dcent = jnp.asarray(self.centroids, jnp.float32)
             if self._dblocks is None and cap:
+                rows = cap // 8 if self.dtype == "int4" else cap
                 self._dblocks = jnp.zeros(
-                    (self.nlist, cap, self.dim), _DTYPES[self.dtype]
+                    (self.nlist, rows, self.dim), _DTYPES[self.dtype]
                 )
                 self._dids = jnp.full((self.nlist, cap), -1, jnp.int32)
                 self._dvalid = jnp.zeros((self.nlist, cap), bool)
@@ -966,7 +1133,12 @@ class IVFIndex:
 
         by_res = self.by_residual
         with jax.default_device(self.device):
-            flat_blocks = self._dblocks.reshape(self.nlist * cap, self.dim)
+            # int4 blocks flatten to WORD rows; the gathers recover slot
+            # fi's nibble from word fi // 8 (cap % 8 == 0 keeps cluster
+            # strides aligned).
+            flat_blocks = self._dblocks.reshape(
+                self.nlist * self._dblocks.shape[1], self.dim
+            )
             flat_scale = self._dscale.reshape(self.nlist * cap)
             # Residual-encoded rows reconstruct against the centroids they
             # were encoded with — keep those alive across the retrain
@@ -1301,25 +1473,43 @@ class IVFIndex:
         import os
 
         cap = self._cluster_capacity
+        int4 = self.dtype == "int4"
+        block_rows = cap // 8 if int4 else cap
         chunk_bytes = int(
             os.environ.get("TPU_SEARCH_IO_CHUNK_BYTES", 64 << 20)
         )
-        cluster_bytes = cap * self.dim * np.dtype(
+        cluster_bytes = block_rows * self.dim * np.dtype(
             np.asarray(jnp.zeros((), _DTYPES[self.dtype])).dtype
         ).itemsize
         step = min(self.nlist, max(1, chunk_bytes // max(cluster_bytes, 1)))
         slice_fn = jax.jit(
             lambda b, c0: jax.lax.dynamic_slice(
-                b, (c0, 0, 0), (step, cap, self.dim)
+                b, (c0, 0, 0), (step, block_rows, self.dim)
             )
         )
+        shifts = (4 * np.arange(8, dtype=np.int32))[None, :, None]
         target = 0
         while target < self.nlist:
             c0 = max(0, min(target, self.nlist - step))
             host = np.asarray(slice_fn(self._dblocks, c0))
             for c in range(target, min(target + step, self.nlist)):
                 f = int(self._fill[c])
-                if f:
+                if not f:
+                    continue
+                if int4:
+                    # Words -> biased nibbles -> per-cluster byte rows
+                    # (odd fill pads one zero nibble; the loader's fill
+                    # table trims it).
+                    w = host[c - c0]  # [capW, D] int32
+                    u = ((w[:, None, :] >> shifts) & 0xF).reshape(
+                        cap, self.dim
+                    )[:f]
+                    if f % 2:
+                        u = np.concatenate(
+                            [u, np.zeros((1, self.dim), u.dtype)]
+                        )
+                    yield (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+                else:
                     yield host[c - c0, :f]
             target += step
 
@@ -1353,7 +1543,7 @@ class IVFIndex:
             dense_ids = self._ids[keep].astype(np.int32)
             dense_valid = self._valid[keep].astype(np.uint8)
             vec_chunks = self._iter_dense_rows()
-            if self.dtype == "int8":
+            if self.dtype in ("int8", "int4"):
                 # [nlist, cap] f32: ~1/384 of the vector bytes — one pull.
                 dense_scales = np.asarray(self._dscale)[keep].astype(
                     np.float32
@@ -1368,8 +1558,15 @@ class IVFIndex:
             if self.centroids is not None
             else np.empty((0, self.dim), np.float32)
         )
+        if self.dtype == "int4":
+            # Nibble-pair byte rows, ceil(fill/2) per cluster (the fill
+            # table recovers the row <-> byte mapping on load).
+            total_b = int(np.sum((fill + 1) // 2))
+            vec_section = ("vectors", "uint8", (total_b, self.dim), vec_chunks)
+        else:
+            vec_section = ("vectors", self.dtype, (total, self.dim), vec_chunks)
         sections = [
-            ("vectors", self.dtype, (total, self.dim), vec_chunks),
+            vec_section,
             ("ids", "int32", (total,), iter([dense_ids])),
             ("valid", "uint8", (total,), iter([dense_valid])),
             ("fill", "int32", (self.nlist,), iter([fill.astype(np.int32)])),
@@ -1380,7 +1577,7 @@ class IVFIndex:
                 iter([np.ascontiguousarray(centroids, np.float32)]),
             ),
         ]
-        if self.dtype == "int8":
+        if self.dtype in ("int8", "int4"):
             sections.append(
                 ("scales", "float32", (total,), iter([dense_scales]))
             )
@@ -1442,12 +1639,29 @@ class IVFIndex:
         vecs = arrays["vectors"]  # memmap [total, D] storage dtype
         scales = arrays.get("scales")
         chunk = min(_LOAD_CHUNK_ROWS, max(total, 1))
-        np_dtype = np.asarray(jnp.zeros((), _DTYPES[index.dtype])).dtype
+        int4 = index.dtype == "int4"
+        if int4:
+            # Byte-row offsets per cluster (ceil(fill/2) rows each); dense
+            # row r of cluster c sits at byte row bcum[c] + pos//2,
+            # nibble pos%2.
+            bcum = np.zeros((nlist,), np.int64)
+            np.cumsum((fill[:-1] + 1) // 2, out=bcum[1:])
+            np_dtype = np.dtype(np.int8)
+        else:
+            np_dtype = np.asarray(jnp.zeros((), _DTYPES[index.dtype])).dtype
         with jax.default_device(index.device):
             for start in range(0, total, chunk):
                 take = min(chunk, total - start)
                 blk = np.zeros((chunk, index.dim), np_dtype)
-                blk[:take] = vecs[start : start + take]
+                if int4:
+                    c = cluster_of[start : start + take]
+                    p = pos_of[start : start + take]
+                    brows = np.asarray(vecs[bcum[c] + p // 2])
+                    blk[:take] = np.where(
+                        (p % 2 == 1)[:, None], brows >> 4, brows & 0xF
+                    ).astype(np.int8)
+                else:
+                    blk[:take] = vecs[start : start + take]
                 cl = np.full((chunk,), nlist, np.int32)
                 cl[:take] = cluster_of[start : start + take]
                 sl = np.zeros((chunk,), np.int32)

@@ -41,10 +41,12 @@ from .pallas_topk import _select_topk
 __all__ = [
     "pallas_ivf_topk",
     "pallas_ivf_topk_int8",
+    "pallas_ivf_topk_int4",
     "build_probe_schedule",
 ]
 
 _LANE = 128
+_NIBBLE_LO = 0x0F0F0F0F
 
 
 def build_probe_schedule(
@@ -497,6 +499,246 @@ def pallas_ivf_topk_int8(
         aux,
         q_i8,
         rho_bcast,
+        probe_ids,
+        cbias_pre,
+    )
+    return out_scores[:, :k] * qs1[:, None], out_ids[:, :k]
+
+
+def _kernel_ivf_int4(
+    nsched_ref,  # SMEM [1] int32 runtime trip count
+    tidx_ref,  # SMEM [max_sched+1] int32 corpus tile indices
+    cluster_ref,  # SMEM [max_sched+1] int32 cluster id per tile
+    vec_hbm,  # [n_tiles, TILE/8, D] int32 word-packed nibbles (HBM)
+    aux_hbm,  # [n_tiles, 2, TILE/128, 128] f32 [scale, penalty], PLANE order
+    query_ref,  # [2Q, D] int8 stacked digit queries (VMEM)
+    rho_ref,  # [Q, LANE] f32 per-row digit ratio (VMEM, bcast)
+    qoff_ref,  # [2Q, LANE] int32 per-digit bias offset 8*sum(q) (VMEM)
+    probe_ref,  # [Q, nprobe] int32 probe lists (VMEM)
+    cbias_ref,  # [Q, nprobe] f32 per-probe additive bias (pre-qs1 units)
+    out_scores_ref,  # [Q, K_PAD] (pre-qs1 units)
+    out_ids_ref,  # [Q, K_PAD] flat slot positions
+    vec_buf,  # scratch [2, TILE/8, D] int32
+    aux_buf,  # scratch [2, 2, TILE/128, 128] f32
+    best_scores,
+    best_ids,
+    vec_sems,
+    aux_sems,
+    *,
+    k: int,
+    tile_n: int,
+    interpret: bool = False,
+):
+    """int4 variant of _kernel_ivf_int8: half the HBM bytes per probed
+    row.  Words split into biased-nibble planes with two int32 VPU ops
+    (ops.int4_pack contract), both planes feed the int8 MXU, and the bias
+    is removed exactly in int32 via the per-digit query offset before the
+    f32 digit combine.  Aux streams arrive PLANE-ordered; ids map plane
+    columns back to logical slots in the merge."""
+    queries = query_ref[:]
+    n_q = queries.shape[0] // 2
+    rho = rho_ref[:, 0:1]  # [Q, 1]
+    qoff = qoff_ref[:, 0:1]  # [2Q, 1] int32
+    n_sched = nsched_ref[0]
+    half = tile_n // 2
+
+    def vec_dma(slot, j):
+        return pltpu.make_async_copy(
+            vec_hbm.at[tidx_ref[j]], vec_buf.at[slot], vec_sems.at[slot]
+        )
+
+    def aux_dma(slot, j):
+        return pltpu.make_async_copy(
+            aux_hbm.at[tidx_ref[j]], aux_buf.at[slot], aux_sems.at[slot]
+        )
+
+    def to_int8_plane(w):
+        if interpret:
+            r = jax.lax.bitcast_convert_type(w, jnp.int8)  # [T/8, D, 4]
+            return r.transpose(0, 2, 1).reshape(half, w.shape[1])
+        return pltpu.bitcast(w, jnp.int8)
+
+    best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+    best_ids[:] = jnp.zeros_like(best_ids[:])
+
+    @pl.when(n_sched > 0)
+    def _start():
+        vec_dma(0, 0).start()
+        aux_dma(0, 0).start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, 2)
+        next_slot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < n_sched)
+        def _prefetch():
+            vec_dma(next_slot, t + 1).start()
+            aux_dma(next_slot, t + 1).start()
+
+        vec_dma(slot, t).wait()
+        aux_dma(slot, t).wait()
+
+        w = vec_buf[slot]
+        lo = to_int8_plane(jnp.bitwise_and(w, _NIBBLE_LO))
+        hi = to_int8_plane(
+            jnp.bitwise_and(jax.lax.shift_right_logical(w, 4), _NIBBLE_LO)
+        )
+        dots_lo = jax.lax.dot_general(
+            queries, lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [2Q, TILE/2] — plane column u = logical slot 2u
+        dots_hi = jax.lax.dot_general(
+            queries, hi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [2Q, TILE/2] — plane column u = logical slot 2u + 1
+        dots = jnp.concatenate([dots_lo, dots_hi], axis=1) - qoff
+        combined = dots[:n_q].astype(jnp.float32) + rho * dots[
+            n_q:
+        ].astype(jnp.float32)
+        scale = aux_buf[slot, 0].reshape(1, tile_n)  # plane-ordered
+        penalty = aux_buf[slot, 1].reshape(1, tile_n)  # 0 / -inf
+        c = cluster_ref[t]
+        pos = probe_ref[:] == c  # [Q, nprobe]
+        member = jnp.any(pos, axis=1)  # [Q]
+        bias = jnp.sum(jnp.where(pos, cbias_ref[:], 0.0), axis=1)  # [Q]
+        scores = combined * scale + penalty + bias[:, None]
+        scores = jnp.where(member[:, None], scores, -jnp.inf)
+
+        tile_max = jnp.max(scores, axis=1)
+        kth = best_scores[:, k - 1]
+        should_merge = jnp.any(tile_max > kth)
+
+        @pl.when(should_merge)
+        def _merge():
+            j = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            local = jnp.where(j < half, 2 * j, 2 * j - tile_n + 1)
+            tile_ids = tidx_ref[t] * tile_n + local
+            merged_s = jnp.concatenate([best_scores[:], scores], axis=1)
+            merged_i = jnp.concatenate([best_ids[:], tile_ids], axis=1)
+            new_s, new_i = _select_topk(merged_s, merged_i, k)
+            best_scores[:, 0:k] = new_s
+            best_ids[:, 0:k] = new_i
+
+        return 0
+
+    jax.lax.fori_loop(0, n_sched, body, 0)
+    out_scores_ref[:] = best_scores[:]
+    out_ids_ref[:] = best_ids[:]
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def pallas_ivf_topk_int4(
+    words: jax.Array,  # [nlist, cap/8, D] int32 word-packed nibbles
+    scales: jax.Array,  # [nlist, cap] f32 per-slot dequant scale
+    penalty: jax.Array,  # [nlist, cap] f32 ADDITIVE (0 live / -inf dead)
+    fills: jax.Array,  # [nlist] int32
+    probe_ids: jax.Array,  # [Q, nprobe] int32
+    queries: jax.Array,  # [Q, D] f32
+    k: int,
+    tile_n: int = 512,
+    interpret: bool = False,
+    cbias: Optional[jax.Array] = None,  # [Q, nprobe] f32 additive per probe
+) -> Tuple[jax.Array, jax.Array]:
+    """int4 fused IVF probe scan (ip metric); returns (scores [Q, k],
+    FLAT slot ids [Q, k]).  Same contract as pallas_ivf_topk_int8 over
+    the ops.int4_pack word layout; same score math as the int4 grouped
+    XLA path in index/ivf.py."""
+    from .topk_scan import quantize_queries, query_nibble_offsets
+
+    nlist, cap_w, d = words.shape
+    cap = cap_w * 8
+    q = queries.shape[0]
+    if cap % tile_n or tile_n % _LANE:
+        raise ValueError(
+            f"cap ({cap}) must be a multiple of tile_n ({tile_n}), "
+            f"tile_n a multiple of {_LANE}"
+        )
+    k_pad = round_up(k, _LANE)
+
+    tile_idx, clusters, n_sched = build_probe_schedule(
+        probe_ids, fills, cap, tile_n
+    )
+    n_tiles = nlist * cap // tile_n
+    vec_tiled = words.reshape(n_tiles, tile_n // 8, d)
+    half = tile_n // 2
+
+    def plane_permute(x):
+        t = x.reshape(n_tiles, half, 2)
+        return jnp.concatenate([t[:, :, 0], t[:, :, 1]], axis=1)
+
+    aux = jnp.stack(
+        [
+            plane_permute(scales.astype(jnp.float32)).reshape(
+                n_tiles, tile_n // _LANE, _LANE
+            ),
+            plane_permute(penalty.astype(jnp.float32)).reshape(
+                n_tiles, tile_n // _LANE, _LANE
+            ),
+        ],
+        axis=1,
+    )  # [n_tiles, 2, TILE/128, 128]
+    q_i8, rho, qs1 = quantize_queries(queries)
+    rho_bcast = jnp.broadcast_to(rho[:, None], (q, _LANE))
+    qoff = query_nibble_offsets(q_i8)
+    qoff_bcast = jnp.broadcast_to(qoff[:, None], (2 * q, _LANE))
+    nprobe = probe_ids.shape[1]
+    if cbias is None:
+        cbias_pre = jnp.zeros((q, nprobe), jnp.float32)
+    else:
+        cbias_pre = cbias.astype(jnp.float32) / qs1[:, None]
+
+    out_scores, out_ids = pl.pallas_call(
+        partial(
+            _kernel_ivf_int4, k=k, tile_n=tile_n, interpret=interpret
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_n // 8, d), jnp.int32),
+            pltpu.VMEM((2, 2, tile_n // _LANE, _LANE), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.float32),
+            pltpu.VMEM((q, k_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * q * min(q * probe_ids.shape[1], nlist) * cap * d,
+            bytes_accessed=min(q * probe_ids.shape[1], nlist)
+            * cap
+            * (d // 2 + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        n_sched.reshape(1),
+        tile_idx,
+        clusters,
+        vec_tiled,
+        aux,
+        q_i8,
+        rho_bcast,
+        qoff_bcast,
         probe_ids,
         cbias_pre,
     )

@@ -65,7 +65,7 @@ class StorageConfig:
     # TPU-native knobs
     device: str = "auto"  # "auto" | "tpu" | "cpu"
     # HBM corpus dtype: "float32" | "bfloat16" | "int8" | "int4"
-    # (int8/int4 are ip-only; int4 is flat-index-only today).
+    # (int8/int4 are ip-only; int4 covers flat + ivf, not sharded yet).
     storage_dtype: str = "bfloat16"
     save_interval_s: float = 0.0  # min seconds between auto-saves (0 = always)
     # Corpus sharding over a device mesh (flat index only):
@@ -222,15 +222,12 @@ class HybridStorage:
                 dtype,
             )
             dtype = "bfloat16"
-        if dtype == "int4" and (
-            self.config.index_type == "ivf" or mesh is not None
-        ):
-            # int4 is a FlatIndex storage mode today; IVF/sharded int4 is
-            # tracked in ROADMAP.md.
+        if dtype == "int4" and mesh is not None:
+            # Sharded (multi-chip) int4 is tracked in ROADMAP.md; the
+            # single-chip flat AND ivf indexes support it natively.
             self.logger.warning(
-                "storage_dtype 'int4' is not yet supported by the %s "
-                "index; using 'int8'",
-                "sharded" if mesh is not None else "ivf",
+                "storage_dtype 'int4' is not yet supported by the "
+                "sharded index; using 'int8'"
             )
             dtype = "int8"
         if mesh is not None and self.config.index_type == "flat":
