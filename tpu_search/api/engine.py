@@ -140,7 +140,8 @@ class SearchEngine:
         )
         # Index engine knobs (env-tunable; defaults come from
         # StorageConfig): CLAUDE_SEARCH_INDEX_TYPE = flat|ivf,
-        # CLAUDE_SEARCH_STORAGE_DTYPE = float32|bfloat16|int8|int4.
+        # CLAUDE_SEARCH_STORAGE_DTYPE = float32|bfloat16|int8|int4,
+        # CLAUDE_SEARCH_SHARD_DEVICES = 0 (auto) | 1 (single) | N chips.
         storage_kwargs: Dict[str, Any] = {}
         env_index_type = os.environ.get("CLAUDE_SEARCH_INDEX_TYPE")
         if env_index_type:
@@ -148,6 +149,9 @@ class SearchEngine:
         env_dtype = os.environ.get("CLAUDE_SEARCH_STORAGE_DTYPE")
         if env_dtype:
             storage_kwargs["storage_dtype"] = env_dtype
+        env_shards = os.environ.get("CLAUDE_SEARCH_SHARD_DEVICES")
+        if env_shards:
+            storage_kwargs["shard_devices"] = int(env_shards)
         self.storage = HybridStorage(
             StorageConfig(
                 data_dir=str(self.data_dir),

@@ -36,6 +36,13 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.flat import _grow
+from ..ops.int4_pack import (
+    pack_int4_rows,
+    pack_int4_rows_host,
+    quantize_rows_int4,
+    quantize_rows_int4_host,
+    unpack_int4_rows_host,
+)
 from ..ops.int8_pack import (
     pack_int8_rows,
     pack_int8_rows_host,
@@ -50,7 +57,14 @@ __all__ = ["ShardedFlatIndex"]
 _MIN_LOCAL_CAPACITY = 1024
 _QUERY_BUCKETS = (1, 8, 32, 128, 512)
 _UPDATE_BUCKETS = (256, 2048, 16384)  # padded append/remove batch sizes
-_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
+# "int4" shards are word-packed [S, local_cap/8, D] int32 (ops.int4_pack
+# layout), same scheme as the single-chip FlatIndex int4 mode.
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "int8": jnp.int8,
+    "int4": jnp.int32,
+}
 # Device<->host streaming chunk for save/load/compact (local slots per pull).
 _IO_CHUNK_SLOTS = 8192
 
@@ -118,6 +132,57 @@ def _scatter_update_fn(mesh: Mesh, with_vectors: bool):
         return new_valid
 
     return jax.jit(program, donate_argnums=(0, 1) if with_vectors else (0,))
+
+
+def _append_int4_fn(mesh: Mesh):
+    """Jitted per-shard contiguous append into word-packed int4 shards —
+    the int4 twin of :func:`_append_int8_fn` (8 slots per int32 word,
+    16-row boundary region via index.flat._packed_write4; needs 16 spare
+    local slots of capacity)."""
+    n_shards = mesh.shape["data"]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None),  # packed [1, cap/8, D] int32
+            P("data", None),  # valid [1, cap]
+            P("data", None),  # scales [1, cap]
+            P(None, None),  # batch_u4 [B, D] int8 biased nibbles, replicated
+            P(None),  # batch_scales [B]
+            P(None),  # count (as [1] array)
+            P(None),  # n live rows in batch (as [1] array)
+        ),
+        out_specs=(P("data", None, None), P("data", None), P("data", None)),
+        check_vma=False,
+    )
+    def program(packed, valid, scales, batch_u4, batch_scales, count_a, n_a):
+        from ..index.flat import _packed_write4
+
+        me = jax.lax.axis_index("data")
+        count = count_a[0]
+        n = n_a[0]
+        b = batch_u4.shape[0]  # B = l_max * n_shards, l_max % 8 == 0
+        l_max = b // n_shards
+        off = jnp.mod(me - count, n_shards)
+        start_slot = (count + off) // n_shards
+        idx = jnp.arange(l_max) * n_shards + off
+        rows = batch_u4[jnp.clip(idx, 0, b - 1)]  # [l_max, D] nibbles
+        row_scales = batch_scales[jnp.clip(idx, 0, b - 1)]
+        row_valid = idx < n
+
+        new_packed = _packed_write4(packed[0], rows, start_slot)[None]
+        new_valid = jax.lax.dynamic_update_slice(
+            valid[0], row_valid, (start_slot,)
+        )[None]
+        new_scales = jax.lax.dynamic_update_slice(
+            scales[0],
+            jnp.where(row_valid, row_scales, jnp.float32(1.0)),
+            (start_slot,),
+        )[None]
+        return new_packed, new_valid, new_scales
+
+    return jax.jit(program, donate_argnums=(0, 1, 2))
 
 
 def _append_int8_fn(mesh: Mesh):
@@ -197,11 +262,11 @@ def _sharded_topk_program(
     """
 
     n_shards = mesh.shape["data"]
-    int8 = local_impl.startswith("int8")
+    quantized = local_impl.startswith(("int8", "int4"))
     l2_pallas = local_impl == "pallas_l2"
 
-    in_specs = [P("data", None, None)]  # vectors (packed words for int8)
-    if int8:
+    in_specs = [P("data", None, None)]  # vectors (packed words for int8/4)
+    if quantized:
         in_specs.append(P("data", None))  # scales
     if l2_pallas:
         in_specs.append(P("data", None))  # sq_norms
@@ -217,13 +282,26 @@ def _sharded_topk_program(
         check_vma=False,
     )
     def program(*args):
-        if int8:
+        if quantized:
             vectors, scales, mask, queries = args
         elif l2_pallas:
             vectors, sq_norms, mask, queries = args
         else:
             vectors, mask, queries = args
-        if local_impl == "int8_pallas":
+        if local_impl == "int4_pallas":
+            from ..ops.pallas_topk_dma import pallas_flat_topk_dma_int4
+
+            local_scores, local_ids = pallas_flat_topk_dma_int4(
+                vectors[0], scales[0], mask[0], queries, k,
+                tile_n=tile_n, interpret=interpret,
+            )
+        elif local_impl == "int4_xla":
+            from ..ops.topk_scan import flat_topk_int4
+
+            local_scores, local_ids = flat_topk_int4(
+                vectors[0], scales[0], mask[0], queries, k
+            )
+        elif local_impl == "int8_pallas":
             from ..ops.pallas_topk_dma import pallas_flat_topk_dma_int8_packed
 
             local_scores, local_ids = pallas_flat_topk_dma_int8_packed(
@@ -332,8 +410,10 @@ class ShardedFlatIndex:
                 f"Unknown storage dtype: {dtype} "
                 f"(supported: {sorted(_DTYPES)})"
             )
-        if dtype == "int8" and metric != "ip":
-            raise ValueError("int8 storage supports the 'ip' metric only")
+        if dtype in ("int8", "int4") and metric != "ip":
+            raise ValueError(
+                f"{dtype} storage supports the 'ip' metric only"
+            )
         self.dim = dim
         self.mesh = mesh
         self.metric = metric
@@ -341,15 +421,16 @@ class ShardedFlatIndex:
         self.n_shards = mesh.shape["data"]
         self._local_capacity = 0
         self._count = 0  # global slots assigned
-        # Sharded device state ([S, ...] leading shard axis). int8 vectors
-        # are word-packed: [S, local_cap/4, D] int32.
+        # Sharded device state ([S, ...] leading shard axis). int8/int4
+        # vectors are word-packed: [S, local_cap/4 or /8, D] int32.
         self._vectors: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None  # (see property below)
-        self._scales: Optional[jax.Array] = None  # int8: [S, local_cap] f32
+        self._scales: Optional[jax.Array] = None  # int8/4: [S, local_cap] f32
         self._sq_cache: Optional[jax.Array] = None  # l2: [S, local_cap] f32
         self._search_fns: Dict[Tuple, callable] = {}
         self._update_fns: Dict[bool, callable] = {}
         self._append_int8 = None
+        self._append_int4 = None
 
     # -- size accounting -----------------------------------------------------
 
@@ -394,6 +475,9 @@ class ShardedFlatIndex:
         if self.dtype == "int8":
             vec_shape = (S, local_capacity // 4, d)
             vec_dtype = jnp.int32
+        elif self.dtype == "int4":
+            vec_shape = (S, local_capacity // 8, d)
+            vec_dtype = jnp.int32
         else:
             vec_shape = (S, local_capacity, d)
             vec_dtype = _DTYPES[self.dtype]
@@ -407,7 +491,7 @@ class ShardedFlatIndex:
         )
         vectors, valid = zeros3(), zeros2b()
         scales = None
-        if self.dtype == "int8":
+        if self.dtype in ("int8", "int4"):
             ones2 = jax.jit(
                 lambda: jnp.ones((S, local_capacity), jnp.float32),
                 out_shardings=self._sharding(2),
@@ -417,9 +501,9 @@ class ShardedFlatIndex:
 
     def _ensure_capacity(self, needed_global: int) -> None:
         """Grow the sharded device buffers (donated on-device copy)."""
-        # int8 packed appends need 8 spare local slots for the boundary
-        # region (see _append_int8_fn).
-        margin = 8 if self.dtype == "int8" else 0
+        # int8/int4 packed appends need spare local slots for the boundary
+        # region (see _append_int8_fn / _append_int4_fn).
+        margin = {"int8": 8, "int4": 16}.get(self.dtype, 0)
         needed_local = -(-needed_global // self.n_shards) + margin
         target = max(_MIN_LOCAL_CAPACITY, next_pow2(needed_local))
         if target <= self._local_capacity:
@@ -479,6 +563,30 @@ class ShardedFlatIndex:
         else:
             self._valid = self._update_fns[False](self._valid, *coords)
 
+    def _append_int4_batch(self, vectors: np.ndarray, n: int) -> None:
+        """int4 twin of _append_int8_batch: host quantize to biased
+        nibbles, one replicated h2d, per-shard contiguous packed write."""
+        l_max = round_up(-(-n // self.n_shards), 8)
+        b = l_max * self.n_shards
+        batch = np.zeros((b, self.dim), dtype=np.float32)
+        batch[:n] = vectors[:n]
+        u, scales = quantize_rows_int4_host(batch)
+        if self._append_int4 is None:
+            self._append_int4 = _append_int4_fn(self.mesh)
+        rep1 = NamedSharding(self.mesh, P(None))
+        rep2 = NamedSharding(self.mesh, P(None, None))
+        self._vectors, self._valid, self._scales = self._append_int4(
+            self._vectors,
+            self._valid,
+            self._scales,
+            jax.device_put(jnp.asarray(u.astype(np.int8)), rep2),
+            jax.device_put(jnp.asarray(scales), rep1),
+            jax.device_put(
+                jnp.asarray([self._count], dtype=jnp.int32), rep1
+            ),
+            jax.device_put(jnp.asarray([n], dtype=jnp.int32), rep1),
+        )
+
     def _append_int8_batch(self, vectors: np.ndarray, n: int) -> None:
         """Quantize on host, then one replicated h2d + per-shard contiguous
         packed write. The batch is padded so every shard gathers the same
@@ -519,6 +627,8 @@ class ShardedFlatIndex:
         ids = np.arange(self._count, self._count + n, dtype=np.int64)
         if self.dtype == "int8":
             self._append_int8_batch(vectors, n)
+        elif self.dtype == "int4":
+            self._append_int4_batch(vectors, n)
         else:
             self._scatter_to_device(ids, vectors, True)
         self._count += n
@@ -589,16 +699,30 @@ class ShardedFlatIndex:
         n, d = (int(s) for s in vectors.shape)
         index = cls(dim=d, mesh=mesh, metric=metric, dtype=dtype)
         S = index.n_shards
+        margin = {"int8": 8, "int4": 16}.get(dtype, 0)
         local = max(
             _MIN_LOCAL_CAPACITY,
-            next_pow2(-(-n // S) + (8 if dtype == "int8" else 0)),
+            next_pow2(-(-n // S) + margin),
         )
         index._local_capacity = local
         total = local * S
         out3 = index._sharding(3)
         out2 = index._sharding(2)
 
-        if dtype == "int8":
+        if dtype == "int4":
+
+            @partial(jax.jit, out_shardings=(out3, out2))
+            def build_int4(v):
+                pad = jnp.zeros((total - n, d), v.dtype)
+                rows = jnp.concatenate([v, pad])
+                u, s = quantize_rows_int4(rows)
+                # round-robin: shard axis minor -> [S, local, D]
+                u = u.reshape(local, S, d).transpose(1, 0, 2)
+                packed = jax.vmap(pack_int4_rows)(u)  # [S, local/8, d]
+                return packed, s.reshape(local, S).T
+
+            index._vectors, index._scales = build_int4(vectors)
+        elif dtype == "int8":
 
             @partial(jax.jit, out_shardings=(out3, out2))
             def build_int8(v):
@@ -689,7 +813,7 @@ class ShardedFlatIndex:
             local_impl, tile_n,
         )
         extra = ()
-        if local_impl.startswith("int8"):
+        if local_impl.startswith(("int8", "int4")):
             extra = (self._scales,)
         elif local_impl == "pallas_l2":
             extra = (self._sq_norms(),)
@@ -733,7 +857,7 @@ class ShardedFlatIndex:
             jnp.asarray(qbatch), NamedSharding(self.mesh, P(None, None))
         )
         extra = ()
-        if local_impl.startswith("int8"):
+        if local_impl.startswith(("int8", "int4")):
             extra = (self._scales,)
         elif local_impl == "pallas_l2":
             extra = (self._sq_norms(),)
@@ -788,6 +912,11 @@ class ShardedFlatIndex:
             if pallas_ok and self._local_capacity % tile == 0:
                 return "int8_pallas", tile
             return "int8_xla", 0
+        if self.dtype == "int4":
+            tile = 8192 if padded_q <= 32 else 4096
+            if pallas_ok and self._local_capacity % tile == 0:
+                return "int4_pallas", tile
+            return "int4_xla", 0
         if self.dtype == "bfloat16":
             tile = 4096 if padded_q <= 32 else 2048
         else:
@@ -812,7 +941,8 @@ class ShardedFlatIndex:
         )
 
     def _iter_vector_chunks(self) -> Iterator[np.ndarray]:
-        """Global-order storage-dtype rows, chunked (int8 rows unpacked)."""
+        """Global-order storage-dtype rows, chunked (int8 rows unpacked;
+        int4 yields BIASED NIBBLE values as int8 rows)."""
         for a, b in self._iter_slot_chunks():
             if self.dtype == "int8":
                 # packed words for slots [a, b) live at word rows
@@ -828,10 +958,43 @@ class ShardedFlatIndex:
                 out = np.ascontiguousarray(rows.swapaxes(0, 1)).reshape(
                     (b - a) * self.n_shards, self.dim
                 )
+            elif self.dtype == "int4":
+                wa, wb = a // 8, -(-b // 8)
+                words = np.asarray(
+                    _slice_shards(self._vectors, wa, c=wb - wa)
+                )  # [S, wc, D] int32
+                rows = np.stack(
+                    [unpack_int4_rows_host(w) for w in words]
+                )  # [S, 8*wc, D] uint8 nibbles
+                rows = rows[:, (a - wa * 8):(a - wa * 8) + (b - a)].astype(
+                    np.int8
+                )
+                out = np.ascontiguousarray(rows.swapaxes(0, 1)).reshape(
+                    (b - a) * self.n_shards, self.dim
+                )
             else:
                 out = self._pull_interleaved(self._vectors, a, b)
             hi = min(self._count - a * self.n_shards, out.shape[0])
             yield out[:hi]
+
+    def _iter_nibble_byte_chunks(self) -> Iterator[np.ndarray]:
+        """Global-order nibble-PAIR byte rows (the FlatIndex int4 disk
+        format): consecutive global rows 2m / 2m+1 share byte row m."""
+        carry = None
+        for rows in self._iter_vector_chunks():  # biased nibbles, int8
+            if carry is not None:
+                rows = np.concatenate([carry, rows])
+                carry = None
+            if rows.shape[0] % 2:
+                carry = rows[-1:].copy()
+                rows = rows[:-1]
+            if rows.shape[0]:
+                yield (
+                    rows[0::2].astype(np.uint8)
+                    | (rows[1::2].astype(np.uint8) << 4)
+                )
+        if carry is not None:
+            yield carry.astype(np.uint8) & 0xF  # odd tail: hi nibble zero
 
     def _iter_valid_chunks(self) -> Iterator[np.ndarray]:
         for a, b in self._iter_slot_chunks():
@@ -851,6 +1014,11 @@ class ShardedFlatIndex:
                 self._iter_vector_chunks(), self._iter_scale_chunks()
             ):
                 yield rows.astype(np.float32) * scales[:, None]
+        elif self.dtype == "int4":
+            for rows, scales in zip(
+                self._iter_vector_chunks(), self._iter_scale_chunks()
+            ):
+                yield (rows.astype(np.float32) - 8.0) * scales[:, None]
         else:
             for rows in self._iter_vector_chunks():
                 yield rows.astype(np.float32)
@@ -880,14 +1048,23 @@ class ShardedFlatIndex:
             "count": self._count,
         }
         count = self._count
+        if self.dtype == "int4":
+            vec_section = (
+                "vectors", "uint8", ((count + 1) // 2, self.dim),
+                self._iter_nibble_byte_chunks(),
+            )
+        else:
+            vec_section = (
+                "vectors", self.dtype, (count, self.dim),
+                self._iter_vector_chunks(),
+            )
         sections = [
-            ("vectors", self.dtype, (count, self.dim),
-             self._iter_vector_chunks()),
+            vec_section,
             ("valid", "uint8",
              (count,),
              (c.astype(np.uint8) for c in self._iter_valid_chunks())),
         ]
-        if self.dtype == "int8":
+        if self.dtype in ("int8", "int4"):
             sections.append(
                 ("scales", "float32", (count,), self._iter_scale_chunks())
             )
@@ -934,9 +1111,15 @@ class ShardedFlatIndex:
 
         vec_locals = local_of(self._vectors)
         valid_locals = local_of(self._valid)
-        scale_locals = local_of(self._scales) if self.dtype == "int8" else {}
+        scale_locals = (
+            local_of(self._scales)
+            if self.dtype in ("int8", "int4")
+            else {}
+        )
         sections = []
-        vec_dtype = "int32" if self.dtype == "int8" else self.dtype
+        vec_dtype = (
+            "int32" if self.dtype in ("int8", "int4") else self.dtype
+        )
         for s in owned:
             # raw device-layout buffers (packed words for int8): zero
             # transform cost, chunk-streamed to disk.
@@ -953,7 +1136,7 @@ class ShardedFlatIndex:
                     local_valid.astype(jnp.uint8), local_valid.shape[0],
                 )
             )
-            if self.dtype == "int8":
+            if self.dtype in ("int8", "int4"):
                 local_scales = scale_locals[s]
                 sections.append(
                     device_section(
@@ -1021,9 +1204,10 @@ class ShardedFlatIndex:
         import ml_dtypes
 
         S = index.n_shards
-        if index.dtype == "int8":
+        if index.dtype in ("int8", "int4"):
+            words_per = 4 if index.dtype == "int8" else 8
             index._vectors = assemble(
-                "vectors", (S, cap // 4, index.dim), np.int32
+                "vectors", (S, cap // words_per, index.dim), np.int32
             )
             index._scales = assemble("scales", (S, cap), np.float32)
         else:
@@ -1073,9 +1257,7 @@ class ShardedFlatIndex:
             index._local_capacity
         )
         index._count = count
-        same_dtype = (
-            header["dtype"] == index.dtype and header["dtype"] == "int8"
-        )
+        src_dtype = header["dtype"]
         S = index.n_shards
         chunk_slots = _IO_CHUNK_SLOTS
         upd3 = jax.jit(
@@ -1092,38 +1274,86 @@ class ShardedFlatIndex:
         )
         used_slots = -(-count // S)
         sh3, sh2 = index._sharding(3), index._sharding(2)
-        src_int8 = header["dtype"] == "int8"
         for a in range(0, used_slots, chunk_slots):
             b = min(a + chunk_slots, used_slots)
             lo, hi = a * S, min(b * S, count)
-            # host rows in global order -> [S, c, ...] shard-major
             c = b - a
-            if src_int8 and index.dtype != "int8":
-                # cross-dtype load: dequantize int8 disk rows to floats
-                rows = np.zeros((c * S, index.dim), dtype=np.float32)
-                rows[: hi - lo] = (
-                    vectors[lo:hi].astype(np.float32)
-                    * np.asarray(scales[lo:hi])[:, None]
+            # 1) read the chunk's global rows [lo, hi) in source form
+            u_src = sc_src = None
+            if src_dtype == "int4":
+                # nibble-pair byte rows; lo is even (a and S alignment)
+                bl = np.asarray(vectors[lo // 2 : (hi + 1) // 2])
+                u_src = np.empty((bl.shape[0] * 2, index.dim), np.uint8)
+                u_src[0::2] = bl & 0xF
+                u_src[1::2] = bl >> 4
+                u_src = u_src[: hi - lo]
+                sc_src = np.asarray(scales[lo:hi])
+
+            def f32_rows():
+                out = np.zeros((c * S, index.dim), dtype=np.float32)
+                if src_dtype == "int4":
+                    out[: hi - lo] = (
+                        u_src.astype(np.float32) - 8.0
+                    ) * sc_src[:, None]
+                elif src_dtype == "int8":
+                    out[: hi - lo] = (
+                        vectors[lo:hi].astype(np.float32)
+                        * np.asarray(scales[lo:hi])[:, None]
+                    )
+                else:
+                    out[: hi - lo] = vectors[lo:hi]
+                return out
+
+            # 2) write in target form
+            if index.dtype == "int4":
+                if src_dtype == "int4":
+                    q = u_src
+                    sc = sc_src
+                else:
+                    rows = f32_rows()[: hi - lo]
+                    q, sc = quantize_rows_int4_host(rows)
+                qfull = np.full((c * S, index.dim), 8, np.uint8)  # value 0
+                qfull[: hi - lo] = q
+                scfull = np.ones((c * S,), np.float32)
+                scfull[: hi - lo] = sc
+                qsh = np.ascontiguousarray(
+                    qfull.reshape(c, S, index.dim).swapaxes(0, 1)
                 )
-            else:
-                rows = np.zeros((c * S, index.dim), dtype=vectors.dtype)
-                rows[: hi - lo] = vectors[lo:hi]
-            shard_rows = np.ascontiguousarray(
-                rows.reshape(c, S, index.dim).swapaxes(0, 1)
-            )
-            if index.dtype == "int8":
-                if same_dtype:
-                    q = shard_rows
+                c8 = -(-c // 8) * 8
+                qpad = np.full((S, c8, index.dim), 8, np.uint8)
+                qpad[:, :c] = qsh
+                words = np.stack(
+                    [pack_int4_rows_host(s) for s in qpad]
+                )  # [S, c8/8, D]
+                index._vectors = upd3(
+                    index._vectors,
+                    jax.device_put(jnp.asarray(words), sh3),
+                    a // 8,
+                )
+                index._scales = upd2(
+                    index._scales,
+                    jax.device_put(
+                        jnp.asarray(scfull.reshape(c, S).T.copy()), sh2
+                    ),
+                    a,
+                )
+            elif index.dtype == "int8":
+                if src_dtype == "int8":
+                    rows = np.zeros(
+                        (c * S, index.dim), dtype=vectors.dtype
+                    )
+                    rows[: hi - lo] = vectors[lo:hi]
+                    q = np.ascontiguousarray(
+                        rows.reshape(c, S, index.dim).swapaxes(0, 1)
+                    )
                     sc = np.ones((c * S,), np.float32)
                     sc[: hi - lo] = scales[lo:hi]
                 else:
-                    q, sc_rows = _quantize_rows_np(
-                        rows.astype(np.float32)
-                    )
+                    rows = f32_rows()
+                    q, sc = _quantize_rows_np(rows)
                     q = np.ascontiguousarray(
                         q.reshape(c, S, index.dim).swapaxes(0, 1)
                     )
-                    sc = sc_rows
                 # pad local chunk to words and pack per shard
                 c4 = -(-c // 4) * 4
                 qpad = np.zeros((S, c4, index.dim), np.int8)
@@ -1155,6 +1385,9 @@ class ShardedFlatIndex:
                     ml_dtypes.bfloat16
                     if index.dtype == "bfloat16"
                     else np.float32
+                )
+                shard_rows = np.ascontiguousarray(
+                    f32_rows().reshape(c, S, index.dim).swapaxes(0, 1)
                 )
                 blk = shard_rows.astype(host_dtype)
                 index._vectors = upd3(

@@ -222,12 +222,17 @@ class HybridStorage:
                 dtype,
             )
             dtype = "bfloat16"
-        if dtype == "int4" and mesh is not None:
-            # Sharded (multi-chip) int4 is tracked in ROADMAP.md; the
-            # single-chip flat AND ivf indexes support it natively.
+        if (
+            dtype == "int4"
+            and mesh is not None
+            and self.config.index_type == "ivf"
+        ):
+            # Sharded (multi-chip) IVF int4 is tracked in ROADMAP.md; the
+            # flat indexes (single-chip and sharded) and single-chip IVF
+            # support int4 natively.
             self.logger.warning(
                 "storage_dtype 'int4' is not yet supported by the "
-                "sharded index; using 'int8'"
+                "sharded IVF index; using 'int8'"
             )
             dtype = "int8"
         if mesh is not None and self.config.index_type == "flat":
