@@ -55,7 +55,7 @@ class TestWaterFill:
 
 
 class TestParityWithSingleChip:
-    @pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8", "int4"])
     def test_matches_ivf_index(self, mesh, corpus, queries, dtype):
         single = IVFIndex(dim=32, dtype=dtype, nlist=8, seed=3)
         sharded = ShardedIVFIndex(
@@ -269,7 +269,7 @@ class TestPersistence:
         np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
         np.testing.assert_array_equal(i1, i2)
 
-    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
     def test_sharded_save_loads_in_single_chip(
         self, mesh, corpus, queries, tmp_path, dtype
     ):
@@ -299,6 +299,70 @@ class TestPersistence:
         np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
         for r1, r2 in zip(i1, i2):
             assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+
+class TestInt4Lifecycle:
+    """int4-specific sharded IVF coverage: nibble-level compact permute,
+    rebalance re-encode, residual default, and cross-engine roundtrip
+    with tombstones."""
+
+    def test_by_residual_default_on(self, mesh):
+        assert ShardedIVFIndex(dim=16, mesh=mesh, dtype="int4").by_residual
+
+    def test_l2_rejected(self, mesh):
+        with pytest.raises(ValueError, match="ip"):
+            ShardedIVFIndex(dim=16, mesh=mesh, metric="l2", dtype="int4")
+
+    def test_compact_preserves_rows(self, mesh, corpus):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="int4", nlist=8, seed=3
+        )
+        ids = sharded.add(corpus)
+        sharded.remove(ids[:40])
+        mapping = sharded.compact()
+        assert sharded.live == len(corpus) - 40
+        # every surviving row still retrieves itself (nibble permute exact)
+        probe = corpus[np.array([40, 100, len(corpus) - 1])]
+        _, got = sharded.search(probe, k=1, nprobe=8)
+        expect = [mapping[40], mapping[100], mapping[len(corpus) - 1]]
+        assert got[:, 0].tolist() == expect
+
+    def test_rebalance_preserves_ids(self, mesh, corpus):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="int4", nlist=8, seed=3
+        )
+        sharded.add(corpus)
+        sharded.rebalance(train_sample=len(corpus))
+        _, got = sharded.search(corpus[:30], k=1, nprobe=8)
+        assert got[:, 0].tolist() == list(range(30))
+
+    def test_roundtrip_with_tombstones(self, mesh, corpus, queries, tmp_path):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="int4", nlist=8, seed=3
+        )
+        ids = sharded.add(corpus[:501])  # odd count
+        sharded.remove(ids[5:8])
+        s1, i1 = sharded.search(queries, k=7, nprobe=8)
+        path = str(tmp_path / "i4.tpuidx")
+        sharded.save(path)
+        back = ShardedIVFIndex.load(path, mesh)
+        assert back.dtype == "int4" and back.by_residual
+        s2, i2 = back.search(queries, k=7, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+    def test_incremental_adds_self_retrieve(self, mesh, corpus):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="int4", nlist=8, seed=3
+        )
+        sharded.add(corpus[:100])
+        total = 100
+        for size in (3, 5, 9, 1, 13):  # odd sizes cross nibble boundaries
+            sharded.add(corpus[total : total + size])
+            total += size
+        _, got = sharded.search(corpus[:total], k=1, nprobe=8)
+        assert got[:, 0].tolist() == list(range(total))
 
 
 class TestRebalance:

@@ -149,8 +149,21 @@ def _scatter_rows_impl(
         # masks, then one gather + merge + unique-index scatter.
         b = vecs.shape[0]
         cap_w, d = blocks.shape[1], blocks.shape[2]
-        widx = clusters.astype(jnp.int32) * cap_w + slots // 8
-        widx = jnp.where(clusters >= nlist, nlist * cap_w, widx)  # OOB drop
+        # Out-of-range rows (padding: cluster == nlist; sharded callers:
+        # other shards' local slots land negative or past the local cap)
+        # MUST pin to the sentinel word — a slot-level scatter drops them
+        # via mode="drop", but a word index computed from a bad slot
+        # would alias a NEIGHBORING cluster's words.
+        oob = (
+            (clusters >= nlist)
+            | (slots < 0)
+            | (slots >= cap_w * 8)
+        )
+        widx = jnp.where(
+            oob,
+            nlist * cap_w,
+            clusters.astype(jnp.int32) * cap_w + slots // 8,
+        )
         shift = 4 * (slots % 8)  # [B]
         order = jnp.argsort(widx)
         w_sorted = widx[order]
@@ -264,6 +277,35 @@ def _grow_blocks(
     return blocks, dids, dvalid, dsq, dscale
 
 
+def _permute_int4_blocks(blocks: jax.Array, perm: jax.Array) -> jax.Array:
+    """Within-cluster slot permutation of word-packed int4 blocks
+    ([nlist, cap/8, D] int32; perm [nlist, cap]).  A fori_loop walks
+    cluster chunks (bounded transient: one [g, cap, D] int32 unpack per
+    chunk), gathers each slot's word, extracts its nibble, and shift-ORs
+    the permuted nibbles back into fresh words.  Traceable (used by
+    IVFIndex.compact and, per shard, by ShardedIVFIndex.compact)."""
+    nlist, cap_w, d = blocks.shape
+    cap = cap_w * 8
+    g = max(1, min(nlist, (64 << 20) // (cap * d * 4)))
+    n_ch = -(-nlist // g)
+
+    def body(ci, out):
+        c0 = jnp.minimum(ci * g, nlist - g)
+        wchunk = jax.lax.dynamic_slice(blocks, (c0, 0, 0), (g, cap_w, d))
+        pchunk = jax.lax.dynamic_slice(perm, (c0, 0), (g, cap))
+        ow = jnp.take_along_axis(
+            wchunk, (pchunk // 8)[:, :, None], axis=1
+        )  # [g, cap, d]
+        u = (ow >> (4 * (pchunk % 8))[:, :, None]) & 0xF
+        u8 = u.reshape(g, cap_w, 8, d)
+        words = jnp.zeros((g, cap_w, d), jnp.int32)
+        for j in range(8):
+            words = words | (u8[:, :, j, :] << (4 * j))
+        return jax.lax.dynamic_update_slice(out, words, (c0, 0, 0))
+
+    return jax.lax.fori_loop(0, n_ch, body, jnp.zeros_like(blocks))
+
+
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _permute_slots(
     blocks: jax.Array,
@@ -282,30 +324,7 @@ def _permute_slots(
     gathers each slot's word, extracts its nibble, and shift-adds the
     permuted nibbles back into fresh words."""
     if blocks.dtype == jnp.int32:
-        nlist, cap_w, d = blocks.shape
-        cap = cap_w * 8
-        g = max(1, min(nlist, (64 << 20) // (cap * d * 4)))
-        n_ch = -(-nlist // g)
-
-        def body(ci, out):
-            c0 = jnp.minimum(ci * g, nlist - g)
-            wchunk = jax.lax.dynamic_slice(
-                blocks, (c0, 0, 0), (g, cap_w, d)
-            )
-            pchunk = jax.lax.dynamic_slice(perm, (c0, 0), (g, cap))
-            ow = jnp.take_along_axis(
-                wchunk, (pchunk // 8)[:, :, None], axis=1
-            )  # [g, cap, d]
-            u = (ow >> (4 * (pchunk % 8))[:, :, None]) & 0xF
-            u8 = u.reshape(g, cap_w, 8, d)
-            words = jnp.zeros((g, cap_w, d), jnp.int32)
-            for j in range(8):
-                words = words | (u8[:, :, j, :] << (4 * j))
-            return jax.lax.dynamic_update_slice(out, words, (c0, 0, 0))
-
-        blocks = jax.lax.fori_loop(
-            0, n_ch, body, jnp.zeros_like(blocks)
-        )
+        blocks = _permute_int4_blocks(blocks, perm)
     else:
         blocks = jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
     dsq = jnp.take_along_axis(dsq, perm, axis=1)

@@ -87,37 +87,18 @@ def _water_fill(fills: np.ndarray, n: int) -> np.ndarray:
 def _scatter_body(blocks, dids, dvalid, dsq, dscale,
                   clusters, slots, vecs, new_ids, new_valid, new_scales,
                   centroids, residual):
-    """Shared scatter math (same contract as index.ivf._scatter_rows);
-    ``slots`` are local to the executing shard, out-of-range rows drop.
-    ``residual`` (int8 by_residual indexes) encodes float rows as
-    ``v - centroid[cluster]`` — see index.ivf._scatter_rows_impl."""
-    nlist = blocks.shape[0]
-    cent_rows = (
-        centroids[jnp.minimum(clusters, nlist - 1)]
-        if residual
-        else jnp.zeros((vecs.shape[0], blocks.shape[2]), jnp.float32)
+    """Shared scatter math — delegates to index.ivf._scatter_rows_impl
+    (identical contract: int8 quantize / int4 nibble read-modify-write /
+    residual encoding); ``slots`` are local to the executing shard, and
+    out-of-range rows drop (the impl pins bad word indices to a sentinel,
+    which makes the int4 path shard-safe)."""
+    from ..index.ivf import _scatter_rows_impl
+
+    return _scatter_rows_impl(
+        blocks, dids, dvalid, dsq, dscale,
+        clusters, slots, vecs, new_ids, new_valid, new_scales,
+        centroids, residual,
     )
-    if blocks.dtype == jnp.int8 and vecs.dtype != jnp.int8:
-        target = vecs.astype(jnp.float32) - cent_rows
-        scale = jnp.maximum(
-            jnp.max(jnp.abs(target), axis=1) / 127.0, 1e-12
-        )
-        stored = jnp.rint(target / scale[:, None]).astype(jnp.int8)
-    elif blocks.dtype == jnp.int8:
-        stored = vecs
-        scale = new_scales.astype(jnp.float32)
-    else:
-        stored = vecs.astype(blocks.dtype)
-        scale = jnp.ones(vecs.shape[:1], jnp.float32)
-    dequant = stored.astype(jnp.float32) * scale[:, None] + cent_rows
-    sq = jnp.sum(dequant * dequant, axis=-1)
-    idx = (clusters, slots)
-    blocks = blocks.at[idx].set(stored, mode="drop")
-    dids = dids.at[idx].set(new_ids, mode="drop")
-    dvalid = dvalid.at[idx].set(new_valid, mode="drop")
-    dsq = dsq.at[idx].set(sq, mode="drop")
-    dscale = dscale.at[idx].set(scale, mode="drop")
-    return blocks, dids, dvalid, dsq, dscale
 
 
 def _sharded_ivf_program(
@@ -220,9 +201,9 @@ class ShardedIVFIndex:
                 f"ShardedIVFIndex supports dtypes {sorted(_DTYPES)}, "
                 f"got {dtype!r}"
             )
-        if dtype == "int8" and metric == "l2":
+        if dtype in ("int8", "int4") and metric == "l2":
             raise ValueError(
-                "int8 IVF storage supports metric='ip' only"
+                f"{dtype} IVF storage supports metric='ip' only"
             )
         self.dim = dim
         self.mesh = mesh
@@ -232,11 +213,11 @@ class ShardedIVFIndex:
         self.train_iters = train_iters
         self.seed = seed
         self.balanced = balanced
-        # Same default + semantics as IVFIndex.by_residual: int8 rows
-        # store residuals vs their cluster centroid.
+        # Same default + semantics as IVFIndex.by_residual: int8/int4
+        # rows store residuals vs their cluster centroid.
         self.by_residual = (
-            dtype == "int8" if by_residual is None
-            else bool(by_residual) and dtype == "int8"
+            dtype in ("int8", "int4") if by_residual is None
+            else bool(by_residual) and dtype in ("int8", "int4")
         )
         self.n_shards = mesh.shape["data"]
 
@@ -358,9 +339,13 @@ class ShardedIVFIndex:
             cap = lcap * self.n_shards
             sh3 = self._spec(P(None, "data", None))
             sh2 = self._spec(P(None, "data"))
+            # int4: word-packed [nlist, cap/8, D] int32, sharded on the
+            # word axis (lcap % 8 == 0, so shard boundaries align with
+            # slot boundaries: shard s owns words [s*lcap/8, (s+1)*lcap/8)).
+            rows = cap // 8 if self.dtype == "int4" else cap
             self._dblocks = jax.jit(
                 lambda: jnp.zeros(
-                    (self.nlist, cap, self.dim), _DTYPES[self.dtype]
+                    (self.nlist, rows, self.dim), _DTYPES[self.dtype]
                 ),
                 out_shardings=sh3,
             )()
@@ -419,7 +404,8 @@ class ShardedIVFIndex:
             check_vma=False,
         )
         def grow_prog(blocks, dids, dvalid, dsq, dscale):
-            blocks = jnp.pad(blocks, ((0, 0), (0, grow), (0, 0)))
+            grow_b = grow // 8 if blocks.dtype == jnp.int32 else grow
+            blocks = jnp.pad(blocks, ((0, 0), (0, grow_b), (0, 0)))
             dids = jnp.pad(dids, ((0, 0), (0, grow)), constant_values=-1)
             dvalid = jnp.pad(dvalid, ((0, 0), (0, grow)))
             dsq = jnp.pad(dsq, ((0, 0), (0, grow)))
@@ -490,7 +476,13 @@ class ShardedIVFIndex:
         def scatter_prog(blocks, dids, dvalid, dsq, dscale,
                          cl, gslot, vecs, nid, nvalid, nscale, cent):
             s = jax.lax.axis_index("data")
-            local = gslot - s * lcap  # rows of other shards go OOB -> drop
+            local = gslot - s * lcap
+            # Rows of other shards must drop — pin them PAST the local
+            # capacity explicitly: .at[] follows NumPy semantics, so a
+            # NEGATIVE local slot (a row owned by an earlier shard) would
+            # WRAP to lcap-|x| and silently clobber an occupied slot
+            # before mode="drop" ever applies.
+            local = jnp.where((local >= 0) & (local < lcap), local, lcap)
             return _scatter_body(
                 blocks, dids, dvalid, dsq, dscale,
                 cl, local, vecs, nid, nvalid, nscale, cent, residual,
@@ -663,6 +655,9 @@ class ShardedIVFIndex:
         def tombstone_prog(dvalid, clusters, gslot):
             s = jax.lax.axis_index("data")
             local = gslot - s * lcap
+            # Same negative-wrap hazard as scatter_prog: a negative local
+            # slot would wrap and tombstone a LIVE slot on this shard.
+            local = jnp.where((local >= 0) & (local < lcap), local, lcap)
             return dvalid.at[(clusters, local)].set(False, mode="drop")
 
         rep = self._put_replicated
@@ -710,7 +705,14 @@ class ShardedIVFIndex:
             check_vma=False,
         )
         def permute_prog(blocks, dsq, dscale, perm):
-            blocks = jnp.take_along_axis(blocks, perm[:, :, None], axis=1)
+            if blocks.dtype == jnp.int32:  # int4: nibble-level permute
+                from ..index.ivf import _permute_int4_blocks
+
+                blocks = _permute_int4_blocks(blocks, perm)
+            else:
+                blocks = jnp.take_along_axis(
+                    blocks, perm[:, :, None], axis=1
+                )
             dsq = jnp.take_along_axis(dsq, perm, axis=1)
             dscale = jnp.take_along_axis(dscale, perm, axis=1)
             return blocks, dsq, dscale
@@ -779,7 +781,12 @@ class ShardedIVFIndex:
             local = gs - s * lcap
             own = (local >= 0) & (local < lcap)
             lidx = jnp.where(own, local, 0)
-            rows = blocks[cl, lidx].astype(jnp.float32)
+            if blocks.dtype == jnp.int32:  # int4 words: extract nibbles
+                w = blocks[cl, lidx // 8]  # [B, D] int32
+                u = (w >> (4 * (lidx % 8))[:, None]) & 0xF
+                rows = u.astype(jnp.float32) - 8.0  # SIGNED stored value
+            else:
+                rows = blocks[cl, lidx].astype(jnp.float32)
             sc = dscale[cl, lidx]
             rows = jnp.where(own[:, None], rows, 0.0)
             sc = jnp.where(own, sc, 0.0)
@@ -933,7 +940,7 @@ class ShardedIVFIndex:
         # cannot move raw — their base centroid just changed — so they
         # reconstruct against the old centroids and re-encode against
         # the new ones (same re-encode as IVFIndex.rebalance).
-        stored_dt = _DTYPES[self.dtype]
+        stored_dt = jnp.int8 if self.dtype == "int4" else _DTYPES[self.dtype]
         scatter = self._scatter_fn(b)
         for c0 in range(0, live, b):
             hi = min(c0 + b, live)
@@ -941,6 +948,11 @@ class ShardedIVFIndex:
             if by_res:
                 move_rows = recon(rows_f, sc, ocl)  # f32: re-encoded below
                 move_scales = jnp.ones((b,), jnp.float32)
+            elif self.dtype == "int4":
+                # gather returned SIGNED stored values; the scatter's
+                # pre-quantized int4 path wants BIASED nibbles.
+                move_rows = (rows_f + 8.0).astype(jnp.int8)
+                move_scales = jnp.maximum(sc, 1e-12)
             else:
                 move_rows = rows_f.astype(stored_dt)
                 move_scales = jnp.maximum(sc, 1e-12)
@@ -1123,16 +1135,40 @@ class ShardedIVFIndex:
         order (shard 0's prefix, then shard 1's, ...) — the same dense
         per-cluster row stream the single-chip IVF container stores."""
         lcap = self._local_capacity
+        int4 = self.dtype == "int4"
+        shifts = (4 * np.arange(8, dtype=np.int32))[None, :, None]
         for c in range(self.nlist):
             if not self._fill[c].sum():
                 continue
-            row = np.asarray(self._dblocks[c])  # [cap, D] one cluster pull
+            if int4:
+                w = np.asarray(self._dblocks[c])  # [cap/8, D] int32 words
+                row = (
+                    ((w[:, None, :] >> shifts) & 0xF)
+                    .reshape(lcap * self.n_shards, self.dim)
+                    .astype(np.int8)
+                )  # biased nibble values per slot
+            else:
+                row = np.asarray(self._dblocks[c])  # [cap, D] cluster pull
             parts = [
                 row[s * lcap : s * lcap + int(self._fill[c, s])]
                 for s in range(self.n_shards)
                 if self._fill[c, s]
             ]
             yield np.concatenate(parts, axis=0)
+
+    def _iter_dense_nibble_bytes(self) -> Iterator[np.ndarray]:
+        """Per-cluster nibble-PAIR byte rows (the IVFIndex int4 disk
+        format: ceil(fill/2) byte rows per cluster, odd fills pad one
+        zero nibble)."""
+        for rows in self._iter_dense_rows():  # one chunk per cluster
+            if rows.shape[0] % 2:
+                rows = np.concatenate(
+                    [rows, np.zeros((1, self.dim), rows.dtype)]
+                )
+            yield (
+                rows[0::2].astype(np.uint8)
+                | (rows[1::2].astype(np.uint8) << 4)
+            )
 
     def _dense_order(self) -> Tuple[np.ndarray, np.ndarray]:
         """(clusters, gslots) of every assigned slot in dense save order."""
@@ -1183,8 +1219,11 @@ class ShardedIVFIndex:
             cl, gs = self._dense_order()
             dense_ids = self._ids[cl, gs].astype(np.int32)
             dense_valid = self._valid[cl, gs].astype(np.uint8)
-            vec_chunks = self._iter_dense_rows()
-            if self.dtype == "int8":
+            if self.dtype == "int4":
+                vec_chunks = self._iter_dense_nibble_bytes()
+            else:
+                vec_chunks = self._iter_dense_rows()
+            if self.dtype in ("int8", "int4"):
                 dense_scales = np.asarray(self._dscale)[cl, gs].astype(
                     np.float32
                 )
@@ -1198,8 +1237,13 @@ class ShardedIVFIndex:
             if self.centroids is not None
             else np.empty((0, self.dim), np.float32)
         )
+        if self.dtype == "int4":
+            total_b = int(np.sum((fill_per_cluster + 1) // 2))
+            vec_section = ("vectors", "uint8", (total_b, self.dim), vec_chunks)
+        else:
+            vec_section = ("vectors", self.dtype, (total, self.dim), vec_chunks)
         sections = [
-            ("vectors", self.dtype, (total, self.dim), vec_chunks),
+            vec_section,
             ("ids", "int32", (total,), iter([dense_ids])),
             ("valid", "uint8", (total,), iter([dense_valid])),
             (
@@ -1211,7 +1255,7 @@ class ShardedIVFIndex:
                 iter([np.ascontiguousarray(centroids, np.float32)]),
             ),
         ]
-        if self.dtype == "int8":
+        if self.dtype in ("int8", "int4"):
             sections.append(
                 ("scales", "float32", (total,), iter([dense_scales]))
             )
@@ -1244,22 +1288,24 @@ class ShardedIVFIndex:
         }
         owned: Dict[int, jax.Array] = {}
         scale_locals: Dict[int, jax.Array] = {}
+        block_lrows = lcap // 8 if self.dtype == "int4" else lcap
         if self._dblocks is not None:
             for sh in self._dblocks.addressable_shards:
-                owned[(sh.index[1].start or 0) // lcap] = sh.data
-            if self.dtype == "int8":
+                owned[(sh.index[1].start or 0) // block_lrows] = sh.data
+            if self.dtype in ("int8", "int4"):
                 for sh in self._dscale.addressable_shards:
                     scale_locals[(sh.index[1].start or 0) // lcap] = sh.data
         sections = []
+        block_disk_dtype = "int32" if self.dtype == "int4" else self.dtype
         for s in sorted(owned):
-            # raw device-layout [nlist, lcap, D] slice: zero transform
+            # raw device-layout [nlist, lcap(/8), D] slice: zero transform
             # cost, chunk-streamed to disk
             sections.append(
                 device_section(
-                    f"blocks{s}", self.dtype, owned[s], self.nlist
+                    f"blocks{s}", block_disk_dtype, owned[s], self.nlist
                 )
             )
-            if self.dtype == "int8":
+            if self.dtype in ("int8", "int4"):
                 sections.append(
                     device_section(
                         f"scales{s}", "float32", scale_locals[s], self.nlist
@@ -1374,12 +1420,14 @@ class ShardedIVFIndex:
             "float32": np.float32,
             "bfloat16": ml_dtypes.bfloat16,
             "int8": np.int8,
+            "int4": np.int32,  # raw word rows
         }[index.dtype]
+        block_rows = cap // 8 if index.dtype == "int4" else cap
         index._dblocks = assemble(
-            "blocks", (index.nlist, cap, index.dim), host_dt
+            "blocks", (index.nlist, block_rows, index.dim), host_dt
         )
         sh2 = index._spec(P(None, "data"))
-        if index.dtype == "int8":
+        if index.dtype in ("int8", "int4"):
             index._dscale = assemble("scales", (index.nlist, cap), np.float32)
         else:
             index._dscale = jax.jit(
@@ -1403,6 +1451,17 @@ class ShardedIVFIndex:
             check_vma=False,
         )
         def sq_prog(blocks, scale):
+            if blocks.dtype == jnp.int32:  # int4 words
+                # Per nibble position j: slots j::8 of every word row.
+                parts = []
+                for j in range(8):
+                    u = ((blocks >> (4 * j)) & 0xF).astype(
+                        jnp.float32
+                    ) - 8.0  # [nlist, lcapW, D]
+                    parts.append(jnp.sum(u * u, axis=-1))
+                sq_w = jnp.stack(parts, axis=-1)  # [nlist, lcapW, 8]
+                sq = sq_w.reshape(blocks.shape[0], -1)  # slot 8w+j order
+                return sq * scale * scale
             deq = blocks.astype(jnp.float32) * scale[:, :, None]
             return jnp.sum(deq * deq, axis=-1)
 
@@ -1458,9 +1517,17 @@ class ShardedIVFIndex:
         vecs = arrays["vectors"]  # mmap; stream in chunks
         scales = (
             np.asarray(arrays["scales"], np.float32)
-            if index.dtype == "int8"
+            if index.dtype in ("int8", "int4")
             else None
         )
+        int4 = index.dtype == "int4"
+        if int4:
+            # Dense row r of cluster c sits at byte row
+            # bcum[c] + pos_in_cluster // 2, nibble pos_in_cluster % 2.
+            cum = np.zeros((index.nlist,), np.int64)
+            np.cumsum(fill[:-1], out=cum[1:])
+            bcum = np.zeros((index.nlist,), np.int64)
+            np.cumsum((fill[:-1] + 1) // 2, out=bcum[1:])
         chunk = 65536
         rep = index._put_replicated
         for c0 in range(0, total, chunk):
@@ -1474,8 +1541,17 @@ class ShardedIVFIndex:
             nid[: c1 - c0] = dense_ids[c0:c1]
             nvalid = np.zeros((b,), np.bool_)
             nvalid[: c1 - c0] = dense_valid[c0:c1]
-            rows = np.zeros((b, index.dim), _np_dtype_of(index.dtype))
-            rows[: c1 - c0] = np.asarray(vecs[c0:c1])
+            if int4:
+                c = clusters[c0:c1]
+                p = np.arange(c0, c1) - cum[c]
+                brows = np.asarray(vecs[bcum[c] + p // 2])
+                rows = np.zeros((b, index.dim), np.int8)
+                rows[: c1 - c0] = np.where(
+                    (p % 2 == 1)[:, None], brows >> 4, brows & 0xF
+                ).astype(np.int8)
+            else:
+                rows = np.zeros((b, index.dim), _np_dtype_of(index.dtype))
+                rows[: c1 - c0] = np.asarray(vecs[c0:c1])
             nscale = np.ones((b,), np.float32)
             if scales is not None:
                 nscale[: c1 - c0] = scales[c0:c1]

@@ -65,10 +65,10 @@ class StorageConfig:
     # TPU-native knobs
     device: str = "auto"  # "auto" | "tpu" | "cpu"
     # HBM corpus dtype: "float32" | "bfloat16" | "int8" | "int4"
-    # (int8/int4 are ip-only; int4 covers flat + ivf, not sharded yet).
+    # (int8/int4 are ip-only; every index kind supports all four).
     storage_dtype: str = "bfloat16"
     save_interval_s: float = 0.0  # min seconds between auto-saves (0 = always)
-    # Corpus sharding over a device mesh (flat index only):
+    # Corpus sharding over a device mesh (flat and ivf indexes):
     #   0 = auto (shard over all accelerator devices when more than one),
     #   1 = force single-device, N>1 = shard over the first N devices.
     shard_devices: int = 0
@@ -222,19 +222,6 @@ class HybridStorage:
                 dtype,
             )
             dtype = "bfloat16"
-        if (
-            dtype == "int4"
-            and mesh is not None
-            and self.config.index_type == "ivf"
-        ):
-            # Sharded (multi-chip) IVF int4 is tracked in ROADMAP.md; the
-            # flat indexes (single-chip and sharded) and single-chip IVF
-            # support int4 natively.
-            self.logger.warning(
-                "storage_dtype 'int4' is not yet supported by the "
-                "sharded IVF index; using 'int8'"
-            )
-            dtype = "int8"
         if mesh is not None and self.config.index_type == "flat":
             from ..parallel.sharded_index import ShardedFlatIndex
 
