@@ -91,6 +91,9 @@ def bench_search() -> dict:
     index_int8 = FlatIndex.from_device_vectors(
         corpus, metric="ip", dtype="int8"
     )
+    index_int4 = FlatIndex.from_device_vectors(
+        corpus, metric="ip", dtype="int4"
+    )
 
     # Recall gate vs an independent on-device brute force.
     sample = queries_dev[:RECALL_SAMPLE]
@@ -120,9 +123,11 @@ def bench_search() -> dict:
     recall_f32 = recall_of(index_f32)
     recall_bf16 = recall_of(index_bf16)
     recall_int8 = recall_of(index_int8)
+    recall_int4 = recall_of(index_int4)
     log(
         f"[search] recall@10 vs on-device brute force: "
-        f"f32={recall_f32:.4f} bf16={recall_bf16:.4f} int8={recall_int8:.4f}"
+        f"f32={recall_f32:.4f} bf16={recall_bf16:.4f} int8={recall_int8:.4f} "
+        f"int4={recall_int4:.4f}"
     )
 
     def time_single(index, n_timed=50):
@@ -148,6 +153,7 @@ def bench_search() -> dict:
     qps_int8, p50_int8 = time_single(index_int8)
     batched_bf16 = time_batched(index_bf16)
     batched_int8 = time_batched(index_int8)
+    batched_int4 = time_batched(index_int4)
 
     # Device-side amortized scan latency: chain reps, force completion
     # with ONE scalar-bearing fetch at the end (per-call fetches would
@@ -167,11 +173,12 @@ def bench_search() -> dict:
 
     dev_scan_bf16 = device_scan_ms(index_bf16)
     dev_scan_int8 = device_scan_ms(index_int8)
+    dev_scan_int4 = device_scan_ms(index_int4)
     rtt_floor = measure_rtt_floor()
     log(
         f"[search] device scan (amortized): bf16={dev_scan_bf16:.2f}ms "
-        f"int8={dev_scan_int8:.2f}ms | host-link RTT floor: "
-        f"{rtt_floor:.1f}ms per dispatch+fetch"
+        f"int8={dev_scan_int8:.2f}ms int4={dev_scan_int4:.2f}ms | "
+        f"host-link RTT floor: {rtt_floor:.1f}ms per dispatch+fetch"
     )
 
     # Filtered search (BASELINE.json config #3): a 10%-selectivity predicate
@@ -275,6 +282,7 @@ def bench_search() -> dict:
         "recall_f32": recall_f32,
         "recall_bf16": recall_bf16,
         "recall_int8": recall_int8,
+        "recall_int4": recall_int4,
         "qps_b1_f32": qps_f32,
         "p50_ms_f32": p50_f32,
         "qps_b1_bf16": qps_bf16,
@@ -283,8 +291,10 @@ def bench_search() -> dict:
         "p50_ms_int8": p50_int8,
         "qps_b128_bf16": batched_bf16,
         "qps_b128_int8": batched_int8,
+        "qps_b128_int4": batched_int4,
         "device_scan_ms_bf16": dev_scan_bf16,
         "device_scan_ms_int8": dev_scan_int8,
+        "device_scan_ms_int4": dev_scan_int4,
         "rtt_floor_ms": rtt_floor,
         "fused_qps_b1_bf16": fused_qps_bf16,
         "fused_p50_ms_bf16": fused_p50_bf16,
@@ -355,7 +365,7 @@ def bench_ivf() -> dict:
     train_idx = rng.choice(n, min(n, 500_000), replace=False)
 
     out = {}
-    for dtype in ("bfloat16", "int8"):
+    for dtype in ("bfloat16", "int8", "int4"):
         index = IVFIndex(dim=dim, dtype=dtype, nlist=nlist, train_iters=40)
         t0 = time.perf_counter()
         index.train(jnp.take(corpus, jnp.asarray(train_idx), axis=0))
@@ -393,7 +403,7 @@ def bench_ivf() -> dict:
         int(i[0, 0])
         dev_q1_ms = (time.perf_counter() - t0) / 30 * 1e3
 
-        key = "bf16" if dtype == "bfloat16" else "int8"
+        key = "bf16" if dtype == "bfloat16" else dtype
         out[f"ivf_recall_{key}"] = recall
         out[f"ivf_qps_b128_{key}"] = qps_b128
         out[f"ivf_dev_q1_ms_{key}"] = dev_q1_ms
@@ -463,6 +473,10 @@ def bench_ivf() -> dict:
         f"qps_b128={out['ivf_qps_b128_int8']:.0f} "
         f"dev_q1={out['ivf_dev_q1_ms_int8']:.2f}ms "
         f"({out['ivf_kernel_int8']}) | "
+        f"int4 recall={out['ivf_recall_int4']:.4f} "
+        f"qps_b128={out['ivf_qps_b128_int4']:.0f} "
+        f"dev_q1={out['ivf_dev_q1_ms_int4']:.2f}ms "
+        f"({out['ivf_kernel_int4']}) | "
         f"fused e2e p50={out['ivf_fused_e2e_p50_ms']:.1f}ms"
     )
     del corpus
