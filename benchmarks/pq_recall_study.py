@@ -1,0 +1,160 @@
+"""Offline PQ recall study: where does 4-bit IVF-PQ land on the
+bytes/recall curve vs the shipped int4 scalar codec?
+
+Question: at the bench operating point (clustered 768-d unit rows, the
+bench_ivf generator), what recall@10 does the shipped 4-bit product
+quantizer (ops/pq.py: M subspaces x 16 centroids, one-hot ADC on the
+MXU) get vs int4 scalar residual codes, at what bytes/row?
+
+Variants:
+- raw PQ on the vectors (no coarse-quantizer interaction)
+- residual PQ: encode v - coarse_centroid[assign] (IVF-PQ analog —
+  the shipped by_residual default)
+- residual + random-orthogonal pre-rotation (cheap OPQ stand-in: does
+  a rotation buy anything at these subspace sizes?)
+
+Run: python benchmarks/pq_recall_study.py [N]
+Writes benchmarks/results/pq_recall_study.json and prints one line per
+variant.  Uses the SHIPPED codec (ops/pq.py chunked-Lloyd training +
+one-hot scoring), so the numbers are the product's numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+# The study is one-shot offline math: device compute buys nothing over
+# the virtual-CPU backend and the axon tunnel's d2h rate makes the
+# [N, 768] pull the bottleneck.  Force CPU (env JAX_PLATFORMS is
+# ignored under axon).
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from tpu_search.ops.pq import decode_pq, encode_pq, pq_lut, train_pq
+
+
+def make_corpus(n, dim=768, clusters=256, noise=0.4, seed=21):
+    key = jax.random.PRNGKey(seed)
+    kc, ka, kn, kq, kqn = jax.random.split(key, 5)
+    centers = jax.random.normal(kc, (clusters, dim), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    assign = jax.random.randint(ka, (n,), 0, clusters)
+    sigma = noise / np.sqrt(dim)
+    corpus = centers[assign] + sigma * jax.random.normal(kn, (n, dim))
+    corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
+    qidx = jax.random.randint(kq, (128,), 0, n)
+    qsigma = 0.2 / np.sqrt(dim)
+    queries = corpus[qidx] + qsigma * jax.random.normal(kqn, (128, dim))
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+    return (
+        np.asarray(corpus),
+        np.asarray(queries),
+        np.asarray(centers),
+        np.asarray(assign),
+    )
+
+
+def recall_at(got, ref, topk=10):
+    return np.mean(
+        [len(set(got[i][:topk]) & set(ref[i][:topk])) / topk
+         for i in range(len(ref))]
+    )
+
+
+def pq_rank(queries, codes, books, bias, topk=10):
+    """Top-k ids under the shipped ADC scoring (chunked over the corpus
+    so the [nq, N] score matrix never materializes at float64)."""
+    nq = queries.shape[0]
+    lut = np.asarray(pq_lut(jnp.asarray(queries), books))  # [nq, m, 16]
+    n = codes.shape[0]
+    scores = np.empty((nq, n), np.float32)
+    m = books.shape[0]
+    chunk = 65536
+    cnp = np.asarray(codes)
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        scores[:, c0:c1] = lut[
+            :, np.arange(m)[None, :], cnp[c0:c1]
+        ].sum(-1)
+    if bias is not None:
+        scores += bias
+    return np.argsort(-scores, axis=1)[:, :topk]
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    dim = 768
+    corpus, queries, centers, assign = make_corpus(n, dim)
+    nq = 32
+    queries = queries[:nq]
+
+    ref = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+    results = {"n": n, "dim": dim, "variants": []}
+
+    # int4 scalar residual baseline (what storage_dtype="int4" ships).
+    resid = corpus - centers[assign]
+    sc = np.maximum(np.abs(resid).max(1) / 7.0, 1e-12)
+    q4 = np.clip(np.rint(resid / sc[:, None]), -7, 7)
+    recon4 = q4 * sc[:, None] + centers[assign]
+    got = np.argsort(-(queries @ recon4.T), axis=1)[:, :10]
+    r = float(recall_at(got, ref))
+    results["variants"].append(
+        {"codec": "int4-resid", "bytes_per_row": dim // 2 + 4, "recall10": r}
+    )
+    print(f"int4-resid   bytes/row={dim // 2 + 4:4d}  recall@10={r:.4f}")
+    del q4, recon4
+
+    rng = np.random.default_rng(7)
+    rot = np.linalg.qr(rng.standard_normal((dim, dim)))[0].astype(np.float32)
+
+    for m in (96, 192):
+        for variant in ("raw", "resid", "resid+rot"):
+            if variant == "raw":
+                base = corpus
+                bias = None
+            else:
+                base = resid
+                bias = queries @ centers[assign].T  # [nq, n] q.centroid
+            if variant.endswith("rot"):
+                base = base @ rot
+                qeff = queries @ rot
+            else:
+                qeff = queries
+            t0 = time.time()
+            books = train_pq(base, m, iters=20, seed=0)
+            codes = encode_pq(base, books)
+            got = pq_rank(qeff, codes, books, bias)
+            dt = time.time() - t0
+            r = float(recall_at(got, ref))
+            mse = float(
+                np.mean(
+                    (np.asarray(decode_pq(codes[:4096], books))
+                     - base[:4096]) ** 2
+                )
+            )
+            results["variants"].append(
+                {"codec": f"pq-m{m}", "variant": variant,
+                 "bytes_per_row": m // 2, "recall10": r,
+                 "recon_mse_sample": mse, "train_encode_s": dt}
+            )
+            print(f"pq m={m:3d} {variant:10s} bytes/row={m // 2:4d}  "
+                  f"recall@10={r:.4f}  ({dt:.0f}s)")
+
+    out = os.path.join(
+        os.path.dirname(__file__), "results", "pq_recall_study.json"
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,273 @@
+"""IVF-PQ blocks: lifecycle (add/search/remove/compact/rebalance/
+persistence), residual PQ encoding, the fused scan-key path, and hybrid
+storage integration.
+
+PQ codes store M 4-bit codebook ids per row (ops/pq.py) inside the SAME
+int32 word layout as int4 scalar codes, so everything slot-structural is
+shared; only encode (codebook assign) and scoring (one-hot ADC on the
+MXU) differ.  At 768-d, pq_m=192 is 96 B/row — 4x below int4 scalar.
+The reference's FAISS analog is ``IndexIVFPQ`` (reference builds flat/
+IVF at /root/reference/src/storage.py:252-299)."""
+
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+from tpu_search.index.ivf import IVFIndex
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def recall_at_k(got_ids, ref_ids, k):
+    return np.mean(
+        [len(set(g[:k]) & set(r[:k])) / k for g, r in zip(got_ids, ref_ids)]
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    centers = normed(rng, 20, 32)
+    rows = []
+    for _ in range(2000):
+        c = centers[rng.integers(0, 20)]
+        rows.append(c + 0.15 * rng.standard_normal(32))
+    data = np.asarray(rows, dtype=np.float32)
+    return data / np.linalg.norm(data, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, corpus.shape[0], 16)
+    noisy = corpus[idx] + 0.05 * rng.standard_normal((16, 32)).astype(
+        np.float32
+    )
+    return noisy / np.linalg.norm(noisy, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def flat_reference(corpus, queries):
+    flat = FlatIndex(dim=32, dtype="float32")
+    flat.add(corpus)
+    _, ids = flat.search(queries, k=10)
+    return ids
+
+
+def make_pq(corpus, nlist=32, pq_m=16, **kw):
+    ivf = IVFIndex(dim=32, dtype="pq", nlist=nlist, pq_m=pq_m, **kw)
+    ivf.train(corpus)
+    return ivf
+
+
+class TestConstruction:
+    def test_l2_rejected(self):
+        with pytest.raises(ValueError, match="ip"):
+            IVFIndex(dim=16, metric="l2", dtype="pq")
+
+    def test_by_residual_default_on(self):
+        assert IVFIndex(dim=16, dtype="pq").by_residual is True
+
+    def test_default_pq_m_is_quarter_dim(self):
+        assert IVFIndex(dim=768, dtype="pq").pq_m == 192
+        assert IVFIndex(dim=32, dtype="pq").pq_m == 8
+
+    def test_pq_m_must_divide_dim(self):
+        with pytest.raises(ValueError, match="divide"):
+            IVFIndex(dim=32, dtype="pq", pq_m=7)
+
+    def test_pq_m_ignored_for_other_dtypes(self):
+        assert IVFIndex(dim=32, dtype="int4", pq_m=16).pq_m == 0
+
+
+class TestLifecycle:
+    def test_recall_target_reached(self, corpus, queries, flat_reference):
+        ivf = make_pq(corpus, pq_m=16)
+        ivf.add(corpus)
+        _, ids = ivf.search(queries, k=10, nprobe=16)
+        # residual PQ, 2-dim subspaces at 8 B/row (4x below int4's
+        # 16 B/row at dim=32) — recall is the price of the compression;
+        # the production operating point (768-d, pq_m=192) is measured
+        # in benchmarks/pq_recall_study.py.
+        assert recall_at_k(ids, flat_reference, 10) >= 0.70
+
+    def test_more_subspaces_more_recall(self, corpus, queries,
+                                         flat_reference):
+        got = {}
+        for m in (8, 32):
+            ivf = make_pq(corpus, pq_m=m)
+            ivf.add(corpus)
+            _, ids = ivf.search(queries, k=10, nprobe=32)
+            got[m] = recall_at_k(ids, flat_reference, 10)
+        assert got[32] >= got[8]
+
+    def test_incremental_adds_keep_ids(self, corpus):
+        ivf = make_pq(corpus, nlist=16)
+        ids1 = ivf.add(corpus[:500])
+        ids2 = ivf.add(corpus[500:900])
+        assert ids1.tolist() == list(range(500))
+        assert ids2.tolist() == list(range(500, 900))
+        # every added row retrieves itself with a full probe
+        _, got = ivf.search(corpus[440:470], k=1, nprobe=16)
+        assert got[:, 0].tolist() == list(range(440, 470))
+
+    def test_odd_batch_sizes_across_nibble_boundaries(self, corpus):
+        # odd-size adds land code rows at odd word/nibble offsets; every
+        # row must survive the read-modify-write merges exactly (code 0
+        # is a VALID pq nibble, unlike biased int4 codes, so this also
+        # covers the clear-before-OR path).
+        ivf = make_pq(corpus, nlist=8)
+        total = 0
+        for size in (3, 5, 1, 9, 2, 13, 7, 11):
+            ivf.add(corpus[total : total + size])
+            total += size
+        _, got = ivf.search(corpus[:total], k=1, nprobe=8)
+        assert got[:, 0].tolist() == list(range(total))
+
+    def test_remove_and_compact(self, corpus):
+        ivf = make_pq(corpus, nlist=16)
+        ivf.add(corpus[:300])
+        assert ivf.remove([0, 5, 7]) == 3
+        assert ivf.live == 297
+        _, got = ivf.search(corpus[0], k=1, nprobe=16)
+        assert got[0, 0] != 0
+        mapping = ivf.compact()
+        assert len(mapping) == 297
+        probe = corpus[np.array([1, 100, 299])]
+        _, got = ivf.search(probe, k=1, nprobe=16)
+        expect = [mapping[1], mapping[100], mapping[299]]
+        assert got[:, 0].tolist() == expect
+
+    def test_remove_on_untrained_returns_zero(self):
+        assert IVFIndex(dim=32, dtype="pq").remove([3]) == 0
+
+    def test_rebalance_reencodes_through_new_codec(self, corpus, queries,
+                                                    flat_reference):
+        ivf = make_pq(corpus[:200], nlist=16)  # deliberately bad quantizer
+        ivf.add(corpus)
+        ivf.rebalance(train_sample=2000)
+        assert ivf.ntotal == len(corpus)
+        assert ivf.live == len(corpus)
+        # Rows decode through the OLD codec and re-encode through the
+        # RETRAINED one — double-lossy, so self-retrieval is a top-5
+        # property, not an exact top-1 one (two near rows can land on
+        # the same code word).
+        _, ids = ivf.search(corpus[:50], k=5, nprobe=16)
+        hit = np.mean([i in row for i, row in enumerate(ids)])
+        assert hit >= 0.9
+        # Recall survives (degraded vs a fresh encode by the compounded
+        # quantization noise; PARITY.md documents the trade).
+        _, got = ivf.search(queries, k=10, nprobe=16)
+        assert recall_at_k(got, flat_reference, 10) >= 0.55
+
+
+class TestScanKeyPath:
+    def test_make_scan_fn_matches_search(self, corpus, queries):
+        from tpu_search.index.ivf import ivf_scan_fn_for
+
+        ivf = make_pq(corpus, nlist=16)
+        ivf.add(corpus[:800])
+        s_ref, i_ref = ivf.search(queries, k=5, nprobe=4)
+        scan_key, buffers = ivf.make_scan_fn(k_eff=5, nprobe=4)
+        assert scan_key[0] == "ivf_xla_pq"
+        import jax.numpy as jnp
+
+        fn = ivf_scan_fn_for(scan_key)
+        s, i = fn(buffers, ivf._dvalid, jnp.asarray(queries), 5)
+        got = np.asarray(i).astype(np.int64)
+        got[~np.isfinite(np.asarray(s))] = -1
+        assert np.array_equal(got, i_ref)
+
+
+class TestPersistence:
+    def test_save_load_roundtrip_bit_identical(self, corpus, tmp_path):
+        ivf = make_pq(corpus, nlist=16)
+        ivf.add(corpus[:501])  # odd count: trailing nibble pad per cluster
+        ivf.remove([3, 9])
+        q = normed(np.random.default_rng(4), 6, 32)
+        s1, i1 = ivf.search(q, k=9, nprobe=16)
+        path = str(tmp_path / "ivf_pq.idx")
+        ivf.save(path)
+        loaded = IVFIndex.load(path)
+        assert loaded.dtype == "pq"
+        assert loaded.pq_m == ivf.pq_m
+        assert loaded.by_residual == ivf.by_residual
+        assert loaded.ntotal == ivf.ntotal
+        np.testing.assert_allclose(
+            np.asarray(loaded._pq_books), np.asarray(ivf._pq_books),
+            rtol=0, atol=0,
+        )
+        s2, i2 = loaded.search(q, k=9, nprobe=16)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+
+    def test_disk_bytes_shrink_vs_int4(self, corpus, tmp_path):
+        import os
+
+        sizes = {}
+        for dtype, kw in (("int4", {}), ("pq", {"pq_m": 8})):
+            ivf = IVFIndex(dim=32, dtype=dtype, nlist=16, **kw)
+            ivf.train(corpus)
+            ivf.add(corpus)
+            p = str(tmp_path / f"{dtype}.idx")
+            ivf.save(p)
+            sizes[dtype] = os.path.getsize(p)
+        # pq_m=8 stores 4 B/row vs int4's 16 B/row; shared overhead
+        # (ids/valid/fill/centroids) caps the visible ratio
+        assert sizes["pq"] < sizes["int4"] * 0.8
+
+
+class TestHybridIntegration:
+    def _mk_chunks(self, embs):
+        from tpu_search.ingest.chunker import Chunk
+
+        return [
+            Chunk(
+                id=f"c{i}",
+                text=f"chunk {i}",
+                metadata={"session_id": "s1", "project_name": "p"},
+                embedding=embs[i],
+            )
+            for i in range(len(embs))
+        ]
+
+    def test_hybrid_pq_ivf(self, tmp_path):
+        from tpu_search.storage.hybrid import (
+            HybridStorage,
+            SearchConfig,
+            StorageConfig,
+        )
+
+        rng = np.random.default_rng(8)
+        config = StorageConfig(
+            data_dir=str(tmp_path),
+            storage_dtype="pq",
+            index_type="ivf",
+            ivf_nlist=4,
+            device="cpu",
+        )
+        storage = HybridStorage(config)
+        storage.initialize()
+        embs = normed(rng, 40, storage.embedding_dim)
+        storage.add_chunks(self._mk_chunks(embs))
+        assert storage.index.dtype == "pq"
+        results = storage.search(embs[7], SearchConfig(top_k=3, nprobe=4))
+        assert results[0].chunk_id == "c7"
+        storage.close()
+
+    def test_hybrid_pq_flat_falls_back_to_int4(self, tmp_path):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        config = StorageConfig(
+            data_dir=str(tmp_path),
+            storage_dtype="pq",
+            index_type="flat",
+            device="cpu",
+        )
+        storage = HybridStorage(config)
+        storage.initialize()
+        assert storage.index.dtype == "int4"
+        storage.close()

@@ -1,0 +1,126 @@
+"""ops/pq.py codec unit tests: training converges, encode/decode
+round-trips within quantization error, and the one-hot MXU scoring path
+is EXACTLY the classic ADC table lookup."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_search.ops.pq import (
+    PQ_K,
+    decode_pq,
+    encode_pq,
+    pq_block_scores,
+    pq_lut,
+    train_pq,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((32, 64)).astype(np.float32)
+    assign = rng.integers(0, 32, 4096)
+    x = centers[assign] + 0.1 * rng.standard_normal((4096, 64)).astype(
+        np.float32
+    )
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+class TestTrainEncode:
+    def test_shapes_and_range(self, clustered):
+        books = train_pq(clustered, m=16, iters=8, seed=0)
+        assert books.shape == (16, PQ_K, 4)
+        codes = encode_pq(clustered, books)
+        codes = np.asarray(codes)
+        assert codes.shape == (4096, 16)
+        assert codes.min() >= 0 and codes.max() < PQ_K
+
+    def test_training_reduces_error(self, clustered):
+        m = 16
+        rng = np.random.default_rng(1)
+        init_rows = clustered[rng.choice(len(clustered), PQ_K, False)]
+        books0 = jnp.asarray(
+            init_rows.reshape(PQ_K, m, 64 // m).transpose(1, 0, 2)
+        )
+        trained = train_pq(clustered, m=m, iters=12, seed=1)
+
+        def recon_err(books):
+            codes = encode_pq(clustered, books)
+            rec = np.asarray(decode_pq(codes, books))
+            return float(np.mean((rec - clustered) ** 2))
+
+        assert recon_err(trained) < recon_err(books0) * 0.9
+
+    def test_more_subspaces_less_error(self, clustered):
+        errs = {}
+        for m in (8, 32):
+            books = train_pq(clustered, m=m, iters=10, seed=2)
+            codes = encode_pq(clustered, books)
+            rec = np.asarray(decode_pq(codes, books))
+            errs[m] = float(np.mean((rec - clustered) ** 2))
+        assert errs[32] < errs[8]
+
+    def test_dim_not_divisible_raises(self, clustered):
+        with pytest.raises(ValueError, match="divisible"):
+            train_pq(clustered, m=7, iters=2)
+
+    def test_encode_chunking_consistent(self, clustered):
+        # encode_pq chunks at 8192; force the multi-chunk path and
+        # compare against a single-chunk encode of the same rows.
+        books = train_pq(clustered, m=16, iters=6, seed=3)
+        big = np.concatenate([clustered] * 3)  # 12288 rows > chunk
+        codes_big = np.asarray(encode_pq(big, books))
+        codes_one = np.asarray(encode_pq(clustered, books))
+        np.testing.assert_array_equal(codes_big[: len(clustered)], codes_one)
+        np.testing.assert_array_equal(
+            codes_big[len(clustered) : 2 * len(clustered)], codes_one
+        )
+
+
+class TestScoring:
+    def test_matches_table_lookup_adc(self, clustered):
+        books = train_pq(clustered, m=16, iters=8, seed=4)
+        codes = np.asarray(encode_pq(clustered[:512], books))
+        q = clustered[1000:1008]
+        lut = np.asarray(pq_lut(jnp.asarray(q), books))  # [8, 16, 16]
+        got = np.asarray(
+            pq_block_scores(jnp.asarray(codes), jnp.asarray(lut))
+        )  # [8, 512]
+        m = books.shape[0]
+        want = lut[:, np.arange(m)[None, :], codes].sum(-1)  # classic ADC
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    def test_scores_approximate_true_ip(self, clustered):
+        books = train_pq(clustered, m=32, iters=10, seed=6)
+        codes = encode_pq(clustered[:1024], books)
+        q = jnp.asarray(clustered[2000:2004])
+        approx = np.asarray(pq_block_scores(codes, pq_lut(q, books)))
+        true = clustered[2000:2004] @ clustered[:1024].T
+        # rank correlation on each query row: top-1 of approx should land
+        # in the top 5% of the true ordering (1024 candidates -> rank<52).
+        # PQ is lossy; exact rank varies with codebook seed.
+        for i in range(4):
+            top_approx = int(np.argmax(approx[i]))
+            rank_in_true = int(
+                (true[i] > true[i, top_approx]).sum()
+            )
+            assert rank_in_true < 52
+
+    def test_decode_is_codebook_rows(self):
+        rng = np.random.default_rng(8)
+        books = jnp.asarray(rng.standard_normal((4, PQ_K, 3)).astype(
+            np.float32
+        ))
+        codes = jnp.asarray(
+            rng.integers(0, PQ_K, size=(10, 4)).astype(np.int8)
+        )
+        rec = np.asarray(decode_pq(codes, books))
+        b = np.asarray(books)
+        c = np.asarray(codes)
+        want = np.concatenate(
+            [b[m][c[:, m]] for m in range(4)], axis=1
+        )
+        np.testing.assert_allclose(rec, want, rtol=0, atol=0)

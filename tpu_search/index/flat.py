@@ -951,16 +951,19 @@ class FlatIndex:
                 (self._count, self.dim),
                 iter_packed_int8_rows(self._vectors, self._count),
             )
-        elif self.dtype == "int4" and self._count:
+        elif self.dtype == "int4":
             # Disk format is nibble-pair byte rows (half a byte per
-            # component on disk too).
+            # component on disk too).  The empty case must still land
+            # here: "int4" is not a serializer section dtype.
             from .serialize import iter_packed_int4_bytes
 
             vec_section = (
                 "vectors",
                 "uint8",
                 ((self._count + 1) // 2, self.dim),
-                iter_packed_int4_bytes(self._vectors, self._count),
+                iter_packed_int4_bytes(self._vectors, self._count)
+                if self._count
+                else iter(()),
             )
         else:
             vec_section = device_section(

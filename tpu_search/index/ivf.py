@@ -72,6 +72,11 @@ _DTYPES = {
     "int8": jnp.int8,
     "int4": jnp.int32,
 }
+# "pq" blocks reuse the int4 word layout with M code columns instead of D
+# vector columns: [nlist, cap/8, M] int32, slot p's code row in nibble
+# p%8 across the M columns.  Codes are RAW 0..15 codebook ids (no bias);
+# everything slot-structural (scatter, grow, permute, serialize) is
+# column-count-agnostic and runs unchanged.  See ops/pq.py.
 _LOAD_CHUNK_ROWS = 65536
 
 
@@ -252,6 +257,52 @@ def _gather_stored(
     return jnp.take(flat_blocks, fi, axis=0), jnp.take(flat_scale, fi)
 
 
+@partial(jax.jit, static_argnames=("residual",))
+def _encode_pq_rows(
+    vecs: jax.Array,  # [B, D] f32
+    clusters: jax.Array,  # [B] int32 (sentinel nlist rows encode garbage)
+    centroids: jax.Array,  # [nlist, D] f32
+    books: jax.Array,  # [M, 16, dsub] f32
+    residual: bool,
+) -> jax.Array:
+    """[B, D] rows -> [B, M] int8 PQ codes, on device (pq add path).
+
+    Residual indexes encode ``v - centroid[cluster]``; padding rows clip
+    to the last centroid and encode garbage — the scatter drops them via
+    the sentinel cluster id."""
+    from ..ops.pq import encode_pq_traced
+
+    v = vecs.astype(jnp.float32)
+    if residual:
+        nlist = centroids.shape[0]
+        v = v - jnp.take(
+            centroids, jnp.minimum(clusters, nlist - 1), axis=0
+        )
+    return encode_pq_traced(v, books)
+
+
+@partial(jax.jit, static_argnames=("cap", "residual"))
+def _gather_decode_pq(
+    flat_blocks: jax.Array,  # [nlist * capW, M] int32 words
+    fi: jax.Array,  # [B] flat slot indices
+    books: jax.Array,  # [M, 16, dsub] f32
+    centroids: Optional[jax.Array] = None,
+    cap: int = 0,
+    residual: bool = False,
+) -> jax.Array:
+    """PQ twin of :func:`_gather_dequant`: gather slot code rows and
+    reconstruct f32 vectors through the codebooks (one-hot matmul — no
+    gathers on the decode path either)."""
+    from ..ops.pq import decode_pq
+
+    words = jnp.take(flat_blocks, fi // 8, axis=0)
+    codes = ((words >> (4 * (fi % 8))[:, None]) & 0xF).astype(jnp.int8)
+    rows = decode_pq(codes, books)
+    if residual:
+        rows = rows + centroids[fi // cap]
+    return rows
+
+
 @partial(jax.jit, static_argnames=("new_cap",))
 def _grow_blocks(
     blocks: jax.Array,
@@ -366,6 +417,7 @@ def _ivf_search_impl(
     k: int,
     metric: str,
     by_residual: bool = False,
+    pq_books: Optional[jax.Array] = None,  # [M, 16, dsub] f32 (pq blocks)
 ) -> Tuple[jax.Array, jax.Array]:
     """Cluster-grouped IVF scan with a running top-k merge.
 
@@ -396,9 +448,16 @@ def _ivf_search_impl(
 
     q = queries.shape[0]
     nlist = blocks.shape[0]
+    pq = pq_books is not None
     int8 = blocks.dtype == jnp.int8
-    int4 = blocks.dtype == jnp.int32
-    if int8 or int4:
+    int4 = blocks.dtype == jnp.int32 and not pq
+    if pq:
+        # ADC lookup tables, one [Q, M, 16] einsum for the whole batch;
+        # scores come out in true f32 units (no qs1 rescale).
+        from ..ops.pq import pq_block_scores, pq_lut
+
+        lut = pq_lut(queries, pq_books)
+    elif int8 or int4:
         # Residual-quantized queries feed int8 x int8 MXU dots; the
         # positive per-row qs1 factor is order-preserving, so the running
         # merge works in pre-qs1 units and qs1 multiplies at the end
@@ -437,7 +496,16 @@ def _ivf_search_impl(
         live = c < nlist
         c_safe = jnp.minimum(c, nlist - 1)
         block = blocks[c_safe]  # ONE [cap, D] HBM read for all queries
-        if int4:
+        if pq:
+            from ..ops.int4_pack import unpack_int4_rows
+
+            codes = unpack_int4_rows(block)  # [cap, M] raw 0..15 codes
+            scores = pq_block_scores(codes, lut)  # [Q, cap] true f32
+            if by_residual:
+                # Codes encode residuals: true score = q.c + q.recon —
+                # the q.c term is the centroid scan's own column.
+                scores = scores + cluster_scores[:, c_safe][:, None]
+        elif int4:
             from ..ops.int4_pack import unpack_int4_rows
 
             rows = unpack_int4_rows(block)  # [cap, D] biased nibbles
@@ -663,6 +731,17 @@ def ivf_scan_fn_for(scan_key: tuple):
             )
 
         return fn
+    if kind == "ivf_xla_pq":
+        _, metric, nprobe, by_res = scan_key
+
+        def fn(buffers, block_mask, qbatch, k):
+            cent, blocks, bids, bsq, bscale, fills, books = buffers
+            return _ivf_search(
+                cent, blocks, bids, block_mask, bsq, bscale,
+                qbatch, nprobe, k, metric, by_res, books,
+            )
+
+        return fn
     _, metric, nprobe, by_res = scan_key
 
     def fn(buffers, block_mask, qbatch, k):
@@ -689,18 +768,31 @@ class IVFIndex:
         seed: int = 0,
         balanced: bool = True,
         by_residual: Optional[bool] = None,
+        pq_m: int = 0,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
-        if dtype not in _DTYPES:
+        if dtype not in _DTYPES and dtype != "pq":
             raise ValueError(
-                f"IVFIndex supports dtypes {sorted(_DTYPES)}, got {dtype!r}"
+                f"IVFIndex supports dtypes {sorted(_DTYPES) + ['pq']}, "
+                f"got {dtype!r}"
             )
-        if dtype in ("int8", "int4") and metric == "l2":
+        if dtype in ("int8", "int4", "pq") and metric == "l2":
             raise ValueError(
                 f"{dtype} IVF storage supports metric='ip' only (same "
                 "contract as FlatIndex)"
             )
+        if dtype == "pq":
+            # 4-bit product quantization: M subspaces x 16 centroids,
+            # M/2 bytes per row (ops/pq.py).  Default M = dim/4 (4-dim
+            # subspaces): 96 bytes at 768-d, 4x below int4 scalar codes.
+            pq_m = pq_m or max(1, dim // 4)
+            if dim % pq_m:
+                raise ValueError(
+                    f"pq_m={pq_m} must divide dim={dim}"
+                )
+        self.pq_m = pq_m if dtype == "pq" else 0
+        self._pq_books: Optional[jax.Array] = None  # [M, 16, dsub] f32
         self.dim = dim
         self.metric = metric
         self.dtype = dtype
@@ -719,8 +811,8 @@ class IVFIndex:
         # the quantization range ~2.6x, recovering most of the 4-bit
         # recall loss on clustered corpora.)
         self.by_residual = (
-            dtype in ("int8", "int4") if by_residual is None
-            else bool(by_residual) and dtype in ("int8", "int4")
+            dtype in ("int8", "int4", "pq") if by_residual is None
+            else bool(by_residual) and dtype in ("int8", "int4", "pq")
         )
 
         self.centroids: Optional[np.ndarray] = None  # [nlist, D] f32 (host)
@@ -760,6 +852,11 @@ class IVFIndex:
             cache.clear()
 
     # -- size accounting -----------------------------------------------------
+
+    @property
+    def _cols(self) -> int:
+        """Block column count: D vector dims, or M code columns for pq."""
+        return self.pq_m if self.dtype == "pq" else self.dim
 
     @property
     def ntotal(self) -> int:
@@ -812,6 +909,20 @@ class IVFIndex:
                 balance=_BALANCE if self.balanced else -1.0,
             )
             self._dcent = centroids
+            if self.dtype == "pq":
+                # PQ codebooks fit the residual distribution (or the raw
+                # rows when by_residual is off) — FAISS IndexIVFPQ trains
+                # the same way.  train_pq subsamples internally.
+                from ..ops.pq import train_pq
+
+                if self.by_residual:
+                    assign = assign_clusters(dv, centroids, self.metric)
+                    target = dv - jnp.take(centroids, assign, axis=0)
+                else:
+                    target = dv
+                self._pq_books = train_pq(
+                    target, self.pq_m, seed=self.seed
+                )
         self.centroids = np.asarray(centroids)
 
     # -- device block management --------------------------------------------
@@ -823,9 +934,10 @@ class IVFIndex:
             if self._dcent is None and self.centroids is not None:
                 self._dcent = jnp.asarray(self.centroids, jnp.float32)
             if self._dblocks is None and cap:
-                rows = cap // 8 if self.dtype == "int4" else cap
+                rows = cap // 8 if self.dtype in ("int4", "pq") else cap
                 self._dblocks = jnp.zeros(
-                    (self.nlist, rows, self.dim), _DTYPES[self.dtype]
+                    (self.nlist, rows, self._cols),
+                    _DTYPES.get(self.dtype, jnp.int32),
                 )
                 self._dids = jnp.full((self.nlist, cap), -1, jnp.int32)
                 self._dvalid = jnp.zeros((self.nlist, cap), bool)
@@ -915,6 +1027,12 @@ class IVFIndex:
 
     def _kernel_tile_for(self, k_eff: int) -> int:
         """Pallas probe-scan DMA tile for this layout (0 = use XLA path)."""
+        if self.dtype == "pq":
+            # The one-hot ADC scan is MXU-compute-bound, not DMA-bound —
+            # the XLA grouped path already keeps the MXU fed (codes are
+            # ~1/8 the bytes of the int4 blocks the DMA kernel was built
+            # to stream).
+            return 0
         if (
             self.device.platform == "tpu"
             and self._pallas_ok is not False
@@ -942,6 +1060,10 @@ class IVFIndex:
                 "ivf_pallas", self.metric, nprobe_eff, tile,
                 self.by_residual,
             )
+        elif self.dtype == "pq":
+            scan_key = (
+                "ivf_xla_pq", self.metric, nprobe_eff, self.by_residual
+            )
         else:
             scan_key = ("ivf_xla", self.metric, nprobe_eff, self.by_residual)
         buffers = (
@@ -952,6 +1074,8 @@ class IVFIndex:
             self._dscale,
             self._device_fills(),
         )
+        if self.dtype == "pq":
+            buffers = buffers + (self._pq_books,)
         return scan_key, buffers
 
     def _append_slot_lookup(
@@ -1053,6 +1177,15 @@ class IVFIndex:
         nid = np.zeros((b,), np.int32)
         nid[:n] = ids32
         with jax.default_device(self.device):
+            if self.dtype == "pq":
+                # Encode on device (padding rows encode garbage and are
+                # dropped by the sentinel cluster id); the scatter then
+                # adopts the int8 code rows verbatim down the
+                # "already-nibbles" path.
+                padded = _encode_pq_rows(
+                    padded, assign_all, self._dcent, self._pq_books,
+                    residual=self.by_residual,
+                )
             (
                 self._dblocks,
                 self._dids,
@@ -1072,7 +1205,7 @@ class IVFIndex:
                 jnp.ones((b,), bool),
                 jnp.ones((b,), jnp.float32),
                 self._dcent,
-                residual=self.by_residual,
+                residual=self.by_residual and self.dtype != "pq",
             )
         return ids
 
@@ -1151,18 +1284,32 @@ class IVFIndex:
         fi[:live] = flat_idx
 
         by_res = self.by_residual
+        pq = self.dtype == "pq"
         with jax.default_device(self.device):
-            # int4 blocks flatten to WORD rows; the gathers recover slot
-            # fi's nibble from word fi // 8 (cap % 8 == 0 keeps cluster
-            # strides aligned).
+            # int4/pq blocks flatten to WORD rows; the gathers recover
+            # slot fi's nibble from word fi // 8 (cap % 8 == 0 keeps
+            # cluster strides aligned).
             flat_blocks = self._dblocks.reshape(
-                self.nlist * self._dblocks.shape[1], self.dim
+                self.nlist * self._dblocks.shape[1], self._cols
             )
             flat_scale = self._dscale.reshape(self.nlist * cap)
-            # Residual-encoded rows reconstruct against the centroids they
-            # were encoded with — keep those alive across the retrain
-            # ([nlist, D] f32, tiny).
-            old_cent = self._dcent if by_res else None
+            # Residual-encoded rows reconstruct against the centroids
+            # (and, for pq, codebooks) they were encoded with — keep
+            # those alive across the retrain (tiny).
+            old_cent = self._dcent if (by_res or pq) else None
+            old_books = self._pq_books
+
+            def recon_rows(cfi):
+                if pq:
+                    return _gather_decode_pq(
+                        flat_blocks, cfi, old_books, old_cent,
+                        cap=cap, residual=by_res,
+                    )
+                return _gather_dequant(
+                    flat_blocks, flat_scale, cfi,
+                    old_cent, cap=cap, residual=by_res,
+                )
+
             # Train on a sample (one [n_train, D] f32 transient — that is
             # the k-means working set, unavoidable and bounded by
             # train_sample).
@@ -1171,20 +1318,14 @@ class IVFIndex:
                 self.seed if seed is None else seed
             )
             tr_idx = rng.choice(live, n_train, replace=False)
-            train_rows = _gather_dequant(
-                flat_blocks, flat_scale, jnp.asarray(flat_idx[tr_idx]),
-                old_cent, cap=cap, residual=by_res,
-            )
+            train_rows = recon_rows(jnp.asarray(flat_idx[tr_idx]))
             self.train(train_rows)
             del train_rows
             # Chunked assignment pass: one [chunk, D] f32 transient.
             assign = np.empty((live,), np.int64)
             for c0 in range(0, live, chunk):
                 cfi = jnp.asarray(fi[c0 : c0 + chunk])
-                rows_f32 = _gather_dequant(
-                    flat_blocks, flat_scale, cfi,
-                    old_cent, cap=cap, residual=by_res,
-                )
+                rows_f32 = recon_rows(cfi)
                 a = assign_clusters(rows_f32, self._dcent, self.metric)
                 hi = min(c0 + chunk, live)
                 assign[c0:hi] = np.asarray(a)[: hi - c0]
@@ -1236,7 +1377,17 @@ class IVFIndex:
         with jax.default_device(self.device):
             for c0 in range(0, n_chunks * chunk, chunk):
                 c1 = c0 + chunk
-                if by_res:
+                if pq:
+                    # Codes re-encode through the RETRAINED books (and,
+                    # with by_residual, the retrained centroids): decode
+                    # via the old codec, encode via the new one.
+                    rows_f32 = recon_rows(jnp.asarray(fi[c0:c1]))
+                    stored = _encode_pq_rows(
+                        rows_f32, jnp.asarray(cl[c0:c1]), self._dcent,
+                        self._pq_books, residual=by_res,
+                    )
+                    scales = jnp.ones((chunk,), jnp.float32)
+                elif by_res:
                     stored = _gather_dequant(
                         flat_blocks, flat_scale, jnp.asarray(fi[c0:c1]),
                         old_cent, cap=cap, residual=True,
@@ -1265,7 +1416,7 @@ class IVFIndex:
                     jnp.asarray(lv[c0:c1]),
                     scales,
                     self._dcent,
-                    residual=by_res,
+                    residual=by_res and not pq,
                 )
         del flat_blocks, flat_scale
         return self.padding_stats()
@@ -1458,6 +1609,7 @@ class IVFIndex:
                     k_eff,
                     self.metric,
                     self.by_residual,
+                    self._pq_books if self.dtype == "pq" else None,
                 )
             if self._count < (1 << 24):
                 # one host fetch (see FlatIndex.search); ids exact below 2^24
@@ -1492,18 +1644,21 @@ class IVFIndex:
         import os
 
         cap = self._cluster_capacity
-        int4 = self.dtype == "int4"
+        int4 = self.dtype in ("int4", "pq")  # both store nibble words
+        cols = self._cols
         block_rows = cap // 8 if int4 else cap
         chunk_bytes = int(
             os.environ.get("TPU_SEARCH_IO_CHUNK_BYTES", 64 << 20)
         )
-        cluster_bytes = block_rows * self.dim * np.dtype(
-            np.asarray(jnp.zeros((), _DTYPES[self.dtype])).dtype
+        cluster_bytes = block_rows * cols * np.dtype(
+            np.asarray(
+                jnp.zeros((), _DTYPES.get(self.dtype, jnp.int32))
+            ).dtype
         ).itemsize
         step = min(self.nlist, max(1, chunk_bytes // max(cluster_bytes, 1)))
         slice_fn = jax.jit(
             lambda b, c0: jax.lax.dynamic_slice(
-                b, (c0, 0, 0), (step, block_rows, self.dim)
+                b, (c0, 0, 0), (step, block_rows, cols)
             )
         )
         shifts = (4 * np.arange(8, dtype=np.int32))[None, :, None]
@@ -1516,16 +1671,16 @@ class IVFIndex:
                 if not f:
                     continue
                 if int4:
-                    # Words -> biased nibbles -> per-cluster byte rows
+                    # Words -> nibbles -> per-cluster byte rows
                     # (odd fill pads one zero nibble; the loader's fill
                     # table trims it).
-                    w = host[c - c0]  # [capW, D] int32
+                    w = host[c - c0]  # [capW, cols] int32
                     u = ((w[:, None, :] >> shifts) & 0xF).reshape(
-                        cap, self.dim
+                        cap, cols
                     )[:f]
                     if f % 2:
                         u = np.concatenate(
-                            [u, np.zeros((1, self.dim), u.dtype)]
+                            [u, np.zeros((1, cols), u.dtype)]
                         )
                     yield (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
                 else:
@@ -1550,6 +1705,8 @@ class IVFIndex:
             # when set; absent in files from earlier rounds (raw rows).
             "by_residual": self.by_residual,
         }
+        if self.dtype == "pq":
+            header["pq_m"] = self.pq_m
         fill = (
             self._fill
             if self._fill is not None
@@ -1577,11 +1734,14 @@ class IVFIndex:
             if self.centroids is not None
             else np.empty((0, self.dim), np.float32)
         )
-        if self.dtype == "int4":
+        if self.dtype in ("int4", "pq"):
             # Nibble-pair byte rows, ceil(fill/2) per cluster (the fill
-            # table recovers the row <-> byte mapping on load).
+            # table recovers the row <-> byte mapping on load).  pq rows
+            # have M code columns instead of D vector columns.
             total_b = int(np.sum((fill + 1) // 2))
-            vec_section = ("vectors", "uint8", (total_b, self.dim), vec_chunks)
+            vec_section = (
+                "vectors", "uint8", (total_b, self._cols), vec_chunks
+            )
         else:
             vec_section = ("vectors", self.dtype, (total, self.dim), vec_chunks)
         sections = [
@@ -1599,6 +1759,15 @@ class IVFIndex:
         if self.dtype in ("int8", "int4"):
             sections.append(
                 ("scales", "float32", (total,), iter([dense_scales]))
+            )
+        if self.dtype == "pq" and self._pq_books is not None:
+            # Codebooks travel with the codes ([M, 16, dsub] f32, tiny);
+            # rows are undecodable without them.
+            books = np.ascontiguousarray(
+                np.asarray(self._pq_books), np.float32
+            )
+            sections.append(
+                ("pq_books", "float32", tuple(books.shape), iter([books]))
             )
         write_file(path, header, sections)
 
@@ -1624,9 +1793,15 @@ class IVFIndex:
             device=device,
             nlist=header["nlist"],
             by_residual=bool(header.get("by_residual", False)),
+            pq_m=int(header.get("pq_m", 0)),
         )
         if arrays["centroids"].shape[0]:
             index.centroids = np.asarray(arrays["centroids"])
+        if "pq_books" in arrays:
+            with jax.default_device(index.device):
+                index._pq_books = jnp.asarray(
+                    np.asarray(arrays["pq_books"]), jnp.float32
+                )
         index._count = header["count"]
         cap = header["cluster_capacity"]
         if not cap:
@@ -1655,10 +1830,10 @@ class IVFIndex:
         # Upload in fixed-shape scatter chunks (pad rows dropped); peak
         # host memory = one chunk.
         index._materialize()
-        vecs = arrays["vectors"]  # memmap [total, D] storage dtype
+        vecs = arrays["vectors"]  # memmap [total, cols] storage dtype
         scales = arrays.get("scales")
         chunk = min(_LOAD_CHUNK_ROWS, max(total, 1))
-        int4 = index.dtype == "int4"
+        int4 = index.dtype in ("int4", "pq")  # both store nibble-pair bytes
         if int4:
             # Byte-row offsets per cluster (ceil(fill/2) rows each); dense
             # row r of cluster c sits at byte row bcum[c] + pos//2,
@@ -1671,7 +1846,7 @@ class IVFIndex:
         with jax.default_device(index.device):
             for start in range(0, total, chunk):
                 take = min(chunk, total - start)
-                blk = np.zeros((chunk, index.dim), np_dtype)
+                blk = np.zeros((chunk, index._cols), np_dtype)
                 if int4:
                     c = cluster_of[start : start + take]
                     p = pos_of[start : start + take]
@@ -1711,7 +1886,9 @@ class IVFIndex:
                     jnp.asarray(nval),
                     jnp.asarray(nsc),
                     index._dcent,
-                    residual=index.by_residual,
+                    # pq code rows scatter verbatim; the [B, M] code shape
+                    # must not meet [B, D] centroid rows in the dequant arm.
+                    residual=index.by_residual and index.dtype != "pq",
                 )
         return index
 

@@ -1,0 +1,255 @@
+"""Product-quantization codec (the TPU-native FAISS ``IndexIVFPQ`` math).
+
+The reference builds FAISS flat/IVF indexes (``/root/reference/src/
+storage.py:252-299``); FAISS's capacity escape hatch beyond scalar
+quantizers is IVF-PQ.  This module is the codec for the TPU analog:
+``M`` subspaces of ``D / M`` dims, 16 centroids each (4-bit codes), so a
+row stores as ``M / 2`` bytes — e.g. 768-d at M=192 is 96 bytes/row,
+4x below int4 scalar codes and 8x below int8.
+
+TPU-first choices:
+
+- **Codes pack into the int4 slot-word machinery** (ops/int4_pack.py)
+  with ``D = M`` columns: a PQ code is 4 bits exactly like a biased
+  nibble, so IVF block scatter/gather/grow/permute/serialize run
+  UNCHANGED on code rows.  Codes are stored RAW (0..15 codebook ids, no
+  bias semantics).
+- **Scoring never gathers.**  The classic ADC table lookup
+  (``score = sum_m LUT[m, code[n, m]]``) is VPU-hostile on TPU (per-lane
+  gathers); instead codes one-hot against the flattened LUT and the
+  whole scan is ONE MXU matmul per cluster block:
+  ``[cap, M*16] one_hot @ [M*16, Q] lut -> [cap, Q]``.  One-hot
+  construction is two VPU ops (iota compare + select) fused into the
+  matmul operand — the same trick XLA uses to lower ``jnp.take``
+  one-hot mode.
+- **Training is chunked Lloyd over all M subspaces at once** (a
+  ``[chunk, M, 16]`` distance tile per step), so a 500k-row training
+  sample never materializes an ``[N, M, 16]`` score tensor.
+
+Scoring contract (ip metric, the quantized-storage contract):
+``score(q, row) ~= q . decode(codes) (+ q . coarse_centroid when the
+codes encode residuals — the additive ``cbias`` term the IVF scan
+already pays for probe selection)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "PQ_K",
+    "train_pq",
+    "encode_pq",
+    "decode_pq",
+    "pq_lut",
+    "pq_block_scores",
+]
+
+PQ_K = 16  # centroids per subspace: 4-bit codes, nibble-storage compatible
+_CHUNK = 8192
+
+
+def _subspace_view(data: jax.Array, m: int) -> jax.Array:
+    """[N, D] -> [N, m, dsub]; D must divide evenly by m."""
+    n, d = data.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by pq_m {m}")
+    return data.reshape(n, m, d // m)
+
+
+def _assign_chunk(chunk: jax.Array, books: jax.Array) -> jax.Array:
+    """[C, m, dsub] x [m, 16, dsub] -> [C, m] int32 nearest-centroid ids.
+
+    argmin ||x - c||^2 == argmax (x.c - ||c||^2 / 2); the dot rides one
+    einsum (batched MXU matmul over m).
+    """
+    dots = jnp.einsum(
+        "cmd,mkd->cmk", chunk, books,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    half_sq = 0.5 * jnp.sum(books * books, axis=-1)  # [m, 16]
+    return jnp.argmax(dots - half_sq[None], axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("m", "iters"))
+def _train_pq_device(
+    data: jax.Array,  # [N, D] f32, N % _CHUNK == 0 (padded, see wrapper)
+    n_live: jax.Array,  # scalar int32: rows < n_live are real
+    init: jax.Array,  # [m, 16, dsub] initial books
+    m: int,
+    iters: int,
+) -> jax.Array:
+    sub = _subspace_view(data, m)  # [N, m, dsub]
+    n = sub.shape[0]
+    n_chunks = n // _CHUNK
+    dsub = sub.shape[2]
+    row_ids = jnp.arange(n).reshape(n_chunks, _CHUNK)
+
+    def lloyd_iter(books, _):
+        def chunk_step(carry, ci):
+            sums, counts = carry
+            chunk = jax.lax.dynamic_slice(
+                sub, (ci * _CHUNK, 0, 0), (_CHUNK, m, dsub)
+            )
+            codes = _assign_chunk(chunk, books)  # [C, m]
+            live = (row_ids[ci] < n_live)[:, None]  # [C, 1]
+            onehot = (
+                codes[:, :, None] == jnp.arange(PQ_K)[None, None, :]
+            ) & live[:, :, None]  # [C, m, 16] bool
+            oh = onehot.astype(jnp.float32)
+            sums = sums + jnp.einsum(
+                "cmk,cmd->mkd", oh, chunk,
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + jnp.sum(oh, axis=0)  # [m, 16]
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_step,
+            (
+                jnp.zeros((m, PQ_K, dsub), jnp.float32),
+                jnp.zeros((m, PQ_K), jnp.float32),
+            ),
+            jnp.arange(n_chunks),
+        )
+        # Starved centroids keep their old position (respawn would need
+        # data-dependent row picks; at 16 centroids/subspace starvation
+        # is rare and harmless — the code simply goes unused).
+        new = sums / jnp.maximum(counts, 1.0)[:, :, None]
+        books = jnp.where((counts > 0)[:, :, None], new, books)
+        return books, None
+
+    books, _ = jax.lax.scan(lloyd_iter, init, None, length=iters)
+    return books
+
+
+def train_pq(
+    data,
+    m: int,
+    *,
+    iters: int = 20,
+    seed: int = 0,
+    sample: int = 131072,
+) -> jax.Array:
+    """Train ``[m, 16, dsub]`` codebooks on ``[N, D]`` rows (device ok).
+
+    Subsamples to ``sample`` rows (PQ codebooks saturate long before the
+    coarse quantizer's training budget), pads to the chunk multiple, and
+    runs ``iters`` chunked Lloyd iterations on device.
+    """
+    data = jnp.asarray(data, jnp.float32)
+    n, d = data.shape
+    if n == 0:
+        raise ValueError("need at least 1 training row")
+    if n < PQ_K:
+        # Tiny corpora (the CLI can index a handful of chunks before the
+        # first real corpus lands) still need 16 init rows per subspace:
+        # tile the data — duplicate centroids just go unused.
+        reps = -(-PQ_K // n)
+        data = jnp.tile(data, (reps, 1))[:PQ_K]
+        n = PQ_K
+    rng = np.random.default_rng(seed)
+    if n > sample:
+        idx = rng.choice(n, sample, replace=False)
+        data = jnp.take(data, jnp.asarray(np.sort(idx)), axis=0)
+        n = sample
+    # Init: 16 distinct sampled rows per subspace (host-side index pick,
+    # device-side gather).
+    init_rows = jnp.take(
+        data, jnp.asarray(rng.choice(n, PQ_K, replace=False)), axis=0
+    )  # [16, D]
+    init = _subspace_view(init_rows, m).transpose(1, 0, 2)  # [m, 16, dsub]
+    pad = (-n) % _CHUNK
+    if pad:
+        data = jnp.pad(data, ((0, pad), (0, 0)))
+    return _train_pq_device(
+        data, jnp.int32(n), init, m, iters
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def _encode_chunk(chunk: jax.Array, books: jax.Array) -> jax.Array:
+    return _assign_chunk(
+        _subspace_view(chunk, books.shape[0]), books
+    ).astype(jnp.int8)
+
+
+def encode_pq(data, books: jax.Array) -> jax.Array:
+    """[N, D] rows -> [N, m] int8 codes in [0, 15].  Traceable when N is
+    a tracer-friendly static shape; chunks host-side otherwise."""
+    data = jnp.asarray(data, jnp.float32)
+    n = data.shape[0]
+    if n <= _CHUNK:
+        return _encode_chunk(data, books)
+    parts = [
+        _encode_chunk(data[i : i + _CHUNK], books)
+        for i in range(0, n, _CHUNK)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
+def encode_pq_traced(data: jax.Array, books: jax.Array) -> jax.Array:
+    """Fully traceable encode (composes into jitted add programs)."""
+    return _assign_chunk(
+        _subspace_view(data.astype(jnp.float32), books.shape[0]), books
+    ).astype(jnp.int8)
+
+
+def decode_pq(codes: jax.Array, books: jax.Array) -> jax.Array:
+    """[N, m] codes -> [N, D] f32 reconstruction.  Traceable; the gather
+    is one-hot matmul (MXU) for the same no-gather reason as scoring."""
+    m, k, dsub = books.shape
+    onehot = (
+        codes[:, :, None].astype(jnp.int32)
+        == jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # [N, m, 16]
+    return jnp.einsum(
+        "nmk,mkd->nmd", onehot, books,
+        preferred_element_type=jnp.float32,
+    ).reshape(codes.shape[0], m * dsub)
+
+
+def pq_lut(queries: jax.Array, books: jax.Array) -> jax.Array:
+    """[Q, D] queries -> [Q, m, 16] inner-product lookup tables
+    (``lut[q, m, j] = q_m . books[m, j]``)."""
+    m, k, dsub = books.shape
+    qs = _subspace_view(queries.astype(jnp.float32), m)  # [Q, m, dsub]
+    return jnp.einsum(
+        "qmd,mkd->qmk", qs, books,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def pq_block_scores(code_rows: jax.Array, lut: jax.Array) -> jax.Array:
+    """Score one cluster block: [cap, m] codes x [Q, m, 16] LUT ->
+    [Q, cap] f32.
+
+    One-hot ADC on the MXU: ``one_hot(codes) [cap, m*16] @ lut.T``.
+    Exact — the one-hot matmul sums exactly one f32 LUT entry per
+    subspace (f32 HIGHEST accumulation), so results are bit-comparable
+    across kernel variants.
+    """
+    cap, m = code_rows.shape
+    onehot = (
+        code_rows[:, :, None].astype(jnp.int32)
+        == jnp.arange(PQ_K, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.float32)  # [cap, m, 16]
+    return jax.lax.dot_general(
+        lut.reshape(lut.shape[0], m * PQ_K),
+        onehot.reshape(cap, m * PQ_K),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, cap]
+
+
+def pq_bytes_per_row(m: int) -> int:
+    """Disk/HBM bytes per stored code row (nibble-packed)."""
+    return m // 2
