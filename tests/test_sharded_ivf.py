@@ -55,7 +55,9 @@ class TestWaterFill:
 
 
 class TestParityWithSingleChip:
-    @pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8", "int4"])
+    @pytest.mark.parametrize(
+        "dtype", ["float32", "bfloat16", "int8", "int4", "pq"]
+    )
     def test_matches_ivf_index(self, mesh, corpus, queries, dtype):
         single = IVFIndex(dim=32, dtype=dtype, nlist=8, seed=3)
         sharded = ShardedIVFIndex(
@@ -269,7 +271,7 @@ class TestPersistence:
         np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
         np.testing.assert_array_equal(i1, i2)
 
-    @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4"])
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4", "pq"])
     def test_sharded_save_loads_in_single_chip(
         self, mesh, corpus, queries, tmp_path, dtype
     ):
@@ -363,6 +365,105 @@ class TestInt4Lifecycle:
             total += size
         _, got = sharded.search(corpus[:total], k=1, nprobe=8)
         assert got[:, 0].tolist() == list(range(total))
+
+
+class TestPQLifecycle:
+    """pq-specific sharded IVF coverage: replicated codebooks, code-word
+    scatter/compact, rebalance decode->re-encode, codebook persistence,
+    and single-chip interop (ops/pq.py + parallel/sharded_ivf.py)."""
+
+    def test_defaults(self, mesh):
+        idx = ShardedIVFIndex(dim=32, mesh=mesh, dtype="pq")
+        assert idx.by_residual and idx.pq_m == 8
+
+    def test_l2_rejected(self, mesh):
+        with pytest.raises(ValueError, match="ip"):
+            ShardedIVFIndex(dim=16, mesh=mesh, metric="l2", dtype="pq")
+
+    def test_pq_m_must_divide(self, mesh):
+        with pytest.raises(ValueError, match="divide"):
+            ShardedIVFIndex(dim=32, mesh=mesh, dtype="pq", pq_m=7)
+
+    def test_incremental_adds_self_retrieve(self, mesh, corpus):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="pq", pq_m=16, nlist=8, seed=3
+        )
+        sharded.add(corpus[:100])
+        total = 100
+        for size in (3, 5, 9, 1, 13):  # odd sizes cross nibble boundaries
+            sharded.add(corpus[total : total + size])
+            total += size
+        _, got = sharded.search(corpus[:total], k=1, nprobe=8)
+        assert got[:, 0].tolist() == list(range(total))
+
+    def test_compact_preserves_rows(self, mesh, corpus):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="pq", pq_m=16, nlist=8, seed=3
+        )
+        ids = sharded.add(corpus)
+        sharded.remove(ids[:40])
+        mapping = sharded.compact()
+        assert sharded.live == len(corpus) - 40
+        probe = corpus[np.array([40, 100, len(corpus) - 1])]
+        _, got = sharded.search(probe, k=1, nprobe=8)
+        expect = [mapping[40], mapping[100], mapping[len(corpus) - 1]]
+        assert got[:, 0].tolist() == expect
+
+    def test_rebalance_reencodes(self, mesh, corpus, queries):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="pq", pq_m=16, nlist=8, seed=3
+        )
+        sharded.add(corpus)
+        s1, i1 = sharded.search(queries, k=10, nprobe=8)
+        sharded.rebalance(train_sample=1000)
+        assert sharded.ntotal == len(corpus)
+        assert sharded.live == len(corpus)
+        # decode->re-encode is double-lossy: equivalence is statistical
+        s2, i2 = sharded.search(queries, k=10, nprobe=8)
+        overlap = np.mean([
+            len(set(a) & set(b)) / 10.0 for a, b in zip(i1, i2)
+        ])
+        assert overlap >= 0.6, overlap
+        # pq_m=16 at dim=32 is aggressive 2-dim-subspace compression;
+        # decode->re-encode noise moves individual scores noticeably.
+        np.testing.assert_allclose(s1[:, 0], s2[:, 0], atol=0.12)
+
+    def test_roundtrip_with_tombstones(self, mesh, corpus, queries, tmp_path):
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="pq", pq_m=16, nlist=8, seed=3
+        )
+        ids = sharded.add(corpus[:501])  # odd count
+        sharded.remove(ids[5:8])
+        s1, i1 = sharded.search(queries, k=7, nprobe=8)
+        path = str(tmp_path / "pq.tpuidx")
+        sharded.save(path)
+        back = ShardedIVFIndex.load(path, mesh)
+        assert back.dtype == "pq" and back.by_residual
+        assert back.pq_m == 16
+        np.testing.assert_allclose(
+            np.asarray(back._pq_books), np.asarray(sharded._pq_books),
+            rtol=0, atol=0,
+        )
+        s2, i2 = back.search(queries, k=7, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+    def test_single_chip_pq_save_loads_sharded(
+        self, mesh, corpus, queries, tmp_path
+    ):
+        single = IVFIndex(dim=32, dtype="pq", pq_m=16, nlist=8, seed=3)
+        single.train(corpus)
+        single.add(corpus)
+        s1, i1 = single.search(queries, k=5, nprobe=8)
+        path = str(tmp_path / "pq1.tpuidx")
+        single.save(path)
+        sharded = ShardedIVFIndex.load(path, mesh)
+        assert sharded.pq_m == 16
+        s2, i2 = sharded.search(queries, k=5, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
 
 
 class TestRebalance:

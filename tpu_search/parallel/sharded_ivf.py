@@ -109,30 +109,39 @@ def _sharded_ivf_program(
     local_impl: str,
     tile: int,
     by_res: bool,
+    pq: bool = False,
 ):
     """UN-jitted shard_map program: per-shard probe scan -> ICI merge.
 
     Un-jitted so :meth:`ShardedIVFIndex._search_fn` can jit it standalone
     and the engine's fused one-dispatch query can trace it inside a
-    larger jitted program (encode + probe scan + merge, one dispatch)."""
+    larger jitted program (encode + probe scan + merge, one dispatch).
+
+    With ``pq`` the buffers carry a trailing replicated codebook tensor
+    and the local scan runs the one-hot ADC path (``local_impl`` is
+    always "xla" — the scan is MXU-bound, not DMA-bound)."""
+    in_specs = (
+        P(None, None),          # centroids (replicated)
+        P(None, "data", None),  # blocks
+        P(None, "data"),        # ids (global)
+        P(None, "data"),        # mask
+        P(None, "data"),        # sq
+        P(None, "data"),        # scale
+        P("data", None),        # fills [S, nlist]
+        P(None, None),          # queries (replicated)
+    )
+    if pq:
+        in_specs = in_specs + (P(None, None, None),)  # books (replicated)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(
-            P(None, None),          # centroids (replicated)
-            P(None, "data", None),  # blocks
-            P(None, "data"),        # ids (global)
-            P(None, "data"),        # mask
-            P(None, "data"),        # sq
-            P(None, "data"),        # scale
-            P("data", None),        # fills [S, nlist]
-            P(None, None),          # queries (replicated)
-        ),
+        in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
-    def program(cent, blocks, bids, bmask, bsq, bscale, fills, queries):
+    def program(cent, blocks, bids, bmask, bsq, bscale, fills, queries,
+                *books):
         if local_impl == "pallas":
             ls, li = _ivf_search_pallas_impl(
                 cent, blocks, bids, bmask, bsq, bscale,
@@ -143,6 +152,7 @@ def _sharded_ivf_program(
             ls, li = _ivf_search_impl(
                 cent, blocks, bids, bmask, bsq, bscale,
                 queries, nprobe, k, metric, by_res,
+                books[0] if pq else None,
             )
         # Stored ids are GLOBAL: merge needs no translation.
         all_s = jax.lax.all_gather(ls, "data")  # [S, Q, k]
@@ -160,16 +170,19 @@ def _sharded_ivf_program(
 def sharded_ivf_scan_fn_for(scan_key: tuple):
     """Resolve a ``ShardedIVFIndex.make_scan_fn`` key to a pure scan fn
     (contract of ``index.ivf.ivf_scan_fn_for``; deterministic in the
-    hashable ``scan_key`` alone, mesh included)."""
-    _, mesh, nprobe, k_eff, metric, local_impl, tile, by_res = scan_key
+    hashable ``scan_key`` alone, mesh included).  pq keys carry the
+    replicated codebooks as a trailing buffer."""
+    _, mesh, nprobe, k_eff, metric, local_impl, tile, by_res = scan_key[:8]
+    pq = len(scan_key) > 8 and scan_key[8] == "pq"
     program = _sharded_ivf_program(
-        mesh, nprobe, k_eff, metric, local_impl, tile, by_res
+        mesh, nprobe, k_eff, metric, local_impl, tile, by_res, pq=pq
     )
 
     def fn(buffers, block_mask, qbatch, k):
-        cent, blocks, bids, bsq, bscale, fills = buffers
+        cent, blocks, bids, bsq, bscale, fills = buffers[:6]
         return program(
-            cent, blocks, bids, block_mask, bsq, bscale, fills, qbatch
+            cent, blocks, bids, block_mask, bsq, bscale, fills, qbatch,
+            *buffers[6:],
         )
 
     return fn
@@ -193,18 +206,27 @@ class ShardedIVFIndex:
         seed: int = 0,
         balanced: bool = True,
         by_residual: Optional[bool] = None,
+        pq_m: int = 0,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
-        if dtype not in _DTYPES:
+        if dtype not in _DTYPES and dtype != "pq":
             raise ValueError(
-                f"ShardedIVFIndex supports dtypes {sorted(_DTYPES)}, "
-                f"got {dtype!r}"
+                f"ShardedIVFIndex supports dtypes "
+                f"{sorted(_DTYPES) + ['pq']}, got {dtype!r}"
             )
-        if dtype in ("int8", "int4") and metric == "l2":
+        if dtype in ("int8", "int4", "pq") and metric == "l2":
             raise ValueError(
                 f"{dtype} IVF storage supports metric='ip' only"
             )
+        if dtype == "pq":
+            # Same codec + defaults as IVFIndex(dtype="pq"): M 4-bit
+            # codebook ids per row in the int4 word layout (ops/pq.py).
+            pq_m = pq_m or max(1, dim // 4)
+            if dim % pq_m:
+                raise ValueError(f"pq_m={pq_m} must divide dim={dim}")
+        self.pq_m = pq_m if dtype == "pq" else 0
+        self._pq_books: Optional[jax.Array] = None  # replicated [M,16,dsub]
         self.dim = dim
         self.mesh = mesh
         self.metric = metric
@@ -213,11 +235,11 @@ class ShardedIVFIndex:
         self.train_iters = train_iters
         self.seed = seed
         self.balanced = balanced
-        # Same default + semantics as IVFIndex.by_residual: int8/int4
+        # Same default + semantics as IVFIndex.by_residual: int8/int4/pq
         # rows store residuals vs their cluster centroid.
         self.by_residual = (
-            dtype in ("int8", "int4") if by_residual is None
-            else bool(by_residual) and dtype in ("int8", "int4")
+            dtype in ("int8", "int4", "pq") if by_residual is None
+            else bool(by_residual) and dtype in ("int8", "int4", "pq")
         )
         self.n_shards = mesh.shape["data"]
 
@@ -258,6 +280,11 @@ class ShardedIVFIndex:
             cache.clear()
 
     # -- size accounting -----------------------------------------------------
+
+    @property
+    def _cols(self) -> int:
+        """Block column count: D vector dims, or M code columns for pq."""
+        return self.pq_m if self.dtype == "pq" else self.dim
 
     @property
     def ntotal(self) -> int:
@@ -324,6 +351,20 @@ class ShardedIVFIndex:
             metric=self.metric,
             balance=_BALANCE if self.balanced else -1.0,
         )
+        if self.dtype == "pq":
+            # Codebooks fit the residual (or raw) distribution, computed
+            # replicated like the centroids (identical inputs on every
+            # chip).  Same training as IVFIndex.train.
+            from ..ops.pq import train_pq
+
+            if self.by_residual:
+                assign = assign_clusters(dv, centroids, self.metric)
+                target = dv - jnp.take(centroids, assign, axis=0)
+            else:
+                target = dv
+            self._pq_books = self._put_replicated(
+                train_pq(target, self.pq_m, seed=self.seed)
+            )
         self.centroids = np.asarray(centroids)
         self._dcent = self._put_replicated(jnp.asarray(self.centroids))
 
@@ -339,13 +380,14 @@ class ShardedIVFIndex:
             cap = lcap * self.n_shards
             sh3 = self._spec(P(None, "data", None))
             sh2 = self._spec(P(None, "data"))
-            # int4: word-packed [nlist, cap/8, D] int32, sharded on the
-            # word axis (lcap % 8 == 0, so shard boundaries align with
+            # int4/pq: word-packed [nlist, cap/8, cols] int32, sharded on
+            # the word axis (lcap % 8 == 0, so shard boundaries align with
             # slot boundaries: shard s owns words [s*lcap/8, (s+1)*lcap/8)).
-            rows = cap // 8 if self.dtype == "int4" else cap
+            rows = cap // 8 if self.dtype in ("int4", "pq") else cap
             self._dblocks = jax.jit(
                 lambda: jnp.zeros(
-                    (self.nlist, rows, self.dim), _DTYPES[self.dtype]
+                    (self.nlist, rows, self._cols),
+                    _DTYPES.get(self.dtype, jnp.int32),
                 ),
                 out_shardings=sh3,
             )()
@@ -456,7 +498,10 @@ class ShardedIVFIndex:
         if fn is not None:
             return fn
         lcap = self._local_capacity
-        residual = self.by_residual
+        # pq code rows arrive PRE-ENCODED (int8 codes, [b, M]); the
+        # residual arithmetic already happened in _encode_pq_rows and the
+        # [b, M] code shape must never meet [nlist, D] centroid rows.
+        residual = self.by_residual and self.dtype != "pq"
 
         @partial(
             shard_map,
@@ -592,6 +637,17 @@ class ShardedIVFIndex:
         nid = np.zeros((b,), np.int32)
         nid[:n] = ids32
         rep = self._put_replicated
+        if self.dtype == "pq":
+            # Encode replicated (identical on every chip): padding rows
+            # encode garbage and drop via the sentinel cluster id.  The
+            # scatter then adopts the code rows down the already-nibbles
+            # path.
+            from ..index.ivf import _encode_pq_rows
+
+            padded = _encode_pq_rows(
+                padded, rep(jnp.asarray(cl)), self._dcent,
+                self._pq_books, residual=self.by_residual,
+            )
         (
             self._dblocks, self._dids, self._dvalid, self._dsq, self._dscale
         ) = self._scatter_fn(b)(
@@ -760,34 +816,52 @@ class ShardedIVFIndex:
         global slot): the owning shard contributes each row, a psum over
         'data' replicates the chunk (exactly one shard is non-zero per
         row, so the sum is exact — int8/bf16 values pass through float32
-        losslessly)."""
+        losslessly).
+
+        pq variant: takes the codebooks as a trailing replicated arg
+        (rebalance gathers through the PRE-retrain books) and returns
+        DECODED residual-reconstruction rows with unit scales."""
         key = (b, lcap)
         fn = self._gather_fns.get(key)
         if fn is not None:
             return fn
+        pq = self.dtype == "pq"
+        in_specs = (
+            P(None, "data", None), P(None, "data"),
+            P(None), P(None),
+        )
+        if pq:
+            in_specs = in_specs + (P(None, None, None),)
 
         @partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(
-                P(None, "data", None), P(None, "data"),
-                P(None), P(None),
-            ),
+            in_specs=in_specs,
             out_specs=(P(None, None), P(None)),
             check_vma=False,
         )
-        def gather_prog(blocks, dscale, cl, gs):
+        def gather_prog(blocks, dscale, cl, gs, *books):
             s = jax.lax.axis_index("data")
             local = gs - s * lcap
             own = (local >= 0) & (local < lcap)
             lidx = jnp.where(own, local, 0)
-            if blocks.dtype == jnp.int32:  # int4 words: extract nibbles
+            if pq:  # code nibbles -> one-hot decode through the books
+                from ..ops.pq import decode_pq
+
+                w = blocks[cl, lidx // 8]  # [B, M] int32
+                codes = (
+                    (w >> (4 * (lidx % 8))[:, None]) & 0xF
+                ).astype(jnp.int8)
+                rows = decode_pq(codes, books[0])  # [B, D] f32
+                sc = jnp.ones(gs.shape, jnp.float32)
+            elif blocks.dtype == jnp.int32:  # int4 words: extract nibbles
                 w = blocks[cl, lidx // 8]  # [B, D] int32
                 u = (w >> (4 * (lidx % 8))[:, None]) & 0xF
                 rows = u.astype(jnp.float32) - 8.0  # SIGNED stored value
+                sc = dscale[cl, lidx]
             else:
                 rows = blocks[cl, lidx].astype(jnp.float32)
-            sc = dscale[cl, lidx]
+                sc = dscale[cl, lidx]
             rows = jnp.where(own[:, None], rows, 0.0)
             sc = jnp.where(own, sc, 0.0)
             return (
@@ -859,9 +933,12 @@ class ShardedIVFIndex:
         gather = self._gather_fn(b, old_lcap)
         rep = self._put_replicated
         by_res = self.by_residual
-        # Residual rows reconstruct against the centroids they were
-        # encoded with — keep the pre-retrain copy alive (tiny).
+        pq = self.dtype == "pq"
+        # Residual rows reconstruct against the centroids (and, for pq,
+        # codebooks) they were encoded with — keep the pre-retrain copies
+        # alive (tiny).
         old_cent = self._dcent if by_res else None
+        old_books = (self._pq_books,) if pq else ()
 
         def gather_chunk(idx_lo: int, idx_hi: int, sel=None):
             ocl = np.zeros((b,), np.int32)
@@ -875,7 +952,7 @@ class ShardedIVFIndex:
                 ogs[:take] = pp[sel]
             rows_f, sc = gather(
                 old_blocks, old_scale,
-                rep(jnp.asarray(ocl)), rep(jnp.asarray(ogs)),
+                rep(jnp.asarray(ocl)), rep(jnp.asarray(ogs)), *old_books,
             )
             return rows_f, sc, ocl
 
@@ -940,12 +1017,27 @@ class ShardedIVFIndex:
         # cannot move raw — their base centroid just changed — so they
         # reconstruct against the old centroids and re-encode against
         # the new ones (same re-encode as IVFIndex.rebalance).
-        stored_dt = jnp.int8 if self.dtype == "int4" else _DTYPES[self.dtype]
+        stored_dt = (
+            jnp.int8 if self.dtype in ("int4", "pq")
+            else _DTYPES[self.dtype]
+        )
         scatter = self._scatter_fn(b)
         for c0 in range(0, live, b):
             hi = min(c0 + b, live)
             rows_f, sc, ocl = gather_chunk(c0, hi)
-            if by_res:
+            ncl = np.full((b,), self.nlist, np.int32)
+            ncl[: hi - c0] = assign[c0:hi]
+            if pq:
+                # Decode rode the OLD codec in the gather; re-encode
+                # through the RETRAINED centroids + books.
+                from ..index.ivf import _encode_pq_rows
+
+                move_rows = _encode_pq_rows(
+                    recon(rows_f, sc, ocl), rep(jnp.asarray(ncl)),
+                    self._dcent, self._pq_books, residual=by_res,
+                )
+                move_scales = jnp.ones((b,), jnp.float32)
+            elif by_res:
                 move_rows = recon(rows_f, sc, ocl)  # f32: re-encoded below
                 move_scales = jnp.ones((b,), jnp.float32)
             elif self.dtype == "int4":
@@ -956,8 +1048,6 @@ class ShardedIVFIndex:
             else:
                 move_rows = rows_f.astype(stored_dt)
                 move_scales = jnp.maximum(sc, 1e-12)
-            ncl = np.full((b,), self.nlist, np.int32)
-            ncl[: hi - c0] = assign[c0:hi]
             ngs = np.zeros((b,), np.int32)
             ngs[: hi - c0] = gslots[c0:hi]
             nid = np.zeros((b,), np.int32)
@@ -1010,6 +1100,10 @@ class ShardedIVFIndex:
 
     def _local_impl(self, k_eff: int) -> Tuple[str, int]:
         platform = self.mesh.devices.flat[0].platform
+        if self.dtype == "pq":
+            # One-hot ADC is MXU-compute-bound; the DMA kernel buys
+            # nothing (same reasoning as IVFIndex._kernel_tile_for).
+            return "xla", 0
         if (
             platform == "tpu"
             and self._pallas_ok is not False
@@ -1029,7 +1123,7 @@ class ShardedIVFIndex:
         fn = jax.jit(
             _sharded_ivf_program(
                 self.mesh, nprobe, k, self.metric, local_impl, tile,
-                self.by_residual,
+                self.by_residual, pq=self.dtype == "pq",
             )
         )
         if len(self._search_fns) >= 32:
@@ -1059,6 +1153,9 @@ class ShardedIVFIndex:
             self._dscale,
             self._device_fills(),
         )
+        if self.dtype == "pq":
+            scan_key = scan_key + ("pq",)
+            buffers = buffers + (self._pq_books,)
         return scan_key, buffers
 
     def search(
@@ -1090,12 +1187,13 @@ class ShardedIVFIndex:
 
         block_mask = self.device_block_mask(mask)
         local_impl, tile = self._local_impl(k_eff)
+        books = (self._pq_books,) if self.dtype == "pq" else ()
         try:
             fn = self._search_fn(nprobe_eff, k_eff, local_impl, tile)
             scores, ids = fn(
                 self._dcent, self._dblocks, self._dids, block_mask,
                 self._dsq, self._dscale, self._device_fills(),
-                self._put_replicated(jnp.asarray(qbatch)),
+                self._put_replicated(jnp.asarray(qbatch)), *books,
             )
         except Exception as exc:
             if local_impl != "pallas":
@@ -1108,7 +1206,7 @@ class ShardedIVFIndex:
             scores, ids = fn(
                 self._dcent, self._dblocks, self._dids, block_mask,
                 self._dsq, self._dscale, self._device_fills(),
-                self._put_replicated(jnp.asarray(qbatch)),
+                self._put_replicated(jnp.asarray(qbatch)), *books,
             )
         if self._count < (1 << 24):
             packed = np.asarray(
@@ -1135,18 +1233,18 @@ class ShardedIVFIndex:
         order (shard 0's prefix, then shard 1's, ...) — the same dense
         per-cluster row stream the single-chip IVF container stores."""
         lcap = self._local_capacity
-        int4 = self.dtype == "int4"
+        int4 = self.dtype in ("int4", "pq")  # both store nibble words
         shifts = (4 * np.arange(8, dtype=np.int32))[None, :, None]
         for c in range(self.nlist):
             if not self._fill[c].sum():
                 continue
             if int4:
-                w = np.asarray(self._dblocks[c])  # [cap/8, D] int32 words
+                w = np.asarray(self._dblocks[c])  # [cap/8, cols] words
                 row = (
                     ((w[:, None, :] >> shifts) & 0xF)
-                    .reshape(lcap * self.n_shards, self.dim)
+                    .reshape(lcap * self.n_shards, self._cols)
                     .astype(np.int8)
-                )  # biased nibble values per slot
+                )  # nibble values per slot (biased int4 / raw pq codes)
             else:
                 row = np.asarray(self._dblocks[c])  # [cap, D] cluster pull
             parts = [
@@ -1163,7 +1261,7 @@ class ShardedIVFIndex:
         for rows in self._iter_dense_rows():  # one chunk per cluster
             if rows.shape[0] % 2:
                 rows = np.concatenate(
-                    [rows, np.zeros((1, self.dim), rows.dtype)]
+                    [rows, np.zeros((1, self._cols), rows.dtype)]
                 )
             yield (
                 rows[0::2].astype(np.uint8)
@@ -1214,12 +1312,14 @@ class ShardedIVFIndex:
             "cluster_capacity": self._cluster_capacity,
             "by_residual": self.by_residual,
         }
+        if self.dtype == "pq":
+            header["pq_m"] = self.pq_m
         total = int(fill_per_cluster.sum())
         if total:
             cl, gs = self._dense_order()
             dense_ids = self._ids[cl, gs].astype(np.int32)
             dense_valid = self._valid[cl, gs].astype(np.uint8)
-            if self.dtype == "int4":
+            if self.dtype in ("int4", "pq"):
                 vec_chunks = self._iter_dense_nibble_bytes()
             else:
                 vec_chunks = self._iter_dense_rows()
@@ -1237,9 +1337,11 @@ class ShardedIVFIndex:
             if self.centroids is not None
             else np.empty((0, self.dim), np.float32)
         )
-        if self.dtype == "int4":
+        if self.dtype in ("int4", "pq"):
             total_b = int(np.sum((fill_per_cluster + 1) // 2))
-            vec_section = ("vectors", "uint8", (total_b, self.dim), vec_chunks)
+            vec_section = (
+                "vectors", "uint8", (total_b, self._cols), vec_chunks
+            )
         else:
             vec_section = ("vectors", self.dtype, (total, self.dim), vec_chunks)
         sections = [
@@ -1258,6 +1360,13 @@ class ShardedIVFIndex:
         if self.dtype in ("int8", "int4"):
             sections.append(
                 ("scales", "float32", (total,), iter([dense_scales]))
+            )
+        if self.dtype == "pq" and self._pq_books is not None:
+            books = np.ascontiguousarray(
+                np.asarray(self._pq_books), np.float32
+            )
+            sections.append(
+                ("pq_books", "float32", tuple(books.shape), iter([books]))
             )
         write_file(path, header, sections)
 
@@ -1286,9 +1395,11 @@ class ShardedIVFIndex:
             "process_count": jax.process_count(),
             "by_residual": self.by_residual,
         }
+        if self.dtype == "pq":
+            base_header["pq_m"] = self.pq_m
         owned: Dict[int, jax.Array] = {}
         scale_locals: Dict[int, jax.Array] = {}
-        block_lrows = lcap // 8 if self.dtype == "int4" else lcap
+        block_lrows = lcap // 8 if self.dtype in ("int4", "pq") else lcap
         if self._dblocks is not None:
             for sh in self._dblocks.addressable_shards:
                 owned[(sh.index[1].start or 0) // block_lrows] = sh.data
@@ -1296,7 +1407,9 @@ class ShardedIVFIndex:
                 for sh in self._dscale.addressable_shards:
                     scale_locals[(sh.index[1].start or 0) // lcap] = sh.data
         sections = []
-        block_disk_dtype = "int32" if self.dtype == "int4" else self.dtype
+        block_disk_dtype = (
+            "int32" if self.dtype in ("int4", "pq") else self.dtype
+        )
         for s in sorted(owned):
             # raw device-layout [nlist, lcap(/8), D] slice: zero transform
             # cost, chunk-streamed to disk
@@ -1336,19 +1449,28 @@ class ShardedIVFIndex:
                 self.centroids if self.centroids is not None
                 else np.empty((0, self.dim), np.float32)
             )
+            manifest_sections = [
+                ("ids", "int32", tuple(ids.shape),
+                 iter([np.ascontiguousarray(ids, np.int32)])),
+                ("valid", "uint8", tuple(valid.shape),
+                 iter([np.ascontiguousarray(valid, np.uint8)])),
+                ("fill", "int32", tuple(fill.shape),
+                 iter([np.ascontiguousarray(fill, np.int32)])),
+                ("centroids", "float32", tuple(centroids.shape),
+                 iter([np.ascontiguousarray(centroids, np.float32)])),
+            ]
+            if self.dtype == "pq" and self._pq_books is not None:
+                books = np.ascontiguousarray(
+                    np.asarray(self._pq_books), np.float32
+                )
+                manifest_sections.append(
+                    ("pq_books", "float32", tuple(books.shape),
+                     iter([books]))
+                )
             write_file(
                 path,
                 {**base_header, "kind": "ivf_shards_manifest"},
-                [
-                    ("ids", "int32", tuple(ids.shape),
-                     iter([np.ascontiguousarray(ids, np.int32)])),
-                    ("valid", "uint8", tuple(valid.shape),
-                     iter([np.ascontiguousarray(valid, np.uint8)])),
-                    ("fill", "int32", tuple(fill.shape),
-                     iter([np.ascontiguousarray(fill, np.int32)])),
-                    ("centroids", "float32", tuple(centroids.shape),
-                     iter([np.ascontiguousarray(centroids, np.float32)])),
-                ],
+                manifest_sections,
             )
         # save() returning on ANY process must imply every host's file
         # (and the manifest) exists.
@@ -1366,6 +1488,7 @@ class ShardedIVFIndex:
             dim=header["dim"], mesh=mesh, metric=header["metric"],
             dtype=header["dtype"], nlist=header["nlist"],
             by_residual=bool(header.get("by_residual", False)),
+            pq_m=int(header.get("pq_m", 0)),
         )
         if header["n_shards"] != index.n_shards:
             raise ValueError(
@@ -1378,6 +1501,10 @@ class ShardedIVFIndex:
         if len(cents):
             index.centroids = cents
             index._dcent = index._put_replicated(jnp.asarray(cents))
+        if "pq_books" in marrays:
+            index._pq_books = index._put_replicated(
+                jnp.asarray(np.asarray(marrays["pq_books"]), jnp.float32)
+            )
         lcap = int(header["local_capacity"])
         if lcap == 0:
             return index
@@ -1421,10 +1548,11 @@ class ShardedIVFIndex:
             "bfloat16": ml_dtypes.bfloat16,
             "int8": np.int8,
             "int4": np.int32,  # raw word rows
+            "pq": np.int32,  # raw code-word rows
         }[index.dtype]
-        block_rows = cap // 8 if index.dtype == "int4" else cap
+        block_rows = cap // 8 if index.dtype in ("int4", "pq") else cap
         index._dblocks = assemble(
-            "blocks", (index.nlist, block_rows, index.dim), host_dt
+            "blocks", (index.nlist, block_rows, index._cols), host_dt
         )
         sh2 = index._spec(P(None, "data"))
         if index.dtype in ("int8", "int4"):
@@ -1451,6 +1579,12 @@ class ShardedIVFIndex:
             check_vma=False,
         )
         def sq_prog(blocks, scale):
+            if index.dtype == "pq":
+                # pq is ip-only: sq is never read (and code words have
+                # no meaningful norm without a decode pass).
+                return jnp.zeros(
+                    (blocks.shape[0], scale.shape[1]), jnp.float32
+                )
             if blocks.dtype == jnp.int32:  # int4 words
                 # Per nibble position j: slots j::8 of every word row.
                 parts = []
@@ -1487,6 +1621,7 @@ class ShardedIVFIndex:
             dtype=header["dtype"],
             nlist=header["nlist"],
             by_residual=bool(header.get("by_residual", False)),
+            pq_m=int(header.get("pq_m", 0)),
         )
         fill = np.asarray(arrays["fill"], np.int64)
         total = int(fill.sum())
@@ -1494,6 +1629,10 @@ class ShardedIVFIndex:
         if len(cents):
             index.centroids = cents
             index._dcent = index._put_replicated(jnp.asarray(cents))
+        if "pq_books" in arrays:
+            index._pq_books = index._put_replicated(
+                jnp.asarray(np.asarray(arrays["pq_books"]), jnp.float32)
+            )
         index._count = int(header["count"])
         if not total:
             return index
@@ -1520,7 +1659,7 @@ class ShardedIVFIndex:
             if index.dtype in ("int8", "int4")
             else None
         )
-        int4 = index.dtype == "int4"
+        int4 = index.dtype in ("int4", "pq")  # both store nibble pairs
         if int4:
             # Dense row r of cluster c sits at byte row
             # bcum[c] + pos_in_cluster // 2, nibble pos_in_cluster % 2.
@@ -1545,7 +1684,7 @@ class ShardedIVFIndex:
                 c = clusters[c0:c1]
                 p = np.arange(c0, c1) - cum[c]
                 brows = np.asarray(vecs[bcum[c] + p // 2])
-                rows = np.zeros((b, index.dim), np.int8)
+                rows = np.zeros((b, index._cols), np.int8)
                 rows[: c1 - c0] = np.where(
                     (p % 2 == 1)[:, None], brows >> 4, brows & 0xF
                 ).astype(np.int8)
