@@ -365,7 +365,7 @@ def bench_ivf() -> dict:
     train_idx = rng.choice(n, min(n, 500_000), replace=False)
 
     out = {}
-    for dtype in ("bfloat16", "int8", "int4"):
+    for dtype in ("bfloat16", "int8", "int4", "pq"):
         index = IVFIndex(dim=dim, dtype=dtype, nlist=nlist, train_iters=40)
         t0 = time.perf_counter()
         index.train(jnp.take(corpus, jnp.asarray(train_idx), axis=0))
@@ -477,6 +477,10 @@ def bench_ivf() -> dict:
         f"qps_b128={out['ivf_qps_b128_int4']:.0f} "
         f"dev_q1={out['ivf_dev_q1_ms_int4']:.2f}ms "
         f"({out['ivf_kernel_int4']}) | "
+        f"pq recall={out['ivf_recall_pq']:.4f} "
+        f"qps_b128={out['ivf_qps_b128_pq']:.0f} "
+        f"dev_q1={out['ivf_dev_q1_ms_pq']:.2f}ms "
+        f"({out['ivf_kernel_pq']}) | "
         f"fused e2e p50={out['ivf_fused_e2e_p50_ms']:.1f}ms"
     )
     del corpus

@@ -140,8 +140,10 @@ class SearchEngine:
         )
         # Index engine knobs (env-tunable; defaults come from
         # StorageConfig): CLAUDE_SEARCH_INDEX_TYPE = flat|ivf,
-        # CLAUDE_SEARCH_STORAGE_DTYPE = float32|bfloat16|int8|int4,
-        # CLAUDE_SEARCH_SHARD_DEVICES = 0 (auto) | 1 (single) | N chips.
+        # CLAUDE_SEARCH_STORAGE_DTYPE = float32|bfloat16|int8|int4|pq,
+        # CLAUDE_SEARCH_SHARD_DEVICES = 0 (auto) | 1 (single) | N chips,
+        # CLAUDE_SEARCH_DEVICE = auto|tpu|cpu (pin the index device —
+        # e.g. keep a maintenance CLI off a TPU a server is using).
         storage_kwargs: Dict[str, Any] = {}
         env_index_type = os.environ.get("CLAUDE_SEARCH_INDEX_TYPE")
         if env_index_type:
@@ -149,6 +151,9 @@ class SearchEngine:
         env_dtype = os.environ.get("CLAUDE_SEARCH_STORAGE_DTYPE")
         if env_dtype:
             storage_kwargs["storage_dtype"] = env_dtype
+        env_device = os.environ.get("CLAUDE_SEARCH_DEVICE")
+        if env_device:
+            storage_kwargs["device"] = env_device
         env_shards = os.environ.get("CLAUDE_SEARCH_SHARD_DEVICES")
         if env_shards:
             storage_kwargs["shard_devices"] = int(env_shards)

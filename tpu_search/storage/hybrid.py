@@ -64,8 +64,9 @@ class StorageConfig:
     gpu_memory_fraction: float = 0.8
     # TPU-native knobs
     device: str = "auto"  # "auto" | "tpu" | "cpu"
-    # HBM corpus dtype: "float32" | "bfloat16" | "int8" | "int4"
-    # (int8/int4 are ip-only; every index kind supports all four).
+    # HBM corpus dtype: "float32" | "bfloat16" | "int8" | "int4" | "pq"
+    # (int8/int4/pq are ip-only; "pq" is 4-bit product quantization,
+    # IVF-only incl. sharded — 96 B/row at 768-d vs 384 B for int4).
     storage_dtype: str = "bfloat16"
     save_interval_s: float = 0.0  # min seconds between auto-saves (0 = always)
     # Corpus sharding over a device mesh (flat and ivf indexes):
@@ -142,6 +143,19 @@ class HybridStorage:
         import jax
 
         want = self.config.device
+        if want == "cpu":
+            # Pin the whole process to the CPU backend BEFORE the first
+            # backend init: merely enumerating jax.devices() attaches the
+            # accelerator (and on this rig, attaching a TPU another
+            # process holds blocks indefinitely).  No-op (and harmless)
+            # if a backend is already live.
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:  # pragma: no cover - config shape changes
+                pass
+            self._capability = assess_device_capability()
+            self._is_accelerated = False
+            return jax.devices("cpu")[0]
         self._capability = assess_device_capability()
         accel = [
             d for d in jax.devices() if d.platform not in ("cpu", "interpreter")
@@ -210,7 +224,7 @@ class HybridStorage:
     def _build_index(self, device, mesh):
         dtype = self.config.storage_dtype
         if (
-            dtype in ("int8", "int4")
+            dtype in ("int8", "int4", "pq")
             and not self.config.normalize_embeddings
         ):
             # Quantized storage scores ip-only (per-row/slot symmetric
@@ -222,6 +236,15 @@ class HybridStorage:
                 dtype,
             )
             dtype = "bfloat16"
+        if dtype == "pq" and self.config.index_type != "ivf":
+            # PQ codes are residual-trained against the IVF coarse
+            # quantizer; there is no flat-PQ index.  int4 is the closest
+            # supported compressed flat layout (384 B/row at 768-d).
+            self.logger.warning(
+                "storage_dtype 'pq' requires index_type 'ivf'; "
+                "using 'int4'"
+            )
+            dtype = "int4"
         if mesh is not None and self.config.index_type == "flat":
             from ..parallel.sharded_index import ShardedFlatIndex
 
