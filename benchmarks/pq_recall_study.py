@@ -38,6 +38,8 @@ jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tpu_search.ops.pq import decode_pq, encode_pq, pq_lut, train_pq
 
 
