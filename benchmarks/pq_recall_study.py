@@ -13,10 +13,15 @@ Variants:
 - residual + random-orthogonal pre-rotation (cheap OPQ stand-in: does
   a rotation buy anything at these subspace sizes?)
 
-Run: python benchmarks/pq_recall_study.py [N]
-Writes benchmarks/results/pq_recall_study.json and prints one line per
+Run: python benchmarks/pq_recall_study.py [N]            # codec curve
+     python benchmarks/pq_recall_study.py [N] --probe    # + end-to-end
+Writes benchmarks/results/pq_recall_study.json (merge-preserving: keys
+the current mode does not produce survive) and prints one line per
 variant.  Uses the SHIPPED codec (ops/pq.py chunked-Lloyd training +
-one-hot scoring), so the numbers are the product's numbers.
+one-hot scoring), so the numbers are the product's numbers.  --probe
+additionally runs the REAL IVFIndex (trained nlist=1024 coarse
+quantizer) end-to-end for pq and int4 plus the pq_m=dim/2 proxy point
+— the sections PARITY.md/ROADMAP.md cite (~25 min on one CPU core).
 """
 
 from __future__ import annotations
@@ -91,8 +96,61 @@ def pq_rank(queries, codes, books, bias, topk=10):
     return np.argsort(-scores, axis=1)[:, :topk]
 
 
+def run_probe(corpus, queries, ref, centers, assign, results):
+    """End-to-end IVFIndex probe (the PARITY.md-cited numbers): trained
+    nlist=1024 coarse quantizer, by_residual, pq vs int4; plus the
+    pq_m=dim/2 codec point."""
+    from tpu_search.index.ivf import IVFIndex
+
+    dim = corpus.shape[1]
+    probe = {
+        "note": (
+            "End-to-end IVFIndex (trained nlist=1024 coarse quantizer, "
+            "by_residual) on the same corpus; recall is probe-saturated "
+            "when nprobe 16 == 64, i.e. the code rate, not probing, is "
+            "the ceiling."
+        ),
+    }
+    for dtype in ("pq", "int4"):
+        t0 = time.time()
+        idx = IVFIndex(dim=dim, dtype=dtype, nlist=1024, train_iters=20)
+        idx.train(corpus)
+        idx.add(corpus)
+        row = {}
+        for nprobe in (16, 64):
+            _, got = idx.search(queries, k=10, nprobe=nprobe)
+            row[f"recall10_nprobe{nprobe}"] = float(
+                recall_at(np.asarray(got), ref)
+            )
+        row["build_s"] = time.time() - t0
+        probe[dtype if dtype != "pq" else "pq_m192"] = row
+        print(f"probe {dtype}: {row}")
+        idx.clear()
+        del idx
+    results["ivf_trained_quantizer_probe"] = probe
+
+    m = dim // 2
+    resid = corpus - centers[assign]
+    bias = queries @ centers[assign].T
+    books = train_pq(resid, m, iters=20, seed=0)
+    codes = encode_pq(resid, books)
+    got = pq_rank(queries, codes, books, bias)
+    r = float(recall_at(got, ref))
+    results["pq_m384_proxy"] = {
+        "note": (
+            "pq_m=dim/2 (2 bits/dim) with the generator-center proxy "
+            "coarse quantizer"
+        ),
+        "bytes_per_row": m // 2,
+        "recall10": r,
+    }
+    print(f"probe pq m={m} resid bytes/row={m // 2} recall@10={r:.4f}")
+
+
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    do_probe = "--probe" in sys.argv[1:]
+    n = int(args[0]) if args else 200_000
     dim = 768
     corpus, queries, centers, assign = make_corpus(n, dim)
     nq = 32
@@ -150,11 +208,24 @@ def main():
             print(f"pq m={m:3d} {variant:10s} bytes/row={m // 2:4d}  "
                   f"recall@10={r:.4f}  ({dt:.0f}s)")
 
+    if do_probe:
+        run_probe(corpus, queries, ref, centers, assign, results)
+
     out = os.path.join(
         os.path.dirname(__file__), "results", "pq_recall_study.json"
     )
+    # Merge-preserving write: a codec-only rerun must not destroy the
+    # --probe sections (PARITY.md/ROADMAP.md cite them), and vice versa.
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"wrote {out}")
 
 

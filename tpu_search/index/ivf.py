@@ -912,16 +912,14 @@ class IVFIndex:
             if self.dtype == "pq":
                 # PQ codebooks fit the residual distribution (or the raw
                 # rows when by_residual is off) — FAISS IndexIVFPQ trains
-                # the same way.  train_pq subsamples internally.
-                from ..ops.pq import train_pq
+                # the same way.  The shared helper subsamples BEFORE the
+                # assign/subtract so rebalance-scale training batches
+                # never materialize a corpus-sized residual tensor.
+                from ..ops.pq import train_pq_for_ivf
 
-                if self.by_residual:
-                    assign = assign_clusters(dv, centroids, self.metric)
-                    target = dv - jnp.take(centroids, assign, axis=0)
-                else:
-                    target = dv
-                self._pq_books = train_pq(
-                    target, self.pq_m, seed=self.seed
+                self._pq_books = train_pq_for_ivf(
+                    dv, centroids, self.metric, self.pq_m,
+                    by_residual=self.by_residual, seed=self.seed,
                 )
         self.centroids = np.asarray(centroids)
 

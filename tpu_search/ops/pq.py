@@ -44,6 +44,7 @@ import numpy as np
 __all__ = [
     "PQ_K",
     "train_pq",
+    "train_pq_for_ivf",
     "encode_pq",
     "decode_pq",
     "pq_lut",
@@ -250,6 +251,33 @@ def pq_block_scores(code_rows: jax.Array, lut: jax.Array) -> jax.Array:
     )  # [Q, cap]
 
 
-def pq_bytes_per_row(m: int) -> int:
-    """Disk/HBM bytes per stored code row (nibble-packed)."""
-    return m // 2
+def train_pq_for_ivf(
+    data: jax.Array,  # [N, D] f32 (device ok; the IVF training batch)
+    centroids: jax.Array,  # [nlist, D] f32 coarse quantizer
+    metric: str,
+    m: int,
+    *,
+    by_residual: bool,
+    seed: int = 0,
+    sample: int = 131072,
+) -> jax.Array:
+    """Fit ``[m, 16, dsub]`` books for an IVF index (the FAISS
+    ``IndexIVFPQ`` training step).
+
+    Shared by ``IVFIndex.train`` and ``ShardedIVFIndex.train`` so the
+    two engines can never train different codecs for the same file
+    format.  Subsamples FIRST and residual-encodes only the sample:
+    the transient is ``[sample, D]``, never a corpus-sized assign +
+    subtraction (rebalance trains on up to 500k gathered rows)."""
+    from .kmeans import assign_clusters
+
+    data = jnp.asarray(data, jnp.float32)
+    n = data.shape[0]
+    if n > sample:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(n, sample, replace=False))
+        data = jnp.take(data, jnp.asarray(idx), axis=0)
+    if by_residual:
+        a = assign_clusters(data, centroids, metric)
+        data = data - jnp.take(centroids, a, axis=0)
+    return train_pq(data, m, seed=seed, sample=sample)

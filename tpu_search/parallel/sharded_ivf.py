@@ -354,16 +354,15 @@ class ShardedIVFIndex:
         if self.dtype == "pq":
             # Codebooks fit the residual (or raw) distribution, computed
             # replicated like the centroids (identical inputs on every
-            # chip).  Same training as IVFIndex.train.
-            from ..ops.pq import train_pq
+            # chip).  SAME helper as IVFIndex.train — the two engines
+            # must train identical codecs for the same file format.
+            from ..ops.pq import train_pq_for_ivf
 
-            if self.by_residual:
-                assign = assign_clusters(dv, centroids, self.metric)
-                target = dv - jnp.take(centroids, assign, axis=0)
-            else:
-                target = dv
             self._pq_books = self._put_replicated(
-                train_pq(target, self.pq_m, seed=self.seed)
+                train_pq_for_ivf(
+                    dv, centroids, self.metric, self.pq_m,
+                    by_residual=self.by_residual, seed=self.seed,
+                )
             )
         self.centroids = np.asarray(centroids)
         self._dcent = self._put_replicated(jnp.asarray(self.centroids))
