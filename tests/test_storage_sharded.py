@@ -126,3 +126,46 @@ class TestShardedStorage:
             assert not isinstance(s2.index, ShardedFlatIndex)
             results = s2.search(vecs[9], SearchConfig(top_k=1))
             assert results[0].chunk_id == "c9"
+
+    def test_fallback_dtype_survives_reload(self, tmp_path):
+        """int4 + un-normalized (l2) corpora fall back to bfloat16 at
+        BUILD time; the LOAD path must resolve the same effective dtype
+        or the saved corpus is silently dropped (the loader would be
+        asked for an int4+l2 index, which cannot exist, and the bare
+        except would rebuild empty)."""
+        config = StorageConfig(
+            data_dir=str(tmp_path), embedding_dim=16, auto_save=True,
+            storage_dtype="int4", normalize_embeddings=False,
+            shard_devices=8,
+        )
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((20, 16)).astype(np.float32)
+        with HybridStorage(config) as s:
+            s.add_chunks([make_chunk(f"c{i}", vecs[i]) for i in range(20)])
+            assert s.index.dtype == "bfloat16"  # the documented fallback
+        with HybridStorage(config) as s2:
+            assert s2.index.ntotal == 20, "reload dropped the saved corpus"
+            results = s2.search(vecs[3], SearchConfig(top_k=1))
+            assert results[0].chunk_id == "c3"
+
+    def test_backup_restore_sharded_ivf(self, tmp_path):
+        """restore() must route IVF containers through the sharded IVF
+        loader: an IVF file's dense per-cluster rows are not in flat id
+        order, so the flat loader would scramble id <-> row."""
+        config = StorageConfig(
+            data_dir=str(tmp_path / "data"), embedding_dim=16,
+            auto_save=False, storage_dtype="float32",
+            index_type="ivf", ivf_nlist=4, shard_devices=8,
+        )
+        rng = np.random.default_rng(6)
+        vecs = normed(rng, 40, 16)
+        s = HybridStorage(config)
+        s.initialize()
+        s.add_chunks([make_chunk(f"c{i}", vecs[i]) for i in range(40)])
+        backup = str(tmp_path / "bk")
+        s.backup(backup)
+        s.delete_chunks_by_session("s1")
+        s.restore(backup)
+        results = s.search(vecs[11], SearchConfig(top_k=1, nprobe=4))
+        assert results[0].chunk_id == "c11"
+        s.close()

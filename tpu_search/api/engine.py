@@ -145,18 +145,40 @@ class SearchEngine:
         # CLAUDE_SEARCH_DEVICE = auto|tpu|cpu (pin the index device —
         # e.g. keep a maintenance CLI off a TPU a server is using).
         storage_kwargs: Dict[str, Any] = {}
-        env_index_type = os.environ.get("CLAUDE_SEARCH_INDEX_TYPE")
+
+        def _env_choice(name: str, allowed: tuple) -> Optional[str]:
+            val = os.environ.get(name)
+            if val and val not in allowed:
+                raise ValueError(
+                    f"{name}={val!r} is not one of {sorted(allowed)}"
+                )
+            return val or None
+
+        env_index_type = _env_choice(
+            "CLAUDE_SEARCH_INDEX_TYPE", ("flat", "ivf", "hnsw")
+        )
         if env_index_type:
             storage_kwargs["index_type"] = env_index_type
-        env_dtype = os.environ.get("CLAUDE_SEARCH_STORAGE_DTYPE")
+        env_dtype = _env_choice(
+            "CLAUDE_SEARCH_STORAGE_DTYPE",
+            ("float32", "bfloat16", "int8", "int4", "pq"),
+        )
         if env_dtype:
             storage_kwargs["storage_dtype"] = env_dtype
-        env_device = os.environ.get("CLAUDE_SEARCH_DEVICE")
+        env_device = _env_choice(
+            "CLAUDE_SEARCH_DEVICE", ("auto", "tpu", "cpu")
+        )
         if env_device:
             storage_kwargs["device"] = env_device
         env_shards = os.environ.get("CLAUDE_SEARCH_SHARD_DEVICES")
         if env_shards:
-            storage_kwargs["shard_devices"] = int(env_shards)
+            try:
+                storage_kwargs["shard_devices"] = int(env_shards)
+            except ValueError:
+                raise ValueError(
+                    "CLAUDE_SEARCH_SHARD_DEVICES must be an integer "
+                    f"(0 = auto), got {env_shards!r}"
+                ) from None
         self.storage = HybridStorage(
             StorageConfig(
                 data_dir=str(self.data_dir),

@@ -1659,7 +1659,6 @@ class IVFIndex:
                 b, (c0, 0, 0), (step, block_rows, cols)
             )
         )
-        shifts = (4 * np.arange(8, dtype=np.int32))[None, :, None]
         target = 0
         while target < self.nlist:
             c0 = max(0, min(target, self.nlist - step))
@@ -1669,18 +1668,17 @@ class IVFIndex:
                 if not f:
                     continue
                 if int4:
-                    # Words -> nibbles -> per-cluster byte rows
-                    # (odd fill pads one zero nibble; the loader's fill
-                    # table trims it).
-                    w = host[c - c0]  # [capW, cols] int32
-                    u = ((w[:, None, :] >> shifts) & 0xF).reshape(
-                        cap, cols
-                    )[:f]
-                    if f % 2:
-                        u = np.concatenate(
-                            [u, np.zeros((1, cols), u.dtype)]
-                        )
-                    yield (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+                    # Words -> nibbles -> per-cluster disk byte rows
+                    # (the ops.int4_pack contract; odd fill pads one
+                    # zero nibble the loader's fill table trims).
+                    from ..ops.int4_pack import (
+                        nibble_rows_to_disk_bytes,
+                        unpack_int4_rows_host,
+                    )
+
+                    yield nibble_rows_to_disk_bytes(
+                        unpack_int4_rows_host(host[c - c0])[:f]
+                    )
                 else:
                     yield host[c - c0, :f]
             target += step

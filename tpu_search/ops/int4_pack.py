@@ -46,6 +46,7 @@ __all__ = [
     "unpack_int4_rows",
     "pack_int4_rows_host",
     "unpack_int4_rows_host",
+    "nibble_rows_to_disk_bytes",
     "bytes_to_words_host",
     "words_to_bytes_host",
     "unpack_int4_planes",
@@ -89,6 +90,20 @@ def _rows_to_bytes_host(u: np.ndarray) -> np.ndarray:
     lo = u[0::2].astype(np.uint8)
     hi = u[1::2].astype(np.uint8)
     return (lo | (hi << 4)).astype(np.uint8)
+
+
+def nibble_rows_to_disk_bytes(u: np.ndarray) -> np.ndarray:
+    """[N, D] nibble rows (values 0..15, any int dtype) -> [ceil(N/2), D]
+    nibble-pair DISK byte rows: lo nibble = row 2m, hi = row 2m+1; odd N
+    pads one zero nibble (the loader's count/fill table trims it).
+
+    THE on-disk int4/pq byte-row contract — every serializer (flat,
+    IVF, sharded) must produce exactly this so save files stay
+    interchangeable across loaders."""
+    u = np.asarray(u).astype(np.uint8, copy=False)
+    if u.shape[0] % 2:
+        u = np.concatenate([u, np.zeros((1, u.shape[1]), np.uint8)])
+    return _rows_to_bytes_host(u)
 
 
 def _bytes_to_rows_host(b: np.ndarray) -> np.ndarray:

@@ -979,7 +979,10 @@ class ShardedFlatIndex:
 
     def _iter_nibble_byte_chunks(self) -> Iterator[np.ndarray]:
         """Global-order nibble-PAIR byte rows (the FlatIndex int4 disk
-        format): consecutive global rows 2m / 2m+1 share byte row m."""
+        format): consecutive global rows 2m / 2m+1 share byte row m
+        (the ops.int4_pack disk contract)."""
+        from ..ops.int4_pack import nibble_rows_to_disk_bytes
+
         carry = None
         for rows in self._iter_vector_chunks():  # biased nibbles, int8
             if carry is not None:
@@ -989,12 +992,9 @@ class ShardedFlatIndex:
                 carry = rows[-1:].copy()
                 rows = rows[:-1]
             if rows.shape[0]:
-                yield (
-                    rows[0::2].astype(np.uint8)
-                    | (rows[1::2].astype(np.uint8) << 4)
-                )
+                yield nibble_rows_to_disk_bytes(rows)
         if carry is not None:
-            yield carry.astype(np.uint8) & 0xF  # odd tail: hi nibble zero
+            yield nibble_rows_to_disk_bytes(carry)  # odd tail: hi nibble 0
 
     def _iter_valid_chunks(self) -> Iterator[np.ndarray]:
         for a, b in self._iter_slot_chunks():

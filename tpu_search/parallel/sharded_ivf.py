@@ -1231,19 +1231,19 @@ class ShardedIVFIndex:
         """Stream each cluster's filled shard prefixes d2h in cluster
         order (shard 0's prefix, then shard 1's, ...) — the same dense
         per-cluster row stream the single-chip IVF container stores."""
+        from ..ops.int4_pack import unpack_int4_rows_host
+
         lcap = self._local_capacity
         int4 = self.dtype in ("int4", "pq")  # both store nibble words
-        shifts = (4 * np.arange(8, dtype=np.int32))[None, :, None]
         for c in range(self.nlist):
             if not self._fill[c].sum():
                 continue
             if int4:
-                w = np.asarray(self._dblocks[c])  # [cap/8, cols] words
-                row = (
-                    ((w[:, None, :] >> shifts) & 0xF)
-                    .reshape(lcap * self.n_shards, self._cols)
-                    .astype(np.int8)
-                )  # nibble values per slot (biased int4 / raw pq codes)
+                # nibble values per slot (biased int4 / raw pq codes),
+                # via the ops.int4_pack layout contract
+                row = unpack_int4_rows_host(
+                    np.asarray(self._dblocks[c])
+                ).astype(np.int8)
             else:
                 row = np.asarray(self._dblocks[c])  # [cap, D] cluster pull
             parts = [
@@ -1257,15 +1257,10 @@ class ShardedIVFIndex:
         """Per-cluster nibble-PAIR byte rows (the IVFIndex int4 disk
         format: ceil(fill/2) byte rows per cluster, odd fills pad one
         zero nibble)."""
+        from ..ops.int4_pack import nibble_rows_to_disk_bytes
+
         for rows in self._iter_dense_rows():  # one chunk per cluster
-            if rows.shape[0] % 2:
-                rows = np.concatenate(
-                    [rows, np.zeros((1, self._cols), rows.dtype)]
-                )
-            yield (
-                rows[0::2].astype(np.uint8)
-                | (rows[1::2].astype(np.uint8) << 4)
-            )
+            yield nibble_rows_to_disk_bytes(rows)
 
     def _dense_order(self) -> Tuple[np.ndarray, np.ndarray]:
         """(clusters, gslots) of every assigned slot in dense save order."""

@@ -221,7 +221,13 @@ class HybridStorage:
 
         return build_mesh(n_data=len(devices), n_model=1, devices=devices)
 
-    def _build_index(self, device, mesh):
+    def _effective_dtype(self) -> str:
+        """Resolve ``config.storage_dtype`` against the metric/index-type
+        constraints.  Used by BOTH the build and the load path — a saved
+        index was written with the effective dtype, so the load must
+        resolve the same way or a config like int4+l2 would ask the
+        loader for a dtype/metric pair that can't exist and silently
+        drop the saved corpus."""
         dtype = self.config.storage_dtype
         if (
             dtype in ("int8", "int4", "pq")
@@ -245,6 +251,10 @@ class HybridStorage:
                 "using 'int4'"
             )
             dtype = "int4"
+        return dtype
+
+    def _build_index(self, device, mesh):
+        dtype = self._effective_dtype()
         if mesh is not None and self.config.index_type == "flat":
             from ..parallel.sharded_index import ShardedFlatIndex
 
@@ -309,7 +319,7 @@ class HybridStorage:
                     self.index = ShardedFlatIndex.load(
                         str(self.index_path),
                         mesh=mesh,
-                        dtype=self.config.storage_dtype,
+                        dtype=self._effective_dtype(),
                     )
                 else:
                     self.index = load_index(
@@ -661,13 +671,22 @@ class HybridStorage:
         index_file = src / self.config.index_name
         if index_file.exists():
             mesh = self._index_mesh()
-            if mesh is not None:
+            if mesh is not None and self.config.index_type == "ivf":
+                # Same routing as initialize(): an IVF container's dense
+                # per-cluster rows are NOT in flat id order — loading it
+                # through the flat loader would scramble id <-> row.
+                from ..parallel.sharded_ivf import ShardedIVFIndex
+
+                self.index = ShardedIVFIndex.load(
+                    str(index_file), mesh=mesh
+                )
+            elif mesh is not None:
                 from ..parallel.sharded_index import ShardedFlatIndex
 
                 self.index = ShardedFlatIndex.load(
                     str(index_file),
                     mesh=mesh,
-                    dtype=self.config.storage_dtype,
+                    dtype=self._effective_dtype(),
                 )
             else:
                 device = getattr(self.index, "device", None)
