@@ -1,0 +1,260 @@
+"""Refine tier (index/refine.py): id-keyed re-ranking over coarse scans.
+
+FAISS pairs compressed indexes with a refinement stage (IndexRefine /
+IndexIVFPQR); the reference exposes FAISS indexes at
+/root/reference/src/storage.py:252-299.  These tests pin the TPU-native
+analog: recall recovery on quantized storage, fused-vs-classic equality,
+persistence, and layout-mutation independence (rebalance/compact/remove
+must never invalidate the id-keyed rows).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_search.index.ivf import IVFIndex, ivf_scan_fn_for
+from tpu_search.index.refine import RefineStore, rescore_jit
+
+
+def _clustered(n, d, n_centers=24, noise=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_centers, d))
+    x = centers[rng.integers(0, n_centers, n)] + noise * rng.normal(
+        size=(n, d)
+    )
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def _recall(ids, ref_ids):
+    return float(
+        np.mean(
+            [
+                len(set(a[a >= 0].tolist()) & set(b.tolist())) / len(b)
+                for a, b in zip(ids, ref_ids)
+            ]
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    x = _clustered(12000, 64)
+    rng = np.random.default_rng(7)
+    q = x[rng.choice(len(x), 16, replace=False)] + 0.01 * rng.normal(
+        size=(16, 64)
+    )
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    exact = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    return x, q, exact
+
+
+class TestRefineStore:
+    def test_append_and_gather_roundtrip(self):
+        rng = np.random.default_rng(0)
+        store = RefineStore(32, dtype="int8")
+        x = rng.normal(size=(100, 32)).astype(np.float32)
+        store.append(jnp.asarray(x[:60]), 60)
+        store.append(jnp.asarray(x[60:]), 40)
+        assert store.count == 100
+        got = np.asarray(store.gather(np.arange(100)))
+        # symmetric per-row int8: relative error bounded by the step size
+        err = np.abs(got - x).max(axis=1)
+        step = np.abs(x).max(axis=1) / 127.0
+        assert (err <= step * 0.5 + 1e-6).all()
+
+    def test_bf16_store_has_no_scales(self):
+        store = RefineStore(16, dtype="bfloat16")
+        x = np.random.default_rng(1).normal(size=(8, 16)).astype(np.float32)
+        store.append(jnp.asarray(x), 8)
+        assert store.scales is None
+        got = np.asarray(store.gather(np.arange(8)))
+        assert np.allclose(got, x, atol=0.01, rtol=0.01)
+
+    def test_rescore_masks_invalid_ids(self):
+        store = RefineStore(8, dtype="int8")
+        x = np.eye(8, dtype=np.float32)[:4]
+        store.append(jnp.asarray(x), 4)
+        q = np.zeros((1, 8), np.float32)
+        q[0, 2] = 1.0
+        ids = jnp.asarray([[0, 2, -1, 3]])
+        scores, out = rescore_jit(
+            store.rows, store.scales, jnp.asarray(q), ids, 4
+        )
+        out = np.asarray(out)
+        assert out[0, 0] == 2  # refined best
+        assert out[0, -1] == -1  # invalid stays masked
+        assert np.asarray(scores)[0, -1] == -np.inf
+
+    def test_padding_rows_never_surface(self):
+        # Appends padded past n_new: garbage must be overwritten by the
+        # next append (id-monotonic contract).
+        store = RefineStore(8, dtype="int8")
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(16, 8)).astype(np.float32)
+        b = rng.normal(size=(16, 8)).astype(np.float32)
+        store.append(jnp.asarray(a), 10)  # rows 10..15 are garbage
+        store.append(jnp.asarray(b), 16)
+        got = np.asarray(store.gather(np.arange(26)))
+        want = np.concatenate([a[:10], b])
+        err = np.abs(got - want).max()
+        assert err < np.abs(want).max() / 64
+
+
+class TestIVFRefine:
+    @pytest.mark.parametrize("dtype", ["pq", "int4", "int8"])
+    def test_recall_recovers(self, corpus, dtype):
+        x, q, exact = corpus
+        base = IVFIndex(dim=64, dtype=dtype, nlist=24, seed=3)
+        base.add(x)
+        refined = IVFIndex(
+            dim=64,
+            dtype=dtype,
+            nlist=24,
+            seed=3,
+            # int8 coarse auto-upgrades int8 refine to bf16 (residual
+            # coarse rows are finer than raw int8 refine rows)
+            refine_dtype="int8" if dtype != "int8" else "bfloat16",
+            refine_factor=8,
+        )
+        refined.add(x)
+        _, ids_base = base.search(q, 10, nprobe=8)
+        _, ids_ref = refined.search(q, 10, nprobe=8)
+        r_base, r_ref = _recall(ids_base, exact), _recall(ids_ref, exact)
+        if dtype in ("pq", "int4"):
+            # The tiers refine exists for: substantial recovery.
+            assert r_ref > r_base + 0.05
+            assert r_ref > 0.8 or dtype == "pq"
+        else:
+            # int8-residual coarse rows are already near-exact; bf16
+            # re-ranking is fidelity-equivalent and may only reshuffle
+            # near-ties.
+            assert r_ref >= r_base - 0.03
+
+    def test_fused_scan_fn_matches_classic(self, corpus):
+        x, q, _ = corpus
+        idx = IVFIndex(
+            dim=64, dtype="int4", nlist=24, refine_dtype="int8",
+            refine_factor=4,
+        )
+        idx.add(x)
+        s1, i1 = idx.search(q, 10, nprobe=6)
+        scan_key, buffers = idx.make_scan_fn(10, 6)
+        assert scan_key[0] == "ivf_refine"
+        fn = ivf_scan_fn_for(scan_key)
+        mask = idx.device_block_mask(None)
+        s2, i2 = jax.jit(lambda b, m, qq: fn(b, m, qq, 10))(
+            buffers, mask, jnp.asarray(q)
+        )
+        np.testing.assert_array_equal(i1, np.asarray(i2).astype(np.int64))
+        np.testing.assert_allclose(s1, np.asarray(s2), rtol=1e-6)
+
+    def test_predicate_mask_respected(self, corpus):
+        x, q, _ = corpus
+        idx = IVFIndex(
+            dim=64, dtype="int8", nlist=24, refine_dtype="bfloat16"
+        )
+        idx.add(x)
+        mask = np.zeros(len(x), bool)
+        mask[: len(x) // 3] = True
+        _, ids = idx.search(q, 10, mask=mask, nprobe=8)
+        live = ids[ids >= 0]
+        assert (live < len(x) // 3).all()
+
+    def test_save_load_roundtrip(self, corpus, tmp_path):
+        x, q, _ = corpus
+        idx = IVFIndex(
+            dim=64, dtype="pq", nlist=24, refine_dtype="int8",
+            refine_factor=6,
+        )
+        idx.add(x)
+        s1, i1 = idx.search(q, 10, nprobe=8)
+        path = str(tmp_path / "refine.idx")
+        idx.save(path)
+        idx2 = IVFIndex.load(path)
+        assert idx2.refine_dtype == "int8"
+        assert idx2.refine_factor == 6
+        assert idx2._refine.count == idx2.ntotal
+        s2, i2 = idx2.search(q, 10, nprobe=8)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    def test_rebalance_keeps_refine_alignment(self, corpus):
+        x, q, exact = corpus
+        base = IVFIndex(dim=64, dtype="pq", nlist=24, seed=3)
+        idx = IVFIndex(
+            dim=64, dtype="pq", nlist=24, seed=3, refine_dtype="int8",
+            refine_factor=8,
+        )
+        for i in (base, idx):
+            # skewed incremental adds, then rebalance
+            i.add(x[:2000])
+            i.add(x[2000:])
+            i.rebalance()
+        assert idx._refine.count == idx.ntotal
+        r_base = _recall(base.search(q, 10, nprobe=8)[1], exact)
+        r_ref = _recall(idx.search(q, 10, nprobe=8)[1], exact)
+        # Refine-sourced reconstruction retrains the codec on ~exact
+        # rows (no decode-re-encode drift), and the re-rank itself must
+        # keep the refined index ahead of the plain one.
+        assert r_ref > r_base
+
+    def test_remove_then_search_never_returns_dead_ids(self, corpus):
+        x, q, _ = corpus
+        idx = IVFIndex(
+            dim=64, dtype="int4", nlist=24, refine_dtype="int8"
+        )
+        idx.add(x)
+        _, ids = idx.search(q, 10, nprobe=8)
+        dead = ids[0][:5].tolist()
+        idx.remove(dead)
+        _, ids2 = idx.search(q, 10, nprobe=8)
+        assert not set(ids2.ravel().tolist()) & set(dead)
+
+    def test_clear_resets_refine(self, corpus):
+        x, _, _ = corpus
+        idx = IVFIndex(dim=64, dtype="int8", nlist=24, refine_dtype="int8")
+        idx.add(x[:1000])
+        idx.clear()
+        assert idx._refine.count == 0
+        idx.add(x[:500])
+        assert idx._refine.count == 500
+
+    def test_l2_metric_rejected(self):
+        with pytest.raises(ValueError, match="ip"):
+            IVFIndex(dim=8, metric="l2", refine_dtype="int8")
+
+
+class TestStorageRefine:
+    def test_hybrid_storage_resolves_refine(self, tmp_path):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        cfg = StorageConfig(
+            data_dir=str(tmp_path),
+            index_type="ivf",
+            storage_dtype="pq",
+            refine_dtype="int8",
+            embedding_dim=32,
+            device="cpu",
+            shard_devices=1,
+        )
+        storage = HybridStorage(cfg)
+        storage.initialize()
+        assert storage.index.refine_dtype == "int8"
+        storage.close()
+
+    def test_refine_requires_ivf(self, tmp_path, caplog):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        cfg = StorageConfig(
+            data_dir=str(tmp_path),
+            index_type="flat",
+            refine_dtype="int8",
+            embedding_dim=32,
+            device="cpu",
+            shard_devices=1,
+        )
+        storage = HybridStorage(cfg)
+        assert storage._effective_refine() == "none"

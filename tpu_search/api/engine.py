@@ -165,6 +165,22 @@ class SearchEngine:
         )
         if env_dtype:
             storage_kwargs["storage_dtype"] = env_dtype
+        # CLAUDE_SEARCH_REFINE = none|int8|bfloat16 (IVF refine tier),
+        # CLAUDE_SEARCH_REFINE_FACTOR = stage-1 over-fetch multiple.
+        env_refine = _env_choice(
+            "CLAUDE_SEARCH_REFINE", ("none", "int8", "bfloat16")
+        )
+        if env_refine:
+            storage_kwargs["refine_dtype"] = env_refine
+        env_refine_factor = os.environ.get("CLAUDE_SEARCH_REFINE_FACTOR")
+        if env_refine_factor:
+            try:
+                storage_kwargs["refine_factor"] = int(env_refine_factor)
+            except ValueError:
+                raise ValueError(
+                    "CLAUDE_SEARCH_REFINE_FACTOR must be an integer, "
+                    f"got {env_refine_factor!r}"
+                ) from None
         env_device = _env_choice(
             "CLAUDE_SEARCH_DEVICE", ("auto", "tpu", "cpu")
         )

@@ -742,6 +742,25 @@ def ivf_scan_fn_for(scan_key: tuple):
             )
 
         return fn
+    if kind == "ivf_refine":
+        _, base_key, factor = scan_key
+        base_fn = ivf_scan_fn_for(base_key)
+        nprobe = base_key[2]
+
+        def fn(buffers, block_mask, qbatch, k):
+            from .refine import refine_rescore
+
+            base_buffers = buffers[:-2]
+            rows, scales = buffers[-2], buffers[-1]
+            blocks = base_buffers[1]
+            cap = blocks.shape[1] * (
+                8 if blocks.dtype == jnp.int32 else 1
+            )
+            r = max(k, min(k * factor, nprobe * cap))
+            _, ids1 = base_fn(base_buffers, block_mask, qbatch, r)
+            return refine_rescore(rows, scales, qbatch, ids1, k)
+
+        return fn
     _, metric, nprobe, by_res = scan_key
 
     def fn(buffers, block_mask, qbatch, k):
@@ -769,9 +788,32 @@ class IVFIndex:
         balanced: bool = True,
         by_residual: Optional[bool] = None,
         pq_m: int = 0,
+        refine_dtype: str = "none",
+        refine_factor: int = 4,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
+        if refine_dtype not in ("none", "int8", "bfloat16"):
+            raise ValueError(
+                "refine_dtype must be 'none', 'int8' or 'bfloat16', "
+                f"got {refine_dtype!r}"
+            )
+        if refine_dtype != "none" and metric != "ip":
+            raise ValueError(
+                "the refine tier scores metric='ip' only (same contract "
+                "as the quantized dtypes it re-ranks)"
+            )
+        if refine_dtype == "int8" and dtype == "int8":
+            # Residual-encoded coarse int8 rows have ~2.6x FINER steps
+            # than raw int8 refine rows on clustered corpora — re-ranking
+            # through the coarser representation measurably HURTS recall.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "refine_dtype='int8' cannot out-resolve int8 coarse "
+                "storage (residual-encoded); using 'bfloat16' refine rows"
+            )
+            refine_dtype = "bfloat16"
         if dtype not in _DTYPES and dtype != "pq":
             raise ValueError(
                 f"IVFIndex supports dtypes {sorted(_DTYPES) + ['pq']}, "
@@ -793,6 +835,13 @@ class IVFIndex:
                 )
         self.pq_m = pq_m if dtype == "pq" else 0
         self._pq_books: Optional[jax.Array] = None  # [M, 16, dsub] f32
+        # Refine tier (FAISS IndexRefine/IVFPQR analog, index/refine.py):
+        # id-keyed high-fidelity rows re-rank the coarse scan's top
+        # k*refine_factor candidates inside the same program.  Decoupled
+        # from the cluster layout — rebalance/compact never touch it.
+        self.refine_dtype = refine_dtype
+        self.refine_factor = max(1, int(refine_factor))
+        self._refine = None  # lazily-built RefineStore
         self.dim = dim
         self.metric = metric
         self.dtype = dtype
@@ -1050,9 +1099,26 @@ class IVFIndex:
         ``fn(buffers, block_mask, qbatch, k) -> (scores, ids)`` with every
         device dependency in ``buffers``, so callers can compose the whole
         IVF pipeline (centroid scan -> probe schedule -> block scan ->
-        top-k) into one larger jitted program (the fused query path)."""
+        top-k) into one larger jitted program (the fused query path).
+
+        When the refine tier is active the returned program covers it
+        too: stage 1 runs at ``k_eff * refine_factor`` and the id-keyed
+        re-rank folds into the same jit (still one dispatch)."""
         nprobe_eff = min(nprobe, self.nlist)
-        tile = self._kernel_tile_for(k_eff)
+        refine = self._refine_store()
+        use_refine = refine is not None and refine.count > 0
+        stage1_k = (
+            max(
+                k_eff,
+                min(
+                    k_eff * self.refine_factor,
+                    nprobe_eff * self._cluster_capacity,
+                ),
+            )
+            if use_refine
+            else k_eff
+        )
+        tile = self._kernel_tile_for(stage1_k)
         if tile:
             scan_key = (
                 "ivf_pallas", self.metric, nprobe_eff, tile,
@@ -1074,7 +1140,22 @@ class IVFIndex:
         )
         if self.dtype == "pq":
             buffers = buffers + (self._pq_books,)
+        if use_refine:
+            scan_key = ("ivf_refine", scan_key, self.refine_factor)
+            buffers = buffers + refine.buffers()
         return scan_key, buffers
+
+    def _refine_store(self):
+        """The lazily-built id-keyed refine tier (None when disabled)."""
+        if self.refine_dtype == "none":
+            return None
+        if self._refine is None:
+            from .refine import RefineStore
+
+            self._refine = RefineStore(
+                self.dim, dtype=self.refine_dtype, device=self.device
+            )
+        return self._refine
 
     def _append_slot_lookup(
         self, ids: np.ndarray, clusters: np.ndarray, slots: np.ndarray
@@ -1174,6 +1255,13 @@ class IVFIndex:
         sl[:n] = slots
         nid = np.zeros((b,), np.int32)
         nid[:n] = ids32
+        refine = self._refine_store()
+        if refine is not None:
+            # High-fidelity rows are id-keyed (ids are the contiguous
+            # range assigned above), so the refine tier adopts the raw
+            # f32 batch with one appended slice — before any residual/pq
+            # encoding touches it.
+            refine.append(padded, n)
         with jax.default_device(self.device):
             if self.dtype == "pq":
                 # Encode on device (padding rows encode garbage and are
@@ -1296,8 +1384,20 @@ class IVFIndex:
             # those alive across the retrain (tiny).
             old_cent = self._dcent if (by_res or pq) else None
             old_books = self._pq_books
+            # Reconstruction source: prefer the refine tier's id-keyed
+            # high-fidelity rows (per-row int8/bf16, ~exact) over
+            # decoding the coarse codes — pq decode especially would
+            # otherwise compound decode-re-encode drift every rebalance.
+            refine = self._refine_store()
+            use_refine_recon = (
+                refine is not None and refine.count == self._count > 0
+            )
+            rid = np.zeros((n_chunks * chunk,), np.int32)
+            rid[:live] = ids64
 
-            def recon_rows(cfi):
+            def recon_rows(cfi, cid):
+                if use_refine_recon:
+                    return refine.gather(cid)
                 if pq:
                     return _gather_decode_pq(
                         flat_blocks, cfi, old_books, old_cent,
@@ -1316,14 +1416,19 @@ class IVFIndex:
                 self.seed if seed is None else seed
             )
             tr_idx = rng.choice(live, n_train, replace=False)
-            train_rows = recon_rows(jnp.asarray(flat_idx[tr_idx]))
+            train_rows = recon_rows(
+                jnp.asarray(flat_idx[tr_idx]),
+                jnp.asarray(ids64[tr_idx].astype(np.int32)),
+            )
             self.train(train_rows)
             del train_rows
             # Chunked assignment pass: one [chunk, D] f32 transient.
             assign = np.empty((live,), np.int64)
             for c0 in range(0, live, chunk):
                 cfi = jnp.asarray(fi[c0 : c0 + chunk])
-                rows_f32 = recon_rows(cfi)
+                rows_f32 = recon_rows(
+                    cfi, jnp.asarray(rid[c0 : c0 + chunk])
+                )
                 a = assign_clusters(rows_f32, self._dcent, self.metric)
                 hi = min(c0 + chunk, live)
                 assign[c0:hi] = np.asarray(a)[: hi - c0]
@@ -1379,16 +1484,17 @@ class IVFIndex:
                     # Codes re-encode through the RETRAINED books (and,
                     # with by_residual, the retrained centroids): decode
                     # via the old codec, encode via the new one.
-                    rows_f32 = recon_rows(jnp.asarray(fi[c0:c1]))
+                    rows_f32 = recon_rows(
+                        jnp.asarray(fi[c0:c1]), jnp.asarray(rid[c0:c1])
+                    )
                     stored = _encode_pq_rows(
                         rows_f32, jnp.asarray(cl[c0:c1]), self._dcent,
                         self._pq_books, residual=by_res,
                     )
                     scales = jnp.ones((chunk,), jnp.float32)
                 elif by_res:
-                    stored = _gather_dequant(
-                        flat_blocks, flat_scale, jnp.asarray(fi[c0:c1]),
-                        old_cent, cap=cap, residual=True,
+                    stored = recon_rows(
+                        jnp.asarray(fi[c0:c1]), jnp.asarray(rid[c0:c1])
                     )
                     scales = jnp.ones((chunk,), jnp.float32)
                 else:
@@ -1533,6 +1639,8 @@ class IVFIndex:
         self._slot_pos = np.empty((0,), np.int32)
         self._dblocks = self._dids = self._dvalid = None
         self._dsq = self._dscale = None
+        if self._refine is not None:
+            self._refine.clear()
 
     # -- search --------------------------------------------------------------
 
@@ -1556,13 +1664,26 @@ class IVFIndex:
             )
 
         nprobe_eff = min(nprobe, self.nlist)
-        k_eff = min(k, nprobe_eff * self._cluster_capacity)
+        refine = self._refine_store()
+        if refine is not None and refine.count > 0:
+            # Stage 1 over-fetches k * refine_factor candidates; the
+            # id-keyed re-rank below reduces them to k.
+            k_s = max(
+                min(k, nprobe_eff * self._cluster_capacity),
+                min(
+                    k * self.refine_factor,
+                    nprobe_eff * self._cluster_capacity,
+                ),
+            )
+        else:
+            refine = None
+            k_s = min(k, nprobe_eff * self._cluster_capacity)
         padded_q = bucket_size(q, _QUERY_BUCKETS)
         qbatch = np.zeros((padded_q, self.dim), dtype=np.float32)
         qbatch[:q] = queries
 
         block_mask = self.device_block_mask(mask)
-        kernel_tile = self._kernel_tile_for(k_eff)
+        kernel_tile = self._kernel_tile_for(k_s)
         with jax.default_device(self.device):
             if kernel_tile:
                 try:
@@ -1576,7 +1697,7 @@ class IVFIndex:
                         self._device_fills(),
                         jnp.asarray(qbatch),
                         nprobe_eff,
-                        k_eff,
+                        k_s,
                         self.metric,
                         kernel_tile,
                         self.by_residual,
@@ -1604,11 +1725,19 @@ class IVFIndex:
                     self._dscale,
                     jnp.asarray(qbatch),
                     nprobe_eff,
-                    k_eff,
+                    k_s,
                     self.metric,
                     self.by_residual,
                     self._pq_books if self.dtype == "pq" else None,
                 )
+            if refine is not None:
+                # Re-rank the over-fetched candidates against the
+                # id-keyed high-fidelity rows (one extra tiny dispatch;
+                # the fused engine path folds it into the same program).
+                k_eff = min(k, k_s)
+                scores, ids = refine.rescore(qbatch, ids, k_eff)
+            else:
+                k_eff = k_s
             if self._count < (1 << 24):
                 # one host fetch (see FlatIndex.search); ids exact below 2^24
                 packed = jnp.concatenate(
@@ -1703,6 +1832,9 @@ class IVFIndex:
         }
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
+        if self.refine_dtype != "none":
+            header["refine_dtype"] = self.refine_dtype
+            header["refine_factor"] = self.refine_factor
         fill = (
             self._fill
             if self._fill is not None
@@ -1765,6 +1897,10 @@ class IVFIndex:
             sections.append(
                 ("pq_books", "float32", tuple(books.shape), iter([books]))
             )
+        if self._refine is not None and self._refine.count:
+            # Id-keyed rows stream dense [count, D] (tombstoned ids keep
+            # their row — id alignment is the format's invariant).
+            sections.extend(self._refine.sections())
         write_file(path, header, sections)
 
     @classmethod
@@ -1790,6 +1926,8 @@ class IVFIndex:
             nlist=header["nlist"],
             by_residual=bool(header.get("by_residual", False)),
             pq_m=int(header.get("pq_m", 0)),
+            refine_dtype=header.get("refine_dtype", "none"),
+            refine_factor=int(header.get("refine_factor", 4)),
         )
         if arrays["centroids"].shape[0]:
             index.centroids = np.asarray(arrays["centroids"])
@@ -1798,6 +1936,28 @@ class IVFIndex:
                 index._pq_books = jnp.asarray(
                     np.asarray(arrays["pq_books"]), jnp.float32
                 )
+        if index.refine_dtype != "none":
+            if "refine_rows" in arrays:
+                from .refine import RefineStore
+
+                index._refine = RefineStore.from_arrays(
+                    index.dim,
+                    index.refine_dtype,
+                    arrays,
+                    device=index.device,
+                    count=header["count"],
+                )
+            elif header["count"]:
+                # Rows exist but their refine section doesn't: disable
+                # rather than rescore old ids against a garbage buffer.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "refine_dtype=%s in header but no refine_rows "
+                    "section; disabling the refine tier",
+                    index.refine_dtype,
+                )
+                index.refine_dtype = "none"
         index._count = header["count"]
         cap = header["cluster_capacity"]
         if not cap:

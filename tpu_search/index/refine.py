@@ -1,0 +1,275 @@
+"""Refine tier: exact-ish re-ranking over a coarse candidate scan.
+
+FAISS pairs its compressed indexes with a refinement stage
+(``IndexRefine`` / ``IndexIVFPQR``) that rescores the coarse scan's
+top-``k*factor`` candidates against higher-fidelity codes; the reference
+exposes FAISS indexes at ``/root/reference/src/storage.py:252-299``.
+This module is the TPU-native analog, designed so the refine store is
+completely decoupled from the cluster layout:
+
+- **Id-keyed, append-only.**  Global row ids are assigned monotonically
+  by the owning index, so the store is a dense ``[capacity, D]`` device
+  buffer where row ``id`` lives at slot ``id`` — appends are one
+  ``dynamic_update_slice`` (no scatter), and cluster-layout mutations
+  (rebalance, compact, capacity growth) never touch it.  Tombstoned ids
+  keep their row (dead ids can never surface from the coarse scan, which
+  masks on slot validity).
+- **Gather-then-matmul rescoring.**  Stage 1 returns ``[Q, R]`` candidate
+  ids; the refine step gathers ``[Q, R, D]`` rows, dequantizes, and
+  scores with one batched contraction — R is tiny (``k * factor``), so
+  the gather reads ~``R * D`` bytes per query instead of re-scanning
+  blocks.  The whole stage traces into the same jitted program as the
+  coarse scan (the engine's fused one-dispatch query path).
+- **Sharding by ``id % S``** (see parallel/sharded_ivf.py): shard ``p``
+  stores id ``i`` at local slot ``i // S`` — placement is static and
+  independent of which chip scans the row's cluster slice, so sharded
+  rebalance moves code blocks without moving refine rows.
+
+Scoring contract is ``ip`` (the quantized-storage contract): the coarse
+dtypes worth refining (pq/int4/int8) are ip-only already.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["RefineStore", "refine_rescore", "REFINE_DTYPES"]
+
+REFINE_DTYPES = ("int8", "bfloat16")
+_MIN_CAPACITY = 4096
+_GROWTH = 1.25
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _append_int8(rows, scales, batch, start):
+    """Quantize [B, D] f32 rows (symmetric per-row, FlatIndex contract:
+    v ~ q * scale, scale = max|v|/127) and land them at slot ``start``."""
+    s = jnp.maximum(jnp.max(jnp.abs(batch), axis=1) / 127.0, 1e-12)
+    q = jnp.round(batch / s[:, None]).astype(jnp.int8)
+    rows = jax.lax.dynamic_update_slice(rows, q, (start, 0))
+    scales = jax.lax.dynamic_update_slice(scales, s, (start,))
+    return rows, scales
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append_bf16(rows, batch, start):
+    return jax.lax.dynamic_update_slice(
+        rows, batch.astype(jnp.bfloat16), (start, 0)
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _grow(new_buf, old_buf):
+    return jax.lax.dynamic_update_slice(new_buf, old_buf, (0,) * old_buf.ndim)
+
+
+def refine_rescore(
+    rows: jax.Array,
+    scales: Optional[jax.Array],
+    qbatch: jax.Array,
+    ids: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Re-rank stage-1 candidates against the refine rows.  Traceable.
+
+    ``ids`` is the coarse scan's ``[Q, R]`` id matrix (-1 = no candidate);
+    returns ``(scores, ids)`` of shape ``[Q, k]`` ordered by the refined
+    inner product.  Gathered rows for invalid ids are masked to -inf, so
+    they sort behind every real candidate exactly like the coarse path's
+    own padding.
+    """
+    safe = jnp.clip(ids, 0, rows.shape[0] - 1).astype(jnp.int32)
+    cand = jnp.take(rows, safe, axis=0)  # [Q, R, D]
+    cand = cand.astype(jnp.float32)
+    if scales is not None:
+        cand = cand * jnp.take(scales, safe, axis=0)[..., None]
+    rescored = jnp.einsum(
+        "qd,qrd->qr",
+        qbatch.astype(jnp.float32),
+        cand,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rescored = jnp.where(ids >= 0, rescored, -jnp.inf)
+    k = min(k, ids.shape[1])
+    top, pos = jax.lax.top_k(rescored, k)
+    out_ids = jnp.take_along_axis(ids, pos, axis=1)
+    return top, jnp.where(jnp.isfinite(top), out_ids, -1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def rescore_jit(rows, scales, qbatch, ids, k: int):
+    """Standalone-dispatch wrapper for the classic (non-fused) search."""
+    return refine_rescore(rows, scales, qbatch, ids, k)
+
+
+@jax.jit
+def _gather_f32(rows, scales, ids):
+    out = jnp.take(rows, ids, axis=0).astype(jnp.float32)
+    if scales is not None:
+        out = out * jnp.take(scales, ids, axis=0)[:, None]
+    return out
+
+
+class RefineStore:
+    """Dense id-keyed high-fidelity row store for one device (or one
+    shard slice when ``stride > 1``: holds ids ``offset, offset+stride,
+    ...`` at local slot ``id // stride``)."""
+
+    def __init__(
+        self,
+        dim: int,
+        dtype: str = "int8",
+        device: Optional[jax.Device] = None,
+    ) -> None:
+        if dtype not in REFINE_DTYPES:
+            raise ValueError(
+                f"refine dtype must be one of {REFINE_DTYPES}, got {dtype!r}"
+            )
+        self.dim = dim
+        self.dtype = dtype
+        self.device = device or jax.devices()[0]
+        self.rows: Optional[jax.Array] = None  # [cap, D] int8 | bf16
+        self.scales: Optional[jax.Array] = None  # [cap] f32 (int8 only)
+        self.capacity = 0
+        self.count = 0  # slots [0, count) hold written rows
+
+    @property
+    def nbytes_per_row(self) -> int:
+        return self.dim + 4 if self.dtype == "int8" else 2 * self.dim
+
+    def _ensure(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = max(
+            needed, int(self.capacity * _GROWTH), _MIN_CAPACITY
+        )
+        new_cap = -(-new_cap // _MIN_CAPACITY) * _MIN_CAPACITY
+        jdt = jnp.int8 if self.dtype == "int8" else jnp.bfloat16
+        with jax.default_device(self.device):
+            new_rows = jnp.zeros((new_cap, self.dim), jdt)
+            if self.rows is not None:
+                new_rows = _grow(new_rows, self.rows)
+            self.rows = new_rows
+            if self.dtype == "int8":
+                new_scales = jnp.zeros((new_cap,), jnp.float32)
+                if self.scales is not None:
+                    new_scales = _grow(new_scales, self.scales)
+                self.scales = new_scales
+        self.capacity = new_cap
+
+    def append(self, batch: jax.Array, n_new: int) -> None:
+        """Land ``batch`` ([B, D] f32, device ok, rows >= ``n_new`` are
+        padding) at slots [count, count+n_new).  Padding rows write
+        garbage beyond the new count — the next append overwrites them
+        (ids are monotonic), and reads are id-driven so they can never
+        surface.
+        """
+        if n_new <= 0:
+            return
+        b = batch.shape[0]
+        self._ensure(self.count + b)
+        start = jnp.int32(self.count)
+        with jax.default_device(self.device):
+            batch = jnp.asarray(batch, jnp.float32)
+            if self.dtype == "int8":
+                self.rows, self.scales = _append_int8(
+                    self.rows, self.scales, batch, start
+                )
+            else:
+                self.rows = _append_bf16(self.rows, batch, start)
+        self.count += n_new
+
+    def gather(self, ids) -> jax.Array:
+        """Dequantized [n, D] f32 rows for the given ids (device gather).
+
+        Used as the reconstruction source for rebalance: refine rows are
+        ~exact (per-row int8 / bf16), so decode-re-encode drift through
+        the coarse codec (pq especially) never compounds.
+        """
+        with jax.default_device(self.device):
+            return _gather_f32(
+                self.rows, self.scales, jnp.asarray(ids, jnp.int32)
+            )
+
+    def rescore(self, qbatch, ids, k: int):
+        """One-dispatch re-rank (classic search path)."""
+        with jax.default_device(self.device):
+            return rescore_jit(
+                self.rows, self.scales, jnp.asarray(qbatch), ids, k
+            )
+
+    def buffers(self) -> tuple:
+        """Device dependencies for the fused scan-fn contract."""
+        return (self.rows, self.scales)
+
+    def clear(self) -> None:
+        self.rows = None
+        self.scales = None
+        self.capacity = 0
+        self.count = 0
+
+    # -- persistence (TPUSIDX2 sections; see index/serialize.py) ------------
+
+    def sections(self) -> list:
+        from .serialize import device_section
+
+        out = [
+            device_section(
+                "refine_rows",
+                self.dtype,
+                self.rows,
+                self.count,
+            )
+        ]
+        if self.dtype == "int8":
+            out.append(
+                device_section(
+                    "refine_scales", "float32", self.scales, self.count
+                )
+            )
+        return out
+
+    @classmethod
+    def from_arrays(
+        cls,
+        dim: int,
+        dtype: str,
+        arrays: dict,
+        device: Optional[jax.Device] = None,
+        count: Optional[int] = None,
+    ) -> "RefineStore":
+        """Rebuild from memory-mapped sections (chunked uploads)."""
+        from .serialize import upload_rows
+
+        store = cls(dim, dtype=dtype, device=device)
+        rows = arrays.get("refine_rows")
+        n = int(rows.shape[0]) if rows is not None else 0
+        if count is not None:
+            n = min(n, count)
+        if n == 0:
+            return store
+        cap = -(-max(n, _MIN_CAPACITY) // _MIN_CAPACITY) * _MIN_CAPACITY
+        import ml_dtypes
+
+        npdt = (
+            np.dtype(np.int8)
+            if dtype == "int8"
+            else np.dtype(ml_dtypes.bfloat16)
+        )
+        store.rows = upload_rows(rows[:n], cap, npdt, store.device)
+        if dtype == "int8":
+            store.scales = upload_rows(
+                arrays["refine_scales"][:n],
+                cap,
+                np.dtype(np.float32),
+                store.device,
+            )
+        store.capacity = cap
+        store.count = n
+        return store

@@ -21,6 +21,8 @@ def create_index(
     dtype: str = "bfloat16",
     device: Optional[jax.Device] = None,
     nlist: int = 100,
+    refine_dtype: str = "none",
+    refine_factor: int = 4,
 ):
     if kind == "flat":
         return FlatIndex(dim=dim, metric=metric, dtype=dtype, device=device)
@@ -28,7 +30,13 @@ def create_index(
         from .ivf import IVFIndex
 
         return IVFIndex(
-            dim=dim, metric=metric, dtype=dtype, device=device, nlist=nlist
+            dim=dim,
+            metric=metric,
+            dtype=dtype,
+            device=device,
+            nlist=nlist,
+            refine_dtype=refine_dtype,
+            refine_factor=refine_factor,
         )
     raise ValueError(f"Unknown index type: {kind}")
 

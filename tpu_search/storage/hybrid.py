@@ -68,6 +68,13 @@ class StorageConfig:
     # (int8/int4/pq are ip-only; "pq" is 4-bit product quantization,
     # IVF-only incl. sharded — 96 B/row at 768-d vs 384 B for int4).
     storage_dtype: str = "bfloat16"
+    # Refine tier (IVF only; FAISS IndexRefine/IVFPQR analog): "none" |
+    # "int8" | "bfloat16".  Stores id-keyed high-fidelity rows alongside
+    # the coarse blocks and re-ranks the scan's top k*refine_factor
+    # candidates inside the same fused program — recovers int8-grade
+    # recall on int4/pq storage at unchanged scan bandwidth.
+    refine_dtype: str = "none"
+    refine_factor: int = 4
     save_interval_s: float = 0.0  # min seconds between auto-saves (0 = always)
     # Corpus sharding over a device mesh (flat and ivf indexes):
     #   0 = auto (shard over all accelerator devices when more than one),
@@ -253,6 +260,32 @@ class HybridStorage:
             dtype = "int4"
         return dtype
 
+    def _effective_refine(self) -> str:
+        """Resolve ``config.refine_dtype`` against its constraints (same
+        build/load symmetry rationale as ``_effective_dtype``)."""
+        refine = self.config.refine_dtype
+        if refine in (None, "", "none"):
+            return "none"
+        if refine not in ("int8", "bfloat16"):
+            self.logger.warning(
+                "refine_dtype %r unknown; disabling the refine tier",
+                refine,
+            )
+            return "none"
+        if self.config.index_type != "ivf":
+            self.logger.warning(
+                "refine_dtype '%s' requires index_type 'ivf'; disabling "
+                "(the flat index is already exact over its storage dtype)",
+                refine,
+            )
+            return "none"
+        if not self.config.normalize_embeddings:
+            self.logger.warning(
+                "refine tier scores ip-only; disabling for l2 metric"
+            )
+            return "none"
+        return refine
+
     def _build_index(self, device, mesh):
         dtype = self._effective_dtype()
         if mesh is not None and self.config.index_type == "flat":
@@ -287,6 +320,8 @@ class HybridStorage:
             dtype=dtype,
             device=device,
             nlist=self.config.ivf_nlist,
+            refine_dtype=self._effective_refine(),
+            refine_factor=self.config.refine_factor,
         )
 
     def rebuild_index(self, embedding_dim: int) -> None:
