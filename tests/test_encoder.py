@@ -134,6 +134,63 @@ class TestRealModelPath:
         assert vec.shape == (16,)
 
 
+class TestXlmrModelPath:
+    """End-to-end: an XLM-R checkpoint dir (unigram tokenizer.json, no
+    vocab.txt) must load with the sentencepiece tokenizer selected."""
+
+    @pytest.fixture
+    def xlmr_model_dir(self, tmp_path):
+        import json
+
+        model_dir = tmp_path / "models" / "tiny-xlmr"
+        model_dir.mkdir(parents=True)
+        config = MPNetConfig(
+            vocab_size=16,
+            hidden_size=16,
+            num_layers=2,
+            num_heads=2,
+            intermediate_size=32,
+            max_position=96,
+            pad_token_id=1,
+            arch="xlmr",
+        )
+        params = init_params(config, jax.random.PRNGKey(0))
+        save_checkpoint(str(model_dir / "model.tpu.npz"), params, config)
+        vocab = [["<s>", 0.0], ["<pad>", 0.0], ["</s>", 0.0], ["<unk>", -12.0],
+                 ["▁", -4.0], ["▁tok", -3.0], ["a", -4.3],
+                 ["b", -4.4], ["c", -4.5], ["▁tokab", -2.9]]
+        (model_dir / "tokenizer.json").write_text(
+            json.dumps({"model": {"type": "Unigram", "unk_id": 3,
+                                  "vocab": vocab}})
+        )
+        return tmp_path / "models"
+
+    def test_load_and_encode(self, xlmr_model_dir):
+        from tpu_search.models.sp_tokenizer import UnigramTokenizer
+
+        gen = EmbeddingGenerator(
+            EmbeddingConfig(
+                model_name="tiny-xlmr",
+                cache_dir=str(xlmr_model_dir),
+                compute_dtype="float32",
+                device="cpu",
+                batch_size=4,
+            )
+        )
+        gen.load_model()
+        assert isinstance(gen._tokenizer, UnigramTokenizer)
+        vecs = gen._encode_texts(["tokab tok", "a b c"])
+        assert vecs.shape == (2, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5
+        )
+        # pad-anchored positions: identical text embeds identically
+        # regardless of batch padding
+        alone = gen._encode_texts(["tok a b"])[0]
+        batched = gen._encode_texts(["tokab " * 20, "tok a b"])[1]
+        np.testing.assert_allclose(alone, batched, atol=1e-5)
+
+
 class TestValidation:
     def test_invalid_texts_handled(self):
         gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))

@@ -1,0 +1,239 @@
+"""SentencePiece-unigram tokenizer tests (XLM-RoBERTa family).
+
+Golden gate: the pure-Python Viterbi path must produce the exact ids the HF
+``tokenizers`` Rust engine produces (the engine the reference itself runs
+under sentence-transformers) on a hand-built unigram model — including
+metaspace word markers, unknown-character penalties, and consecutive-unk
+fusing.  Plus loader tests for the raw sentencepiece protobuf with XLM-R's
+fairseq id remapping.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from tpu_search.models.sp_tokenizer import (
+    UnigramTokenizer,
+    has_sp_assets,
+    parse_spm_model,
+)
+
+tokenizers = pytest.importorskip("tokenizers")
+
+
+VOCAB = [
+    ("<s>", 0.0),
+    ("<pad>", 0.0),
+    ("</s>", 0.0),
+    ("<unk>", -12.0),
+    ("▁", -4.0),
+    ("▁hello", -3.0),
+    ("▁world", -3.2),
+    ("hel", -3.5),
+    ("lo", -3.1),
+    ("o", -4.5),
+    ("h", -4.6),
+    ("e", -4.2),
+    ("l", -4.1),
+    ("▁h", -4.9),
+    ("w", -4.8),
+    ("r", -4.7),
+    ("d", -4.4),
+    ("ll", -3.9),
+    ("▁the", -2.9),
+    ("the", -3.3),
+    ("t", -4.35),
+    ("▁世界", -3.4),  # multi-char CJK piece
+    ("世", -4.25),
+    ("9", -4.15),
+    ("99", -3.85),
+]
+
+TEXT_MATRIX = [
+    "hello world",
+    "  hello   world  ",
+    "helloworld",
+    "the theo",
+    "hhh lll",
+    "XXX yyy",  # all-unknown words -> fused unks
+    "wörld",  # unknown char inside a known word
+    "hello\tworld\nhello",  # tabs/newlines -> whitespace
+    "世界 hello 世",
+    "9999 99 9",
+    "h e l l o",
+    "ｈｅｌｌｏ",  # fullwidth -> NFKC folds to ascii
+    "",
+    "   ",
+    "…––",  # punctuation-only unknowns
+]
+
+
+@pytest.fixture(scope="module")
+def tok_json_path(tmp_path_factory):
+    """Build the golden tokenizer.json with the HF tokenizers library."""
+    from tokenizers import Regex, Tokenizer, models, normalizers, pre_tokenizers
+
+    tok = Tokenizer(models.Unigram(VOCAB, unk_id=3, byte_fallback=False))
+    tok.normalizer = normalizers.Sequence(
+        [
+            normalizers.Replace(Regex("[\\t\\n\\r]"), " "),
+            normalizers.NFKC(),
+            normalizers.Replace(Regex(" {2,}"), " "),
+            normalizers.Strip(),
+        ]
+    )
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="always"
+    )
+    path = tmp_path_factory.mktemp("sp_tok") / "tokenizer.json"
+    tok.save(str(path))
+    return path
+
+
+@pytest.fixture(scope="module")
+def lib_tok(tok_json_path):
+    return tokenizers.Tokenizer.from_file(str(tok_json_path))
+
+
+@pytest.fixture(scope="module")
+def pure_tok(tok_json_path):
+    spec = json.loads(tok_json_path.read_text())
+    return UnigramTokenizer.from_tokenizer_json(spec, fast_path=None)
+
+
+class TestGoldenParity:
+    @pytest.mark.parametrize("text", TEXT_MATRIX)
+    def test_pure_viterbi_matches_rust_engine(self, pure_tok, lib_tok, text):
+        assert pure_tok._fast is None
+        got = pure_tok._encode_core(text)
+        ref = lib_tok.encode(text, add_special_tokens=False).ids
+        assert got == ref, (text, got, ref)
+
+    def test_fast_path_selected_and_equal(self, tok_json_path, pure_tok):
+        loaded = UnigramTokenizer.from_pretrained_dir(
+            str(tok_json_path.parent)
+        )
+        assert loaded._fast is not None
+        for text in TEXT_MATRIX:
+            assert loaded.encode(text) == pure_tok.encode(text), text
+
+
+class TestEncodeSurface:
+    def test_specials_and_truncation(self, pure_tok):
+        ids = pure_tok.encode("hello world")
+        assert ids[0] == pure_tok.bos_id and ids[-1] == pure_tok.eos_id
+        short = pure_tok.encode("hello world hello world hello", max_length=4)
+        assert len(short) == 4
+        assert short[0] == pure_tok.bos_id and short[-1] == pure_tok.eos_id
+
+    def test_empty_text(self, pure_tok):
+        assert pure_tok.encode("") == [pure_tok.bos_id, pure_tok.eos_id]
+
+    def test_encode_batch_shapes(self, pure_tok):
+        ids, mask = pure_tok.encode_batch(
+            ["hello", "hello world hello world"], pad_to=16
+        )
+        assert ids.shape == (2, 16) and mask.shape == (2, 16)
+        assert ids.dtype == np.int32 and mask.dtype == np.int32
+        assert mask[0].sum() < mask[1].sum()
+        # padded tail is pad_id with mask 0
+        assert (ids[0][mask[0] == 0] == pure_tok.pad_id).all()
+
+    def test_decode_roundtrip(self, pure_tok):
+        ids = pure_tok.encode("hello world")
+        assert pure_tok.decode(ids) == "hello world"
+
+    def test_vocab_size(self, pure_tok):
+        assert pure_tok.vocab_size == len(VOCAB)
+
+
+# ---------------------------------------------------------------------------
+# Raw sentencepiece protobuf loading (XLM-R ships sentencepiece.bpe.model)
+# ---------------------------------------------------------------------------
+
+
+def _varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        bits = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(bits | 0x80)
+        else:
+            out.append(bits)
+            return bytes(out)
+
+
+def _spm_piece(piece: str, score: float, ptype: int = 1) -> bytes:
+    body = b""
+    raw = piece.encode("utf-8")
+    body += _varint((1 << 3) | 2) + _varint(len(raw)) + raw
+    body += _varint((2 << 3) | 5) + struct.pack("<f", score)
+    if ptype != 1:
+        body += _varint((3 << 3) | 0) + _varint(ptype)
+    return _varint((1 << 3) | 2) + _varint(len(body)) + body
+
+
+def _build_spm_model() -> bytes:
+    # spm layout: 0=<unk> (type 2), 1=<s> (type 3), 2=</s> (type 3), then
+    # normal pieces.
+    blob = b""
+    blob += _spm_piece("<unk>", 0.0, ptype=2)
+    blob += _spm_piece("<s>", 0.0, ptype=3)
+    blob += _spm_piece("</s>", 0.0, ptype=3)
+    for piece, score in [
+        ("▁", -4.0),
+        ("▁hello", -3.0),
+        ("hel", -3.5),
+        ("lo", -3.1),
+        ("o", -4.5),
+    ]:
+        blob += _spm_piece(piece, score)
+    # trailing unrelated field (trainer spec stand-in) must be skipped
+    blob += _varint((2 << 3) | 2) + _varint(3) + b"xyz"
+    return blob
+
+
+class TestSpmProtobuf:
+    def test_parse_pieces(self):
+        pieces = parse_spm_model(_build_spm_model())
+        assert [p for p, _, _ in pieces[:3]] == ["<unk>", "<s>", "</s>"]
+        assert pieces[0][2] == 2 and pieces[1][2] == 3
+        assert pieces[4] == ("▁hello", pytest.approx(-3.0), 1)
+
+    def test_fairseq_id_remapping(self, tmp_path):
+        spm_path = tmp_path / "sentencepiece.bpe.model"
+        spm_path.write_bytes(_build_spm_model())
+        tok = UnigramTokenizer.from_spm_file(str(spm_path))
+        # XLM-R final id space: <s>=0 <pad>=1 </s>=2 <unk>=3, spm piece i
+        # (i >= 3) -> i + 1, mask appended last.
+        assert tok.vocab["<s>"] == (0, 0.0)
+        assert tok.vocab["<pad>"][0] == 1
+        assert tok.vocab["▁"][0] == 4
+        assert tok.vocab["▁hello"][0] == 5
+        assert tok.vocab["<mask>"][0] == 9
+        ids = tok.encode("hello")
+        assert ids == [0, 5, 2]
+
+    def test_from_pretrained_dir_spm(self, tmp_path):
+        (tmp_path / "sentencepiece.bpe.model").write_bytes(_build_spm_model())
+        assert has_sp_assets(tmp_path)
+        tok = UnigramTokenizer.from_pretrained_dir(str(tmp_path))
+        assert tok.encode("hello") == [0, 5, 2]
+
+
+class TestHasSpAssets:
+    def test_wordpiece_dir_is_not_sp(self, tmp_path):
+        (tmp_path / "vocab.txt").write_text("[PAD]\n[UNK]\nhello\n")
+        assert not has_sp_assets(tmp_path)
+
+    def test_unigram_tokenizer_json(self, tok_json_path):
+        assert has_sp_assets(tok_json_path.parent)
+
+    def test_non_unigram_tokenizer_json(self, tmp_path):
+        (tmp_path / "tokenizer.json").write_text(
+            json.dumps({"model": {"type": "WordPiece"}})
+        )
+        assert not has_sp_assets(tmp_path)

@@ -1,0 +1,110 @@
+"""Golden tests: the XLM-RoBERTa path (paraphrase-multilingual-* family)
+must reproduce HF torch XLMRobertaModel numerics — same gate as the MPNet
+and BERT goldens.  XLM-R combines MPNet's pad-anchored position ids with
+BERT's token-type-0 embedding and no relative attention bias."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from tpu_search.models.convert import (
+    config_from_hf,
+    params_from_bert_state_dict,
+)
+from tpu_search.models.mpnet import encode, forward_hidden, init_params
+
+SMALL_XLMR_CONFIG = dict(
+    model_type="xlm-roberta",
+    vocab_size=130,
+    hidden_size=32,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=44,
+    pad_token_id=1,
+    layer_norm_eps=1e-5,
+    hidden_act="gelu",
+)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    hf = transformers.XLMRobertaConfig(
+        **{k: v for k, v in SMALL_XLMR_CONFIG.items() if k != "model_type"}
+    )
+    model = transformers.XLMRobertaModel(hf, add_pooling_layer=False)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(torch_model):
+    config = config_from_hf(SMALL_XLMR_CONFIG)
+    assert config.arch == "xlmr"
+    assert config.pad_token_id == 1
+    params = params_from_bert_state_dict(torch_model.state_dict(), config)
+    return params, config
+
+
+def make_batch(rng, batch=3, seq=15, pad_token=1, vocab=130):
+    ids = rng.integers(4, vocab, size=(batch, seq))
+    lengths = rng.integers(5, seq + 1, size=batch)
+    mask = np.zeros((batch, seq), dtype=np.int64)
+    for row, n in enumerate(lengths):
+        mask[row, :n] = 1
+        ids[row, n:] = pad_token
+    return ids.astype(np.int64), mask
+
+
+def test_hidden_state_parity(torch_model, jax_setup):
+    """Pad-anchored positions + tt0 must match HF exactly — padded rows
+    included (XLM-R pins pads to the pad position)."""
+    params, config = jax_setup
+    rng = np.random.default_rng(1)
+    ids, mask = make_batch(rng)
+    with torch.no_grad():
+        ref = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        forward_hidden(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], ref[valid], atol=5e-4)
+
+
+def test_sentence_embedding_cosine(torch_model, jax_setup):
+    params, config = jax_setup
+    rng = np.random.default_rng(2)
+    ids, mask = make_batch(rng, batch=5, seq=18)
+    with torch.no_grad():
+        hidden = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state
+    m = torch.tensor(mask).unsqueeze(-1).float()
+    pooled = (hidden * m).sum(1) / m.sum(1).clamp(min=1e-9)
+    ref = torch.nn.functional.normalize(pooled, p=2, dim=1).numpy()
+
+    got = np.asarray(
+        encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    cosines = np.sum(ref * got, axis=1)
+    assert (cosines > 0.9999).all(), cosines
+
+
+def test_init_params_has_tt0():
+    import jax
+
+    from tpu_search.models.mpnet import MPNetConfig
+
+    config = MPNetConfig(
+        vocab_size=50, hidden_size=16, num_layers=2, num_heads=2,
+        intermediate_size=32, max_position=20, arch="xlmr", pad_token_id=1,
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(params["embeddings"]["tt0"])).sum() > 0

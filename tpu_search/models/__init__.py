@@ -3,6 +3,7 @@
 from .encoder import EmbeddingConfig, EmbeddingGenerator, EmbeddingStats
 from .hashing import HashingEncoder
 from .mpnet import MPNetConfig, encode, forward_hidden, init_params
+from .sp_tokenizer import UnigramTokenizer
 from .tokenizer import WordPieceTokenizer
 
 __all__ = [
@@ -11,6 +12,7 @@ __all__ = [
     "EmbeddingStats",
     "HashingEncoder",
     "MPNetConfig",
+    "UnigramTokenizer",
     "WordPieceTokenizer",
     "encode",
     "forward_hidden",

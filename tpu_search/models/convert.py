@@ -32,7 +32,10 @@ def _strip_prefixes(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     sentence-transformers exports down to bare module paths."""
     out: Dict[str, np.ndarray] = {}
     for key, value in state_dict.items():
-        for prefix in ("0.auto_model.", "auto_model.", "mpnet.", "bert.", "model."):
+        for prefix in (
+            "0.auto_model.", "auto_model.", "mpnet.", "bert.", "roberta.",
+            "model.",
+        ):
             if key.startswith(prefix):
                 key = key[len(prefix):]
                 break
@@ -96,8 +99,14 @@ def params_from_state_dict(
 
 
 def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
-    """HF config.json dict -> MPNetConfig (handles mpnet AND bert models)."""
-    arch = "bert" if hf_config.get("model_type") == "bert" else "mpnet"
+    """HF config.json dict -> MPNetConfig (mpnet, bert AND xlm-roberta)."""
+    model_type = hf_config.get("model_type", "mpnet")
+    if model_type == "bert":
+        arch = "bert"
+    elif model_type in ("xlm-roberta", "roberta", "camembert"):
+        arch = "xlmr"
+    else:
+        arch = "mpnet"
     return MPNetConfig(
         vocab_size=hf_config.get("vocab_size", 30527),
         hidden_size=hf_config.get("hidden_size", 768),
@@ -117,9 +126,10 @@ def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
 def params_from_bert_state_dict(
     state_dict: Mapping[str, Any], config: MPNetConfig
 ) -> Dict[str, Any]:
-    """Torch BERT state dict (all-MiniLM-* and friends) -> the same stacked
-    pytree the encoder consumes (token_type row 0 kept as the ``tt0``
-    vector, no relative bias)."""
+    """Torch BERT/XLM-RoBERTa state dict (all-MiniLM-*,
+    paraphrase-multilingual-* and friends — the two families share the HF
+    module naming) -> the same stacked pytree the encoder consumes
+    (token_type row 0 kept as the ``tt0`` vector, no relative bias)."""
     sd = _strip_prefixes(state_dict)
 
     def get(name: str) -> np.ndarray:
@@ -268,7 +278,7 @@ def convert_pretrained_dir(
             str(weights), map_location="cpu", weights_only=True
         )
     config = config_from_hf(_find_config(model_dir, weights))
-    if config.arch == "bert":
+    if config.arch in ("bert", "xlmr"):
         params = params_from_bert_state_dict(state_dict, config)
     else:
         params = params_from_state_dict(state_dict, config)

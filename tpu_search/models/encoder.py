@@ -35,6 +35,7 @@ from ..ingest.chunker import Chunk
 from ..utils.shapes import bucket_size
 from .hashing import HashingEncoder
 from .mpnet import MPNetConfig, encode as mpnet_encode
+from .sp_tokenizer import UnigramTokenizer, has_sp_assets
 from .tokenizer import WordPieceTokenizer
 
 logger = logging.getLogger(__name__)
@@ -87,7 +88,7 @@ class EmbeddingGenerator:
         self.logger = logger
         self._params = None
         self._model_config: Optional[MPNetConfig] = None
-        self._tokenizer: Optional[WordPieceTokenizer] = None
+        self._tokenizer = None  # WordPieceTokenizer | UnigramTokenizer
         self._hash_encoder: Optional[HashingEncoder] = None
         self._embedding_dim: Optional[int] = None
         self._device = None
@@ -152,7 +153,16 @@ class EmbeddingGenerator:
                 f"name 'hash-768' for the weight-free fallback encoder."
             )
 
-        self._tokenizer = WordPieceTokenizer.from_pretrained_dir(str(model_dir))
+        if self._model_config.arch == "xlmr" or has_sp_assets(model_dir):
+            # XLM-R family ships a sentencepiece-unigram tokenizer, not a
+            # WordPiece vocab.txt.
+            self._tokenizer = UnigramTokenizer.from_pretrained_dir(
+                str(model_dir)
+            )
+        else:
+            self._tokenizer = WordPieceTokenizer.from_pretrained_dir(
+                str(model_dir)
+            )
         self._device = self._pick_device()
         self._params = jax.device_put(self._params, self._device)
         self._embedding_dim = self._model_config.hidden_size

@@ -43,6 +43,12 @@ class MPNetConfig:
     friends in sentence-transformers): absolute positions starting at 0, a
     token-type-0 embedding added uniformly, and no relative attention bias —
     everything else (post-LN blocks, pooling head) is shared.
+
+    ``arch="xlmr"`` selects XLM-RoBERTa (the multilingual
+    paraphrase-multilingual-* sentence-transformers models): MPNet's
+    pad-anchored position scheme (positions count live tokens from
+    ``pad + 1``) combined with BERT's token-type-0 embedding and no
+    relative attention bias.
     """
 
     vocab_size: int = 30527
@@ -55,7 +61,7 @@ class MPNetConfig:
     pad_token_id: int = 1
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
-    arch: str = "mpnet"  # "mpnet" | "bert"
+    arch: str = "mpnet"  # "mpnet" | "bert" | "xlmr"
 
     @property
     def head_dim(self) -> int:
@@ -85,9 +91,11 @@ def init_params(
         "embeddings": {
             "word": normal((config.vocab_size, h)),
             "position": normal((config.max_position, h)),
-            # token-type-0 row (BERT family; zeros for MPNet)
+            # token-type-0 row (BERT/XLM-R families; zeros for MPNet)
             "tt0": (
-                normal((h,)) if config.arch == "bert" else jnp.zeros((h,), dtype)
+                normal((h,))
+                if config.arch in ("bert", "xlmr")
+                else jnp.zeros((h,), dtype)
             ),
             "ln_scale": jnp.ones((h,), dtype),
             "ln_bias": jnp.zeros((h,), dtype),
@@ -344,7 +352,8 @@ def forward_hidden(
             jnp.arange(seq_len, dtype=jnp.int32)[None, :], input_ids.shape
         )
     else:
-        # MPNet: positions start at pad+1, pads pinned to the pad position
+        # MPNet/XLM-R: positions start at pad+1, pads pinned to the pad
+        # position (HF create_position_ids_from_input_ids)
         mask_i = (input_ids != pad).astype(jnp.int32)
         position_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
 
@@ -356,7 +365,7 @@ def forward_hidden(
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
     x = x.astype(compute_dtype)
 
-    if config.arch == "bert":
+    if config.arch in ("bert", "xlmr"):
         bias = jnp.zeros(
             (1, config.num_heads, seq_len, seq_len), jnp.float32
         )

@@ -21,9 +21,10 @@ from pathlib import Path
 MODEL_NAME = "all-mpnet-base-v2"
 HF_REPO = "sentence-transformers/all-mpnet-base-v2"
 
-# Known sentence-transformers retrieval models (both encoder families are
-# implemented: mpnet and bert/MiniLM). Any other HF repo with a supported
-# architecture also works via --model org/name.
+# Known sentence-transformers retrieval models (all three encoder families
+# are implemented: mpnet, bert/MiniLM, and xlm-roberta for the multilingual
+# models). Any other HF repo with a supported architecture also works via
+# --model org/name.
 KNOWN_MODELS = {
     "all-mpnet-base-v2": "sentence-transformers/all-mpnet-base-v2",
     "all-MiniLM-L6-v2": "sentence-transformers/all-MiniLM-L6-v2",
@@ -31,6 +32,12 @@ KNOWN_MODELS = {
     "multi-qa-mpnet-base-dot-v1": "sentence-transformers/multi-qa-mpnet-base-dot-v1",
     "multi-qa-MiniLM-L6-cos-v1": "sentence-transformers/multi-qa-MiniLM-L6-cos-v1",
     "paraphrase-MiniLM-L6-v2": "sentence-transformers/paraphrase-MiniLM-L6-v2",
+    "paraphrase-multilingual-mpnet-base-v2": (
+        "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
+    ),
+    "paraphrase-multilingual-MiniLM-L12-v2": (
+        "sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2"
+    ),
 }
 
 
@@ -60,7 +67,8 @@ def download_model(force: bool = False, model_name: str = MODEL_NAME) -> Path:
     snapshot = snapshot_download(
         repo,
         allow_patterns=[
-            "*.json", "*.txt", "pytorch_model.bin", "model.safetensors",
+            "*.json", "*.txt", "*.model",  # *.model = sentencepiece (xlm-r)
+            "pytorch_model.bin", "model.safetensors",
         ],
     )
     target.mkdir(parents=True, exist_ok=True)
