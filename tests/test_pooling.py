@@ -1,0 +1,131 @@
+"""Pooling-mode tests: sentence-transformers models declare their pooling
+head in ``1_Pooling/config.json`` (mean for all-mpnet-base-v2, CLS for the
+multi-qa-*-dot-v1 models).  The converter must detect it and ``encode``
+must reproduce each mode against a torch reference."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_search.models.convert import (
+    _find_pooling_mode,
+    load_checkpoint,
+    save_checkpoint,
+)
+from tpu_search.models.mpnet import MPNetConfig, encode, forward_hidden, init_params
+
+TINY = dict(
+    vocab_size=64,
+    hidden_size=16,
+    num_layers=2,
+    num_heads=2,
+    intermediate_size=32,
+    max_position=48,
+)
+
+
+def make_batch(rng, batch=4, seq=12, pad_token=1, vocab=64):
+    ids = rng.integers(4, vocab, size=(batch, seq))
+    lengths = rng.integers(3, seq + 1, size=batch)
+    mask = np.zeros((batch, seq), dtype=np.int32)
+    for row, n in enumerate(lengths):
+        mask[row, :n] = 1
+        ids[row, n:] = pad_token
+    return ids.astype(np.int32), mask
+
+
+@pytest.mark.parametrize("pooling", ["mean", "cls", "max"])
+def test_pooling_modes_match_numpy_reference(pooling):
+    config = MPNetConfig(**TINY, pooling=pooling)
+    params = init_params(config, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    ids, mask = make_batch(rng)
+
+    hidden = np.asarray(
+        forward_hidden(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    if pooling == "cls":
+        ref = hidden[:, 0, :]
+    elif pooling == "max":
+        masked = np.where(mask[:, :, None].astype(bool), hidden, -np.inf)
+        ref = masked.max(axis=1)
+    else:
+        m = mask[:, :, None].astype(np.float32)
+        ref = (hidden * m).sum(1) / np.clip(m.sum(1), 1e-9, None)
+    ref = ref / np.clip(
+        np.linalg.norm(ref, axis=-1, keepdims=True), 1e-12, None
+    )
+
+    got = np.asarray(
+        encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_cls_differs_from_mean():
+    params = init_params(MPNetConfig(**TINY), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    ids, mask = make_batch(rng)
+    mean_v = np.asarray(
+        encode(params, jnp.asarray(ids), jnp.asarray(mask),
+               MPNetConfig(**TINY, pooling="mean"))
+    )
+    cls_v = np.asarray(
+        encode(params, jnp.asarray(ids), jnp.asarray(mask),
+               MPNetConfig(**TINY, pooling="cls"))
+    )
+    assert not np.allclose(mean_v, cls_v, atol=1e-3)
+
+
+class TestPoolingDetection:
+    def test_cls_pooling_config(self, tmp_path):
+        pool_dir = tmp_path / "1_Pooling"
+        pool_dir.mkdir()
+        (pool_dir / "config.json").write_text(
+            json.dumps(
+                {
+                    "pooling_mode_cls_token": True,
+                    "pooling_mode_mean_tokens": False,
+                    "pooling_mode_max_tokens": False,
+                }
+            )
+        )
+        assert _find_pooling_mode(tmp_path) == "cls"
+
+    def test_mean_pooling_config(self, tmp_path):
+        pool_dir = tmp_path / "1_Pooling"
+        pool_dir.mkdir()
+        (pool_dir / "config.json").write_text(
+            json.dumps(
+                {
+                    "pooling_mode_cls_token": False,
+                    "pooling_mode_mean_tokens": True,
+                }
+            )
+        )
+        assert _find_pooling_mode(tmp_path) == "mean"
+
+    def test_max_pooling_config(self, tmp_path):
+        pool_dir = tmp_path / "1_Pooling"
+        pool_dir.mkdir()
+        (pool_dir / "config.json").write_text(
+            json.dumps({"pooling_mode_max_tokens": True})
+        )
+        assert _find_pooling_mode(tmp_path) == "max"
+
+    def test_plain_hf_dir_defaults_to_mean(self, tmp_path):
+        assert _find_pooling_mode(tmp_path) == "mean"
+
+
+def test_checkpoint_roundtrip_preserves_pooling(tmp_path):
+    config = MPNetConfig(**TINY, pooling="cls")
+    params = init_params(config, jax.random.PRNGKey(1))
+    path = tmp_path / "model.tpu.npz"
+    save_checkpoint(str(path), params, config)
+    _, loaded = load_checkpoint(str(path))
+    assert loaded.pooling == "cls"
+    assert loaded == config

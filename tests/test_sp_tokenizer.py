@@ -149,6 +149,82 @@ class TestEncodeSurface:
         assert pure_tok.vocab_size == len(VOCAB)
 
 
+class TestFuzzParity:
+    """Randomized vocabularies + randomized (incl. Unicode) texts: the pure
+    Viterbi must match the Rust engine id-for-id.  Control/format chars are
+    excluded (the pure normalizer strips them like real spm NMT charsmaps
+    do; the hand-built golden tokenizer has no charsmap — see module
+    docstring deviation note)."""
+
+    def _build_random_tokenizer(self, rng, tmp_path, seed):
+        import random as _random
+        import string
+
+        from tokenizers import (
+            Regex,
+            Tokenizer,
+            models,
+            normalizers,
+            pre_tokenizers,
+        )
+
+        alphabet = string.ascii_lowercase + "0123456789"
+        pieces = {"▁"}
+        while len(pieces) < 180:
+            word = "".join(rng.choices(alphabet, k=rng.randint(1, 5)))
+            pieces.add(word)
+            if rng.random() < 0.4:
+                pieces.add("▁" + word)
+        pieces.update(
+            ["▁über", "é", "日", "本", "語", "▁日本", ".", ",", "!", "?",
+             "-", "(", ")", "'", "99", "▁42"]
+        )
+        vocab = [("<s>", 0.0), ("<pad>", 0.0), ("</s>", 0.0),
+                 ("<unk>", -14.0)]
+        # distinct scores avoid tie-break ambiguity between engines
+        for i, piece in enumerate(sorted(pieces)):
+            vocab.append((piece, -2.0 - i * 0.013 - len(piece) * 0.11))
+        tok = Tokenizer(models.Unigram(vocab, unk_id=3, byte_fallback=False))
+        tok.normalizer = normalizers.Sequence(
+            [
+                normalizers.Replace(Regex("[\\t\\n\\r]"), " "),
+                normalizers.NFKC(),
+                normalizers.Replace(Regex(" {2,}"), " "),
+                normalizers.Strip(),
+            ]
+        )
+        tok.pre_tokenizer = pre_tokenizers.Metaspace(
+            replacement="▁", prepend_scheme="always"
+        )
+        path = tmp_path / f"fuzz_{seed}.json"
+        tok.save(str(path))
+        return path
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_fuzz_matches_rust_engine(self, tmp_path, seed):
+        import random
+
+        rng = random.Random(seed)
+        path = self._build_random_tokenizer(rng, tmp_path, seed)
+        lib = tokenizers.Tokenizer.from_file(str(path))
+        mine = UnigramTokenizer.from_tokenizer_json(
+            json.loads(path.read_text()), fast_path=None
+        )
+
+        words = ["hello", "WORLD", "test123", "a", "über", "naïve", "café",
+                 "日本語", "foo-bar", "x.y,z!", "(parens)", "'quoted'",
+                 "42", "99", "...", "MiXeD", "ｗｉｄｅ", "emoji🙂here",
+                 "русский", "한국어", "ﬁligature", " nbsp "]
+        mismatches = []
+        for _ in range(200):
+            text = " ".join(rng.choices(words, k=rng.randint(0, 10)))
+            ref = lib.encode(text, add_special_tokens=False).ids
+            got = mine._encode_core(text)
+            if got != ref:
+                mismatches.append((text, got[:12], ref[:12]))
+        assert not mismatches, mismatches[:3]
+
+
 # ---------------------------------------------------------------------------
 # Raw sentencepiece protobuf loading (XLM-R ships sentencepiece.bpe.model)
 # ---------------------------------------------------------------------------

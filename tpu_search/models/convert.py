@@ -255,6 +255,30 @@ def _find_config(model_dir: Path, weights_path: Path) -> Mapping[str, Any]:
     return {}
 
 
+def _find_pooling_mode(model_dir: Path) -> str:
+    """sentence-transformers pooling head -> "mean" | "cls" | "max".
+
+    ST model dirs carry ``1_Pooling/config.json`` with boolean
+    ``pooling_mode_*`` flags (the reference reads it through the
+    SentenceTransformer loader, src/embeddings.py:86).  Plain HF dirs have
+    no pooling module — mean is the sentence-embedding convention there.
+    """
+    hits = sorted(model_dir.glob("*_Pooling/config.json")) or sorted(
+        model_dir.rglob("*_Pooling/config.json")
+    )
+    if not hits:
+        return "mean"
+    try:
+        spec = json.loads(hits[0].read_text())
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return "mean"
+    if spec.get("pooling_mode_cls_token"):
+        return "cls"
+    if spec.get("pooling_mode_max_tokens"):
+        return "max"
+    return "mean"
+
+
 def convert_pretrained_dir(
     model_dir: str, output_path: str
 ) -> Tuple[Dict[str, Any], MPNetConfig]:
@@ -278,6 +302,11 @@ def convert_pretrained_dir(
             str(weights), map_location="cpu", weights_only=True
         )
     config = config_from_hf(_find_config(model_dir, weights))
+    pooling = _find_pooling_mode(model_dir)
+    if pooling != config.pooling:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, pooling=pooling)
     if config.arch in ("bert", "xlmr"):
         params = params_from_bert_state_dict(state_dict, config)
     else:

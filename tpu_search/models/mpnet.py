@@ -62,6 +62,10 @@ class MPNetConfig:
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
     arch: str = "mpnet"  # "mpnet" | "bert" | "xlmr"
+    # sentence-transformers pooling head (1_Pooling/config.json):
+    # all-mpnet-base-v2 and friends use masked mean; the multi-qa-*-dot-v1
+    # models use the CLS token.
+    pooling: str = "mean"  # "mean" | "cls" | "max"
 
     @property
     def head_dim(self) -> int:
@@ -436,17 +440,28 @@ def encode(
 ) -> jax.Array:
     """Token ids -> sentence embeddings ``[B, H]``.
 
-    The sentence-transformers head (masked mean pooling + L2 normalize,
-    reference model card for all-mpnet-base-v2) fused into the encoder graph.
+    The sentence-transformers head (pooling + L2 normalize) fused into the
+    encoder graph.  ``config.pooling`` selects the model's pooling mode
+    (1_Pooling/config.json): masked mean (all-mpnet-base-v2 and friends),
+    CLS token (multi-qa-*-dot-v1), or masked max.
     """
     hidden = forward_hidden(
         params, input_ids, attention_mask, config, compute_dtype,
         attention_impl, int8_ffn,
     ).astype(jnp.float32)
-    mask = attention_mask.astype(jnp.float32)[:, :, None]
-    summed = jnp.sum(hidden * mask, axis=1)
-    counts = jnp.clip(jnp.sum(mask, axis=1), 1e-9, None)
-    pooled = summed / counts
+    if config.pooling == "cls":
+        pooled = hidden[:, 0, :]
+    elif config.pooling == "max":
+        neg = jnp.finfo(jnp.float32).min
+        masked = jnp.where(
+            attention_mask.astype(bool)[:, :, None], hidden, neg
+        )
+        pooled = jnp.max(masked, axis=1)
+    else:
+        mask = attention_mask.astype(jnp.float32)[:, :, None]
+        summed = jnp.sum(hidden * mask, axis=1)
+        counts = jnp.clip(jnp.sum(mask, axis=1), 1e-9, None)
+        pooled = summed / counts
     if normalize:
         pooled = pooled / jnp.clip(
             jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12, None
