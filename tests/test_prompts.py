@@ -1,0 +1,128 @@
+"""Prompt-template tests: instruction-tuned retrieval models (e5-*, bge-*)
+declare "query: "/"passage: " prefixes in config_sentence_transformers.json;
+the generator must apply the query prompt on the search side and the
+passage prompt on the indexing side — and stay a no-op for classic models
+without prompt config."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpu_search.ingest.chunker import Chunk
+from tpu_search.models import (
+    EmbeddingConfig,
+    EmbeddingGenerator,
+    MPNetConfig,
+    init_params,
+)
+from tpu_search.models.convert import save_checkpoint
+
+TINY = MPNetConfig(
+    vocab_size=64,
+    hidden_size=16,
+    num_layers=2,
+    num_heads=2,
+    intermediate_size=32,
+    max_position=96,
+)
+
+VOCAB_TOKENS = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>", "query", "passage",
+                ":", ] + [f"tok{i}" for i in range(56)]
+
+
+def write_model(tmp_path, prompts=None, default_prompt_name=None):
+    model_dir = tmp_path / "models" / "tiny-prompted"
+    model_dir.mkdir(parents=True)
+    params = init_params(TINY, jax.random.PRNGKey(0))
+    save_checkpoint(str(model_dir / "model.tpu.npz"), params, TINY)
+    (model_dir / "vocab.txt").write_text("\n".join(VOCAB_TOKENS) + "\n")
+    if prompts is not None:
+        spec = {"prompts": prompts}
+        if default_prompt_name is not None:
+            spec["default_prompt_name"] = default_prompt_name
+        (model_dir / "config_sentence_transformers.json").write_text(
+            json.dumps(spec)
+        )
+    return tmp_path / "models"
+
+
+def make_gen(cache_dir, **kwargs):
+    gen = EmbeddingGenerator(
+        EmbeddingConfig(
+            model_name="tiny-prompted",
+            cache_dir=str(cache_dir),
+            compute_dtype="float32",
+            device="cpu",
+            show_progress=False,
+            **kwargs,
+        )
+    )
+    gen.load_model()
+    return gen
+
+
+E5_PROMPTS = {"query": "query: ", "passage": "passage: "}
+
+
+class TestPromptApplication:
+    def test_query_prompt_on_single_embedding(self, tmp_path):
+        gen = make_gen(write_model(tmp_path, prompts=E5_PROMPTS))
+        got = gen.generate_single_embedding("tok1 tok2")
+        manual = gen._encode_texts(["query: tok1 tok2"])[0]
+        np.testing.assert_allclose(got, manual, atol=1e-6)
+        bare = gen._encode_texts(["tok1 tok2"])[0]
+        assert not np.allclose(got, bare, atol=1e-4)
+
+    def test_passage_prompt_on_chunks(self, tmp_path):
+        gen = make_gen(write_model(tmp_path, prompts=E5_PROMPTS))
+        chunks = [Chunk(id="c0", text="tok3 tok4", metadata={})]
+        vecs = gen.generate_embeddings(chunks)
+        manual = gen._encode_texts(["passage: tok3 tok4"])[0]
+        np.testing.assert_allclose(vecs[0], manual, atol=1e-6)
+
+    def test_pack_batch_applies_query_prompt(self, tmp_path):
+        gen = make_gen(write_model(tmp_path, prompts=E5_PROMPTS))
+        ids, _ = gen.pack_batch(["tok1 tok2"])
+        manual = gen._tokenizer.encode(
+            "query: tok1 tok2", gen.config.max_seq_length
+        )
+        assert list(ids[0][: len(manual)]) == manual
+
+    def test_default_prompt_name_fallback(self, tmp_path):
+        gen = make_gen(
+            write_model(
+                tmp_path,
+                prompts={"retrieval": "query: "},
+                default_prompt_name="retrieval",
+            )
+        )
+        # both sides fall back to the default prompt
+        q = gen.generate_single_embedding("tok5")
+        chunks = [Chunk(id="c0", text="tok5", metadata={})]
+        d = gen.generate_embeddings(chunks)[0]
+        np.testing.assert_allclose(q, d, atol=1e-6)
+        manual = gen._encode_texts(["query: tok5"])[0]
+        np.testing.assert_allclose(q, manual, atol=1e-6)
+
+    def test_no_prompt_config_is_noop(self, tmp_path):
+        gen = make_gen(write_model(tmp_path, prompts=None))
+        got = gen.generate_single_embedding("tok1 tok2")
+        manual = gen._encode_texts(["tok1 tok2"])[0]
+        np.testing.assert_allclose(got, manual, atol=1e-6)
+        assert "prompts" not in gen.get_model_info()
+
+    def test_apply_prompts_false_disables(self, tmp_path):
+        gen = make_gen(
+            write_model(tmp_path, prompts=E5_PROMPTS), apply_prompts=False
+        )
+        got = gen.generate_single_embedding("tok1 tok2")
+        manual = gen._encode_texts(["tok1 tok2"])[0]
+        np.testing.assert_allclose(got, manual, atol=1e-6)
+
+    def test_model_info_reports_prompts(self, tmp_path):
+        gen = make_gen(write_model(tmp_path, prompts=E5_PROMPTS))
+        info = gen.get_model_info()
+        assert info["prompts"] == E5_PROMPTS

@@ -66,6 +66,14 @@ class EmbeddingConfig:
     # override: CLAUDE_SEARCH_INT8_FFN=1.  Only takes effect under
     # bfloat16 compute on an accelerator.
     quantize_ffn: bool = False
+    # Apply the model's prompt templates (config_sentence_transformers.json
+    # "prompts"/"default_prompt_name"): instruction-tuned retrieval models
+    # (e5-*, bge-*, ...) expect "query: "/"passage: " prefixes.  "query"
+    # prompts apply to search queries, "passage"/"document" prompts to
+    # indexed chunks, default_prompt_name to both when no specific key
+    # exists.  No-op for models without prompt config (all-mpnet-base-v2
+    # and the other classic sentence-transformers models ship none).
+    apply_prompts: bool = True
 
 
 @dataclass
@@ -89,6 +97,8 @@ class EmbeddingGenerator:
         self._params = None
         self._model_config: Optional[MPNetConfig] = None
         self._tokenizer = None  # WordPieceTokenizer | UnigramTokenizer
+        self._prompts: Dict[str, str] = {}
+        self._default_prompt_name: Optional[str] = None
         self._hash_encoder: Optional[HashingEncoder] = None
         self._embedding_dim: Optional[int] = None
         self._device = None
@@ -153,6 +163,7 @@ class EmbeddingGenerator:
                 f"name 'hash-768' for the weight-free fallback encoder."
             )
 
+        self._load_prompts(model_dir)
         if self._model_config.arch == "xlmr" or has_sp_assets(model_dir):
             # XLM-R family ships a sentencepiece-unigram tokenizer, not a
             # WordPiece vocab.txt.
@@ -230,6 +241,51 @@ class EmbeddingGenerator:
             self._embedding_dim,
         )
 
+    def _load_prompts(self, model_dir: Path) -> None:
+        """Read prompt templates from config_sentence_transformers.json
+        (instruction-tuned retrieval models: e5-*, bge-*, ...)."""
+        self._prompts = {}
+        self._default_prompt_name = None
+        if not self.config.apply_prompts:
+            return
+        spec_path = model_dir / "config_sentence_transformers.json"
+        if not spec_path.exists():
+            return
+        try:
+            import json
+
+            spec = json.loads(spec_path.read_text())
+        except (ValueError, OSError):
+            return
+        prompts = spec.get("prompts")
+        if isinstance(prompts, dict):
+            self._prompts = {
+                k: v for k, v in prompts.items() if isinstance(v, str) and v
+            }
+        name = spec.get("default_prompt_name")
+        if isinstance(name, str) and name in self._prompts:
+            self._default_prompt_name = name
+        if self._prompts:
+            self.logger.info(
+                "Prompt templates active: %s (default=%s)",
+                sorted(self._prompts),
+                self._default_prompt_name,
+            )
+
+    def _prompt_for(self, kind: str) -> str:
+        """The prefix for ``kind`` ("query" | "document"): the kind's own
+        prompt, else the model's default prompt, else nothing — the same
+        resolution sentence-transformers applies with prompt_name."""
+        if not self._prompts:
+            return ""
+        keys = ("query",) if kind == "query" else ("passage", "document")
+        for key in keys:
+            if key in self._prompts:
+                return self._prompts[key]
+        if self._default_prompt_name:
+            return self._prompts[self._default_prompt_name]
+        return ""
+
     def _pick_device(self):
         import jax
 
@@ -251,18 +307,24 @@ class EmbeddingGenerator:
             self.load_model()
         if not chunks:
             return []
+        doc_prompt = self._prompt_for("document")
         texts = [chunk.text for chunk in chunks]
-        embeddings = self._generate_embeddings_batch(texts)
+        embeddings = self._generate_embeddings_batch(texts, prefix=doc_prompt)
         for chunk, embedding in zip(chunks, embeddings):
             chunk.embedding = embedding.tolist()
         return list(embeddings)
 
     def generate_single_embedding(self, text: str) -> np.ndarray:
+        """Embed one search query (the query-side prompt applies here;
+        reference query path: src/cli.py:244)."""
         if not self.is_model_loaded:
             self.load_model()
-        return self._encode_texts([text])[0]
+        prompt = self._prompt_for("query")
+        return self._encode_texts([prompt + text if prompt else text])[0]
 
-    def _generate_embeddings_batch(self, texts: Sequence[str]) -> np.ndarray:
+    def _generate_embeddings_batch(
+        self, texts: Sequence[str], prefix: str = ""
+    ) -> np.ndarray:
         start = time.time()
         validated = []
         for i, text in enumerate(texts):
@@ -279,6 +341,8 @@ class EmbeddingGenerator:
                 validated.append("empty")
             else:
                 validated.append(text)
+        if prefix:
+            validated = [prefix + t for t in validated]
 
         embeddings = self._encode_texts(validated)
 
@@ -302,7 +366,11 @@ class EmbeddingGenerator:
         """Tokenize + bucket-pad texts into ``(ids, mask)`` int32 arrays
         ready for the jitted encoder graph.  Host-side only — used by the
         fused query path to ship token ids (not embeddings) to the device
-        so encode+scan run as ONE dispatch."""
+        so encode+scan run as ONE dispatch.  Texts are queries: the
+        query-side prompt template applies."""
+        prompt = self._prompt_for("query")
+        if prompt:
+            texts = [prompt + t for t in texts]
         encoded = [
             self._tokenizer.encode(t, self.config.max_seq_length)
             for t in texts
@@ -559,6 +627,9 @@ class EmbeddingGenerator:
                 else False
             ),
         }
+        if self._prompts:
+            info["prompts"] = dict(self._prompts)
+            info["default_prompt_name"] = self._default_prompt_name
         return info
 
     @property

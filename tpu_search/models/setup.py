@@ -38,6 +38,12 @@ KNOWN_MODELS = {
     "paraphrase-multilingual-MiniLM-L12-v2": (
         "sentence-transformers/paraphrase-multilingual-MiniLM-L12-v2"
     ),
+    # instruction-tuned retrieval models (BERT arch; prompt templates and
+    # CLS pooling are read from the model dir's ST config)
+    "e5-base-v2": "intfloat/e5-base-v2",
+    "e5-small-v2": "intfloat/e5-small-v2",
+    "bge-base-en-v1.5": "BAAI/bge-base-en-v1.5",
+    "bge-small-en-v1.5": "BAAI/bge-small-en-v1.5",
 }
 
 
