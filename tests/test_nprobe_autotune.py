@@ -1,0 +1,450 @@
+"""Measured-recall IVF nprobe autotuning (FAISS-autotune analog; the
+reference ships a fixed, never-validated nprobe for its IVF option,
+src/storage.py:259-263): nprobe_ladder, IVFIndex/ShardedIVFIndex
+.tune_nprobe, hint persistence through TPUSIDX2, resolve_nprobe
+semantics, and the HybridStorage.optimize() product path."""
+
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+from tpu_search.index.ivf import IVFIndex, nprobe_ladder
+from tpu_search.storage.hybrid import resolve_nprobe
+
+
+def normed(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(21)
+    centers = normed(rng, 16, 32)
+    rows = []
+    for _ in range(1600):
+        c = centers[rng.integers(0, 16)]
+        rows.append(c + 0.12 * rng.standard_normal(32))
+    data = np.asarray(rows, dtype=np.float32)
+    return data / np.linalg.norm(data, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def trained_ivf(corpus):
+    ivf = IVFIndex(dim=32, dtype="float32", nlist=16, seed=5)
+    ivf.add(corpus)
+    return ivf
+
+
+class TestNprobeLadder:
+    def test_finds_smallest_sufficient_power_of_two(
+        self, trained_ivf, corpus
+    ):
+        rng = np.random.default_rng(22)
+        queries = normed(rng, 12, 32)
+        fn = lambda q, k, p: trained_ivf.search(q, k, nprobe=p)
+        chosen, recall = nprobe_ladder(fn, queries, 16, 10, 0.9)
+        assert recall >= 0.9
+        assert chosen & (chosen - 1) == 0  # power of two
+        if chosen > 1:
+            # the next rung down must genuinely miss the target
+            ids_below = fn(queries, 10, chosen // 2)[1]
+            truth = fn(queries, 10, 16)[1]
+            hits = total = 0
+            for t_row, g_row in zip(truth, ids_below):
+                t = {int(x) for x in t_row if x >= 0}
+                g = {int(x) for x in g_row if x >= 0}
+                hits += len(t & g)
+                total += len(t)
+            assert hits / total < 0.9
+
+    def test_unreachable_target_returns_full_probe(self, trained_ivf):
+        rng = np.random.default_rng(23)
+        queries = normed(rng, 4, 32)
+        fn = lambda q, k, p: trained_ivf.search(q, k, nprobe=p)
+        chosen, recall = nprobe_ladder(fn, queries, 16, 10, 1.5)
+        assert chosen == 16
+        assert recall == 1.0
+
+
+class TestResolveNprobe:
+    def test_explicit_wins(self, trained_ivf):
+        trained_ivf.nprobe_hint = 4
+        assert resolve_nprobe(12, trained_ivf) == 12
+
+    def test_auto_uses_hint(self, trained_ivf):
+        trained_ivf.nprobe_hint = 4
+        assert resolve_nprobe(0, trained_ivf) == 4
+
+    def test_auto_falls_back_to_8(self, trained_ivf):
+        trained_ivf.nprobe_hint = 0
+        assert resolve_nprobe(0, trained_ivf) == 8
+
+    def test_non_ivf_index_falls_back(self):
+        flat = FlatIndex(dim=8, dtype="float32")
+        assert resolve_nprobe(0, flat) == 8
+
+
+class TestTuneNprobe:
+    def test_tunes_to_target_recall(self, corpus):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=16, seed=5)
+        ivf.add(corpus)
+        report = ivf.tune_nprobe(target_recall=0.95, sample=32)
+        assert report["tuned"]
+        assert report["recall"] >= 0.95
+        assert ivf.nprobe_hint == report["nprobe"]
+        assert 1 <= ivf.nprobe_hint <= 16
+        # tuned nprobe must actually deliver the recall on fresh queries
+        rng = np.random.default_rng(24)
+        idx = rng.integers(0, corpus.shape[0], 16)
+        queries = corpus[idx] + 0.03 * rng.standard_normal(
+            (16, 32)
+        ).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        flat = FlatIndex(dim=32, dtype="float32")
+        flat.add(corpus)
+        _, ref = flat.search(queries, k=10)
+        _, got = ivf.search(queries, k=10, nprobe=ivf.nprobe_hint)
+        recall = np.mean(
+            [
+                len(set(g[:10]) & set(r[:10])) / 10
+                for g, r in zip(got, ref)
+            ]
+        )
+        assert recall >= 0.85  # fresh-query recall tracks the tuned one
+
+    def test_empty_index_is_graceful(self):
+        ivf = IVFIndex(dim=16, dtype="float32", nlist=8)
+        report = ivf.tune_nprobe()
+        assert not report["tuned"]
+        assert report["nprobe"] == 8  # the untuned fallback
+        assert ivf.nprobe_hint == 0
+
+    def test_tiny_index_is_graceful(self):
+        rng = np.random.default_rng(25)
+        ivf = IVFIndex(dim=16, dtype="float32", nlist=2)
+        ivf.add(normed(rng, 8, 16))
+        report = ivf.tune_nprobe(k=10)  # live < 4*k -> skip
+        assert not report["tuned"]
+
+    def test_deterministic_given_seed(self, corpus):
+        a = IVFIndex(dim=32, dtype="float32", nlist=16, seed=5)
+        a.add(corpus)
+        r1 = a.tune_nprobe(target_recall=0.9, seed=77)
+        r2 = a.tune_nprobe(target_recall=0.9, seed=77)
+        assert r1 == r2
+
+    @pytest.mark.parametrize("dtype", ["int8", "pq"])
+    def test_quantized_storage(self, corpus, dtype):
+        ivf = IVFIndex(dim=32, dtype=dtype, nlist=16, seed=5)
+        ivf.add(corpus)
+        report = ivf.tune_nprobe(target_recall=0.9, sample=24)
+        assert report["tuned"]
+        assert 1 <= ivf.nprobe_hint <= 16
+
+    def test_refine_rows_used_when_present(self, corpus):
+        ivf = IVFIndex(
+            dim=32, dtype="pq", nlist=16, seed=5,
+            refine_dtype="bfloat16",
+        )
+        ivf.add(corpus)
+        report = ivf.tune_nprobe(target_recall=0.9, sample=24)
+        assert report["tuned"]
+
+    def test_hint_persists_through_save_load(self, corpus, tmp_path):
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=16, seed=5)
+        ivf.add(corpus)
+        ivf.tune_nprobe(target_recall=0.9)
+        assert ivf.nprobe_hint > 0
+        path = str(tmp_path / "tuned.tpuidx")
+        ivf.save(path)
+        loaded = IVFIndex.load(path)
+        assert loaded.nprobe_hint == ivf.nprobe_hint
+
+
+class TestShardedTuneNprobe:
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        import jax
+
+        from tpu_search.parallel.mesh import build_mesh
+
+        return build_mesh(n_data=len(jax.devices()), n_model=1)
+
+    def test_tunes_and_persists(self, mesh, corpus, tmp_path):
+        from tpu_search.parallel.sharded_ivf import ShardedIVFIndex
+
+        ivf = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=16, seed=5
+        )
+        ivf.add(corpus)
+        report = ivf.tune_nprobe(target_recall=0.9, sample=24)
+        assert report["tuned"]
+        assert report["recall"] >= 0.9
+        assert ivf.nprobe_hint == report["nprobe"]
+        path = str(tmp_path / "sharded.tpuidx")
+        ivf.save(path)
+        loaded = ShardedIVFIndex.load(path, mesh=mesh)
+        assert loaded.nprobe_hint == ivf.nprobe_hint
+
+    def test_empty_is_graceful(self, mesh):
+        from tpu_search.parallel.sharded_ivf import ShardedIVFIndex
+
+        ivf = ShardedIVFIndex(dim=16, mesh=mesh, nlist=8)
+        assert not ivf.tune_nprobe()["tuned"]
+
+
+class TestProductPath:
+    def _mk_chunk(self, i, vec):
+        from tpu_search.ingest.chunker import Chunk
+
+        return Chunk(
+            id=f"c{i}",
+            text=f"text {i}",
+            metadata={"chunk_type": "qa_pair", "session_id": "s",
+                      "project_name": "p", "file_path": "/f",
+                      "timestamp": "2024-01-01T00:00:00+00:00",
+                      "has_code": False, "has_tools": False,
+                      "message_count": 1, "char_count": 6,
+                      "word_count": 2},
+            embedding=list(vec),
+        )
+
+    def test_optimize_autotunes_then_search_uses_hint(self, tmp_path):
+        from tpu_search.storage.hybrid import (
+            HybridStorage,
+            SearchConfig,
+            StorageConfig,
+        )
+
+        rng = np.random.default_rng(31)
+        centers = normed(rng, 8, 16)
+        rows = [
+            centers[rng.integers(0, 8)]
+            + 0.1 * rng.standard_normal(16).astype(np.float32)
+            for _ in range(400)
+        ]
+        vecs = np.asarray(rows, np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path),
+                embedding_dim=16,
+                index_type="ivf",
+                ivf_nlist=8,
+                ivf_autotune_recall=0.95,
+                auto_save=False,
+                storage_dtype="float32",
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        # The incremental write path tunes as soon as enough rows exist
+        storage.add_chunks(
+            [self._mk_chunk(i, vecs[i]) for i in range(400)]
+        )
+        assert storage.index.nprobe_hint > 0
+        tuned_at = storage.index._tuned_live
+        assert tuned_at == 400
+        # A small add (within the 25% freshness window) must NOT retune
+        storage.add_chunks(
+            [self._mk_chunk(400 + i, vecs[i]) for i in range(10)]
+        )
+        assert storage.index._tuned_live == tuned_at
+        # optimize() forces a retune at the new live count
+        storage.optimize()
+        assert storage.index.nprobe_hint > 0
+        assert storage.index._tuned_live == 410
+        # SearchConfig default nprobe=0 rides the tuned hint
+        results = storage.search(vecs[7], SearchConfig(top_k=3))
+        assert results[0].chunk_id == "c7"
+        storage.close()
+
+    def test_rebalance_retunes_hint(self, tmp_path):
+        # A product-path rebalance retrains the centroids, so the hint
+        # measured against the old layout must be re-measured.
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        rng = np.random.default_rng(33)
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path),
+                embedding_dim=16,
+                index_type="ivf",
+                ivf_nlist=4,
+                ivf_rebalance_skew=1.3,
+                ivf_autotune_recall=0.9,
+                auto_save=False,
+                storage_dtype="float32",
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        seed = normed(rng, 60, 16)
+        storage.add_chunks([self._mk_chunk(i, seed[i]) for i in range(60)])
+        assert storage.index.nprobe_hint > 0
+        # ...then hammer one region so the hot cluster exceeds the skew
+        hot = normed(rng, 1, 16)[0]
+        flood = [
+            hot + 0.02 * rng.standard_normal(16).astype(np.float32)
+            for _ in range(200)
+        ]
+        flood = [v / np.linalg.norm(v) for v in flood]
+        storage.add_chunks(
+            [self._mk_chunk(60 + i, flood[i]) for i in range(200)]
+        )
+        # the hint was re-measured at the post-flood live count (via the
+        # rebalance retune or, had skew not tripped, the freshness gate)
+        assert storage.index._tuned_live == 260
+        storage.close()
+
+    def test_rebalance_forces_retune_past_freshness_gate(self, tmp_path):
+        # Direct wiring check: when maybe_rebalance fires, tune_nprobe
+        # must be re-run even though the hint is still "fresh".
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        rng = np.random.default_rng(34)
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path),
+                embedding_dim=16,
+                index_type="ivf",
+                ivf_nlist=4,
+                ivf_rebalance_skew=1.3,
+                ivf_autotune_recall=0.9,
+                auto_save=False,
+                storage_dtype="float32",
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        vecs = normed(rng, 80, 16)
+        storage.add_chunks([self._mk_chunk(i, vecs[i]) for i in range(80)])
+        assert storage.index.nprobe_hint_fresh()
+
+        calls = []
+        real_tune = storage.index.tune_nprobe
+        storage.index.tune_nprobe = lambda **kw: (
+            calls.append(kw) or real_tune(**kw)
+        )
+        storage.index.maybe_rebalance = lambda **kw: (
+            storage.index.rebalance() or True
+        )
+        assert storage._maybe_rebalance_index()
+        assert len(calls) == 1  # forced retune despite fresh hint
+        storage.close()
+
+    def test_autotune_disabled(self, tmp_path):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        rng = np.random.default_rng(32)
+        vecs = normed(rng, 200, 16)
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path),
+                embedding_dim=16,
+                index_type="ivf",
+                ivf_nlist=4,
+                ivf_autotune_recall=0.0,
+                auto_save=False,
+                storage_dtype="float32",
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        storage.add_chunks(
+            [self._mk_chunk(i, vecs[i]) for i in range(200)]
+        )
+        storage.optimize()
+        assert storage.index.nprobe_hint == 0
+        storage.close()
+
+
+class TestOptimizeCommand:
+    def test_optimize_runs_maintenance(self):
+        from unittest.mock import MagicMock, patch
+
+        from click.testing import CliRunner
+
+        from tpu_search.interfaces.cli import cli
+
+        with patch("tpu_search.interfaces.cli.SearchEngine") as cls:
+            engine = MagicMock()
+            cls.return_value = engine
+            engine.storage.index.ntotal = 100
+            engine.storage.index.live = 90
+            engine.storage.index.nprobe_hint = 4
+            engine.storage.config.ivf_autotune_recall = 0.95
+            engine.storage.config.auto_save = True
+            result = CliRunner().invoke(cli, ["optimize"])
+        assert result.exit_code == 0
+        engine.storage.optimize.assert_called_once()
+        engine.storage.save_index.assert_called_once()
+        assert "nprobe tuned to 4" in result.output
+
+    def test_optimize_empty_index(self):
+        from unittest.mock import MagicMock, patch
+
+        from click.testing import CliRunner
+
+        from tpu_search.interfaces.cli import cli
+
+        with patch("tpu_search.interfaces.cli.SearchEngine") as cls:
+            engine = MagicMock()
+            cls.return_value = engine
+            engine.storage.index.ntotal = 0
+            result = CliRunner().invoke(cli, ["optimize"])
+        assert result.exit_code == 0
+        engine.storage.optimize.assert_not_called()
+        assert "nothing to optimize" in result.output
+
+
+class TestEngineEnv:
+    def test_nprobe_env_sets_default(self, tmp_path, monkeypatch):
+        from tpu_search.api.engine import SearchEngine
+
+        monkeypatch.setenv("CLAUDE_SEARCH_NPROBE", "12")
+        engine = SearchEngine(
+            data_dir=str(tmp_path / "d"),
+            model_name="hash-768",
+            use_warm_server=False,
+        )
+        assert engine._default_nprobe == 12
+
+    def test_nprobe_env_invalid_raises(self, tmp_path, monkeypatch):
+        from tpu_search.api.engine import SearchEngine
+
+        monkeypatch.setenv("CLAUDE_SEARCH_NPROBE", "lots")
+        with pytest.raises(ValueError, match="CLAUDE_SEARCH_NPROBE"):
+            SearchEngine(
+                data_dir=str(tmp_path / "d"),
+                model_name="hash-768",
+                use_warm_server=False,
+            )
+
+    def test_autotune_env_flows_to_storage(self, tmp_path, monkeypatch):
+        from tpu_search.api.engine import SearchEngine
+
+        monkeypatch.setenv("CLAUDE_SEARCH_AUTOTUNE_RECALL", "0.88")
+        engine = SearchEngine(
+            data_dir=str(tmp_path / "d"),
+            model_name="hash-768",
+            use_warm_server=False,
+        )
+        assert engine.storage.config.ivf_autotune_recall == pytest.approx(
+            0.88
+        )
+
+    def test_autotune_env_invalid_raises(self, tmp_path, monkeypatch):
+        from tpu_search.api.engine import SearchEngine
+
+        monkeypatch.setenv("CLAUDE_SEARCH_AUTOTUNE_RECALL", "yes")
+        with pytest.raises(
+            ValueError, match="CLAUDE_SEARCH_AUTOTUNE_RECALL"
+        ):
+            SearchEngine(
+                data_dir=str(tmp_path / "d"),
+                model_name="hash-768",
+                use_warm_server=False,
+            )

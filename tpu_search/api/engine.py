@@ -181,6 +181,30 @@ class SearchEngine:
                     "CLAUDE_SEARCH_REFINE_FACTOR must be an integer, "
                     f"got {env_refine_factor!r}"
                 ) from None
+        # CLAUDE_SEARCH_NPROBE = fixed IVF probe count (0 = auto: use the
+        # measured-recall hint tune_nprobe recorded, else 8);
+        # CLAUDE_SEARCH_AUTOTUNE_RECALL = optimize()'s tuning target
+        # (<= 0 disables the tuner).
+        env_nprobe = os.environ.get("CLAUDE_SEARCH_NPROBE")
+        if env_nprobe:
+            try:
+                self._default_nprobe = int(env_nprobe)
+            except ValueError:
+                raise ValueError(
+                    "CLAUDE_SEARCH_NPROBE must be an integer, "
+                    f"got {env_nprobe!r}"
+                ) from None
+        else:
+            self._default_nprobe = 0
+        env_autotune = os.environ.get("CLAUDE_SEARCH_AUTOTUNE_RECALL")
+        if env_autotune:
+            try:
+                storage_kwargs["ivf_autotune_recall"] = float(env_autotune)
+            except ValueError:
+                raise ValueError(
+                    "CLAUDE_SEARCH_AUTOTUNE_RECALL must be a float, "
+                    f"got {env_autotune!r}"
+                ) from None
         env_device = _env_choice(
             "CLAUDE_SEARCH_DEVICE", ("auto", "tpu", "cpu")
         )
@@ -535,7 +559,8 @@ class SearchEngine:
         self._check_index_dim()
 
         cfg = SearchConfig(
-            top_k=top_k, include_metadata=True, include_text=True
+            top_k=top_k, include_metadata=True, include_text=True,
+            nprobe=self._default_nprobe,
         )
         fused = self._fused_search(query, filters, cfg)
         if fused is not None:
@@ -644,7 +669,10 @@ class SearchEngine:
             return [[] for _ in range(q)]
 
         if is_ivf:
-            nprobe_eff = min(cfg.nprobe, index.nlist)
+            from ..storage.hybrid import resolve_nprobe
+
+            nprobe = resolve_nprobe(cfg.nprobe, index)
+            nprobe_eff = min(nprobe, index.nlist)
             cap = (
                 index._local_capacity
                 if is_sharded
@@ -664,7 +692,7 @@ class SearchEngine:
             attn = np.pad(attn, ((0, pad), (0, 0)))
 
         if is_ivf:
-            scan_key, buffers = index.make_scan_fn(k_eff, cfg.nprobe)
+            scan_key, buffers = index.make_scan_fn(k_eff, nprobe)
             # IVF folds valid & predicate into ONE block-layout mask
             # (device-cached per filter digest).
             valid = index.device_block_mask(fmask)

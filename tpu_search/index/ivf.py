@@ -773,6 +773,36 @@ def ivf_scan_fn_for(scan_key: tuple):
     return fn
 
 
+def nprobe_ladder(
+    search_fn, queries: np.ndarray, nlist: int, k: int, target_recall: float
+) -> Tuple[int, float]:
+    """Smallest power-of-two nprobe whose recall@k vs a full-probe scan
+    (``nprobe == nlist``) meets ``target_recall``.  ``search_fn(queries,
+    k, nprobe) -> (scores, ids)``.  Shared by IVFIndex and
+    ShardedIVFIndex.tune_nprobe."""
+    truth = search_fn(queries, k, nlist)[1]
+
+    def recall_at(nprobe: int) -> float:
+        ids = search_fn(queries, k, nprobe)[1]
+        hits = total = 0
+        for t_row, g_row in zip(truth, ids):
+            t = {int(x) for x in t_row if x >= 0}
+            if not t:
+                continue
+            g = {int(x) for x in g_row if x >= 0}
+            hits += len(t & g)
+            total += len(t)
+        return (hits / total) if total else 1.0
+
+    nprobe = 1
+    while nprobe < nlist:
+        r = recall_at(nprobe)
+        if r >= target_recall:
+            return nprobe, r
+        nprobe *= 2
+    return nlist, 1.0
+
+
 class IVFIndex:
     """Coarse-quantized ANN index with device-resident dense cluster blocks."""
 
@@ -863,6 +893,12 @@ class IVFIndex:
             dtype in ("int8", "int4", "pq") if by_residual is None
             else bool(by_residual) and dtype in ("int8", "int4", "pq")
         )
+
+        # Measured-recall probe count chosen by tune_nprobe (0 = untuned;
+        # SearchConfig.nprobe=0 "auto" falls back to 8 then) and the live
+        # row count it was measured at (freshness gate for retunes).
+        self.nprobe_hint = 0
+        self._tuned_live = 0
 
         self.centroids: Optional[np.ndarray] = None  # [nlist, D] f32 (host)
         self._cluster_capacity = 0
@@ -1295,6 +1331,105 @@ class IVFIndex:
             )
         return ids
 
+
+    def _sample_live_rows(self, n: int, rng) -> np.ndarray:
+        """Reconstruct ``n`` randomly-sampled live rows as f32 (the
+        autotune query proxy — stored chunks and real queries share the
+        encoder's embedding distribution).  One small device gather, one
+        [n, D] d2h pull."""
+        cc, pp = np.nonzero(self._valid)
+        live = len(cc)
+        take = min(n, live)
+        sel = rng.choice(live, take, replace=False)
+        cap = self._cluster_capacity
+        flat_idx = (
+            cc[sel].astype(np.int64) * cap + pp[sel]
+        ).astype(np.int32)
+        with jax.default_device(self.device):
+            refine = self._refine_store()
+            if refine is not None and refine.count == self._count > 0:
+                rows = refine.gather(
+                    jnp.asarray(self._ids[cc[sel], pp[sel]].astype(np.int32))
+                )
+            elif self.dtype == "pq":
+                flat_blocks = self._dblocks.reshape(
+                    self.nlist * self._dblocks.shape[1], self._cols
+                )
+                rows = _gather_decode_pq(
+                    flat_blocks, jnp.asarray(flat_idx), self._pq_books,
+                    self._dcent if self.by_residual else None,
+                    cap=cap, residual=self.by_residual,
+                )
+            else:
+                flat_blocks = self._dblocks.reshape(
+                    self.nlist * self._dblocks.shape[1], self._cols
+                )
+                flat_scale = self._dscale.reshape(self.nlist * cap)
+                rows = _gather_dequant(
+                    flat_blocks, flat_scale, jnp.asarray(flat_idx),
+                    self._dcent if self.by_residual else None,
+                    cap=cap, residual=self.by_residual,
+                )
+            return np.asarray(rows, np.float32)
+
+    def tune_nprobe(
+        self,
+        target_recall: float = 0.95,
+        k: int = 10,
+        sample: int = 64,
+        seed: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Pick the smallest power-of-two ``nprobe`` whose recall@k meets
+        ``target_recall`` against a full-probe scan of this same index
+        (the FAISS autotune analog — the reference exposes no equivalent;
+        its IVF option ships with a fixed nprobe, reference
+        src/storage.py:259-263).
+
+        Probe queries are reconstructed live rows: chunk embeddings and
+        query embeddings come from the same encoder, so stored rows are
+        the best available proxy for the query distribution.  The result
+        is remembered as ``self.nprobe_hint`` (persisted in the TPUSIDX2
+        header) and used by ``SearchConfig.nprobe=0`` ("auto").
+        """
+        report = {
+            "nprobe": int(self.nprobe_hint) or 8,
+            "recall": 1.0,
+            "target": target_recall,
+            "sampled": 0,
+            "tuned": False,
+        }
+        if self._fill is None or self.nlist < 2 or self._count == 0:
+            return report
+        live = int(self._valid.sum())
+        if live < max(4 * k, 2):
+            return report
+        rng = np.random.default_rng(self.seed if seed is None else seed)
+        queries = self._sample_live_rows(sample, rng)
+        if self.metric == "ip":
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.clip(norms, 1e-12, None)
+        chosen, measured = nprobe_ladder(
+            lambda q_, k_, p: self.search(q_, k_, nprobe=p),
+            queries, self.nlist, k, target_recall,
+        )
+        self.nprobe_hint = int(chosen)
+        self._tuned_live = live
+        report.update(
+            nprobe=int(chosen), recall=float(measured),
+            sampled=int(queries.shape[0]), tuned=True,
+        )
+        return report
+
+    def nprobe_hint_fresh(self, drift: float = 0.25) -> bool:
+        """True when a tuned hint exists and the live row count is within
+        ``drift`` of the count it was measured at (watcher-path retune
+        gate: incremental adds retune only after real growth)."""
+        if self.nprobe_hint <= 0 or self._tuned_live <= 0:
+            return False
+        live = int(self._valid.sum()) if self._valid is not None else 0
+        lo = (1.0 - drift) * self._tuned_live
+        hi = (1.0 + drift) * self._tuned_live
+        return lo <= live <= hi
 
     def maybe_rebalance(
         self,
@@ -1829,6 +1964,8 @@ class IVFIndex:
             # int8 rows on disk are residuals vs their cluster centroid
             # when set; absent in files from earlier rounds (raw rows).
             "by_residual": self.by_residual,
+            "nprobe_hint": int(self.nprobe_hint),
+            "nprobe_tuned_live": int(self._tuned_live),
         }
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
@@ -1929,6 +2066,8 @@ class IVFIndex:
             refine_dtype=header.get("refine_dtype", "none"),
             refine_factor=int(header.get("refine_factor", 4)),
         )
+        index.nprobe_hint = int(header.get("nprobe_hint", 0))
+        index._tuned_live = int(header.get("nprobe_tuned_live", 0))
         if arrays["centroids"].shape[0]:
             index.centroids = np.asarray(arrays["centroids"])
         if "pq_books" in arrays:

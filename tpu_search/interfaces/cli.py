@@ -570,6 +570,43 @@ def serve(ctx: click.Context, host: str, port: int, gpu: bool) -> None:
         frontend.stop()
 
 
+@cli.command()
+@click.option("--gpu", is_flag=True, help="Use TPU acceleration")
+@click.pass_context
+def optimize(ctx: click.Context, gpu: bool) -> None:
+    """Run storage maintenance: vacuum, compact, rebalance, tune nprobe.
+
+    Beyond-reference capability: the reference defines
+    ``HybridStorage.optimize`` (src/storage.py:930) but nothing ever
+    calls it, and its IVF rebuild is a stub (src/storage.py:944-967).
+    Here it drops tombstones, re-lays skewed IVF clusters out on device,
+    and measures the smallest nprobe meeting the configured recall
+    target (``CLAUDE_SEARCH_AUTOTUNE_RECALL``, default 0.95).
+    """
+    engine = SearchEngine(
+        ctx.obj["data_dir"], use_gpu=gpu, use_warm_server=False
+    )
+    storage = engine.storage
+    storage.initialize()
+    if storage.index is None or not storage.index.ntotal:
+        click.echo("📭 Index is empty — nothing to optimize")
+        return
+    click.echo("🔧 Optimizing storage...")
+    before_live = storage.index.live
+    before_total = storage.index.ntotal
+    storage.optimize()
+    click.echo("✅ Optimization complete")
+    click.echo(f"   • Vectors: {before_total} → {storage.index.ntotal} "
+               f"slots ({before_live} live)")
+    hint = getattr(storage.index, "nprobe_hint", 0)
+    if hint:
+        click.echo(f"   • IVF nprobe tuned to {hint} "
+                   f"(recall target {storage.config.ivf_autotune_recall})")
+    if storage.config.auto_save:
+        storage.save_index()
+        click.echo("   • Index saved")
+
+
 # -- console-script shims (reference: src/cli.py:805-852) -------------------
 
 
@@ -608,6 +645,10 @@ def status_command() -> None:
 
 def serve_command() -> None:
     _run_subcommand("serve")
+
+
+def optimize_command() -> None:
+    _run_subcommand("optimize")
 
 
 if __name__ == "__main__":

@@ -242,6 +242,10 @@ class ShardedIVFIndex:
             else bool(by_residual) and dtype in ("int8", "int4", "pq")
         )
         self.n_shards = mesh.shape["data"]
+        # Measured-recall probe count chosen by tune_nprobe (0 = untuned)
+        # and the live row count it was measured at (retune freshness).
+        self.nprobe_hint = 0
+        self._tuned_live = 0
 
         self.centroids: Optional[np.ndarray] = None  # [nlist, D] f32 host
         self._local_capacity = 0  # slots per cluster PER SHARD
@@ -808,6 +812,83 @@ class ShardedIVFIndex:
         self._scatter_fns.clear()
         self._gather_fns.clear()
 
+    # -- nprobe autotune -------------------------------------------------------
+
+    def _sample_live_rows(self, n: int, rng) -> np.ndarray:
+        """Reconstruct ``n`` randomly-sampled live rows as f32 via the
+        replicated rebalance gather (one chunk, one small d2h pull)."""
+        cc, pp = np.nonzero(self._valid)
+        live = len(cc)
+        take = min(n, live)
+        sel = rng.choice(live, take, replace=False)
+        b = bucket_size(take, _UPDATE_BUCKETS)
+        gather = self._gather_fn(b, self._local_capacity)
+        ocl = np.zeros((b,), np.int32)
+        ogs = np.zeros((b,), np.int32)
+        ocl[:take] = cc[sel]
+        ogs[:take] = pp[sel]
+        books = (self._pq_books,) if self.dtype == "pq" else ()
+        rows_f, sc = gather(
+            self._dblocks, self._dscale,
+            self._put_replicated(jnp.asarray(ocl)),
+            self._put_replicated(jnp.asarray(ogs)), *books,
+        )
+        rows = rows_f * sc[:, None]
+        if self.by_residual:
+            rows = rows + self._dcent[jnp.asarray(ocl)]
+        return np.asarray(rows, np.float32)[:take]
+
+    def tune_nprobe(
+        self,
+        target_recall: float = 0.95,
+        k: int = 10,
+        sample: int = 64,
+        seed: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Sharded counterpart of :meth:`IVFIndex.tune_nprobe`: smallest
+        power-of-two nprobe meeting ``target_recall`` @k vs a full-probe
+        scan, probed with reconstructed live rows; remembered as
+        ``nprobe_hint`` and persisted in the TPUSIDX2 header."""
+        from ..index.ivf import nprobe_ladder
+
+        report = {
+            "nprobe": int(self.nprobe_hint) or 8,
+            "recall": 1.0,
+            "target": target_recall,
+            "sampled": 0,
+            "tuned": False,
+        }
+        if self._fill is None or self.nlist < 2 or self._count == 0:
+            return report
+        live = int(self._valid.sum())
+        if live < max(4 * k, 2):
+            return report
+        rng = np.random.default_rng(self.seed if seed is None else seed)
+        queries = self._sample_live_rows(sample, rng)
+        if self.metric == "ip":
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.clip(norms, 1e-12, None)
+        chosen, measured = nprobe_ladder(
+            lambda q_, k_, p: self.search(q_, k_, nprobe=p),
+            queries, self.nlist, k, target_recall,
+        )
+        self.nprobe_hint = int(chosen)
+        self._tuned_live = live
+        report.update(
+            nprobe=int(chosen), recall=float(measured),
+            sampled=int(queries.shape[0]), tuned=True,
+        )
+        return report
+
+    def nprobe_hint_fresh(self, drift: float = 0.25) -> bool:
+        """Sharded counterpart of :meth:`IVFIndex.nprobe_hint_fresh`."""
+        if self.nprobe_hint <= 0 or self._tuned_live <= 0:
+            return False
+        live = int(self._valid.sum()) if self._valid is not None else 0
+        lo = (1.0 - drift) * self._tuned_live
+        hi = (1.0 + drift) * self._tuned_live
+        return lo <= live <= hi
+
     # -- rebalance -----------------------------------------------------------
 
     def _gather_fn(self, b: int, lcap: int):
@@ -1305,6 +1386,8 @@ class ShardedIVFIndex:
             "count": self._count,
             "cluster_capacity": self._cluster_capacity,
             "by_residual": self.by_residual,
+            "nprobe_hint": int(self.nprobe_hint),
+            "nprobe_tuned_live": int(self._tuned_live),
         }
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
@@ -1617,6 +1700,8 @@ class ShardedIVFIndex:
             by_residual=bool(header.get("by_residual", False)),
             pq_m=int(header.get("pq_m", 0)),
         )
+        index.nprobe_hint = int(header.get("nprobe_hint", 0))
+        index._tuned_live = int(header.get("nprobe_tuned_live", 0))
         fill = np.asarray(arrays["fill"], np.int64)
         total = int(fill.sum())
         cents = np.asarray(arrays["centroids"], np.float32)

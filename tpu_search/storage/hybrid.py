@@ -56,6 +56,10 @@ class StorageConfig:
     # reference's stubbed _rebuild_faiss_index (src/storage.py:944-967).
     # <= 0 disables.
     ivf_rebalance_skew: float = 2.5
+    # optimize() tunes IVF nprobe to the smallest value meeting this
+    # recall@10 vs a full-probe scan (measured on reconstructed live
+    # rows; FAISS-autotune analog). <= 0 disables.
+    ivf_autotune_recall: float = 0.95
     hnsw_m: int = 16  # accepted for config parity; unused (see index_type)
     normalize_embeddings: bool = True
     auto_save: bool = True
@@ -91,7 +95,17 @@ class SearchConfig:
     include_metadata: bool = True
     include_text: bool = True
     max_results: int = 100  # kept for parity; fused masks make it moot
-    nprobe: int = 8  # IVF only
+    # IVF probe count. 0 = auto: use the index's measured-recall
+    # nprobe_hint (set by tune_nprobe via optimize()), else 8.
+    nprobe: int = 0
+
+
+def resolve_nprobe(cfg_nprobe: int, index) -> int:
+    """SearchConfig.nprobe=0 means "auto": the index's measured-recall
+    ``nprobe_hint`` (set by ``tune_nprobe``) when one exists, else 8."""
+    if cfg_nprobe > 0:
+        return cfg_nprobe
+    return int(getattr(index, "nprobe_hint", 0) or 0) or 8
 
 
 @dataclass
@@ -428,7 +442,10 @@ class HybridStorage:
             self.faiss_id_to_chunk_id[int(vec_id)] = chunk.id
         self.total_chunks += len(with_emb)
 
-        self._maybe_rebalance_index()
+        if not self._maybe_rebalance_index():
+            # Freshness-gated (re)tune: first add past the sample floor
+            # measures an nprobe, later adds retune after >25% growth.
+            self._maybe_autotune_nprobe(force=False)
 
         if self.config.auto_save:
             self._maybe_save()
@@ -458,6 +475,9 @@ class HybridStorage:
                 stats.get("fill_fraction", 1.0),
                 stats.get("max_fill", 0),
             )
+            # Retrained centroids change the recall/nprobe tradeoff, so
+            # any previously-measured hint is stale — retune now.
+            self._maybe_autotune_nprobe(force=True)
         return ran
 
     def _maybe_save(self) -> None:
@@ -507,7 +527,8 @@ class HybridStorage:
             return [[] for _ in range(nq)]
 
         all_scores, all_ids = self.index.search(
-            queries, k=cfg.top_k, mask=mask, nprobe=cfg.nprobe
+            queries, k=cfg.top_k, mask=mask,
+            nprobe=resolve_nprobe(cfg.nprobe, self.index),
         )
         return self.hydrate_results(all_scores, all_ids, cfg)
 
@@ -759,8 +780,35 @@ class HybridStorage:
             mapping = self.index.compact()
             self.meta.update_vec_ids(mapping)
             self._rebuild_id_mappings()
-        self._maybe_rebalance_index()
+        if not self._maybe_rebalance_index():  # a rebalance already retunes
+            self._maybe_autotune_nprobe()
         self.logger.info("Storage optimization complete")
+
+    def _maybe_autotune_nprobe(self, force: bool = True) -> bool:
+        """Measured-recall nprobe selection on the maintenance path
+        (FAISS-autotune analog; the reference's IVF option ships a fixed
+        nprobe it never validates, src/storage.py:259-263).
+
+        ``force=False`` (the incremental write path) retunes only when no
+        hint exists yet or the live row count drifted >25% from the count
+        the hint was measured at, so watcher-debounce adds stay cheap."""
+        target = self.config.ivf_autotune_recall
+        if target <= 0 or self.index is None:
+            return False
+        tune = getattr(self.index, "tune_nprobe", None)
+        if tune is None:
+            return False
+        if not force and self.index.nprobe_hint_fresh():
+            return False
+        report = tune(target_recall=target)
+        if report.get("tuned"):
+            self.logger.info(
+                "IVF nprobe autotuned to %d (recall@10 %.3f >= %.2f "
+                "target, %d probe queries)",
+                report["nprobe"], report["recall"], target,
+                report["sampled"],
+            )
+        return bool(report.get("tuned"))
 
     # -- stats ---------------------------------------------------------------
 
