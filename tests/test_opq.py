@@ -1,0 +1,289 @@
+"""OPQ rotation for the PQ tier (FAISS ``OPQMatrix`` pretransform analog;
+the reference exposes no product quantization at all — its index options
+stop at IVF/HNSW, src/storage.py:252-299): codec training, recall gain on
+correlated data, engine integration (single-chip and sharded), fused-path
+buffers, persistence, and rebalance re-encoding."""
+
+import numpy as np
+import pytest
+
+from tpu_search.index.flat import FlatIndex
+from tpu_search.index.ivf import IVFIndex
+from tpu_search.ops.pq import (
+    decode_pq,
+    encode_pq,
+    train_opq,
+    train_pq,
+)
+
+
+def normed(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def correlated_corpus():
+    """Low-rank latent mixed across dims + cluster structure — hostile to
+    PQ's axis-aligned subspace split, OPQ's natural habitat."""
+    rng = np.random.default_rng(0)
+    n, d = 6000, 64
+    z = rng.standard_normal((n, 10)).astype(np.float32)
+    mix = rng.standard_normal((10, d)).astype(np.float32)
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 2
+    x = centers[rng.integers(0, 16, n)] + z @ mix * 0.3
+    return normed(x.astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def queries(correlated_corpus):
+    rng = np.random.default_rng(1)
+    idx = rng.integers(0, correlated_corpus.shape[0], 16)
+    q = correlated_corpus[idx] + 0.02 * rng.standard_normal(
+        (16, correlated_corpus.shape[1])
+    ).astype(np.float32)
+    return normed(q)
+
+
+@pytest.fixture(scope="module")
+def flat_reference(correlated_corpus, queries):
+    flat = FlatIndex(dim=correlated_corpus.shape[1], dtype="float32")
+    flat.add(correlated_corpus)
+    _, ids = flat.search(queries, k=10)
+    return ids
+
+
+def recall_at_10(got, ref):
+    return np.mean(
+        [len(set(g[:10]) & set(r[:10])) / 10 for g, r in zip(got, ref)]
+    )
+
+
+class TestCodec:
+    def test_rotation_is_orthonormal(self, correlated_corpus):
+        rot, books = train_opq(correlated_corpus, 16, seed=1)
+        r = np.asarray(rot)
+        d = r.shape[0]
+        np.testing.assert_allclose(
+            r @ r.T, np.eye(d), atol=1e-5
+        )
+        assert books.shape == (16, 16, d // 16)
+
+    def test_beats_plain_pq_reconstruction(self, correlated_corpus):
+        x = correlated_corpus
+        m = 16
+        books = train_pq(x, m, seed=1)
+        rec = np.asarray(decode_pq(encode_pq(x, books), books))
+        err_pq = float(np.mean(np.sum((rec - x) ** 2, axis=1)))
+
+        rot, obooks = train_opq(x, m, seed=1)
+        xr = x @ np.asarray(rot)
+        rec_r = np.asarray(decode_pq(encode_pq(xr, obooks), obooks))
+        err_opq = float(np.mean(np.sum((rec_r - xr) ** 2, axis=1)))
+        # On correlated data the rotation buys a large margin; assert a
+        # conservative 25% improvement so the test stays robust.
+        assert err_opq < 0.75 * err_pq
+
+    def test_deterministic(self, correlated_corpus):
+        r1, b1 = train_opq(correlated_corpus[:2000], 16, seed=7)
+        r2, b2 = train_opq(correlated_corpus[:2000], 16, seed=7)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+    def test_tiny_input(self):
+        rng = np.random.default_rng(2)
+        rot, books = train_opq(
+            rng.standard_normal((3, 16)).astype(np.float32), 4, seed=0
+        )
+        assert np.asarray(rot).shape == (16, 16)
+
+
+class TestIVFIntegration:
+    def test_recall_improves_over_plain_pq(
+        self, correlated_corpus, queries, flat_reference
+    ):
+        d = correlated_corpus.shape[1]
+        plain = IVFIndex(dim=d, dtype="pq", nlist=16, seed=3)
+        plain.add(correlated_corpus)
+        opq = IVFIndex(dim=d, dtype="pq", nlist=16, seed=3, opq=True)
+        opq.add(correlated_corpus)
+        _, ids_p = plain.search(queries, k=10, nprobe=16)
+        _, ids_o = opq.search(queries, k=10, nprobe=16)
+        r_plain = recall_at_10(ids_p, flat_reference)
+        r_opq = recall_at_10(ids_o, flat_reference)
+        assert r_opq > r_plain
+
+    def test_fused_scan_fn_matches_classic(self, correlated_corpus, queries):
+        import jax.numpy as jnp
+
+        from tpu_search.index.ivf import ivf_scan_fn_for
+
+        d = correlated_corpus.shape[1]
+        opq = IVFIndex(dim=d, dtype="pq", nlist=16, seed=3, opq=True)
+        opq.add(correlated_corpus)
+        s1, i1 = opq.search(queries, k=10, nprobe=8)
+        scan_key, buffers = opq.make_scan_fn(10, 8)
+        fn = ivf_scan_fn_for(scan_key)
+        mask = opq.device_block_mask(None)
+        s2, i2 = fn(buffers, mask, jnp.asarray(queries), 10)
+        np.testing.assert_array_equal(i1, np.asarray(i2))
+        np.testing.assert_allclose(s1, np.asarray(s2), rtol=1e-6)
+
+    def test_save_load_roundtrip_bit_identical(
+        self, correlated_corpus, queries, tmp_path
+    ):
+        d = correlated_corpus.shape[1]
+        opq = IVFIndex(dim=d, dtype="pq", nlist=16, seed=3, opq=True)
+        opq.add(correlated_corpus)
+        path = str(tmp_path / "opq.tpuidx")
+        opq.save(path)
+        loaded = IVFIndex.load(path)
+        assert loaded.opq
+        assert loaded._pq_rot is not None
+        s1, i1 = opq.search(queries, k=10, nprobe=16)
+        s2, i2 = loaded.search(queries, k=10, nprobe=16)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+
+    def test_rebalance_reencodes_without_recall_collapse(
+        self, correlated_corpus, queries, flat_reference
+    ):
+        d = correlated_corpus.shape[1]
+        opq = IVFIndex(dim=d, dtype="pq", nlist=16, seed=3, opq=True)
+        opq.add(correlated_corpus)
+        _, before = opq.search(queries, k=10, nprobe=16)
+        opq.rebalance()
+        _, after = opq.search(queries, k=10, nprobe=16)
+        r_before = recall_at_10(before, flat_reference)
+        r_after = recall_at_10(after, flat_reference)
+        # decode->re-encode costs a little; the rotation must survive
+        assert r_after > 0.8 * r_before
+
+    def test_remove_and_mask_still_work(self, correlated_corpus):
+        d = correlated_corpus.shape[1]
+        opq = IVFIndex(dim=d, dtype="pq", nlist=8, seed=3, opq=True)
+        opq.add(correlated_corpus[:500])
+        assert opq.remove([3, 5]) == 2
+        rng = np.random.default_rng(4)
+        mask = rng.random(500) < 0.3
+        _, ids = opq.search(correlated_corpus[:2], k=5, nprobe=8, mask=mask)
+        allowed = set(np.nonzero(mask)[0]) - {3, 5}
+        for row in ids:
+            assert all(i in allowed for i in row if i >= 0)
+
+    def test_refine_on_top_of_opq(self, correlated_corpus, queries):
+        d = correlated_corpus.shape[1]
+        opq = IVFIndex(
+            dim=d, dtype="pq", nlist=16, seed=3, opq=True,
+            refine_dtype="bfloat16",
+        )
+        opq.add(correlated_corpus)
+        _, ids = opq.search(queries, k=10, nprobe=16)
+        assert (ids >= 0).all()
+
+
+class TestSharded:
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        import jax
+
+        from tpu_search.parallel.mesh import build_mesh
+
+        return build_mesh(n_data=len(jax.devices()), n_model=1)
+
+    def test_matches_single_chip(
+        self, mesh, correlated_corpus, queries
+    ):
+        from tpu_search.parallel.sharded_ivf import ShardedIVFIndex
+
+        d = correlated_corpus.shape[1]
+        single = IVFIndex(dim=d, dtype="pq", nlist=8, seed=3, opq=True)
+        sharded = ShardedIVFIndex(
+            dim=d, mesh=mesh, dtype="pq", nlist=8, seed=3, opq=True
+        )
+        single.add(correlated_corpus[:2000])
+        sharded.add(correlated_corpus[:2000])
+        s1, i1 = single.search(queries, k=10, nprobe=8)
+        s2, i2 = sharded.search(queries, k=10, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+    def test_file_interop_with_single_chip(
+        self, mesh, correlated_corpus, queries, tmp_path
+    ):
+        from tpu_search.parallel.sharded_ivf import ShardedIVFIndex
+
+        d = correlated_corpus.shape[1]
+        sharded = ShardedIVFIndex(
+            dim=d, mesh=mesh, dtype="pq", nlist=8, seed=3, opq=True
+        )
+        sharded.add(correlated_corpus[:2000])
+        path = str(tmp_path / "x.tpuidx")
+        sharded.save(path)
+        # sharded file -> single-chip engine
+        single = IVFIndex.load(path)
+        assert single._pq_rot is not None
+        s1, i1 = sharded.search(queries, k=10, nprobe=8)
+        s2, i2 = single.search(queries, k=10, nprobe=8)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+        # and back: single-chip save -> sharded load
+        path2 = str(tmp_path / "y.tpuidx")
+        single.save(path2)
+        loaded = ShardedIVFIndex.load(path2, mesh=mesh)
+        assert loaded._pq_rot is not None
+        s3, i3 = loaded.search(queries, k=10, nprobe=8)
+        for r1, r3 in zip(i1, i3):
+            assert set(r1[r1 >= 0]) == set(r3[r3 >= 0])
+
+    def test_rebalance_matches_single_chip(self, mesh, correlated_corpus):
+        # The decode(old rot) -> re-encode(new rot) move pass must land
+        # identically on both engines (same seed -> same retrained
+        # centroids/books/rotation -> identical post-rebalance results).
+        from tpu_search.parallel.sharded_ivf import ShardedIVFIndex
+
+        d = correlated_corpus.shape[1]
+        sharded = ShardedIVFIndex(
+            dim=d, mesh=mesh, dtype="pq", nlist=8, seed=3, opq=True
+        )
+        single = IVFIndex(dim=d, dtype="pq", nlist=8, seed=3, opq=True)
+        sharded.add(correlated_corpus[:1500])
+        single.add(correlated_corpus[:1500])
+        sharded.rebalance()
+        single.rebalance()
+        s1, i1 = single.search(correlated_corpus[:8], k=5, nprobe=8)
+        s2, i2 = sharded.search(correlated_corpus[:8], k=5, nprobe=8)
+        np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
+        for r1, r2 in zip(i1, i2):
+            assert set(r1[r1 >= 0]) == set(r2[r2 >= 0])
+
+
+class TestStorageConfig:
+    def test_pq_opq_flag_flows_to_index(self, tmp_path):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        storage = HybridStorage(
+            StorageConfig(
+                data_dir=str(tmp_path),
+                embedding_dim=32,
+                index_type="ivf",
+                storage_dtype="pq",
+                pq_opq=True,
+                auto_save=False,
+                device="cpu",
+            )
+        )
+        storage.initialize()
+        assert storage.index.opq
+        storage.close()
+
+    def test_env_knob(self, tmp_path, monkeypatch):
+        from tpu_search.api.engine import SearchEngine
+
+        monkeypatch.setenv("CLAUDE_SEARCH_PQ_OPQ", "1")
+        engine = SearchEngine(
+            data_dir=str(tmp_path / "d"),
+            model_name="hash-768",
+            use_warm_server=False,
+        )
+        assert engine.storage.config.pq_opq is True

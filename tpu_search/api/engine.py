@@ -165,6 +165,11 @@ class SearchEngine:
         )
         if env_dtype:
             storage_kwargs["storage_dtype"] = env_dtype
+        # CLAUDE_SEARCH_PQ_OPQ = 1 enables the OPQ rotation pretransform
+        # for storage_dtype="pq" (better recall at the same code budget).
+        env_opq = _env_choice("CLAUDE_SEARCH_PQ_OPQ", ("0", "1"))
+        if env_opq:
+            storage_kwargs["pq_opq"] = env_opq == "1"
         # CLAUDE_SEARCH_REFINE = none|int8|bfloat16 (IVF refine tier),
         # CLAUDE_SEARCH_REFINE_FACTOR = stage-1 over-fetch multiple.
         env_refine = _env_choice(

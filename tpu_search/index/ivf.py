@@ -264,12 +264,14 @@ def _encode_pq_rows(
     centroids: jax.Array,  # [nlist, D] f32
     books: jax.Array,  # [M, 16, dsub] f32
     residual: bool,
+    rot: Optional[jax.Array] = None,  # [D, D] OPQ rotation (None = plain)
 ) -> jax.Array:
     """[B, D] rows -> [B, M] int8 PQ codes, on device (pq add path).
 
-    Residual indexes encode ``v - centroid[cluster]``; padding rows clip
-    to the last centroid and encode garbage — the scatter drops them via
-    the sentinel cluster id."""
+    Residual indexes encode ``v - centroid[cluster]``; OPQ indexes encode
+    the ROTATED residual ``(v - c) @ rot``.  Padding rows clip to the
+    last centroid and encode garbage — the scatter drops them via the
+    sentinel cluster id."""
     from ..ops.pq import encode_pq_traced
 
     v = vecs.astype(jnp.float32)
@@ -278,6 +280,8 @@ def _encode_pq_rows(
         v = v - jnp.take(
             centroids, jnp.minimum(clusters, nlist - 1), axis=0
         )
+    if rot is not None:
+        v = v @ rot
     return encode_pq_traced(v, books)
 
 
@@ -289,15 +293,19 @@ def _gather_decode_pq(
     centroids: Optional[jax.Array] = None,
     cap: int = 0,
     residual: bool = False,
+    rot: Optional[jax.Array] = None,  # [D, D] OPQ rotation (None = plain)
 ) -> jax.Array:
     """PQ twin of :func:`_gather_dequant`: gather slot code rows and
     reconstruct f32 vectors through the codebooks (one-hot matmul — no
-    gathers on the decode path either)."""
+    gathers on the decode path either).  OPQ codes decode in the rotated
+    space and un-rotate (``@ rot.T``) before the centroid re-add."""
     from ..ops.pq import decode_pq
 
     words = jnp.take(flat_blocks, fi // 8, axis=0)
     codes = ((words >> (4 * (fi % 8))[:, None]) & 0xF).astype(jnp.int8)
     rows = decode_pq(codes, books)
+    if rot is not None:
+        rows = rows @ rot.T
     if residual:
         rows = rows + centroids[fi // cap]
     return rows
@@ -418,6 +426,7 @@ def _ivf_search_impl(
     metric: str,
     by_residual: bool = False,
     pq_books: Optional[jax.Array] = None,  # [M, 16, dsub] f32 (pq blocks)
+    pq_rot: Optional[jax.Array] = None,  # [D, D] OPQ rotation (pq only)
 ) -> Tuple[jax.Array, jax.Array]:
     """Cluster-grouped IVF scan with a running top-k merge.
 
@@ -453,10 +462,15 @@ def _ivf_search_impl(
     int4 = blocks.dtype == jnp.int32 and not pq
     if pq:
         # ADC lookup tables, one [Q, M, 16] einsum for the whole batch;
-        # scores come out in true f32 units (no qs1 rescale).
+        # scores come out in true f32 units (no qs1 rescale).  OPQ codes
+        # live in the rotated space, so the LUT is built from rotated
+        # queries: q . decode = (q @ R) . decode_rotated (R orthonormal);
+        # the centroid-bias term stays in the original space.
         from ..ops.pq import pq_block_scores, pq_lut
 
-        lut = pq_lut(queries, pq_books)
+        lut = pq_lut(
+            queries @ pq_rot if pq_rot is not None else queries, pq_books
+        )
     elif int8 or int4:
         # Residual-quantized queries feed int8 x int8 MXU dots; the
         # positive per-row qs1 factor is order-preserving, so the running
@@ -732,13 +746,17 @@ def ivf_scan_fn_for(scan_key: tuple):
 
         return fn
     if kind == "ivf_xla_pq":
-        _, metric, nprobe, by_res = scan_key
+        _, metric, nprobe, by_res, has_rot = scan_key
 
         def fn(buffers, block_mask, qbatch, k):
-            cent, blocks, bids, bsq, bscale, fills, books = buffers
+            if has_rot:
+                cent, blocks, bids, bsq, bscale, fills, books, rot = buffers
+            else:
+                cent, blocks, bids, bsq, bscale, fills, books = buffers
+                rot = None
             return _ivf_search(
                 cent, blocks, bids, block_mask, bsq, bscale,
-                qbatch, nprobe, k, metric, by_res, books,
+                qbatch, nprobe, k, metric, by_res, books, rot,
             )
 
         return fn
@@ -818,6 +836,7 @@ class IVFIndex:
         balanced: bool = True,
         by_residual: Optional[bool] = None,
         pq_m: int = 0,
+        opq: bool = False,
         refine_dtype: str = "none",
         refine_factor: int = 4,
     ) -> None:
@@ -865,6 +884,12 @@ class IVFIndex:
                 )
         self.pq_m = pq_m if dtype == "pq" else 0
         self._pq_books: Optional[jax.Array] = None  # [M, 16, dsub] f32
+        # OPQ (FAISS OPQMatrix pretransform): codes store the ROTATED
+        # residual; queries rotate once per batch before the ADC LUT.
+        # The rotation balances residual variance across the axis-aligned
+        # PQ subspaces (ops/pq.py train_opq).
+        self.opq = bool(opq) and dtype == "pq"
+        self._pq_rot: Optional[jax.Array] = None  # [D, D] f32 orthonormal
         # Refine tier (FAISS IndexRefine/IVFPQR analog, index/refine.py):
         # id-keyed high-fidelity rows re-rank the coarse scan's top
         # k*refine_factor candidates inside the same program.  Decoupled
@@ -1000,12 +1025,18 @@ class IVFIndex:
                 # the same way.  The shared helper subsamples BEFORE the
                 # assign/subtract so rebalance-scale training batches
                 # never materialize a corpus-sized residual tensor.
-                from ..ops.pq import train_pq_for_ivf
+                from ..ops.pq import train_opq_for_ivf, train_pq_for_ivf
 
-                self._pq_books = train_pq_for_ivf(
-                    dv, centroids, self.metric, self.pq_m,
-                    by_residual=self.by_residual, seed=self.seed,
-                )
+                if self.opq:
+                    self._pq_rot, self._pq_books = train_opq_for_ivf(
+                        dv, centroids, self.metric, self.pq_m,
+                        by_residual=self.by_residual, seed=self.seed,
+                    )
+                else:
+                    self._pq_books = train_pq_for_ivf(
+                        dv, centroids, self.metric, self.pq_m,
+                        by_residual=self.by_residual, seed=self.seed,
+                    )
         self.centroids = np.asarray(centroids)
 
     # -- device block management --------------------------------------------
@@ -1162,7 +1193,8 @@ class IVFIndex:
             )
         elif self.dtype == "pq":
             scan_key = (
-                "ivf_xla_pq", self.metric, nprobe_eff, self.by_residual
+                "ivf_xla_pq", self.metric, nprobe_eff, self.by_residual,
+                self._pq_rot is not None,
             )
         else:
             scan_key = ("ivf_xla", self.metric, nprobe_eff, self.by_residual)
@@ -1176,6 +1208,8 @@ class IVFIndex:
         )
         if self.dtype == "pq":
             buffers = buffers + (self._pq_books,)
+            if self._pq_rot is not None:
+                buffers = buffers + (self._pq_rot,)
         if use_refine:
             scan_key = ("ivf_refine", scan_key, self.refine_factor)
             buffers = buffers + refine.buffers()
@@ -1306,7 +1340,7 @@ class IVFIndex:
                 # "already-nibbles" path.
                 padded = _encode_pq_rows(
                     padded, assign_all, self._dcent, self._pq_books,
-                    residual=self.by_residual,
+                    residual=self.by_residual, rot=self._pq_rot,
                 )
             (
                 self._dblocks,
@@ -1358,7 +1392,7 @@ class IVFIndex:
                 rows = _gather_decode_pq(
                     flat_blocks, jnp.asarray(flat_idx), self._pq_books,
                     self._dcent if self.by_residual else None,
-                    cap=cap, residual=self.by_residual,
+                    cap=cap, residual=self.by_residual, rot=self._pq_rot,
                 )
             else:
                 flat_blocks = self._dblocks.reshape(
@@ -1519,6 +1553,7 @@ class IVFIndex:
             # those alive across the retrain (tiny).
             old_cent = self._dcent if (by_res or pq) else None
             old_books = self._pq_books
+            old_rot = self._pq_rot
             # Reconstruction source: prefer the refine tier's id-keyed
             # high-fidelity rows (per-row int8/bf16, ~exact) over
             # decoding the coarse codes — pq decode especially would
@@ -1536,7 +1571,7 @@ class IVFIndex:
                 if pq:
                     return _gather_decode_pq(
                         flat_blocks, cfi, old_books, old_cent,
-                        cap=cap, residual=by_res,
+                        cap=cap, residual=by_res, rot=old_rot,
                     )
                 return _gather_dequant(
                     flat_blocks, flat_scale, cfi,
@@ -1625,6 +1660,7 @@ class IVFIndex:
                     stored = _encode_pq_rows(
                         rows_f32, jnp.asarray(cl[c0:c1]), self._dcent,
                         self._pq_books, residual=by_res,
+                        rot=self._pq_rot,
                     )
                     scales = jnp.ones((chunk,), jnp.float32)
                 elif by_res:
@@ -1864,6 +1900,7 @@ class IVFIndex:
                     self.metric,
                     self.by_residual,
                     self._pq_books if self.dtype == "pq" else None,
+                    self._pq_rot if self.dtype == "pq" else None,
                 )
             if refine is not None:
                 # Re-rank the over-fetched candidates against the
@@ -1969,6 +2006,7 @@ class IVFIndex:
         }
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
+            header["opq"] = bool(self._pq_rot is not None)
         if self.refine_dtype != "none":
             header["refine_dtype"] = self.refine_dtype
             header["refine_factor"] = self.refine_factor
@@ -2034,6 +2072,13 @@ class IVFIndex:
             sections.append(
                 ("pq_books", "float32", tuple(books.shape), iter([books]))
             )
+            if self._pq_rot is not None:
+                rot = np.ascontiguousarray(
+                    np.asarray(self._pq_rot), np.float32
+                )
+                sections.append(
+                    ("pq_rot", "float32", tuple(rot.shape), iter([rot]))
+                )
         if self._refine is not None and self._refine.count:
             # Id-keyed rows stream dense [count, D] (tombstoned ids keep
             # their row — id alignment is the format's invariant).
@@ -2063,6 +2108,7 @@ class IVFIndex:
             nlist=header["nlist"],
             by_residual=bool(header.get("by_residual", False)),
             pq_m=int(header.get("pq_m", 0)),
+            opq=bool(header.get("opq", False)),
             refine_dtype=header.get("refine_dtype", "none"),
             refine_factor=int(header.get("refine_factor", 4)),
         )
@@ -2075,6 +2121,10 @@ class IVFIndex:
                 index._pq_books = jnp.asarray(
                     np.asarray(arrays["pq_books"]), jnp.float32
                 )
+                if "pq_rot" in arrays:
+                    index._pq_rot = jnp.asarray(
+                        np.asarray(arrays["pq_rot"]), jnp.float32
+                    )
         if index.refine_dtype != "none":
             if "refine_rows" in arrays:
                 from .refine import RefineStore

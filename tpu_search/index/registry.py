@@ -21,6 +21,7 @@ def create_index(
     dtype: str = "bfloat16",
     device: Optional[jax.Device] = None,
     nlist: int = 100,
+    opq: bool = False,
     refine_dtype: str = "none",
     refine_factor: int = 4,
 ):
@@ -35,6 +36,7 @@ def create_index(
             dtype=dtype,
             device=device,
             nlist=nlist,
+            opq=opq,
             refine_dtype=refine_dtype,
             refine_factor=refine_factor,
         )

@@ -45,6 +45,8 @@ __all__ = [
     "PQ_K",
     "train_pq",
     "train_pq_for_ivf",
+    "train_opq",
+    "train_opq_for_ivf",
     "encode_pq",
     "decode_pq",
     "pq_lut",
@@ -251,6 +253,32 @@ def pq_block_scores(code_rows: jax.Array, lut: jax.Array) -> jax.Array:
     )  # [Q, cap]
 
 
+def _ivf_training_residuals(
+    data: jax.Array,
+    centroids: jax.Array,
+    metric: str,
+    *,
+    by_residual: bool,
+    seed: int,
+    sample: int,
+) -> jax.Array:
+    """Subsample FIRST and residual-encode only the sample: the transient
+    is ``[sample, D]``, never a corpus-sized assign + subtraction
+    (rebalance trains on up to 500k gathered rows)."""
+    from .kmeans import assign_clusters
+
+    data = jnp.asarray(data, jnp.float32)
+    n = data.shape[0]
+    if n > sample:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(n, sample, replace=False))
+        data = jnp.take(data, jnp.asarray(idx), axis=0)
+    if by_residual:
+        a = assign_clusters(data, centroids, metric)
+        data = data - jnp.take(centroids, a, axis=0)
+    return data
+
+
 def train_pq_for_ivf(
     data: jax.Array,  # [N, D] f32 (device ok; the IVF training batch)
     centroids: jax.Array,  # [nlist, D] f32 coarse quantizer
@@ -266,18 +294,124 @@ def train_pq_for_ivf(
 
     Shared by ``IVFIndex.train`` and ``ShardedIVFIndex.train`` so the
     two engines can never train different codecs for the same file
-    format.  Subsamples FIRST and residual-encodes only the sample:
-    the transient is ``[sample, D]``, never a corpus-sized assign +
-    subtraction (rebalance trains on up to 500k gathered rows)."""
-    from .kmeans import assign_clusters
+    format."""
+    data = _ivf_training_residuals(
+        data, centroids, metric,
+        by_residual=by_residual, seed=seed, sample=sample,
+    )
+    return train_pq(data, m, seed=seed, sample=sample)
 
+
+@jax.jit
+def _xty_chunk(chunk: jax.Array, rot: jax.Array, books: jax.Array):
+    """One OPQ R-update accumulation step: encode the rotated chunk,
+    decode its reconstruction, return X^T Y ([D, D]) and the chunk's
+    squared reconstruction error (for convergence reporting)."""
+    xr = chunk @ rot
+    codes = _assign_chunk(_subspace_view(xr, books.shape[0]), books)
+    y = jnp.einsum(
+        "cmk,mkd->cmd",
+        (
+            codes[:, :, None] == jnp.arange(PQ_K)[None, None, :]
+        ).astype(jnp.float32),
+        books,
+        preferred_element_type=jnp.float32,
+    ).reshape(chunk.shape[0], -1)  # [C, D] rotated-space reconstruction
+    err = jnp.sum((xr - y) ** 2)
+    return chunk.T @ y, err
+
+
+def train_opq(
+    data,
+    m: int,
+    *,
+    outer_iters: int = 8,
+    lloyd_iters: int = 4,
+    seed: int = 0,
+    sample: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """OPQ-NP (Ge et al., CVPR'13 — the FAISS ``OPQMatrix`` pretransform):
+    jointly fit an orthonormal rotation ``R [D, D]`` and PQ codebooks so
+    that rows are encoded as ``pq(x @ R)``.
+
+    Product quantization assumes the D/m-dim subspaces are independent;
+    real embedding residuals concentrate variance in a few correlated
+    directions, so the axis-aligned split wastes code budget.  The
+    alternation (Lloyd on rotated data -> closed-form orthogonal
+    Procrustes update ``R = U V^T`` from ``svd(X^T Y)``) finds the
+    rotation that balances variance across subspaces.  Scoring stays
+    exact w.r.t. the codec: ``q . decode = (q @ R) . decode_rotated``,
+    so queries rotate once per batch and the ADC scan is unchanged.
+
+    Returns ``(rot [D, D] f32, books [m, 16, dsub] f32)``.
+    """
     data = jnp.asarray(data, jnp.float32)
-    n = data.shape[0]
+    n, d = data.shape
+    if n == 0:
+        raise ValueError("need at least 1 training row")
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by pq_m {m}")
+    if n < PQ_K:
+        reps = -(-PQ_K // n)
+        data = jnp.tile(data, (reps, 1))[:PQ_K]
+        n = PQ_K
+    rng = np.random.default_rng(seed)
     if n > sample:
-        rng = np.random.default_rng(seed)
         idx = np.sort(rng.choice(n, sample, replace=False))
         data = jnp.take(data, jnp.asarray(idx), axis=0)
-    if by_residual:
-        a = assign_clusters(data, centroids, metric)
-        data = data - jnp.take(centroids, a, axis=0)
-    return train_pq(data, m, seed=seed, sample=sample)
+        n = sample
+    # Random orthogonal init (QR of a gaussian): identity would trap the
+    # alternation near the original axis-aligned subspace split.
+    q_init, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    rot = jnp.asarray(q_init, jnp.float32)
+
+    pad = (-n) % _CHUNK
+    padded = jnp.pad(data, ((0, pad), (0, 0))) if pad else data
+    n_live = jnp.int32(n)
+    init_rows = jnp.take(
+        data, jnp.asarray(rng.choice(n, PQ_K, replace=False)), axis=0
+    )
+    books = _subspace_view(init_rows @ rot, m).transpose(1, 0, 2)
+
+    for it in range(outer_iters):
+        # (a) Lloyd refinement of the books in the CURRENT rotated space
+        # (warm-started from the previous iteration's books).
+        books = _train_pq_device(
+            padded @ rot, n_live,
+            books, m, lloyd_iters if it else max(lloyd_iters, 8),
+        )
+        # (b) Orthogonal Procrustes update: R* = argmin ||X R - Y||_F
+        # over orthogonal R, Y = the rotated-space reconstruction.
+        # X^T Y accumulates chunked on device; the [D, D] SVD runs on
+        # host (D <= ~1k: microseconds, and SVD is not TPU-friendly).
+        xty = np.zeros((d, d), np.float64)
+        for c0 in range(0, n, _CHUNK):
+            chunk = padded[c0 : c0 + _CHUNK][: n - c0]
+            part, _ = _xty_chunk(chunk, rot, books)
+            xty += np.asarray(part, np.float64)
+        u, _, vt = np.linalg.svd(xty)
+        rot = jnp.asarray((u @ vt).astype(np.float32))
+
+    # Final book refit under the final rotation.
+    books = _train_pq_device(padded @ rot, n_live, books, m, lloyd_iters)
+    return rot, books
+
+
+def train_opq_for_ivf(
+    data: jax.Array,
+    centroids: jax.Array,
+    metric: str,
+    m: int,
+    *,
+    by_residual: bool,
+    seed: int = 0,
+    sample: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """OPQ twin of :func:`train_pq_for_ivf`: fit ``(rot, books)`` on the
+    residual (or raw) sample.  Shared by ``IVFIndex`` and
+    ``ShardedIVFIndex`` so both engines train identical codecs."""
+    data = _ivf_training_residuals(
+        data, centroids, metric,
+        by_residual=by_residual, seed=seed, sample=sample,
+    )
+    return train_opq(data, m, seed=seed, sample=sample)

@@ -110,6 +110,7 @@ def _sharded_ivf_program(
     tile: int,
     by_res: bool,
     pq: bool = False,
+    has_rot: bool = False,
 ):
     """UN-jitted shard_map program: per-shard probe scan -> ICI merge.
 
@@ -118,8 +119,9 @@ def _sharded_ivf_program(
     larger jitted program (encode + probe scan + merge, one dispatch).
 
     With ``pq`` the buffers carry a trailing replicated codebook tensor
-    and the local scan runs the one-hot ADC path (``local_impl`` is
-    always "xla" — the scan is MXU-bound, not DMA-bound)."""
+    (plus the replicated OPQ rotation when ``has_rot``) and the local
+    scan runs the one-hot ADC path (``local_impl`` is always "xla" —
+    the scan is MXU-bound, not DMA-bound)."""
     in_specs = (
         P(None, None),          # centroids (replicated)
         P(None, "data", None),  # blocks
@@ -132,6 +134,8 @@ def _sharded_ivf_program(
     )
     if pq:
         in_specs = in_specs + (P(None, None, None),)  # books (replicated)
+        if has_rot:
+            in_specs = in_specs + (P(None, None),)  # OPQ rot (replicated)
 
     @partial(
         shard_map,
@@ -141,7 +145,7 @@ def _sharded_ivf_program(
         check_vma=False,
     )
     def program(cent, blocks, bids, bmask, bsq, bscale, fills, queries,
-                *books):
+                *extras):
         if local_impl == "pallas":
             ls, li = _ivf_search_pallas_impl(
                 cent, blocks, bids, bmask, bsq, bscale,
@@ -152,7 +156,8 @@ def _sharded_ivf_program(
             ls, li = _ivf_search_impl(
                 cent, blocks, bids, bmask, bsq, bscale,
                 queries, nprobe, k, metric, by_res,
-                books[0] if pq else None,
+                extras[0] if pq else None,
+                extras[1] if pq and has_rot else None,
             )
         # Stored ids are GLOBAL: merge needs no translation.
         all_s = jax.lax.all_gather(ls, "data")  # [S, Q, k]
@@ -174,8 +179,10 @@ def sharded_ivf_scan_fn_for(scan_key: tuple):
     replicated codebooks as a trailing buffer."""
     _, mesh, nprobe, k_eff, metric, local_impl, tile, by_res = scan_key[:8]
     pq = len(scan_key) > 8 and scan_key[8] == "pq"
+    has_rot = pq and len(scan_key) > 9 and bool(scan_key[9])
     program = _sharded_ivf_program(
-        mesh, nprobe, k_eff, metric, local_impl, tile, by_res, pq=pq
+        mesh, nprobe, k_eff, metric, local_impl, tile, by_res, pq=pq,
+        has_rot=has_rot,
     )
 
     def fn(buffers, block_mask, qbatch, k):
@@ -207,6 +214,7 @@ class ShardedIVFIndex:
         balanced: bool = True,
         by_residual: Optional[bool] = None,
         pq_m: int = 0,
+        opq: bool = False,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
@@ -227,6 +235,10 @@ class ShardedIVFIndex:
                 raise ValueError(f"pq_m={pq_m} must divide dim={dim}")
         self.pq_m = pq_m if dtype == "pq" else 0
         self._pq_books: Optional[jax.Array] = None  # replicated [M,16,dsub]
+        # OPQ rotation (replicated [D, D]; see IVFIndex): codes store the
+        # ROTATED residual, queries rotate once per batch inside the scan.
+        self.opq = bool(opq) and dtype == "pq"
+        self._pq_rot: Optional[jax.Array] = None
         self.dim = dim
         self.mesh = mesh
         self.metric = metric
@@ -360,14 +372,22 @@ class ShardedIVFIndex:
             # replicated like the centroids (identical inputs on every
             # chip).  SAME helper as IVFIndex.train — the two engines
             # must train identical codecs for the same file format.
-            from ..ops.pq import train_pq_for_ivf
+            from ..ops.pq import train_opq_for_ivf, train_pq_for_ivf
 
-            self._pq_books = self._put_replicated(
-                train_pq_for_ivf(
+            if self.opq:
+                rot, books = train_opq_for_ivf(
                     dv, centroids, self.metric, self.pq_m,
                     by_residual=self.by_residual, seed=self.seed,
                 )
-            )
+                self._pq_rot = self._put_replicated(rot)
+                self._pq_books = self._put_replicated(books)
+            else:
+                self._pq_books = self._put_replicated(
+                    train_pq_for_ivf(
+                        dv, centroids, self.metric, self.pq_m,
+                        by_residual=self.by_residual, seed=self.seed,
+                    )
+                )
         self.centroids = np.asarray(centroids)
         self._dcent = self._put_replicated(jnp.asarray(self.centroids))
 
@@ -650,6 +670,7 @@ class ShardedIVFIndex:
             padded = _encode_pq_rows(
                 padded, rep(jnp.asarray(cl)), self._dcent,
                 self._pq_books, residual=self.by_residual,
+                rot=self._pq_rot,
             )
         (
             self._dblocks, self._dids, self._dvalid, self._dsq, self._dscale
@@ -833,6 +854,10 @@ class ShardedIVFIndex:
             self._put_replicated(jnp.asarray(ocl)),
             self._put_replicated(jnp.asarray(ogs)), *books,
         )
+        if self.dtype == "pq" and self._pq_rot is not None:
+            # OPQ codes decode in the rotated space; un-rotate before
+            # the centroid re-add.
+            rows_f = rows_f @ self._pq_rot.T
         rows = rows_f * sc[:, None]
         if self.by_residual:
             rows = rows + self._dcent[jnp.asarray(ocl)]
@@ -1019,6 +1044,7 @@ class ShardedIVFIndex:
         # alive (tiny).
         old_cent = self._dcent if by_res else None
         old_books = (self._pq_books,) if pq else ()
+        old_rot = self._pq_rot if pq else None
 
         def gather_chunk(idx_lo: int, idx_hi: int, sel=None):
             ocl = np.zeros((b,), np.int32)
@@ -1037,7 +1063,11 @@ class ShardedIVFIndex:
             return rows_f, sc, ocl
 
         def recon(rows_f, sc, ocl):
-            """Dequantized f32 rows (+ old centroid for residual rows)."""
+            """Dequantized f32 rows (+ old centroid for residual rows).
+            OPQ codes decoded rotated — un-rotate through the PRE-retrain
+            rotation before the centroid re-add."""
+            if old_rot is not None:
+                rows_f = rows_f @ old_rot.T
             rows = rows_f * sc[:, None]
             if by_res:
                 rows = rows + old_cent[jnp.asarray(ocl)]
@@ -1115,6 +1145,7 @@ class ShardedIVFIndex:
                 move_rows = _encode_pq_rows(
                     recon(rows_f, sc, ocl), rep(jnp.asarray(ncl)),
                     self._dcent, self._pq_books, residual=by_res,
+                    rot=self._pq_rot,
                 )
                 move_scales = jnp.ones((b,), jnp.float32)
             elif by_res:
@@ -1204,6 +1235,7 @@ class ShardedIVFIndex:
             _sharded_ivf_program(
                 self.mesh, nprobe, k, self.metric, local_impl, tile,
                 self.by_residual, pq=self.dtype == "pq",
+                has_rot=self._pq_rot is not None,
             )
         )
         if len(self._search_fns) >= 32:
@@ -1234,8 +1266,10 @@ class ShardedIVFIndex:
             self._device_fills(),
         )
         if self.dtype == "pq":
-            scan_key = scan_key + ("pq",)
+            scan_key = scan_key + ("pq", self._pq_rot is not None)
             buffers = buffers + (self._pq_books,)
+            if self._pq_rot is not None:
+                buffers = buffers + (self._pq_rot,)
         return scan_key, buffers
 
     def search(
@@ -1268,6 +1302,8 @@ class ShardedIVFIndex:
         block_mask = self.device_block_mask(mask)
         local_impl, tile = self._local_impl(k_eff)
         books = (self._pq_books,) if self.dtype == "pq" else ()
+        if self.dtype == "pq" and self._pq_rot is not None:
+            books = books + (self._pq_rot,)
         try:
             fn = self._search_fn(nprobe_eff, k_eff, local_impl, tile)
             scores, ids = fn(
@@ -1391,6 +1427,7 @@ class ShardedIVFIndex:
         }
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
+            header["opq"] = bool(self._pq_rot is not None)
         total = int(fill_per_cluster.sum())
         if total:
             cl, gs = self._dense_order()
@@ -1445,6 +1482,13 @@ class ShardedIVFIndex:
             sections.append(
                 ("pq_books", "float32", tuple(books.shape), iter([books]))
             )
+            if self._pq_rot is not None:
+                rot = np.ascontiguousarray(
+                    np.asarray(self._pq_rot), np.float32
+                )
+                sections.append(
+                    ("pq_rot", "float32", tuple(rot.shape), iter([rot]))
+                )
         write_file(path, header, sections)
 
     # -- per-host persistence (multi-host / DCN deployments) -------------------
@@ -1474,6 +1518,7 @@ class ShardedIVFIndex:
         }
         if self.dtype == "pq":
             base_header["pq_m"] = self.pq_m
+            base_header["opq"] = bool(self._pq_rot is not None)
         owned: Dict[int, jax.Array] = {}
         scale_locals: Dict[int, jax.Array] = {}
         block_lrows = lcap // 8 if self.dtype in ("int4", "pq") else lcap
@@ -1544,6 +1589,14 @@ class ShardedIVFIndex:
                     ("pq_books", "float32", tuple(books.shape),
                      iter([books]))
                 )
+                if self._pq_rot is not None:
+                    rot = np.ascontiguousarray(
+                        np.asarray(self._pq_rot), np.float32
+                    )
+                    manifest_sections.append(
+                        ("pq_rot", "float32", tuple(rot.shape),
+                         iter([rot]))
+                    )
             write_file(
                 path,
                 {**base_header, "kind": "ivf_shards_manifest"},
@@ -1566,6 +1619,7 @@ class ShardedIVFIndex:
             dtype=header["dtype"], nlist=header["nlist"],
             by_residual=bool(header.get("by_residual", False)),
             pq_m=int(header.get("pq_m", 0)),
+            opq=bool(header.get("opq", False)),
         )
         if header["n_shards"] != index.n_shards:
             raise ValueError(
@@ -1582,6 +1636,10 @@ class ShardedIVFIndex:
             index._pq_books = index._put_replicated(
                 jnp.asarray(np.asarray(marrays["pq_books"]), jnp.float32)
             )
+            if "pq_rot" in marrays:
+                index._pq_rot = index._put_replicated(
+                    jnp.asarray(np.asarray(marrays["pq_rot"]), jnp.float32)
+                )
         lcap = int(header["local_capacity"])
         if lcap == 0:
             return index
@@ -1699,6 +1757,7 @@ class ShardedIVFIndex:
             nlist=header["nlist"],
             by_residual=bool(header.get("by_residual", False)),
             pq_m=int(header.get("pq_m", 0)),
+            opq=bool(header.get("opq", False)),
         )
         index.nprobe_hint = int(header.get("nprobe_hint", 0))
         index._tuned_live = int(header.get("nprobe_tuned_live", 0))
@@ -1712,6 +1771,10 @@ class ShardedIVFIndex:
             index._pq_books = index._put_replicated(
                 jnp.asarray(np.asarray(arrays["pq_books"]), jnp.float32)
             )
+            if "pq_rot" in arrays:
+                index._pq_rot = index._put_replicated(
+                    jnp.asarray(np.asarray(arrays["pq_rot"]), jnp.float32)
+                )
         index._count = int(header["count"])
         if not total:
             return index

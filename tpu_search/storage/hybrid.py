@@ -56,6 +56,11 @@ class StorageConfig:
     # reference's stubbed _rebuild_faiss_index (src/storage.py:944-967).
     # <= 0 disables.
     ivf_rebalance_skew: float = 2.5
+    # OPQ rotation for storage_dtype="pq" (FAISS OPQMatrix pretransform):
+    # balances residual variance across PQ subspaces — measurably better
+    # recall at the same 4-bit code budget, at the cost of a rotation
+    # retrain during training/rebalance.
+    pq_opq: bool = False
     # optimize() tunes IVF nprobe to the smallest value meeting this
     # recall@10 vs a full-probe scan (measured on reconstructed live
     # rows; FAISS-autotune analog). <= 0 disables.
@@ -326,6 +331,7 @@ class HybridStorage:
                 metric="ip" if self.config.normalize_embeddings else "l2",
                 dtype=dtype,
                 nlist=self.config.ivf_nlist,
+                opq=self.config.pq_opq,
             )
         return create_index(
             self.config.index_type,
@@ -334,6 +340,7 @@ class HybridStorage:
             dtype=dtype,
             device=device,
             nlist=self.config.ivf_nlist,
+            opq=self.config.pq_opq,
             refine_dtype=self._effective_refine(),
             refine_factor=self.config.refine_factor,
         )
