@@ -224,7 +224,8 @@ class _BatchWorker:
         for key, members in groups.items():
             filters, top_k = json.loads(key)
             cfg = SearchConfig(
-                top_k=top_k, include_metadata=True, include_text=True
+                top_k=top_k, include_metadata=True, include_text=True,
+                nprobe=getattr(engine, "_default_nprobe", 0),
             )
             if len(members) <= 32:
                 dispatched = engine._fused_dispatch_many(
@@ -267,7 +268,8 @@ class _BatchWorker:
             results_per_query = engine.storage.search_many(
                 np.stack([embeddings[id(r)] for r in members]),
                 SearchConfig(
-                    top_k=top_k, include_metadata=True, include_text=True
+                    top_k=top_k, include_metadata=True, include_text=True,
+                    nprobe=getattr(engine, "_default_nprobe", 0),
                 ),
                 filters,
             )

@@ -771,13 +771,13 @@ class HybridStorage:
         self.logger.info("Optimizing storage...")
         self.meta.vacuum()
         if self.index is not None and self.index.ntotal:
-            referenced = set(self.meta.live_vec_ids())
-            orphans = [
-                slot
-                for slot in range(self.index.ntotal)
-                if slot not in referenced
-            ]
-            if orphans:
+            referenced = np.fromiter(
+                self.meta.live_vec_ids(), dtype=np.int64
+            )
+            orphans = np.setdiff1d(
+                np.arange(self.index.ntotal, dtype=np.int64), referenced
+            )
+            if len(orphans):
                 removed = self.index.remove(orphans)
                 if removed:
                     self.logger.info(
@@ -848,6 +848,9 @@ class HybridStorage:
                 ),
             }
         )
+        nprobe_hint = getattr(self.index, "nprobe_hint", 0)
+        if nprobe_hint:
+            stats["ivf_nprobe_tuned"] = int(nprobe_hint)
         if self._capability is not None:
             cap = self._capability
             info: Dict[str, Any] = {
