@@ -69,6 +69,34 @@ def make_corpus(n, dim=768, clusters=256, noise=0.4, seed=21):
     )
 
 
+def make_aniso_corpus(n, dim=768, clusters=256, rank=24, noise=0.4, seed=33):
+    """Correlated-residual family: cluster centers + LOW-RANK residuals
+    (latent z @ mixing).  Real embedding residuals are strongly
+    anisotropic — this is the family where a learned rotation has
+    something to balance; the isotropic family in :func:`make_corpus` is
+    rotation-neutral by construction."""
+    key = jax.random.PRNGKey(seed)
+    kc, ka, kz, km, kq, kqn = jax.random.split(key, 6)
+    centers = jax.random.normal(kc, (clusters, dim), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    assign = jax.random.randint(ka, (n,), 0, clusters)
+    z = jax.random.normal(kz, (n, rank), jnp.float32)
+    mix = jax.random.normal(km, (rank, dim), jnp.float32) / np.sqrt(rank)
+    sigma = noise / np.sqrt(dim) * np.sqrt(dim / rank)
+    corpus = centers[assign] + sigma * (z @ mix)
+    corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
+    qidx = jax.random.randint(kq, (128,), 0, n)
+    qsigma = 0.2 / np.sqrt(dim)
+    queries = corpus[qidx] + qsigma * jax.random.normal(kqn, (128, dim))
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+    return (
+        np.asarray(corpus),
+        np.asarray(queries),
+        np.asarray(centers),
+        np.asarray(assign),
+    )
+
+
 def recall_at(got, ref, topk=10):
     return np.mean(
         [len(set(got[i][:topk]) & set(ref[i][:topk])) / topk
@@ -147,11 +175,74 @@ def run_probe(corpus, queries, ref, centers, assign, results):
     print(f"probe pq m={m} resid bytes/row={m // 2} recall@10={r:.4f}")
 
 
+def run_opq(n, dim, results):
+    """Trained-OPQ study (ops/pq.py train_opq vs plain books vs a random
+    rotation) on BOTH corpus families, at the shipped default pq_m=dim/4.
+    The isotropic family is rotation-neutral by construction (residuals
+    are spherical gaussians — subspace variances already balanced); the
+    correlated family is where OPQ earns its keep."""
+    from tpu_search.ops.pq import train_opq
+
+    m = dim // 4
+    rng = np.random.default_rng(7)
+    randrot = np.linalg.qr(
+        rng.standard_normal((dim, dim))
+    )[0].astype(np.float32)
+    study = {"m": m, "bytes_per_row": m // 2, "n": n}
+    for family, maker in (
+        ("isotropic", make_corpus), ("correlated", make_aniso_corpus)
+    ):
+        corpus, queries, centers, assign = maker(n, dim)
+        queries = queries[:32]
+        ref = np.argsort(-(queries @ corpus.T), axis=1)[:, :10]
+        resid = corpus - centers[assign]
+        bias = queries @ centers[assign].T
+        rows = {}
+        for variant in ("resid", "resid+randrot", "resid+opq"):
+            t0 = time.time()
+            if variant == "resid+opq":
+                rot, books = train_opq(resid, m, seed=0)
+                rot = np.asarray(rot)
+            elif variant == "resid+randrot":
+                rot = randrot
+                books = train_pq(resid @ rot, m, iters=20, seed=0)
+            else:
+                rot = None
+                books = train_pq(resid, m, iters=20, seed=0)
+            base = resid @ rot if rot is not None else resid
+            qeff = queries @ rot if rot is not None else queries
+            codes = encode_pq(base, books)
+            got = pq_rank(qeff, codes, books, bias)
+            r = float(recall_at(got, ref))
+            mse = float(
+                np.mean(
+                    (np.asarray(decode_pq(codes[:4096], books))
+                     - base[:4096]) ** 2
+                )
+            )
+            rows[variant] = {
+                "recall10": r, "recon_mse_sample": mse,
+                "train_encode_s": time.time() - t0,
+            }
+            print(f"opq-study {family:10s} {variant:14s} "
+                  f"recall@10={r:.4f} mse={mse:.3e}")
+        study[family] = rows
+    results["opq_study"] = study
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     do_probe = "--probe" in sys.argv[1:]
+    do_opq = "--opq" in sys.argv[1:]
     n = int(args[0]) if args else 200_000
     dim = 768
+    if do_opq:
+        # OPQ-only mode: run the rotation study on both families and
+        # merge into the existing results (the codec sweep survives).
+        results = {}
+        run_opq(n, dim, results)
+        _write(results)
+        return
     corpus, queries, centers, assign = make_corpus(n, dim)
     nq = 32
     queries = queries[:nq]
@@ -211,6 +302,10 @@ def main():
     if do_probe:
         run_probe(corpus, queries, ref, centers, assign, results)
 
+    _write(results)
+
+
+def _write(results):
     out = os.path.join(
         os.path.dirname(__file__), "results", "pq_recall_study.json"
     )
