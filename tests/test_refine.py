@@ -213,6 +213,27 @@ class TestIVFRefine:
         _, ids2 = idx.search(q, 10, nprobe=8)
         assert not set(ids2.ravel().tolist()) & set(dead)
 
+    def test_compact_renumbers_refine_rows(self, corpus):
+        # compact() renumbers ids contiguously; the id-keyed refine rows
+        # must be re-laid out under the NEW ids or every rescore after a
+        # compact reads some other row's vector (a deleted one, even).
+        x, _, _ = corpus
+        idx = IVFIndex(
+            dim=64, dtype="int4", nlist=24, refine_dtype="bfloat16",
+            refine_factor=8,
+        )
+        idx.add(x[:2000])
+        idx.remove(range(100))
+        mapping = idx.compact()
+        assert idx._refine.count == idx.ntotal == 1900
+        got = np.asarray(idx._refine.gather(np.arange(idx.ntotal)))
+        want = x[100:2000]  # survivors, old order preserved
+        assert np.abs(got - want).max() < 0.01
+        # Behavioral: a query identical to old row 150 (new id
+        # mapping[150]) must refine-rank that exact row first.
+        _, ids = idx.search(x[150:151], 1, nprobe=24)
+        assert int(ids[0, 0]) == mapping[150]
+
     def test_clear_resets_refine(self, corpus):
         x, _, _ = corpus
         idx = IVFIndex(dim=64, dtype="int8", nlist=24, refine_dtype="int8")

@@ -556,3 +556,185 @@ class TestRebalance:
         after = sharded._fill.sum(axis=1)
         assert after.max() < per_cluster.max()
         assert sharded.live == 1200
+
+
+class TestRefineLifecycle:
+    """Sharded refine tier (parallel/sharded_refine.py): id-sharded
+    high-fidelity rows re-rank the coarse ICI merge inside the same
+    shard_map pipeline; files stay interchangeable with the single-chip
+    store."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self):
+        rng = np.random.default_rng(0)
+        centers = rng.normal(size=(24, 64))
+        x = centers[rng.integers(0, 24, 8000)] + 0.3 * rng.normal(
+            size=(8000, 64)
+        )
+        x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(
+            np.float32
+        )
+        q = x[rng.choice(len(x), 16, replace=False)] + 0.01 * rng.normal(
+            size=(16, 64)
+        )
+        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(
+            np.float32
+        )
+        exact = np.argsort(-(q @ x.T), axis=1)[:, :10]
+        return x, q, exact
+
+    @staticmethod
+    def _recall(ids, ref_ids):
+        return float(
+            np.mean(
+                [
+                    len(set(a[a >= 0].tolist()) & set(b.tolist())) / len(b)
+                    for a, b in zip(ids, ref_ids)
+                ]
+            )
+        )
+
+    def test_recall_recovers(self, mesh, clustered):
+        x, q, exact = clustered
+        base = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="pq", nlist=24, seed=3
+        )
+        base.add(x)
+        refined = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="pq", nlist=24, seed=3,
+            refine_dtype="int8", refine_factor=8,
+        )
+        refined.add(x)
+        assert refined._refine.count == refined.ntotal
+        r_base = self._recall(base.search(q, 10, nprobe=8)[1], exact)
+        r_ref = self._recall(refined.search(q, 10, nprobe=8)[1], exact)
+        assert r_ref > r_base + 0.05
+
+    def test_matches_single_chip(self, mesh, clustered):
+        x, q, _ = clustered
+        single = IVFIndex(
+            dim=64, dtype="int4", nlist=24, seed=3,
+            refine_dtype="int8", refine_factor=4,
+        )
+        sharded = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="int4", nlist=24, seed=3,
+            refine_dtype="int8", refine_factor=4,
+        )
+        single.add(x)
+        sharded.add(x)
+        s1, i1 = single.search(q, 10, nprobe=8)
+        s2, i2 = sharded.search(q, 10, nprobe=8)
+        # Same centroids + same refine encoding: identical refined
+        # scores; candidate-pool boundaries may reorder near-ties.
+        assert (i1[:, 0] == i2[:, 0]).all()
+        overlap = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / 10
+                for a, b in zip(i1, i2)
+            ]
+        )
+        assert overlap > 0.9
+        np.testing.assert_allclose(s1[:, 0], s2[:, 0], rtol=1e-5)
+
+    def test_fused_scan_fn_matches_classic(self, mesh, clustered):
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_search.parallel.sharded_ivf import sharded_ivf_scan_fn_for
+
+        x, q, _ = clustered
+        idx = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="pq", nlist=24, seed=3,
+            refine_dtype="bfloat16", refine_factor=4,
+        )
+        idx.add(x)
+        s1, i1 = idx.search(q, 10, nprobe=6)
+        scan_key, buffers = idx.make_scan_fn(10, 6)
+        assert scan_key[0] == "sharded_ivf_refine"
+        fn = sharded_ivf_scan_fn_for(scan_key)
+        mask = idx.device_block_mask(None)
+        qrep = idx._put_replicated(jnp.asarray(q))
+        s2, i2 = jax.jit(lambda b, m, qq: fn(b, m, qq, 10))(
+            buffers, mask, qrep
+        )
+        np.testing.assert_array_equal(i1, np.asarray(i2).astype(np.int64))
+        np.testing.assert_allclose(s1, np.asarray(s2), rtol=1e-6)
+
+    def test_save_load_interop_both_ways(self, mesh, clustered, tmp_path):
+        x, q, _ = clustered
+        sharded = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="pq", nlist=24, seed=3,
+            refine_dtype="int8", refine_factor=6,
+        )
+        sharded.add(x)
+        s1, i1 = sharded.search(q, 10, nprobe=8)
+        path = str(tmp_path / "refined.tpuidx")
+        sharded.save(path)
+
+        single = IVFIndex.load(path)
+        assert single.refine_dtype == "int8"
+        assert single.refine_factor == 6
+        assert single._refine.count == single.ntotal
+        s2, i2 = single.search(q, 10, nprobe=8)
+        np.testing.assert_allclose(s1[:, 0], s2[:, 0], rtol=1e-5)
+        assert (i1[:, 0] == i2[:, 0]).all()
+
+        path2 = str(tmp_path / "refined2.tpuidx")
+        single.save(path2)
+        back = ShardedIVFIndex.load(path2, mesh)
+        assert back.refine_dtype == "int8"
+        assert back._refine.count == back.ntotal
+        s3, i3 = back.search(q, 10, nprobe=8)
+        np.testing.assert_allclose(s1, s3, rtol=1e-5)
+        np.testing.assert_array_equal(i1, i3)
+
+    def test_compact_renumbers_refine_rows(self, mesh, clustered):
+        x, _, _ = clustered
+        idx = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="int4", nlist=8, seed=3,
+            refine_dtype="bfloat16", refine_factor=8,
+        )
+        idx.add(x[:2000])
+        idx.remove(range(100))
+        mapping = idx.compact()
+        assert idx._refine.count == idx.ntotal == 1900
+        got = np.asarray(idx._refine.gather_device(np.arange(1900)))
+        assert np.abs(got - x[100:2000]).max() < 0.01
+        _, ids = idx.search(x[150:151], 1, nprobe=8)
+        assert int(ids[0, 0]) == mapping[150]
+
+    def test_rebalance_reconstructs_from_refine(self, mesh, clustered):
+        x, q, exact = clustered
+        base = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="pq", nlist=24, seed=3
+        )
+        idx = ShardedIVFIndex(
+            dim=64, mesh=mesh, dtype="pq", nlist=24, seed=3,
+            refine_dtype="int8", refine_factor=8,
+        )
+        for i in (base, idx):
+            i.add(x[:2000])
+            i.add(x[2000:])
+            i.rebalance()
+        assert idx._refine.count == idx.ntotal
+        r_base = self._recall(base.search(q, 10, nprobe=8)[1], exact)
+        r_ref = self._recall(idx.search(q, 10, nprobe=8)[1], exact)
+        assert r_ref > r_base
+
+    def test_hybrid_builds_sharded_refine(self, tmp_path):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        cfg = StorageConfig(
+            data_dir=str(tmp_path),
+            index_type="ivf",
+            storage_dtype="pq",
+            refine_dtype="int8",
+            embedding_dim=32,
+            ivf_nlist=4,
+            shard_devices=8,
+        )
+        storage = HybridStorage(cfg)
+        storage.initialize()
+        assert isinstance(storage.index, ShardedIVFIndex)
+        assert storage.index.refine_dtype == "int8"
+        storage.close()

@@ -893,7 +893,8 @@ class IVFIndex:
         # Refine tier (FAISS IndexRefine/IVFPQR analog, index/refine.py):
         # id-keyed high-fidelity rows re-rank the coarse scan's top
         # k*refine_factor candidates inside the same program.  Decoupled
-        # from the cluster layout — rebalance/compact never touch it.
+        # from the cluster layout — rebalance never touches it; compact
+        # re-keys it through the same old->new id table.
         self.refine_dtype = refine_dtype
         self.refine_factor = max(1, int(refine_factor))
         self._refine = None  # lazily-built RefineStore
@@ -1770,6 +1771,9 @@ class IVFIndex:
         self._fill = new_valid.sum(axis=1).astype(np.int32)
         self._dfill = None
         self._count = len(keep_ids)
+        if self._refine is not None and self._refine.count:
+            # Ids just renumbered: re-key the id-keyed refine rows too.
+            self._refine.compact(keep_ids)
         cc, pp = np.nonzero(new_valid)
         self._slot_cluster = np.full((self._count,), -1, np.int32)
         self._slot_pos = np.full((self._count,), -1, np.int32)

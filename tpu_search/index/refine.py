@@ -11,9 +11,10 @@ completely decoupled from the cluster layout:
   by the owning index, so the store is a dense ``[capacity, D]`` device
   buffer where row ``id`` lives at slot ``id`` — appends are one
   ``dynamic_update_slice`` (no scatter), and cluster-layout mutations
-  (rebalance, compact, capacity growth) never touch it.  Tombstoned ids
-  keep their row (dead ids can never surface from the coarse scan, which
-  masks on slot validity).
+  (rebalance, capacity growth) never touch it.  Tombstoned ids keep
+  their row (dead ids can never surface from the coarse scan, which
+  masks on slot validity); only :meth:`RefineStore.compact` — driven by
+  the owning index's id renumbering — re-keys the rows.
 - **Gather-then-matmul rescoring.**  Stage 1 returns ``[Q, R]`` candidate
   ids; the refine step gathers ``[Q, R, D]`` rows, dequantizes, and
   scores with one batched contraction — R is tiny (``k * factor``), so
@@ -66,6 +67,14 @@ def _append_bf16(rows, batch, start):
 @partial(jax.jit, donate_argnums=(0,))
 def _grow(new_buf, old_buf):
     return jax.lax.dynamic_update_slice(new_buf, old_buf, (0,) * old_buf.ndim)
+
+
+@partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0,))
+def _take_into(buf, sel, new_cap: int):
+    """buf[sel] laid out at the head of a fresh [new_cap, ...] buffer."""
+    taken = jnp.take(buf, sel, axis=0)
+    out = jnp.zeros((new_cap,) + buf.shape[1:], buf.dtype)
+    return jax.lax.dynamic_update_slice(out, taken, (0,) * buf.ndim)
 
 
 def refine_rescore(
@@ -207,6 +216,31 @@ class RefineStore:
     def buffers(self) -> tuple:
         """Device dependencies for the fused scan-fn contract."""
         return (self.rows, self.scales)
+
+    def compact(self, keep_ids) -> None:
+        """Re-key the store after the owning index renumbered ids.
+
+        ``keep_ids`` is the sorted surviving OLD ids (the same table
+        ``IVFIndex.compact`` builds its old->new mapping from): new id
+        ``n`` is old id ``keep_ids[n]``, so the new layout is one device
+        take.  Without this, every rescore after a compact would read
+        some other row's vector — a tombstoned one, even.
+        """
+        keep_ids = np.asarray(keep_ids, np.int64)
+        if self.rows is None or self.count == 0 or keep_ids.size == 0:
+            self.clear()
+            return
+        n = int(keep_ids.size)
+        new_cap = -(-max(n, _MIN_CAPACITY) // _MIN_CAPACITY) * _MIN_CAPACITY
+        sel = jnp.asarray(
+            np.clip(keep_ids, 0, self.capacity - 1), jnp.int32
+        )
+        with jax.default_device(self.device):
+            self.rows = _take_into(self.rows, sel, new_cap)
+            if self.dtype == "int8":
+                self.scales = _take_into(self.scales, sel, new_cap)
+        self.capacity = new_cap
+        self.count = n
 
     def clear(self) -> None:
         self.rows = None

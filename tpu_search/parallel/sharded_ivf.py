@@ -176,7 +176,30 @@ def sharded_ivf_scan_fn_for(scan_key: tuple):
     """Resolve a ``ShardedIVFIndex.make_scan_fn`` key to a pure scan fn
     (contract of ``index.ivf.ivf_scan_fn_for``; deterministic in the
     hashable ``scan_key`` alone, mesh included).  pq keys carry the
-    replicated codebooks as a trailing buffer."""
+    replicated codebooks as a trailing buffer; refine keys wrap a base
+    key and carry the id-sharded refine rows (+ scales) as trailing
+    buffers."""
+    if scan_key[0] == "sharded_ivf_refine":
+        from .sharded_refine import sharded_refine_rescore_program
+
+        # The over-fetch r = k*factor is BAKED into the base key's k_eff
+        # (the base shard_map program's top_k is static) by
+        # ShardedIVFIndex.make_scan_fn; the rescore stage trims to the
+        # caller's k.
+        _, base_key, rdtype = scan_key
+        base_fn = sharded_ivf_scan_fn_for(base_key)
+        mesh = base_key[1]
+        int8 = rdtype == "int8"
+        nb = 2 if int8 else 1
+
+        def fn(buffers, block_mask, qbatch, k):
+            base_buffers = buffers[:-nb]
+            refine_bufs = buffers[-nb:]
+            _, ids1 = base_fn(base_buffers, block_mask, qbatch, k)
+            rescore = sharded_refine_rescore_program(mesh, k, int8)
+            return rescore(*refine_bufs, qbatch, ids1)
+
+        return fn
     _, mesh, nprobe, k_eff, metric, local_impl, tile, by_res = scan_key[:8]
     pq = len(scan_key) > 8 and scan_key[8] == "pq"
     has_rot = pq and len(scan_key) > 9 and bool(scan_key[9])
@@ -215,9 +238,31 @@ class ShardedIVFIndex:
         by_residual: Optional[bool] = None,
         pq_m: int = 0,
         opq: bool = False,
+        refine_dtype: str = "none",
+        refine_factor: int = 4,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
+        if refine_dtype not in ("none", "int8", "bfloat16"):
+            raise ValueError(
+                "refine_dtype must be 'none', 'int8' or 'bfloat16', "
+                f"got {refine_dtype!r}"
+            )
+        if refine_dtype != "none" and metric != "ip":
+            raise ValueError(
+                "the refine tier scores metric='ip' only (same contract "
+                "as the quantized dtypes it re-ranks)"
+            )
+        if refine_dtype == "int8" and dtype == "int8":
+            # Same upgrade as IVFIndex: residual-encoded coarse int8 rows
+            # out-resolve raw int8 refine rows.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "refine_dtype='int8' cannot out-resolve int8 coarse "
+                "storage (residual-encoded); using 'bfloat16' refine rows"
+            )
+            refine_dtype = "bfloat16"
         if dtype not in _DTYPES and dtype != "pq":
             raise ValueError(
                 f"ShardedIVFIndex supports dtypes "
@@ -254,6 +299,12 @@ class ShardedIVFIndex:
             else bool(by_residual) and dtype in ("int8", "int4", "pq")
         )
         self.n_shards = mesh.shape["data"]
+        # Refine tier (parallel/sharded_refine.py): id-sharded
+        # high-fidelity rows re-rank the coarse ICI merge's top
+        # k*refine_factor candidates inside the same shard_map pipeline.
+        self.refine_dtype = refine_dtype
+        self.refine_factor = max(1, int(refine_factor))
+        self._refine = None  # lazily-built ShardedRefineStore
         # Measured-recall probe count chosen by tune_nprobe (0 = untuned)
         # and the live row count it was measured at (retune freshness).
         self.nprobe_hint = 0
@@ -659,6 +710,12 @@ class ShardedIVFIndex:
         sl[:n] = gslots
         nid = np.zeros((b,), np.int32)
         nid[:n] = ids32
+        refine = self._refine_store()
+        if refine is not None:
+            # Id-keyed high-fidelity rows adopt the raw replicated f32
+            # batch (ids are the contiguous range assigned above) before
+            # any residual/pq encoding touches it.
+            refine.append(padded, n)
         rep = self._put_replicated
         if self.dtype == "pq":
             # Encode replicated (identical on every chip): padding rows
@@ -812,6 +869,10 @@ class ShardedIVFIndex:
         self._fill = new_valid3.sum(axis=2).astype(np.int32)
         self._dfill = None
         self._count = len(keep_ids)
+        refine = self._refine_store()
+        if refine is not None and refine.count:
+            # Ids just renumbered: re-key the id-sharded refine rows too.
+            refine.compact(keep_ids)
         cc, ss, jj = np.nonzero(new_valid3)
         gslots = (ss * lcap + jj).astype(np.int64)
         new_id_of = new_ids3[cc, ss, jj].astype(np.int64)
@@ -832,6 +893,8 @@ class ShardedIVFIndex:
         self._search_fns.clear()
         self._scatter_fns.clear()
         self._gather_fns.clear()
+        if self._refine is not None:
+            self._refine.clear()
 
     # -- nprobe autotune -------------------------------------------------------
 
@@ -842,6 +905,10 @@ class ShardedIVFIndex:
         live = len(cc)
         take = min(n, live)
         sel = rng.choice(live, take, replace=False)
+        refine = self._refine_store()
+        if refine is not None and refine.count == self._count > 0:
+            ids = self._ids[cc[sel], pp[sel]].astype(np.int64)
+            return np.asarray(refine.gather_device(ids), np.float32)
         b = bucket_size(take, _UPDATE_BUCKETS)
         gather = self._gather_fn(b, self._local_capacity)
         ocl = np.zeros((b,), np.int32)
@@ -1045,6 +1112,13 @@ class ShardedIVFIndex:
         old_cent = self._dcent if by_res else None
         old_books = (self._pq_books,) if pq else ()
         old_rot = self._pq_rot if pq else None
+        # Reconstruction source: prefer the refine tier's id-keyed
+        # high-fidelity rows (pq decode-re-encode drift then never
+        # compounds across retrains) — same policy as IVFIndex.rebalance.
+        refine = self._refine_store()
+        use_refine_recon = (
+            refine is not None and refine.count == self._count > 0
+        )
 
         def gather_chunk(idx_lo: int, idx_hi: int, sel=None):
             ocl = np.zeros((b,), np.int32)
@@ -1073,6 +1147,18 @@ class ShardedIVFIndex:
                 rows = rows + old_cent[jnp.asarray(ocl)]
             return rows
 
+        def recon_chunk(idx_lo: int, idx_hi: int, sel=None):
+            """Replicated [b, D] f32 reconstruction (prefix idx_hi-idx_lo
+            valid) — from the refine tier when present, else decoded
+            through the coarse codec."""
+            if use_refine_recon:
+                take = ids64[idx_lo:idx_hi] if sel is None else ids64[sel]
+                pad_ids = np.zeros((b,), np.int64)
+                pad_ids[: len(take)] = take
+                return refine.gather_device(pad_ids)
+            rows_f, sc, ocl = gather_chunk(idx_lo, idx_hi, sel)
+            return recon(rows_f, sc, ocl)
+
         # Train on a bounded sample (chunk-gathered, concatenated on
         # device — the [n_train, D] f32 working set is the k-means
         # input, bounded by train_sample).
@@ -1082,8 +1168,7 @@ class ShardedIVFIndex:
         parts = []
         for c0 in range(0, n_train, b):
             hi = min(c0 + b, n_train)
-            rows_f, sc, ocl = gather_chunk(c0, hi, sel=tr_idx[c0:hi])
-            parts.append(recon(rows_f, sc, ocl)[: hi - c0])
+            parts.append(recon_chunk(c0, hi, sel=tr_idx[c0:hi])[: hi - c0])
         self.train(jnp.concatenate(parts) if len(parts) > 1 else parts[0])
         del parts
 
@@ -1092,9 +1177,8 @@ class ShardedIVFIndex:
         assign = np.empty((live,), np.int64)
         for c0 in range(0, live, b):
             hi = min(c0 + b, live)
-            rows_f, sc, ocl = gather_chunk(c0, hi)
             a = assign_clusters(
-                recon(rows_f, sc, ocl), self._dcent, self.metric
+                recon_chunk(c0, hi), self._dcent, self.metric
             )
             assign[c0:hi] = np.asarray(a)[: hi - c0]
 
@@ -1134,29 +1218,30 @@ class ShardedIVFIndex:
         scatter = self._scatter_fn(b)
         for c0 in range(0, live, b):
             hi = min(c0 + b, live)
-            rows_f, sc, ocl = gather_chunk(c0, hi)
             ncl = np.full((b,), self.nlist, np.int32)
             ncl[: hi - c0] = assign[c0:hi]
             if pq:
-                # Decode rode the OLD codec in the gather; re-encode
-                # through the RETRAINED centroids + books.
+                # Decode rode the OLD codec (or the refine rows);
+                # re-encode through the RETRAINED centroids + books.
                 from ..index.ivf import _encode_pq_rows
 
                 move_rows = _encode_pq_rows(
-                    recon(rows_f, sc, ocl), rep(jnp.asarray(ncl)),
+                    recon_chunk(c0, hi), rep(jnp.asarray(ncl)),
                     self._dcent, self._pq_books, residual=by_res,
                     rot=self._pq_rot,
                 )
                 move_scales = jnp.ones((b,), jnp.float32)
             elif by_res:
-                move_rows = recon(rows_f, sc, ocl)  # f32: re-encoded below
+                move_rows = recon_chunk(c0, hi)  # f32: re-encoded below
                 move_scales = jnp.ones((b,), jnp.float32)
             elif self.dtype == "int4":
+                rows_f, sc, _ = gather_chunk(c0, hi)
                 # gather returned SIGNED stored values; the scatter's
                 # pre-quantized int4 path wants BIASED nibbles.
                 move_rows = (rows_f + 8.0).astype(jnp.int8)
                 move_scales = jnp.maximum(sc, 1e-12)
             else:
+                rows_f, sc, _ = gather_chunk(c0, hi)
                 move_rows = rows_f.astype(stored_dt)
                 move_scales = jnp.maximum(sc, 1e-12)
             ngs = np.zeros((b,), np.int32)
@@ -1243,6 +1328,18 @@ class ShardedIVFIndex:
         self._search_fns[key] = fn
         return fn
 
+    def _refine_store(self):
+        """The lazily-built id-sharded refine tier (None when disabled)."""
+        if self.refine_dtype == "none":
+            return None
+        if self._refine is None:
+            from .sharded_refine import ShardedRefineStore
+
+            self._refine = ShardedRefineStore(
+                self.dim, self.mesh, dtype=self.refine_dtype
+            )
+        return self._refine
+
     def make_scan_fn(self, k_eff: int, nprobe: int):
         """Pick the probe-scan implementation and return
         ``(scan_key, buffers)`` — same contract as
@@ -1250,11 +1347,27 @@ class ShardedIVFIndex:
         :func:`sharded_ivf_scan_fn_for` to a pure function
         ``fn(buffers, block_mask, qbatch, k)`` whose shard_map program
         the engine's fused one-dispatch query traces into its own jit
-        (the mesh rides the hashable key)."""
+        (the mesh rides the hashable key).
+
+        With the refine tier active the coarse stage over-fetches
+        ``k_eff * refine_factor`` (baked into the base key — the
+        shard_map top_k is static) and the id-sharded rescore trims back
+        to ``k_eff`` inside the same program."""
         nprobe_eff = min(nprobe, self.nlist)
-        local_impl, tile = self._local_impl(k_eff)
+        refine = self._refine_store()
+        use_refine = refine is not None and refine.count > 0
+        k_coarse = k_eff
+        if use_refine:
+            k_coarse = max(
+                k_eff,
+                min(
+                    k_eff * self.refine_factor,
+                    nprobe_eff * self._local_capacity,
+                ),
+            )
+        local_impl, tile = self._local_impl(k_coarse)
         scan_key = (
-            "sharded_ivf", self.mesh, nprobe_eff, k_eff, self.metric,
+            "sharded_ivf", self.mesh, nprobe_eff, k_coarse, self.metric,
             local_impl, tile, self.by_residual,
         )
         buffers = (
@@ -1270,6 +1383,9 @@ class ShardedIVFIndex:
             buffers = buffers + (self._pq_books,)
             if self._pq_rot is not None:
                 buffers = buffers + (self._pq_rot,)
+        if use_refine:
+            scan_key = ("sharded_ivf_refine", scan_key, self.refine_dtype)
+            buffers = buffers + refine.buffers()
         return scan_key, buffers
 
     def search(
@@ -1300,6 +1416,13 @@ class ShardedIVFIndex:
         qbatch[:q] = queries
 
         block_mask = self.device_block_mask(mask)
+        refine = self._refine_store()
+        if refine is not None and refine.count > 0:
+            scores, ids = self._refined_scan(
+                k_eff, nprobe_eff, block_mask,
+                self._put_replicated(jnp.asarray(qbatch)),
+            )
+            return self._finish_search(scores, ids, q, k, k_eff)
         local_impl, tile = self._local_impl(k_eff)
         books = (self._pq_books,) if self.dtype == "pq" else ()
         if self.dtype == "pq" and self._pq_rot is not None:
@@ -1324,6 +1447,13 @@ class ShardedIVFIndex:
                 self._dsq, self._dscale, self._device_fills(),
                 self._put_replicated(jnp.asarray(qbatch)), *books,
             )
+        return self._finish_search(scores, ids, q, k, k_eff)
+
+    def _finish_search(
+        self, scores, ids, q: int, k: int, k_eff: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One packed d2h fetch + host unpack/pad (shared by the coarse
+        and refined scan paths)."""
         if self._count < (1 << 24):
             packed = np.asarray(
                 jnp.concatenate(
@@ -1341,6 +1471,41 @@ class ShardedIVFIndex:
             scores = np.pad(scores, pad, constant_values=-np.inf)
             ids = np.pad(ids, pad, constant_values=-1)
         return scores, ids
+
+    def _refined_scan(self, k_eff: int, nprobe_eff: int, block_mask, qrep):
+        """Classic-path dispatch of the refine-wrapped scan program (the
+        same composition the engine's fused path traces; one standalone
+        jit per (scan_key, k))."""
+        scan_key, buffers = self.make_scan_fn(k_eff, nprobe_eff)
+        cache_key = ("refined", scan_key, k_eff)
+        fn = self._search_fns.get(cache_key)
+        if fn is None:
+            fn = jax.jit(
+                partial(sharded_ivf_scan_fn_for(scan_key), k=k_eff)
+            )
+            if len(self._search_fns) >= 32:
+                self._search_fns.clear()
+            self._search_fns[cache_key] = fn
+        try:
+            return fn(buffers, block_mask, qrep)
+        except Exception as exc:
+            base_key = scan_key[1]
+            if base_key[5] != "pallas":
+                raise
+            from ..index.ivf import is_transient_compile_error
+
+            if not is_transient_compile_error(exc):
+                self._pallas_ok = False
+            self._search_fns.pop(cache_key, None)
+            fallback = (
+                scan_key[0],
+                base_key[:5] + ("xla", 0) + base_key[7:],
+                scan_key[2],
+            )
+            fn = jax.jit(
+                partial(sharded_ivf_scan_fn_for(fallback), k=k_eff)
+            )
+            return fn(buffers, block_mask, qrep)
 
     # -- persistence ---------------------------------------------------------
 
@@ -1428,6 +1593,9 @@ class ShardedIVFIndex:
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
             header["opq"] = bool(self._pq_rot is not None)
+        if self.refine_dtype != "none":
+            header["refine_dtype"] = self.refine_dtype
+            header["refine_factor"] = self.refine_factor
         total = int(fill_per_cluster.sum())
         if total:
             cl, gs = self._dense_order()
@@ -1489,6 +1657,9 @@ class ShardedIVFIndex:
                 sections.append(
                     ("pq_rot", "float32", tuple(rot.shape), iter([rot]))
                 )
+        if self._refine is not None and self._refine.count:
+            # Same id-ordered section format as the single-chip store.
+            sections.extend(self._refine.sections())
         write_file(path, header, sections)
 
     # -- per-host persistence (multi-host / DCN deployments) -------------------
@@ -1519,6 +1690,12 @@ class ShardedIVFIndex:
         if self.dtype == "pq":
             base_header["pq_m"] = self.pq_m
             base_header["opq"] = bool(self._pq_rot is not None)
+        refine = self._refine if self.refine_dtype != "none" else None
+        if refine is not None:
+            base_header["refine_dtype"] = self.refine_dtype
+            base_header["refine_factor"] = self.refine_factor
+            base_header["refine_count"] = int(refine.count)
+            base_header["refine_lcap"] = int(refine.lcap)
         owned: Dict[int, jax.Array] = {}
         scale_locals: Dict[int, jax.Array] = {}
         block_lrows = lcap // 8 if self.dtype in ("int4", "pq") else lcap
@@ -1546,6 +1723,25 @@ class ShardedIVFIndex:
                         f"scales{s}", "float32", scale_locals[s], self.nlist
                     )
                 )
+        if refine is not None and refine.count:
+            # Raw per-shard refine slices (id i lives on shard i % S at
+            # local slot i // S; the slot math reloads from the header).
+            rlcap = refine.lcap
+            for sh in refine.rows.addressable_shards:
+                s = (sh.index[0].start or 0) // rlcap
+                sections.append(
+                    device_section(
+                        f"refine{s}", self.refine_dtype, sh.data, rlcap
+                    )
+                )
+            if self.refine_dtype == "int8":
+                for sh in refine.scales.addressable_shards:
+                    s = (sh.index[0].start or 0) // rlcap
+                    sections.append(
+                        device_section(
+                            f"refine_scales{s}", "float32", sh.data, rlcap
+                        )
+                    )
         write_file(
             self._host_path(path, me),
             {**base_header, "kind": "ivf_shards_host",
@@ -1620,6 +1816,8 @@ class ShardedIVFIndex:
             by_residual=bool(header.get("by_residual", False)),
             pq_m=int(header.get("pq_m", 0)),
             opq=bool(header.get("opq", False)),
+            refine_dtype=header.get("refine_dtype", "none"),
+            refine_factor=int(header.get("refine_factor", 4)),
         )
         if header["n_shards"] != index.n_shards:
             raise ValueError(
@@ -1735,6 +1933,52 @@ class ShardedIVFIndex:
             return jnp.sum(deq * deq, axis=-1)
 
         index._dsq = jax.jit(sq_prog)(index._dblocks, index._dscale)
+
+        r_count = int(header.get("refine_count", 0))
+        if index.refine_dtype != "none" and r_count:
+            from .sharded_refine import ShardedRefineStore
+
+            store = ShardedRefineStore(
+                index.dim, mesh, dtype=index.refine_dtype
+            )
+            rl = int(header["refine_lcap"])
+            store.lcap, store.count = rl, r_count
+            npdt = (
+                np.int8
+                if index.refine_dtype == "int8"
+                else ml_dtypes.bfloat16
+            )
+            store.rows = jax.make_array_from_single_device_arrays(
+                (index.n_shards * rl, index.dim),
+                NamedSharding(mesh, P("data", None)),
+                [
+                    jax.device_put(
+                        np.ascontiguousarray(
+                            np.asarray(arrays[f"refine{s}"]), npdt
+                        ),
+                        devs[s, 0],
+                    )
+                    for s in host_header["shard_ids"]
+                ],
+            )
+            if index.refine_dtype == "int8":
+                store.scales = jax.make_array_from_single_device_arrays(
+                    (index.n_shards * rl,),
+                    NamedSharding(mesh, P("data")),
+                    [
+                        jax.device_put(
+                            np.ascontiguousarray(
+                                np.asarray(
+                                    arrays[f"refine_scales{s}"]
+                                ),
+                                np.float32,
+                            ),
+                            devs[s, 0],
+                        )
+                        for s in host_header["shard_ids"]
+                    ],
+                )
+            index._refine = store
         return index
 
     @classmethod
@@ -1758,6 +2002,8 @@ class ShardedIVFIndex:
             by_residual=bool(header.get("by_residual", False)),
             pq_m=int(header.get("pq_m", 0)),
             opq=bool(header.get("opq", False)),
+            refine_dtype=header.get("refine_dtype", "none"),
+            refine_factor=int(header.get("refine_factor", 4)),
         )
         index.nprobe_hint = int(header.get("nprobe_hint", 0))
         index._tuned_live = int(header.get("nprobe_tuned_live", 0))
@@ -1776,6 +2022,26 @@ class ShardedIVFIndex:
                     jnp.asarray(np.asarray(arrays["pq_rot"]), jnp.float32)
                 )
         index._count = int(header["count"])
+        if index.refine_dtype != "none" and total:
+            if "refine_rows" in arrays:
+                from .sharded_refine import ShardedRefineStore
+
+                index._refine = ShardedRefineStore.from_arrays(
+                    index.dim,
+                    index.refine_dtype,
+                    arrays,
+                    mesh,
+                    count=index._count,
+                )
+            else:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "refine_dtype=%s in header but no refine_rows "
+                    "section; disabling the refine tier",
+                    index.refine_dtype,
+                )
+                index.refine_dtype = "none"
         if not total:
             return index
 

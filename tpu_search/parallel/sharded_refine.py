@@ -1,0 +1,495 @@
+"""Sharded refine tier: id-keyed high-fidelity rows over a device mesh.
+
+Multi-chip counterpart of :class:`tpu_search.index.refine.RefineStore`
+(the FAISS ``IndexRefine``/IVFPQR analog; reference FAISS surface at
+/root/reference/src/storage.py:252-299), for re-ranking a
+:class:`~tpu_search.parallel.sharded_ivf.ShardedIVFIndex`'s quantized
+coarse scan without leaving the fused shard_map program.
+
+Sharding design:
+
+- **Round-robin by ``id % S``.**  Shard ``p`` stores global id ``i`` at
+  local slot ``i // S``.  Ids are assigned monotonically by the owning
+  index, so appends land one contiguous id range per batch and every
+  shard's fill stays within one row of the others — no water-filling
+  needed.  Placement is independent of the cluster layout: sharded
+  rebalance moves code blocks without moving refine rows.
+- **Rescore = local gather + masked partial scores + one psum.**  The
+  coarse scan's ICI merge leaves a replicated ``[Q, R]`` candidate id
+  matrix; each shard gathers the candidate rows it owns, scores them
+  against the (replicated) queries, zeroes the rest, and a
+  ``psum('data')`` assembles the full rescore matrix — exactly one shard
+  is non-zero per candidate, so the sum is exact.  The whole stage
+  traces into the same jitted shard_map pipeline as the probe scan
+  (``sharded_ivf_scan_fn_for``), keeping multi-chip refined queries at
+  one host dispatch.
+- **Quantization contract** matches the single-chip store: per-row
+  symmetric int8 (``v ~ q * scale``, ``scale = max|v|/127``) or bf16;
+  scoring is ``ip`` only (the quantized coarse dtypes worth refining are
+  ip-only already).
+
+Persistence writes the same id-ordered ``refine_rows``/``refine_scales``
+TPUSIDX2 sections as the single-chip store, so sharded and single-chip
+saves stay interchangeable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.refine import REFINE_DTYPES
+
+__all__ = ["ShardedRefineStore", "sharded_refine_rescore_program"]
+
+# Per-shard slot granularity; global capacity granularity is S * this.
+_LOCAL_ALIGN = 512
+_GROWTH = 1.25
+
+
+def sharded_refine_rescore_program(mesh: Mesh, k: int, int8: bool):
+    """UN-jitted shard_map rescore stage (one per (mesh, k, dtype)).
+
+    ``fn(rows, [scales,] queries, ids) -> (scores, ids)`` where ``ids``
+    is the coarse merge's replicated ``[Q, R]`` global id matrix (-1 =
+    no candidate) and the outputs are the refined replicated ``[Q, k]``.
+    Invalid ids psum to 0 and are masked to -inf, sorting behind every
+    real candidate like the coarse path's own padding.
+    """
+    S = mesh.shape["data"]
+    in_specs = (P("data", None),)
+    if int8:
+        in_specs = in_specs + (P("data"),)
+    in_specs = in_specs + (P(None, None), P(None, None))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    def program(rows, *rest):
+        if int8:
+            scales, queries, ids = rest
+        else:
+            (queries, ids) = rest
+            scales = None
+        lcap = rows.shape[0]
+        p = jax.lax.axis_index("data")
+        own = (ids >= 0) & (ids % S == p)
+        safe = jnp.clip(
+            jnp.where(own, ids // S, 0), 0, lcap - 1
+        ).astype(jnp.int32)
+        cand = jnp.take(rows, safe, axis=0).astype(jnp.float32)  # [Q, R, D]
+        if scales is not None:
+            cand = cand * jnp.take(scales, safe, axis=0)[..., None]
+        part = jnp.einsum(
+            "qd,qrd->qr",
+            queries.astype(jnp.float32),
+            cand,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        full = jax.lax.psum(jnp.where(own, part, 0.0), "data")
+        rescored = jnp.where(ids >= 0, full, -jnp.inf)
+        kk = min(k, ids.shape[1])
+        top, pos = jax.lax.top_k(rescored, kk)
+        out_ids = jnp.take_along_axis(ids, pos, axis=1)
+        return top, jnp.where(jnp.isfinite(top), out_ids, -1)
+
+    return program
+
+
+class ShardedRefineStore:
+    """Dense id-keyed high-fidelity row store sharded over 'data'.
+
+    Device layout: ``rows`` is a global ``[S * lcap, D]`` array sharded
+    ``P('data', None)`` — shard ``p``'s contiguous slice ``[p*lcap,
+    (p+1)*lcap)`` holds ITS local slots, i.e. global id ``i`` lives at
+    global row ``(i % S) * lcap + i // S``.  Growth pads each shard's
+    slice in place (local slots never move).
+    """
+
+    def __init__(
+        self, dim: int, mesh: Mesh, dtype: str = "int8"
+    ) -> None:
+        if dtype not in REFINE_DTYPES:
+            raise ValueError(
+                f"refine dtype must be one of {REFINE_DTYPES}, got {dtype!r}"
+            )
+        self.dim = dim
+        self.mesh = mesh
+        self.dtype = dtype
+        self.n_shards = mesh.shape["data"]
+        self.rows: Optional[jax.Array] = None  # [S*lcap, D] int8 | bf16
+        self.scales: Optional[jax.Array] = None  # [S*lcap] f32 (int8 only)
+        self.lcap = 0  # slots per shard
+        self.count = 0  # ids [0, count) hold written rows
+        self._append_fns: Dict[Tuple, callable] = {}
+        self._gather_fns: Dict[Tuple, callable] = {}
+
+    @property
+    def nbytes_per_row(self) -> int:
+        return self.dim + 4 if self.dtype == "int8" else 2 * self.dim
+
+    @property
+    def capacity(self) -> int:
+        return self.lcap * self.n_shards
+
+    def _spec(self, spec) -> NamedSharding:
+        return NamedSharding(self.mesh, spec)
+
+    def _jdt(self):
+        return jnp.int8 if self.dtype == "int8" else jnp.bfloat16
+
+    def _ensure(self, needed_global: int) -> None:
+        """Grow per-shard capacity so global ids < ``needed_global`` fit."""
+        needed_local = -(-needed_global // self.n_shards)
+        target = -(-max(needed_local, 1) // _LOCAL_ALIGN) * _LOCAL_ALIGN
+        if target <= self.lcap:
+            return
+        if self.lcap:
+            grown = int(self.lcap * _GROWTH)
+            target = max(
+                target, -(-grown // _LOCAL_ALIGN) * _LOCAL_ALIGN
+            )
+        old_lcap, self.lcap = self.lcap, target
+        sh2 = self._spec(P("data", None))
+        sh1 = self._spec(P("data"))
+        if self.rows is None:
+            self.rows = jax.jit(
+                lambda: jnp.zeros(
+                    (self.capacity, self.dim), self._jdt()
+                ),
+                out_shardings=sh2,
+            )()
+            if self.dtype == "int8":
+                self.scales = jax.jit(
+                    lambda: jnp.zeros((self.capacity,), jnp.float32),
+                    out_shardings=sh1,
+                )()
+            return
+        grow = target - old_lcap
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P("data", None),),
+            out_specs=P("data", None),
+            check_vma=False,
+        )
+        def grow_rows(rows):
+            return jnp.pad(rows, ((0, grow), (0, 0)))
+
+        self.rows = jax.jit(grow_rows, donate_argnums=0)(self.rows)
+        if self.dtype == "int8":
+
+            @partial(
+                shard_map,
+                mesh=self.mesh,
+                in_specs=(P("data"),),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+            def grow_scales(scales):
+                return jnp.pad(scales, ((0, grow),))
+
+            self.scales = jax.jit(grow_scales, donate_argnums=0)(
+                self.scales
+            )
+
+    def _append_fn(self, b: int):
+        key = (b, self.lcap)
+        fn = self._append_fns.get(key)
+        if fn is not None:
+            return fn
+        S, lcap = self.n_shards, self.lcap
+        int8 = self.dtype == "int8"
+        in_specs = (P("data", None),)
+        if int8:
+            in_specs = in_specs + (P("data"),)
+        in_specs = in_specs + (P(None, None), P())
+        out_specs = (
+            (P("data", None), P("data")) if int8 else P("data", None)
+        )
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        def prog(rows, *rest):
+            if int8:
+                scales, batch, start = rest
+            else:
+                (batch, start) = rest
+            p = jax.lax.axis_index("data")
+            gids = start + jnp.arange(b, dtype=jnp.int32)
+            own = (gids % S) == p
+            # Non-owned (and would-be-OOB) rows pin to lcap and drop.
+            lslot = jnp.where(own, gids // S, lcap)
+            if int8:
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(batch), axis=1) / 127.0, 1e-12
+                )
+                q = jnp.round(batch / s[:, None]).astype(jnp.int8)
+                rows = rows.at[lslot].set(q, mode="drop")
+                scales = scales.at[lslot].set(s, mode="drop")
+                return rows, scales
+            return rows.at[lslot].set(
+                batch.astype(jnp.bfloat16), mode="drop"
+            )
+
+        fn = jax.jit(
+            prog, donate_argnums=(0, 1) if int8 else (0,)
+        )
+        if len(self._append_fns) >= 8:
+            self._append_fns.clear()
+        self._append_fns[key] = fn
+        return fn
+
+    def append(self, batch: jax.Array, n_new: int) -> None:
+        """Land ``batch`` (replicated [B, D] f32 device rows; rows >=
+        ``n_new`` are padding) at ids [count, count + n_new).  Padding
+        rows scatter into FUTURE ids' slots and are overwritten by the
+        next append (id-monotonic), identical to the single-chip
+        contract."""
+        if n_new <= 0:
+            return
+        b = batch.shape[0]
+        self._ensure(self.count + b)
+        start = jnp.int32(self.count)
+        if self.dtype == "int8":
+            self.rows, self.scales = self._append_fn(b)(
+                self.rows, self.scales, batch, start
+            )
+        else:
+            self.rows = self._append_fn(b)(self.rows, batch, start)
+        self.count += n_new
+
+    # -- reconstruction ------------------------------------------------------
+
+    def _gather_fn(self, b: int):
+        key = (b, self.lcap)
+        fn = self._gather_fns.get(key)
+        if fn is not None:
+            return fn
+        S, lcap = self.n_shards, self.lcap
+        int8 = self.dtype == "int8"
+        in_specs = (P("data", None),)
+        if int8:
+            in_specs = in_specs + (P("data"),)
+        in_specs = in_specs + (P(None),)
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+        def prog(rows, *rest):
+            if int8:
+                scales, ids = rest
+            else:
+                (ids,) = rest
+                scales = None
+            p = jax.lax.axis_index("data")
+            own = (ids >= 0) & (ids % S == p)
+            safe = jnp.clip(
+                jnp.where(own, ids // S, 0), 0, lcap - 1
+            ).astype(jnp.int32)
+            out = jnp.take(rows, safe, axis=0).astype(jnp.float32)
+            if scales is not None:
+                out = out * jnp.take(scales, safe, axis=0)[:, None]
+            out = jnp.where(own[:, None], out, 0.0)
+            return jax.lax.psum(out, "data")
+
+        fn = jax.jit(prog)
+        if len(self._gather_fns) >= 8:
+            self._gather_fns.clear()
+        self._gather_fns[key] = fn
+        return fn
+
+    def gather_device(self, ids) -> jax.Array:
+        """Replicated dequantized [n, D] f32 rows for the given ids
+        (the rebalance/autotune reconstruction source — exactly one
+        shard contributes each row, psum-replicated)."""
+        ids = jnp.asarray(np.asarray(ids, np.int32))
+        ids = jax.device_put(ids, self._spec(P(None)))
+        return self._gather_fn(int(ids.shape[0]))(
+            *(
+                (self.rows, self.scales, ids)
+                if self.dtype == "int8"
+                else (self.rows, ids)
+            )
+        )
+
+    def gather(self, ids) -> jax.Array:
+        """Single-chip-API-compatible alias of :meth:`gather_device`."""
+        return self.gather_device(ids)
+
+    def buffers(self) -> tuple:
+        """Device dependencies for the fused scan-fn contract."""
+        if self.dtype == "int8":
+            return (self.rows, self.scales)
+        return (self.rows,)
+
+    def compact(self, keep_ids) -> None:
+        """Re-key after the owning index renumbered ids: new id ``n`` is
+        old id ``keep_ids[n]``.  Rows move ACROSS shards (`n % S` differs
+        from `keep_ids[n] % S`), so the move is chunked gather-replicate
+        -> re-append.  Re-quantization through the f32 transit is
+        bit-lossless for our own encoding: the per-row scale is
+        ``max|v|/127``, so the max coordinate re-quantizes to exactly
+        127 and every other one reproduces its stored code."""
+        keep_ids = np.asarray(keep_ids, np.int64)
+        if self.rows is None or self.count == 0 or keep_ids.size == 0:
+            self.clear()
+            return
+        # Borrow the old buffers into a throwaway view so the gather
+        # programs key on the OLD lcap while self rebuilds fresh.
+        old = ShardedRefineStore(self.dim, self.mesh, self.dtype)
+        old.rows, old.scales = self.rows, self.scales
+        old.lcap, old.count = self.lcap, self.count
+        n = int(keep_ids.size)
+        self.rows = self.scales = None
+        self.lcap = 0
+        self.count = 0
+        self._append_fns.clear()
+        self._gather_fns.clear()
+        self._ensure(n)
+
+        chunk = 65536
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            dense = old.gather_device(keep_ids[lo:hi])
+            self.append(dense, hi - lo)
+
+    def clear(self) -> None:
+        self.rows = None
+        self.scales = None
+        self.lcap = 0
+        self.count = 0
+        self._append_fns.clear()
+        self._gather_fns.clear()
+
+    # -- persistence (TPUSIDX2 sections; see index/serialize.py) --------------
+
+    def _iter_id_order(self) -> Iterator[np.ndarray]:
+        """Encoded rows in GLOBAL ID ORDER (the single-chip disk layout),
+        chunk-streamed: one contiguous local-slot range per shard per
+        chunk, interleaved on host ([c, S, D] -> ids ``j*S + p``)."""
+        S, lcap, D = self.n_shards, self.lcap, self.dim
+        used = -(-self.count // S)  # local slots in use
+        chunk_j = max(1, 65536 // max(S, 1))
+        for j0 in range(0, used, chunk_j):
+            j1 = min(j0 + chunk_j, used)
+            parts = [
+                np.asarray(self.rows[p * lcap + j0 : p * lcap + j1])
+                for p in range(S)
+            ]
+            block = np.stack(parts, axis=1).reshape(-1, D)
+            lo = j0 * S
+            yield block[: max(0, min(self.count - lo, block.shape[0]))]
+
+    def _iter_scales_id_order(self) -> Iterator[np.ndarray]:
+        S, lcap = self.n_shards, self.lcap
+        used = -(-self.count // S)
+        chunk_j = max(1, 262144 // max(S, 1))
+        for j0 in range(0, used, chunk_j):
+            j1 = min(j0 + chunk_j, used)
+            parts = [
+                np.asarray(self.scales[p * lcap + j0 : p * lcap + j1])
+                for p in range(S)
+            ]
+            block = np.stack(parts, axis=1).reshape(-1)
+            lo = j0 * S
+            yield block[: max(0, min(self.count - lo, block.shape[0]))]
+
+    def sections(self) -> list:
+        """Id-ordered sections, format-identical to the single-chip
+        :meth:`RefineStore.sections` (files stay interchangeable)."""
+        out = [
+            (
+                "refine_rows",
+                self.dtype,
+                (self.count, self.dim),
+                self._iter_id_order(),
+            )
+        ]
+        if self.dtype == "int8":
+            out.append(
+                (
+                    "refine_scales",
+                    "float32",
+                    (self.count,),
+                    self._iter_scales_id_order(),
+                )
+            )
+        return out
+
+    @classmethod
+    def from_arrays(
+        cls,
+        dim: int,
+        dtype: str,
+        arrays: dict,
+        mesh: Mesh,
+        count: Optional[int] = None,
+    ) -> "ShardedRefineStore":
+        """Rebuild from memory-mapped id-ordered sections (single-chip or
+        sharded saves — same format).  Each shard's slice is assembled
+        host-side from the strided view ``rows[p::S]`` and device_put
+        once, so peak host memory is one shard slice."""
+        store = cls(dim, mesh, dtype=dtype)
+        rows = arrays.get("refine_rows")
+        n = int(rows.shape[0]) if rows is not None else 0
+        if count is not None:
+            n = min(n, count)
+        if n == 0:
+            return store
+        store._ensure(n)
+        S, lcap = store.n_shards, store.lcap
+        import ml_dtypes
+
+        npdt = (
+            np.dtype(np.int8)
+            if dtype == "int8"
+            else np.dtype(ml_dtypes.bfloat16)
+        )
+
+        def rows_cb(idx):
+            p = (idx[0].start or 0) // lcap
+            out = np.zeros((lcap, dim), npdt)
+            sel = np.asarray(rows[p:n:S])  # strided mmap view -> copy
+            out[: sel.shape[0]] = sel
+            return out
+
+        store.rows = jax.make_array_from_callback(
+            (S * lcap, dim), store._spec(P("data", None)), rows_cb
+        )
+        if dtype == "int8":
+            scales = arrays["refine_scales"]
+
+            def scales_cb(idx):
+                p = (idx[0].start or 0) // lcap
+                out = np.zeros((lcap,), np.float32)
+                sel = np.asarray(scales[p:n:S], np.float32)
+                out[: sel.shape[0]] = sel
+                return out
+
+            store.scales = jax.make_array_from_callback(
+                (S * lcap,), store._spec(P("data")), scales_cb
+            )
+        store.count = n
+        return store

@@ -332,6 +332,8 @@ class HybridStorage:
                 dtype=dtype,
                 nlist=self.config.ivf_nlist,
                 opq=self.config.pq_opq,
+                refine_dtype=self._effective_refine(),
+                refine_factor=self.config.refine_factor,
             )
         return create_index(
             self.config.index_type,
