@@ -155,21 +155,30 @@ def bench_search() -> dict:
     batched_int8 = time_batched(index_int8)
     batched_int4 = time_batched(index_int4)
 
-    # Device-side amortized scan latency: chain reps, force completion
-    # with ONE scalar-bearing fetch at the end (per-call fetches would
-    # measure the tunnel, not the device).
-    def device_scan_ms(index, reps=30):
+    # Device-side amortized scan latency, two-point slope: chain r_lo and
+    # r_hi reps (completion forced by ONE scalar-bearing fetch each) and
+    # take (t_hi - t_lo) / (r_hi - r_lo).  The subtraction cancels the
+    # fixed per-chain cost — including the final fetch's tunnel RTT, which
+    # at 30 reps used to inflate a 2.3 ms scan to ~3.3 ms
+    # (benchmarks/results/scan_overhead_probe.json).
+    def device_scan_ms(index, r_lo=10, r_hi=60):
         kernel = index._pick_kernel(8, TOP_K)
         qb = jnp.asarray(
             np.repeat(queries[:1], 8, axis=0).astype(np.float32)
         )
         s, ids = kernel(None, index._valid, qb, TOP_K)
         int(ids[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            s, ids = kernel(None, index._valid, qb, TOP_K)
-        int(ids[0, 0])
-        return (time.perf_counter() - t0) / reps * 1e3
+
+        def chain(reps):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _, out = kernel(None, index._valid, qb, TOP_K)
+            int(out[0, 0])
+            return time.perf_counter() - t0
+
+        t_lo = chain(r_lo)
+        t_hi = chain(r_hi)
+        return max(t_hi - t_lo, 0.0) / (r_hi - r_lo) * 1e3
 
     dev_scan_bf16 = device_scan_ms(index_bf16)
     dev_scan_int8 = device_scan_ms(index_int8)
@@ -250,20 +259,28 @@ def bench_search() -> dict:
         lat = np.asarray(lat)
         return 1.0 / float(np.mean(lat)), float(np.percentile(lat, 50) * 1e3)
 
-    def fused_device_ms(index, reps=30):
+    def fused_device_ms(index, r_lo=10, r_hi=40):
         fused, buffers = fused_for(index)
         # Pre-place token batches on device so the loop measures the
-        # device program, not the tunnel; one fetch forces the chain.
+        # device program, not the tunnel; two-point slope cancels the
+        # fixed per-chain cost incl. the final fetch's RTT (see
+        # device_scan_ms).
         batches = [
             tuple(jax.device_put(a) for a in token_batch(i)) for i in range(8)
         ]
         out = fused(m_params, *batches[0], buffers, index._valid)
         float(out[0, 0])
-        t0 = time.perf_counter()
-        for i in range(reps):
-            out = fused(m_params, *batches[i % 8], buffers, index._valid)
-        float(out[0, 0])
-        return (time.perf_counter() - t0) / reps * 1e3
+
+        def chain(reps):
+            t0 = time.perf_counter()
+            for i in range(reps):
+                out = fused(m_params, *batches[i % 8], buffers, index._valid)
+            float(out[0, 0])
+            return time.perf_counter() - t0
+
+        t_lo = chain(r_lo)
+        t_hi = chain(r_hi)
+        return max(t_hi - t_lo, 0.0) / (r_hi - r_lo) * 1e3
 
     fused_qps_bf16, fused_p50_bf16 = fused_e2e(index_bf16)
     fused_qps_int8, fused_p50_int8 = fused_e2e(index_int8)
@@ -390,18 +407,25 @@ def bench_ivf() -> dict:
             index.search(queries, k=k, nprobe=nprobe)
         qps_b128 = (128 * reps) / (time.perf_counter() - t0)
 
-        # Device-side amortized single-query scan (chained dispatches,
-        # one scalar-bearing fetch — rig rule).
+        # Device-side amortized single-query scan: two-point slope over
+        # chained dispatches (one scalar-bearing fetch per chain) — the
+        # subtraction cancels the fixed per-chain cost incl. the final
+        # fetch's tunnel RTT (see device_scan_ms).
         scan_key, buffers = index.make_scan_fn(k, nprobe)
         fn = ivf_scan_fn_for(scan_key)
         qb1 = queries_dev[:1]
         s, i = fn(buffers, index._dvalid, qb1, k)
         int(i[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(30):
-            s, i = fn(buffers, index._dvalid, qb1, k)
-        int(i[0, 0])
-        dev_q1_ms = (time.perf_counter() - t0) / 30 * 1e3
+
+        def _chain(reps):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _, out_i = fn(buffers, index._dvalid, qb1, k)
+            int(out_i[0, 0])
+            return time.perf_counter() - t0
+
+        t_lo, t_hi = _chain(10), _chain(60)
+        dev_q1_ms = max(t_hi - t_lo, 0.0) / 50 * 1e3
 
         key = "bf16" if dtype == "bfloat16" else dtype
         out[f"ivf_recall_{key}"] = recall

@@ -1,0 +1,254 @@
+#!/usr/bin/env python3
+"""Isolate the fixed overhead of the bf16 DMA scan at the 1M operating point.
+
+tile_sweep_tpu.json shows the same per-tile config costing 6.8us/tile at
+1M rows but 4.9us/tile at 4M (bf16, tile 2048, q8) — a ~1.2ms fixed
+per-call cost that keeps the 1M scan at 3.49ms vs the <=2.5ms target
+(VERDICT r2 item 6).  This probe separates the candidates:
+
+  - reps sensitivity (host dispatch overhead would shrink with more reps)
+  - merge cost (variant with the top-k merge gate forced off)
+  - pipeline depth (3-slot variant vs the production 2-slot)
+  - marginal scan cost (one dispatch running the scan twice — the second
+    scan pays no dispatch/penalty-materialization cost)
+
+Writes benchmarks/results/scan_overhead_probe.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+D = 768
+K = 10
+_LANE = 128
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_search.ops.pallas_topk import _select_topk
+    from tpu_search.utils.shapes import round_up
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    def make_kernel(k, tile_n, n_tiles, slots, do_merge):
+        def kernel(
+            vec_hbm, aux_hbm, query_ref, out_scores_ref, out_ids_ref,
+            vec_buf, aux_buf, best_scores, best_ids, vec_sems, aux_sems,
+        ):
+            queries = query_ref[:]
+
+            def vec_dma(slot, tile_idx):
+                return pltpu.make_async_copy(
+                    vec_hbm.at[pl.ds(tile_idx * tile_n, tile_n), :],
+                    vec_buf.at[slot],
+                    vec_sems.at[slot],
+                )
+
+            def aux_dma(slot, tile_idx):
+                return pltpu.make_async_copy(
+                    aux_hbm.at[tile_idx],
+                    aux_buf.at[slot],
+                    aux_sems.at[slot],
+                )
+
+            best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+            best_ids[:] = jnp.zeros_like(best_ids[:])
+
+            for s in range(min(slots - 1, n_tiles)):
+                vec_dma(s, s).start()
+                aux_dma(s, s).start()
+
+            def body(t, _):
+                slot = jax.lax.rem(t, slots)
+                pre_slot = jax.lax.rem(t + slots - 1, slots)
+
+                @pl.when(t + slots - 1 < n_tiles)
+                def _prefetch():
+                    vec_dma(pre_slot, t + slots - 1).start()
+                    aux_dma(pre_slot, t + slots - 1).start()
+
+                vec_dma(slot, t).wait()
+                aux_dma(slot, t).wait()
+
+                tile = vec_buf[slot]
+                scores = jax.lax.dot_general(
+                    queries.astype(tile.dtype), tile,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                scores = scores - aux_buf[slot].reshape(1, tile_n)
+
+                if do_merge:
+                    tile_max = jnp.max(scores, axis=1)
+                    kth = best_scores[:, k - 1]
+                    should_merge = jnp.any(tile_max > kth)
+
+                    @pl.when(should_merge)
+                    def _merge():
+                        tile_ids = t * tile_n + jax.lax.broadcasted_iota(
+                            jnp.int32, scores.shape, 1
+                        )
+                        merged_s = jnp.concatenate(
+                            [best_scores[:], scores], axis=1
+                        )
+                        merged_i = jnp.concatenate(
+                            [best_ids[:], tile_ids], axis=1
+                        )
+                        new_s, new_i = _select_topk(merged_s, merged_i, k)
+                        best_scores[:, 0:k] = new_s
+                        best_ids[:, 0:k] = new_i
+                else:
+                    # keep the stream honest: fold a cheap reduction into
+                    # the running buffer so nothing dead-code-eliminates
+                    best_scores[:, 0] = jnp.maximum(
+                        best_scores[:, 0], jnp.max(scores, axis=1)
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, body, 0)
+            out_scores_ref[:] = best_scores[:]
+            out_ids_ref[:] = best_ids[:]
+
+        return kernel
+
+    def build(n, q, k, tile_n, slots, do_merge):
+        n_tiles = n // tile_n
+        k_pad = round_up(k, _LANE)
+
+        @jax.jit
+        def run(vectors, aux_f32, queries):
+            return pl.pallas_call(
+                make_kernel(k, tile_n, n_tiles, slots, do_merge),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((q, k_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((q, k_pad), jnp.int32),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((slots, tile_n, D), jnp.bfloat16),
+                    pltpu.VMEM((slots, tile_n // _LANE, _LANE), jnp.float32),
+                    pltpu.VMEM((q, k_pad), jnp.float32),
+                    pltpu.VMEM((q, k_pad), jnp.int32),
+                    pltpu.SemaphoreType.DMA((slots,)),
+                    pltpu.SemaphoreType.DMA((slots,)),
+                ],
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * q * n * D,
+                    bytes_accessed=n * D * 2 + n * 4,
+                    transcendentals=0,
+                ),
+            )(vectors, aux_f32, queries)
+
+        return run
+
+    results = {}
+    n = 1 << 20
+    q = 8
+
+    import numpy as np
+
+    with jax.default_device(dev):
+        chunk = 1 << 18
+
+        @jax.jit
+        def gen_chunk(key):
+            rows = jax.random.normal(key, (chunk, D), jnp.float32)
+            rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+            return rows.astype(jnp.bfloat16)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def place(buf, blk, i0):
+            return jax.lax.dynamic_update_slice(buf, blk, (i0, 0))
+
+        bf16 = jnp.zeros((n, D), jnp.bfloat16)
+        for start in range(0, n, chunk):
+            bf16 = place(bf16, gen_chunk(jax.random.PRNGKey(start)), start)
+        float(bf16[0, 0])
+        qall = jax.random.normal(jax.random.PRNGKey(99), (q, D), jnp.float32)
+        qall = qall / jnp.linalg.norm(qall, axis=1, keepdims=True)
+
+    def time_fn(fn, *fargs, reps):
+        out = fn(*fargs)
+        int(out[1][0, 0] if out[1].ndim else out[1])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*fargs)
+        int(out[1][0, 0])
+        return (time.perf_counter() - t0) / reps * 1e3
+
+    for tile_n in (2048, 4096):
+        n_tiles = n // tile_n
+        aux = jnp.zeros((n_tiles, tile_n // _LANE, _LANE), jnp.float32)
+
+        for slots, do_merge, tag in (
+            (2, True, "prod"),
+            (2, False, "nomerge"),
+            (3, True, "slot3"),
+            (4, True, "slot4"),
+        ):
+            if slots * tile_n * D * 2 > 14 * (1 << 20):
+                continue  # VMEM
+            fn = build(n, q, K, tile_n, slots, do_merge)
+            for reps in (20, 100):
+                ms = time_fn(fn, bf16, aux, qall, reps=reps)
+                key = f"t{tile_n}_{tag}_r{reps}"
+                results[key] = round(ms, 3)
+                log(f"{key}: {ms:.3f} ms  ({n*D*2/ms/1e6:.0f} GB/s)")
+
+        # marginal cost: one dispatch, two scans over the same corpus
+        fn1 = build(n, q, K, tile_n, 2, True)
+
+        @jax.jit
+        def run_twice(vectors, aux_f32, queries):
+            s1, i1 = fn1(vectors, aux_f32, queries)
+            # perturb queries so the second scan isn't CSE'd away
+            s2, i2 = fn1(vectors, aux_f32, queries + s1[:1, :1] * 1e-9)
+            return s2, i2
+
+        ms2 = time_fn(run_twice, bf16, aux, qall, reps=20)
+        ms1 = results[f"t{tile_n}_prod_r20"]
+        results[f"t{tile_n}_twice_r20"] = round(ms2, 3)
+        results[f"t{tile_n}_marginal"] = round(ms2 - ms1, 3)
+        log(f"t{tile_n}: twice={ms2:.3f} ms, marginal 2nd scan="
+            f"{ms2 - ms1:.3f} ms")
+
+    out_path = REPO_ROOT / "benchmarks" / "results" / "scan_overhead_probe.json"
+    out_path.write_text(json.dumps({"n": n, "q": q, "k": K,
+                                    "results": results}, indent=1))
+    log(f"wrote {out_path}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,13 +108,23 @@ def main():
             qall = qall / jnp.linalg.norm(qall, axis=1, keepdims=True)
 
         def time_fn(fn, *fargs, reps=args.reps):
+            # Two-point slope: the subtraction cancels the fixed
+            # per-chain cost (incl. the final fetch's tunnel RTT, which
+            # at 20 reps inflated a 2.3 ms scan to ~3.5 ms — see
+            # benchmarks/results/scan_overhead_probe.json).
             out = fn(*fargs)  # compile/warm
             int(out[1][0, 0])
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(*fargs)
-            int(out[1][0, 0])  # one scalar fetch forces the chain
-            return (time.perf_counter() - t0) / reps * 1e3
+
+            def chain(r):
+                t0 = time.perf_counter()
+                for _ in range(r):
+                    out = fn(*fargs)
+                int(out[1][0, 0])  # one scalar fetch forces the chain
+                return time.perf_counter() - t0
+
+            r_lo = max(reps // 4, 2)
+            t_lo, t_hi = chain(r_lo), chain(reps)
+            return max(t_hi - t_lo, 0.0) / (reps - r_lo) * 1e3
 
         for q in qs:
             qbatch = qall[:q]

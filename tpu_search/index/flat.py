@@ -847,9 +847,10 @@ class FlatIndex:
         """
         # VMEM budget: 2 tile slots + [Q, TILE] score temporaries must stay
         # under the ~16MB scoped limit, so the tile shrinks as Q grows.
-        # Tile choices re-validated at 1M/4M/10M rows on hardware
+        # Tile choices re-validated at 1M/4M/10M rows on hardware with
+        # RTT-free two-point-slope timing
         # (benchmarks/results/tile_sweep_tpu.json): bf16 favors 2048 at
-        # every Q (3.49 vs 3.60 ms at 1M Q=8).
+        # every Q (2.09 vs 2.13 ms at 1M Q=8, 753 GB/s at 4M).
         if self.dtype == "bfloat16":
             tile = 2048
         else:
@@ -865,11 +866,12 @@ class FlatIndex:
         if self.dtype == "int8":
             # 1-byte HBM reads leave more headroom than bf16, so tiles can
             # double; tile 8192 at Q > 32 overflows VMEM (scores blow up).
-            # Sweep: at Q>32 tile 4096 wins below ~2M rows (5.45 vs
-            # 5.85 ms at 1M), 2048 wins at 4M/10M (15.9/29.6 vs
-            # 16.0/32.1 ms).
+            # Slope-timed sweep: at Q<=32, 2048 wins below ~2M rows
+            # (0.95 vs 1.15 ms at 1M — HBM roofline), 8192 wins at
+            # 4M/10M (4.33/10.82 vs 4.80/11.62 ms); at Q>32, 4096 wins
+            # below ~2M (3.91 vs 4.31 ms), 2048 at scale (27.9 vs 30.5).
             if padded_q <= 32:
-                int8_tile = 8192
+                int8_tile = 2048 if self._capacity < (2 << 20) else 8192
             else:
                 int8_tile = 4096 if self._capacity < (2 << 20) else 2048
             if pallas_ok and self._capacity % int8_tile == 0:
@@ -882,7 +884,7 @@ class FlatIndex:
             # Half the HBM bytes of int8 but the same per-row MXU and VMEM
             # plane/score transients, so tile picks track the int8 table.
             if padded_q <= 32:
-                int4_tile = 8192
+                int4_tile = 2048 if self._capacity < (2 << 20) else 8192
             else:
                 int4_tile = 4096 if self._capacity < (2 << 20) else 2048
             if pallas_ok and self._capacity % int4_tile == 0:
