@@ -24,6 +24,7 @@ Prints ONE JSON line to stdout:
 corpus, vs the 5 QPS CPU reference) and a detail report to stderr.
 """
 
+import gc
 import json
 import os
 import sys
@@ -43,6 +44,24 @@ BASELINE_EMBED_TPS = 100.0  # reference CPU: ~100 texts/s
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def log_hbm(tag: str) -> None:
+    """Live HBM in use (best effort — not every backend reports stats).
+
+    Section-boundary visibility: the whole bench must fit its sections in
+    one chip's HBM *sequentially*, so a leak in one section OOMs a later
+    one (that exact regression shipped once: four 1M flat indexes kept
+    alive through bench_search starved bench_ivf)."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        used = stats.get("bytes_in_use")
+        if used is not None:
+            log(f"[hbm] {tag}: {used / 2**30:.2f} GiB in use")
+    except Exception:
+        pass
 
 
 def bench_search() -> dict:
@@ -82,19 +101,6 @@ def bench_search() -> dict:
     queries_dev = make_unit_rows(jax.random.PRNGKey(1), 256)
     queries = np.asarray(queries_dev)  # 256*768*4 = 768KB, one-time pull
 
-    index_f32 = FlatIndex.from_device_vectors(
-        corpus, metric="ip", dtype="float32"
-    )
-    index_bf16 = FlatIndex.from_device_vectors(
-        corpus, metric="ip", dtype="bfloat16"
-    )
-    index_int8 = FlatIndex.from_device_vectors(
-        corpus, metric="ip", dtype="int8"
-    )
-    index_int4 = FlatIndex.from_device_vectors(
-        corpus, metric="ip", dtype="int4"
-    )
-
     # Recall gate vs an independent on-device brute force.
     sample = queries_dev[:RECALL_SAMPLE]
     brute = jax.jit(
@@ -120,16 +126,6 @@ def bench_search() -> dict:
             )
         )
 
-    recall_f32 = recall_of(index_f32)
-    recall_bf16 = recall_of(index_bf16)
-    recall_int8 = recall_of(index_int8)
-    recall_int4 = recall_of(index_int4)
-    log(
-        f"[search] recall@10 vs on-device brute force: "
-        f"f32={recall_f32:.4f} bf16={recall_bf16:.4f} int8={recall_int8:.4f} "
-        f"int4={recall_int4:.4f}"
-    )
-
     def time_single(index, n_timed=50):
         for i in range(3):
             index.search(queries[i], k=TOP_K)
@@ -147,13 +143,6 @@ def bench_search() -> dict:
         for _ in range(reps):
             index.search(queries[:128], k=TOP_K)
         return (128 * reps) / (time.perf_counter() - t0)
-
-    qps_f32, p50_f32 = time_single(index_f32)
-    qps_bf16, p50_bf16 = time_single(index_bf16)
-    qps_int8, p50_int8 = time_single(index_int8)
-    batched_bf16 = time_batched(index_bf16)
-    batched_int8 = time_batched(index_int8)
-    batched_int4 = time_batched(index_int4)
 
     # Device-side amortized scan latency, two-point slope: chain r_lo and
     # r_hi reps (completion forced by ONE scalar-bearing fetch each) and
@@ -179,34 +168,6 @@ def bench_search() -> dict:
         t_lo = chain(r_lo)
         t_hi = chain(r_hi)
         return max(t_hi - t_lo, 0.0) / (r_hi - r_lo) * 1e3
-
-    dev_scan_bf16 = device_scan_ms(index_bf16)
-    dev_scan_int8 = device_scan_ms(index_int8)
-    dev_scan_int4 = device_scan_ms(index_int4)
-    rtt_floor = measure_rtt_floor()
-    log(
-        f"[search] device scan (amortized): bf16={dev_scan_bf16:.2f}ms "
-        f"int8={dev_scan_int8:.2f}ms int4={dev_scan_int4:.2f}ms | "
-        f"host-link RTT floor: {rtt_floor:.1f}ms per dispatch+fetch"
-    )
-
-    # Filtered search (BASELINE.json config #3): a 10%-selectivity predicate
-    # mask fused into the scan — measures the masked kernel path, and checks
-    # every hit satisfies the predicate.
-    rng = np.random.default_rng(7)
-    predicate = rng.random(CORPUS_N) < 0.10
-    _, filtered_ids = index_bf16.search(
-        queries[:8], k=TOP_K, mask=predicate
-    )
-    allowed = predicate[filtered_ids.clip(min=0)]
-    assert allowed[filtered_ids >= 0].all(), "filtered hit off-predicate"
-    for i in range(3):
-        index_bf16.search(queries[i], k=TOP_K, mask=predicate)
-    t0 = time.perf_counter()
-    n_filtered = 20
-    for i in range(n_filtered):
-        index_bf16.search(queries[i % 256], k=TOP_K, mask=predicate)
-    filtered_qps = n_filtered / (time.perf_counter() - t0)
 
     # --- Fused e2e: token ids -> encode (full mpnet-base, bf16) ->
     # normalize -> masked scan -> top-k, ONE jitted program, ONE packed
@@ -282,44 +243,88 @@ def bench_search() -> dict:
         t_hi = chain(r_hi)
         return max(t_hi - t_lo, 0.0) / (r_hi - r_lo) * 1e3
 
-    fused_qps_bf16, fused_p50_bf16 = fused_e2e(index_bf16)
-    fused_qps_int8, fused_p50_int8 = fused_e2e(index_int8)
-    fused_dev_bf16 = fused_device_ms(index_bf16)
-    fused_dev_int8 = fused_device_ms(index_int8)
+    # --- Per-dtype sections: build -> measure -> FREE before the next.
+    # All four 1M x 768 indexes at once (f32 3 GB + bf16 1.5 + int8 0.77 +
+    # int4 0.38 on top of the 3 GB corpus) starved bench_ivf of HBM; peak
+    # is now corpus + ONE index.
+    out = {}
+
+    index = FlatIndex.from_device_vectors(corpus, metric="ip", dtype="float32")
+    out["recall_f32"] = recall_of(index)
+    out["qps_b1_f32"], out["p50_ms_f32"] = time_single(index)
+    del index
+    gc.collect()
+    log_hbm("search/f32 freed")
+
+    index = FlatIndex.from_device_vectors(corpus, metric="ip", dtype="bfloat16")
+    out["recall_bf16"] = recall_of(index)
+    out["qps_b1_bf16"], out["p50_ms_bf16"] = time_single(index)
+    out["qps_b128_bf16"] = time_batched(index)
+    out["device_scan_ms_bf16"] = device_scan_ms(index)
+    # Filtered search (BASELINE.json config #3): a 10%-selectivity predicate
+    # mask fused into the scan — measures the masked kernel path, and checks
+    # every hit satisfies the predicate.
+    rng7 = np.random.default_rng(7)
+    predicate = rng7.random(CORPUS_N) < 0.10
+    _, filtered_ids = index.search(queries[:8], k=TOP_K, mask=predicate)
+    allowed = predicate[filtered_ids.clip(min=0)]
+    assert allowed[filtered_ids >= 0].all(), "filtered hit off-predicate"
+    for i in range(3):
+        index.search(queries[i], k=TOP_K, mask=predicate)
+    t0 = time.perf_counter()
+    n_filtered = 20
+    for i in range(n_filtered):
+        index.search(queries[i % 256], k=TOP_K, mask=predicate)
+    out["filtered_qps_b1_bf16"] = n_filtered / (time.perf_counter() - t0)
+    out["fused_qps_b1_bf16"], out["fused_p50_ms_bf16"] = fused_e2e(index)
+    out["fused_device_ms_bf16"] = fused_device_ms(index)
+    del index, predicate, filtered_ids
+    gc.collect()
+    log_hbm("search/bf16 freed")
+
+    index = FlatIndex.from_device_vectors(corpus, metric="ip", dtype="int8")
+    out["recall_int8"] = recall_of(index)
+    out["qps_b1_int8"], out["p50_ms_int8"] = time_single(index)
+    out["qps_b128_int8"] = time_batched(index)
+    out["device_scan_ms_int8"] = device_scan_ms(index)
+    out["fused_qps_b1_int8"], out["fused_p50_ms_int8"] = fused_e2e(index)
+    out["fused_device_ms_int8"] = fused_device_ms(index)
+    del index
+    gc.collect()
+
+    index = FlatIndex.from_device_vectors(corpus, metric="ip", dtype="int4")
+    out["recall_int4"] = recall_of(index)
+    out["qps_b128_int4"] = time_batched(index)
+    out["device_scan_ms_int4"] = device_scan_ms(index)
+    del index
+    gc.collect()
+
+    out["rtt_floor_ms"] = measure_rtt_floor()
+    log(
+        f"[search] recall@10 vs on-device brute force: "
+        f"f32={out['recall_f32']:.4f} bf16={out['recall_bf16']:.4f} "
+        f"int8={out['recall_int8']:.4f} int4={out['recall_int4']:.4f}"
+    )
+    log(
+        f"[search] device scan (amortized): "
+        f"bf16={out['device_scan_ms_bf16']:.2f}ms "
+        f"int8={out['device_scan_ms_int8']:.2f}ms "
+        f"int4={out['device_scan_ms_int4']:.2f}ms | "
+        f"host-link RTT floor: {out['rtt_floor_ms']:.1f}ms per dispatch+fetch"
+    )
     log(
         f"[search] fused e2e (encode+scan, 1 dispatch): "
-        f"bf16 qps={fused_qps_bf16:.1f} p50={fused_p50_bf16:.1f}ms "
-        f"int8 qps={fused_qps_int8:.1f} p50={fused_p50_int8:.1f}ms | "
-        f"device-side amortized: bf16={fused_dev_bf16:.2f}ms "
-        f"int8={fused_dev_int8:.2f}ms"
+        f"bf16 qps={out['fused_qps_b1_bf16']:.1f} "
+        f"p50={out['fused_p50_ms_bf16']:.1f}ms "
+        f"int8 qps={out['fused_qps_b1_int8']:.1f} "
+        f"p50={out['fused_p50_ms_int8']:.1f}ms | "
+        f"device-side amortized: bf16={out['fused_device_ms_bf16']:.2f}ms "
+        f"int8={out['fused_device_ms_int8']:.2f}ms"
     )
-
-    return {
-        "filtered_qps_b1_bf16": filtered_qps,
-        "recall_f32": recall_f32,
-        "recall_bf16": recall_bf16,
-        "recall_int8": recall_int8,
-        "recall_int4": recall_int4,
-        "qps_b1_f32": qps_f32,
-        "p50_ms_f32": p50_f32,
-        "qps_b1_bf16": qps_bf16,
-        "p50_ms_bf16": p50_bf16,
-        "qps_b1_int8": qps_int8,
-        "p50_ms_int8": p50_int8,
-        "qps_b128_bf16": batched_bf16,
-        "qps_b128_int8": batched_int8,
-        "qps_b128_int4": batched_int4,
-        "device_scan_ms_bf16": dev_scan_bf16,
-        "device_scan_ms_int8": dev_scan_int8,
-        "device_scan_ms_int4": dev_scan_int4,
-        "rtt_floor_ms": rtt_floor,
-        "fused_qps_b1_bf16": fused_qps_bf16,
-        "fused_p50_ms_bf16": fused_p50_bf16,
-        "fused_qps_b1_int8": fused_qps_int8,
-        "fused_p50_ms_int8": fused_p50_int8,
-        "fused_device_ms_bf16": fused_dev_bf16,
-        "fused_device_ms_int8": fused_dev_int8,
-    }
+    del corpus, queries_dev, sample
+    gc.collect()
+    log_hbm("search done")
+    return out
 
 
 def bench_ivf() -> dict:
@@ -340,6 +345,7 @@ def bench_ivf() -> dict:
     nprobe = 16
     clusters = 256 if n >= 200_000 else 16
 
+    log_hbm("ivf start")
     log(f"[ivf] generating clustered {n}x{dim} corpus on device...")
 
     @jax.jit
@@ -507,7 +513,8 @@ def bench_ivf() -> dict:
         f"({out['ivf_kernel_pq']}) | "
         f"fused e2e p50={out['ivf_fused_e2e_p50_ms']:.1f}ms"
     )
-    del corpus
+    del corpus, queries_dev
+    gc.collect()
     return out
 
 
@@ -905,16 +912,29 @@ def main() -> None:
     def with_retry(fn, name):
         # The remote compile service occasionally 500s transiently; one
         # retry after a cooldown rescues the round's only bench run.
-        try:
-            return fn()
-        except Exception as exc:
-            log(f"[bench] {name} failed ({exc}); retrying in 60s...")
+        # The retry must happen OUTSIDE the except block: the live
+        # traceback pins every frame of the failed attempt — at 1M x 768
+        # that held gigabytes of device arrays through the retry, which
+        # then OOMed on a trivial allocation.
+        for attempt in (0, 1):
+            try:
+                return fn()
+            except Exception as exc:
+                if attempt:
+                    raise
+                msg = f"{type(exc).__name__}: {exc}"
+            log(f"[bench] {name} failed ({msg}); retrying in 60s...")
+            gc.collect()
+            log_hbm(f"{name} retry, post-gc")
             time.sleep(60)
-            return fn()
 
     search = with_retry(bench_search, "search")
+    gc.collect()
     ivf = with_retry(bench_ivf, "ivf")
+    gc.collect()
+    log_hbm("ivf done")
     serving = with_retry(bench_serving, "serving")
+    gc.collect()
     embed = with_retry(bench_embed, "embed")
 
     log(

@@ -1,0 +1,316 @@
+#!/usr/bin/env python3
+"""Isolate where the int4 flat-scan kernel spends its time at 1M x 768.
+
+bench.py (r3) measured the int4 device scan at ~3.0 ms for a 1M x 768
+corpus — 0.375 GB of HBM reads, i.e. ~125 GB/s effective against the
+~850 GB/s the int8 kernel streams at the same row count.  The kernel
+reads HALF the bytes of int8 yet runs 2.5x slower, so it is
+compute/structure-bound, not bandwidth-bound.  Suspects, each isolated
+by a stripped kernel variant below:
+
+  - dma:       DMA the word stream only (no unpack/matmul/merge)
+  - mm_only:   one bitcast + ONE [2Q,D]x[D,TILE/2] int8 matmul (no
+               nibble masking) — DMA + MXU floor without the unpack
+  - unpack:    DMA + both plane unpacks (mask/shift/bitcast), no matmul
+  - nomerge:   full unpack + both matmuls + digit combine, merge gate off
+  - full:      local copy of the production kernel structure
+  - concat1mm: unpack, concat the planes to [TILE, D], ONE matmul
+               (tests whether two half-width matmuls are the problem)
+  - prod:      the production pallas_flat_topk_dma_int4 entry point
+
+All variants run at tile 2048 / 4096 / 8192 where VMEM allows.  Timing
+is two-point chain slope (see bench.py device_scan_ms): the subtraction
+cancels fixed per-chain costs including the final fetch's tunnel RTT.
+
+Writes benchmarks/results/int4_probe_tpu.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+D = 768
+K = 10
+Q = 8
+_LANE = 128
+_NIBBLE_LO = 0x0F0F0F0F
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_search.ops.pallas_topk import _select_topk
+    from tpu_search.ops.topk_scan import quantize_queries, query_nibble_offsets
+    from tpu_search.utils.shapes import round_up
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    n = 1 << 20
+    n_words = n // 8
+
+    def make_kernel(mode, k, tile_n, n_tiles):
+        half = tile_n // 2
+        rows_per_dma = tile_n // 8
+
+        def kernel(
+            vec_hbm, aux_hbm, query_ref, rho_ref, qoff_ref,
+            out_scores_ref, out_ids_ref,
+            vec_buf, aux_buf, best_scores, best_ids, vec_sems, aux_sems,
+        ):
+            queries = query_ref[:]
+            n_q = queries.shape[0] // 2
+            rho = rho_ref[:, 0:1]
+            qoff = qoff_ref[:, 0:1]
+
+            def vec_dma(slot, tile_idx):
+                return pltpu.make_async_copy(
+                    vec_hbm.at[pl.ds(tile_idx * rows_per_dma, rows_per_dma), :],
+                    vec_buf.at[slot],
+                    vec_sems.at[slot],
+                )
+
+            def aux_dma(slot, tile_idx):
+                return pltpu.make_async_copy(
+                    aux_hbm.at[tile_idx], aux_buf.at[slot], aux_sems.at[slot]
+                )
+
+            best_scores[:] = jnp.full_like(best_scores[:], -jnp.inf)
+            best_ids[:] = jnp.zeros_like(best_ids[:])
+            vec_dma(0, 0).start()
+            aux_dma(0, 0).start()
+
+            def fold(val):
+                # cheap data-dependent fold so nothing dead-code-eliminates
+                best_scores[:, 0] = jnp.maximum(best_scores[:, 0], val)
+
+            def merge(scores):
+                tile_max = jnp.max(scores, axis=1)
+                kth = best_scores[:, k - 1]
+
+                @pl.when(jnp.any(tile_max > kth))
+                def _merge():
+                    j = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                    local = jnp.where(j < half, 2 * j, 2 * j - tile_n + 1)
+                    tile_ids = 0 * local + local  # placeholder ids
+                    merged_s = jnp.concatenate([best_scores[:], scores], 1)
+                    merged_i = jnp.concatenate([best_ids[:], tile_ids], 1)
+                    new_s, new_i = _select_topk(merged_s, merged_i, k)
+                    best_scores[:, 0:k] = new_s
+                    best_ids[:, 0:k] = new_i
+
+            def body(t, _):
+                slot = jax.lax.rem(t, 2)
+                next_slot = jax.lax.rem(t + 1, 2)
+
+                @pl.when(t + 1 < n_tiles)
+                def _prefetch():
+                    vec_dma(next_slot, t + 1).start()
+                    aux_dma(next_slot, t + 1).start()
+
+                vec_dma(slot, t).wait()
+                aux_dma(slot, t).wait()
+                w = vec_buf[slot]
+
+                if mode == "dma":
+                    fold(w[0, 0].astype(jnp.float32))
+                    return 0
+
+                if mode == "mm_only":
+                    tile = pltpu.bitcast(w, jnp.int8)  # [TILE/2, D], garbage
+                    dots = jax.lax.dot_general(
+                        queries, tile,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    fold(jnp.max(dots, axis=1).astype(jnp.float32)[:n_q])
+                    return 0
+
+                lo = pltpu.bitcast(jnp.bitwise_and(w, _NIBBLE_LO), jnp.int8)
+                hi = pltpu.bitcast(
+                    jnp.bitwise_and(
+                        jax.lax.shift_right_logical(w, 4), _NIBBLE_LO
+                    ),
+                    jnp.int8,
+                )
+                if mode == "unpack":
+                    fold(lo[0, 0].astype(jnp.float32))
+                    fold(hi[0, 0].astype(jnp.float32))
+                    return 0
+
+                if mode == "concat1mm":
+                    planes = jnp.concatenate([lo, hi], axis=0)  # [TILE, D]
+                    dots = jax.lax.dot_general(
+                        queries, planes,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ) - qoff
+                else:
+                    dots_lo = jax.lax.dot_general(
+                        queries, lo,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    dots_hi = jax.lax.dot_general(
+                        queries, hi,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    dots = jnp.concatenate([dots_lo, dots_hi], axis=1) - qoff
+
+                combined = dots[:n_q].astype(jnp.float32) + rho * dots[
+                    n_q:
+                ].astype(jnp.float32)
+                scale = aux_buf[slot, 0].reshape(1, tile_n)
+                penalty = aux_buf[slot, 1].reshape(1, tile_n)
+                scores = combined * scale + penalty
+
+                if mode == "nomerge":
+                    fold(jnp.max(scores, axis=1))
+                else:
+                    merge(scores)
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, body, 0)
+            out_scores_ref[:] = best_scores[:]
+            out_ids_ref[:] = best_ids[:]
+
+        return kernel
+
+    def build(mode, tile_n):
+        n_tiles = n // tile_n
+        k_pad = round_up(K, _LANE)
+
+        @jax.jit
+        def run(words, aux, q_i8, rho_b, qoff_b):
+            return pl.pallas_call(
+                make_kernel(mode, K, tile_n, n_tiles),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((Q, k_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((Q, k_pad), jnp.int32),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, tile_n // 8, D), jnp.int32),
+                    pltpu.VMEM((2, 2, tile_n // _LANE, _LANE), jnp.float32),
+                    pltpu.VMEM((Q, k_pad), jnp.float32),
+                    pltpu.VMEM((Q, k_pad), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * Q * n * D,
+                    bytes_accessed=n * D // 2 + n * 8,
+                    transcendentals=0,
+                ),
+            )(words, aux, q_i8, rho_b, qoff_b)
+
+        return run
+
+    with jax.default_device(dev):
+        words = jax.random.randint(
+            jax.random.PRNGKey(0), (n_words, D), -(2**31), 2**31 - 1,
+            dtype=jnp.int32,
+        )
+        scales = jnp.full((n,), 1e-2, jnp.float32)
+        mask = jnp.ones((n,), bool)
+        qf = jax.random.normal(jax.random.PRNGKey(9), (Q, D), jnp.float32)
+        qf = qf / jnp.linalg.norm(qf, axis=1, keepdims=True)
+        q_i8, rho, _ = quantize_queries(qf)
+        rho_b = jnp.broadcast_to(rho[:, None], (Q, _LANE))
+        qoff = query_nibble_offsets(q_i8)
+        qoff_b = jnp.broadcast_to(qoff[:, None], (2 * Q, _LANE))
+
+    def slope_ms(fn, args, r_lo=10, r_hi=60):
+        s, i = fn(*args)
+        int(i[0, 0])
+
+        def chain(reps):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _, out = fn(*args)
+            int(out[0, 0])
+            return time.perf_counter() - t0
+
+        t_lo = chain(r_lo)
+        t_hi = chain(r_hi)
+        return max(t_hi - t_lo, 0.0) / (r_hi - r_lo) * 1e3
+
+    results = {}
+
+    # Production entry point first.
+    from tpu_search.ops.pallas_topk_dma import pallas_flat_topk_dma_int4
+
+    for tile_n in (2048, 4096, 8192):
+        try:
+            fn = partial(
+                pallas_flat_topk_dma_int4, k=K, tile_n=tile_n
+            )
+            ms = slope_ms(fn, (words, scales, mask, qf))
+            results[f"prod_t{tile_n}"] = round(ms, 3)
+            log(
+                f"prod_t{tile_n}: {ms:.3f} ms "
+                f"({n * D / 2 / ms / 1e6:.0f} GB/s)"
+            )
+        except Exception as exc:
+            results[f"prod_t{tile_n}"] = f"failed: {type(exc).__name__}"
+            log(f"prod_t{tile_n}: FAILED {exc}")
+
+    # Aux stream for the local variants (shape matches production).
+    for tile_n in (2048, 4096, 8192):
+        n_tiles = n // tile_n
+        aux = jnp.zeros((n_tiles, 2, tile_n // _LANE, _LANE), jnp.float32)
+        for mode in ("dma", "mm_only", "unpack", "nomerge", "full",
+                     "concat1mm"):
+            try:
+                fn = build(mode, tile_n)
+                ms = slope_ms(fn, (words, aux, q_i8, rho_b, qoff_b))
+                results[f"{mode}_t{tile_n}"] = round(ms, 3)
+                log(
+                    f"{mode}_t{tile_n}: {ms:.3f} ms "
+                    f"({n * D / 2 / ms / 1e6:.0f} GB/s)"
+                )
+            except Exception as exc:
+                results[f"{mode}_t{tile_n}"] = f"failed: {type(exc).__name__}"
+                log(f"{mode}_t{tile_n}: FAILED {exc}")
+
+    out_path = REPO_ROOT / "benchmarks" / "results" / "int4_probe_tpu.json"
+    out_path.write_text(
+        json.dumps({"n": n, "q": Q, "k": K, "results": results}, indent=1)
+    )
+    log(f"wrote {out_path}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
