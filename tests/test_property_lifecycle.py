@@ -1,0 +1,385 @@
+"""Property-based lifecycle tests (hypothesis).
+
+The example-based suites (test_index_flat.py, test_index_ivf.py) pin the
+known behaviors; these state machines drive the device-resident indexes
+through *randomized* add / remove / compact / rebalance / save / load /
+search sequences and check every search against a NumPy model of the same
+corpus — the invariants FAISS guarantees implicitly and the reference
+never had to state (src/storage.py keeps FAISS and SQLite consistent by
+construction of its single code path).
+
+Checked invariants, for every reachable index state:
+  * a search never returns a tombstoned or unknown id, never duplicates
+    an id in one result row, and pads exhausted lanes with (-inf, -1);
+  * every returned score equals q . row for the id it is attached to,
+    where "row" is the model's DEQUANTIZED copy (built with the same
+    quantizers the index uses — flat.py _quantize_rows /
+    int4_pack.quantize_rows_int4_host), so the quantize -> pack ->
+    scatter -> scan -> dequant pipeline is exercised end to end;
+  * the returned top-k score vector matches the model's brute-force
+    top-k (score-level comparison: id ties are allowed to resolve either
+    way, the scores may not differ);
+  * predicate masks behave as hard filters (fused in-kernel, the
+    replacement for the reference's Python post-filter,
+    src/storage.py:508-543);
+  * compact() renumbers exactly as its returned mapping says;
+  * save/load round-trips are lossless at the score level.
+
+Score tolerances are tight (1e-3 relative) because the model reproduces
+the index's own quantization: what remains is accumulation order and the
+int8 path's two-digit residual query quantization.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+
+from hypothesis import HealthCheck, assume, settings, strategies as st
+from hypothesis.stateful import (
+    RuleBasedStateMachine,
+    initialize,
+    invariant,
+    precondition,
+    rule,
+)
+
+from tpu_search.index.flat import FlatIndex, _quantize_rows
+from tpu_search.index.ivf import IVFIndex
+from tpu_search.ops.int4_pack import quantize_rows_int4_host
+
+DIM = 16
+
+_SETTINGS = settings(
+    max_examples=8,
+    stateful_step_count=14,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+
+seeds = st.integers(min_value=0, max_value=2**32 - 1)
+
+
+def rows_from_seed(seed: int, n: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    rows = rng.standard_normal((n, DIM)).astype(np.float32)
+    return rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-9)
+
+
+def dequantized(rows: np.ndarray, dtype: str) -> np.ndarray:
+    """The float rows the index actually scores, per storage dtype —
+    built with the index's own quantizers so the model is exact."""
+    if dtype == "float32":
+        return rows.copy()
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        return rows.astype(ml_dtypes.bfloat16).astype(np.float32)
+    if dtype == "int8":
+        q, s = _quantize_rows(rows)
+        return q.astype(np.float32) * s[:, None]
+    if dtype == "int4":
+        u, s = quantize_rows_int4_host(rows)
+        return (u.astype(np.float32) - 8.0) * s[:, None]
+    raise ValueError(dtype)
+
+
+def check_search(index, model: dict, qseed: int, k: int, tol: float,
+                 mask_ids=None, nprobe: int = 0,
+                 query_dtype: str = "float32") -> None:
+    """One search vs the NumPy model. ``model`` maps id -> dequantized row.
+    ``mask_ids``: optional set of ids the predicate mask admits.
+    ``query_dtype``: the scan casts queries to the corpus dtype
+    (ops/topk_scan.py _scores) — the model must round the same way."""
+    q = rows_from_seed(qseed, 1)[0]
+    if query_dtype == "bfloat16":
+        import ml_dtypes
+
+        q = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+    kwargs = {}
+    if mask_ids is not None:
+        cap = max(index.capacity, (max(model) + 1) if model else 1)
+        mask = np.zeros((cap,), dtype=np.bool_)
+        for i in mask_ids:
+            if i < cap:
+                mask[i] = True
+        kwargs["mask"] = mask
+    if nprobe:
+        kwargs["nprobe"] = nprobe
+    scores, ids = index.search(q, k, **kwargs)
+    scores, ids = scores[0], ids[0]
+    assert scores.shape == (k,) and ids.shape == (k,)
+
+    candidates = {
+        i: v for i, v in model.items()
+        if mask_ids is None or i in mask_ids
+    }
+    ref = sorted((float(q @ v) for v in candidates.values()), reverse=True)
+    n_expect = min(k, len(candidates))
+
+    got = [(float(s), int(i)) for s, i in zip(scores, ids) if i >= 0]
+    assert len(got) == n_expect, (
+        f"expected {n_expect} hits, got {len(got)} (ids={ids})"
+    )
+    # Padding lanes.
+    for s, i in zip(scores[n_expect:], ids[n_expect:]):
+        assert i == -1 and s == -np.inf
+    # No duplicate ids.
+    got_ids = [i for _, i in got]
+    assert len(set(got_ids)) == len(got_ids), f"duplicate ids: {got_ids}"
+    # Every hit is live, admitted by the mask, and scored correctly.
+    for s, i in got:
+        assert i in candidates, f"id {i} not live/admitted"
+        true = float(q @ candidates[i])
+        assert abs(s - true) <= tol * max(1.0, abs(true)), (
+            f"id {i}: reported {s}, true {true}"
+        )
+    # Scores descend and match the brute-force top-k (ties either way).
+    for j in range(1, len(got)):
+        assert got[j - 1][0] >= got[j][0] - 1e-6
+    for (s, _), rs in zip(got, ref[:n_expect]):
+        assert abs(s - rs) <= tol * max(1.0, abs(rs)), (
+            f"top-k score {s} != brute force {rs}"
+        )
+
+
+class FlatLifecycle(RuleBasedStateMachine):
+    dtype = "float32"
+    tol = 1e-3
+
+    def __init__(self):
+        super().__init__()
+        self.index = FlatIndex(dim=DIM, metric="ip", dtype=self.dtype)
+        self.model: dict[int, np.ndarray] = {}
+        self.tmp = tempfile.mkdtemp(prefix="prop_flat_")
+
+    def teardown(self):
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+    @rule(seed=seeds, n=st.integers(1, 5))
+    def add(self, seed, n):
+        rows = rows_from_seed(seed, n)
+        ids = self.index.add(rows)
+        assert len(ids) == n
+        deq = dequantized(rows, self.dtype)
+        for j, i in enumerate(ids):
+            assert int(i) not in self.model, "id reused while live"
+            self.model[int(i)] = deq[j]
+
+    @precondition(lambda self: self.model)
+    @rule(data=st.data())
+    def remove(self, data):
+        pool = sorted(self.model)
+        chosen = data.draw(
+            st.lists(st.sampled_from(pool), min_size=1, max_size=4,
+                     unique=True)
+        )
+        # Stale ids (already tombstoned) must be counted as not-live.
+        stale = data.draw(st.lists(
+            st.integers(0, max(pool) + 8), max_size=2))
+        n = self.index.remove(list(chosen) + [
+            s for s in stale if s not in self.model
+        ])
+        assert n == len(chosen)
+        for i in chosen:
+            del self.model[i]
+
+    @rule()
+    def compact(self):
+        mapping = self.index.compact()
+        assert sorted(mapping) == sorted(self.model)
+        # Renumbering is dense and order-preserving.
+        assert sorted(mapping.values()) == list(range(len(mapping)))
+        self.model = {mapping[i]: v for i, v in self.model.items()}
+
+    @rule()
+    def reload(self):
+        path = f"{self.tmp}/index.tpusidx"
+        self.index.save(path)
+        self.index = FlatIndex.load(path)
+
+    @rule(qseed=seeds, k=st.integers(1, 4))
+    def search(self, qseed, k):
+        check_search(self.index, self.model, qseed, k, self.tol,
+                     query_dtype=self.dtype)
+
+    @precondition(lambda self: self.model)
+    @rule(qseed=seeds, k=st.integers(1, 4), data=st.data())
+    def search_masked(self, qseed, k, data):
+        pool = sorted(self.model)
+        admitted = set(data.draw(
+            st.lists(st.sampled_from(pool), max_size=6, unique=True)
+        ))
+        check_search(self.index, self.model, qseed, k, self.tol,
+                     mask_ids=admitted, query_dtype=self.dtype)
+
+    @invariant()
+    def counts_agree(self):
+        assert self.index.live == len(self.model)
+
+
+class IVFLifecycle(RuleBasedStateMachine):
+    """IVF with nprobe=nlist (full probe): exact modulo score precision,
+    so the flat model applies — which makes every structural op
+    (slotting, scatter, tombstones, growth, compact, rebalance,
+    persistence) checkable to 1e-3."""
+
+    dtype = "float32"
+    tol = 1e-3
+    NLIST = 4
+
+    def __init__(self):
+        super().__init__()
+        self.index = IVFIndex(
+            dim=DIM, metric="ip", dtype=self.dtype,
+            nlist=self.NLIST, train_iters=4,
+        )
+        self.index.train(rows_from_seed(12345, 64))
+        self.model: dict[int, np.ndarray] = {}
+        self.tmp = tempfile.mkdtemp(prefix="prop_ivf_")
+
+    def teardown(self):
+        shutil.rmtree(self.tmp, ignore_errors=True)
+
+    def _deq(self, rows, assigned_ids):
+        if self.dtype != "float32":
+            raise NotImplementedError
+        return rows.copy()
+
+    @rule(seed=seeds, n=st.integers(1, 6))
+    def add(self, seed, n):
+        rows = rows_from_seed(seed, n)
+        ids = self.index.add(rows)
+        assert len(ids) == n
+        deq = self._deq(rows, ids)
+        for j, i in enumerate(ids):
+            assert int(i) not in self.model
+            self.model[int(i)] = deq[j]
+
+    @precondition(lambda self: self.model)
+    @rule(data=st.data())
+    def remove(self, data):
+        pool = sorted(self.model)
+        chosen = data.draw(
+            st.lists(st.sampled_from(pool), min_size=1, max_size=4,
+                     unique=True)
+        )
+        n = self.index.remove(chosen)
+        assert n == len(chosen)
+        for i in chosen:
+            del self.model[i]
+
+    @rule()
+    def compact(self):
+        mapping = self.index.compact()
+        assert sorted(mapping) == sorted(self.model)
+        assert sorted(mapping.values()) == list(range(len(mapping)))
+        self.model = {mapping[i]: v for i, v in self.model.items()}
+
+    @precondition(lambda self: len(self.model) >= IVFLifecycle.NLIST)
+    @rule(seed=seeds)
+    def rebalance(self, seed):
+        # Ids must be preserved; rows move losslessly (f32).
+        self.index.rebalance(seed=seed)
+
+    @rule()
+    def reload(self):
+        path = f"{self.tmp}/index.tpusidx"
+        self.index.save(path)
+        self.index = IVFIndex.load(path)
+
+    @rule(qseed=seeds, k=st.integers(1, 4))
+    def search(self, qseed, k):
+        check_search(self.index, self.model, qseed, k, self.tol,
+                     nprobe=self.NLIST)
+
+    @precondition(lambda self: self.model)
+    @rule(qseed=seeds, k=st.integers(1, 4), data=st.data())
+    def search_masked(self, qseed, k, data):
+        pool = sorted(self.model)
+        admitted = set(data.draw(
+            st.lists(st.sampled_from(pool), max_size=6, unique=True)
+        ))
+        check_search(self.index, self.model, qseed, k, self.tol,
+                     mask_ids=admitted, nprobe=self.NLIST)
+
+    @invariant()
+    def counts_agree(self):
+        assert self.index.live == len(self.model)
+
+
+# One test class per storage dtype: the machines are identical, the
+# quantizer (and hence the model's dequantized rows) differs.
+for _dt in ("float32", "bfloat16", "int8", "int4"):
+    _cls = type(
+        f"FlatLifecycle_{_dt}", (FlatLifecycle,), {"dtype": _dt}
+    )
+    _tc = _cls.TestCase
+    _tc.settings = _SETTINGS
+    globals()[f"TestFlatLifecycle_{_dt}"] = _tc
+
+TestIVFLifecycle_f32 = IVFLifecycle.TestCase
+TestIVFLifecycle_f32.settings = _SETTINGS
+
+
+# --- Non-stateful properties -------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@hypothesis.given(seed=seeds, m=st.sampled_from([2, 4, 8]))
+def test_pq_adc_matches_decoded_dot(seed, m):
+    """The gather-free one-hot ADC scan must equal q . decode(code)
+    EXACTLY in exact arithmetic: ADC sums the per-subspace LUT entries
+    q_m . book[m, code_m], and decode concatenates the same book entries.
+    (ops/pq.py — the MXU formulation is an identity, not an
+    approximation; the only PQ loss is in encode's codeword choice.)"""
+    import jax.numpy as jnp
+
+    from tpu_search.ops.pq import decode_pq, encode_pq, pq_lut
+
+    rng = np.random.default_rng(seed)
+    rows = rng.standard_normal((12, DIM)).astype(np.float32)
+    books = rng.standard_normal((m, 16, DIM // m)).astype(np.float32)
+    q = rng.standard_normal((3, DIM)).astype(np.float32)
+
+    codes = np.asarray(encode_pq(jnp.asarray(rows), jnp.asarray(books)))
+    decoded = np.asarray(decode_pq(jnp.asarray(codes), jnp.asarray(books)))
+    lut = np.asarray(pq_lut(jnp.asarray(q), jnp.asarray(books)))
+    # lut: [Q, M, 16] — ADC score = sum_m lut[q, m, codes[r, m]].
+    adc = lut[:, np.arange(m)[None, :], codes.astype(int)].sum(axis=-1)
+    direct = q @ decoded.T
+    np.testing.assert_allclose(adc, direct, rtol=1e-4, atol=1e-4)
+
+
+@settings(max_examples=25, deadline=None)
+@hypothesis.given(seed=seeds, n=st.integers(1, 40))
+def test_int4_quantize_pack_roundtrip(seed, n):
+    """Host int4 quantize -> device word-pack -> unpack is lossless on the
+    nibble codes for any row count (incl. non-multiples of the 8-row
+    word)."""
+    import jax.numpy as jnp
+
+    from tpu_search.ops.int4_pack import pack_int4_rows, unpack_int4_rows
+
+    rng = np.random.default_rng(seed)
+    rows = rng.standard_normal((n, DIM)).astype(np.float32)
+    u, scales = quantize_rows_int4_host(rows)
+    assert u.min() >= 0 and u.max() <= 15
+    pad = (-n) % 8
+    upad = np.concatenate(
+        [u, np.zeros((pad, DIM), u.dtype)]) if pad else u
+    packed = pack_int4_rows(jnp.asarray(upad.astype(np.int8)))
+    back = np.asarray(unpack_int4_rows(packed))[:n]
+    np.testing.assert_array_equal(back, u)
+    # Dequantized error is bounded by scale/2 per component.
+    deq = (u.astype(np.float32) - 8.0) * scales[:, None]
+    assert np.all(np.abs(deq - rows) <= scales[:, None] * 0.5 + 1e-6)
