@@ -1,0 +1,176 @@
+"""Golden tests: the pure-Python byte-level BPE tokenizer
+(models/bpe_tokenizer.py, the RoBERTa/DistilRoBERTa family) must match the
+HF ``tokenizers`` Rust engine id-for-id — the same engine the reference's
+sentence-transformers stack tokenizes with
+(/root/reference/src/embeddings.py:86-97).
+
+The golden tokenizer is TRAINED in-test with the real HF trainer (no
+network): a ByteLevel BPE with RoBERTa post-processing, exactly the
+pipeline all-distilroberta-v1 ships in its tokenizer.json.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+tokenizers = pytest.importorskip("tokenizers")
+
+from tpu_search.models.bpe_tokenizer import (
+    ByteLevelBPETokenizer,
+    _pretokenize,
+    has_bpe_assets,
+)
+
+CORPUS = [
+    "Claude Code conversation history lives in JSONL transcripts.",
+    "def search(query: str, top_k: int = 10) -> list:",
+    "    return engine.search_conversations(query)[:top_k]",
+    "We'll re-index whenever files change; don't force it, I'd wait.",
+    "Unicode: naive cafe resume — naïve café résumé; ことばの意味; Привет!",
+    "Emoji soup: 🙂🚀🔥 and   runs   of   spaces\tand\ttabs\nnewlines",
+    "Numbers 12345 mixed42tokens 3.14159 0xDEADBEEF",
+    "punct!!! ((nested)) [brackets] {braces} 'quotes' \"double\"",
+] * 4
+
+BATTERY = [
+    "",
+    " ",
+    "   ",
+    "hello",
+    " hello",
+    "hello world",
+    "Hello, World!",
+    "don't we'll they're I'm you've he'd can't",
+    "DON'T SHOUT'S",  # uppercase: contraction pattern is case-sensitive
+    "trailing spaces   ",
+    "  leading and   internal   runs",
+    "tabs\tand\nnewlines\r\nmixed \t \n ws",
+    "a\nb",
+    " \n x",
+    "digits 007 42x 3.14",
+    "naïve café résumé — dash…ellipsis",
+    "ことば の 意味 🙂 🚀",
+    "mixed日本語andEnglish字",
+    "x'y ''s '' ' 's",
+    "!!'s ok",
+    "code: engine._fused_search(q, k=10) # comment",
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝖒𝖆𝖙𝖍 ½ ¾ №5",
+    "supercalifragilisticexpialidocious antidisestablishmentarianism",
+]
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train a real ByteLevel BPE with the HF trainer; save tokenizer.json
+    AND the legacy vocab.json/merges.txt pair."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+    from tokenizers import processors, trainers
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=600,
+        special_tokens=["<s>", "<pad>", "</s>", "<unk>", "<mask>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        show_progress=False,
+    )
+    tok.train_from_iterator(CORPUS, trainer)
+    tok.post_processor = processors.RobertaProcessing(
+        sep=("</s>", tok.token_to_id("</s>")),
+        cls=("<s>", tok.token_to_id("<s>")),
+    )
+    tok.decoder = decoders.ByteLevel()
+
+    tmp = tmp_path_factory.mktemp("bpe_assets")
+    tok.save(str(tmp / "tokenizer.json"))
+    tok.model.save(str(tmp))  # vocab.json + merges.txt
+    return tok, tmp
+
+
+@pytest.fixture(scope="module")
+def pure(trained):
+    """The pure-Python engine: loaded from tokenizer.json with the Rust
+    fast path DISABLED so the Python BPE itself is under test."""
+    _, tmp = trained
+    spec = json.loads((tmp / "tokenizer.json").read_text())
+    return ByteLevelBPETokenizer.from_tokenizer_json(spec, fast_path=None)
+
+
+class TestPretokenizer:
+    def test_matches_bytelevel_pretokenizer(self):
+        from tokenizers import pre_tokenizers
+
+        pre = pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=True)
+        for text in BATTERY:
+            want = [
+                piece for piece, _ in pre.pre_tokenize_str(text)
+            ]
+            # ByteLevel returns byte-mapped pieces; map ours the same way.
+            from tpu_search.models.bpe_tokenizer import bytes_to_unicode
+
+            enc = bytes_to_unicode()
+            got = [
+                "".join(enc[b] for b in t.encode("utf-8"))
+                for t in _pretokenize(text)
+            ]
+            assert got == want, f"pretokenize mismatch on {text!r}"
+
+
+class TestGoldenIds:
+    def test_encode_matches_rust_engine(self, trained, pure):
+        tok, _ = trained
+        for text in BATTERY + CORPUS:
+            want = tok.encode(text).ids  # includes <s>...</s>
+            got = pure.encode(text)
+            assert got == want, f"id mismatch on {text!r}"
+
+    def test_fast_path_identical(self, trained, tmp_path):
+        _, tmp = trained
+        via_dir = ByteLevelBPETokenizer.from_pretrained_dir(str(tmp))
+        assert via_dir._fast is not None  # tokenizer.json fast path
+        for text in BATTERY:
+            assert via_dir.encode(text) == pure_encode(tmp, text)
+
+    def test_vocab_merges_legacy_load(self, trained):
+        tok, tmp = trained
+        (tmp / "tokenizer.json").rename(tmp / "tokenizer.json.bak")
+        try:
+            legacy = ByteLevelBPETokenizer.from_pretrained_dir(str(tmp))
+            assert legacy._fast is None
+            for text in BATTERY:
+                want = tok.encode(text).ids
+                assert legacy.encode(text) == want, f"legacy {text!r}"
+        finally:
+            (tmp / "tokenizer.json.bak").rename(tmp / "tokenizer.json")
+
+    def test_truncation_and_specials(self, pure):
+        long = "word " * 400
+        ids = pure.encode(long, max_length=16)
+        assert len(ids) == 16
+        assert ids[0] == pure.bos_id and ids[-1] == pure.eos_id
+
+    def test_encode_batch_shapes(self, pure):
+        ids, mask = pure.encode_batch(["a", "bb cc dd"], max_length=32)
+        assert ids.shape == mask.shape
+        assert ids.dtype == np.int32
+        assert mask[0].sum() <= mask[1].sum()
+        # Padded lanes carry pad_id.
+        assert (ids[0][mask[0] == 0] == pure.pad_id).all()
+
+    def test_decode_roundtrip(self, pure):
+        text = "Hello, byte-level world! naïve 🙂"
+        assert pure.decode(pure.encode(text)) == text
+
+
+def pure_encode(tmp: Path, text: str):
+    spec = json.loads((tmp / "tokenizer.json").read_text())
+    t = ByteLevelBPETokenizer.from_tokenizer_json(spec, fast_path=None)
+    return t.encode(text)
+
+
+def test_has_bpe_assets(trained, tmp_path):
+    _, tmp = trained
+    assert has_bpe_assets(tmp)
+    assert not has_bpe_assets(tmp_path)

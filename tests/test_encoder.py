@@ -191,6 +191,79 @@ class TestXlmrModelPath:
         np.testing.assert_allclose(alone, batched, atol=1e-5)
 
 
+class TestRobertaModelPath:
+    """End-to-end: a RoBERTa-family checkpoint dir (byte-level BPE
+    tokenizer.json, no vocab.txt) must load with the BPE tokenizer
+    selected — the arch is ``xlmr`` (HF maps roberta and xlm-roberta onto
+    the same graph), so tokenizer dispatch is asset-driven."""
+
+    @pytest.fixture
+    def roberta_model_dir(self, tmp_path):
+        tokenizers = pytest.importorskip("tokenizers")
+        from tokenizers import (
+            Tokenizer, models, pre_tokenizers, processors, trainers,
+        )
+
+        model_dir = tmp_path / "models" / "tiny-roberta"
+        model_dir.mkdir(parents=True)
+        tok = Tokenizer(models.BPE())
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        trainer = trainers.BpeTrainer(
+            vocab_size=400,
+            special_tokens=["<s>", "<pad>", "</s>", "<unk>", "<mask>"],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+            show_progress=False,
+        )
+        tok.train_from_iterator(
+            ["tokens for the tiny roberta model", "a b c d e fused scan"],
+            trainer,
+        )
+        tok.post_processor = processors.RobertaProcessing(
+            sep=("</s>", tok.token_to_id("</s>")),
+            cls=("<s>", tok.token_to_id("<s>")),
+        )
+        tok.save(str(model_dir / "tokenizer.json"))
+
+        config = MPNetConfig(
+            vocab_size=tok.get_vocab_size(),
+            hidden_size=16,
+            num_layers=2,
+            num_heads=2,
+            intermediate_size=32,
+            max_position=96,
+            pad_token_id=1,
+            arch="xlmr",
+        )
+        params = init_params(config, jax.random.PRNGKey(0))
+        save_checkpoint(str(model_dir / "model.tpu.npz"), params, config)
+        return tmp_path / "models"
+
+    def test_load_and_encode(self, roberta_model_dir):
+        from tpu_search.models.bpe_tokenizer import ByteLevelBPETokenizer
+
+        gen = EmbeddingGenerator(
+            EmbeddingConfig(
+                model_name="tiny-roberta",
+                cache_dir=str(roberta_model_dir),
+                compute_dtype="float32",
+                device="cpu",
+                batch_size=4,
+            )
+        )
+        gen.load_model()
+        assert isinstance(gen._tokenizer, ByteLevelBPETokenizer)
+        vecs = gen._encode_texts(["tiny roberta model", "fused scan a b"])
+        assert vecs.shape == (2, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5
+        )
+        # pad-anchored positions: identical text embeds identically
+        # regardless of batch padding
+        alone = gen._encode_texts(["a b c"])[0]
+        batched = gen._encode_texts(["tokens " * 20, "a b c"])[1]
+        np.testing.assert_allclose(alone, batched, atol=1e-5)
+
+
 class TestValidation:
     def test_invalid_texts_handled(self):
         gen = EmbeddingGenerator(EmbeddingConfig(model_name="hash-32"))

@@ -35,6 +35,7 @@ from ..ingest.chunker import Chunk
 from ..utils.shapes import bucket_size
 from .hashing import HashingEncoder
 from .mpnet import MPNetConfig, encode as mpnet_encode
+from .bpe_tokenizer import ByteLevelBPETokenizer, has_bpe_assets
 from .sp_tokenizer import UnigramTokenizer, has_sp_assets
 from .tokenizer import WordPieceTokenizer
 
@@ -164,7 +165,15 @@ class EmbeddingGenerator:
             )
 
         self._load_prompts(model_dir)
-        if self._model_config.arch == "xlmr" or has_sp_assets(model_dir):
+        if has_bpe_assets(model_dir):
+            # RoBERTa family (all-distilroberta-v1 etc.): byte-level BPE.
+            # Checked before the arch gate — HF maps both roberta and
+            # xlm-roberta onto arch="xlmr" (the graphs are identical), so
+            # the tokenizer must dispatch on the shipped assets.
+            self._tokenizer = ByteLevelBPETokenizer.from_pretrained_dir(
+                str(model_dir)
+            )
+        elif self._model_config.arch == "xlmr" or has_sp_assets(model_dir):
             # XLM-R family ships a sentencepiece-unigram tokenizer, not a
             # WordPiece vocab.txt.
             self._tokenizer = UnigramTokenizer.from_pretrained_dir(

@@ -21,12 +21,13 @@ from pathlib import Path
 MODEL_NAME = "all-mpnet-base-v2"
 HF_REPO = "sentence-transformers/all-mpnet-base-v2"
 
-# Known sentence-transformers retrieval models (all three encoder families
-# are implemented: mpnet, bert/MiniLM, and xlm-roberta for the multilingual
-# models). Any other HF repo with a supported architecture also works via
-# --model org/name.
+# Known sentence-transformers retrieval models (all four encoder families
+# are implemented: mpnet, bert/MiniLM, roberta/distilroberta, and
+# xlm-roberta for the multilingual models). Any other HF repo with a
+# supported architecture also works via --model org/name.
 KNOWN_MODELS = {
     "all-mpnet-base-v2": "sentence-transformers/all-mpnet-base-v2",
+    "all-distilroberta-v1": "sentence-transformers/all-distilroberta-v1",
     "all-MiniLM-L6-v2": "sentence-transformers/all-MiniLM-L6-v2",
     "all-MiniLM-L12-v2": "sentence-transformers/all-MiniLM-L12-v2",
     "multi-qa-mpnet-base-dot-v1": "sentence-transformers/multi-qa-mpnet-base-dot-v1",
