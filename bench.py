@@ -895,66 +895,126 @@ def bench_embed() -> dict:
     return out
 
 
-def main() -> None:
+SECTIONS = {
+    "search": bench_search,
+    "ivf": bench_ivf,
+    "serving": bench_serving,
+    "embed": bench_embed,
+}
+
+# Generous wall-clock bounds per section (cold compiles included); a hung
+# section must not eat the whole bench run.
+_SECTION_TIMEOUT_S = {
+    "search": 2100,
+    "ivf": 2400,
+    "serving": 2400,
+    "embed": 1500,
+}
+
+
+def _run_section_child(name: str) -> None:
+    """Child-process entry: run ONE section on the device and print its
+    result dict as the last stdout line."""
     import jax
 
-    # Persistent compilation cache: repeat bench runs skip the ~minutes of
-    # XLA compiles (the driver reruns this every round).
+    if os.environ.get("BENCH_FORCE_CPU"):
+        # Smoke runs: the JAX_PLATFORMS env var is ignored under the axon
+        # tunnel — only the config knob keeps the run off the TPU.
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
-
     device = jax.devices()[0]
-    log(f"[bench] device: {device} ({device.platform})")
+    log(f"[bench:{name}] device: {device} ({device.platform})")
+    result = SECTIONS[name]()
+    print(json.dumps(result), flush=True)
 
-    def with_retry(fn, name):
-        # The remote compile service occasionally 500s transiently; one
-        # retry after a cooldown rescues the round's only bench run.
-        # The retry must happen OUTSIDE the except block: the live
-        # traceback pins every frame of the failed attempt — at 1M x 768
-        # that held gigabytes of device arrays through the retry, which
-        # then OOMed on a trivial allocation.
-        for attempt in (0, 1):
-            try:
-                return fn()
-            except Exception as exc:
-                if attempt:
-                    raise
-                msg = f"{type(exc).__name__}: {exc}"
-            log(f"[bench] {name} failed ({msg}); retrying in 60s...")
-            gc.collect()
-            log_hbm(f"{name} retry, post-gc")
-            time.sleep(60)
 
-    search = with_retry(bench_search, "search")
-    gc.collect()
-    ivf = with_retry(bench_ivf, "ivf")
-    gc.collect()
-    log_hbm("ivf done")
-    serving = with_retry(bench_serving, "serving")
-    gc.collect()
-    embed = with_retry(bench_embed, "embed")
+def _run_section(name: str) -> dict:
+    """Run a section in its own subprocess and parse its result.
 
-    log(
-        "[bench] search 1Mx768: "
-        f"f32 qps_b1={search['qps_b1_f32']:.1f} p50={search['p50_ms_f32']:.2f}ms "
-        f"recall={search['recall_f32']:.4f} | "
-        f"bf16 qps_b1={search['qps_b1_bf16']:.1f} "
-        f"p50={search['p50_ms_bf16']:.2f}ms recall={search['recall_bf16']:.4f} "
-        f"qps_b128={search['qps_b128_bf16']:.0f} | "
-        f"int8 qps_b1={search['qps_b1_int8']:.1f} "
-        f"p50={search['p50_ms_int8']:.2f}ms recall={search['recall_int8']:.4f} "
-        f"qps_b128={search['qps_b128_int8']:.0f} | "
-        f"filtered_qps_b1={search['filtered_qps_b1_bf16']:.1f}"
-    )
-    tps = embed["texts_per_s_seq384_b128"]
-    log(
-        f"[bench] embed: {tps:.1f} texts/s seq384 "
-        f"({tps / BASELINE_EMBED_TPS:.1f}x CPU ref, "
-        f"{tps / 1000.0:.1f}x CUDA ref)"
-    )
+    Isolation is load-bearing, not hygiene: this rig's experimental axon
+    backend retains freed HBM within a process (jax.live_arrays() is
+    empty after bench_search yet a fresh 3 GB allocation OOMs), so a
+    single-process bench starves its later sections.  A fresh process per
+    section starts with a clean chip (attach ~9 s after a clean exit) and
+    lets a section OOM/crash without taking the whole bench down.  One
+    retry per section covers the transiently-500ing remote compile
+    helper.
+    """
+    import subprocess
+
+    timeout_s = _SECTION_TIMEOUT_S.get(name, 1800)
+    for attempt in (0, 1):
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--section", name],
+                stdout=subprocess.PIPE,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            # A killed TPU process holds the chip for ~1-2 min.
+            log(f"[bench] section {name} timed out after {timeout_s}s")
+            if attempt:
+                return {}
+            time.sleep(120)
+            continue
+        took = time.perf_counter() - t0
+        if proc.returncode == 0:
+            for line in reversed(
+                proc.stdout.decode(errors="replace").strip().splitlines()
+            ):
+                try:
+                    result = json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                if isinstance(result, dict):
+                    log(f"[bench] section {name} done in {took:.0f}s")
+                    return result
+        log(
+            f"[bench] section {name} failed "
+            f"(rc={proc.returncode}, {took:.0f}s)"
+            + ("" if attempt else "; retrying in 30s...")
+        )
+        if not attempt:
+            time.sleep(30)
+    return {}
+
+
+def main() -> None:
+    if "--section" in sys.argv:
+        _run_section_child(sys.argv[sys.argv.index("--section") + 1])
+        return
+
+    search = _run_section("search")
+    ivf = _run_section("ivf")
+    serving = _run_section("serving")
+    embed = _run_section("embed")
+
+    if search:
+        log(
+            "[bench] search 1Mx768: "
+            f"f32 qps_b1={search['qps_b1_f32']:.1f} p50={search['p50_ms_f32']:.2f}ms "
+            f"recall={search['recall_f32']:.4f} | "
+            f"bf16 qps_b1={search['qps_b1_bf16']:.1f} "
+            f"p50={search['p50_ms_bf16']:.2f}ms recall={search['recall_bf16']:.4f} "
+            f"qps_b128={search['qps_b128_bf16']:.0f} | "
+            f"int8 qps_b1={search['qps_b1_int8']:.1f} "
+            f"p50={search['p50_ms_int8']:.2f}ms recall={search['recall_int8']:.4f} "
+            f"qps_b128={search['qps_b128_int8']:.0f} | "
+            f"filtered_qps_b1={search['filtered_qps_b1_bf16']:.1f}"
+        )
+    tps = embed.get("texts_per_s_seq384_b128", 0.0)
+    if tps:
+        log(
+            f"[bench] embed: {tps:.1f} texts/s seq384 "
+            f"({tps / BASELINE_EMBED_TPS:.1f}x CPU ref, "
+            f"{tps / 1000.0:.1f}x CUDA ref)"
+        )
 
     # Headline: MEASURED end-to-end serving QPS through a real socket —
     # 32 concurrent clients, each issuing independent single-query top-10
@@ -967,32 +1027,54 @@ def main() -> None:
     # detail.serving_serial_qps is one client paying this rig's measured
     # host-tunnel RTT per dispatch (rtt_floor_ms); the device-side cost of
     # the same program is detail.fused_device_ms_*.
-    serving_qps = serving["serving_qps_c32"]
-    serving_qps_c16 = serving["serving_qps_c16"]
-    fused_qps = search["fused_qps_b1_bf16"]
-    colocated_qps = 1000.0 / search["fused_device_ms_bf16"]
-    headline = {
-        "metric": "serving_e2e_qps_1M768_c32clients_b1_recall10",
-        "value": round(serving_qps, 1),
-        "unit": "qps",
-        "vs_baseline": round(serving_qps / BASELINE_SEARCH_QPS, 1),
-        "serving_recall10": round(serving["serving_recall10"], 4),
-        "serving_p50_ms": round(serving["serving_p50_ms_c32"], 1),
-        "serving_p99_ms": round(serving["serving_p99_ms_c32"], 1),
-        "serving_qps_c8": round(serving["serving_qps_c8"], 1),
-        "serving_qps_c16": round(serving_qps_c16, 1),
-        "serving_vs_baseline_c16": round(
-            serving_qps_c16 / BASELINE_SEARCH_QPS, 1
-        ),
-        "serial_qps": round(serving["serving_serial_qps"], 1),
-        "rtt_floor_ms": round(search["rtt_floor_ms"], 1),
-        "fused_1dispatch_qps_b1": round(fused_qps, 2),
-        "colocated_qps": round(colocated_qps, 1),
-        "detail": {
-            k: (round(v, 3) if isinstance(v, float) else v)
-            for k, v in {**search, **ivf, **serving, **embed}.items()
-        },
+    detail = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in {**search, **ivf, **serving, **embed}.items()
     }
+    for name, result in (
+        ("search", search), ("ivf", ivf),
+        ("serving", serving), ("embed", embed),
+    ):
+        if not result:
+            detail[f"{name}_section_failed"] = True
+
+    if serving:
+        serving_qps = serving["serving_qps_c32"]
+        serving_qps_c16 = serving["serving_qps_c16"]
+        headline = {
+            "metric": "serving_e2e_qps_1M768_c32clients_b1_recall10",
+            "value": round(serving_qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(serving_qps / BASELINE_SEARCH_QPS, 1),
+            "serving_recall10": round(serving["serving_recall10"], 4),
+            "serving_p50_ms": round(serving["serving_p50_ms_c32"], 1),
+            "serving_p99_ms": round(serving["serving_p99_ms_c32"], 1),
+            "serving_qps_c8": round(serving["serving_qps_c8"], 1),
+            "serving_qps_c16": round(serving_qps_c16, 1),
+            "serving_vs_baseline_c16": round(
+                serving_qps_c16 / BASELINE_SEARCH_QPS, 1
+            ),
+            "serial_qps": round(serving["serving_serial_qps"], 1),
+        }
+    else:
+        # Degraded fallback: serving section failed — headline the fused
+        # one-dispatch single-query e2e from the search section instead.
+        fused = search.get("fused_qps_b1_bf16", 0.0)
+        headline = {
+            "metric": "fused_e2e_search_qps_1M768_b1_recall10",
+            "value": round(fused, 2),
+            "unit": "qps",
+            "vs_baseline": round(fused / BASELINE_SEARCH_QPS, 2),
+        }
+    if search:
+        headline["rtt_floor_ms"] = round(search["rtt_floor_ms"], 1)
+        headline["fused_1dispatch_qps_b1"] = round(
+            search["fused_qps_b1_bf16"], 2
+        )
+        headline["colocated_qps"] = round(
+            1000.0 / search["fused_device_ms_bf16"], 1
+        )
+    headline["detail"] = detail
     print(json.dumps(headline), flush=True)
 
 
