@@ -29,6 +29,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -60,6 +61,16 @@ def log_hbm(tag: str) -> None:
         used = stats.get("bytes_in_use")
         if used is not None:
             log(f"[hbm] {tag}: {used / 2**30:.2f} GiB in use")
+            return
+        # The axon backend reports no memory stats; fall back to the
+        # Python-side live-array total (misses backend-internal buffers
+        # but catches every leak in OUR hands).
+        arrs = jax.live_arrays()
+        tot = sum(a.nbytes for a in arrs)
+        log(
+            f"[hbm] {tag}: {tot / 2**30:.2f} GiB in "
+            f"{len(arrs)} live arrays"
+        )
     except Exception:
         pass
 
@@ -370,6 +381,7 @@ def bench_ivf() -> dict:
     corpus, queries_dev = make_corpus(jax.random.PRNGKey(21))
     float(corpus[0, 0])
     queries = np.asarray(queries_dev)
+    log_hbm("ivf corpus+queries")
 
     # Exact reference ids (on-device f32 brute force at HIGHEST).
     brute = jax.jit(
@@ -387,8 +399,22 @@ def bench_ivf() -> dict:
     rng = np.random.default_rng(22)
     train_idx = rng.choice(n, min(n, 500_000), replace=False)
 
+    # One dtype leg per process by default: the axon backend retains
+    # device memory that jax.live_arrays() cannot see (each leg's freed
+    # build transients accumulate across legs — 3 legs in, the pq leg
+    # OOMs on a 96 KB upload while live arrays total 4 GiB).  The
+    # orchestrator runs the four legs as four subprocesses and merges
+    # their dicts; a manual `--section ivf` run without the env var still
+    # covers all four in one process.
+    dtypes = tuple(
+        d
+        for d in os.environ.get(
+            "BENCH_IVF_DTYPES", "bfloat16,int8,int4,pq"
+        ).split(",")
+        if d
+    )
     out = {}
-    for dtype in ("bfloat16", "int8", "int4", "pq"):
+    for dtype in dtypes:
         index = IVFIndex(dim=dim, dtype=dtype, nlist=nlist, train_iters=40)
         t0 = time.perf_counter()
         index.train(jnp.take(corpus, jnp.asarray(train_idx), axis=0))
@@ -396,6 +422,7 @@ def bench_ivf() -> dict:
         t0 = time.perf_counter()
         index.add(corpus)  # device adoption, no host roundtrip
         add_s = time.perf_counter() - t0
+        log_hbm(f"ivf {dtype} built")
 
         _, got = index.search(
             queries[:RECALL_SAMPLE], k=k, nprobe=nprobe
@@ -493,26 +520,18 @@ def bench_ivf() -> dict:
         index.clear()
         del index, buffers
 
-    log(
-        f"[ivf] nlist={nlist} nprobe={nprobe}: "
-        f"bf16 recall={out['ivf_recall_bf16']:.4f} "
-        f"qps_b128={out['ivf_qps_b128_bf16']:.0f} "
-        f"dev_q1={out['ivf_dev_q1_ms_bf16']:.2f}ms "
-        f"({out['ivf_kernel_bf16']}) | "
-        f"int8 recall={out['ivf_recall_int8']:.4f} "
-        f"qps_b128={out['ivf_qps_b128_int8']:.0f} "
-        f"dev_q1={out['ivf_dev_q1_ms_int8']:.2f}ms "
-        f"({out['ivf_kernel_int8']}) | "
-        f"int4 recall={out['ivf_recall_int4']:.4f} "
-        f"qps_b128={out['ivf_qps_b128_int4']:.0f} "
-        f"dev_q1={out['ivf_dev_q1_ms_int4']:.2f}ms "
-        f"({out['ivf_kernel_int4']}) | "
-        f"pq recall={out['ivf_recall_pq']:.4f} "
-        f"qps_b128={out['ivf_qps_b128_pq']:.0f} "
-        f"dev_q1={out['ivf_dev_q1_ms_pq']:.2f}ms "
-        f"({out['ivf_kernel_pq']}) | "
-        f"fused e2e p50={out['ivf_fused_e2e_p50_ms']:.1f}ms"
-    )
+    parts = []
+    for dtype in dtypes:
+        key = "bf16" if dtype == "bfloat16" else dtype
+        parts.append(
+            f"{key} recall={out[f'ivf_recall_{key}']:.4f} "
+            f"qps_b128={out[f'ivf_qps_b128_{key}']:.0f} "
+            f"dev_q1={out[f'ivf_dev_q1_ms_{key}']:.2f}ms "
+            f"({out[f'ivf_kernel_{key}']})"
+        )
+    if "ivf_fused_e2e_p50_ms" in out:
+        parts.append(f"fused e2e p50={out['ivf_fused_e2e_p50_ms']:.1f}ms")
+    log(f"[ivf] nlist={nlist} nprobe={nprobe}: " + " | ".join(parts))
     del corpus, queries_dev
     gc.collect()
     return out
@@ -906,7 +925,7 @@ SECTIONS = {
 # section must not eat the whole bench run.
 _SECTION_TIMEOUT_S = {
     "search": 2100,
-    "ivf": 2400,
+    "ivf": 1500,  # per dtype leg (the orchestrator runs four)
     "serving": 2400,
     "embed": 1500,
 }
@@ -932,7 +951,9 @@ def _run_section_child(name: str) -> None:
     print(json.dumps(result), flush=True)
 
 
-def _run_section(name: str) -> dict:
+def _run_section(
+    name: str, env_extra: Optional[dict] = None, tag: Optional[str] = None
+) -> dict:
     """Run a section in its own subprocess and parse its result.
 
     Isolation is load-bearing, not hygiene: this rig's experimental axon
@@ -947,6 +968,8 @@ def _run_section(name: str) -> dict:
     import subprocess
 
     timeout_s = _SECTION_TIMEOUT_S.get(name, 1800)
+    tag = tag or name
+    env = dict(os.environ, **(env_extra or {}))
     for attempt in (0, 1):
         t0 = time.perf_counter()
         try:
@@ -955,10 +978,11 @@ def _run_section(name: str) -> dict:
                  "--section", name],
                 stdout=subprocess.PIPE,
                 timeout=timeout_s,
+                env=env,
             )
         except subprocess.TimeoutExpired:
             # A killed TPU process holds the chip for ~1-2 min.
-            log(f"[bench] section {name} timed out after {timeout_s}s")
+            log(f"[bench] section {tag} timed out after {timeout_s}s")
             if attempt:
                 return {}
             time.sleep(120)
@@ -973,10 +997,10 @@ def _run_section(name: str) -> dict:
                 except (json.JSONDecodeError, ValueError):
                     continue
                 if isinstance(result, dict):
-                    log(f"[bench] section {name} done in {took:.0f}s")
+                    log(f"[bench] section {tag} done in {took:.0f}s")
                     return result
         log(
-            f"[bench] section {name} failed "
+            f"[bench] section {tag} failed "
             f"(rc={proc.returncode}, {took:.0f}s)"
             + ("" if attempt else "; retrying in 30s...")
         )
@@ -991,7 +1015,19 @@ def main() -> None:
         return
 
     search = _run_section("search")
-    ivf = _run_section("ivf")
+    # One IVF dtype leg per subprocess: the legs' freed build transients
+    # accumulate in backend-retained memory (invisible to live_arrays),
+    # and three legs in, the fourth OOMs — see bench_ivf.
+    ivf: dict = {}
+    ivf_legs_failed = []
+    for dt in ("bfloat16", "int8", "int4", "pq"):
+        part = _run_section(
+            "ivf", env_extra={"BENCH_IVF_DTYPES": dt}, tag=f"ivf:{dt}"
+        )
+        if part:
+            ivf.update(part)
+        else:
+            ivf_legs_failed.append(dt)
     serving = _run_section("serving")
     embed = _run_section("embed")
 
@@ -1032,11 +1068,12 @@ def main() -> None:
         for k, v in {**search, **ivf, **serving, **embed}.items()
     }
     for name, result in (
-        ("search", search), ("ivf", ivf),
-        ("serving", serving), ("embed", embed),
+        ("search", search), ("serving", serving), ("embed", embed),
     ):
         if not result:
             detail[f"{name}_section_failed"] = True
+    if ivf_legs_failed:
+        detail["ivf_legs_failed"] = ivf_legs_failed
 
     if serving:
         serving_qps = serving["serving_qps_c32"]

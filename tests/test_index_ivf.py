@@ -159,6 +159,21 @@ class TestPersistence:
         s2, i2 = loaded.search(queries, k=5, nprobe=8)
         assert np.array_equal(i1, i2)
 
+    def test_trained_empty_roundtrip_then_add(self, corpus, tmp_path):
+        """Trained-but-empty save/load must leave an index that can add:
+        host centroids persist but no device copy exists until the first
+        mutation (found by the lifecycle property machine)."""
+        ivf = IVFIndex(dim=32, dtype="float32", nlist=16)
+        ivf.train(corpus)
+        path = tmp_path / "empty.tpuidx"
+        ivf.save(str(path))
+        loaded = load_index(str(path))
+        assert loaded.is_trained and loaded.ntotal == 0
+        ids = loaded.add(np.asarray(corpus)[:10])
+        assert len(ids) == 10
+        _, got = loaded.search(np.asarray(corpus)[0], k=3, nprobe=16)
+        assert got[0, 0] == 0
+
     def test_registry_create(self):
         index = create_index("ivf", dim=16, dtype="float32", nlist=7)
         assert isinstance(index, IVFIndex)

@@ -271,6 +271,22 @@ class TestPersistence:
         np.testing.assert_allclose(s1, s2, rtol=2e-5, atol=1e-6)
         np.testing.assert_array_equal(i1, i2)
 
+    def test_trained_empty_roundtrip_then_add(self, mesh, corpus, tmp_path):
+        """Same lifecycle hole as the single-chip index: a trained-but-
+        empty save/load must hydrate replicated centroids on first add."""
+        sharded = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="float32", nlist=8
+        )
+        sharded.train(corpus)
+        path = str(tmp_path / "empty.tpuidx")
+        sharded.save(path)
+        loaded = ShardedIVFIndex.load(path, mesh)
+        assert loaded.is_trained and loaded.ntotal == 0
+        ids = loaded.add(np.asarray(corpus)[:10])
+        assert len(ids) == 10
+        _, got = loaded.search(np.asarray(corpus)[0], k=3, nprobe=8)
+        assert got[0, 0] == 0
+
     @pytest.mark.parametrize("dtype", ["bfloat16", "int8", "int4", "pq"])
     def test_sharded_save_loads_in_single_chip(
         self, mesh, corpus, queries, tmp_path, dtype

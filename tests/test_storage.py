@@ -343,6 +343,26 @@ class TestPersistence:
             assert results[0].chunk_id == "c1"
             assert s2.total_chunks == 1
 
+    def test_reload_adopts_persisted_dim(self, tmp_path):
+        """A model-less open (claude-stats, warm-server stats) must report
+        the on-disk index's dimension, not the config default — and keep
+        subsequent adds consistent with the persisted corpus."""
+        config = StorageConfig(
+            data_dir=str(tmp_path), embedding_dim=4, auto_save=True,
+            storage_dtype="float32", device="cpu",
+        )
+        with HybridStorage(config) as s:
+            s.add_chunks([make_chunk("c1", "persisted", E1)])
+
+        default_cfg = StorageConfig(
+            data_dir=str(tmp_path), auto_save=False,
+            storage_dtype="float32", device="cpu",
+        )
+        assert default_cfg.embedding_dim == 768
+        with HybridStorage(default_cfg) as s2:
+            assert s2.embedding_dim == 4
+            assert s2.get_stats()["embedding_dimension"] == 4
+
     def test_backup_restore(self, storage, tmp_path):
         storage.add_chunks(
             [make_chunk("c1", "a", E1), make_chunk("c2", "b", E2)]

@@ -1282,7 +1282,11 @@ class IVFIndex:
             if n < self.nlist:
                 self.nlist = max(1, n // 2 or 1)
             self.train(vectors)
-            self._materialize()
+        # Idempotent: also hydrates _dcent for a TRAINED-BUT-EMPTY index
+        # loaded from disk (host centroids persisted, cap == 0, so
+        # _load_streamed returned before any device upload — found by the
+        # lifecycle property machine: train -> save -> load -> add).
+        self._materialize()
 
         b = bucket_size(n, _UPDATE_BUCKETS)
         with jax.default_device(self.device):

@@ -674,6 +674,10 @@ class ShardedIVFIndex:
             if n < self.nlist:
                 self.nlist = max(1, n // 2 or 1)
             self.train(vectors)
+        # Idempotent; hydrates _dcent for a trained-but-empty index loaded
+        # from disk (same lifecycle hole as IVFIndex.add — host centroids
+        # persisted, no device copy yet).
+        self._materialize()
 
         b = bucket_size(n, _UPDATE_BUCKETS)
         if on_device:

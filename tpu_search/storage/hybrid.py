@@ -386,6 +386,16 @@ class HybridStorage:
                 self.logger.info(
                     "Loaded index with %d vectors", self.index.ntotal
                 )
+                # The on-disk index is authoritative for the dimension:
+                # a model-less open (claude-stats, warm-server stats op)
+                # otherwise reports the config default and a subsequent
+                # add would build mismatched buffers.  The engine's
+                # _sync_embedding_dim still forces a reindex when the
+                # LOADED MODEL disagrees — this only aligns storage with
+                # its own persisted corpus.
+                if self.index.dim != self.embedding_dim:
+                    self.embedding_dim = self.index.dim
+                    self.config.embedding_dim = self.index.dim
             except Exception as exc:
                 self.logger.warning("Could not load existing index: %s", exc)
                 self.index = None
