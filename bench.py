@@ -409,13 +409,25 @@ def bench_ivf() -> dict:
     dtypes = tuple(
         d
         for d in os.environ.get(
-            "BENCH_IVF_DTYPES", "bfloat16,int8,int4,pq"
+            "BENCH_IVF_DTYPES", "bfloat16,int8,int4,pq,pq_refine"
         ).split(",")
         if d
     )
     out = {}
-    for dtype in dtypes:
-        index = IVFIndex(dim=dim, dtype=dtype, nlist=nlist, train_iters=40)
+    for spec in dtypes:
+        # "<dtype>_refine" legs add the id-keyed int8 refine tier (FAISS
+        # IndexRefine analog): the coarse pq scan over-fetches
+        # k*refine_factor candidates and one gather+matmul re-ranks them
+        # in the same program — measuring how much recall the tier buys
+        # back at 1M on hardware at unchanged probe-scan bandwidth.
+        refine = spec.endswith("_refine")
+        dtype = spec[: -len("_refine")] if refine else spec
+        refine_factor = int(os.environ.get("BENCH_REFINE_FACTOR", "32"))
+        index = IVFIndex(
+            dim=dim, dtype=dtype, nlist=nlist, train_iters=40,
+            refine_dtype="int8" if refine else "none",
+            refine_factor=refine_factor,
+        )
         t0 = time.perf_counter()
         index.train(jnp.take(corpus, jnp.asarray(train_idx), axis=0))
         train_s = time.perf_counter() - t0
@@ -460,12 +472,14 @@ def bench_ivf() -> dict:
         t_lo, t_hi = _chain(10), _chain(60)
         dev_q1_ms = max(t_hi - t_lo, 0.0) / 50 * 1e3
 
-        key = "bf16" if dtype == "bfloat16" else dtype
+        key = ("bf16" if dtype == "bfloat16" else dtype) + (
+            "_refine" if refine else ""
+        )
         out[f"ivf_recall_{key}"] = recall
         out[f"ivf_qps_b128_{key}"] = qps_b128
         out[f"ivf_dev_q1_ms_{key}"] = dev_q1_ms
         out[f"ivf_kernel_{key}"] = scan_key[0]
-        if dtype == "bfloat16":
+        if dtype == "bfloat16" and not refine:
             out["ivf_train_s"] = train_s
             out["ivf_add_s"] = add_s
             # Fused single-query IVF e2e: token ids -> full mpnet encode
@@ -521,8 +535,8 @@ def bench_ivf() -> dict:
         del index, buffers
 
     parts = []
-    for dtype in dtypes:
-        key = "bf16" if dtype == "bfloat16" else dtype
+    for spec in dtypes:
+        key = spec.replace("bfloat16", "bf16")
         parts.append(
             f"{key} recall={out[f'ivf_recall_{key}']:.4f} "
             f"qps_b128={out[f'ivf_qps_b128_{key}']:.0f} "
@@ -1020,7 +1034,7 @@ def main() -> None:
     # and three legs in, the fourth OOMs — see bench_ivf.
     ivf: dict = {}
     ivf_legs_failed = []
-    for dt in ("bfloat16", "int8", "int4", "pq"):
+    for dt in ("bfloat16", "int8", "int4", "pq", "pq_refine"):
         part = _run_section(
             "ivf", env_extra={"BENCH_IVF_DTYPES": dt}, tag=f"ivf:{dt}"
         )
