@@ -317,6 +317,85 @@ class IVFLifecycle(RuleBasedStateMachine):
         assert self.index.live == len(self.model)
 
 
+class ShardedFlatLifecycle(FlatLifecycle):
+    """Same model, same rules — over the 8-virtual-device mesh (per-shard
+    scan + ICI all_gather merge, round-robin placement, per-shard word
+    packing).  The most complex structural code in the repo gets the same
+    randomized lifecycle coverage as the single-chip engines."""
+
+    dtype = "float32"
+
+    def __init__(self):
+        # Skip FlatLifecycle.__init__ but keep the machine plumbing.
+        RuleBasedStateMachine.__init__(self)
+        import jax
+
+        from tpu_search.parallel.mesh import build_mesh
+        from tpu_search.parallel.sharded_index import ShardedFlatIndex
+
+        mesh = build_mesh(n_data=len(jax.devices()), n_model=1)
+        self._mesh = mesh
+        self.index = ShardedFlatIndex(
+            dim=DIM, mesh=mesh, metric="ip", dtype=self.dtype
+        )
+        self.model = {}
+        self.tmp = tempfile.mkdtemp(prefix="prop_sflat_")
+
+    @rule()
+    def reload(self):
+        from tpu_search.parallel.sharded_index import ShardedFlatIndex
+
+        path = f"{self.tmp}/index.tpusidx"
+        self.index.save(path)
+        self.index = ShardedFlatIndex.load(path, self._mesh)
+
+
+class ShardedIVFLifecycle(IVFLifecycle):
+    """IVF over the mesh: replicated centroids, slot-sharded cluster
+    blocks, shard-local scatters — full probe keeps it exact vs the flat
+    model."""
+
+    dtype = "float32"
+
+    def __init__(self):
+        RuleBasedStateMachine.__init__(self)
+        import jax
+
+        from tpu_search.parallel.mesh import build_mesh
+        from tpu_search.parallel.sharded_ivf import ShardedIVFIndex
+
+        mesh = build_mesh(n_data=len(jax.devices()), n_model=1)
+        self._mesh = mesh
+        self.index = ShardedIVFIndex(
+            dim=DIM, mesh=mesh, metric="ip", dtype=self.dtype,
+            nlist=self.NLIST, train_iters=4,
+        )
+        self.index.train(rows_from_seed(12345, 64))
+        self.model = {}
+        self.tmp = tempfile.mkdtemp(prefix="prop_sivf_")
+
+    @rule()
+    def reload(self):
+        from tpu_search.parallel.sharded_ivf import ShardedIVFIndex
+
+        path = f"{self.tmp}/index.tpusidx"
+        self.index.save(path)
+        self.index = ShardedIVFIndex.load(path, self._mesh)
+
+
+# Mesh machines pay a shard_map compile per new program shape; fewer,
+# shorter examples keep the suite's CPU budget sane.
+_MESH_SETTINGS = settings(
+    max_examples=5,
+    stateful_step_count=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+
 # One test class per storage dtype: the machines are identical, the
 # quantizer (and hence the model's dequantized rows) differs.
 for _dt in ("float32", "bfloat16", "int8", "int4"):
@@ -329,6 +408,11 @@ for _dt in ("float32", "bfloat16", "int8", "int4"):
 
 TestIVFLifecycle_f32 = IVFLifecycle.TestCase
 TestIVFLifecycle_f32.settings = _SETTINGS
+
+TestShardedFlatLifecycle_f32 = ShardedFlatLifecycle.TestCase
+TestShardedFlatLifecycle_f32.settings = _MESH_SETTINGS
+TestShardedIVFLifecycle_f32 = ShardedIVFLifecycle.TestCase
+TestShardedIVFLifecycle_f32.settings = _MESH_SETTINGS
 
 
 # --- Non-stateful properties -------------------------------------------------
