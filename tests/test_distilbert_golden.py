@@ -1,0 +1,104 @@
+"""Golden tests: the DistilBERT path (multi-qa-distilbert-*,
+msmarco-distilbert-* sentence-transformers models) must reproduce HF torch
+DistilBertModel numerics — same gate as the MPNet/BERT/XLM-R goldens.
+DistilBERT is the BERT graph minus token-type embeddings (tt0 synthesized
+as zeros by the converter) with its own HF module/config naming and
+LayerNorm eps=1e-12."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from tpu_search.models.convert import (
+    config_from_hf,
+    params_from_bert_state_dict,
+)
+from tpu_search.models.mpnet import encode, forward_hidden
+
+SMALL_DISTILBERT_CONFIG = dict(
+    model_type="distilbert",
+    vocab_size=130,
+    dim=32,
+    n_layers=3,
+    n_heads=4,
+    hidden_dim=64,
+    max_position_embeddings=44,
+    pad_token_id=0,
+    activation="gelu",
+    sinusoidal_pos_embds=False,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    torch.manual_seed(0)
+    hf = transformers.DistilBertConfig(
+        **{
+            k: v
+            for k, v in SMALL_DISTILBERT_CONFIG.items()
+            if k != "model_type"
+        }
+    )
+    model = transformers.DistilBertModel(hf)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(torch_model):
+    config = config_from_hf(SMALL_DISTILBERT_CONFIG)
+    assert config.arch == "bert"
+    assert config.layer_norm_eps == 1e-12
+    assert config.num_layers == 3
+    assert config.intermediate_size == 64
+    params = params_from_bert_state_dict(torch_model.state_dict(), config)
+    assert float(np.abs(np.asarray(params["embeddings"]["tt0"])).sum()) == 0
+    return params, config
+
+
+def make_batch(rng, batch=3, seq=15, pad_token=0, vocab=130):
+    ids = rng.integers(4, vocab, size=(batch, seq))
+    lengths = rng.integers(5, seq + 1, size=batch)
+    mask = np.zeros((batch, seq), dtype=np.int64)
+    for row, n in enumerate(lengths):
+        mask[row, :n] = 1
+        ids[row, n:] = pad_token
+    return ids.astype(np.int64), mask
+
+
+def test_hidden_state_parity(torch_model, jax_setup):
+    params, config = jax_setup
+    rng = np.random.default_rng(1)
+    ids, mask = make_batch(rng)
+    with torch.no_grad():
+        ref = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        forward_hidden(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], ref[valid], atol=5e-4)
+
+
+def test_sentence_embedding_cosine(torch_model, jax_setup):
+    params, config = jax_setup
+    rng = np.random.default_rng(2)
+    ids, mask = make_batch(rng, batch=5, seq=18)
+    with torch.no_grad():
+        hidden = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state
+    m = torch.tensor(mask).unsqueeze(-1).float()
+    pooled = (hidden * m).sum(1) / m.sum(1).clamp(min=1e-9)
+    ref = torch.nn.functional.normalize(pooled, p=2, dim=1).numpy()
+
+    got = np.asarray(
+        encode(params, jnp.asarray(ids), jnp.asarray(mask), config)
+    )
+    cosines = np.sum(ref * got, axis=1)
+    assert (cosines > 0.9999).all(), cosines

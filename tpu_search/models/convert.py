@@ -34,7 +34,7 @@ def _strip_prefixes(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     for key, value in state_dict.items():
         for prefix in (
             "0.auto_model.", "auto_model.", "mpnet.", "bert.", "roberta.",
-            "model.",
+            "distilbert.", "model.",
         ):
             if key.startswith(prefix):
                 key = key[len(prefix):]
@@ -99,8 +99,25 @@ def params_from_state_dict(
 
 
 def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
-    """HF config.json dict -> MPNetConfig (mpnet, bert AND xlm-roberta)."""
+    """HF config.json dict -> MPNetConfig (mpnet, bert, distilbert AND
+    xlm-roberta)."""
     model_type = hf_config.get("model_type", "mpnet")
+    if model_type == "distilbert":
+        # DistilBERT is the BERT graph minus token-type embeddings (the
+        # converter synthesizes tt0 = 0), with its own HF config field
+        # names and a hardcoded LayerNorm eps (HF DistilBertModel uses
+        # nn.LayerNorm(..., eps=1e-12) unconditionally).
+        return MPNetConfig(
+            vocab_size=hf_config.get("vocab_size", 30522),
+            hidden_size=hf_config.get("dim", 768),
+            num_layers=hf_config.get("n_layers", 6),
+            num_heads=hf_config.get("n_heads", 12),
+            intermediate_size=hf_config.get("hidden_dim", 3072),
+            max_position=hf_config.get("max_position_embeddings", 512),
+            layer_norm_eps=1e-12,
+            pad_token_id=hf_config.get("pad_token_id", 0),
+            arch="bert",
+        )
     if model_type == "bert":
         arch = "bert"
     elif model_type in ("xlm-roberta", "roberta", "camembert"):
@@ -123,14 +140,49 @@ def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
     )
 
 
+_DISTILBERT_LAYER_KEYS = {
+    "attention.q_lin": "attention.self.query",
+    "attention.k_lin": "attention.self.key",
+    "attention.v_lin": "attention.self.value",
+    "attention.out_lin": "attention.output.dense",
+    "sa_layer_norm": "attention.output.LayerNorm",
+    "ffn.lin1": "intermediate.dense",
+    "ffn.lin2": "output.dense",
+    "output_layer_norm": "output.LayerNorm",
+}
+
+
+def _distilbert_to_bert_keys(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Rename DistilBERT module paths (transformer.layer.N.attention.q_lin
+    etc.) onto the BERT naming the shared stacker reads.  The two graphs
+    are identical once token types are zeroed."""
+    out: Dict[str, np.ndarray] = {}
+    for key, value in sd.items():
+        if key.startswith("transformer.layer."):
+            rest = key[len("transformer.layer."):]
+            idx, _, tail = rest.partition(".")
+            for theirs, ours in _DISTILBERT_LAYER_KEYS.items():
+                if tail.startswith(theirs + "."):
+                    tail = ours + tail[len(theirs):]
+                    break
+            key = f"encoder.layer.{idx}.{tail}"
+        out[key] = value
+    return out
+
+
 def params_from_bert_state_dict(
     state_dict: Mapping[str, Any], config: MPNetConfig
 ) -> Dict[str, Any]:
-    """Torch BERT/XLM-RoBERTa state dict (all-MiniLM-*,
-    paraphrase-multilingual-* and friends — the two families share the HF
-    module naming) -> the same stacked pytree the encoder consumes
-    (token_type row 0 kept as the ``tt0`` vector, no relative bias)."""
+    """Torch BERT/XLM-RoBERTa/DistilBERT state dict (all-MiniLM-*,
+    paraphrase-multilingual-*, multi-qa-distilbert-* and friends) -> the
+    same stacked pytree the encoder consumes (token_type row 0 kept as
+    the ``tt0`` vector — synthesized as zeros for DistilBERT, which has
+    no token types; no relative bias)."""
     sd = _strip_prefixes(state_dict)
+    if any(".q_lin." in key for key in sd):
+        sd = _distilbert_to_bert_keys(sd)
 
     def get(name: str) -> np.ndarray:
         if name not in sd:
@@ -151,7 +203,11 @@ def params_from_bert_state_dict(
         "embeddings": {
             "word": get("embeddings.word_embeddings.weight"),
             "position": get("embeddings.position_embeddings.weight"),
-            "tt0": get("embeddings.token_type_embeddings.weight")[0],
+            "tt0": (
+                get("embeddings.token_type_embeddings.weight")[0]
+                if "embeddings.token_type_embeddings.weight" in sd
+                else np.zeros((h,), np.float32)  # DistilBERT
+            ),
             "ln_scale": get("embeddings.LayerNorm.weight"),
             "ln_bias": get("embeddings.LayerNorm.bias"),
         },

@@ -21,9 +21,9 @@ from pathlib import Path
 MODEL_NAME = "all-mpnet-base-v2"
 HF_REPO = "sentence-transformers/all-mpnet-base-v2"
 
-# Known sentence-transformers retrieval models (all four encoder families
-# are implemented: mpnet, bert/MiniLM, roberta/distilroberta, and
-# xlm-roberta for the multilingual models). Any other HF repo with a
+# Known sentence-transformers retrieval models (all five encoder families
+# are implemented: mpnet, bert/MiniLM, distilbert, roberta/distilroberta,
+# and xlm-roberta for the multilingual models). Any other HF repo with a
 # supported architecture also works via --model org/name.
 KNOWN_MODELS = {
     "all-mpnet-base-v2": "sentence-transformers/all-mpnet-base-v2",
@@ -32,6 +32,8 @@ KNOWN_MODELS = {
     "all-MiniLM-L12-v2": "sentence-transformers/all-MiniLM-L12-v2",
     "multi-qa-mpnet-base-dot-v1": "sentence-transformers/multi-qa-mpnet-base-dot-v1",
     "multi-qa-MiniLM-L6-cos-v1": "sentence-transformers/multi-qa-MiniLM-L6-cos-v1",
+    "multi-qa-distilbert-cos-v1": "sentence-transformers/multi-qa-distilbert-cos-v1",
+    "msmarco-distilbert-base-tas-b": "sentence-transformers/msmarco-distilbert-base-tas-b",
     "paraphrase-MiniLM-L6-v2": "sentence-transformers/paraphrase-MiniLM-L6-v2",
     "paraphrase-multilingual-mpnet-base-v2": (
         "sentence-transformers/paraphrase-multilingual-mpnet-base-v2"
