@@ -56,6 +56,7 @@ BATTERY = [
     "x'y ''s '' ' 's",
     "!!'s ok",
     "code: engine._fused_search(q, k=10) # comment",
+    "control sep a \x1cb \x1d\x1e \x1f end",  # U+001C-001F: not \\s in Rust
     "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝖒𝖆𝖙𝖍 ½ ¾ №5",
     "supercalifragilisticexpialidocious antidisestablishmentarianism",
 ]
@@ -126,12 +127,12 @@ class TestGoldenIds:
             got = pure.encode(text)
             assert got == want, f"id mismatch on {text!r}"
 
-    def test_fast_path_identical(self, trained, tmp_path):
+    def test_fast_path_identical(self, trained, pure):
         _, tmp = trained
         via_dir = ByteLevelBPETokenizer.from_pretrained_dir(str(tmp))
         assert via_dir._fast is not None  # tokenizer.json fast path
         for text in BATTERY:
-            assert via_dir.encode(text) == pure_encode(tmp, text)
+            assert via_dir.encode(text) == pure.encode(text)
 
     def test_vocab_merges_legacy_load(self, trained):
         tok, tmp = trained
@@ -162,12 +163,6 @@ class TestGoldenIds:
     def test_decode_roundtrip(self, pure):
         text = "Hello, byte-level world! naïve 🙂"
         assert pure.decode(pure.encode(text)) == text
-
-
-def pure_encode(tmp: Path, text: str):
-    spec = json.loads((tmp / "tokenizer.json").read_text())
-    t = ByteLevelBPETokenizer.from_tokenizer_json(spec, fast_path=None)
-    return t.encode(text)
 
 
 def test_has_bpe_assets(trained, tmp_path):

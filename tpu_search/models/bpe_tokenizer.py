@@ -80,6 +80,14 @@ def has_bpe_assets(model_dir: Path) -> bool:
 _CONTRACTIONS = ("'re", "'ve", "'ll", "'s", "'t", "'m", "'d")
 
 
+def _is_space(c: str) -> bool:
+    r"""Unicode White_Space, matching the regex ``\s`` class: Python's
+    ``str.isspace()`` additionally accepts U+001C-001F (file/group/
+    record/unit separators, category Cc), which the Rust engine treats
+    as punctuation — they must ride the ``[^\s\p{L}\p{N}]+`` run."""
+    return c.isspace() and c not in "\x1c\x1d\x1e\x1f"
+
+
 def _is_letter(c: str) -> bool:
     return unicodedata.category(c).startswith("L")
 
@@ -104,9 +112,9 @@ def _pretokenize(text: str) -> List[str]:
                 # Plain apostrophe: starts a punctuation run below.
                 i = _consume_run(text, i, i, toks)
             continue
-        if c.isspace():
+        if _is_space(c):
             j = i
-            while j < n and text[j].isspace():
+            while j < n and _is_space(text[j]):
                 j += 1
             if j == n:
                 toks.append(text[i:j])  # trailing whitespace, whole run
@@ -144,7 +152,7 @@ def _consume_run(text: str, start: int, first: int, toks: List[str]) -> int:
     else:
         while (
             j < n
-            and not text[j].isspace()
+            and not _is_space(text[j])
             and not _is_letter(text[j])
             and not _is_number(text[j])
         ):
