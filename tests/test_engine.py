@@ -179,12 +179,12 @@ class TestWaveRemoveAccounting:
         original = engine.storage.add_chunks
         calls = {"n": 0}
 
-        def flaky_wave(chunks):
+        def flaky_wave(chunks, embeddings=None):
             calls["n"] += 1
             if calls["n"] == 1:
-                original(chunks)  # vectors land...
+                original(chunks, embeddings=embeddings)  # vectors land...
                 raise RuntimeError("post-store wave failure")  # ...then boom
-            return original(chunks)
+            return original(chunks, embeddings=embeddings)
 
         with patch.object(engine.storage, "add_chunks", flaky_wave):
             stats = engine.index_conversations(files)

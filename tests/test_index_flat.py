@@ -255,6 +255,80 @@ class TestDeviceAdoption:
         assert ids[0, 0] == 1027
 
 
+class TestDeviceAdds:
+    """Incremental add() with a jax.Array input (the indexing wave's
+    TPU-first path) must store bit-identical rows to a host add of the
+    same values, for every storage dtype."""
+
+    @pytest.mark.parametrize(
+        "dtype", ["float32", "bfloat16", "int8", "int4"]
+    )
+    def test_device_add_matches_host_add(self, rng, dtype):
+        import jax.numpy as jnp
+
+        rows1 = normed(rng, 37, 16)
+        rows2 = normed(rng, 21, 16)
+        queries = normed(rng, 4, 16)
+
+        host = FlatIndex(dim=16, dtype=dtype)
+        host.add(rows1)
+        host.add(rows2)
+
+        dev = FlatIndex(dim=16, dtype=dtype)
+        ids1 = dev.add(jnp.asarray(rows1))
+        ids2 = dev.add(jnp.asarray(rows2))
+        assert list(ids1) == list(range(37))
+        assert list(ids2) == list(range(37, 58))
+        assert dev.live == host.live == 58
+
+        hs, hi = host.search(queries, k=5)
+        ds, di = dev.search(queries, k=5)
+        np.testing.assert_array_equal(hi, di)
+        np.testing.assert_array_equal(hs, ds)  # bit-identical rows
+
+    @pytest.mark.parametrize(
+        "dtype", ["float32", "bfloat16", "int8", "int4"]
+    )
+    def test_padded_device_add_matches_host_add(self, rng, dtype):
+        """Bucket-padded device batches with a traced live count (the
+        indexing wave's zero-recompile contract) store bit-identical rows
+        to a host add."""
+        import jax.numpy as jnp
+
+        rows = normed(rng, 37, 16)
+        queries = normed(rng, 4, 16)
+
+        host = FlatIndex(dim=16, dtype=dtype)
+        host.add(rows)
+
+        dev = FlatIndex(dim=16, dtype=dtype)
+        padded = np.zeros((256, 16), dtype=np.float32)
+        padded[:37] = rows
+        ids = dev.add(jnp.asarray(padded), n=37)
+        assert list(ids) == list(range(37))
+        assert dev.live == host.live == 37
+
+        hs, hi = host.search(queries, k=5)
+        ds, di = dev.search(queries, k=5)
+        np.testing.assert_array_equal(hi, di)
+        np.testing.assert_array_equal(hs, ds)
+
+        with pytest.raises(ValueError):
+            dev.add(jnp.asarray(padded), n=300)  # live > padded rows
+
+    def test_device_add_then_lifecycle(self, rng):
+        import jax.numpy as jnp
+
+        index = FlatIndex(dim=16, dtype="int8")
+        rows = normed(rng, 40, 16)
+        ids = index.add(jnp.asarray(rows))
+        index.remove(ids[:10])
+        mapping = index.compact()
+        assert len(mapping) == 30
+        _, got = index.search(rows[15], k=1)
+        assert got[0, 0] == mapping[15]
+
+
 class TestInt8Storage:
     def test_recall_close_to_exact(self, rng):
         d = 64

@@ -303,6 +303,29 @@ class TestDeviceAuthoritative:
         assert np.array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
 
+    def test_padded_device_add_matches_host(self, corpus, queries):
+        """Bucket-padded device batch + traced live count (the indexing
+        wave's zero-recompile contract): rows past n are zeros and must be
+        dropped via the sentinel cluster id."""
+        import jax.numpy as jnp
+
+        host = IVFIndex(dim=32, dtype="float32", nlist=8)
+        host.train(corpus)
+        host.add(corpus[:500])
+        dev = IVFIndex(dim=32, dtype="float32", nlist=8)
+        dev.train(corpus)
+        padded = np.zeros((512, 32), dtype=np.float32)
+        padded[:500] = corpus[:500]
+        ids = dev.add(jnp.asarray(padded), n=500)
+        assert list(ids) == list(range(500))
+        assert dev.live == host.live == 500
+        s1, i1 = host.search(queries, k=10, nprobe=8)
+        s2, i2 = dev.search(queries, k=10, nprobe=8)
+        assert np.array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)
+        with pytest.raises(ValueError):
+            dev.add(jnp.asarray(padded), n=600)
+
     def test_incremental_equals_bulk(self, corpus, queries):
         bulk = IVFIndex(dim=32, dtype="float32", nlist=8)
         bulk.train(corpus)

@@ -343,6 +343,58 @@ class TestPersistence:
             assert results[0].chunk_id == "c1"
             assert s2.total_chunks == 1
 
+    def test_add_chunks_device_embeddings(self, storage):
+        """The wave path hands add_chunks a device array aligned with the
+        chunks (no chunk.embedding set): rows must land and hydrate like
+        the classic host path."""
+        import jax.numpy as jnp
+
+        chunks = [
+            make_chunk("d1", "alpha", E1),
+            make_chunk("d2", "beta", E2),
+            make_chunk("d3", "gamma", E3),
+        ]
+        for c in chunks:
+            c.embedding = None  # the device array is the only source
+        emb = jnp.asarray(
+            np.asarray([E1, E2, E3], dtype=np.float32)
+        )
+        storage.add_chunks(chunks, embeddings=emb)
+        assert storage.total_chunks == 3
+        results = storage.search(np.array(E2, dtype=np.float32))
+        assert results[0].chunk_id == "d2"
+        assert storage.get_chunk_by_id("d3").text == "gamma"
+
+        with pytest.raises(ValueError):
+            storage.add_chunks(
+                [
+                    make_chunk("d4", "delta", E4),
+                    make_chunk("d5", "epsilon", E1),
+                    make_chunk("d6", "zeta", E2),
+                    make_chunk("d7", "eta", E3),
+                ],
+                embeddings=emb,  # 3 rows < 4 chunks
+            )
+
+    def test_add_chunks_padded_device_embeddings(self, storage):
+        """Bucket-padded device batches (the encoder's wave output): rows
+        past len(chunks) are padding and must be ignored."""
+        import jax.numpy as jnp
+
+        chunks = [
+            make_chunk("p1", "alpha", E1),
+            make_chunk("p2", "beta", E2),
+        ]
+        for c in chunks:
+            c.embedding = None
+        padded = np.zeros((8, len(E1)), dtype=np.float32)
+        padded[0] = E1
+        padded[1] = E2
+        storage.add_chunks(chunks, embeddings=jnp.asarray(padded))
+        assert storage.total_chunks == 2
+        results = storage.search(np.array(E2, dtype=np.float32))
+        assert results[0].chunk_id == "p2"
+
     def test_reload_adopts_persisted_dim(self, tmp_path):
         """A model-less open (claude-stats, warm-server stats) must report
         the on-disk index's dimension, not the config default — and keep

@@ -237,6 +237,9 @@ class SearchEngine:
                 **storage_kwargs,
             )
         )
+        # One merged phase table: storage write sub-phases (store.upsert,
+        # store.index_add, ...) land in the same indexing-stats report.
+        self.storage.timer = self._timer
 
     # -- discovery ----------------------------------------------------------
 
@@ -302,6 +305,7 @@ class SearchEngine:
             "start_time": time.time(),
         }
         self._timer = PhaseTimer()
+        self.storage.timer = self._timer  # keep the merged table per-run
 
         iterator = files
         if sys.stderr.isatty():  # progress bar for interactive runs only
@@ -340,7 +344,17 @@ class SearchEngine:
             removed_counted = False
             try:
                 with self._timer.phase("embed"):
-                    self.embedder.generate_embeddings(all_chunks)
+                    # TPU-first wave: embeddings stay on device from the
+                    # encoder straight into the index scatter (classic
+                    # host path when the hashing encoder is active).
+                    # On this rig's ~13 MB/s tunnel the old
+                    # d2h-then-h2d of every wave's vectors (~12 MB per
+                    # 2048-chunk wave) cost more than the encode itself.
+                    emb_dev = self.embedder.generate_embeddings_device(
+                        all_chunks
+                    )
+                    if emb_dev is None:
+                        self.embedder.generate_embeddings(all_chunks)
                 with self._timer.phase("store"):
                     removed = self.storage.remove_chunks_for_files(
                         [str(fp) for fp, _ in batch]
@@ -348,7 +362,7 @@ class SearchEngine:
                     removed_counted = True
                     if removed:
                         stats["chunks_removed"] += removed
-                    self.storage.add_chunks(all_chunks)
+                    self.storage.add_chunks(all_chunks, embeddings=emb_dev)
             except Exception as exc:
                 logger.warning(
                     "Wave embed/store failed (%s); retrying file-by-file",
@@ -420,6 +434,11 @@ class SearchEngine:
                 report(f"Processing {file_path.name}")
                 chunks = self._prepare_one_file(file_path, stats, remove=False)
                 if chunks:
+                    # Flush BEFORE overflowing the wave cap so waves land
+                    # at <= 2048 chunks (exactly a shape bucket) instead of
+                    # spilling just past it into the next one.
+                    if wave and wave_chunks + len(chunks) > _EMBED_WAVE_CHUNKS:
+                        flush_wave()
                     wave.append((file_path, chunks))
                     wave_chunks += len(chunks)
                     if wave_chunks >= _EMBED_WAVE_CHUNKS:

@@ -60,10 +60,17 @@ _DTYPES = {
 }
 
 
+# Quantizer scales multiply by the rounded f32 reciprocal instead of
+# dividing: XLA's simplifier rewrites division-by-literal into exactly this
+# under jit, so spelling it out keeps host, eager, and jitted quantizers
+# bit-identical on every backend.
+_INV127 = np.float32(1.0 / 127.0)
+
+
 def _quantize_rows(vectors: np.ndarray):
     """Symmetric per-row int8 quantization: v ~ q * scale, scale = max|v|/127."""
-    scales = np.abs(vectors).max(axis=1) / 127.0
-    scales = np.maximum(scales, 1e-12)
+    scales = np.abs(vectors).max(axis=1).astype(np.float32) * _INV127
+    scales = np.maximum(scales, np.float32(1e-12))
     q = np.rint(vectors / scales[:, None]).astype(np.int8)
     return q, scales.astype(np.float32)
 
@@ -73,6 +80,59 @@ def _append(vectors, valid, batch, batch_valid, start):
     vectors = jax.lax.dynamic_update_slice(vectors, batch, (start, 0))
     valid = jax.lax.dynamic_update_slice(valid, batch_valid, (start,))
     return vectors, valid
+
+
+# Device-batch appends: the wave path hands a bucket-padded [Npad, D] f32
+# device array + a TRACED live count / write offset, so each executable is
+# keyed only on (Npad, capacity, dtype) — a hot indexing loop compiles a
+# handful of programs total instead of one per wave.  Dead rows (>= n) are
+# zeroed before quantization so stored padding matches the host branch's
+# zero-filled batches bit-for-bit.
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _append_device(vectors, valid, dv, n, start):
+    batch_valid = jnp.arange(dv.shape[0]) < n
+    batch = jnp.where(
+        batch_valid[:, None], dv.astype(jnp.float32), jnp.float32(0)
+    ).astype(vectors.dtype)
+    vectors = jax.lax.dynamic_update_slice(vectors, batch, (start, 0))
+    valid = jax.lax.dynamic_update_slice(valid, batch_valid, (start,))
+    return vectors, valid
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _append_device_int8(packed, valid, scales_buf, dv, n, start):
+    batch_valid = jnp.arange(dv.shape[0]) < n
+    v = jnp.where(
+        batch_valid[:, None], dv.astype(jnp.float32), jnp.float32(0)
+    )
+    scales = jnp.maximum(
+        jnp.max(jnp.abs(v), axis=1) * jnp.float32(1.0 / 127.0),
+        jnp.float32(1e-12),
+    )
+    q = jnp.rint(v / scales[:, None]).astype(jnp.int8)
+    packed = _packed_write(packed, q, start)
+    valid = jax.lax.dynamic_update_slice(valid, batch_valid, (start,))
+    scales_buf = jax.lax.dynamic_update_slice(
+        scales_buf, scales.astype(jnp.float32), (start,)
+    )
+    return packed, valid, scales_buf
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _append_device_int4(packed, valid, scales_buf, dv, n, start):
+    batch_valid = jnp.arange(dv.shape[0]) < n
+    v = jnp.where(
+        batch_valid[:, None], dv.astype(jnp.float32), jnp.float32(0)
+    )
+    u, scales = quantize_rows_int4(v)
+    packed = _packed_write4(packed, u, start)
+    valid = jax.lax.dynamic_update_slice(valid, batch_valid, (start,))
+    scales_buf = jax.lax.dynamic_update_slice(
+        scales_buf, scales, (start,)
+    )
+    return packed, valid, scales_buf
 
 
 def _packed_write(packed, batch_i8, start):
@@ -257,6 +317,9 @@ def scan_fn_for(scan_key: tuple):
 
 class FlatIndex:
     """Exact-scan vector index held in device memory."""
+
+    # Storage layer: add() takes jax.Arrays without a host round trip.
+    accepts_device_adds = True
 
     def __init__(
         self,
@@ -500,8 +563,8 @@ class FlatIndex:
                             jnp.max(jnp.abs(blk), axis=1).astype(
                                 jnp.float32
                             )
-                            / 127.0,
-                            1e-12,
+                            * jnp.float32(1.0 / 127.0),
+                            jnp.float32(1e-12),
                         )
                         qb = jnp.rint(
                             blk.astype(jnp.float32) / s[:, None]
@@ -613,12 +676,34 @@ class FlatIndex:
         self._scales = new_scales
         self._capacity = target
 
-    def add(self, vectors: np.ndarray) -> np.ndarray:
-        """Append rows; returns the assigned int64 slot ids (contiguous)."""
-        vectors = np.asarray(vectors, dtype=np.float32)
+    def add(self, vectors, n: Optional[int] = None) -> np.ndarray:
+        """Append rows; returns the assigned int64 slot ids (contiguous).
+
+        Accepts a host array (one padded upload) OR a device array —
+        device-resident embeddings (straight from the encoder's wave
+        batches) append without ever visiting the host, the same
+        zero-roundtrip contract as ``IVFIndex.add``.  Matters doubly on
+        a tunneled host link: the indexing wave otherwise pays
+        d2h + h2d of every embedding over a ~13 MB/s pipe.
+
+        ``n``: live row count when ``vectors`` is a device array already
+        padded to a shape bucket (rows past ``n`` are ignored).  The
+        device append traces ``n`` and the write offset, so its program
+        keys only on the padded shape — a hot indexing loop never
+        recompiles."""
+        on_device = isinstance(vectors, jax.Array)
+        if not on_device:
+            vectors = np.asarray(vectors, dtype=np.float32)
+            if n is not None:
+                vectors = vectors[:n]
         if vectors.ndim == 1:
             vectors = vectors[None, :]
-        n = vectors.shape[0]
+        if n is None or not on_device:
+            n = vectors.shape[0]
+        elif n > vectors.shape[0]:
+            raise ValueError(
+                f"live count {n} > padded rows {vectors.shape[0]}"
+            )
         if n == 0:
             return np.empty((0,), dtype=np.int64)
         if vectors.shape[1] != self.dim:
@@ -626,11 +711,20 @@ class FlatIndex:
                 f"Expected dim {self.dim}, got {vectors.shape[1]}"
             )
 
-        padded_n = bucket_size(n, _ADD_BUCKETS)
+        if on_device and vectors.shape[0] % 16 == 0:
+            # Caller-bucketed device batch (16 covers the int8/int4 packed
+            # writes' row-multiple needs): use its shape verbatim so the
+            # encoder's buckets never force a re-pad here.
+            padded_n = vectors.shape[0]
+        else:
+            padded_n = bucket_size(vectors.shape[0], _ADD_BUCKETS)
         # int8/int4: margin slots so the packed append's boundary region
         # (B/word_rows + 2 words) always fits.
         margin = {"int8": 4, "int4": 16}.get(self.dtype, 0)
         self._ensure_capacity(self._count + padded_n + margin)
+
+        if on_device:
+            return self._add_device(vectors, n, padded_n)
 
         batch = np.zeros((padded_n, self.dim), dtype=np.float32)
         batch[:n] = vectors
@@ -669,6 +763,52 @@ class FlatIndex:
                     jnp.asarray(batch, dtype=_DTYPES[self.dtype]),
                     jnp.asarray(batch_valid),
                     self._count,
+                )
+        ids = np.arange(self._count, self._count + n, dtype=np.int64)
+        self._count += n
+        self._sq_cache = None
+        return ids
+
+    def _add_device(self, dv, n: int, padded_n: int) -> np.ndarray:
+        """Device-side tail of :meth:`add`: mask, quantize, and scatter the
+        batch entirely on device through ONE jitted donating program per
+        (padded shape, dtype) — ``n`` and the write offset are traced, so
+        a hot indexing loop reuses the same executable every wave (same
+        quantizers as the host branches — jnp.rint ties-to-even matches
+        np.rint, so the stored rows are bit-identical to a host add of the
+        same values)."""
+        with jax.default_device(self.device):
+            if dv.shape[0] != padded_n:
+                # Exact-size device array (direct API use): one eager pad.
+                dv = jnp.pad(
+                    dv.astype(jnp.float32),
+                    ((0, padded_n - dv.shape[0]), (0, 0)),
+                )
+            if self.dtype == "int4":
+                self._vectors, self._valid, self._scales = (
+                    _append_device_int4(
+                        self._vectors,
+                        self._valid,
+                        self._scales,
+                        dv,
+                        n,
+                        self._count,
+                    )
+                )
+            elif self.dtype == "int8":
+                self._vectors, self._valid, self._scales = (
+                    _append_device_int8(
+                        self._vectors,
+                        self._valid,
+                        self._scales,
+                        dv,
+                        n,
+                        self._count,
+                    )
+                )
+            else:
+                self._vectors, self._valid = _append_device(
+                    self._vectors, self._valid, dv, n, self._count
                 )
         ids = np.arange(self._count, self._count + n, dtype=np.int64)
         self._count += n

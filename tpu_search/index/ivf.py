@@ -118,7 +118,10 @@ def _scatter_rows_impl(
     )
     if int4 and vecs.dtype != jnp.int8:
         target = vecs.astype(jnp.float32) - cent_rows
-        scale = jnp.maximum(jnp.max(jnp.abs(target), axis=1) / 7.0, 1e-12)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(target), axis=1) * jnp.float32(1.0 / 7.0),
+            jnp.float32(1e-12),
+        )
         stored = (
             jnp.clip(jnp.rint(target / scale[:, None]), -7.0, 7.0) + 8.0
         ).astype(jnp.int32)  # biased nibbles [1, 15]
@@ -128,7 +131,8 @@ def _scatter_rows_impl(
     elif blocks.dtype == jnp.int8 and vecs.dtype != jnp.int8:
         target = vecs.astype(jnp.float32) - cent_rows
         scale = jnp.maximum(
-            jnp.max(jnp.abs(target), axis=1) / 127.0, 1e-12
+            jnp.max(jnp.abs(target), axis=1) * jnp.float32(1.0 / 127.0),
+            jnp.float32(1e-12),
         )
         stored = jnp.rint(target / scale[:, None]).astype(jnp.int8)
     elif blocks.dtype == jnp.int8:
@@ -824,6 +828,9 @@ def nprobe_ladder(
 class IVFIndex:
     """Coarse-quantized ANN index with device-resident dense cluster blocks."""
 
+    # Storage layer: add() takes jax.Arrays without a host round trip.
+    accepts_device_adds = True
+
     def __init__(
         self,
         dim: int,
@@ -1254,20 +1261,37 @@ class IVFIndex:
 
     # -- mutation ------------------------------------------------------------
 
-    def add(self, vectors: Union[np.ndarray, jax.Array]) -> np.ndarray:
+    def add(
+        self,
+        vectors: Union[np.ndarray, jax.Array],
+        n: Optional[int] = None,
+    ) -> np.ndarray:
         """Append vectors; returns their global ids.
 
         Accepts a host array (one padded upload) OR a device array —
         device-resident embeddings (e.g. straight from the encoder) are
         adopted without ever visiting the host; only the [n] cluster
         assignment comes back.
+
+        ``n``: live row count when ``vectors`` is a device array already
+        padded to a shape bucket (rows past ``n`` must be zeros and are
+        dropped via the sentinel cluster id) — the whole adopt path then
+        keys on the padded shape, never the wave's exact count.
         """
         on_device = isinstance(vectors, jax.Array)
         if not on_device:
             vectors = np.asarray(vectors, dtype=np.float32)
+            if n is not None:
+                vectors = vectors[:n]
         if vectors.ndim == 1:
             vectors = vectors[None, :]
-        n = vectors.shape[0]
+        prepadded = on_device and n is not None and n != vectors.shape[0]
+        if n is None or not on_device:
+            n = vectors.shape[0]
+        elif n > vectors.shape[0]:
+            raise ValueError(
+                f"live count {n} > padded rows {vectors.shape[0]}"
+            )
         if n == 0:
             return np.empty((0,), dtype=np.int64)
         if vectors.shape[1] != self.dim:
@@ -1281,16 +1305,21 @@ class IVFIndex:
                 self.nlist = int(min(4096, max(16, round(n ** 0.5))))
             if n < self.nlist:
                 self.nlist = max(1, n // 2 or 1)
-            self.train(vectors)
+            # Padding rows are zeros — never train the quantizer on them.
+            self.train(vectors[:n] if prepadded else vectors)
         # Idempotent: also hydrates _dcent for a TRAINED-BUT-EMPTY index
         # loaded from disk (host centroids persisted, cap == 0, so
         # _load_streamed returned before any device upload — found by the
         # lifecycle property machine: train -> save -> load -> add).
         self._materialize()
 
-        b = bucket_size(n, _UPDATE_BUCKETS)
+        b = vectors.shape[0] if prepadded else bucket_size(
+            n, _UPDATE_BUCKETS
+        )
         with jax.default_device(self.device):
-            if on_device:
+            if prepadded:
+                padded = vectors.astype(jnp.float32)  # caller-bucketed
+            elif on_device:
                 dv = vectors.astype(jnp.float32)
                 padded = jnp.pad(dv, ((0, b - n), (0, 0)))
             else:

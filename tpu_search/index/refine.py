@@ -50,7 +50,10 @@ _GROWTH = 1.25
 def _append_int8(rows, scales, batch, start):
     """Quantize [B, D] f32 rows (symmetric per-row, FlatIndex contract:
     v ~ q * scale, scale = max|v|/127) and land them at slot ``start``."""
-    s = jnp.maximum(jnp.max(jnp.abs(batch), axis=1) / 127.0, 1e-12)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(batch), axis=1) * jnp.float32(1.0 / 127.0),
+        jnp.float32(1e-12),
+    )
     q = jnp.round(batch / s[:, None]).astype(jnp.int8)
     rows = jax.lax.dynamic_update_slice(rows, q, (start, 0))
     scales = jax.lax.dynamic_update_slice(scales, s, (start,))

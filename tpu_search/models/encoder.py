@@ -32,7 +32,7 @@ import numpy as np
 
 from ..devices.capability import assess_device_capability
 from ..ingest.chunker import Chunk
-from ..utils.shapes import bucket_size
+from ..utils.shapes import ADD_ROW_BUCKETS, bucket_size
 from .hashing import HashingEncoder
 from .mpnet import MPNetConfig, encode as mpnet_encode
 from .bpe_tokenizer import ByteLevelBPETokenizer, has_bpe_assets
@@ -45,6 +45,29 @@ __all__ = ["EmbeddingConfig", "EmbeddingStats", "EmbeddingGenerator"]
 
 SEQ_BUCKETS = (64, 128, 256, 384)
 BATCH_BUCKETS = (1, 8, 32, 128, 512)
+
+_reorder_jit = None
+
+
+def _reorder_batches(batches: tuple, gather, n: int):
+    """Concatenate the padded per-batch encoder outputs and gather them
+    into text order as ONE jitted program ([Npad, D] f32, rows >= n
+    zeroed).  ``n`` is traced, so the program keys only on the bucketed
+    batch shapes + Npad — never on the wave's exact text count."""
+    global _reorder_jit
+    if _reorder_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fn(batches, gather, n):
+            full = jnp.concatenate(batches, axis=0).astype(jnp.float32)
+            out = jnp.take(full, gather, axis=0)
+            live = (jnp.arange(gather.shape[0]) < n)[:, None]
+            return jnp.where(live, out, jnp.float32(0))
+
+        _reorder_jit = fn
+    return _reorder_jit(batches, gather, n)
 
 
 @dataclass
@@ -227,19 +250,28 @@ class EmbeddingGenerator:
 
         self._encode_jit = _dispatch
 
-        if (
-            self.config.use_gpu
-            and self.config.auto_batch_size
-            and self._capability
-            and self._capability.memory_free
-        ):
-            from ..devices.capability import calculate_optimal_batch_size
+        # Batch sizing keys off the ACTUAL compute device: device="auto"
+        # lands on the TPU even with use_gpu=False (the reference-compat
+        # flag only controls the capability report), and a 16-row batch
+        # on an accelerator wastes ~4x indexing throughput in
+        # per-dispatch overhead.
+        on_accelerator = (
+            self._device is not None and self._device.platform != "cpu"
+        )
+        if self.config.auto_batch_size and on_accelerator:
+            if self._capability and self._capability.memory_free:
+                from ..devices.capability import calculate_optimal_batch_size
 
-            self.config.batch_size = calculate_optimal_batch_size(
-                self._capability.memory_free / (1024**3),
-                self._embedding_dim,
-                backend=self._capability.backend,
-            )
+                self.config.batch_size = calculate_optimal_batch_size(
+                    self._capability.memory_free / (1024**3),
+                    self._embedding_dim,
+                    backend=self._capability.backend,
+                )
+            else:
+                # No memory stats (the axon tunnel reports none): use the
+                # measured-saturation batch (throughput saturates by 128
+                # at seq 384, encoder_profile_r3.md).
+                self.config.batch_size = max(self.config.batch_size, 128)
             self.logger.info(
                 "Auto-adjusted batch size: %d", self.config.batch_size
             )
@@ -322,6 +354,36 @@ class EmbeddingGenerator:
         for chunk, embedding in zip(chunks, embeddings):
             chunk.embedding = embedding.tolist()
         return list(embeddings)
+
+    def generate_embeddings_device(self, chunks: List[Chunk]):
+        """Device-resident twin of :meth:`generate_embeddings`: same text
+        validation and document prompt, but the embeddings return as ONE
+        ``[Npad, dim]`` f32 device array whose first ``len(chunks)`` rows
+        are the embeddings in chunk order (rows past that are zero padding
+        up to the ADD_ROW_BUCKETS bucket) and ``chunk.embedding`` is NOT
+        populated — storage appends the array without any host round
+        trip.  None when the hashing encoder is active."""
+        if not self.is_model_loaded:
+            self.load_model()
+        if not chunks or self._hash_encoder is not None:
+            return None
+        doc_prompt = self._prompt_for("document")
+        validated = []
+        for i, chunk in enumerate(chunks):
+            text = chunk.text
+            if text is None:
+                self.logger.warning("Chunk %d: text is None", i)
+                text = ""
+            elif not isinstance(text, str):
+                self.logger.warning(
+                    "Chunk %d: text is not a string (%s)", i, type(text)
+                )
+                text = str(text) if text else ""
+            elif not text.strip():
+                self.logger.warning("Chunk %d: text is empty", i)
+                text = "empty"
+            validated.append(doc_prompt + text if doc_prompt else text)
+        return self.encode_texts_to_device(validated)
 
     def generate_single_embedding(self, text: str) -> np.ndarray:
         """Embed one search query (the query-side prompt applies here;
@@ -419,22 +481,22 @@ class EmbeddingGenerator:
             self._device,
         )
 
-    def _encode_texts(self, texts: Sequence[str]) -> np.ndarray:
-        if self._hash_encoder is not None:
-            return self._hash_encoder.encode(
-                texts, normalize=self.config.normalize_embeddings
-            )
+    def _encode_batches(self, texts: Sequence[str]):
+        """Tokenize, order longest-first (dense padded buckets), dispatch
+        every batch through the jitted graph.  Returns ``(order,
+        pending)`` where pending holds ``(batch_idx, n_live, device_vecs)``
+        — JAX queues the dispatches asynchronously, so device compute
+        overlaps the host-side token packing of later batches, and the
+        caller decides whether results come to host or stay on device."""
+        import jax
 
-        # Tokenize everything, then process longest-first so each padded
-        # bucket is dense.
         encoded = [
             self._tokenizer.encode(t, self.config.max_seq_length) for t in texts
         ]
         order = sorted(
             range(len(encoded)), key=lambda i: len(encoded[i]), reverse=True
         )
-        out = np.zeros((len(texts), self._embedding_dim), dtype=np.float32)
-
+        pending = []
         batch_cap = max(1, self.config.batch_size)
         for start in range(0, len(order), batch_cap):
             batch_idx = order[start : start + batch_cap]
@@ -453,14 +515,64 @@ class EmbeddingGenerator:
             # fully-masked pad rows still need one live token for the mean
             mask[len(seqs) :, 0] = 1
 
-            import jax
-
             with jax.default_device(self._device):
                 vecs = self._encode_jit(
                     self._params, ids, mask
                 )
-            out[batch_idx] = np.asarray(vecs[: len(seqs)], dtype=np.float32)
+            pending.append((batch_idx, len(seqs), vecs))
+        return order, pending
+
+    def _encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        if self._hash_encoder is not None:
+            return self._hash_encoder.encode(
+                texts, normalize=self.config.normalize_embeddings
+            )
+        out = np.zeros((len(texts), self._embedding_dim), dtype=np.float32)
+        # Dispatch everything, THEN fetch: on a tunneled host link the
+        # per-batch fetch used to serialize dispatch -> RTT -> dispatch.
+        # Fetch the full padded batch and slice on host — a device-side
+        # [:n_live] slice would compile a fresh program for every distinct
+        # partial-batch size.
+        _, pending = self._encode_batches(texts)
+        for batch_idx, n_live, vecs in pending:
+            out[batch_idx] = np.asarray(vecs, dtype=np.float32)[:n_live]
         return out
+
+    def encode_texts_to_device(self, texts: Sequence[str]):
+        """Embeddings as ONE ``[Npad, dim]`` f32 device array whose first
+        ``len(texts)`` rows are the embeddings in text order, never
+        visiting the host — the indexing wave's TPU-first path (embeddings
+        go encoder -> index scatter entirely in HBM; the tunneled d2h+h2d
+        round trip of every vector is gone).  Npad is
+        ``bucket_size(len(texts), ADD_ROW_BUCKETS)`` and rows past
+        ``len(texts)`` are zeros: every consumer program keys on a handful
+        of bucketed shapes instead of compiling per wave.  Returns None
+        when the hashing fallback encoder is active (it runs on host;
+        callers use the classic path)."""
+        if self._hash_encoder is not None or not texts:
+            return None
+        import jax
+
+        _, pending = self._encode_batches(texts)
+        n = len(texts)
+        npad = bucket_size(n, ADD_ROW_BUCKETS)
+        # Gather map in concatenated padded-batch coordinates: text
+        # batch_idx[r] lives at row offset+r of its batch's padded output.
+        # Padding entries point at row 0; the jitted reorder zeroes every
+        # row >= n via the traced live mask.
+        gather = np.zeros((npad,), dtype=np.int32)
+        offset = 0
+        for batch_idx, _n_live, vecs in pending:
+            gather[np.asarray(batch_idx, dtype=np.int32)] = offset + np.arange(
+                len(batch_idx), dtype=np.int32
+            )
+            offset += vecs.shape[0]
+        with jax.default_device(self._device):
+            return _reorder_batches(
+                tuple(vecs for _, _, vecs in pending),
+                jax.numpy.asarray(gather),
+                n,
+            )
 
     # -- similarity utilities (reference parity: src/embeddings.py:238-275) --
 

@@ -34,12 +34,44 @@ _lib = None
 _lib_checked = False
 
 
+def _try_build() -> None:
+    """Best-effort one-shot `make -C native` when the library is absent.
+
+    Fresh checkouts otherwise silently run the pure-Python tokenizer
+    (23-60x slower), which dominates indexing on a 1-core host. Guarded:
+    opt out with CLAUDE_SEARCH_NO_NATIVE_BUILD=1; needs make + g++ and
+    the checked-in Makefile; failures fall back quietly."""
+    import os
+    import shutil
+    import subprocess
+
+    if os.environ.get("CLAUDE_SEARCH_NO_NATIVE_BUILD"):
+        return
+    native_dir = _LIB_CANDIDATES[0].parent
+    if not (native_dir / "Makefile").exists():
+        return
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        return
+    try:
+        logger.info("Building native WordPiece library (make -C native)...")
+        subprocess.run(
+            ["make", "-C", str(native_dir)],
+            capture_output=True,
+            timeout=180,
+            check=False,
+        )
+    except Exception as exc:  # pragma: no cover - toolchain-specific
+        logger.info("Native tokenizer build skipped: %s", exc)
+
+
 def load_native_library() -> Optional[ctypes.CDLL]:
     """Find and load the shared library once; None if unavailable."""
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
     _lib_checked = True
+    if not any(c.exists() for c in _LIB_CANDIDATES):
+        _try_build()
     for candidate in _LIB_CANDIDATES:
         if not candidate.exists():
             continue

@@ -66,8 +66,13 @@ def quantize_rows_int4_host(
     Symmetric per-row quantization ``v ~ (u - 8) * scale`` with
     ``scale = max|v| / 7`` (codes span [-7, 7]; the -8 code is unused so
     the bias never saturates)."""
-    scales = np.abs(vectors).max(axis=1) / 7.0
-    scales = np.maximum(scales, 1e-12)
+    # Multiply by the rounded reciprocal (not divide): XLA rewrites
+    # division-by-literal into exactly this under jit, so both twins spell
+    # it out to stay bit-identical across host/eager/jit on every backend.
+    scales = np.abs(vectors).max(axis=1).astype(np.float32) * np.float32(
+        1.0 / 7.0
+    )
+    scales = np.maximum(scales, np.float32(1e-12))
     q = np.rint(vectors / scales[:, None]).astype(np.int32)
     u = (np.clip(q, -7, 7) + NIBBLE_BIAS).astype(np.uint8)
     return u, scales.astype(np.float32)
@@ -76,7 +81,10 @@ def quantize_rows_int4_host(
 def quantize_rows_int4(vectors: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Traceable twin of :func:`quantize_rows_int4_host` (int8 nibbles)."""
     v = vectors.astype(jnp.float32)
-    scales = jnp.maximum(jnp.max(jnp.abs(v), axis=1) / 7.0, 1e-12)
+    scales = jnp.maximum(
+        jnp.max(jnp.abs(v), axis=1) * jnp.float32(1.0 / 7.0),
+        jnp.float32(1e-12),
+    )
     q = jnp.rint(v / scales[:, None])
     u = (jnp.clip(q, -7.0, 7.0) + NIBBLE_BIAS).astype(jnp.int8)
     return u, scales.astype(jnp.float32)

@@ -81,7 +81,13 @@ def _slice_shards(x, a, c):
 
 
 def _quantize_rows_np(vectors: np.ndarray):
-    scales = np.maximum(np.abs(vectors).max(axis=1) / 127.0, 1e-12)
+    # Reciprocal multiply, matching the jitted twin (XLA rewrites /127.0
+    # into this under jit; spelling it out keeps host/device bit-identical).
+    scales = np.maximum(
+        np.abs(vectors).max(axis=1).astype(np.float32)
+        * np.float32(1.0 / 127.0),
+        np.float32(1e-12),
+    )
     q = np.rint(vectors / scales[:, None]).astype(np.int8)
     return q, scales.astype(np.float32)
 
@@ -730,8 +736,8 @@ class ShardedFlatIndex:
                 rows = jnp.concatenate([v, pad])
                 s = jnp.maximum(
                     jnp.max(jnp.abs(rows), axis=1).astype(jnp.float32)
-                    / 127.0,
-                    1e-12,
+                    * jnp.float32(1.0 / 127.0),
+                    jnp.float32(1e-12),
                 )
                 q = jnp.rint(rows.astype(jnp.float32) / s[:, None]).astype(
                     jnp.int8

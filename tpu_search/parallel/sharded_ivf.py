@@ -225,6 +225,9 @@ class ShardedIVFIndex:
     (sharded) HBM; the host keeps the small slot metadata.
     """
 
+    # Storage layer: add() takes jax.Arrays without a host round trip.
+    accepts_device_adds = True
+
     def __init__(
         self,
         dim: int,
@@ -654,14 +657,27 @@ class ShardedIVFIndex:
         np.add.at(self._fill, (assign, shards), 1)
         return gslots
 
-    def add(self, vectors) -> np.ndarray:
-        """Append vectors; returns global ids (host or device input)."""
+    def add(self, vectors, n: Optional[int] = None) -> np.ndarray:
+        """Append vectors; returns global ids (host or device input).
+
+        ``n``: live row count when ``vectors`` is a device array already
+        padded to a shape bucket (rows past ``n`` must be zeros; the
+        sentinel cluster id drops them), same contract as
+        ``IVFIndex.add``."""
         on_device = isinstance(vectors, jax.Array)
         if not on_device:
             vectors = np.asarray(vectors, dtype=np.float32)
+            if n is not None:
+                vectors = vectors[:n]
         if vectors.ndim == 1:
             vectors = vectors[None, :]
-        n = vectors.shape[0]
+        prepadded = on_device and n is not None and n != vectors.shape[0]
+        if n is None or not on_device:
+            n = vectors.shape[0]
+        elif n > vectors.shape[0]:
+            raise ValueError(
+                f"live count {n} > padded rows {vectors.shape[0]}"
+            )
         if n == 0:
             return np.empty((0,), dtype=np.int64)
         if vectors.shape[1] != self.dim:
@@ -673,14 +689,19 @@ class ShardedIVFIndex:
                 self.nlist = int(min(4096, max(16, round(n ** 0.5))))
             if n < self.nlist:
                 self.nlist = max(1, n // 2 or 1)
-            self.train(vectors)
+            # Padding rows are zeros — never train the quantizer on them.
+            self.train(vectors[:n] if prepadded else vectors)
         # Idempotent; hydrates _dcent for a trained-but-empty index loaded
         # from disk (same lifecycle hole as IVFIndex.add — host centroids
         # persisted, no device copy yet).
         self._materialize()
 
-        b = bucket_size(n, _UPDATE_BUCKETS)
-        if on_device:
+        b = vectors.shape[0] if prepadded else bucket_size(
+            n, _UPDATE_BUCKETS
+        )
+        if prepadded:
+            padded = self._put_replicated(vectors.astype(jnp.float32))
+        elif on_device:
             dv = vectors.astype(jnp.float32)
             padded = self._put_replicated(
                 jnp.pad(dv, ((0, b - n), (0, 0)))

@@ -239,7 +239,9 @@ class ShardedRefineStore:
             lslot = jnp.where(own, gids // S, lcap)
             if int8:
                 s = jnp.maximum(
-                    jnp.max(jnp.abs(batch), axis=1) / 127.0, 1e-12
+                    jnp.max(jnp.abs(batch), axis=1)
+                    * jnp.float32(1.0 / 127.0),
+                    jnp.float32(1e-12),
                 )
                 q = jnp.round(batch / s[:, None]).astype(jnp.int8)
                 rows = rows.at[lslot].set(q, mode="drop")

@@ -31,6 +31,7 @@ import numpy as np
 from ..devices.capability import DeviceCapability, assess_device_capability
 from ..index import FlatIndex, create_index, load_index
 from ..ingest.chunker import Chunk
+from ..utils.profiling import PhaseTimer
 from .filters import mask_for_filters, matches_filters
 from .metadata import MetadataStore
 
@@ -145,6 +146,10 @@ class HybridStorage:
         self._is_accelerated = False
         self._last_save = 0.0
         self._initialized = False
+        # Write-path sub-phase breakdown (store.upsert / store.index_add /
+        # ...). The engine shares its own PhaseTimer here so indexing stats
+        # report one merged table.
+        self.timer = PhaseTimer()
 
         if self.config.index_type == "hnsw":
             # Graph-walk ANN maps poorly to the MXU; measured at 1M x 768
@@ -427,21 +432,54 @@ class HybridStorage:
 
     # -- writes --------------------------------------------------------------
 
-    def add_chunks(self, chunks: List[Chunk]) -> None:
-        """Embed-carrying chunks -> index append + metadata upsert."""
+    def add_chunks(self, chunks: List[Chunk], embeddings=None) -> None:
+        """Embed-carrying chunks -> index append + metadata upsert.
+
+        ``embeddings``: optional array whose first ``len(chunks)`` rows
+        align with ``chunks`` (extra rows are shape-bucket padding) — a
+        DEVICE array stays on device end to end (normalize -> index
+        scatter in HBM; the indexing wave's TPU-first path), falling back
+        to one host pull for index types without device appends.  Without
+        it, each ``chunk.embedding`` is gathered as before (reference
+        contract, src/storage.py:331-406)."""
         if not chunks:
             return
-        with_emb = [c for c in chunks if c.embedding is not None]
-        if not with_emb:
-            self.logger.warning("No chunks with embeddings to add")
-            return
+        if embeddings is None:
+            with_emb = [c for c in chunks if c.embedding is not None]
+            if not with_emb:
+                self.logger.warning("No chunks with embeddings to add")
+                return
+            embeddings = np.asarray(
+                [c.embedding for c in with_emb], dtype=np.float32
+            )
+        else:
+            with_emb = list(chunks)
+            if int(embeddings.shape[0]) < len(with_emb):
+                raise ValueError(
+                    f"embeddings rows ({embeddings.shape[0]}) < "
+                    f"chunks ({len(with_emb)})"
+                )
 
-        embeddings = np.asarray(
-            [c.embedding for c in with_emb], dtype=np.float32
-        )
+        on_device = not isinstance(embeddings, np.ndarray)
+        if on_device and not getattr(
+            self.index, "accepts_device_adds", False
+        ):
+            embeddings = np.asarray(
+                embeddings, dtype=np.float32
+            )[: len(with_emb)]
+            on_device = False
+        if not on_device and embeddings.shape[0] != len(with_emb):
+            embeddings = embeddings[: len(with_emb)]
         if self.config.normalize_embeddings:
-            norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
-            embeddings = embeddings / (norms + 1e-8)
+            with self.timer.phase("store.normalize"):
+                if on_device:
+                    import jax.numpy as jnp
+
+                    norms = jnp.linalg.norm(embeddings, axis=1, keepdims=True)
+                    embeddings = embeddings / (norms + 1e-8)
+                else:
+                    norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+                    embeddings = embeddings / (norms + 1e-8)
 
         if self.index is None:
             raise RuntimeError("Index not initialized")
@@ -453,21 +491,30 @@ class HybridStorage:
         # rows and tombstones consistently.
         start_id = self.index.ntotal
         planned = list(range(start_id, start_id + len(with_emb)))
-        self.meta.upsert_chunks(list(zip(with_emb, planned)))
-        vec_ids = self.index.add(embeddings)
+        with self.timer.phase("store.upsert"):
+            self.meta.upsert_chunks(list(zip(with_emb, planned)))
+        with self.timer.phase("store.index_add"):
+            if on_device:
+                # Padded device batch: the index sees the bucketed shape
+                # plus the traced live count (no per-wave recompiles).
+                vec_ids = self.index.add(embeddings, n=len(with_emb))
+            else:
+                vec_ids = self.index.add(embeddings)
         assert list(vec_ids) == planned, "index slot assignment drifted"
         for chunk, vec_id in zip(with_emb, vec_ids):
             self.chunk_id_to_faiss_id[chunk.id] = int(vec_id)
             self.faiss_id_to_chunk_id[int(vec_id)] = chunk.id
         self.total_chunks += len(with_emb)
 
-        if not self._maybe_rebalance_index():
-            # Freshness-gated (re)tune: first add past the sample floor
-            # measures an nprobe, later adds retune after >25% growth.
-            self._maybe_autotune_nprobe(force=False)
+        with self.timer.phase("store.maintain"):
+            if not self._maybe_rebalance_index():
+                # Freshness-gated (re)tune: first add past the sample floor
+                # measures an nprobe, later adds retune after >25% growth.
+                self._maybe_autotune_nprobe(force=False)
 
         if self.config.auto_save:
-            self._maybe_save()
+            with self.timer.phase("store.save"):
+                self._maybe_save()
         self.logger.info("Added %d chunks to storage", len(with_emb))
 
     def _maybe_rebalance_index(self) -> bool:
@@ -682,7 +729,8 @@ class HybridStorage:
         """Batch variant of :meth:`remove_chunks_for_file`: one SQLite
         transaction and ONE tombstone dispatch cover a whole indexing
         wave (per-file removes would pay a device round trip each)."""
-        removed = self.meta.delete_chunks_for_files(file_paths)
+        with self.timer.phase("store.delete_meta"):
+            removed = self.meta.delete_chunks_for_files(file_paths)
         if not removed:
             return 0
         vec_ids = []
@@ -692,7 +740,8 @@ class HybridStorage:
                 self.faiss_id_to_chunk_id.pop(vec_id, None)
                 vec_ids.append(vec_id)
         if self.index is not None and vec_ids:
-            self.index.remove(vec_ids)
+            with self.timer.phase("store.tombstone"):
+                self.index.remove(vec_ids)
         # Keep the warm-engine counter honest (pre-existing bug: the
         # per-file remove never decremented, so total_chunks drifted up
         # on every warm reindex until the next reload recomputed it).

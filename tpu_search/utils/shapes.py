@@ -7,7 +7,15 @@ recompilation (SURVEY.md section 7 "recompile discipline").
 
 from __future__ import annotations
 
-__all__ = ["cdiv", "round_up", "next_pow2", "bucket_size"]
+__all__ = ["cdiv", "round_up", "next_pow2", "bucket_size", "ADD_ROW_BUCKETS"]
+
+# Row-count buckets shared by the index add paths and the encoder's
+# device-batch output, so a wave's embeddings flow encoder -> normalize ->
+# index scatter through programs keyed on a handful of padded shapes (a
+# unique per-wave row count would otherwise compile fresh eager programs
+# every wave — measured at seconds per wave through this rig's remote
+# compile helper).
+ADD_ROW_BUCKETS = (256, 1024, 2048, 4096, 16384)
 
 
 def cdiv(a: int, b: int) -> int:
