@@ -938,11 +938,42 @@ def bench_embed() -> dict:
     return out
 
 
+def bench_index() -> dict:
+    """End-to-end indexing throughput: the BASELINE "index 1k
+    conversations" row (reference README.md:347 — ~300 s CPU, ~30 s
+    CUDA).  Runs the FULL product pipeline (JSONL parse -> chunk ->
+    tokenize -> encode -> SQLite + vector index) via
+    ``SearchEngine.index_conversations`` over the same synthetic corpus
+    recipe as benchmarks/index_e2e.py (shared implementation)."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "index_e2e.py",
+    )
+    spec = importlib.util.spec_from_file_location("bench_index_e2e", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n = int(os.environ.get("BENCH_INDEX_CONVS", 1000))
+    out = mod.run(n)
+    return {
+        "index_conversations": out["conversations"],
+        "index_chunks": out["chunks_indexed"],
+        "index_s_per_1k_conversations": out["s_per_1k_conversations"],
+        "index_chunks_per_s": out["chunks_per_s"],
+        "index_vs_ref_cpu": out["vs_ref_cpu"],
+        "index_vs_ref_cuda": out["vs_ref_cuda"],
+        "index_errors": out["errors"],
+    }
+
+
 SECTIONS = {
     "search": bench_search,
     "ivf": bench_ivf,
     "serving": bench_serving,
     "embed": bench_embed,
+    "index": bench_index,
 }
 
 # Generous wall-clock bounds per section (cold compiles included); a hung
@@ -952,6 +983,7 @@ _SECTION_TIMEOUT_S = {
     "ivf": 1500,  # per dtype leg (the orchestrator runs five)
     "serving": 2400,
     "embed": 1500,
+    "index": 1800,
 }
 
 
@@ -1054,6 +1086,7 @@ def main() -> None:
             ivf_legs_failed.append(dt)
     serving = _run_section("serving")
     embed = _run_section("embed")
+    index = _run_section("index")
 
     if search:
         log(
@@ -1067,6 +1100,14 @@ def main() -> None:
             f"p50={search['p50_ms_int8']:.2f}ms recall={search['recall_int8']:.4f} "
             f"qps_b128={search['qps_b128_int8']:.0f} | "
             f"filtered_qps_b1={search['filtered_qps_b1_bf16']:.1f}"
+        )
+    if index.get("index_s_per_1k_conversations"):
+        log(
+            "[bench] index e2e: "
+            f"{index['index_s_per_1k_conversations']:.1f}s/1k conversations "
+            f"({index['index_vs_ref_cpu']:.1f}x CPU ref, "
+            f"{index['index_vs_ref_cuda']:.1f}x CUDA ref, "
+            f"{index['index_chunks_per_s']:.0f} chunks/s)"
         )
     tps = embed.get("texts_per_s_seq384_b128", 0.0)
     if tps:
@@ -1089,10 +1130,11 @@ def main() -> None:
     # the same program is detail.fused_device_ms_*.
     detail = {
         k: (round(v, 3) if isinstance(v, float) else v)
-        for k, v in {**search, **ivf, **serving, **embed}.items()
+        for k, v in {**search, **ivf, **serving, **embed, **index}.items()
     }
     for name, result in (
         ("search", search), ("serving", serving), ("embed", embed),
+        ("index", index),
     ):
         if not result:
             detail[f"{name}_section_failed"] = True

@@ -81,11 +81,10 @@ def write_conversations(root: Path, n_conv: int, vocab_n: int) -> list:
     return files
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--conversations", type=int, default=1000)
-    args = ap.parse_args()
-
+def run(n_conversations: int = 1000) -> dict:
+    """Build the synthetic corpus, index it through the full product
+    pipeline, and return the result dict (also used by bench.py's
+    ``index`` section)."""
     import jax
 
     from tpu_search.api.engine import SearchEngine
@@ -113,8 +112,8 @@ def main() -> None:
             fh.write(f"tok{i}\n")
     vocab_n = config.vocab_size - len(specials)
 
-    print(f"writing {args.conversations} synthetic conversations...")
-    files = write_conversations(data_dir, args.conversations, vocab_n)
+    print(f"writing {n_conversations} synthetic conversations...")
+    files = write_conversations(data_dir, n_conversations, vocab_n)
 
     engine = SearchEngine(
         data_dir=str(data_dir),
@@ -156,11 +155,19 @@ def main() -> None:
         "errors": len(stats.get("errors", [])),
         "phases": stats.get("phases"),
     }
+    shutil.rmtree(data_dir, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conversations", type=int, default=1000)
+    args = ap.parse_args()
+    out = run(args.conversations)
     print(json.dumps(out, indent=2))
     dest = Path(__file__).parent / "results" / "index_e2e_1k_tpu.json"
     dest.write_text(json.dumps(out, indent=2) + "\n")
     print("wrote", dest)
-    shutil.rmtree(data_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
