@@ -256,6 +256,15 @@ class TestResolution:
         engine = SearchEngine(data_dir=str(tmp_path), use_warm_server=False)
         assert engine.embedder.config.model_name == "hash-128"
 
+    def test_device_env_pins_encoder_too(self, tmp_path, monkeypatch):
+        """CLAUDE_SEARCH_DEVICE=cpu must keep the WHOLE engine off the
+        accelerator — the encoder included, not just the index (a CLI
+        run otherwise loads the model onto a TPU a server holds)."""
+        monkeypatch.setenv("CLAUDE_SEARCH_DEVICE", "cpu")
+        engine = SearchEngine(data_dir=str(tmp_path), use_warm_server=False)
+        assert engine.embedder.config.device == "cpu"
+        assert engine.storage.config.device == "cpu"
+
 
 class TestRetryAccounting:
     def test_no_double_count_after_retry(self, engine, tmp_path):

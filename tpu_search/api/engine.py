@@ -215,6 +215,11 @@ class SearchEngine:
         )
         if env_device:
             storage_kwargs["device"] = env_device
+            # The pin covers the WHOLE engine, not just the index: the
+            # encoder must stay off the accelerator too (a CLI run with
+            # device=cpu otherwise loads the model onto a TPU a server
+            # holds and every save streams rows back over the host link).
+            self.embedder.config.device = env_device
         env_shards = os.environ.get("CLAUDE_SEARCH_SHARD_DEVICES")
         if env_shards:
             try:

@@ -330,13 +330,20 @@ class EmbeddingGenerator:
     def _pick_device(self):
         import jax
 
+        # An explicit "cpu" request must win WITHOUT enumerating
+        # accelerators: merely calling jax.devices() attaches the default
+        # backend, and attaching a TPU another process holds can block
+        # indefinitely (mirrors HybridStorage._pick_device).
+        if self.config.device == "cpu":
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:  # pragma: no cover - config shape changes
+                pass
+            return jax.devices("cpu")[0]
         accel = [
             d for d in jax.devices() if d.platform not in ("cpu", "interpreter")
         ]
-        # An explicit "cpu" request must win even when an accelerator is
-        # attached (mirrors HybridStorage._pick_device); on this rig a stray
-        # TPU attach can stall for minutes.
-        if self.config.device == "cpu" or not accel:
+        if not accel:
             return jax.devices("cpu")[0]
         return accel[0]
 
