@@ -54,6 +54,9 @@ class TestHandler:
         first = handler.timer
         handler.on_event(FileEvent("/tmp/b.jsonl", "created"))
         assert handler.timer is not first
+        # cancel() marks the timer finished but the thread only exits when
+        # next scheduled — join so a loaded core can't flake the assert.
+        first.join(timeout=10)
         assert not first.is_alive()
         handler.timer.cancel()
 
