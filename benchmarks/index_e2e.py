@@ -36,6 +36,24 @@ import numpy as np
 
 REF_CPU_S = 300.0  # reference README.md:347, 1k conversations on CPU
 REF_CUDA_S = 30.0  # same row, NVIDIA CUDA
+REF_10K_CPU_S = 3000.0  # reference README.md:348, 10k conversations on CPU
+REF_10K_CUDA_S = 300.0  # same row, NVIDIA CUDA
+
+
+def _peak_rss_gb() -> float | None:
+    """Lifetime peak resident set of this process (VmHWM), for the
+    BASELINE 'memory during indexing < 2 GB' row (ref README.md:425)."""
+    try:
+        for line in Path("/proc/self/status").read_text().splitlines():
+            if line.startswith("VmHWM:"):
+                return round(int(line.split()[1]) / 1024**2, 3)
+    except OSError:
+        pass
+    return None
+
+
+def _dir_bytes(root: Path) -> int:
+    return sum(p.stat().st_size for p in root.rglob("*") if p.is_file())
 
 
 def write_conversations(root: Path, n_conv: int, vocab_n: int) -> list:
@@ -137,6 +155,17 @@ def run(n_conversations: int = 1000) -> dict:
     stats = engine.index_conversations(timed)
     wall_s = time.perf_counter() - t0
 
+    # Persist the vector index so on-disk footprint is the real durable
+    # artifact (BASELINE 'storage per 1k conversations ~1 GB',
+    # ref README.md:426): metadata.db + TPUSIDX2 files, excluding the
+    # model checkpoint and the source JSONL corpus.
+    engine.storage.save_index()
+    store_bytes = (
+        _dir_bytes(data_dir)
+        - _dir_bytes(model_dir)
+        - _dir_bytes(data_dir / "claude-projects")
+    )
+
     n_conv = len(timed)
     chunks = stats.get("chunks_indexed", 0)
     per_1k_s = wall_s * (1000.0 / n_conv)
@@ -152,9 +181,19 @@ def run(n_conversations: int = 1000) -> dict:
         "vs_ref_cpu": round(REF_CPU_S / per_1k_s, 1),
         "vs_ref_cuda": round(REF_CUDA_S / per_1k_s, 1),
         "ref_rows": "README.md:347 — 1k conversations: ~300s CPU, ~30s CUDA",
+        "peak_host_rss_gb": _peak_rss_gb(),
+        "ref_indexing_memory": "README.md:425 — < 2 GB during indexing (CPU)",
+        "store_gb_per_1k_conv": round(
+            store_bytes / 1024**3 * (1000.0 / n_conv), 3
+        ),
+        "ref_storage": "README.md:426 — ~1 GB per 1,000 conversations",
         "errors": len(stats.get("errors", [])),
         "phases": stats.get("phases"),
     }
+    if n_conv >= 5000:
+        out["vs_ref_10k_cpu"] = round(REF_10K_CPU_S / (wall_s * 10000.0 / n_conv), 1)
+        out["vs_ref_10k_cuda"] = round(REF_10K_CUDA_S / (wall_s * 10000.0 / n_conv), 1)
+        out["ref_rows_10k"] = "README.md:348 — 10k conversations: ~3000s CPU, ~300s CUDA"
     shutil.rmtree(data_dir, ignore_errors=True)
     return out
 
@@ -165,7 +204,8 @@ def main() -> None:
     args = ap.parse_args()
     out = run(args.conversations)
     print(json.dumps(out, indent=2))
-    dest = Path(__file__).parent / "results" / "index_e2e_1k_tpu.json"
+    tag = f"{args.conversations // 1000}k" if args.conversations >= 1000 else str(args.conversations)
+    dest = Path(__file__).parent / "results" / f"index_e2e_{tag}_tpu.json"
     dest.write_text(json.dumps(out, indent=2) + "\n")
     print("wrote", dest)
 
