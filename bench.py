@@ -964,6 +964,10 @@ def bench_index() -> dict:
         "index_chunks_per_s": out["chunks_per_s"],
         "index_vs_ref_cpu": out["vs_ref_cpu"],
         "index_vs_ref_cuda": out["vs_ref_cuda"],
+        # BASELINE rows 'memory during indexing < 2 GB' (README.md:425)
+        # and 'storage per 1,000 conversations ~1 GB' (README.md:426).
+        "index_peak_host_rss_gb": out["peak_host_rss_gb"],
+        "index_store_gb_per_1k_conv": out["store_gb_per_1k_conv"],
         "index_errors": out["errors"],
     }
 
