@@ -431,6 +431,110 @@ class TestPersistence:
         assert results[0].chunk_id == "c2"
 
 
+class TestCrashRecovery:
+    """SQLite commits per wave while the index save is debounced — a
+    crash (or a lost index file) leaves metadata rows whose vectors
+    don't exist.  initialize() must reset incremental tracking for the
+    affected files so the next index pass re-embeds them instead of
+    skipping them forever."""
+
+    def _config(self, tmp_path, **kw):
+        return StorageConfig(
+            data_dir=str(tmp_path), embedding_dim=4, auto_save=False,
+            storage_dtype="float32", device="cpu", **kw,
+        )
+
+    def test_lost_index_file_resets_tracking(self, tmp_path):
+        f = tmp_path / "conv.jsonl"
+        f.write_text("{}")
+        s = HybridStorage(self._config(tmp_path))
+        s.initialize()
+        s.add_chunks([make_chunk("c1", "alpha", E1, file_path=str(f))])
+        s.update_file_info(str(f), 1)
+        assert s.is_file_modified(str(f)) is False
+        s.meta.close()  # crash: the index was never saved
+
+        s2 = HybridStorage(self._config(tmp_path))
+        s2.initialize()
+        try:
+            assert s2.index.ntotal == 0
+            # tracking was reset: the file will be re-indexed
+            assert s2.is_file_modified(str(f)) is True
+        finally:
+            s2.close()
+
+    def test_lost_tail_resets_only_affected_files(self, tmp_path):
+        f1 = tmp_path / "one.jsonl"
+        f2 = tmp_path / "two.jsonl"
+        f1.write_text("{}")
+        f2.write_text("{}")
+        s = HybridStorage(self._config(tmp_path))
+        s.initialize()
+        s.add_chunks([make_chunk("c1", "alpha", E1, file_path=str(f1))])
+        s.update_file_info(str(f1), 1)
+        s.save_index()  # wave 1 is durable
+        s.add_chunks([make_chunk("c2", "beta", E2, file_path=str(f2))])
+        s.update_file_info(str(f2), 1)
+        s.meta.close()  # crash before the debounced wave-2 save
+
+        s2 = HybridStorage(self._config(tmp_path))
+        s2.initialize()
+        try:
+            assert s2.index.ntotal == 1
+            assert s2.is_file_modified(str(f1)) is False  # vector exists
+            assert s2.is_file_modified(str(f2)) is True  # re-embed
+        finally:
+            s2.close()
+
+    def test_clean_reopen_keeps_tracking(self, tmp_path):
+        f = tmp_path / "conv.jsonl"
+        f.write_text("{}")
+        s = HybridStorage(self._config(tmp_path))
+        s.initialize()
+        s.add_chunks([make_chunk("c1", "alpha", E1, file_path=str(f))])
+        s.update_file_info(str(f), 1)
+        s.save_index()
+        s.close()
+
+        s2 = HybridStorage(self._config(tmp_path))
+        s2.initialize()
+        try:
+            assert s2.is_file_modified(str(f)) is False
+        finally:
+            s2.close()
+
+    def test_compact_persists_renumbered_index(self, tmp_path):
+        """optimize() must save the index in the same breath as the
+        SQLite id remap — the debounce window would pair a reloaded
+        old-numbering index with remapped ids."""
+        from tpu_search.index import load_index
+
+        s = HybridStorage(self._config(tmp_path))
+        s.initialize()
+        s.add_chunks(
+            [
+                make_chunk("c1", "alpha", E1),
+                make_chunk("c2", "beta", E2),
+                make_chunk("c3", "gamma", E3),
+            ]
+        )
+        s.delete_chunk("c2")
+        s.optimize()  # compacts AND must persist, auto_save=False or not
+        s.meta.close()  # crash right after optimize returns
+
+        reloaded = load_index(str(s.index_path), device="cpu")
+        assert reloaded.ntotal == 2
+        assert reloaded.live == 2
+
+        s2 = HybridStorage(self._config(tmp_path))
+        s2.initialize()
+        try:
+            res = s2.search(np.asarray(E3, dtype=np.float32), SearchConfig(top_k=1))
+            assert res and res[0].chunk_id == "c3"
+        finally:
+            s2.close()
+
+
 class TestStats:
     def test_stats_shape(self, storage):
         storage.add_chunks(

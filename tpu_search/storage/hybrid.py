@@ -408,6 +408,7 @@ class HybridStorage:
             self.index = self._build_index(device, mesh)
 
         self._rebuild_id_mappings()
+        self._recover_missing_vectors()
         self._initialized = True
         self.logger.info("Storage initialized with %d chunks", self.total_chunks)
 
@@ -429,6 +430,37 @@ class HybridStorage:
         self.chunk_id_to_faiss_id = fwd
         self.faiss_id_to_chunk_id = rev
         self.total_chunks = len(fwd)
+
+    def _recover_missing_vectors(self) -> None:
+        """Self-heal SQLite-ahead-of-index divergence at open time.
+
+        Chunk upserts commit to SQLite immediately while the vector
+        index save is debounced (``save_interval_s``), so a crash — or a
+        lost/corrupt index file — can leave metadata rows whose vector
+        ids exceed the reloaded index's assigned slots.  Those chunks
+        would otherwise be silently unsearchable FOREVER: the ``files``
+        mtime table still says their source files are up to date, so
+        incremental indexing skips them.  (The reference has the same
+        window but no detection, src/storage.py:403 vs :331.)  Reset the
+        tracking rows for the affected files so the next index pass
+        (watcher or ``claude-index``) re-parses and re-embeds them."""
+        if not self.faiss_id_to_chunk_id or self.index is None:
+            return
+        assigned = int(self.index.ntotal)
+        if max(self.faiss_id_to_chunk_id) < assigned:
+            return
+        files = self.meta.files_with_vec_ids_at_or_above(assigned)
+        dropped = self.meta.reset_file_tracking(files if files else None)
+        n_missing = sum(
+            1 for vid in self.faiss_id_to_chunk_id if vid >= assigned
+        )
+        self.logger.warning(
+            "Vector index is missing %d of %d mapped vectors (crash "
+            "before the debounced index save, or a lost index file); "
+            "reset incremental tracking for %d source files — the next "
+            "index run will re-embed them",
+            n_missing, len(self.faiss_id_to_chunk_id), dropped,
+        )
 
     # -- writes --------------------------------------------------------------
 
@@ -848,6 +880,11 @@ class HybridStorage:
             mapping = self.index.compact()
             self.meta.update_vec_ids(mapping)
             self._rebuild_id_mappings()
+            # The remapped ids are already durable in SQLite; persist the
+            # renumbered index NOW (debounce would leave a crash window
+            # where the on-disk index still has the old numbering —
+            # reloading that pairs scrambled vectors with the new ids).
+            self.save_index()
         if not self._maybe_rebalance_index():  # a rebalance already retunes
             self._maybe_autotune_nprobe()
         self.logger.info("Storage optimization complete")

@@ -365,6 +365,38 @@ class MetadataStore:
         )
         return recorded is None or current > recorded
 
+    def files_with_vec_ids_at_or_above(self, min_vec_id: int) -> List[str]:
+        """Distinct source files owning chunks whose vector id is >=
+        ``min_vec_id`` — i.e. chunks whose vectors do not exist in a
+        reloaded index that only reaches ``min_vec_id`` slots (a crash
+        lost the debounced index save, or the index file was lost)."""
+        rows = self._conn().execute(
+            "SELECT DISTINCT file_path FROM chunks WHERE faiss_id >= ?",
+            (min_vec_id,),
+        ).fetchall()
+        return [r[0] for r in rows if r[0]]
+
+    def reset_file_tracking(
+        self, file_paths: Optional[Sequence[str]] = None
+    ) -> int:
+        """Forget incremental-index state for ``file_paths`` (or every
+        file when None) so the next index run re-parses and re-embeds
+        them.  Returns the number of tracking rows dropped."""
+        db = self._conn()
+        with self.write_lock():
+            if file_paths is None:
+                cur = db.execute("DELETE FROM files")
+            else:
+                paths = list(file_paths)
+                if not paths:
+                    return 0
+                cur = db.executemany(
+                    "DELETE FROM files WHERE path = ?",
+                    [(p,) for p in paths],
+                )
+            db.commit()
+        return cur.rowcount if cur.rowcount is not None else 0
+
     def last_indexed(self) -> Optional[str]:
         row = self._conn().execute(
             "SELECT MAX(last_indexed) FROM files"
