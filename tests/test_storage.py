@@ -463,6 +463,28 @@ class TestCrashRecovery:
         finally:
             s2.close()
 
+    def test_corrupt_index_file_resets_tracking(self, tmp_path):
+        """A truncated/garbage index file (crash mid-save predates the
+        atomic tmp+rename, or disk damage) must degrade to a fresh
+        index AND reset tracking, not crash initialize()."""
+        f = tmp_path / "conv.jsonl"
+        f.write_text("{}")
+        s = HybridStorage(self._config(tmp_path))
+        s.initialize()
+        s.add_chunks([make_chunk("c1", "alpha", E1, file_path=str(f))])
+        s.update_file_info(str(f), 1)
+        s.save_index()
+        s.meta.close()
+
+        s.index_path.write_bytes(b"TPUS garbage \x00\x01")
+        s2 = HybridStorage(self._config(tmp_path))
+        s2.initialize()
+        try:
+            assert s2.index.ntotal == 0
+            assert s2.is_file_modified(str(f)) is True
+        finally:
+            s2.close()
+
     def test_lost_tail_resets_only_affected_files(self, tmp_path):
         f1 = tmp_path / "one.jsonl"
         f2 = tmp_path / "two.jsonl"
