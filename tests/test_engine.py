@@ -193,6 +193,74 @@ class TestWaveRemoveAccounting:
         assert engine.storage.index.live == engine.storage.total_chunks
 
 
+class TestIngestPrefetch:
+    """The pipelined ingest path (parse+chunk on a lookahead thread) must
+    be observably identical to the serial path — same chunk ids, same
+    stats, same error containment."""
+
+    def test_prefetch_matches_serial(self, tmp_path, monkeypatch):
+        import tpu_search.api.engine as engine_mod
+
+        files = None
+
+        def build(root: Path):
+            nonlocal files
+            files = [
+                write_file(root / "proj" / f"f{i}.jsonl", text=f"file {i} ")
+                for i in range(5)
+            ]
+            empty = root / "proj" / "empty.jsonl"
+            empty.write_text("")  # parses to None -> files_skipped
+            return files + [empty]
+
+        def run(root: Path, prefetch: int):
+            monkeypatch.setattr(engine_mod, "_PREFETCH_FILES", prefetch)
+            engine = SearchEngine(
+                data_dir=str(root / "data"),
+                model_name="hash-768",
+                use_warm_server=False,
+            )
+            engine.storage.config.device = "cpu"
+            stats = engine.index_conversations(build(root))
+            ids = sorted(
+                r[0] for r in engine.storage.meta.db.execute(
+                    "SELECT id FROM chunks ORDER BY id"
+                )
+            )
+            engine.storage.close()
+            return stats, ids
+
+        serial_stats, serial_ids = run(tmp_path / "serial", 0)
+        pre_stats, pre_ids = run(tmp_path / "prefetch", 4)
+        assert pre_ids == serial_ids  # chunk-id assignment is order-stable
+        for key in (
+            "files_processed", "files_skipped", "files_unchanged",
+            "chunks_created", "chunks_indexed", "chunks_removed", "errors",
+        ):
+            assert pre_stats[key] == serial_stats[key], key
+
+    def test_prefetch_contains_worker_parse_failure(
+        self, engine, tmp_path
+    ):
+        """An exception raised on the ingest thread surfaces on the file
+        that caused it (via the future) and blocks nothing else."""
+        good = write_file(tmp_path / "proj" / "good.jsonl")
+        bad = write_file(tmp_path / "proj" / "bad.jsonl", text="boom ")
+        original = engine.parser.parse_file
+
+        def exploding(path):
+            if "bad.jsonl" in str(path):
+                raise RuntimeError("parser exploded")
+            return original(path)
+
+        with patch.object(engine.parser, "parse_file", exploding):
+            stats = engine.index_conversations([bad, good])
+        # the retry round re-runs the same exploding parser -> stays failed
+        assert stats["files_processed"] == 1
+        assert any("bad.jsonl" in e for e in stats["errors"])
+        assert engine.storage.total_chunks == stats["chunks_indexed"]
+
+
 class TestForceAndDims:
     def test_force_clears_existing(self, engine, tmp_path):
         f = write_file(tmp_path / "proj" / "a.jsonl")

@@ -29,6 +29,12 @@ from ..utils.profiling import PhaseTimer
 # failure retries cheaply file-by-file.
 _EMBED_WAVE_CHUNKS = int(os.environ.get("CLAUDE_SEARCH_EMBED_WAVE", 2048))
 
+# Ingest pipeline lookahead (files): parse+chunk of upcoming files runs on
+# one background thread while the main thread blocks on device encode +
+# index scatter, overlapping host ingest with TPU compute (both pure-Python
+# phases interleave under the GIL; the device waits release it).  0 = serial.
+_PREFETCH_FILES = int(os.environ.get("CLAUDE_SEARCH_PREFETCH_FILES", 256))
+
 
 def _enable_compilation_cache(cache_dir: Path) -> None:
     """Persist XLA compiles across CLI invocations.
@@ -119,6 +125,9 @@ class SearchEngine:
         # Per-thread persistent connections to the warm server
         # (QueryClient is single-connection, not thread-safe).
         self._warm_clients = threading.local()
+        # Serializes chunker.chunk_counter between the ingest prefetch
+        # thread and the main thread (see _prepare_one_file).
+        self._chunk_lock = threading.Lock()
         # Fused encode+scan programs keyed by (model config, dtype,
         # normalize, platform); built lazily by _fused_query_fn.
         self._fused_jit: Dict[Any, Any] = {}
@@ -429,30 +438,99 @@ class SearchEngine:
                 stats["chunks_indexed"] += len(chunks)
                 stats["files_processed"] += 1
 
-        for file_path in iterator:
-            try:
-                if not force and not self.storage.is_file_modified(
-                    str(file_path)
-                ):
-                    stats["files_unchanged"] += 1
+        def consume(file_path: Path, chunks: Optional[List[Any]]) -> None:
+            if not chunks:
+                return
+            # Flush BEFORE overflowing the wave cap so waves land
+            # at <= 2048 chunks (exactly a shape bucket) instead of
+            # spilling just past it into the next one.
+            nonlocal wave_chunks
+            if wave and wave_chunks + len(chunks) > _EMBED_WAVE_CHUNKS:
+                flush_wave()
+            wave.append((file_path, chunks))
+            wave_chunks += len(chunks)
+            if wave_chunks >= _EMBED_WAVE_CHUNKS:
+                flush_wave()
+
+        def candidates():
+            """Modified files only; the mtime check stays on this thread
+            (single SQLite reader)."""
+            for file_path in iterator:
+                try:
+                    if not force and not self.storage.is_file_modified(
+                        str(file_path)
+                    ):
+                        stats["files_unchanged"] += 1
+                        continue
+                except Exception as exc:
+                    message = f"Error processing {file_path}: {exc}"
+                    stats["errors"].append(message)
+                    logger.error(message)
+                    failed.append(file_path)
                     continue
-                report(f"Processing {file_path.name}")
-                chunks = self._prepare_one_file(file_path, stats, remove=False)
-                if chunks:
-                    # Flush BEFORE overflowing the wave cap so waves land
-                    # at <= 2048 chunks (exactly a shape bucket) instead of
-                    # spilling just past it into the next one.
-                    if wave and wave_chunks + len(chunks) > _EMBED_WAVE_CHUNKS:
-                        flush_wave()
-                    wave.append((file_path, chunks))
-                    wave_chunks += len(chunks)
-                    if wave_chunks >= _EMBED_WAVE_CHUNKS:
-                        flush_wave()
-            except Exception as exc:
-                message = f"Error processing {file_path}: {exc}"
-                stats["errors"].append(message)
-                logger.error(message)
-                failed.append(file_path)
+                yield file_path
+
+        if _PREFETCH_FILES > 0:
+            # Pipelined ingest: ONE worker thread runs parse+chunk ahead of
+            # the wave loop, so host-side ingest overlaps the device-side
+            # encode+scatter this thread blocks on inside flush_wave (the
+            # 10k-conversation hardware profile measured the two strictly
+            # serialized: benchmarks/results/index_e2e_10k_tpu.json).
+            # One worker (not a pool) keeps chunk-id assignment sequential
+            # in file order; the lookahead bound caps buffered chunk text.
+            from concurrent.futures import ThreadPoolExecutor
+            from collections import deque
+
+            executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tpu-search-ingest"
+            )
+            pending: deque = deque()
+            source = candidates()
+            drained = False
+            try:
+                while True:
+                    while not drained and len(pending) < _PREFETCH_FILES:
+                        nxt = next(source, None)
+                        if nxt is None:
+                            drained = True
+                            break
+                        pending.append(
+                            (
+                                nxt,
+                                executor.submit(
+                                    self._prepare_one_file,
+                                    nxt,
+                                    stats,
+                                    remove=False,
+                                ),
+                            )
+                        )
+                    if not pending:
+                        break
+                    file_path, fut = pending.popleft()
+                    try:
+                        report(f"Processing {file_path.name}")
+                        consume(file_path, fut.result())
+                    except Exception as exc:
+                        message = f"Error processing {file_path}: {exc}"
+                        stats["errors"].append(message)
+                        logger.error(message)
+                        failed.append(file_path)
+            finally:
+                executor.shutdown(wait=True)
+        else:  # CLAUDE_SEARCH_PREFETCH_FILES=0: strictly serial ingest
+            for file_path in candidates():
+                try:
+                    report(f"Processing {file_path.name}")
+                    consume(
+                        file_path,
+                        self._prepare_one_file(file_path, stats, remove=False),
+                    )
+                except Exception as exc:
+                    message = f"Error processing {file_path}: {exc}"
+                    stats["errors"].append(message)
+                    logger.error(message)
+                    failed.append(file_path)
         flush_wave()
 
         if failed:
@@ -521,7 +599,11 @@ class SearchEngine:
         if conversation is None:
             stats["files_skipped"] += 1
             return None
-        with self._timer.phase("chunk"):
+        # The lock keeps chunk-id assignment (chunker.chunk_counter) atomic
+        # between the ingest prefetch thread and the main thread's
+        # wave-failure fallback, which re-chunks failed files while the
+        # prefetcher may be chunking ahead.
+        with self._timer.phase("chunk"), self._chunk_lock:
             chunks = self.chunker.chunk_conversation(conversation)
         if not chunks:
             stats["files_skipped"] += 1
