@@ -57,8 +57,32 @@ class TestSearchCommand:
         assert "projA" in result.output
         assert "🔧 Contains code" in result.output
         engine.search_conversations.assert_called_once_with(
-            "profile jax", {}, 10
+            "profile jax", {}, 10,
+            rerank=None, rerank_model=None, rerank_factor=None,
         )
+
+    def test_rerank_flags_passed_through(self, runner, engine):
+        runner.invoke(
+            cli,
+            ["search", "q", "--rerank", "--rerank-model", "my-ce",
+             "--rerank-factor", "3"],
+        )
+        engine.search_conversations.assert_called_once_with(
+            "q", {}, 10,
+            rerank=True, rerank_model="my-ce", rerank_factor=3,
+        )
+
+    def test_rerank_score_shown(self, runner, engine):
+        engine.search_conversations.return_value = [
+            {
+                "chunk_id": "c1", "similarity": 0.87,
+                "rerank_score": 0.912, "text": "hello",
+                "project": "projA", "session": "s1",
+                "timestamp": "2024-01-01", "has_code": False,
+            }
+        ]
+        result = runner.invoke(cli, ["search", "q", "--rerank"])
+        assert "[Rerank: 0.912 | Similarity: 0.870]" in result.output
 
     def test_truncation_and_full_content(self, runner, engine):
         short = runner.invoke(cli, ["search", "q"])
@@ -78,6 +102,7 @@ class TestSearchCommand:
             "q",
             {"project_name": "alpha", "has_code": True, "session_id": "s9"},
             5,
+            rerank=None, rerank_model=None, rerank_factor=None,
         )
 
     def test_date_filters(self, runner, engine):

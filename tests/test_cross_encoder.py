@@ -1,0 +1,339 @@
+"""Cross-encoder reranker: golden parity vs HF torch
+``BertForSequenceClassification``, pair-tokenizer parity vs HF
+``BertTokenizer``, and the end-to-end rerank plumbing.
+
+The reference has no second retrieval stage at all (ranking is the
+bi-encoder cosine only, src/storage.py:408-436); the golden gate here is
+the sentence-transformers ``CrossEncoder`` semantics the ms-marco-*
+models ship with.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_search.models.convert import (
+    config_from_hf,
+    load_checkpoint,
+    params_from_bert_state_dict,
+    save_checkpoint,
+)
+from tpu_search.models.cross_encoder import CrossEncoder, CrossEncoderConfig
+from tpu_search.models.mpnet import MPNetConfig, classify, init_params
+from tpu_search.models.tokenizer import WordPieceTokenizer
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+SMALL_CLS_CONFIG = dict(
+    model_type="bert",
+    architectures=["BertForSequenceClassification"],
+    id2label={"0": "LABEL_0"},
+    vocab_size=120,
+    hidden_size=32,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=40,
+    pad_token_id=0,
+    layer_norm_eps=1e-12,
+    hidden_act="gelu",
+)
+
+
+@pytest.fixture(scope="module")
+def torch_classifier():
+    torch.manual_seed(0)
+    hf = transformers.BertConfig(
+        **{
+            k: v
+            for k, v in SMALL_CLS_CONFIG.items()
+            if k not in ("model_type", "architectures", "id2label")
+        },
+        num_labels=1,
+    )
+    model = transformers.BertForSequenceClassification(hf)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_classifier(torch_classifier):
+    config = config_from_hf(SMALL_CLS_CONFIG)
+    assert config.arch == "bert" and config.num_labels == 1
+    params = params_from_bert_state_dict(
+        torch_classifier.state_dict(), config
+    )
+    return params, config
+
+
+def make_pair_batch(rng, batch=4, seq=20, vocab=120):
+    """Random pair-shaped inputs: [CLS] a [SEP] b [SEP] with padding."""
+    ids = np.zeros((batch, seq), dtype=np.int64)
+    types = np.zeros((batch, seq), dtype=np.int64)
+    mask = np.zeros((batch, seq), dtype=np.int64)
+    for row in range(batch):
+        len_a = int(rng.integers(2, 8))
+        len_b = int(rng.integers(2, seq - len_a - 3))
+        total = len_a + len_b + 3
+        body = rng.integers(4, vocab, size=total)
+        ids[row, :total] = body
+        ids[row, 0] = 2  # [CLS]-ish
+        ids[row, len_a + 1] = 3  # [SEP]
+        ids[row, total - 1] = 3
+        types[row, len_a + 2 : total] = 1
+        mask[row, :total] = 1
+    return ids, types, mask
+
+
+class TestClassifyGolden:
+    def test_logit_parity(self, torch_classifier, jax_classifier):
+        params, config = jax_classifier
+        rng = np.random.default_rng(7)
+        ids, types, mask = make_pair_batch(rng)
+        with torch.no_grad():
+            ref = torch_classifier(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+                token_type_ids=torch.tensor(types),
+            ).logits.numpy()
+        got = np.asarray(
+            classify(
+                params,
+                jnp.asarray(ids),
+                jnp.asarray(mask),
+                jnp.asarray(types),
+                config,
+            )
+        )
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+
+    def test_token_types_change_the_score(self, jax_classifier):
+        """Segment embeddings must actually flow: all-zero vs real type
+        ids produce different logits on the same tokens."""
+        params, config = jax_classifier
+        rng = np.random.default_rng(8)
+        ids, types, mask = make_pair_batch(rng)
+        with_types = np.asarray(
+            classify(
+                params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(types), config,
+            )
+        )
+        zeroed = np.asarray(
+            classify(
+                params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.zeros_like(jnp.asarray(types)), config,
+            )
+        )
+        assert np.abs(with_types - zeroed).max() > 1e-6
+
+    def test_checkpoint_roundtrip_preserves_head(
+        self, jax_classifier, tmp_path
+    ):
+        params, config = jax_classifier
+        path = tmp_path / "ce.npz"
+        save_checkpoint(str(path), params, config)
+        loaded, loaded_config = load_checkpoint(str(path))
+        assert loaded_config.num_labels == 1
+        np.testing.assert_array_equal(
+            np.asarray(loaded["head"]["cls_w"]),
+            np.asarray(params["head"]["cls_w"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(loaded["embeddings"]["tt_table"]),
+            np.asarray(params["embeddings"]["tt_table"]),
+        )
+
+
+VOCAB_WORDS = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    "the", "quick", "brown", "fox", "jump", "##s", "over", "lazy", "dog",
+    "search", "semantic", "query", "pass", "##age", "rank", "##ing",
+    "a", "b", "c", "d", "e",
+]
+
+
+@pytest.fixture(scope="module")
+def vocab_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ce_vocab")
+    (d / "vocab.txt").write_text("\n".join(VOCAB_WORDS) + "\n")
+    return d
+
+
+class TestPairTokenizer:
+    @pytest.fixture(scope="class")
+    def tokenizers(self, vocab_dir):
+        ours = WordPieceTokenizer.from_pretrained_dir(str(vocab_dir))
+        theirs = transformers.BertTokenizer(
+            str(vocab_dir / "vocab.txt"), do_lower_case=True
+        )
+        return ours, theirs
+
+    @pytest.mark.parametrize(
+        "a,b",
+        [
+            ("the quick brown fox", "jumps over the lazy dog"),
+            ("semantic search query", "passage ranking"),
+            ("a b c d e", "the the the"),
+            ("", "the dog"),
+            ("the dog", ""),
+        ],
+    )
+    def test_pair_matches_hf(self, tokenizers, a, b):
+        ours, theirs = tokenizers
+        ids, type_ids = ours.encode_pair(a, b)
+        ref = theirs(a, b)
+        assert ids == ref["input_ids"]
+        assert type_ids == ref["token_type_ids"]
+
+    @pytest.mark.parametrize("max_length", [8, 10, 12, 16])
+    def test_longest_first_truncation_matches_hf(
+        self, tokenizers, max_length
+    ):
+        ours, theirs = tokenizers
+        a = "the quick brown fox jumps over the lazy dog"
+        b = "semantic search passage"
+        ids, type_ids = ours.encode_pair(a, b, max_length)
+        ref = theirs(
+            a, b, truncation="longest_first", max_length=max_length
+        )
+        assert ids == ref["input_ids"]
+        assert type_ids == ref["token_type_ids"]
+
+
+class TestCrossEncoderPredict:
+    @pytest.fixture(scope="class")
+    def model_cache(self, tmp_path_factory):
+        """A tiny native cross-encoder checkpoint + vocab in the cache-dir
+        layout load_model expects."""
+        import jax
+
+        cache = tmp_path_factory.mktemp("ce_cache")
+        model_dir = cache / "tiny-ce"
+        model_dir.mkdir()
+        (model_dir / "vocab.txt").write_text("\n".join(VOCAB_WORDS) + "\n")
+        config = MPNetConfig(
+            vocab_size=len(VOCAB_WORDS),
+            hidden_size=16,
+            num_layers=2,
+            num_heads=2,
+            intermediate_size=32,
+            max_position=64,
+            layer_norm_eps=1e-12,
+            pad_token_id=0,
+            arch="bert",
+            num_labels=1,
+        )
+        params = init_params(config, jax.random.PRNGKey(0))
+        save_checkpoint(str(model_dir / "model.tpu.npz"), params, config)
+        return cache
+
+    def test_predict_shapes_and_range(self, model_cache):
+        encoder = CrossEncoder(
+            CrossEncoderConfig(
+                model_name="tiny-ce",
+                cache_dir=str(model_cache),
+                device="cpu",
+                compute_dtype="float32",
+            )
+        )
+        pairs = [
+            ("semantic search", "passage ranking"),
+            ("the quick fox", "lazy dog"),
+            ("query", "the quick brown fox jumps"),
+        ]
+        scores = encoder.predict(pairs)
+        assert scores.shape == (3,)
+        assert np.isfinite(scores).all()
+        assert ((scores > 0) & (scores < 1)).all()  # sigmoid range
+        # Deterministic across calls (same compiled graph, same padding).
+        again = encoder.predict(pairs)
+        np.testing.assert_allclose(again, scores, rtol=1e-6)
+
+    def test_batching_invariance(self, model_cache):
+        """Scores must not depend on batch composition (padding/order)."""
+        encoder = CrossEncoder(
+            CrossEncoderConfig(
+                model_name="tiny-ce",
+                cache_dir=str(model_cache),
+                device="cpu",
+                compute_dtype="float32",
+                batch_size=2,
+            )
+        )
+        pairs = [
+            ("semantic search", "passage ranking"),
+            ("the quick fox", "lazy dog over the fox"),
+            ("query", "the quick brown fox jumps over the lazy dog"),
+            ("a b", "c d e"),
+            ("rank", "the dog"),
+        ]
+        together = encoder.predict(pairs)
+        solo = np.concatenate([encoder.predict([p]) for p in pairs])
+        np.testing.assert_allclose(together, solo, atol=1e-5)
+
+    def test_rank_orders_by_score(self, model_cache):
+        encoder = CrossEncoder(
+            CrossEncoderConfig(
+                model_name="tiny-ce",
+                cache_dir=str(model_cache),
+                device="cpu",
+                compute_dtype="float32",
+            )
+        )
+        docs = ["passage ranking", "lazy dog", "the quick brown fox"]
+        ranked = encoder.rank("semantic search", docs)
+        scores = [r["score"] for r in ranked]
+        assert scores == sorted(scores, reverse=True)
+        assert {r["text"] for r in ranked} == set(docs)
+
+    def test_missing_model_raises(self, tmp_path):
+        encoder = CrossEncoder(
+            CrossEncoderConfig(
+                model_name="no-such-model", cache_dir=str(tmp_path)
+            )
+        )
+        with pytest.raises(FileNotFoundError):
+            encoder.load_model()
+
+    def test_embedding_model_rejected(self, tmp_path):
+        """An embedding checkpoint (num_labels=0) is not a reranker."""
+        import jax
+
+        model_dir = tmp_path / "embed-only"
+        model_dir.mkdir()
+        config = MPNetConfig(
+            vocab_size=len(VOCAB_WORDS), hidden_size=16, num_layers=1,
+            num_heads=2, intermediate_size=32, max_position=64,
+            arch="bert", pad_token_id=0,
+        )
+        params = init_params(config, jax.random.PRNGKey(1))
+        save_checkpoint(str(model_dir / "model.tpu.npz"), params, config)
+        encoder = CrossEncoder(
+            CrossEncoderConfig(
+                model_name="embed-only", cache_dir=str(tmp_path)
+            )
+        )
+        with pytest.raises(ValueError, match="classification head"):
+            encoder.load_model()
+
+
+class TestHashFallback:
+    def test_lexical_overlap_orders(self):
+        encoder = CrossEncoder(CrossEncoderConfig(model_name="hash-256"))
+        scores = encoder.predict(
+            [
+                ("install jax on tpu", "how to install jax on a tpu vm"),
+                ("install jax on tpu", "recipe for chocolate cake"),
+            ]
+        )
+        assert scores[0] > scores[1]
+
+    def test_empty_input(self):
+        encoder = CrossEncoder(CrossEncoderConfig(model_name="hash-256"))
+        assert encoder.predict([]).shape == (0,)

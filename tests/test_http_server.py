@@ -85,6 +85,30 @@ class TestRoutes:
         assert body["results"][0]["chunk_id"] == "c1"
         assert engine.storage.search_many.call_args[0][1].top_k == 3
 
+    def test_search_get_rerank(self, frontend, engine):
+        engine.rerank_results.side_effect = (
+            lambda q, results, k, model=None: [
+                dict(r, rerank_score=0.5) for r in results
+            ][:k]
+        )
+        status, body = get(
+            frontend, "/v1/search?q=hello&top_k=3&rerank=1&rerank_factor=4"
+        )
+        assert status == 200
+        assert body["results"][0]["rerank_score"] == 0.5
+        # Stage 1 over-fetched k * factor.
+        assert engine.storage.search_many.call_args[0][1].top_k == 12
+        args, kwargs = engine.rerank_results.call_args
+        assert args[0] == "hello" and args[2] == 3
+        assert kwargs.get("model") is None
+
+    def test_search_rerank_bad_factor(self, frontend, engine):
+        status, body = get(
+            frontend, "/v1/search?q=hello&rerank=1&rerank_factor=abc"
+        )
+        assert status == 400
+        assert "rerank_factor" in body["error"]
+
     def test_search_get_filters(self, frontend, engine):
         status, _ = get(
             frontend,

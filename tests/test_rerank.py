@@ -1,0 +1,219 @@
+"""Two-stage retrieval: cross-encoder rerank wiring through the engine,
+the warm query server, and the CLI flag surface.
+
+The reranker model itself is golden-tested in test_cross_encoder.py;
+these tests drive the plumbing with the deterministic hash fallback and
+stub rerankers (no weights needed).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpu_search.api.engine import SearchEngine, rerank_fetch_k
+
+
+def write_corpus(base: Path, texts):
+    """One topic per file (QA chunks pair adjacent user/assistant
+    messages, so mixing topics in one session would merge them)."""
+    base.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i, text in enumerate(texts):
+        path = base / f"s{i}.jsonl"
+        lines = [
+            json.dumps({
+                "uuid": f"u{i}", "sessionId": f"s{i}",
+                "timestamp": f"2025-07-01T09:{i:02d}:00Z",
+                "message": {"role": "user", "content": text},
+            }),
+            json.dumps({
+                "uuid": f"a{i}", "sessionId": f"s{i}",
+                "timestamp": f"2025-07-01T09:{i:02d}:30Z",
+                "message": {"role": "assistant", "content": text},
+            }),
+        ]
+        path.write_text("\n".join(lines) + "\n")
+        paths.append(path)
+    return paths
+
+
+TEXTS = [
+    "install jax on a tpu virtual machine step by step " * 4,
+    "recipe for chocolate cake with dark frosting and sugar " * 4,
+    "debugging a segmentation fault in a c extension module " * 4,
+    "how to configure jax sharding meshes for tpu pods " * 4,
+]
+
+
+@pytest.fixture
+def engine(tmp_path):
+    engine = SearchEngine(
+        data_dir=str(tmp_path / "data"),
+        model_name="hash-768",
+        use_warm_server=False,
+    )
+    engine.storage.config.device = "cpu"
+    files = write_corpus(tmp_path / "proj", TEXTS)
+    engine.index_conversations(files)
+    return engine
+
+
+class _StubReranker:
+    """Deterministic reranker: score = text length (reverses any order)."""
+
+    def predict(self, pairs):
+        return np.array([float(len(b)) for _, b in pairs], dtype=np.float32)
+
+
+class TestFetchK:
+    def test_factor_multiplies(self):
+        assert rerank_fetch_k(10, {"factor": 5}) == 50
+
+    def test_capped_at_100(self):
+        assert rerank_fetch_k(40, {"factor": 5}) == 100
+
+    def test_large_top_k_wins_over_cap(self):
+        assert rerank_fetch_k(150, {"factor": 2}) == 150
+
+    def test_bad_factor_defaults(self):
+        assert rerank_fetch_k(10, {"factor": "x"}) == 50
+        assert rerank_fetch_k(10, {}) == 50
+
+
+class TestSpecResolution:
+    def test_default_off(self, engine, monkeypatch):
+        monkeypatch.delenv("CLAUDE_SEARCH_RERANK", raising=False)
+        assert engine._rerank_spec(None, None, None) is None
+
+    def test_env_enables(self, engine, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_RERANK", "1")
+        spec = engine._rerank_spec(None, None, None)
+        assert spec == {"factor": 5}
+
+    def test_explicit_false_overrides_env(self, engine, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_RERANK", "1")
+        assert engine._rerank_spec(False, None, None) is None
+
+    def test_model_and_factor_carried(self, engine):
+        spec = engine._rerank_spec(True, "my-model", 3)
+        assert spec == {"factor": 3, "model": "my-model"}
+
+
+class TestEngineRerank:
+    def test_rerank_reorders_and_annotates(self, engine, monkeypatch):
+        monkeypatch.setattr(
+            engine, "_get_reranker", lambda model=None: _StubReranker()
+        )
+        results = engine.search_conversations(
+            "install jax tpu", top_k=3, rerank=True
+        )
+        assert len(results) == 3
+        scores = [r["rerank_score"] for r in results]
+        assert scores == sorted(scores, reverse=True)
+        # Stub score == text length, so the longest text wins stage 2
+        # regardless of bi-encoder order.
+        assert len(results[0]["text"]) == max(
+            len(r["text"]) for r in results
+        )
+        # The bi-encoder similarity survives alongside.
+        assert all("similarity" in r for r in results)
+
+    def test_rerank_respects_top_k(self, engine, monkeypatch):
+        monkeypatch.setattr(
+            engine, "_get_reranker", lambda model=None: _StubReranker()
+        )
+        results = engine.search_conversations(
+            "install jax tpu", top_k=2, rerank=True, rerank_factor=2
+        )
+        assert len(results) == 2
+
+    def test_hash_reranker_end_to_end(self, engine, monkeypatch):
+        monkeypatch.setenv("CLAUDE_SEARCH_RERANK_MODEL", "hash-256")
+        results = engine.search_conversations(
+            "install jax on tpu", top_k=3, rerank=True
+        )
+        assert all("rerank_score" in r for r in results)
+        # The lexically-on-topic chunks must outrank the cake recipe.
+        assert "cake" not in results[0]["text"]
+
+    def test_missing_model_degrades_gracefully(self, engine, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            results = engine.search_conversations(
+                "install jax on tpu", top_k=3, rerank=True,
+                rerank_model="definitely-not-downloaded",
+            )
+        assert len(results) == 3
+        assert all("rerank_score" not in r for r in results)
+        assert engine._reranker_failed == "definitely-not-downloaded"
+        # Failure is remembered: a second search does not retry the load.
+        results = engine.search_conversations(
+            "install jax on tpu", top_k=3, rerank=True,
+            rerank_model="definitely-not-downloaded",
+        )
+        assert len(results) == 3
+
+    def test_no_rerank_without_flag(self, engine, monkeypatch):
+        monkeypatch.delenv("CLAUDE_SEARCH_RERANK", raising=False)
+        results = engine.search_conversations("install jax on tpu", top_k=3)
+        assert all("rerank_score" not in r for r in results)
+
+
+class TestWarmServerRerank:
+    def test_rerank_spec_travels_through_the_socket(
+        self, engine, tmp_path, monkeypatch
+    ):
+        from tpu_search.interfaces.query_server import QueryServer, request
+
+        monkeypatch.setenv("CLAUDE_SEARCH_RERANK_MODEL", "hash-256")
+        server = QueryServer(engine, str(tmp_path))
+        server.start()
+        try:
+            response = request(
+                str(tmp_path),
+                {"op": "search", "query": "install jax on tpu",
+                 "top_k": 3, "rerank": {"factor": 2}},
+                timeout=60.0,
+            )
+            assert response["ok"] is True
+            results = response["results"]
+            assert len(results) <= 3
+            assert all("rerank_score" in r for r in results)
+            scores = [r["rerank_score"] for r in results]
+            assert scores == sorted(scores, reverse=True)
+
+            # Same window, mixed specs: a plain request groups separately
+            # and comes back without rerank annotations.
+            plain = request(
+                str(tmp_path),
+                {"op": "search", "query": "install jax on tpu", "top_k": 3},
+                timeout=60.0,
+            )
+            assert plain["ok"] is True
+            assert all("rerank_score" not in r for r in plain["results"])
+        finally:
+            server.stop()
+
+    def test_client_engine_forwards_spec(self, engine, tmp_path, monkeypatch):
+        """A client-side engine with use_warm_server=True sends the spec
+        and returns the server's reranked results."""
+        from tpu_search.interfaces.query_server import QueryServer
+
+        monkeypatch.setenv("CLAUDE_SEARCH_RERANK_MODEL", "hash-256")
+        server = QueryServer(engine, str(engine.data_dir))
+        server.start()
+        try:
+            client_engine = SearchEngine(
+                data_dir=str(engine.data_dir),
+                model_name="hash-768",
+                use_warm_server=True,
+            )
+            results = client_engine.search_conversations(
+                "install jax on tpu", top_k=3, rerank=True
+            )
+            assert all("rerank_score" in r for r in results)
+        finally:
+            server.stop()

@@ -58,6 +58,7 @@ __all__ = [
     "SemanticSearchCLI",
     "DEFAULT_DATA_DIR",
     "format_search_result",
+    "rerank_fetch_k",
     "resolve_data_dir",
 ]
 
@@ -89,6 +90,19 @@ def format_search_result(result) -> Dict[str, Any]:
         "timestamp": meta.get("timestamp", "unknown"),
         "has_code": meta.get("has_code", False),
     }
+
+
+def rerank_fetch_k(top_k: int, spec: Dict[str, Any]) -> int:
+    """Stage-1 fetch size for a rerank request: ``top_k * factor``, capped
+    at 100 candidates (cross-encoder cost is linear in candidates; 100 is
+    the reference's own max_results over-fetch bound, src/storage.py:66)."""
+    try:
+        factor = int(spec.get("factor", 5) or 5)
+    except (TypeError, ValueError, AttributeError):
+        # Tolerate loose wire specs ({"rerank": true} from a hand-rolled
+        # client): default factor.
+        factor = 5
+    return min(max(top_k, top_k * max(1, factor)), max(top_k, 100))
 
 
 def resolve_data_dir(data_dir: Optional[str] = None) -> str:
@@ -254,6 +268,14 @@ class SearchEngine:
         # One merged phase table: storage write sub-phases (store.upsert,
         # store.index_add, ...) land in the same indexing-stats report.
         self.storage.timer = self._timer
+        # Cross-encoder reranker (lazy; shared by local search and the warm
+        # server's finisher threads). CLAUDE_SEARCH_RERANK=1 turns reranking
+        # on for every search that doesn't pass an explicit flag;
+        # CLAUDE_SEARCH_RERANK_FACTOR sets the stage-1 over-fetch multiple.
+        self._reranker = None
+        self._reranker_name: Optional[str] = None
+        self._reranker_failed: Optional[str] = None
+        self._reranker_lock = threading.Lock()
 
     # -- discovery ----------------------------------------------------------
 
@@ -648,18 +670,29 @@ class SearchEngine:
         query: str,
         filters: Optional[Dict[str, Any]] = None,
         top_k: int = 10,
+        rerank: Optional[bool] = None,
+        rerank_model: Optional[str] = None,
+        rerank_factor: Optional[int] = None,
     ) -> List[Dict[str, Any]]:
         """Embed the query and run the fused-filter top-k scan.
 
         Uses the watcher daemon's warm query server when available (model +
         index + compiled graphs stay hot there; fixes the reference's
         per-invocation cold start, src/cli.py:237-241).
+
+        ``rerank`` re-orders the coarse top ``top_k * rerank_factor`` with
+        the cross-encoder (two-stage retrieval; the reference has no
+        second stage at all). ``None`` defers to ``CLAUDE_SEARCH_RERANK``.
         """
+        spec = self._rerank_spec(rerank, rerank_model, rerank_factor)
         if self.use_warm_server:
-            response = self._warm_request(
-                {"op": "search", "query": query, "filters": filters,
-                 "top_k": top_k},
-            )
+            payload: Dict[str, Any] = {
+                "op": "search", "query": query, "filters": filters,
+                "top_k": top_k,
+            }
+            if spec:
+                payload["rerank"] = spec
+            response = self._warm_request(payload)
             if response is not None and response.get("ok"):
                 return response["results"]
 
@@ -669,22 +702,109 @@ class SearchEngine:
         self.storage.initialize()
         self._check_index_dim()
 
+        fetch_k = rerank_fetch_k(top_k, spec) if spec else top_k
         cfg = SearchConfig(
-            top_k=top_k, include_metadata=True, include_text=True,
+            top_k=fetch_k, include_metadata=True, include_text=True,
             nprobe=self._default_nprobe,
         )
         fused = self._fused_search(query, filters, cfg)
         if fused is not None:
-            return [format_search_result(result) for result in fused]
+            results = fused
+        else:
+            query_embedding = self.embedder.generate_single_embedding(query)
+            results = self.storage.search(query_embedding, cfg, filters)
 
-        query_embedding = self.embedder.generate_single_embedding(query)
-        results = self.storage.search(
-            query_embedding,
-            cfg,
-            filters,
+        formatted = [format_search_result(result) for result in results]
+        if spec:
+            formatted = self.rerank_results(
+                query, formatted, top_k, model=spec.get("model")
+            )
+        return formatted
+
+    # -- cross-encoder reranking ---------------------------------------------
+
+    def _rerank_spec(
+        self,
+        rerank: Optional[bool],
+        model: Optional[str],
+        factor: Optional[int],
+    ) -> Optional[Dict[str, Any]]:
+        """Resolve the rerank request (explicit args > env defaults) into
+        the wire spec the warm server understands, or None."""
+        if rerank is None:
+            rerank = os.environ.get("CLAUDE_SEARCH_RERANK", "") == "1"
+        if not rerank:
+            return None
+        if factor is None:
+            try:
+                factor = int(
+                    os.environ.get("CLAUDE_SEARCH_RERANK_FACTOR", "5")
+                )
+            except ValueError:
+                factor = 5
+        spec: Dict[str, Any] = {"factor": max(1, factor)}
+        if model:
+            spec["model"] = model
+        return spec
+
+    def _get_reranker(self, model_name: Optional[str] = None):
+        """Lazily load (and cache) the cross-encoder; a load failure is
+        remembered and degrades to bi-encoder order with one warning —
+        the same graceful-fallback contract as the accelerator paths."""
+        from ..models.cross_encoder import (
+            CrossEncoder,
+            CrossEncoderConfig,
+            resolve_reranker_name,
         )
 
-        return [format_search_result(result) for result in results]
+        name = resolve_reranker_name(model_name)
+        with self._reranker_lock:
+            if self._reranker is not None and self._reranker_name == name:
+                return self._reranker
+            if self._reranker_failed == name:
+                return None
+            encoder = CrossEncoder(
+                CrossEncoderConfig(
+                    model_name=name,
+                    cache_dir=str(self.data_dir / "models"),
+                    device=self.embedder.config.device,
+                )
+            )
+            try:
+                encoder.load_model()
+            except Exception as exc:
+                logger.warning(
+                    "Reranker %r unavailable (%s); results keep the "
+                    "bi-encoder order. Run `setup-models --model %s`.",
+                    name, exc, name,
+                )
+                self._reranker_failed = name
+                return None
+            self._reranker, self._reranker_name = encoder, name
+            return encoder
+
+    def rerank_results(
+        self,
+        query: str,
+        results: List[Dict[str, Any]],
+        top_k: int,
+        model: Optional[str] = None,
+    ) -> List[Dict[str, Any]]:
+        """Re-order formatted results by cross-encoder relevance and cut
+        to ``top_k``. Each kept result gains ``rerank_score`` (the
+        bi-encoder ``similarity`` is preserved alongside)."""
+        reranker = self._get_reranker(model)
+        if reranker is None or not results:
+            return results[:top_k]
+        pairs = [(query, result.get("text") or "") for result in results]
+        scores = reranker.predict(pairs)
+        order = sorted(range(len(results)), key=lambda i: (-scores[i], i))
+        reranked = []
+        for i in order[:top_k]:
+            result = dict(results[i])
+            result["rerank_score"] = float(scores[i])
+            reranked.append(result)
+        return reranked
 
     def _fused_search(
         self,

@@ -72,6 +72,11 @@ def _print_results(results, full_content: bool, related_to: Optional[str] = None
     for i, r in enumerate(results, 1):
         if related_to:
             click.echo(f"{i}. [Related] {r['project']}")
+        elif "rerank_score" in r:
+            click.echo(
+                f"{i}. [Rerank: {r['rerank_score']:.3f} | "
+                f"Similarity: {r['similarity']:.3f}] {r['project']}"
+            )
         else:
             click.echo(
                 f"{i}. [Similarity: {r['similarity']:.3f}] {r['project']}"
@@ -178,6 +183,23 @@ def index(
 )
 @click.option("--gpu", is_flag=True, help="Use TPU acceleration for faster search")
 @click.option("--json", "output_json", is_flag=True, help="Output results as JSON")
+@click.option(
+    "--rerank/--no-rerank",
+    default=None,
+    help="Re-order the top candidates with the cross-encoder (two-stage "
+    "retrieval; default honors CLAUDE_SEARCH_RERANK)",
+)
+@click.option(
+    "--rerank-model",
+    help="Cross-encoder model (default: ms-marco-MiniLM-L-6-v2 or "
+    "$CLAUDE_SEARCH_RERANK_MODEL)",
+)
+@click.option(
+    "--rerank-factor",
+    type=int,
+    default=None,
+    help="Stage-1 over-fetch multiple for reranking (default 5, cap 100)",
+)
 @click.pass_context
 def search(
     ctx: click.Context,
@@ -194,6 +216,9 @@ def search(
     chunk_id: Optional[str],
     gpu: bool,
     output_json: bool,
+    rerank: Optional[bool],
+    rerank_model: Optional[str],
+    rerank_factor: Optional[int],
 ) -> None:
     """Search through indexed conversations."""
     engine = SearchEngine(ctx.obj["data_dir"], use_gpu=gpu)
@@ -328,7 +353,11 @@ def search(
         filters["timestamp"] = timestamp_filter
 
     try:
-        results = engine.search_conversations(query, filters, top_k)
+        results = engine.search_conversations(
+            query, filters, top_k,
+            rerank=rerank, rerank_model=rerank_model,
+            rerank_factor=rerank_factor,
+        )
         if output_json:
             click.echo(
                 _alfred_items(

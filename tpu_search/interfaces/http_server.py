@@ -190,15 +190,28 @@ class _HttpHandler(BaseHTTPRequestHandler):
             self._error(400, "filters must be an object")
             return
 
-        response = self._worker.submit(
-            {
-                "op": "search",
-                "query": query,
-                "top_k": top_k,
-                "filters": filters or None,
-            },
-            timeout=SEARCH_TIMEOUT_S,
-        )
+        payload: Dict[str, Any] = {
+            "op": "search",
+            "query": query,
+            "top_k": top_k,
+            "filters": filters or None,
+        }
+        rerank = params.get("rerank")
+        if isinstance(rerank, str):
+            rerank = rerank.lower() in ("1", "true", "yes")
+        if rerank:
+            spec: Dict[str, Any] = {}
+            try:
+                spec["factor"] = int(params.get("rerank_factor", 5))
+            except (TypeError, ValueError):
+                self._error(400, "rerank_factor must be an integer")
+                return
+            model = params.get("rerank_model")
+            if isinstance(model, str) and model:
+                spec["model"] = model
+            payload["rerank"] = spec
+
+        response = self._worker.submit(payload, timeout=SEARCH_TIMEOUT_S)
         self._send(200 if response.get("ok") else 500, response)
 
     def _chunk(self, chunk_id: str) -> None:

@@ -194,16 +194,16 @@ class _BatchWorker:
         engine._sync_embedding_dim()
         engine.storage.initialize()
 
-        from ..api.engine import format_search_result
-
-        # Group by (filters, top_k): each group's predicate mask and top-k
-        # shape are identical, so the whole group runs as ONE device scan
-        # (the corpus read amortizes over the group).
+        # Group by (filters, top_k, rerank): each group's predicate mask
+        # and top-k shape are identical, so the whole group runs as ONE
+        # device scan (the corpus read amortizes over the group). Rerank
+        # requests over-fetch k*factor in stage 1, so they group apart.
         groups: Dict[str, List[_Request]] = {}
         for request in searches:
             payload = request.payload
             key = json.dumps(
-                [payload.get("filters") or None, payload.get("top_k", 10)],
+                [payload.get("filters") or None, payload.get("top_k", 10),
+                 payload.get("rerank") or None],
                 sort_keys=True,
             )
             groups.setdefault(key, []).append(request)
@@ -212,7 +212,7 @@ class _BatchWorker:
             for request, results in zip(members, results_per_query):
                 request.response = {
                     "ok": True,
-                    "results": [format_search_result(r) for r in results],
+                    "results": self._finalize(request, results),
                 }
 
         # Fused fast path: tokenize host-side and run encode+scan+top-k as
@@ -220,11 +220,16 @@ class _BatchWorker:
         # on a high-latency host link this halves the per-window round
         # trips vs embed-then-scan). Larger windows and non-fusable
         # configurations take the classic two-dispatch batch path below.
+        from ..api.engine import rerank_fetch_k
+
         pending: Dict[str, List[_Request]] = {}
         for key, members in groups.items():
-            filters, top_k = json.loads(key)
+            filters, top_k, rerank_spec = json.loads(key)
+            fetch_k = (
+                rerank_fetch_k(top_k, rerank_spec) if rerank_spec else top_k
+            )
             cfg = SearchConfig(
-                top_k=top_k, include_metadata=True, include_text=True,
+                top_k=fetch_k, include_metadata=True, include_text=True,
                 nprobe=getattr(engine, "_default_nprobe", 0),
             )
             if len(members) <= 32:
@@ -264,30 +269,50 @@ class _BatchWorker:
             for r, e in zip(remaining, engine.embedder._encode_texts(texts))
         }
         for key, members in pending.items():
-            filters, top_k = json.loads(key)
+            filters, top_k, rerank_spec = json.loads(key)
+            fetch_k = (
+                rerank_fetch_k(top_k, rerank_spec) if rerank_spec else top_k
+            )
             results_per_query = engine.storage.search_many(
                 np.stack([embeddings[id(r)] for r in members]),
                 SearchConfig(
-                    top_k=top_k, include_metadata=True, include_text=True,
+                    top_k=fetch_k, include_metadata=True, include_text=True,
                     nprobe=getattr(engine, "_default_nprobe", 0),
                 ),
                 filters,
             )
             respond(members, results_per_query)
 
+    def _finalize(self, request: _Request, results) -> List[Dict[str, Any]]:
+        """SearchResults -> wire dicts, applying the request's optional
+        cross-encoder rerank (the reranker lives on the engine, so its
+        model/compiled graphs stay warm across requests like everything
+        else in this process)."""
+        from ..api.engine import format_search_result
+
+        payload = request.payload
+        formatted = [format_search_result(r) for r in results]
+        spec = payload.get("rerank")
+        if spec:
+            formatted = self.engine.rerank_results(
+                payload.get("query", ""),
+                formatted,
+                int(payload.get("top_k", 10)),
+                model=spec.get("model") if isinstance(spec, dict) else None,
+            )
+        return formatted
+
     def _finish_fused(self, members, dispatched, cfg) -> None:
         """Finisher-pool side: fetch the packed device result, hydrate,
         respond.  SQLite reads here are safe: the stdlib sqlite3 module is
         serialized (threadsafety 3) and mutations are barriered behind
         :meth:`_drain_inflight` on the dispatch thread."""
-        from ..api.engine import format_search_result
-
         try:
             results_per_query = self.engine._fused_collect(dispatched, cfg)
             for request, results in zip(members, results_per_query):
                 request.response = {
                     "ok": True,
-                    "results": [format_search_result(r) for r in results],
+                    "results": self._finalize(request, results),
                 }
         except Exception as exc:
             for request in members:

@@ -1,12 +1,15 @@
 """Encoder models: pure-JAX MPNet, tokenizer, converters, embedding API."""
 
+from .cross_encoder import CrossEncoder, CrossEncoderConfig
 from .encoder import EmbeddingConfig, EmbeddingGenerator, EmbeddingStats
 from .hashing import HashingEncoder
-from .mpnet import MPNetConfig, encode, forward_hidden, init_params
+from .mpnet import MPNetConfig, classify, encode, forward_hidden, init_params
 from .sp_tokenizer import UnigramTokenizer
 from .tokenizer import WordPieceTokenizer
 
 __all__ = [
+    "CrossEncoder",
+    "CrossEncoderConfig",
     "EmbeddingConfig",
     "EmbeddingGenerator",
     "EmbeddingStats",
@@ -14,6 +17,7 @@ __all__ = [
     "MPNetConfig",
     "UnigramTokenizer",
     "WordPieceTokenizer",
+    "classify",
     "encode",
     "forward_hidden",
     "init_params",

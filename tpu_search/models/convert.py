@@ -102,6 +102,13 @@ def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
     """HF config.json dict -> MPNetConfig (mpnet, bert, distilbert AND
     xlm-roberta)."""
     model_type = hf_config.get("model_type", "mpnet")
+    # Sequence-classification checkpoints (the sentence-transformers
+    # CrossEncoder rerankers, cross-encoder/ms-marco-*) carry a pooler +
+    # classifier head; num_labels from id2label (HF convention), else 1.
+    architectures = hf_config.get("architectures") or []
+    num_labels = 0
+    if any("ForSequenceClassification" in a for a in architectures):
+        num_labels = len(hf_config.get("id2label") or {}) or 1
     if model_type == "distilbert":
         # DistilBERT is the BERT graph minus token-type embeddings (the
         # converter synthesizes tt0 = 0), with its own HF config field
@@ -117,6 +124,7 @@ def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
             layer_norm_eps=1e-12,
             pad_token_id=hf_config.get("pad_token_id", 0),
             arch="bert",
+            num_labels=num_labels,
         )
     if model_type == "bert":
         arch = "bert"
@@ -137,6 +145,7 @@ def config_from_hf(hf_config: Mapping[str, Any]) -> MPNetConfig:
             "relative_attention_num_buckets", 32
         ),
         arch=arch,
+        num_labels=num_labels,
     )
 
 
@@ -199,7 +208,7 @@ def params_from_bert_state_dict(
 
     a = "encoder.layer.{}.attention"
     h = config.hidden_size
-    return {
+    params: Dict[str, Any] = {
         "embeddings": {
             "word": get("embeddings.word_embeddings.weight"),
             "position": get("embeddings.position_embeddings.weight"),
@@ -234,6 +243,23 @@ def params_from_bert_state_dict(
             "ff_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias", False),
         },
     }
+    if config.num_labels > 0:
+        # Cross-encoder (BertForSequenceClassification): pair inputs need
+        # the full token-type table, and the head is BERT's pooler (kept
+        # inside the base model state dict) + the top-level classifier.
+        if "embeddings.token_type_embeddings.weight" in sd:
+            params["embeddings"]["tt_table"] = get(
+                "embeddings.token_type_embeddings.weight"
+            )[:2]
+        else:  # DistilBERT-based classifier: no token types
+            params["embeddings"]["tt_table"] = np.zeros((2, h), np.float32)
+        params["head"] = {
+            "pooler_w": get("pooler.dense.weight").T,
+            "pooler_b": get("pooler.dense.bias"),
+            "cls_w": get("classifier.weight").T,
+            "cls_b": get("classifier.bias"),
+        }
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,258 @@
+"""Cross-encoder reranker: joint (query, passage) relevance scoring.
+
+TPU-native analog of sentence-transformers' ``CrossEncoder``
+(cross-encoder/ms-marco-MiniLM-L-6-v2 and friends) — a capability the
+reference does not expose at all: its ranking is purely the bi-encoder
+cosine (reference: src/storage.py:408-436).  A cross-encoder reads the
+query and the candidate *together* through one BERT forward
+(``BertForSequenceClassification``), so token-level interactions the
+768-d bottleneck discards can reorder the top of the list — the standard
+two-stage retrieval recipe (fast ANN recall -> accurate rerank of the
+top ``k * factor``).
+
+TPU-first shape discipline mirrors the embedding encoder: pairs are
+sorted longest-first into (batch, seq)-bucketed padded batches, each
+bucket compiles once, all batches dispatch before any fetch (device
+compute overlaps host packing; one RTT per batch on a tunneled link).
+
+The ``hash-*`` model names map to a deterministic lexical fallback
+(cosine of :class:`HashingEncoder` vectors) so offline environments and
+tests exercise the full rerank plumbing without weights.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.shapes import bucket_size
+from .hashing import HashingEncoder
+from .mpnet import MPNetConfig
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "CrossEncoderConfig",
+    "CrossEncoder",
+    "DEFAULT_RERANK_MODEL",
+    "resolve_reranker_name",
+]
+
+DEFAULT_RERANK_MODEL = "ms-marco-MiniLM-L-6-v2"
+
+SEQ_BUCKETS = (64, 128, 256, 384, 512)
+BATCH_BUCKETS = (1, 8, 32, 128)
+
+
+@dataclass
+class CrossEncoderConfig:
+    """Reranker knobs (sentence-transformers ``CrossEncoder`` parity)."""
+
+    model_name: str = DEFAULT_RERANK_MODEL
+    max_length: int = 512  # capped to the model's position table
+    batch_size: int = 128
+    device: str = "auto"  # "auto" | "tpu" | "cpu"
+    cache_dir: Optional[str] = None
+    compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
+
+
+class CrossEncoder:
+    """(query, passage) pairs -> relevance scores via the jitted graph."""
+
+    def __init__(self, config: Optional[CrossEncoderConfig] = None) -> None:
+        self.config = config or CrossEncoderConfig()
+        self._params = None
+        self._model_config: Optional[MPNetConfig] = None
+        self._tokenizer = None
+        self._hash_encoder: Optional[HashingEncoder] = None
+        self._device = None
+        self._classify_jit = None
+
+    @property
+    def is_model_loaded(self) -> bool:
+        return self._params is not None or self._hash_encoder is not None
+
+    def load_model(self) -> None:
+        """Resolve + load the classifier; compile happens lazily per shape."""
+        import jax
+
+        name = self.config.model_name
+        if name.startswith("hash"):
+            dim = int(name.split("-")[1]) if "-" in name else 768
+            self._hash_encoder = HashingEncoder(dim=dim)
+            logger.info("Loaded lexical fallback reranker (%dd hash)", dim)
+            return
+
+        cache_dir = Path(
+            self.config.cache_dir or "~/.claude-semantic-search/data/models"
+        ).expanduser()
+        model_dir = cache_dir / name
+        native_ckpt = model_dir / "model.tpu.npz"
+
+        if native_ckpt.exists():
+            from .convert import load_checkpoint
+
+            self._params, self._model_config = load_checkpoint(str(native_ckpt))
+        elif model_dir.exists():
+            from .convert import convert_pretrained_dir
+
+            logger.info(
+                "Converting torch checkpoint in %s to native format", model_dir
+            )
+            self._params, self._model_config = convert_pretrained_dir(
+                str(model_dir), str(native_ckpt)
+            )
+        else:
+            raise FileNotFoundError(
+                f"Reranker '{name}' not found under {cache_dir}. Run "
+                f"`setup-models --model {name}` to download and convert it, "
+                f"or use 'hash-768' for the weight-free lexical fallback."
+            )
+        if self._model_config.num_labels < 1:
+            raise ValueError(
+                f"Model '{name}' has no classification head — it is an "
+                f"embedding model, not a cross-encoder."
+            )
+
+        self._device = self._pick_device()
+        self._params = jax.device_put(self._params, self._device)
+
+        import jax.numpy as jnp
+
+        from .mpnet import classify
+
+        dtype = (
+            jnp.bfloat16
+            if (
+                self.config.compute_dtype == "bfloat16"
+                and getattr(self._device, "platform", "cpu") != "cpu"
+            )
+            else jnp.float32
+        )
+        self._classify_jit = jax.jit(
+            partial(classify, config=self._model_config, compute_dtype=dtype)
+        )
+        logger.info(
+            "Reranker '%s' loaded on %s (%d layers)",
+            name, self._device, self._model_config.num_layers,
+        )
+
+    def _pick_device(self):
+        import jax
+
+        # Same contract as EmbeddingGenerator._pick_device: an explicit
+        # "cpu" request must win WITHOUT enumerating accelerators
+        # (attaching a TPU another process holds can block indefinitely).
+        if self.config.device == "cpu":
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:  # pragma: no cover - config shape changes
+                pass
+            return jax.devices("cpu")[0]
+        accel = [
+            d for d in jax.devices() if d.platform not in ("cpu", "interpreter")
+        ]
+        return accel[0] if accel else jax.devices("cpu")[0]
+
+    # -- scoring -------------------------------------------------------------
+
+    def predict(self, pairs: Sequence[Tuple[str, str]]) -> np.ndarray:
+        """Score pairs -> float32 ``[N]`` (sigmoid for num_labels == 1,
+        matching sentence-transformers' default activation)."""
+        if not self.is_model_loaded:
+            self.load_model()
+        if len(pairs) == 0:
+            return np.zeros((0,), dtype=np.float32)
+        if self._hash_encoder is not None:
+            vecs_a = self._hash_encoder.encode([a for a, _ in pairs])
+            vecs_b = self._hash_encoder.encode([b for _, b in pairs])
+            return np.sum(vecs_a * vecs_b, axis=1).astype(np.float32)
+
+        import jax
+
+        max_len = min(self.config.max_length, self._model_config.max_position)
+        encoded = [
+            self._tokenizer_for_model().encode_pair(a, b, max_len)
+            for a, b in pairs
+        ]
+        order = sorted(
+            range(len(encoded)),
+            key=lambda i: len(encoded[i][0]),
+            reverse=True,
+        )
+        pending = []
+        batch_cap = max(1, self.config.batch_size)
+        for start in range(0, len(order), batch_cap):
+            batch_idx = order[start : start + batch_cap]
+            seqs = [encoded[i] for i in batch_idx]
+            longest = max(len(ids) for ids, _ in seqs)
+            seq_pad = bucket_size(longest, SEQ_BUCKETS)
+            batch_pad = bucket_size(len(seqs), BATCH_BUCKETS)
+
+            tok = self._tokenizer_for_model()
+            ids = np.full((batch_pad, seq_pad), tok.pad_id, dtype=np.int32)
+            types = np.zeros((batch_pad, seq_pad), dtype=np.int32)
+            mask = np.zeros((batch_pad, seq_pad), dtype=np.int32)
+            for row, (seq, tt) in enumerate(seqs):
+                ids[row, : len(seq)] = seq
+                types[row, : len(tt)] = tt
+                mask[row, : len(seq)] = 1
+            mask[len(seqs) :, 0] = 1  # pad rows: one live token
+
+            with jax.default_device(self._device):
+                logits = self._classify_jit(self._params, ids, mask, types)
+            pending.append((batch_idx, len(seqs), logits))
+
+        out = np.zeros((len(pairs),), dtype=np.float32)
+        for batch_idx, n_live, logits in pending:
+            arr = np.asarray(logits, dtype=np.float32)[:n_live]
+            if arr.shape[1] == 1:
+                scores = 1.0 / (1.0 + np.exp(-arr[:, 0]))  # ST sigmoid
+            else:
+                scores = arr.max(axis=1)  # multi-label: best-class logit
+            out[batch_idx] = scores
+        return out
+
+    def _tokenizer_for_model(self):
+        if self._tokenizer is None:
+            from .tokenizer import WordPieceTokenizer
+
+            cache_dir = Path(
+                self.config.cache_dir
+                or "~/.claude-semantic-search/data/models"
+            ).expanduser()
+            self._tokenizer = WordPieceTokenizer.from_pretrained_dir(
+                str(cache_dir / self.config.model_name)
+            )
+        return self._tokenizer
+
+    def rank(
+        self,
+        query: str,
+        documents: Sequence[str],
+        top_k: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        """Order documents by joint relevance (ST ``CrossEncoder.rank``)."""
+        scores = self.predict([(query, doc) for doc in documents])
+        order = np.argsort(-scores, kind="stable")
+        if top_k is not None:
+            order = order[:top_k]
+        return [
+            {"corpus_id": int(i), "score": float(scores[i]),
+             "text": documents[int(i)]}
+            for i in order
+        ]
+
+
+def resolve_reranker_name(explicit: Optional[str] = None) -> str:
+    """Reranker model resolution: arg > $CLAUDE_SEARCH_RERANK_MODEL >
+    default (mirrors the embedding model's env contract)."""
+    return explicit or os.environ.get(
+        "CLAUDE_SEARCH_RERANK_MODEL", DEFAULT_RERANK_MODEL
+    )

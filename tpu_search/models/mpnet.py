@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["MPNetConfig", "init_params", "encode", "forward_hidden"]
+__all__ = [
+    "MPNetConfig", "init_params", "encode", "forward_hidden", "classify",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +68,12 @@ class MPNetConfig:
     # all-mpnet-base-v2 and friends use masked mean; the multi-qa-*-dot-v1
     # models use the CLS token.
     pooling: str = "mean"  # "mean" | "cls" | "max"
+    # Sequence-classification head width (BertForSequenceClassification):
+    # 0 = embedding model (no head). Cross-encoder rerankers
+    # (cross-encoder/ms-marco-*) are num_labels=1 — params carry a
+    # ``head`` subtree and the full token-type table, scored by
+    # :func:`classify`.
+    num_labels: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -86,12 +94,12 @@ def init_params(
     torch's ``[out, in]`` — the converter handles that.
     """
     h, i, l = config.hidden_size, config.intermediate_size, config.num_layers
-    keys = iter(jax.random.split(key, 24))
+    keys = iter(jax.random.split(key, 28))
 
     def normal(shape, scale=0.02):
         return (jax.random.normal(next(keys), shape) * scale).astype(dtype)
 
-    return {
+    params = {
         "embeddings": {
             "word": normal((config.vocab_size, h)),
             "position": normal((config.max_position, h)),
@@ -126,6 +134,17 @@ def init_params(
             "ff_ln_bias": jnp.zeros((l, h), dtype),
         },
     }
+    if config.num_labels > 0:
+        # Pair inputs need the full token-type table (segment A vs B);
+        # the classification head is BERT's pooler + linear classifier.
+        params["embeddings"]["tt_table"] = normal((2, h))
+        params["head"] = {
+            "pooler_w": normal((h, h)),
+            "pooler_b": jnp.zeros((h,), dtype),
+            "cls_w": normal((h, config.num_labels)),
+            "cls_b": jnp.zeros((config.num_labels,), dtype),
+        }
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +357,7 @@ def forward_hidden(
     compute_dtype=jnp.float32,
     attention_impl: str = "dense",  # "dense" | "flash" (TPU pallas kernel)
     int8_ffn: bool = False,
+    token_type_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Token ids -> last hidden state ``[B, S, H]`` (MPNetModel parity).
 
@@ -363,9 +383,14 @@ def forward_hidden(
 
     emb = params["embeddings"]
     x = emb["word"][input_ids] + emb["position"][position_ids]
-    tt0 = emb.get("tt0")
-    if tt0 is not None:
-        x = x + tt0[None, None, :]
+    tt_table = emb.get("tt_table")
+    if token_type_ids is not None and tt_table is not None:
+        # Pair input (cross-encoder): per-token segment embedding.
+        x = x + tt_table[token_type_ids]
+    else:
+        tt0 = emb.get("tt0")
+        if tt0 is not None:
+            x = x + tt0[None, None, :]
     x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
     x = x.astype(compute_dtype)
 
@@ -467,3 +492,36 @@ def encode(
             jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12, None
         )
     return pooled
+
+
+def classify(
+    params: Dict[str, Any],
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    token_type_ids: jax.Array,
+    config: MPNetConfig,
+    compute_dtype=jnp.float32,
+    attention_impl: str = "dense",
+) -> jax.Array:
+    """Pair token ids -> classification logits ``[B, num_labels]``.
+
+    ``BertForSequenceClassification`` parity (the architecture behind the
+    sentence-transformers ``CrossEncoder`` rerankers, cross-encoder/
+    ms-marco-*): encoder -> CLS hidden state -> BERT pooler (tanh dense) ->
+    linear classifier.  Dropout is eval-mode identity.  The head runs in
+    f32 regardless of compute dtype — it is two tiny matmuls.
+    """
+    hidden = forward_hidden(
+        params, input_ids, attention_mask, config, compute_dtype,
+        attention_impl, token_type_ids=token_type_ids,
+    ).astype(jnp.float32)
+    head = params["head"]
+    cls = hidden[:, 0, :]
+    pooled = jnp.tanh(
+        cls @ head["pooler_w"].astype(jnp.float32)
+        + head["pooler_b"].astype(jnp.float32)
+    )
+    return (
+        pooled @ head["cls_w"].astype(jnp.float32)
+        + head["cls_b"].astype(jnp.float32)
+    )

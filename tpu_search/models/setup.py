@@ -47,6 +47,11 @@ KNOWN_MODELS = {
     "e5-small-v2": "intfloat/e5-small-v2",
     "bge-base-en-v1.5": "BAAI/bge-base-en-v1.5",
     "bge-small-en-v1.5": "BAAI/bge-small-en-v1.5",
+    # cross-encoder rerankers (BertForSequenceClassification; scored by
+    # models/cross_encoder.py, wired behind `claude-search --rerank`)
+    "ms-marco-MiniLM-L-6-v2": "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    "ms-marco-MiniLM-L-12-v2": "cross-encoder/ms-marco-MiniLM-L-12-v2",
+    "ms-marco-TinyBERT-L-2-v2": "cross-encoder/ms-marco-TinyBERT-L-2-v2",
 }
 
 

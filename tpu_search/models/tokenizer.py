@@ -246,6 +246,59 @@ class WordPieceTokenizer:
             ids = ids[: max_length - 2]
         return [self.bos_id] + ids + [self.eos_id]
 
+    def _content_ids(self, text: str) -> List[int]:
+        """Token ids with no special tokens (rides the C++ fast path)."""
+        if self._native is not None:
+            native = self._native.encode(text, 1 << 20)
+            if native is not None:
+                return native[1:-1]
+        return [self.vocab.get(t, self.unk_id) for t in self.tokenize(text)]
+
+    def encode_pair(
+        self, text_a: str, text_b: str, max_length: Optional[int] = None
+    ) -> Tuple[List[int], List[int]]:
+        """Sentence pair -> (``[CLS] a [SEP] b [SEP]`` ids, token type ids).
+
+        HF ``BertTokenizer(text, text_pair, truncation=True)`` parity:
+        longest-first truncation removes one token at a time from the end
+        of the currently-longer sequence (ties trim the second), so both
+        sides survive in a length-balanced way — the input shape the
+        cross-encoder rerankers were trained on.
+        """
+        a = self._content_ids(text_a)
+        b = self._content_ids(text_b)
+        if max_length is not None:
+            over = len(a) + len(b) + 3 - max_length
+            for _ in range(max(0, over)):
+                if len(a) > len(b):
+                    a = a[:-1]
+                else:
+                    b = b[:-1]
+        ids = [self.bos_id] + a + [self.eos_id] + b + [self.eos_id]
+        type_ids = [0] * (len(a) + 2) + [1] * (len(b) + 1)
+        return ids, type_ids
+
+    def encode_pair_batch(
+        self,
+        pairs: Sequence[Tuple[str, str]],
+        max_length: int = 512,
+        pad_to: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batch pair encode -> (ids, token_type_ids, mask), all
+        ``[B, S]`` int32 (pad-token type id is 0, HF parity)."""
+        encoded = [self.encode_pair(a, b, max_length) for a, b in pairs]
+        longest = max((len(ids) for ids, _ in encoded), default=3)
+        width = max(pad_to if pad_to is not None else longest, 3)
+        ids = np.full((len(encoded), width), self.pad_id, dtype=np.int32)
+        types = np.zeros((len(encoded), width), dtype=np.int32)
+        mask = np.zeros((len(encoded), width), dtype=np.int32)
+        for row, (seq, tt) in enumerate(encoded):
+            seq, tt = seq[:width], tt[:width]
+            ids[row, : len(seq)] = seq
+            types[row, : len(tt)] = tt
+            mask[row, : len(seq)] = 1
+        return ids, types, mask
+
     def encode_batch(
         self,
         texts: Sequence[str],
