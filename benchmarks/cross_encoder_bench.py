@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Cross-encoder reranker throughput on the attached accelerator.
+
+Times the jitted ``classify`` graph (models/cross_encoder.py's compute
+path) at the ms-marco-MiniLM-L-6-v2 architecture with random weights
+(identical FLOPs/memory to trained weights), comparing the dense-XLA and
+pallas attention impls per sequence bucket. Results checked in at
+``results/cross_encoder_tpu.md``; the dispatch rule in
+``models/cross_encoder.py`` follows the measured crossover.
+
+Run from the repo root: ``python benchmarks/cross_encoder_bench.py``.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_search.models.mpnet import MPNetConfig, classify, init_params
+
+    accel = [
+        d for d in jax.devices() if d.platform not in ("cpu", "interpreter")
+    ]
+    dev = accel[0] if accel else jax.devices("cpu")[0]
+    print(f"device: {dev}", flush=True)
+
+    # ms-marco-MiniLM-L-6-v2 architecture
+    cfg = MPNetConfig(
+        vocab_size=30522, hidden_size=384, num_layers=6, num_heads=12,
+        intermediate_size=1536, max_position=512, layer_norm_eps=1e-12,
+        pad_token_id=0, arch="bert", num_labels=1,
+    )
+    params = jax.device_put(init_params(cfg, jax.random.PRNGKey(0)), dev)
+    rng = np.random.default_rng(0)
+    batch = 64
+    for seq in (256, 512):
+        ids = rng.integers(4, 30000, size=(batch, seq)).astype(np.int32)
+        types = np.zeros((batch, seq), np.int32)
+        types[:, seq // 2:] = 1
+        mask = np.ones((batch, seq), np.int32)
+        for impl in ("dense", "pallas"):
+            if impl == "pallas" and dev.platform != "tpu":
+                continue  # interpret mode is a correctness tool, not perf
+            fn = jax.jit(partial(
+                classify, config=cfg, compute_dtype=jnp.bfloat16,
+                attention_impl=impl,
+            ))
+            with jax.default_device(dev):
+                out = fn(params, ids, mask, types)
+                float(out[0, 0])  # warm + force completion
+                reps = 5
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    out = fn(params, ids, mask, types)
+                logit = float(out[0, 0])  # scalar fetch forces completion
+                dt = (time.perf_counter() - t0) / reps
+            print(
+                f"seq={seq} impl={impl}: {dt * 1e3:.2f} ms/batch({batch})"
+                f" -> {batch / dt:.0f} pairs/s  logit={logit:.5f}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

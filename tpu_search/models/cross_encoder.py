@@ -127,6 +127,7 @@ class CrossEncoder:
 
         from .mpnet import classify
 
+        on_tpu = getattr(self._device, "platform", "cpu") == "tpu"
         dtype = (
             jnp.bfloat16
             if (
@@ -135,9 +136,33 @@ class CrossEncoder:
             )
             else jnp.float32
         )
-        self._classify_jit = jax.jit(
-            partial(classify, config=self._model_config, compute_dtype=dtype)
+        base = partial(
+            classify, config=self._model_config, compute_dtype=dtype
         )
+        # Attention impl per sequence bucket, measured on v5e with the
+        # ms-marco-MiniLM-L-6 architecture (6 layers, hd=32) at b64:
+        # S=512 dense 33.6 ms vs pallas 16.5 ms (the [B, h, S, S] score
+        # tensor dominates HBM traffic — 2x), S=256 dense 12.2 ms vs
+        # pallas 14.0 ms (XLA fusion wins). Crossover differs from the
+        # 12-layer hd=64 embedder (>= 256 there): half the layers and
+        # half the head dim halve the score-tensor traffic per FLOP.
+        # Token types ride the embedding sum under either impl.
+        impl_jits = {
+            impl: jax.jit(partial(base, attention_impl=impl))
+            for impl in ("dense", "pallas")
+        }
+
+        def _dispatch(params, input_ids, attention_mask, token_type_ids):
+            impl = (
+                "pallas"
+                if on_tpu and input_ids.shape[1] >= 512
+                else "dense"
+            )
+            return impl_jits[impl](
+                params, input_ids, attention_mask, token_type_ids
+            )
+
+        self._classify_jit = _dispatch
         logger.info(
             "Reranker '%s' loaded on %s (%d layers)",
             name, self._device, self._model_config.num_layers,
