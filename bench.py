@@ -259,13 +259,19 @@ def bench_search() -> dict:
     # int4 0.38 on top of the 3 GB corpus) starved bench_ivf of HBM; peak
     # is now corpus + ONE index.
     out = {}
+    full = bool(os.environ.get("BENCH_FULL"))
 
-    index = FlatIndex.from_device_vectors(corpus, metric="ip", dtype="float32")
-    out["recall_f32"] = recall_of(index)
-    out["qps_b1_f32"], out["p50_ms_f32"] = time_single(index)
-    del index
-    gc.collect()
-    log_hbm("search/f32 freed")
+    if full:
+        # f32 leg: same recall as bf16 (1.0) at lower throughput — context
+        # only, so it rides the opt-in full run.
+        index = FlatIndex.from_device_vectors(
+            corpus, metric="ip", dtype="float32"
+        )
+        out["recall_f32"] = recall_of(index)
+        out["qps_b1_f32"], out["p50_ms_f32"] = time_single(index)
+        del index
+        gc.collect()
+        log_hbm("search/f32 freed")
 
     index = FlatIndex.from_device_vectors(corpus, metric="ip", dtype="bfloat16")
     out["recall_bf16"] = recall_of(index)
@@ -303,24 +309,30 @@ def bench_search() -> dict:
     del index
     gc.collect()
 
-    index = FlatIndex.from_device_vectors(corpus, metric="ip", dtype="int4")
-    out["recall_int4"] = recall_of(index)
-    out["qps_b128_int4"] = time_batched(index)
-    out["device_scan_ms_int4"] = device_scan_ms(index)
-    del index
-    gc.collect()
+    if full:
+        index = FlatIndex.from_device_vectors(
+            corpus, metric="ip", dtype="int4"
+        )
+        out["recall_int4"] = recall_of(index)
+        out["qps_b128_int4"] = time_batched(index)
+        out["device_scan_ms_int4"] = device_scan_ms(index)
+        del index
+        gc.collect()
 
     out["rtt_floor_ms"] = measure_rtt_floor()
     log(
-        f"[search] recall@10 vs on-device brute force: "
-        f"f32={out['recall_f32']:.4f} bf16={out['recall_bf16']:.4f} "
-        f"int8={out['recall_int8']:.4f} int4={out['recall_int4']:.4f}"
+        "[search] recall@10 vs on-device brute force: "
+        + " ".join(
+            f"{k.removeprefix('recall_')}={out[k]:.4f}"
+            for k in ("recall_f32", "recall_bf16", "recall_int8",
+                      "recall_int4")
+            if k in out
+        )
     )
     log(
         f"[search] device scan (amortized): "
         f"bf16={out['device_scan_ms_bf16']:.2f}ms "
-        f"int8={out['device_scan_ms_int8']:.2f}ms "
-        f"int4={out['device_scan_ms_int4']:.2f}ms | "
+        f"int8={out['device_scan_ms_int8']:.2f}ms | "
         f"host-link RTT floor: {out['rtt_floor_ms']:.1f}ms per dispatch+fetch"
     )
     log(
@@ -339,12 +351,16 @@ def bench_search() -> dict:
 
 
 def bench_ivf() -> dict:
-    """IVF ANN path in the driver-captured bench (VERDICT r2 item 7): a
-    clustered 1M x 768 corpus (same generator as benchmarks/ivf_sweep.py,
-    noise 0.4), the sweep-chosen nlist=1024 / nprobe=16 operating point,
-    bf16 AND int8 Pallas probe-scan kernels, recall gated against the
-    exact scan, plus the fused single-query IVF e2e (encode + centroid
-    scan + probe scan in ONE dispatch — VERDICT r2 item 4)."""
+    """IVF ANN path in the driver-captured bench: a clustered 1M x 768
+    corpus (same generator as benchmarks/ivf_sweep.py, noise 0.4), each
+    dtype leg measured at the index's OWN autotuned operating point —
+    ``tune_nprobe(target 0.95)``, the same path ``SearchConfig.nprobe=0``
+    (the product default) resolves through — so the reported
+    (nprobe, recall, qps) is the product path, not a pinned knob
+    (VERDICT r3 item 4).  ``BENCH_IVF_NPROBE`` pins a fixed nprobe for
+    comparison studies.  Recall is gated against the exact scan; the
+    bf16 leg additionally times the fused single-query IVF e2e (encode +
+    centroid scan + probe scan in ONE dispatch)."""
     import jax
     import jax.numpy as jnp
 
@@ -353,7 +369,7 @@ def bench_ivf() -> dict:
 
     n, dim, k = CORPUS_N, DIM, TOP_K
     nlist = 1024 if n >= 200_000 else max(16, int(n ** 0.5) // 4)
-    nprobe = 16
+    pinned_nprobe = int(os.environ.get("BENCH_IVF_NPROBE", "0"))
     clusters = 256 if n >= 200_000 else 16
 
     log_hbm("ivf start")
@@ -436,6 +452,17 @@ def bench_ivf() -> dict:
         add_s = time.perf_counter() - t0
         log_hbm(f"ivf {dtype} built")
 
+        # Product operating point: the measured-recall nprobe ladder the
+        # engine runs under SearchConfig.nprobe=0 (auto).
+        if pinned_nprobe:
+            nprobe = pinned_nprobe
+            tune = {"tuned": False, "nprobe": nprobe}
+        else:
+            t0 = time.perf_counter()
+            tune = index.tune_nprobe(target_recall=0.95, k=k)
+            tune["tune_s"] = time.perf_counter() - t0
+            nprobe = int(tune["nprobe"])
+
         _, got = index.search(
             queries[:RECALL_SAMPLE], k=k, nprobe=nprobe
         )
@@ -479,6 +506,12 @@ def bench_ivf() -> dict:
         out[f"ivf_qps_b128_{key}"] = qps_b128
         out[f"ivf_dev_q1_ms_{key}"] = dev_q1_ms
         out[f"ivf_kernel_{key}"] = scan_key[0]
+        out[f"ivf_nprobe_{key}"] = int(nprobe)
+        out[f"ivf_nprobe_tuned_{key}"] = bool(tune.get("tuned"))
+        if "recall" in tune:
+            # The tuner's own probe-recall (vs a full-probe scan of this
+            # same index) — separates probe loss from quantization loss.
+            out[f"ivf_probe_recall_{key}"] = float(tune["recall"])
         if dtype == "bfloat16" and not refine:
             out["ivf_train_s"] = train_s
             out["ivf_add_s"] = add_s
@@ -538,14 +571,16 @@ def bench_ivf() -> dict:
     for spec in dtypes:
         key = spec.replace("bfloat16", "bf16")
         parts.append(
-            f"{key} recall={out[f'ivf_recall_{key}']:.4f} "
+            f"{key} nprobe={out[f'ivf_nprobe_{key}']}"
+            f"{'(tuned)' if out[f'ivf_nprobe_tuned_{key}'] else ''} "
+            f"recall={out[f'ivf_recall_{key}']:.4f} "
             f"qps_b128={out[f'ivf_qps_b128_{key}']:.0f} "
             f"dev_q1={out[f'ivf_dev_q1_ms_{key}']:.2f}ms "
             f"({out[f'ivf_kernel_{key}']})"
         )
     if "ivf_fused_e2e_p50_ms" in out:
         parts.append(f"fused e2e p50={out['ivf_fused_e2e_p50_ms']:.1f}ms")
-    log(f"[ivf] nlist={nlist} nprobe={nprobe}: " + " | ".join(parts))
+    log(f"[ivf] nlist={nlist}: " + " | ".join(parts))
     del corpus, queries_dev
     gc.collect()
     return out
@@ -902,7 +937,10 @@ def bench_embed() -> dict:
     config = MPNetConfig()
     params = init_params(config, jax.random.PRNGKey(0), dtype=jnp.float32)
 
-    batch, seq = 128, 384
+    # Overridable for CPU smoke runs (the full-size forward at b128 is
+    # minutes per rep on a host CPU); the driver's TPU run uses defaults.
+    batch = int(os.environ.get("BENCH_EMBED_BATCH", 128))
+    seq = int(os.environ.get("BENCH_EMBED_SEQ", 384))
     rng = np.random.default_rng(0)
     ids = jnp.asarray(
         rng.integers(4, config.vocab_size, size=(batch, seq)), dtype=jnp.int32
@@ -925,7 +963,7 @@ def bench_embed() -> dict:
         # be slow.
         float(jnp.sum(fn(params, ids, mask)))  # compile + settle
         t0 = time.perf_counter()
-        reps = 10
+        reps = int(os.environ.get("BENCH_EMBED_REPS", 10))
         outs = [fn(params, ids, mask) for _ in range(reps)]
         float(jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))(outs))
         return (batch * reps) / (time.perf_counter() - t0)
@@ -980,15 +1018,37 @@ SECTIONS = {
     "index": bench_index,
 }
 
-# Generous wall-clock bounds per section (cold compiles included); a hung
-# section must not eat the whole bench run.
+# Wall-clock bounds per section (cold compiles included); a hung section
+# must not eat the whole bench run.  These are CEILINGS — the orchestrator
+# additionally clips every section to the remaining total budget.
 _SECTION_TIMEOUT_S = {
-    "search": 2100,
-    "ivf": 1500,  # per dtype leg (the orchestrator runs five)
-    "serving": 2400,
-    "embed": 1500,
-    "index": 1800,
+    "search": 900,
+    "ivf": 700,  # per dtype leg
+    "serving": 900,
+    "embed": 420,
+    "index": 900,
 }
+
+# Expected happy-path runtime per section (builder-measured, cold compile
+# cache): used ONLY to decide whether starting a section is worth it with
+# the budget that's left.  Deliberately optimistic — a section that
+# *might* fit is attempted (its own timeout still bounds the damage).
+_SECTION_EST_S = {
+    "search": 420,
+    "ivf": 300,
+    "serving": 540,
+    "embed": 180,
+    "index": 420,
+}
+
+# Total wall-clock budget.  Round 3's nine-section/two-retry structure
+# overran the driver's (unknown) budget and died with ZERO numbers
+# (BENCH_r03.json rc=124 parsed=null); round 2's single-process bench
+# finished inside it.  The orchestrator now (a) emits the cumulative
+# headline JSON line after EVERY completed section — last-line-wins, so
+# a kill at any point still leaves parsed numbers — and (b) skips
+# sections that can't fit the remaining budget instead of overrunning.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
 
 def _run_section_child(name: str) -> None:
@@ -1012,7 +1072,11 @@ def _run_section_child(name: str) -> None:
 
 
 def _run_section(
-    name: str, env_extra: Optional[dict] = None, tag: Optional[str] = None
+    name: str,
+    env_extra: Optional[dict] = None,
+    tag: Optional[str] = None,
+    timeout_s: Optional[float] = None,
+    allow_retry: bool = False,
 ) -> dict:
     """Run a section in its own subprocess and parse its result.
 
@@ -1021,16 +1085,19 @@ def _run_section(
     empty after bench_search yet a fresh 3 GB allocation OOMs), so a
     single-process bench starves its later sections.  A fresh process per
     section starts with a clean chip (attach ~9 s after a clean exit) and
-    lets a section OOM/crash without taking the whole bench down.  One
-    retry per section covers the transiently-500ing remote compile
-    helper.
+    lets a section OOM/crash without taking the whole bench down.
+
+    Retries are OFF by default: they doubled round 3's worst case past
+    the driver budget.  The orchestrator opts in only when the remaining
+    budget provably covers a second attempt.
     """
     import subprocess
 
-    timeout_s = _SECTION_TIMEOUT_S.get(name, 1800)
+    timeout_s = timeout_s or _SECTION_TIMEOUT_S.get(name, 900)
     tag = tag or name
     env = dict(os.environ, **(env_extra or {}))
-    for attempt in (0, 1):
+    attempts = (0, 1) if allow_retry else (0,)
+    for attempt in attempts:
         t0 = time.perf_counter()
         try:
             proc = subprocess.run(
@@ -1042,11 +1109,8 @@ def _run_section(
             )
         except subprocess.TimeoutExpired:
             # A killed TPU process holds the chip for ~1-2 min.
-            log(f"[bench] section {tag} timed out after {timeout_s}s")
-            if attempt:
-                return {}
-            time.sleep(120)
-            continue
+            log(f"[bench] section {tag} timed out after {timeout_s:.0f}s")
+            return {}
         took = time.perf_counter() - t0
         if proc.returncode == 0:
             for line in reversed(
@@ -1062,11 +1126,100 @@ def _run_section(
         log(
             f"[bench] section {tag} failed "
             f"(rc={proc.returncode}, {took:.0f}s)"
-            + ("" if attempt else "; retrying in 30s...")
+            + ("; retrying in 15s..." if attempt + 1 in attempts else "")
         )
-        if not attempt:
-            time.sleep(30)
+        if attempt + 1 in attempts:
+            time.sleep(15)
     return {}
+
+
+def _emit_headline(
+    search: dict, ivf: dict, serving: dict, embed: dict, index: dict,
+    ivf_legs_failed: list, skipped: list, attempted: set,
+) -> None:
+    """Print the cumulative headline JSON line from whatever sections
+    have completed so far.  Called after EVERY section (last-line-wins
+    in the driver's parser), so a kill at any point still leaves the
+    numbers measured up to that point on record."""
+    detail = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in {**search, **ivf, **serving, **embed, **index}.items()
+    }
+    for name, result in (
+        ("search", search), ("serving", serving), ("embed", embed),
+    ):
+        if not result and name in attempted:
+            detail[f"{name}_section_failed"] = True
+    if ivf_legs_failed:
+        detail["ivf_legs_failed"] = ivf_legs_failed
+    if skipped:
+        detail["sections_skipped_for_budget"] = skipped
+
+    if serving:
+        # Headline the best sustained concurrency (the knee is host-core
+        # bound and can move between rigs/rounds; every measured count is
+        # still reported explicitly below and in detail).
+        counts = [
+            int(key.split("_c")[-1])
+            for key in serving
+            if key.startswith("serving_qps_c")
+            and not key.endswith("_reconnect")
+        ]
+        best_c = max(counts, key=lambda c: serving[f"serving_qps_c{c}"])
+        serving_qps = serving[f"serving_qps_c{best_c}"]
+        headline = {
+            "metric": (
+                f"serving_e2e_qps_1M768_c{best_c}clients_b1_recall10"
+            ),
+            "value": round(serving_qps, 1),
+            "unit": "qps",
+            "vs_baseline": round(serving_qps / BASELINE_SEARCH_QPS, 1),
+            "serving_recall10": round(serving["serving_recall10"], 4),
+            "serving_p50_ms": round(
+                serving[f"serving_p50_ms_c{best_c}"], 1
+            ),
+            "serving_p99_ms": round(
+                serving[f"serving_p99_ms_c{best_c}"], 1
+            ),
+            "serial_qps": round(serving["serving_serial_qps"], 1),
+        }
+        for c in sorted(counts):
+            headline[f"serving_qps_c{c}"] = round(
+                serving[f"serving_qps_c{c}"], 1
+            )
+    elif search:
+        # Serving not (yet) measured — headline the fused one-dispatch
+        # single-query e2e from the search section.
+        fused = search.get("fused_qps_b1_bf16", 0.0)
+        headline = {
+            "metric": "fused_e2e_search_qps_1M768_b1_recall10",
+            "value": round(fused, 2),
+            "unit": "qps",
+            "vs_baseline": round(fused / BASELINE_SEARCH_QPS, 2),
+        }
+    else:
+        # Only embed has landed — still a real, driver-captured number.
+        tps = embed.get("texts_per_s_seq384_b128", 0.0)
+        headline = {
+            "metric": "embed_texts_per_s_seq384_b128",
+            "value": round(tps, 1),
+            "unit": "texts/s",
+            "vs_baseline": round(tps / BASELINE_EMBED_TPS, 1),
+        }
+    if embed:
+        headline["embed_texts_per_s"] = round(
+            embed.get("texts_per_s_seq384_b128", 0.0), 1
+        )
+    if search:
+        headline["rtt_floor_ms"] = round(search["rtt_floor_ms"], 1)
+        headline["fused_1dispatch_qps_b1"] = round(
+            search["fused_qps_b1_bf16"], 2
+        )
+        headline["colocated_qps"] = round(
+            1000.0 / search["fused_device_ms_bf16"], 1
+        )
+    headline["detail"] = detail
+    print(json.dumps(headline), flush=True)
 
 
 def main() -> None:
@@ -1074,34 +1227,82 @@ def main() -> None:
         _run_section_child(sys.argv[sys.argv.index("--section") + 1])
         return
 
-    search = _run_section("search")
-    # One IVF dtype leg per subprocess: the legs' freed build transients
-    # accumulate in backend-retained memory (invisible to live_arrays),
-    # and three legs in, the fourth OOMs — see bench_ivf.
+    t_start = time.perf_counter()
+
+    def remaining() -> float:
+        return BENCH_BUDGET_S - (time.perf_counter() - t_start)
+
+    # Section plan, ordered by information value per second: embed is
+    # cheap and guarantees the record a real number within minutes;
+    # search carries the exact-scan qps/recall block; serving is the
+    # headline; one TUNED IVF leg demonstrates the ANN tier at the
+    # product operating point (SearchConfig.nprobe=0 auto).  The long
+    # tail (remaining IVF legs, index e2e) runs only under BENCH_FULL=1.
+    plan = [
+        ("embed", {}, "embed"),
+        ("search", {}, "search"),
+        ("serving", {}, "serving"),
+        ("ivf", {"BENCH_IVF_DTYPES": "int8"}, "ivf:int8"),
+    ]
+    if os.environ.get("BENCH_FULL"):
+        plan += [
+            ("ivf", {"BENCH_IVF_DTYPES": dt}, f"ivf:{dt}")
+            for dt in ("bfloat16", "int4", "pq", "pq_refine")
+        ]
+        plan += [("index", {}, "index")]
+    only = [
+        s.strip()
+        for s in os.environ.get("BENCH_SECTIONS", "").split(",")
+        if s.strip()
+    ]
+    if only:
+        plan = [p for p in plan if p[0] in only or p[2] in only]
+
+    search: dict = {}
     ivf: dict = {}
-    ivf_legs_failed = []
-    for dt in ("bfloat16", "int8", "int4", "pq", "pq_refine"):
-        part = _run_section(
-            "ivf", env_extra={"BENCH_IVF_DTYPES": dt}, tag=f"ivf:{dt}"
-        )
-        if part:
-            ivf.update(part)
+    serving: dict = {}
+    embed: dict = {}
+    index: dict = {}
+    dest = {"search": search, "ivf": ivf, "serving": serving,
+            "embed": embed, "index": index}
+    ivf_legs_failed: list = []
+    skipped: list = []
+    attempted: set = set()
+
+    for name, env_extra, tag in plan:
+        est = _SECTION_EST_S.get(name, 420)
+        left = remaining()
+        if left < 0.6 * est:
+            log(
+                f"[bench] skipping {tag}: {left:.0f}s left of "
+                f"{BENCH_BUDGET_S:.0f}s budget (est {est}s)"
+            )
+            skipped.append(tag)
         else:
-            ivf_legs_failed.append(dt)
-    serving = _run_section("serving")
-    embed = _run_section("embed")
-    index = _run_section("index")
+            timeout_s = min(
+                _SECTION_TIMEOUT_S.get(name, 900), max(left, 60)
+            )
+            attempted.add(name)
+            part = _run_section(
+                name, env_extra=env_extra, tag=tag, timeout_s=timeout_s,
+                allow_retry=remaining() > 2 * est + 120,
+            )
+            if part:
+                dest[name].update(part)
+            elif name == "ivf":
+                ivf_legs_failed.append(tag.split(":", 1)[-1])
+        _emit_headline(
+            search, ivf, serving, embed, index, ivf_legs_failed, skipped,
+            attempted,
+        )
 
     if search:
         log(
             "[bench] search 1Mx768: "
-            f"f32 qps_b1={search['qps_b1_f32']:.1f} p50={search['p50_ms_f32']:.2f}ms "
-            f"recall={search['recall_f32']:.4f} | "
             f"bf16 qps_b1={search['qps_b1_bf16']:.1f} "
             f"p50={search['p50_ms_bf16']:.2f}ms recall={search['recall_bf16']:.4f} "
             f"qps_b128={search['qps_b128_bf16']:.0f} | "
-            f"int8 qps_b1={search['qps_b1_int8']:.1f} "
-            f"p50={search['p50_ms_int8']:.2f}ms recall={search['recall_int8']:.4f} "
+            f"int8 recall={search['recall_int8']:.4f} "
             f"qps_b128={search['qps_b128_int8']:.0f} | "
             f"filtered_qps_b1={search['filtered_qps_b1_bf16']:.1f}"
         )
@@ -1120,87 +1321,8 @@ def main() -> None:
             f"({tps / BASELINE_EMBED_TPS:.1f}x CPU ref, "
             f"{tps / 1000.0:.1f}x CUDA ref)"
         )
-
-    # Headline: MEASURED end-to-end serving QPS through a real socket —
-    # 32 concurrent clients, each issuing independent single-query top-10
-    # requests against the warm server (full client -> UDS -> worker ->
-    # fused encode+scan dispatch -> SQLite hydrate -> JSON loop) over a
-    # real 1M x 768 HybridStorage, recall@10 verified vs on-device f32
-    # brute force; c8/c16 and p50/p99 reported alongside. The reference
-    # CPU baseline (~200 ms/query, README:349) includes query embedding,
-    # so this is the apples-to-apples number.
-    # detail.serving_serial_qps is one client paying this rig's measured
-    # host-tunnel RTT per dispatch (rtt_floor_ms); the device-side cost of
-    # the same program is detail.fused_device_ms_*.
-    detail = {
-        k: (round(v, 3) if isinstance(v, float) else v)
-        for k, v in {**search, **ivf, **serving, **embed, **index}.items()
-    }
-    for name, result in (
-        ("search", search), ("serving", serving), ("embed", embed),
-        ("index", index),
-    ):
-        if not result:
-            detail[f"{name}_section_failed"] = True
-    if ivf_legs_failed:
-        detail["ivf_legs_failed"] = ivf_legs_failed
-
-    if serving:
-        # Headline the best sustained concurrency (the knee is host-core
-        # bound and can move between rigs/rounds; every measured count is
-        # still reported explicitly below and in detail).
-        best_c = max(
-            (c for c in (8, 16, 32, 64)
-             if f"serving_qps_c{c}" in serving),
-            key=lambda c: serving[f"serving_qps_c{c}"],
-        )
-        serving_qps = serving[f"serving_qps_c{best_c}"]
-        serving_qps_c16 = serving["serving_qps_c16"]
-        headline = {
-            "metric": (
-                f"serving_e2e_qps_1M768_c{best_c}clients_b1_recall10"
-            ),
-            "value": round(serving_qps, 1),
-            "unit": "qps",
-            "vs_baseline": round(serving_qps / BASELINE_SEARCH_QPS, 1),
-            "serving_recall10": round(serving["serving_recall10"], 4),
-            "serving_p50_ms": round(
-                serving[f"serving_p50_ms_c{best_c}"], 1
-            ),
-            "serving_p99_ms": round(
-                serving[f"serving_p99_ms_c{best_c}"], 1
-            ),
-            "serving_qps_c8": round(serving["serving_qps_c8"], 1),
-            "serving_qps_c16": round(serving_qps_c16, 1),
-            "serving_qps_c32": round(serving["serving_qps_c32"], 1),
-            "serving_qps_c64": round(
-                serving.get("serving_qps_c64", 0.0), 1
-            ),
-            "serving_vs_baseline_c16": round(
-                serving_qps_c16 / BASELINE_SEARCH_QPS, 1
-            ),
-            "serial_qps": round(serving["serving_serial_qps"], 1),
-        }
-    else:
-        # Degraded fallback: serving section failed — headline the fused
-        # one-dispatch single-query e2e from the search section instead.
-        fused = search.get("fused_qps_b1_bf16", 0.0)
-        headline = {
-            "metric": "fused_e2e_search_qps_1M768_b1_recall10",
-            "value": round(fused, 2),
-            "unit": "qps",
-            "vs_baseline": round(fused / BASELINE_SEARCH_QPS, 2),
-        }
-    if search:
-        headline["rtt_floor_ms"] = round(search["rtt_floor_ms"], 1)
-        headline["fused_1dispatch_qps_b1"] = round(
-            search["fused_qps_b1_bf16"], 2
-        )
-        headline["colocated_qps"] = round(
-            1000.0 / search["fused_device_ms_bf16"], 1
-        )
-    headline["detail"] = detail
-    print(json.dumps(headline), flush=True)
+    log(f"[bench] total wall {time.perf_counter() - t_start:.0f}s "
+        f"(budget {BENCH_BUDGET_S:.0f}s)")
 
 
 if __name__ == "__main__":
