@@ -272,9 +272,12 @@ class SearchEngine:
         # server's finisher threads). CLAUDE_SEARCH_RERANK=1 turns reranking
         # on for every search that doesn't pass an explicit flag;
         # CLAUDE_SEARCH_RERANK_FACTOR sets the stage-1 over-fetch multiple.
-        self._reranker = None
-        self._reranker_name: Optional[str] = None
-        self._reranker_failed: Optional[str] = None
+        # Loaded rerankers and failed names keyed by resolved model name:
+        # alternating requests between two models must not reload (and
+        # re-compile) per switch, and one model's failure must not forget
+        # another's.
+        self._rerankers: Dict[str, Any] = {}
+        self._reranker_failed: set = set()
         self._reranker_lock = threading.Lock()
 
     # -- discovery ----------------------------------------------------------
@@ -743,8 +746,13 @@ class SearchEngine:
             except ValueError:
                 factor = 5
         spec: Dict[str, Any] = {"factor": max(1, factor)}
-        if model:
-            spec["model"] = model
+        # Resolve the model name CLIENT-side (explicit arg >
+        # CLAUDE_SEARCH_RERANK_MODEL env > registry default): the warm
+        # server daemon may run with a different environment, and the
+        # env contract must hold across that process boundary.
+        from ..models.cross_encoder import resolve_reranker_name
+
+        spec["model"] = resolve_reranker_name(model)
         return spec
 
     def _get_reranker(self, model_name: Optional[str] = None):
@@ -759,9 +767,9 @@ class SearchEngine:
 
         name = resolve_reranker_name(model_name)
         with self._reranker_lock:
-            if self._reranker is not None and self._reranker_name == name:
-                return self._reranker
-            if self._reranker_failed == name:
+            if name in self._rerankers:
+                return self._rerankers[name]
+            if name in self._reranker_failed:
                 return None
             encoder = CrossEncoder(
                 CrossEncoderConfig(
@@ -778,9 +786,9 @@ class SearchEngine:
                     "bi-encoder order. Run `setup-models --model %s`.",
                     name, exc, name,
                 )
-                self._reranker_failed = name
+                self._reranker_failed.add(name)
                 return None
-            self._reranker, self._reranker_name = encoder, name
+            self._rerankers[name] = encoder
             return encoder
 
     def rerank_results(

@@ -251,8 +251,19 @@ def params_from_bert_state_dict(
             params["embeddings"]["tt_table"] = get(
                 "embeddings.token_type_embeddings.weight"
             )[:2]
-        else:  # DistilBERT-based classifier: no token types
-            params["embeddings"]["tt_table"] = np.zeros((2, h), np.float32)
+        else:
+            # DistilBERT-based sequence classifiers are NOT supported as
+            # cross-encoders: DistilBertForSequenceClassification has no
+            # tanh pooler (it uses pre_classifier + ReLU), so its head
+            # cannot be mapped onto the tanh-pooler classify graph below
+            # — a zero tt_table plus a key remap would silently compute
+            # the wrong score.  All registered ms-marco rerankers are
+            # BERT/MiniLM-based; fail loud for anything else.
+            raise ValueError(
+                "cross-encoder conversion requires a BERT-style pooler "
+                "(tanh) head; DistilBERT-based sequence classifiers "
+                "(pre_classifier + ReLU) are unsupported"
+            )
         params["head"] = {
             "pooler_w": get("pooler.dense.weight").T,
             "pooler_b": get("pooler.dense.bias"),

@@ -240,7 +240,13 @@ class CrossEncoder:
             if arr.shape[1] == 1:
                 scores = 1.0 / (1.0 + np.exp(-arr[:, 0]))  # ST sigmoid
             else:
-                scores = arr.max(axis=1)  # multi-label: best-class logit
+                # Multi-class checkpoint (no registered reranker is —
+                # all ms-marco models are num_labels=1): collapse to the
+                # best-class logit so ranking still works.  DELIBERATE
+                # DEVIATION from sentence-transformers, which returns
+                # the full [N, num_labels] logits and leaves scoring to
+                # the caller (see PARITY.md "cross-encoder scoring").
+                scores = arr.max(axis=1)
             out[batch_idx] = scores
         return out
 
