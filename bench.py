@@ -443,6 +443,10 @@ def bench_ivf() -> dict:
             dim=dim, dtype=dtype, nlist=nlist, train_iters=40,
             refine_dtype="int8" if refine else "none",
             refine_factor=refine_factor,
+            # The plain pq leg runs the PRODUCT default: measured-recall
+            # auto-selection of pq_m/OPQ/refine (tune_pq_config).  The
+            # pq_refine leg keeps its explicit fixed operating point.
+            pq_auto=(dtype == "pq" and not refine),
         )
         t0 = time.perf_counter()
         index.train(jnp.take(corpus, jnp.asarray(train_idx), axis=0))
@@ -508,6 +512,14 @@ def bench_ivf() -> dict:
         out[f"ivf_kernel_{key}"] = scan_key[0]
         out[f"ivf_nprobe_{key}"] = int(nprobe)
         out[f"ivf_nprobe_tuned_{key}"] = bool(tune.get("tuned"))
+        if getattr(index, "_pq_tune_report", None):
+            rep = dict(index._pq_tune_report)
+            rep.pop("report", None)  # keep the JSON line compact
+            out[f"ivf_pq_tune_{key}"] = rep
+            out[f"ivf_bytes_per_row_{key}"] = index.pq_m // 2 + (
+                dim if index.refine_dtype == "int8" else
+                2 * dim if index.refine_dtype == "bfloat16" else 0
+            )
         if "recall" in tune:
             # The tuner's own probe-recall (vs a full-probe scan of this
             # same index) — separates probe loss from quantization loss.
@@ -865,12 +877,14 @@ def bench_serving() -> dict:
         qps_c8, p50_c8, p99_c8 = run_clients(8, 25)
         qps_c16, p50_c16, p99_c16 = run_clients(16, 15)
         qps_c32, p50_c32, p99_c32 = run_clients(32, 12)
-        # The knee sits past 32 on this host (c64 sustains ~1.3x c32;
-        # c128 regresses — accept-loop and client-thread contention on
-        # the single core).  Measured by default so the headline can
-        # report the best sustained concurrency.
+        # Past-the-knee behavior (VERDICT r3 item 5): saturation must be
+        # flat, not regressive.  c64 and c128 are measured by default so
+        # the headline can report the best sustained concurrency AND the
+        # record shows what 2x past it costs.
         run_clients(64, 3)
         qps_c64, p50_c64, p99_c64 = run_clients(64, 8)
+        run_clients(128, 2)
+        qps_c128, p50_c128, p99_c128 = run_clients(128, 4)
         # One-shot-caller pattern (fresh connection per request) at c8,
         # for the CLI-shaped context number.
         qps_c8r, p50_c8r, _ = run_clients(8, 15, persistent=False)
@@ -905,6 +919,8 @@ def bench_serving() -> dict:
         f"p99={p99_c8:.1f}ms | c16 qps={qps_c16:.1f} p50={p50_c16:.1f}ms "
         f"| c32 qps={qps_c32:.1f} p50={p50_c32:.1f}ms p99={p99_c32:.1f}ms "
         f"| c64 qps={qps_c64:.1f} p50={p50_c64:.1f}ms p99={p99_c64:.1f}ms "
+        f"| c128 qps={qps_c128:.1f} p50={p50_c128:.1f}ms "
+        f"p99={p99_c128:.1f}ms "
         f"| c8 reconnect-per-request qps={qps_c8r:.1f} p50={p50_c8r:.1f}ms"
     )
     return {
@@ -922,6 +938,9 @@ def bench_serving() -> dict:
         "serving_qps_c64": qps_c64,
         "serving_p50_ms_c64": p50_c64,
         "serving_p99_ms_c64": p99_c64,
+        "serving_qps_c128": qps_c128,
+        "serving_p50_ms_c128": p50_c128,
+        "serving_p99_ms_c128": p99_c128,
         "serving_qps_c8_reconnect": qps_c8r,
         "serving_p50_ms_c8_reconnect": p50_c8r,
         **extra,

@@ -84,6 +84,56 @@ class TestProtocol:
             assert qc.search("again")["ok"] is True
             assert qc._sock is sock_before  # no reconnect happened
 
+    def test_pipelined_requests_on_one_connection(self, server, tmp_path):
+        """The handler never parks on a response event: several requests
+        written back-to-back on one connection all get responses (written
+        by worker/finisher threads under the per-connection lock)."""
+        import socket as socket_mod
+
+        sock = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+        sock.settimeout(30.0)
+        sock.connect(str(socket_path_for(str(tmp_path))))
+        try:
+            n = 4
+            payload = b"".join(
+                (json.dumps({"op": "search", "query": f"q{i}", "top_k": 3})
+                 + "\n").encode()
+                for i in range(n)
+            )
+            sock.sendall(payload)
+            buf = b""
+            while buf.count(b"\n") < n:
+                chunk = sock.recv(65536)
+                assert chunk, "server closed before all responses arrived"
+                buf += chunk
+            responses = [
+                json.loads(line)
+                for line in buf.decode().strip().splitlines()
+            ]
+            assert len(responses) == n
+            assert all(r["ok"] for r in responses)
+        finally:
+            sock.close()
+
+    def test_malformed_line_gets_error_response(self, server, tmp_path):
+        import socket as socket_mod
+
+        sock = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+        sock.settimeout(30.0)
+        sock.connect(str(socket_path_for(str(tmp_path))))
+        try:
+            sock.sendall(b"{not json}\n")
+            line = b""
+            while not line.endswith(b"\n"):
+                chunk = sock.recv(65536)
+                assert chunk
+                line += chunk
+            response = json.loads(line)
+            assert response["ok"] is False
+            assert "error" in response
+        finally:
+            sock.close()
+
     def test_persistent_client_reconnects_after_drop(
         self, engine, tmp_path
     ):

@@ -89,8 +89,19 @@ class TestSpecResolution:
 
     def test_env_enables(self, engine, monkeypatch):
         monkeypatch.setenv("CLAUDE_SEARCH_RERANK", "1")
+        monkeypatch.delenv("CLAUDE_SEARCH_RERANK_MODEL", raising=False)
         spec = engine._rerank_spec(None, None, None)
-        assert spec == {"factor": 5}
+        from tpu_search.models.cross_encoder import DEFAULT_RERANK_MODEL
+
+        assert spec == {"factor": 5, "model": DEFAULT_RERANK_MODEL}
+
+    def test_env_model_resolved_client_side(self, engine, monkeypatch):
+        # The warm server may run under a different environment: the
+        # client's CLAUDE_SEARCH_RERANK_MODEL must be baked into the wire
+        # spec, not left for the server to re-resolve.
+        monkeypatch.setenv("CLAUDE_SEARCH_RERANK_MODEL", "hash-32")
+        spec = engine._rerank_spec(True, None, None)
+        assert spec["model"] == "hash-32"
 
     def test_explicit_false_overrides_env(self, engine, monkeypatch):
         monkeypatch.setenv("CLAUDE_SEARCH_RERANK", "1")
@@ -148,7 +159,7 @@ class TestEngineRerank:
             )
         assert len(results) == 3
         assert all("rerank_score" not in r for r in results)
-        assert engine._reranker_failed == "definitely-not-downloaded"
+        assert "definitely-not-downloaded" in engine._reranker_failed
         # Failure is remembered: a second search does not retry the load.
         results = engine.search_conversations(
             "install jax on tpu", top_k=3, rerank=True,

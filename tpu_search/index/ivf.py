@@ -825,6 +825,183 @@ def nprobe_ladder(
     return nlist, 1.0
 
 
+def tune_pq_config(
+    vectors,
+    centroids,
+    metric: str,
+    *,
+    dim: int,
+    by_residual: bool,
+    target_recall: float = 0.9,
+    k: int = 10,
+    n_queries: int = 64,
+    sample: int = 65536,
+    seed: int = 0,
+    candidates: Optional[Tuple[int, ...]] = None,
+    try_opq: bool = True,
+    refine_ladder: Tuple[int, ...] = (4, 8, 16, 32),
+) -> Dict:
+    """Measured-recall selection of the PQ knobs (pq_m, OPQ, refine
+    factor) at train time — the PQ twin of :func:`nprobe_ladder` /
+    ``tune_nprobe`` (VERDICT r3 item 3).
+
+    The reference delegates this choice to the user (FAISS exposes
+    IVFPQ/OPQ pretransforms but ships no tuner; reference
+    src/storage.py:252-267 hardcodes its index params); here the codec
+    escalates itself until the measured CODE-RATE recall@k on a sample
+    of the live training rows meets ``target_recall``:
+
+    1. ``pq_m = dim/4`` (96 B/row at 768-d) plain, then +OPQ if short;
+    2. ``pq_m = dim/2`` (192 B/row) plain, then +OPQ if short;
+    3. smallest int8-refine over-fetch factor from ``refine_ladder``
+       that closes the remaining gap (simulated by re-ranking the ADC
+       top ``k*f`` with per-row int8 scores — exactly what the refine
+       tier executes on device).
+
+    OPQ is kept whenever it beats the axis-aligned split by >0.5% —
+    "defaulting OPQ on when it wins".  Recall here is quantization-only
+    (within-sample exhaustive scan, no probe loss; probing is tuned
+    separately by ``tune_nprobe``).
+
+    Returns the chosen config with its trained ``books``/``rot`` (the
+    caller installs them — nothing retrains) and the full measurement
+    ``report``.
+    """
+    from ..ops.kmeans import assign_clusters
+    from ..ops.pq import (
+        decode_pq,
+        encode_pq,
+        train_opq_for_ivf,
+        train_pq_for_ivf,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = jnp.asarray(vectors, jnp.float32)
+    n = rows.shape[0]
+    if n > sample:
+        idx = np.sort(rng.choice(n, sample, replace=False))
+        rows = jnp.take(rows, jnp.asarray(idx), axis=0)
+        n = sample
+    q_n = min(n_queries, n)
+    qidx = rng.choice(n, q_n, replace=False)
+    queries = jnp.take(rows, jnp.asarray(qidx), axis=0)
+    k_eff = min(k, n)
+
+    @jax.jit
+    def _exact_topk(q, v):
+        scores = jax.lax.dot_general(
+            q, v, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.top_k(scores, k_eff)[1]
+
+    truth = np.asarray(_exact_topk(queries, rows))
+
+    cents = jnp.asarray(centroids, jnp.float32)
+    assign = assign_clusters(rows, cents, metric)
+    cent_rows = jnp.take(cents, assign, axis=0)
+    resid = rows - cent_rows if by_residual else rows
+    cscore = (
+        jnp.einsum("qd,nd->qn", queries, cent_rows,
+                   preferred_element_type=jnp.float32)
+        if by_residual
+        else jnp.zeros((q_n, n), jnp.float32)
+    )
+
+    def _recall(got_ids: np.ndarray) -> float:
+        return float(np.mean([
+            len(set(got_ids[i]) & set(truth[i])) / k_eff
+            for i in range(q_n)
+        ]))
+
+    def _adc_scores(books, rot) -> jnp.ndarray:
+        xr = resid @ rot if rot is not None else resid
+        codes = encode_pq(xr, books)
+        recon = decode_pq(codes, books)  # rotated-space reconstruction
+        q_r = queries @ rot if rot is not None else queries
+        return cscore + jnp.einsum(
+            "qd,nd->qn", q_r, recon, preferred_element_type=jnp.float32
+        )
+
+    if candidates is None:
+        candidates = tuple(
+            m for m in (dim // 4, dim // 2) if m > 0 and dim % m == 0
+        ) or (dim,)
+
+    report = []
+    best = None  # (recall, m, opq, rot, books, adc)
+    for m in candidates:
+        books = train_pq_for_ivf(
+            rows, cents, metric, m,
+            by_residual=by_residual, seed=seed, sample=sample,
+        )
+        adc = _adc_scores(books, None)
+        r_plain = _recall(np.asarray(jax.lax.top_k(adc, k_eff)[1]))
+        report.append({"pq_m": m, "opq": False, "recall": r_plain})
+        if best is None or r_plain > best[0]:
+            best = (r_plain, m, False, None, books, adc)
+        if r_plain >= target_recall:
+            break
+        if try_opq:
+            rot, books_o = train_opq_for_ivf(
+                rows, cents, metric, m,
+                by_residual=by_residual, seed=seed,
+            )
+            adc_o = _adc_scores(books_o, rot)
+            r_opq = _recall(np.asarray(jax.lax.top_k(adc_o, k_eff)[1]))
+            report.append({"pq_m": m, "opq": True, "recall": r_opq})
+            if r_opq > best[0] + 0.005:
+                best = (r_opq, m, True, rot, books_o, adc_o)
+            if r_opq >= target_recall:
+                break
+
+    recall, m, opq, rot, books, adc = best
+    chosen = {
+        "pq_m": int(m),
+        "opq": bool(opq),
+        "rot": rot,
+        "books": books,
+        "recall": float(recall),
+        "refine_factor": 0,
+        "refine_recall": None,
+        "target": float(target_recall),
+        "sampled": int(n),
+        "report": report,
+    }
+    if recall >= target_recall:
+        return chosen
+
+    # Codec alone can't meet the target: simulate the int8 refine tier
+    # (re-rank the ADC top k*f by per-row int8 scores — the device path
+    # in RefineStore does exactly this inside the fused program).
+    scale = jnp.clip(
+        jnp.max(jnp.abs(rows), axis=1, keepdims=True), 1e-12, None
+    ) / 127.0
+    rows8 = jnp.round(rows / scale) * scale
+    refine_scores = np.asarray(jnp.einsum(
+        "qd,nd->qn", queries, rows8, preferred_element_type=jnp.float32
+    ))
+    adc_np = np.asarray(adc)
+    order = np.argsort(-adc_np, axis=1)
+    for f in refine_ladder:
+        fetch = min(k_eff * f, n)
+        got = np.empty((q_n, k_eff), np.int64)
+        for qi in range(q_n):
+            cand = order[qi, :fetch]
+            got[qi] = cand[np.argsort(-refine_scores[qi, cand])][:k_eff]
+        r_ref = _recall(got)
+        report.append({
+            "pq_m": int(m), "opq": bool(opq),
+            "refine_factor": int(f), "recall": r_ref,
+        })
+        chosen["refine_factor"] = int(f)
+        chosen["refine_recall"] = float(r_ref)
+        if r_ref >= target_recall:
+            break
+    return chosen
+
+
 class IVFIndex:
     """Coarse-quantized ANN index with device-resident dense cluster blocks."""
 
@@ -846,6 +1023,8 @@ class IVFIndex:
         opq: bool = False,
         refine_dtype: str = "none",
         refine_factor: int = 4,
+        pq_auto: bool = False,
+        pq_target_recall: float = 0.9,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
@@ -905,6 +1084,12 @@ class IVFIndex:
         self.refine_dtype = refine_dtype
         self.refine_factor = max(1, int(refine_factor))
         self._refine = None  # lazily-built RefineStore
+        # Measured-recall PQ auto-config (tune_pq_config): train() picks
+        # pq_m / OPQ / refine_factor to meet pq_target_recall instead of
+        # shipping a fixed code rate the corpus may defeat.
+        self.pq_auto = bool(pq_auto) and dtype == "pq"
+        self.pq_target_recall = float(pq_target_recall)
+        self._pq_tune_report: Optional[Dict] = None
         self.dim = dim
         self.metric = metric
         self.dtype = dtype
@@ -1028,23 +1213,60 @@ class IVFIndex:
             )
             self._dcent = centroids
             if self.dtype == "pq":
-                # PQ codebooks fit the residual distribution (or the raw
-                # rows when by_residual is off) — FAISS IndexIVFPQ trains
-                # the same way.  The shared helper subsamples BEFORE the
-                # assign/subtract so rebalance-scale training batches
-                # never materialize a corpus-sized residual tensor.
-                from ..ops.pq import train_opq_for_ivf, train_pq_for_ivf
-
-                if self.opq:
-                    self._pq_rot, self._pq_books = train_opq_for_ivf(
-                        dv, centroids, self.metric, self.pq_m,
-                        by_residual=self.by_residual, seed=self.seed,
+                if self.pq_auto:
+                    # Measured-recall knob selection (VERDICT r3 item 3):
+                    # escalate pq_m -> OPQ -> int8 refine until the
+                    # code-rate recall on sampled training rows meets the
+                    # target; install the winner's books/rot directly.
+                    cfg = tune_pq_config(
+                        dv, centroids, self.metric,
+                        dim=self.dim, by_residual=self.by_residual,
+                        target_recall=self.pq_target_recall,
+                        seed=self.seed,
                     )
+                    self.pq_m = cfg["pq_m"]
+                    self.opq = cfg["opq"]
+                    self._pq_books = cfg["books"]
+                    self._pq_rot = cfg["rot"]
+                    self._pq_tune_report = {
+                        key: cfg[key]
+                        for key in ("pq_m", "opq", "recall",
+                                    "refine_factor", "refine_recall",
+                                    "target", "sampled", "report")
+                    }
+                    # The refine tier can only be auto-enabled BEFORE any
+                    # rows land: enabling it at rebalance would backfill
+                    # refine rows from lossy pq decodes (no information
+                    # gained).  Explicit user refine settings win.
+                    if (
+                        cfg["refine_factor"]
+                        and self._count == 0
+                        and self.refine_dtype == "none"
+                    ):
+                        self.refine_dtype = "int8"
+                        self.refine_factor = cfg["refine_factor"]
                 else:
-                    self._pq_books = train_pq_for_ivf(
-                        dv, centroids, self.metric, self.pq_m,
-                        by_residual=self.by_residual, seed=self.seed,
+                    # PQ codebooks fit the residual distribution (or the
+                    # raw rows when by_residual is off) — FAISS IndexIVFPQ
+                    # trains the same way.  The shared helper subsamples
+                    # BEFORE the assign/subtract so rebalance-scale
+                    # training batches never materialize a corpus-sized
+                    # residual tensor.
+                    from ..ops.pq import (
+                        train_opq_for_ivf,
+                        train_pq_for_ivf,
                     )
+
+                    if self.opq:
+                        self._pq_rot, self._pq_books = train_opq_for_ivf(
+                            dv, centroids, self.metric, self.pq_m,
+                            by_residual=self.by_residual, seed=self.seed,
+                        )
+                    else:
+                        self._pq_books = train_pq_for_ivf(
+                            dv, centroids, self.metric, self.pq_m,
+                            by_residual=self.by_residual, seed=self.seed,
+                        )
         self.centroids = np.asarray(centroids)
 
     # -- device block management --------------------------------------------
@@ -2044,6 +2266,12 @@ class IVFIndex:
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
             header["opq"] = bool(self._pq_rot is not None)
+            header["pq_auto"] = bool(self.pq_auto)
+            if self._pq_tune_report is not None:
+                # The measured tuning trail rides the header (small JSON)
+                # so a reloaded index can report WHY its knobs were
+                # chosen (and the bench can surface it).
+                header["pq_tune"] = self._pq_tune_report
         if self.refine_dtype != "none":
             header["refine_dtype"] = self.refine_dtype
             header["refine_factor"] = self.refine_factor
@@ -2148,7 +2376,10 @@ class IVFIndex:
             opq=bool(header.get("opq", False)),
             refine_dtype=header.get("refine_dtype", "none"),
             refine_factor=int(header.get("refine_factor", 4)),
+            pq_auto=bool(header.get("pq_auto", False)),
         )
+        if header.get("pq_tune") is not None:
+            index._pq_tune_report = dict(header["pq_tune"])
         index.nprobe_hint = int(header.get("nprobe_hint", 0))
         index._tuned_live = int(header.get("nprobe_tuned_live", 0))
         if arrays["centroids"].shape[0]:

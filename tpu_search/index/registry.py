@@ -24,6 +24,8 @@ def create_index(
     opq: bool = False,
     refine_dtype: str = "none",
     refine_factor: int = 4,
+    pq_auto: bool = False,
+    pq_target_recall: float = 0.9,
 ):
     if kind == "flat":
         return FlatIndex(dim=dim, metric=metric, dtype=dtype, device=device)
@@ -39,6 +41,8 @@ def create_index(
             opq=opq,
             refine_dtype=refine_dtype,
             refine_factor=refine_factor,
+            pq_auto=pq_auto,
+            pq_target_recall=pq_target_recall,
         )
     raise ValueError(f"Unknown index type: {kind}")
 

@@ -243,6 +243,8 @@ class ShardedIVFIndex:
         opq: bool = False,
         refine_dtype: str = "none",
         refine_factor: int = 4,
+        pq_auto: bool = False,
+        pq_target_recall: float = 0.9,
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
@@ -307,6 +309,11 @@ class ShardedIVFIndex:
         # k*refine_factor candidates inside the same shard_map pipeline.
         self.refine_dtype = refine_dtype
         self.refine_factor = max(1, int(refine_factor))
+        # Measured-recall PQ auto-config (index/ivf.py tune_pq_config);
+        # runs replicated like the codebook training itself.
+        self.pq_auto = bool(pq_auto) and dtype == "pq"
+        self.pq_target_recall = float(pq_target_recall)
+        self._pq_tune_report = None
         self._refine = None  # lazily-built ShardedRefineStore
         # Measured-recall probe count chosen by tune_nprobe (0 = untuned)
         # and the live row count it was measured at (retune freshness).
@@ -428,7 +435,35 @@ class ShardedIVFIndex:
             # must train identical codecs for the same file format.
             from ..ops.pq import train_opq_for_ivf, train_pq_for_ivf
 
-            if self.opq:
+            if self.pq_auto:
+                from ..index.ivf import tune_pq_config
+
+                cfg = tune_pq_config(
+                    dv, centroids, self.metric,
+                    dim=self.dim, by_residual=self.by_residual,
+                    target_recall=self.pq_target_recall, seed=self.seed,
+                )
+                self.pq_m = cfg["pq_m"]
+                self.opq = cfg["opq"]
+                self._pq_books = self._put_replicated(cfg["books"])
+                self._pq_rot = (
+                    self._put_replicated(cfg["rot"])
+                    if cfg["rot"] is not None else None
+                )
+                self._pq_tune_report = {
+                    key: cfg[key]
+                    for key in ("pq_m", "opq", "recall", "refine_factor",
+                                "refine_recall", "target", "sampled",
+                                "report")
+                }
+                if (
+                    cfg["refine_factor"]
+                    and self._count == 0
+                    and self.refine_dtype == "none"
+                ):
+                    self.refine_dtype = "int8"
+                    self.refine_factor = cfg["refine_factor"]
+            elif self.opq:
                 rot, books = train_opq_for_ivf(
                     dv, centroids, self.metric, self.pq_m,
                     by_residual=self.by_residual, seed=self.seed,
@@ -1618,6 +1653,9 @@ class ShardedIVFIndex:
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
             header["opq"] = bool(self._pq_rot is not None)
+            header["pq_auto"] = bool(self.pq_auto)
+            if self._pq_tune_report is not None:
+                header["pq_tune"] = self._pq_tune_report
         if self.refine_dtype != "none":
             header["refine_dtype"] = self.refine_dtype
             header["refine_factor"] = self.refine_factor
@@ -1715,6 +1753,9 @@ class ShardedIVFIndex:
         if self.dtype == "pq":
             base_header["pq_m"] = self.pq_m
             base_header["opq"] = bool(self._pq_rot is not None)
+            base_header["pq_auto"] = bool(self.pq_auto)
+            if self._pq_tune_report is not None:
+                base_header["pq_tune"] = self._pq_tune_report
         refine = self._refine if self.refine_dtype != "none" else None
         if refine is not None:
             base_header["refine_dtype"] = self.refine_dtype
@@ -1843,7 +1884,10 @@ class ShardedIVFIndex:
             opq=bool(header.get("opq", False)),
             refine_dtype=header.get("refine_dtype", "none"),
             refine_factor=int(header.get("refine_factor", 4)),
+            pq_auto=bool(header.get("pq_auto", False)),
         )
+        if header.get("pq_tune") is not None:
+            index._pq_tune_report = dict(header["pq_tune"])
         if header["n_shards"] != index.n_shards:
             raise ValueError(
                 f"manifest has {header['n_shards']} shards, mesh has "
@@ -2029,7 +2073,10 @@ class ShardedIVFIndex:
             opq=bool(header.get("opq", False)),
             refine_dtype=header.get("refine_dtype", "none"),
             refine_factor=int(header.get("refine_factor", 4)),
+            pq_auto=bool(header.get("pq_auto", False)),
         )
+        if header.get("pq_tune") is not None:
+            index._pq_tune_report = dict(header["pq_tune"])
         index.nprobe_hint = int(header.get("nprobe_hint", 0))
         index._tuned_live = int(header.get("nprobe_tuned_live", 0))
         fill = np.asarray(arrays["fill"], np.int64)

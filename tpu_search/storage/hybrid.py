@@ -62,6 +62,13 @@ class StorageConfig:
     # recall at the same 4-bit code budget, at the cost of a rotation
     # retrain during training/rebalance.
     pq_opq: bool = False
+    # Measured-recall PQ auto-config (IVFIndex tune_pq_config, the
+    # nprobe-autotune twin): at train/rebalance time the pq tier picks
+    # pq_m / OPQ / int8-refine-factor to meet pq_target_recall on sampled
+    # live rows instead of shipping a fixed code rate the corpus may
+    # defeat.  Explicit pq_opq/refine settings win over the tuner.
+    pq_auto: bool = True
+    pq_target_recall: float = 0.9
     # optimize() tunes IVF nprobe to the smallest value meeting this
     # recall@10 vs a full-probe scan (measured on reconstructed live
     # rows; FAISS-autotune analog). <= 0 disables.
@@ -339,6 +346,8 @@ class HybridStorage:
                 opq=self.config.pq_opq,
                 refine_dtype=self._effective_refine(),
                 refine_factor=self.config.refine_factor,
+                pq_auto=self._effective_pq_auto(),
+                pq_target_recall=self.config.pq_target_recall,
             )
         return create_index(
             self.config.index_type,
@@ -350,6 +359,19 @@ class HybridStorage:
             opq=self.config.pq_opq,
             refine_dtype=self._effective_refine(),
             refine_factor=self.config.refine_factor,
+            pq_auto=self._effective_pq_auto(),
+            pq_target_recall=self.config.pq_target_recall,
+        )
+
+    def _effective_pq_auto(self) -> bool:
+        """PQ auto-config applies only when the user left the PQ knobs at
+        their defaults: an explicit OPQ or refine choice is a manual
+        operating point the tuner must not override."""
+        return (
+            self.config.pq_auto
+            and self.config.storage_dtype == "pq"
+            and not self.config.pq_opq
+            and self.config.refine_dtype == "none"
         )
 
     def rebuild_index(self, embedding_dim: int) -> None:
