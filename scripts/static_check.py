@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Vendored static checks (mypy/black/isort are not installable in this
+environment — VERDICT r3 item 7: run real checks or stop claiming
+parity).  This is the executable subset we CAN enforce offline:
+
+- every file under ``tpu_search/``, ``tests/``, ``scripts/`` plus
+  ``bench.py``/``__graft_entry__.py`` must parse (syntax gate);
+- library code (``tpu_search/``) additionally enforces: max line length
+  100, no tabs, no trailing whitespace, no bare ``except:``, no
+  ``import *``, no mutable default arguments.
+
+Exit 0 = clean.  Run via ``scripts/check.sh``.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+MAX_LINE = 100
+
+
+def iter_files():
+    for rel in ("tpu_search", "tests", "scripts"):
+        yield from sorted((ROOT / rel).rglob("*.py"))
+    yield ROOT / "bench.py"
+    yield ROOT / "__graft_entry__.py"
+
+
+def check_file(path: pathlib.Path, strict: bool) -> list:
+    problems = []
+    src = path.read_text()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError as exc:
+        return [f"{path}:{exc.lineno}: syntax error: {exc.msg}"]
+    if not strict:
+        return problems
+    for lineno, line in enumerate(src.splitlines(), 1):
+        if len(line) > MAX_LINE:
+            problems.append(
+                f"{path}:{lineno}: line too long ({len(line)} > {MAX_LINE})"
+            )
+        if "\t" in line:
+            problems.append(f"{path}:{lineno}: tab character")
+        if line != line.rstrip():
+            problems.append(f"{path}:{lineno}: trailing whitespace")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ExceptHandler) and node.type is None:
+            problems.append(f"{path}:{node.lineno}: bare 'except:'")
+        if isinstance(node, ast.ImportFrom) and any(
+            alias.name == "*" for alias in node.names
+        ):
+            problems.append(f"{path}:{node.lineno}: star import")
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            defaults = list(node.args.defaults) + [
+                d for d in node.args.kw_defaults if d is not None
+            ]
+            for default in defaults:
+                if isinstance(default, (ast.List, ast.Dict, ast.Set)):
+                    problems.append(
+                        f"{path}:{node.lineno}: mutable default argument"
+                    )
+    return problems
+
+
+def main() -> int:
+    problems = []
+    n = 0
+    for path in iter_files():
+        n += 1
+        strict = "tpu_search" in path.parts
+        problems.extend(check_file(path, strict))
+    if problems:
+        print(f"{len(problems)} problem(s) in {n} files:")
+        for p in problems:
+            print(f"  {p}")
+        return 1
+    print(f"static check: {n} files clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,7 +27,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.mpnet import MPNetConfig, encode as mpnet_encode
 from .encode import shard_params
 
-__all__ = ["TrainState", "make_train_step", "init_train_state", "infonce_loss", "save_train_state", "load_train_state"]
+__all__ = [
+    "TrainState",
+    "make_train_step",
+    "init_train_state",
+    "infonce_loss",
+    "save_train_state",
+    "load_train_state",
+]
 
 
 class TrainState(NamedTuple):
