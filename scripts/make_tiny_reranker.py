@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Build the deterministic tiny cross-encoder test fixture.
+
+Trains a 2-layer BERT classifier (the SAME ``classify`` graph the real
+ms-marco rerankers run — models/mpnet.py classify) on synthetic
+lexical-overlap data: pairs sharing content words are relevant, disjoint
+pairs are not.  The trained checkpoint is checked in at
+``tests/fixtures/tiny-overlap/`` so tests can validate END-TO-END that
+``--rerank`` reorders results toward relevance with a real (non-hash)
+cross-encoder — no network egress required (VERDICT r3 item 8; the real
+ms-marco weights cannot be downloaded in this environment).
+
+Deterministic: fixed seeds, CPU float32.  Rerun to regenerate:
+    python scripts/make_tiny_reranker.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_search.models.convert import save_checkpoint
+from tpu_search.models.mpnet import MPNetConfig, classify, init_params
+
+OUT_DIR = ROOT / "tests" / "fixtures" / "tiny-overlap"
+SPECIALS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+# Diverse word SHAPES (not wordN templates): the e2e quality tests pit
+# the cross-encoder against the char-ngram-hashing bi-encoder, which
+# needs vocabulary whose character n-grams do not all collide.
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu apple banana cherry grape "
+    "lemon mango olive peach plum berry melon fig kiwi date nut corn "
+    "bean rice wheat oat rye barley"
+).split()
+N_WORDS = len(WORDS)  # 48
+SEQ = 32
+STEPS = 5000
+BATCH = 64
+
+
+def make_config() -> MPNetConfig:
+    return MPNetConfig(
+        vocab_size=len(SPECIALS) + N_WORDS,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=2,
+        intermediate_size=128,
+        max_position=SEQ + 2,
+        pad_token_id=0,  # [PAD]
+        arch="bert",
+        pooling="cls",
+        num_labels=1,
+    )
+
+
+def sample_batch(rng: np.random.Generator, batch: int):
+    """(ids, mask, token_types, label): [CLS] q [SEP] p [SEP] pairs where
+    label = 1 iff the passage shares >= half the query's words."""
+    cls_id, sep_id = 2, 3
+    first = len(SPECIALS)
+    ids = np.zeros((batch, SEQ), np.int32)
+    mask = np.zeros((batch, SEQ), np.int32)
+    tts = np.zeros((batch, SEQ), np.int32)
+    labels = np.zeros((batch,), np.float32)
+    for b in range(batch):
+        q_len = rng.integers(3, 7)
+        p_len = rng.integers(4, 10)
+        q = rng.choice(N_WORDS, q_len, replace=False)
+        relevant = rng.random() < 0.5
+        if relevant:
+            n_shared = min(
+                p_len, max(1, int(np.ceil(q_len * rng.uniform(0.5, 1.0))))
+            )
+            shared = rng.choice(q, n_shared, replace=False)
+            others = np.setdiff1d(np.arange(N_WORDS), q)
+            extra = rng.choice(others, p_len - n_shared, replace=False)
+            p = rng.permutation(np.concatenate([shared, extra]))
+        else:
+            others = np.setdiff1d(np.arange(N_WORDS), q)
+            p = rng.choice(others, p_len, replace=False)
+            style = rng.random()
+            if style < 0.25:
+                # OOV passage: all [UNK].  Without these the model
+                # scores unknown-token repetition as relevance (6
+                # identical [UNK]s pattern-match the shared-word signal)
+                # — observed on the first trained fixture.
+                p = np.full(p_len, 1 - len(SPECIALS))  # maps to id 1
+            elif style < 0.45:
+                # Degenerate repetition: one non-query word repeated.
+                p = np.full(p_len, int(rng.choice(others)))
+        row = (
+            [cls_id]
+            + [first + int(w) for w in q]
+            + [sep_id]
+            + [first + int(w) for w in p]
+            + [sep_id]
+        )
+        ids[b, : len(row)] = row
+        mask[b, : len(row)] = 1
+        tts[b, q_len + 2 : len(row)] = 1
+        labels[b] = float(relevant)
+    return ids, mask, tts, labels
+
+
+def main() -> None:
+    config = make_config()
+    params = init_params(config, jax.random.PRNGKey(7), dtype=jnp.float32)
+    # Warm-start the attention toward token-identity matching: with
+    # Q ~ K ~ I the pre-softmax logits contain e_i . e_j (high exactly
+    # when the tokens match), which removes the long random-init plateau
+    # this overlap task otherwise sits on (observed: 1000+ steps at
+    # chance before breakthrough, sometimes never within budget).
+    eye = jnp.eye(config.hidden_size, dtype=jnp.float32)
+    stack = jnp.stack([eye] * config.num_layers)
+    layers = dict(params["layers"])
+    layers["q_w"] = stack * 0.7 + layers["q_w"] * 0.2
+    layers["k_w"] = stack * 0.7 + layers["k_w"] * 0.2
+    params["layers"] = layers
+    # Post-LN transformers collapse under aggressive schedules at this
+    # scale (a 1.5e-3 cosine peak reverted to chance mid-run); constant
+    # LR + clipping converges reliably.
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adam(1e-3)
+    )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, ids, mask, tts, labels):
+        def loss_fn(p):
+            logits = classify(p, ids, mask, tts, config)[:, 0]
+            return jnp.mean(
+                optax.sigmoid_binary_cross_entropy(logits, labels)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(11)
+    for i in range(STEPS):
+        ids, mask, tts, labels = sample_batch(rng, BATCH)
+        params, opt_state, loss = step(
+            params, opt_state, ids, mask, tts, labels
+        )
+        if i % 500 == 0 or i == STEPS - 1:
+            print(f"step {i}: loss {float(loss):.4f}")
+
+    # Held-out accuracy gate: the fixture must actually discriminate.
+    eval_rng = np.random.default_rng(99)
+    ids, mask, tts, labels = sample_batch(eval_rng, 256)
+    logits = np.asarray(classify(params, ids, mask, tts, config)[:, 0])
+    acc = float(np.mean((logits > 0) == (labels > 0.5)))
+    print(f"held-out accuracy: {acc:.3f}")
+    assert acc >= 0.95, f"fixture failed to train (acc {acc:.3f})"
+
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    save_checkpoint(str(OUT_DIR / "model.tpu.npz"), params, config)
+    with open(OUT_DIR / "vocab.txt", "w") as fh:
+        for tok in SPECIALS:
+            fh.write(tok + "\n")
+        for word in WORDS:
+            fh.write(word + "\n")
+    print(f"fixture written to {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 2-process jax.distributed rounds
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 WORKER = r"""
@@ -95,6 +97,61 @@ for dtype in ("float32", "int8"):
     assert loaded.remove(new_ids[:2]) == 2
     _, i3 = loaded.search(vecs[0], k=1, nprobe=4)
     assert i3[0, 0] == 0  # duplicate (id 300) removed; original survives
+
+# Full IVF lifecycle across the 2-process mesh (VERDICT r3 item 9):
+# pq storage + int8 refine tier + measured nprobe autotune + rebalance,
+# with per-host persistence at every stage.
+ivf = ShardedIVFIndex(
+    dim=d, mesh=mesh, dtype="pq", nlist=4, seed=3,
+    refine_dtype="int8", refine_factor=8,
+)
+ivf.add(vecs)
+tune = ivf.tune_nprobe(target_recall=0.9, k=5)
+assert tune["tuned"], tune
+assert ivf.nprobe_hint == tune["nprobe"]
+s_pre, i_pre = ivf.search(queries, k=5, nprobe=4)
+
+path = os.path.join(out_dir, "ivf_lifecycle.tpuidx")
+ivf.save(path)
+loaded = ShardedIVFIndex.load(path, mesh=mesh)
+# Autotune hint and refine tier survive the per-host save/load.
+assert loaded.nprobe_hint == ivf.nprobe_hint
+assert loaded.refine_dtype == "int8"
+assert loaded.refine_factor == 8
+assert loaded._refine is not None and loaded._refine.count == loaded.live
+s_l, i_l = loaded.search(queries, k=5, nprobe=4)
+np.testing.assert_array_equal(i_pre, i_l)
+np.testing.assert_array_equal(s_pre, s_l)
+
+# Skew the layout (every new row lands near one centroid), rebalance on
+# the LOADED index, and verify search still agrees with brute force over
+# the refine-tier fidelity (exhaustive probe; pq+refine is ~int8-exact).
+hot = vecs[0] + 0.01 * rng.standard_normal((80, d)).astype(np.float32)
+hot /= np.linalg.norm(hot, axis=1, keepdims=True)
+loaded.add(hot)
+report = loaded.rebalance(train_sample=400)
+assert report["filled"] == 300 + 80  # every live row re-laid out
+assert loaded.live == 300 + 80
+all_rows = np.concatenate([vecs, hot], axis=0)
+ref5 = np.argsort(-(queries @ all_rows.T), kind="stable", axis=1)[:, :5]
+_, i_rb = loaded.search(queries, k=5, nprobe=4)
+overlap = np.mean([
+    len(set(map(int, a)) & set(map(int, b))) / 5
+    for a, b in zip(i_rb, ref5)
+])
+# The 80 hot rows are near-duplicates: their score spread sits at the
+# int8 refine step size, so tie ORDER may differ from the f32 reference
+# — require substantial agreement, then pin exactness where ties cannot
+# exist: self-retrieval of rows far from the hot cluster.
+assert overlap >= 0.5, (overlap, i_rb[:2], ref5[:2])
+_, i_self = loaded.search(vecs[5:9], k=1, nprobe=4)
+assert list(i_self[:, 0]) == [5, 6, 7, 8], i_self
+# Post-rebalance state persists per-host too.
+path2 = os.path.join(out_dir, "ivf_lifecycle2.tpuidx")
+loaded.save(path2)
+again = ShardedIVFIndex.load(path2, mesh=mesh)
+_, i_again = again.search(queries, k=5, nprobe=4)
+np.testing.assert_array_equal(i_rb, i_again)
 
 print(f"WORKER_{pid}_OK", flush=True)
 """

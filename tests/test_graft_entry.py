@@ -6,6 +6,10 @@ Round-1 failure mode: the driver process initialized a single-chip backend
 self-provision a virtual CPU mesh in that case.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full multichip dryrun compiles
+
 import os
 import subprocess
 import sys

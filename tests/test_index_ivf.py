@@ -180,6 +180,7 @@ class TestPersistence:
         assert index.nlist == 7
 
 
+@pytest.mark.slow
 class TestHybridIntegration:
     def test_storage_with_ivf(self, tmp_path):
         from tpu_search.ingest.chunker import Chunk
@@ -609,6 +610,7 @@ class TestInt8:
         assert got[0, 0] == mapping[432]
 
 
+@pytest.mark.slow
 class TestRebalance:
     def test_rebalance_preserves_search(self, corpus, queries):
         ivf = IVFIndex(dim=32, dtype="float32", nlist=8)

@@ -58,6 +58,7 @@ def flat_reference(corpus, queries):
     return ids
 
 
+@pytest.mark.slow
 class TestLifecycle:
     def test_l2_rejected(self):
         with pytest.raises(ValueError, match="ip"):
@@ -173,6 +174,7 @@ class TestPersistence:
         assert sizes["int4"] < sizes["int8"] * 0.75
 
 
+@pytest.mark.slow
 class TestPallasParity:
     def _packed_state(self, rng, nlist, cap, d, residual):
         """Hand-built int4 device state with ragged fills + tombstones."""
@@ -256,6 +258,7 @@ class TestPallasParity:
         )
 
 
+@pytest.mark.slow
 class TestHybridIntegration:
     def test_hybrid_int4_ivf(self, tmp_path):
         from tpu_search.ingest.chunker import Chunk

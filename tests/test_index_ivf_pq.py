@@ -83,6 +83,7 @@ class TestConstruction:
         assert IVFIndex(dim=32, dtype="int4", pq_m=16).pq_m == 0
 
 
+@pytest.mark.slow
 class TestLifecycle:
     def test_recall_target_reached(self, corpus, queries, flat_reference):
         ivf = make_pq(corpus, pq_m=16)
@@ -220,6 +221,7 @@ class TestPersistence:
         assert sizes["pq"] < sizes["int4"] * 0.8
 
 
+@pytest.mark.slow
 class TestHybridIntegration:
     def _mk_chunks(self, embs):
         from tpu_search.ingest.chunker import Chunk

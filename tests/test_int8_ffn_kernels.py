@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_search.ops import pallas_int8_gemm as G
 
@@ -206,6 +207,7 @@ def test_ffn_ln_fused_matches_composed_sequence():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encode_with_int8_ffn_close_to_f32():
     """Full model forward with the W8A8 FFN (interpret mode on CPU) stays
     within quantization noise of the f32 reference path."""

@@ -37,6 +37,7 @@ def interpret_kernel(monkeypatch):
     monkeypatch.setattr(PA, "mpnet_flash_attention_nsh", interpreted_nsh)
 
 
+@pytest.mark.slow
 def test_matches_dense_with_padding():
     params = M.init_params(TINY, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -66,6 +67,7 @@ def test_matches_dense_with_padding():
     "hidden,heads",
     [(128, 2), (128, 4)],  # hd=64 (mpnet/bert-base) and hd=32 (MiniLM)
 )
+@pytest.mark.slow
 def test_layout_native_matches_dense(hidden, heads):
     """The [B, S, H]-layout kernel (no HBM head transpose) must match the
     dense path bit-for-tolerance, padding included.  H is a multiple of

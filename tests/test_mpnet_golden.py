@@ -143,6 +143,7 @@ class TestSentenceEmbeddingParity:
         assert (cosines > 0.99).all(), cosines
 
 
+@pytest.mark.slow
 class TestPaddingInvariance:
     def test_extra_padding_does_not_change_embedding(self, jax_setup):
         """Bucketed sequence padding must be a no-op for the embedding."""

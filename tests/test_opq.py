@@ -7,6 +7,8 @@ buffers, persistence, and rebalance re-encoding."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # OPQ trains rotations per test
+
 from tpu_search.index.flat import FlatIndex
 from tpu_search.index.ivf import IVFIndex
 from tpu_search.ops.pq import (

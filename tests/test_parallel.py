@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # train-step convergence + tp/dp encode
+
 from tpu_search.index.flat import FlatIndex
 from tpu_search.models.mpnet import MPNetConfig, encode, init_params
 from tpu_search.parallel import (

@@ -9,6 +9,8 @@ params it never validates (reference src/storage.py:252-267).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # trains PQ/OPQ codebook ladders
+
 from tpu_search.index.ivf import IVFIndex, tune_pq_config
 from tpu_search.ops.kmeans import kmeans
 

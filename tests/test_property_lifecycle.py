@@ -38,6 +38,8 @@ import tempfile
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # hypothesis state machines
+
 hypothesis = pytest.importorskip("hypothesis")
 
 from hypothesis import HealthCheck, assume, settings, strategies as st

@@ -103,6 +103,7 @@ class TestRefineStore:
         assert err < np.abs(want).max() / 64
 
 
+@pytest.mark.slow
 class TestIVFRefine:
     @pytest.mark.parametrize("dtype", ["pq", "int4", "int8"])
     def test_recall_recovers(self, corpus, dtype):

@@ -5,6 +5,8 @@ balanced, and TPUSIDX2 saves must be interchangeable with IVFIndex."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-device mesh lifecycles
+
 from tpu_search.index.flat import FlatIndex
 from tpu_search.index.ivf import IVFIndex
 from tpu_search.parallel.mesh import build_mesh

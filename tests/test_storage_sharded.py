@@ -148,6 +148,7 @@ class TestShardedStorage:
             results = s2.search(vecs[3], SearchConfig(top_k=1))
             assert results[0].chunk_id == "c3"
 
+    @pytest.mark.slow
     def test_backup_restore_sharded_ivf(self, tmp_path):
         """restore() must route IVF containers through the sharded IVF
         loader: an IVF file's dense per-cluster rows are not in flat id

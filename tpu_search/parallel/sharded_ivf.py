@@ -1749,6 +1749,8 @@ class ShardedIVFIndex:
             "local_capacity": lcap,
             "process_count": jax.process_count(),
             "by_residual": self.by_residual,
+            "nprobe_hint": int(self.nprobe_hint),
+            "nprobe_tuned_live": int(self._tuned_live),
         }
         if self.dtype == "pq":
             base_header["pq_m"] = self.pq_m
@@ -1888,6 +1890,8 @@ class ShardedIVFIndex:
         )
         if header.get("pq_tune") is not None:
             index._pq_tune_report = dict(header["pq_tune"])
+        index.nprobe_hint = int(header.get("nprobe_hint", 0))
+        index._tuned_live = int(header.get("nprobe_tuned_live", 0))
         if header["n_shards"] != index.n_shards:
             raise ValueError(
                 f"manifest has {header['n_shards']} shards, mesh has "
