@@ -377,7 +377,7 @@ def bench_ivf() -> dict:
 
     @jax.jit
     def make_corpus(key):
-        kc, ka, kn, kq, kqn = jax.random.split(key, 5)
+        kc, ka, kn, kq, kqn, kp, kpn = jax.random.split(key, 7)
         centers = jax.random.normal(kc, (clusters, dim), jnp.float32)
         centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
         assign = jax.random.randint(ka, (n,), 0, clusters)
@@ -386,17 +386,36 @@ def bench_ivf() -> dict:
             kn, (n, dim), jnp.float32
         )
         corpus = corpus / jnp.linalg.norm(corpus, axis=1, keepdims=True)
+        # Adversarial query family (continuity with r2/r3 records): a
+        # corpus row + noise — its true top-10 are near-ties inside one
+        # cluster, separated by less than coarse-code quantization noise.
         qidx = jax.random.randint(kq, (128,), 0, n)
         qsigma = 0.2 / np.sqrt(dim)
         queries = corpus[qidx] + qsigma * jax.random.normal(
             kqn, (128, dim), jnp.float32
         )
         queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
-        return corpus, queries
+        # Planted-margin query family (the serving bench's shape, same
+        # rationale documented there): 10 well-separated true neighbors
+        # per query (sim ~0.9 vs ~0.5 cluster background) planted INTO
+        # the corpus — measures retrieval on realistic margins instead
+        # of tie order.
+        pq_ = jax.random.normal(kp, (RECALL_SAMPLE, dim), jnp.float32)
+        pq_ = pq_ / jnp.linalg.norm(pq_, axis=1, keepdims=True)
+        pnoise = 0.25 * jax.random.normal(
+            kpn, (RECALL_SAMPLE, TOP_K, dim), jnp.float32
+        ) / np.sqrt(dim)
+        prows = pq_[:, None, :] + pnoise
+        prows = prows / jnp.linalg.norm(prows, axis=-1, keepdims=True)
+        corpus = jax.lax.dynamic_update_slice(
+            corpus, prows.reshape(RECALL_SAMPLE * TOP_K, dim), (0, 0)
+        )
+        return corpus, queries, pq_
 
-    corpus, queries_dev = make_corpus(jax.random.PRNGKey(21))
+    corpus, queries_dev, planted_q = make_corpus(jax.random.PRNGKey(21))
     float(corpus[0, 0])
     queries = np.asarray(queries_dev)
+    planted_queries = np.asarray(planted_q)
     log_hbm("ivf corpus+queries")
 
     # Exact reference ids (on-device f32 brute force at HIGHEST).
@@ -411,6 +430,7 @@ def bench_ivf() -> dict:
         )[1]
     )
     ref_ids = np.asarray(brute(queries_dev[:RECALL_SAMPLE], corpus))
+    planted_ref = np.asarray(brute(planted_q, corpus))
 
     rng = np.random.default_rng(22)
     train_idx = rng.choice(n, min(n, 500_000), replace=False)
@@ -474,6 +494,11 @@ def bench_ivf() -> dict:
             len(set(got[i]) & set(ref_ids[i])) / k
             for i in range(RECALL_SAMPLE)
         ]))
+        _, got_p = index.search(planted_queries, k=k, nprobe=nprobe)
+        recall_planted = float(np.mean([
+            len(set(got_p[i]) & set(planted_ref[i])) / k
+            for i in range(RECALL_SAMPLE)
+        ]))
 
         # Batched throughput (host-synced per call, like the flat bench).
         index.search(queries, k=k, nprobe=nprobe)
@@ -507,6 +532,7 @@ def bench_ivf() -> dict:
             "_refine" if refine else ""
         )
         out[f"ivf_recall_{key}"] = recall
+        out[f"ivf_recall_planted_{key}"] = recall_planted
         out[f"ivf_qps_b128_{key}"] = qps_b128
         out[f"ivf_dev_q1_ms_{key}"] = dev_q1_ms
         out[f"ivf_kernel_{key}"] = scan_key[0]
@@ -586,6 +612,7 @@ def bench_ivf() -> dict:
             f"{key} nprobe={out[f'ivf_nprobe_{key}']}"
             f"{'(tuned)' if out[f'ivf_nprobe_tuned_{key}'] else ''} "
             f"recall={out[f'ivf_recall_{key}']:.4f} "
+            f"recall_planted={out[f'ivf_recall_planted_{key}']:.4f} "
             f"qps_b128={out[f'ivf_qps_b128_{key}']:.0f} "
             f"dev_q1={out[f'ivf_dev_q1_ms_{key}']:.2f}ms "
             f"({out[f'ivf_kernel_{key}']})"

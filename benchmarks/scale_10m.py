@@ -1,0 +1,192 @@
+#!/usr/bin/env python3
+"""Measured 10M x 768 int8 exact-scan numbers on one TPU chip.
+
+Keeps the PARITY.md ANN-decision table current at the 10M/int8 scale the
+chip serves (VERDICT r3 item 10).  The corpus is built in chunks
+DIRECTLY in its packed storage form (the tile_sweep.py pattern — a
+10M f32 corpus is 30 GB and can never exist on the chip) and adopted
+zero-copy via ``FlatIndex.from_device_vectors(packed=True)``.  Ground
+truth streams as ONE jitted ``lax.scan`` over the generator chunks with
+a running top-k merge in the carry.
+
+    python benchmarks/scale_10m.py             # real TPU
+    BENCH_FORCE_CPU=1 BENCH_N=524288 python benchmarks/scale_10m.py
+
+Emits one JSON line (merged into benchmarks/results/hnsw_decision.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np
+
+# 153 x 65536 = 10,027,008 rows: 65536-aligned (zero-copy adoption) and
+# chunk-divisible.
+N = int(os.environ.get("BENCH_N", 153 * 65536))
+DIM = 768
+K = 10
+CHUNK = 65536
+Q = 32
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+    except Exception:
+        pass
+
+    from tpu_search.index.flat import FlatIndex
+    from tpu_search.ops.int8_pack import pack_int8_rows
+
+    assert N % CHUNK == 0 and N % 65536 == 0
+    n_chunks = N // CHUNK
+
+    def chunk_rows(key):
+        rows = jax.random.normal(key, (CHUNK, DIM), jnp.float32)
+        return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+    @jax.jit
+    def gen_chunk(key):
+        rows = chunk_rows(key)
+        s = jnp.maximum(jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12)
+        i8 = jnp.rint(rows / s[:, None]).astype(jnp.int8)
+        return pack_int8_rows(i8), s
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def place(buf, blk, w0):
+        return jax.lax.dynamic_update_slice(buf, blk, (w0, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def place1(buf, blk, i0):
+        return jax.lax.dynamic_update_slice(buf, blk, (i0,))
+
+    print(
+        f"[10m] building {N}x{DIM} packed int8 corpus "
+        f"({n_chunks} chunks)...",
+        file=sys.stderr, flush=True,
+    )
+    t0 = time.perf_counter()
+    packed = jnp.zeros((N // 4, DIM), jnp.int32)
+    scales = jnp.zeros((N,), jnp.float32)
+    keys = [jax.random.PRNGKey(c) for c in range(n_chunks)]
+    for c in range(n_chunks):
+        words, s = gen_chunk(keys[c])
+        packed = place(packed, words, c * CHUNK // 4)
+        scales = place1(scales, s, c * CHUNK)
+    float(scales[0])
+    gen_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    index = FlatIndex.from_device_vectors(
+        packed, metric="ip", dtype="int8", scales=scales, packed=True,
+    )
+    index.search(np.zeros((1, DIM), np.float32), k=1)  # warm + force
+    adopt_s = time.perf_counter() - t0
+    print(
+        f"[10m] gen {gen_s:.1f}s, zero-copy adopt+warm {adopt_s:.1f}s",
+        file=sys.stderr, flush=True,
+    )
+
+    queries = np.asarray(chunk_rows(jax.random.PRNGKey(777))[:256])
+
+    # Ground truth: ONE jitted scan over the generator chunks, top-k
+    # merge in the carry (f32 HIGHEST — the corpus is regenerated, the
+    # 30 GB f32 array never exists).
+    key_arr = jnp.stack(keys)  # [n_chunks, 2]
+
+    @jax.jit
+    def exact_topk_scan(q):
+        def body(carry, inp):
+            bs, bi = carry
+            key, base = inp
+            rows = chunk_rows(key)
+            scores = jax.lax.dot_general(
+                q, rows, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            s, i = jax.lax.top_k(scores, K)
+            cs = jnp.concatenate([bs, s], axis=1)
+            ci = jnp.concatenate([bi, i + base], axis=1)
+            s2, order = jax.lax.top_k(cs, K)
+            i2 = jnp.take_along_axis(ci, order, axis=1)
+            return (s2, i2), None
+
+        init = (
+            jnp.full((Q, K), -jnp.inf, jnp.float32),
+            jnp.full((Q, K), -1, jnp.int32),
+        )
+        bases = (jnp.arange(n_chunks) * CHUNK).astype(jnp.int32)
+        (bs, bi), _ = jax.lax.scan(body, init, (key_arr, bases))
+        return bi
+
+    truth = np.asarray(exact_topk_scan(jnp.asarray(queries[:Q])))
+    print("[10m] ground truth ready", file=sys.stderr, flush=True)
+
+    _, got = index.search(queries[:Q], k=K)
+    recall = float(np.mean([
+        len(set(int(x) for x in got[qi]) & set(int(x) for x in truth[qi]))
+        / K
+        for qi in range(Q)
+    ]))
+
+    # Slope-timed device scan (amortized; cancels the tunnel RTT).
+    kernel = index._pick_kernel(8, K)
+    qb = jnp.asarray(np.repeat(queries[:1], 8, axis=0))
+    _, ids = kernel(None, index._valid, qb, K)
+    int(ids[0, 0])
+
+    def chain(reps):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, out = kernel(None, index._valid, qb, K)
+        int(out[0, 0])
+        return time.perf_counter() - t0
+
+    t_lo, t_hi = chain(5), chain(25)
+    scan_ms = max(t_hi - t_lo, 0.0) / 20 * 1e3
+
+    # Batched qps (host-synced per call).
+    index.search(queries[:128], k=K)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        index.search(queries[:128], k=K)
+    qps_b128 = 128 * reps / (time.perf_counter() - t0)
+
+    hbm_gb = N * DIM / 2**30  # int8 bytes (stored word-packed)
+    out = {
+        "what": "tpu_exact_int8_10m",
+        "n": N,
+        "dim": DIM,
+        "gen_s": round(gen_s, 1),
+        "adopt_s": round(adopt_s, 1),
+        "recall_at_10_vs_f32": round(recall, 4),
+        "device_scan_ms_q8": round(scan_ms, 2),
+        "qps_b128_host_synced": round(qps_b128, 1),
+        "index_hbm_gb": round(hbm_gb, 2),
+        "effective_gbps": round(hbm_gb * 1.024**3 / (scan_ms / 1e3), 0)
+        if scan_ms else None,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
