@@ -43,6 +43,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--m100k", required=True)
     ap.add_argument("--m1m", required=True)
+    ap.add_argument(
+        "--tpu10m",
+        help="JSON line from benchmarks/scale_10m.py (measured 10M row)",
+    )
     ap.add_argument("--out", default=str(
         REPO_ROOT / "benchmarks" / "results" / "hnsw_decision.json"))
     args = ap.parse_args()
@@ -108,7 +112,9 @@ def main() -> None:
             },
             "latency_fit_anchor_ef": common_ef,
         },
-        "cpu_projected": [project(6_000_000), project(12_000_000)],
+        "cpu_projected": [
+            project(6_000_000), project(10_027_008), project(12_000_000),
+        ],
         "tpu_measured": {
             "source": (
                 "bench.py detail + benchmarks/results/"
@@ -128,6 +134,15 @@ def main() -> None:
             ),
         },
     }
+    if args.tpu10m:
+        # Fresh measured 10M row (benchmarks/scale_10m.py on hardware):
+        # replaces the tile-sweep-derived int8_10m figure with a full
+        # recall-gated measurement at the served scale.
+        row = json.loads(Path(args.tpu10m).read_text().strip().splitlines()[-1])
+        result["tpu_measured_10m"] = row
+        result["tpu_measured"]["int8_10m_q8_device_scan_ms"] = row[
+            "device_scan_ms_q8"
+        ]
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result["cpu_measured"]["hnsw_best_recall95"], indent=1))
