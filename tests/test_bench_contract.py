@@ -1,0 +1,82 @@
+"""The driver-capture contract of bench.py (VERDICT r3 item 1).
+
+Round 3 lost every perf number because the bench printed JSON only at
+the very end and overran the driver budget.  These tests pin the
+round-4 contract: the orchestrator emits a cumulative headline JSON
+line after EVERY completed section (last-line-wins), honors
+BENCH_BUDGET_S by skipping instead of overrunning, and each emitted
+line parses with the driver's shape (metric/value/unit/vs_baseline).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.slow  # runs bench sections in subprocesses
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def run_bench(env_extra, timeout=600):
+    env = dict(
+        os.environ,
+        BENCH_FORCE_CPU="1",
+        BENCH_CORPUS_N="4000",
+        BENCH_EMBED_BATCH="4",
+        BENCH_EMBED_SEQ="64",
+        BENCH_EMBED_REPS="2",
+        **env_extra,
+    )
+    # The tests' own conftest forces JAX_PLATFORMS=cpu into os.environ,
+    # which bench children inherit — that plus BENCH_FORCE_CPU keeps
+    # every subprocess off any real accelerator.
+    proc = subprocess.run(
+        [sys.executable, str(REPO_ROOT / "bench.py")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        timeout=timeout,
+        env=env,
+        cwd=REPO_ROOT,
+    )
+    lines = [
+        json.loads(line)
+        for line in proc.stdout.decode().strip().splitlines()
+        if line.startswith("{")
+    ]
+    return proc, lines
+
+
+def test_emits_headline_after_every_section():
+    proc, lines = run_bench({"BENCH_SECTIONS": "embed,search"})
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    # One cumulative line per section: embed-only first, then +search.
+    assert len(lines) == 2, lines
+    for line in lines:
+        for key in ("metric", "value", "unit", "vs_baseline", "detail"):
+            assert key in line, (key, line)
+    assert lines[0]["metric"].startswith("embed_")
+    assert lines[0]["value"] > 0
+    # Search headline takes over once its section lands (last-line-wins).
+    assert lines[1]["metric"].startswith("fused_e2e_search")
+    assert lines[1]["detail"]["recall_bf16"] >= 0.95
+    assert "texts_per_s_seq384_b128" in lines[1]["detail"]
+
+
+def test_budget_skips_instead_of_overrunning():
+    proc, lines = run_bench(
+        {"BENCH_SECTIONS": "embed,search", "BENCH_BUDGET_S": "1"}
+    )
+    assert proc.returncode == 0
+    # Nothing fits a 1s budget: every section is skipped, yet the bench
+    # still prints parseable lines recording WHAT was skipped.
+    assert lines, "bench must emit a line even when everything is skipped"
+    skipped = lines[-1]["detail"].get("sections_skipped_for_budget", [])
+    assert "embed" in skipped and "search" in skipped
+    # No *_section_failed flags: skipped-for-budget is not failure.
+    assert not any(
+        key.endswith("_section_failed") for key in lines[-1]["detail"]
+    )
