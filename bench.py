@@ -1257,13 +1257,16 @@ def _emit_headline(
             embed.get("texts_per_s_seq384_b128", 0.0), 1
         )
     if search:
-        headline["rtt_floor_ms"] = round(search["rtt_floor_ms"], 1)
+        headline["rtt_floor_ms"] = round(search.get("rtt_floor_ms", 0.0), 1)
         headline["fused_1dispatch_qps_b1"] = round(
-            search["fused_qps_b1_bf16"], 2
+            search.get("fused_qps_b1_bf16", 0.0), 2
         )
-        headline["colocated_qps"] = round(
-            1000.0 / search["fused_device_ms_bf16"], 1
-        )
+        # Two-point slope timing can clamp to 0 under timing noise —
+        # never divide by it (a ZeroDivisionError here once killed the
+        # whole orchestrator mid-run).
+        dev_ms = search.get("fused_device_ms_bf16", 0.0)
+        if dev_ms and dev_ms > 0.05:
+            headline["colocated_qps"] = round(1000.0 / dev_ms, 1)
     headline["detail"] = detail
     print(json.dumps(headline), flush=True)
 
@@ -1337,10 +1340,15 @@ def main() -> None:
                 dest[name].update(part)
             elif name == "ivf":
                 ivf_legs_failed.append(tag.split(":", 1)[-1])
-        _emit_headline(
-            search, ivf, serving, embed, index, ivf_legs_failed, skipped,
-            attempted,
-        )
+        # Emission is the RECORD — it must never kill the run.  A
+        # formatting bug loses one line, not every remaining section.
+        try:
+            _emit_headline(
+                search, ivf, serving, embed, index, ivf_legs_failed,
+                skipped, attempted,
+            )
+        except Exception as exc:  # noqa: BLE001 - best-effort record
+            log(f"[bench] headline emission failed: {exc!r}")
 
     if search:
         log(

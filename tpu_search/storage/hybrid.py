@@ -971,6 +971,16 @@ class HybridStorage:
         nprobe_hint = getattr(self.index, "nprobe_hint", 0)
         if nprobe_hint:
             stats["ivf_nprobe_tuned"] = int(nprobe_hint)
+        pq_tune = getattr(self.index, "_pq_tune_report", None)
+        if pq_tune:
+            # Chosen PQ knobs + measured recalls (tune_pq_config) —
+            # observability for WHY the capacity tier runs where it does.
+            stats["pq_tune"] = {
+                key: pq_tune[key]
+                for key in ("pq_m", "opq", "recall", "refine_factor",
+                            "refine_recall", "target")
+                if key in pq_tune
+            }
         if self._capability is not None:
             cap = self._capability
             info: Dict[str, Any] = {
