@@ -159,3 +159,21 @@ class TestStorageWiring:
         assert not make(
             storage_dtype="pq", pq_auto=False
         )._effective_pq_auto()
+
+    def test_stats_surface_tune_report(self, tmp_path):
+        from tpu_search.storage.hybrid import HybridStorage, StorageConfig
+
+        storage = HybridStorage(StorageConfig(
+            data_dir=str(tmp_path), embedding_dim=DIM, index_type="ivf",
+            storage_dtype="pq", ivf_nlist=8, device="cpu",
+        ))
+        storage.initialize()
+        rng = np.random.default_rng(6)
+        rows = rng.standard_normal((1500, DIM)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        storage.index.pq_target_recall = 0.99  # force escalation
+        storage.index.train(rows)
+        stats = storage.get_stats()
+        assert "pq_tune" in stats
+        assert stats["pq_tune"]["target"] == 0.99
+        assert stats["pq_tune"]["refine_factor"] > 0

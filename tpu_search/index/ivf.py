@@ -1238,13 +1238,22 @@ class IVFIndex:
                     # rows land: enabling it at rebalance would backfill
                     # refine rows from lossy pq decodes (no information
                     # gained).  Explicit user refine settings win.
-                    if (
-                        cfg["refine_factor"]
-                        and self._count == 0
-                        and self.refine_dtype == "none"
-                    ):
-                        self.refine_dtype = "int8"
-                        self.refine_factor = cfg["refine_factor"]
+                    if cfg["refine_factor"] and self.refine_dtype == "none":
+                        if self._count == 0:
+                            self.refine_dtype = "int8"
+                            self.refine_factor = cfg["refine_factor"]
+                        else:
+                            import logging
+
+                            logging.getLogger(__name__).warning(
+                                "PQ retune wants an int8 refine tier "
+                                "(measured codec recall %.3f < target "
+                                "%.3f) but refine cannot be enabled on a "
+                                "populated index (rows would backfill "
+                                "from lossy decodes). Reindex with "
+                                "refine_dtype='int8' to add it.",
+                                cfg["recall"], self.pq_target_recall,
+                            )
                 else:
                     # PQ codebooks fit the residual distribution (or the
                     # raw rows when by_residual is off) — FAISS IndexIVFPQ

@@ -456,13 +456,22 @@ class ShardedIVFIndex:
                                 "refine_recall", "target", "sampled",
                                 "report")
                 }
-                if (
-                    cfg["refine_factor"]
-                    and self._count == 0
-                    and self.refine_dtype == "none"
-                ):
-                    self.refine_dtype = "int8"
-                    self.refine_factor = cfg["refine_factor"]
+                if cfg["refine_factor"] and self.refine_dtype == "none":
+                    if self._count == 0:
+                        self.refine_dtype = "int8"
+                        self.refine_factor = cfg["refine_factor"]
+                    else:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "PQ retune wants an int8 refine tier "
+                            "(measured codec recall %.3f < target %.3f) "
+                            "but refine cannot be enabled on a populated "
+                            "index (rows would backfill from lossy "
+                            "decodes). Reindex with refine_dtype='int8' "
+                            "to add it.",
+                            cfg["recall"], self.pq_target_recall,
+                        )
             elif self.opq:
                 rot, books = train_opq_for_ivf(
                     dv, centroids, self.metric, self.pq_m,
