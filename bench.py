@@ -912,6 +912,8 @@ def bench_serving() -> dict:
         qps_c64, p50_c64, p99_c64 = run_clients(64, 8)
         run_clients(128, 2)
         qps_c128, p50_c128, p99_c128 = run_clients(128, 4)
+        run_clients(256, 1)
+        qps_c256, p50_c256, p99_c256 = run_clients(256, 3)
         # One-shot-caller pattern (fresh connection per request) at c8,
         # for the CLI-shaped context number.
         qps_c8r, p50_c8r, _ = run_clients(8, 15, persistent=False)
@@ -948,6 +950,8 @@ def bench_serving() -> dict:
         f"| c64 qps={qps_c64:.1f} p50={p50_c64:.1f}ms p99={p99_c64:.1f}ms "
         f"| c128 qps={qps_c128:.1f} p50={p50_c128:.1f}ms "
         f"p99={p99_c128:.1f}ms "
+        f"| c256 qps={qps_c256:.1f} p50={p50_c256:.1f}ms "
+        f"p99={p99_c256:.1f}ms "
         f"| c8 reconnect-per-request qps={qps_c8r:.1f} p50={p50_c8r:.1f}ms"
     )
     return {
@@ -968,6 +972,9 @@ def bench_serving() -> dict:
         "serving_qps_c128": qps_c128,
         "serving_p50_ms_c128": p50_c128,
         "serving_p99_ms_c128": p99_c128,
+        "serving_qps_c256": qps_c256,
+        "serving_p50_ms_c256": p50_c256,
+        "serving_p99_ms_c256": p99_c256,
         "serving_qps_c8_reconnect": qps_c8r,
         "serving_p50_ms_c8_reconnect": p50_c8r,
         **extra,
