@@ -756,3 +756,44 @@ class TestRefineLifecycle:
         assert isinstance(storage.index, ShardedIVFIndex)
         assert storage.index.refine_dtype == "int8"
         storage.close()
+
+
+class TestPQAutoTune:
+    """pq_auto on the sharded engine: the tuner runs replicated at train
+    time, knobs install on the sharded index, and the chosen config
+    round-trips through the sharded save format."""
+
+    def test_auto_train_escalates_and_searches(self, mesh, corpus, queries):
+        index = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="pq", nlist=4, seed=3,
+            pq_auto=True, pq_target_recall=0.99,
+        )
+        index.add(corpus)
+        assert index._pq_tune_report is not None
+        # Random unit rows defeat 4-bit codes: the tuner must escalate
+        # to the int8 refine tier before any rows landed.
+        assert index.refine_dtype == "int8"
+        assert index.refine_factor == index._pq_tune_report["refine_factor"]
+        _, ids = index.search(queries, k=5, nprobe=4)
+        assert ids.shape == (5, 5)
+        assert (ids >= 0).all()
+        # Self-retrieval through pq+refine at exhaustive probe.
+        _, self_ids = index.search(corpus[:4], k=1, nprobe=4)
+        assert list(self_ids[:, 0]) == [0, 1, 2, 3]
+
+    def test_tuned_knobs_roundtrip_sharded_save(
+        self, mesh, corpus, tmp_path
+    ):
+        index = ShardedIVFIndex(
+            dim=32, mesh=mesh, dtype="pq", nlist=4, seed=3,
+            pq_auto=True, pq_target_recall=0.99,
+        )
+        index.add(corpus)
+        path = str(tmp_path / "auto_sharded.tpuidx")
+        index.save(path)
+        loaded = ShardedIVFIndex.load(path, mesh=mesh)
+        assert loaded.pq_auto
+        assert loaded.pq_m == index.pq_m
+        assert loaded.refine_dtype == index.refine_dtype
+        assert loaded.refine_factor == index.refine_factor
+        assert loaded._pq_tune_report == index._pq_tune_report

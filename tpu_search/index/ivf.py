@@ -875,6 +875,11 @@ def tune_pq_config(
         train_pq_for_ivf,
     )
 
+    if metric != "ip":
+        # The recall evaluation scores candidates by inner product (the
+        # quantized-storage contract: pq IVF blocks are ip-only).
+        raise ValueError("tune_pq_config supports metric='ip' only")
+
     rng = np.random.default_rng(seed)
     rows = jnp.asarray(vectors, jnp.float32)
     n = rows.shape[0]
