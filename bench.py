@@ -1130,6 +1130,7 @@ def _run_section(
     tag: Optional[str] = None,
     timeout_s: Optional[float] = None,
     allow_retry: bool = False,
+    remaining_s=None,
 ) -> dict:
     """Run a section in its own subprocess and parse its result.
 
@@ -1151,6 +1152,17 @@ def _run_section(
     env = dict(os.environ, **(env_extra or {}))
     attempts = (0, 1) if allow_retry else (0,)
     for attempt in attempts:
+        if remaining_s is not None:
+            # Re-clip EVERY attempt to the live budget: a first attempt
+            # that burned most of its timeout must not hand the retry a
+            # full fresh one (that is exactly the overrun the budget
+            # exists to prevent).
+            left = remaining_s()
+            if left < 60:
+                log(f"[bench] section {tag}: {left:.0f}s left, not "
+                    f"attempting")
+                return {}
+            timeout_s = min(timeout_s, left)
         t0 = time.perf_counter()
         try:
             proc = subprocess.run(
@@ -1200,6 +1212,7 @@ def _emit_headline(
     }
     for name, result in (
         ("search", search), ("serving", serving), ("embed", embed),
+        ("index", index),
     ):
         if not result and name in attempted:
             detail[f"{name}_section_failed"] = True
@@ -1342,6 +1355,7 @@ def main() -> None:
             part = _run_section(
                 name, env_extra=env_extra, tag=tag, timeout_s=timeout_s,
                 allow_retry=remaining() > 2 * est + 120,
+                remaining_s=remaining,
             )
             if part:
                 dest[name].update(part)

@@ -115,6 +115,33 @@ class TestProtocol:
         finally:
             sock.close()
 
+    def test_non_object_json_does_not_kill_the_worker(
+        self, server, tmp_path
+    ):
+        """`42` parses as JSON but is not a request: it must get an error
+        response AND the worker must keep serving afterwards (a poisoned
+        payload once killed the sole dispatch thread, bricking the warm
+        server for every client until daemon restart)."""
+        import socket as socket_mod
+
+        sock = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+        sock.settimeout(30.0)
+        sock.connect(str(socket_path_for(str(tmp_path))))
+        try:
+            sock.sendall(b'42\n"hi"\n[1,2]\n')
+            buf = b""
+            while buf.count(b"\n") < 3:
+                chunk = sock.recv(65536)
+                assert chunk
+                buf += chunk
+            for line in buf.decode().strip().splitlines():
+                response = json.loads(line)
+                assert response["ok"] is False
+        finally:
+            sock.close()
+        # The worker survived: real requests still serve.
+        assert request(str(tmp_path), {"op": "ping"})["ok"] is True
+
     def test_malformed_line_gets_error_response(self, server, tmp_path):
         import socket as socket_mod
 

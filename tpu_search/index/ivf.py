@@ -825,6 +825,47 @@ def nprobe_ladder(
     return nlist, 1.0
 
 
+PQ_TUNE_REPORT_KEYS = (
+    "pq_m", "opq", "recall", "refine_factor", "refine_recall", "target",
+    "sampled", "report",
+)
+
+
+def apply_pq_tune(index, cfg: Dict, put=lambda x: x) -> None:
+    """Install a :func:`tune_pq_config` result on an IVF engine.
+
+    Shared by ``IVFIndex.train`` and ``ShardedIVFIndex.train`` (``put``
+    replicates arrays over the mesh for the sharded engine) so the two
+    engines can never drift in how tuned knobs are adopted — the same
+    single-source rule as their codec training."""
+    index.pq_m = cfg["pq_m"]
+    index.opq = cfg["opq"]
+    index._pq_books = put(cfg["books"])
+    index._pq_rot = put(cfg["rot"]) if cfg["rot"] is not None else None
+    index._pq_tune_report = {
+        key: cfg[key] for key in PQ_TUNE_REPORT_KEYS
+    }
+    if cfg["refine_factor"] and index.refine_dtype == "none":
+        # The refine tier can only be auto-enabled BEFORE any rows land:
+        # enabling it later would backfill refine rows from lossy pq
+        # decodes (no information gained).  Explicit user refine
+        # settings win (callers gate pq_auto on them).
+        if index._count == 0:
+            index.refine_dtype = "int8"
+            index.refine_factor = cfg["refine_factor"]
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "PQ retune wants an int8 refine tier (measured codec "
+                "recall %.3f < target %.3f) but refine cannot be "
+                "enabled on a populated index (rows would backfill "
+                "from lossy decodes). Reindex with refine_dtype='int8' "
+                "to add it.",
+                cfg["recall"], index.pq_target_recall,
+            )
+
+
 def tune_pq_config(
     vectors,
     centroids,
@@ -956,7 +997,12 @@ def tune_pq_config(
             adc_o = _adc_scores(books_o, rot)
             r_opq = _recall(np.asarray(jax.lax.top_k(adc_o, k_eff)[1]))
             report.append({"pq_m": m, "opq": True, "recall": r_opq})
-            if r_opq > best[0] + 0.005:
+            # Meeting the target trumps the hysteresis: an OPQ config
+            # that clears the bar must be ADOPTED, not merely noted —
+            # otherwise a plain config 0.005 behind it stays "best",
+            # reads below target, and an unnecessary refine tier
+            # (+dim bytes/row) gets bolted on.
+            if r_opq >= target_recall or r_opq > best[0] + 0.005:
                 best = (r_opq, m, True, rot, books_o, adc_o)
             if r_opq >= target_recall:
                 break
@@ -1223,42 +1269,12 @@ class IVFIndex:
                     # escalate pq_m -> OPQ -> int8 refine until the
                     # code-rate recall on sampled training rows meets the
                     # target; install the winner's books/rot directly.
-                    cfg = tune_pq_config(
+                    apply_pq_tune(self, tune_pq_config(
                         dv, centroids, self.metric,
                         dim=self.dim, by_residual=self.by_residual,
                         target_recall=self.pq_target_recall,
                         seed=self.seed,
-                    )
-                    self.pq_m = cfg["pq_m"]
-                    self.opq = cfg["opq"]
-                    self._pq_books = cfg["books"]
-                    self._pq_rot = cfg["rot"]
-                    self._pq_tune_report = {
-                        key: cfg[key]
-                        for key in ("pq_m", "opq", "recall",
-                                    "refine_factor", "refine_recall",
-                                    "target", "sampled", "report")
-                    }
-                    # The refine tier can only be auto-enabled BEFORE any
-                    # rows land: enabling it at rebalance would backfill
-                    # refine rows from lossy pq decodes (no information
-                    # gained).  Explicit user refine settings win.
-                    if cfg["refine_factor"] and self.refine_dtype == "none":
-                        if self._count == 0:
-                            self.refine_dtype = "int8"
-                            self.refine_factor = cfg["refine_factor"]
-                        else:
-                            import logging
-
-                            logging.getLogger(__name__).warning(
-                                "PQ retune wants an int8 refine tier "
-                                "(measured codec recall %.3f < target "
-                                "%.3f) but refine cannot be enabled on a "
-                                "populated index (rows would backfill "
-                                "from lossy decodes). Reindex with "
-                                "refine_dtype='int8' to add it.",
-                                cfg["recall"], self.pq_target_recall,
-                            )
+                    ))
                 else:
                     # PQ codebooks fit the residual distribution (or the
                     # raw rows when by_residual is off) — FAISS IndexIVFPQ

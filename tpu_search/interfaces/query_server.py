@@ -183,7 +183,19 @@ class _BatchWorker:
                     self._running = False
                     break
                 batch.append(nxt)
-            self._process(batch)
+            try:
+                self._process(batch)
+            except Exception as exc:  # noqa: BLE001
+                # The sole dispatch thread must NEVER die: a poisoned
+                # request would otherwise brick the warm server for
+                # every client until a daemon restart.  Fail the batch,
+                # keep serving.
+                logger.exception("worker batch failed")
+                for request in batch:
+                    if not request.response and not request.handed:
+                        request.response = {"ok": False, "error": str(exc)}
+                    if not request.handed:
+                        request.deliver()
 
     def _process(self, batch: List[_Request]) -> None:
         searches = [r for r in batch if r.payload.get("op") == "search"]
@@ -400,6 +412,12 @@ class _Handler(socketserver.StreamRequestHandler):
             except Exception as exc:
                 writer({"ok": False, "error": str(exc)})
                 continue
+            if not isinstance(req, dict):
+                # `42` or `"hi"` parse fine but are not requests; without
+                # this check they reach the worker and die there instead
+                # of here.
+                writer({"ok": False, "error": "request must be a JSON object"})
+                continue
             worker.enqueue(_Request(req, writer=writer))
 
 
@@ -553,7 +571,14 @@ class QueryClient:
         self._rfile = sock.makefile("rb")
 
     def request(self, payload: Dict[str, Any]) -> Dict[str, Any]:
-        """Send one request; raises OSError if the server is unreachable."""
+        """Send one request; raises OSError if the server is unreachable.
+
+        A DROPPED connection (daemon restart) reconnects and re-sends
+        once — the old process is gone, so the first copy died with it.
+        A TIMEOUT never re-sends: the server is alive and may still be
+        processing (e.g. a search queued behind a minutes-long reindex
+        on the worker thread); re-sending would execute the request
+        twice and desynchronize this connection's response stream."""
         data = (json.dumps(payload) + "\n").encode("utf-8")
         for attempt in (0, 1):
             if self._sock is None:
@@ -565,6 +590,13 @@ class QueryClient:
                     return json.loads(line.decode("utf-8"))
                 # Server closed the connection; reconnect once.
                 self._sock = None
+            except socket.timeout:
+                self.close()
+                raise OSError(
+                    f"query server did not respond within "
+                    f"{self._timeout:.0f}s (request not retried: the "
+                    f"server may still be processing it)"
+                )
             except OSError:
                 self._sock = None
                 if attempt:

@@ -436,42 +436,18 @@ class ShardedIVFIndex:
             from ..ops.pq import train_opq_for_ivf, train_pq_for_ivf
 
             if self.pq_auto:
-                from ..index.ivf import tune_pq_config
+                from ..index.ivf import apply_pq_tune, tune_pq_config
 
-                cfg = tune_pq_config(
-                    dv, centroids, self.metric,
-                    dim=self.dim, by_residual=self.by_residual,
-                    target_recall=self.pq_target_recall, seed=self.seed,
+                apply_pq_tune(
+                    self,
+                    tune_pq_config(
+                        dv, centroids, self.metric,
+                        dim=self.dim, by_residual=self.by_residual,
+                        target_recall=self.pq_target_recall,
+                        seed=self.seed,
+                    ),
+                    put=self._put_replicated,
                 )
-                self.pq_m = cfg["pq_m"]
-                self.opq = cfg["opq"]
-                self._pq_books = self._put_replicated(cfg["books"])
-                self._pq_rot = (
-                    self._put_replicated(cfg["rot"])
-                    if cfg["rot"] is not None else None
-                )
-                self._pq_tune_report = {
-                    key: cfg[key]
-                    for key in ("pq_m", "opq", "recall", "refine_factor",
-                                "refine_recall", "target", "sampled",
-                                "report")
-                }
-                if cfg["refine_factor"] and self.refine_dtype == "none":
-                    if self._count == 0:
-                        self.refine_dtype = "int8"
-                        self.refine_factor = cfg["refine_factor"]
-                    else:
-                        import logging
-
-                        logging.getLogger(__name__).warning(
-                            "PQ retune wants an int8 refine tier "
-                            "(measured codec recall %.3f < target %.3f) "
-                            "but refine cannot be enabled on a populated "
-                            "index (rows would backfill from lossy "
-                            "decodes). Reindex with refine_dtype='int8' "
-                            "to add it.",
-                            cfg["recall"], self.pq_target_recall,
-                        )
             elif self.opq:
                 rot, books = train_opq_for_ivf(
                     dv, centroids, self.metric, self.pq_m,
