@@ -665,8 +665,14 @@ def pallas_ivf_topk_int4(
     half = tile_n // 2
 
     def plane_permute(x):
-        t = x.reshape(n_tiles, half, 2)
-        return jnp.concatenate([t[:, :, 0], t[:, :, 1]], axis=1)
+        # Constant-index gather: XLA lowers this ~10x faster than the
+        # strided slice+concat form (measured ~6 ms -> ~1 ms for both
+        # planes at [1024, 2048] on a v5e) — the per-call aux permute
+        # was the int4 path's dominant fixed overhead at small nprobe.
+        src = jnp.concatenate(
+            [jnp.arange(0, tile_n, 2), jnp.arange(1, tile_n, 2)]
+        )
+        return jnp.take(x.reshape(n_tiles, tile_n), src, axis=1)
 
     aux = jnp.stack(
         [
