@@ -393,7 +393,14 @@ class _Handler(socketserver.StreamRequestHandler):
 
         def writer(response: Dict[str, Any]) -> None:
             try:
-                data = (json.dumps(response) + "\n").encode("utf-8")
+                # Compact separators: ~12% fewer bytes serialized AND
+                # written per response — this path runs at thousands of
+                # responses/s on one host core and the default
+                # ", "/": " padding is pure overhead on a wire only
+                # json.loads ever reads.
+                data = (
+                    json.dumps(response, separators=(",", ":")) + "\n"
+                ).encode("utf-8")
                 with write_lock:
                     self.wfile.write(data)
                     self.wfile.flush()
