@@ -216,6 +216,52 @@ class RefineStore:
                 self.rows, self.scales, jnp.asarray(qbatch), ids, k
             )
 
+    def topk_all(self, queries, live_mask, k: int):
+        """Exact top-k of f32 ``queries`` against EVERY live refine row.
+
+        The deployed-recall calibration's TRUTH scan
+        (``IVFIndex.calibrate_quant``): refine rows are per-row int8 /
+        bf16 — the highest-fidelity representation of the corpus the
+        index still holds — so scanning them exactly gives the best
+        available ground truth for what the coarse+refine search path
+        *should* return.  ``live_mask`` is a host bool array over ids
+        (tombstoned ids False).  Reuses the flat XLA scan ops
+        (ops/topk_scan.py); chunk=4096 matches the store's capacity
+        alignment so any capacity value takes the chunked path cleanly.
+        Returns host (scores, ids) of shape [Q, k].
+        """
+        from ..ops.topk_scan import flat_topk, flat_topk_int8
+
+        if self.rows is None or self.count == 0:
+            q = np.asarray(queries).shape[0]
+            return (
+                np.full((q, k), -np.inf, np.float32),
+                np.full((q, k), -1, np.int64),
+            )
+        mask = np.zeros((self.capacity,), np.bool_)
+        n = min(self.count, len(live_mask))
+        mask[:n] = np.asarray(live_mask, np.bool_)[:n]
+        with jax.default_device(self.device):
+            q = jnp.asarray(queries, jnp.float32)
+            m = jnp.asarray(mask)
+            if self.dtype == "int8":
+                scores, ids = flat_topk_int8(
+                    self.rows, self.scales, m, q, k, chunk=4096
+                )
+            else:
+                scores, ids = flat_topk(self.rows, m, q, k, "ip", chunk=4096)
+            if self.capacity < (1 << 24):  # ids exact in f32: pack, 1 pull
+                packed = np.asarray(jnp.concatenate(
+                    [scores, ids.astype(jnp.float32)], axis=1
+                ))
+                scores = packed[:, :k]
+                out_ids = np.rint(packed[:, k:]).astype(np.int64)
+            else:
+                scores = np.asarray(scores)
+                out_ids = np.asarray(ids, np.int64)
+        out_ids[~np.isfinite(scores)] = -1
+        return scores, out_ids
+
     def buffers(self) -> tuple:
         """Device dependencies for the fused scan-fn contract."""
         return (self.rows, self.scales)

@@ -248,6 +248,12 @@ class ShardedIVFIndex:
     ) -> None:
         if metric not in ("ip", "l2"):
             raise ValueError(f"Unknown metric: {metric}")
+        if pq_auto and dtype in ("pq", "int4") and refine_dtype == "none":
+            # Same rule as IVFIndex: quantization auto-config needs the
+            # int8 refine tier from birth (escalation lever AND the
+            # deployed-recall truth source for calibrate_quant; it can't
+            # be enabled later without backfilling from lossy decodes).
+            refine_dtype = "int8"
         if refine_dtype not in ("none", "int8", "bfloat16"):
             raise ValueError(
                 "refine_dtype must be 'none', 'int8' or 'bfloat16', "
@@ -309,11 +315,15 @@ class ShardedIVFIndex:
         # k*refine_factor candidates inside the same shard_map pipeline.
         self.refine_dtype = refine_dtype
         self.refine_factor = max(1, int(refine_factor))
-        # Measured-recall PQ auto-config (index/ivf.py tune_pq_config);
-        # runs replicated like the codebook training itself.
-        self.pq_auto = bool(pq_auto) and dtype == "pq"
+        # Measured-recall quantization auto-config: pq codebook knobs at
+        # train time (index/ivf.py tune_pq_config, replicated like the
+        # codebook training itself) and deployed-recall calibration with
+        # refine escalation for pq AND int4
+        # (index/ivf.py deployed_quant_calibration).
+        self.pq_auto = bool(pq_auto) and dtype in ("pq", "int4")
         self.pq_target_recall = float(pq_target_recall)
         self._pq_tune_report = None
+        self._quant_cal: Optional[Dict] = None
         self._refine = None  # lazily-built ShardedRefineStore
         # Measured-recall probe count chosen by tune_nprobe (0 = untuned)
         # and the live row count it was measured at (retune freshness).
@@ -1026,6 +1036,15 @@ class ShardedIVFIndex:
         hi = (1.0 + drift) * self._tuned_live
         return lo <= live <= hi
 
+    def calibrate_quant(self, **kwargs) -> Dict:
+        """Deployed-recall calibration of the quantized search path
+        (:func:`tpu_search.index.ivf.deployed_quant_calibration` — shared
+        with ``IVFIndex``; the truth scan rides
+        ``ShardedRefineStore.topk_all``'s ICI merge)."""
+        from ..index.ivf import deployed_quant_calibration
+
+        return deployed_quant_calibration(self, **kwargs)
+
     # -- rebalance -----------------------------------------------------------
 
     def _gather_fn(self, b: int, lcap: int):
@@ -1638,9 +1657,15 @@ class ShardedIVFIndex:
         if self.dtype == "pq":
             header["pq_m"] = self.pq_m
             header["opq"] = bool(self._pq_rot is not None)
-            header["pq_auto"] = bool(self.pq_auto)
             if self._pq_tune_report is not None:
                 header["pq_tune"] = self._pq_tune_report
+        if self.dtype in ("pq", "int4"):
+            header["pq_auto"] = bool(self.pq_auto)
+            # Round-trips with the auto flag (ADVICE r4): a reloaded
+            # index retunes against the target it was built with.
+            header["pq_target_recall"] = float(self.pq_target_recall)
+        if self._quant_cal is not None:
+            header["quant_cal"] = self._quant_cal
         if self.refine_dtype != "none":
             header["refine_dtype"] = self.refine_dtype
             header["refine_factor"] = self.refine_factor
@@ -1740,9 +1765,13 @@ class ShardedIVFIndex:
         if self.dtype == "pq":
             base_header["pq_m"] = self.pq_m
             base_header["opq"] = bool(self._pq_rot is not None)
-            base_header["pq_auto"] = bool(self.pq_auto)
             if self._pq_tune_report is not None:
                 base_header["pq_tune"] = self._pq_tune_report
+        if self.dtype in ("pq", "int4"):
+            base_header["pq_auto"] = bool(self.pq_auto)
+            base_header["pq_target_recall"] = float(self.pq_target_recall)
+        if self._quant_cal is not None:
+            base_header["quant_cal"] = self._quant_cal
         refine = self._refine if self.refine_dtype != "none" else None
         if refine is not None:
             base_header["refine_dtype"] = self.refine_dtype
@@ -1872,9 +1901,12 @@ class ShardedIVFIndex:
             refine_dtype=header.get("refine_dtype", "none"),
             refine_factor=int(header.get("refine_factor", 4)),
             pq_auto=bool(header.get("pq_auto", False)),
+            pq_target_recall=float(header.get("pq_target_recall", 0.9)),
         )
         if header.get("pq_tune") is not None:
             index._pq_tune_report = dict(header["pq_tune"])
+        if header.get("quant_cal") is not None:
+            index._quant_cal = dict(header["quant_cal"])
         index.nprobe_hint = int(header.get("nprobe_hint", 0))
         index._tuned_live = int(header.get("nprobe_tuned_live", 0))
         if header["n_shards"] != index.n_shards:
@@ -2063,9 +2095,12 @@ class ShardedIVFIndex:
             refine_dtype=header.get("refine_dtype", "none"),
             refine_factor=int(header.get("refine_factor", 4)),
             pq_auto=bool(header.get("pq_auto", False)),
+            pq_target_recall=float(header.get("pq_target_recall", 0.9)),
         )
         if header.get("pq_tune") is not None:
             index._pq_tune_report = dict(header["pq_tune"])
+        if header.get("quant_cal") is not None:
+            index._quant_cal = dict(header["quant_cal"])
         index.nprobe_hint = int(header.get("nprobe_hint", 0))
         index._tuned_live = int(header.get("nprobe_tuned_live", 0))
         fill = np.asarray(arrays["fill"], np.int64)

@@ -340,6 +340,95 @@ class ShardedRefineStore:
         """Single-chip-API-compatible alias of :meth:`gather_device`."""
         return self.gather_device(ids)
 
+    def topk_all(self, queries, live_mask, k: int):
+        """Exact top-k of f32 ``queries`` against EVERY live refine row —
+        the deployed-recall calibration's TRUTH scan, sharded: each shard
+        scores its local rows (one [Q, lcap] matmul; calibration batches
+        are small and infrequent, so the per-shard f32 dequantized
+        transient is acceptable), local top-k, then an all_gather +
+        replicated merge over ICI.  Same contract as
+        ``RefineStore.topk_all``: host (scores, ids) of shape [Q, k].
+        """
+        if self.rows is None or self.count == 0:
+            q = np.asarray(queries).shape[0]
+            return (
+                np.full((q, k), -np.inf, np.float32),
+                np.full((q, k), -1, np.int64),
+            )
+        S, lcap = self.n_shards, self.lcap
+        # Translate the global-id live mask to the sharded row layout:
+        # global row p * lcap + s holds id s * S + p.
+        gids = np.arange(lcap, dtype=np.int64)[None, :] * S + np.arange(
+            S, dtype=np.int64
+        )[:, None]  # [S, lcap]
+        padded = np.zeros((self.capacity,), np.bool_)
+        n = min(self.count, len(live_mask))
+        padded[:n] = np.asarray(live_mask, np.bool_)[:n]
+        row_mask = np.where(gids < self.count, padded[np.minimum(
+            gids, self.capacity - 1
+        )], False).reshape(S * lcap)
+
+        int8 = self.dtype == "int8"
+        k_eff = min(k, int(row_mask.sum()) or 1, lcap)
+        in_specs = (P("data", None),)
+        if int8:
+            in_specs = in_specs + (P("data"),)
+        in_specs = in_specs + (P("data"), P(None, None))
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+        def prog(rows, *rest):
+            if int8:
+                scales, mask, qb = rest
+            else:
+                mask, qb = rest
+                scales = None
+            p = jax.lax.axis_index("data")
+            local = rows.astype(jnp.float32)
+            if scales is not None:
+                local = local * scales[:, None]
+            scores = jnp.einsum(
+                "qd,nd->qn", qb.astype(jnp.float32), local,
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.where(mask[None, :], scores, -jnp.inf)
+            top, slot = jax.lax.top_k(scores, k_eff)
+            ids_local = slot.astype(jnp.int32) * S + p
+            all_top = jax.lax.all_gather(top, "data", axis=0)  # [S, Q, k]
+            all_ids = jax.lax.all_gather(ids_local, "data", axis=0)
+            qn = top.shape[0]
+            cat_s = jnp.transpose(all_top, (1, 0, 2)).reshape(qn, S * k_eff)
+            cat_i = jnp.transpose(all_ids, (1, 0, 2)).reshape(qn, S * k_eff)
+            out_s, sel = jax.lax.top_k(cat_s, k_eff)
+            out_i = jnp.take_along_axis(cat_i, sel, axis=1)
+            return out_s, jnp.where(jnp.isfinite(out_s), out_i, -1)
+
+        qd = jax.device_put(
+            jnp.asarray(np.asarray(queries, np.float32)),
+            self._spec(P(None, None)),
+        )
+        md = jax.device_put(jnp.asarray(row_mask), self._spec(P("data")))
+        args = (
+            (self.rows, self.scales, md, qd)
+            if int8
+            else (self.rows, md, qd)
+        )
+        scores, ids = jax.jit(prog)(*args)
+        scores = np.asarray(scores)
+        out_ids = np.asarray(ids).astype(np.int64)
+        out_ids[~np.isfinite(scores)] = -1
+        if k_eff < k:  # pad to the contract shape
+            pad_s = np.full((scores.shape[0], k - k_eff), -np.inf, np.float32)
+            pad_i = np.full((scores.shape[0], k - k_eff), -1, np.int64)
+            scores = np.concatenate([scores, pad_s], axis=1)
+            out_ids = np.concatenate([out_ids, pad_i], axis=1)
+        return scores, out_ids
+
     def buffers(self) -> tuple:
         """Device dependencies for the fused scan-fn contract."""
         if self.dtype == "int8":
