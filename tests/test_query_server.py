@@ -206,6 +206,129 @@ class TestProtocol:
         assert request(str(tmp_path), {"op": "ping"}) is None
 
 
+class TestRequestIds:
+    def test_id_echoed_on_success(self, server, tmp_path):
+        """A client-supplied ``id`` comes back in the response, so a
+        pipelining client can attribute responses even if requests from
+        one connection complete out of order (ADVICE r4 medium: fused
+        finisher vs classic worker paths don't guarantee FIFO)."""
+        response = request(
+            str(tmp_path),
+            {"op": "search", "query": "q", "top_k": 2, "id": 7},
+        )
+        assert response["ok"] is True
+        assert response["id"] == 7
+
+    def test_id_echoed_on_error(self, server, tmp_path):
+        response = request(str(tmp_path), {"op": "nope", "id": "abc"})
+        assert response["ok"] is False
+        assert response["id"] == "abc"
+
+    def test_pipelined_ids_attribute_responses(self, server, tmp_path):
+        import socket as socket_mod
+
+        sock = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+        sock.settimeout(30.0)
+        sock.connect(str(socket_path_for(str(tmp_path))))
+        try:
+            n = 6
+            payload = b"".join(
+                (json.dumps({"op": "search", "query": f"q{i}",
+                             "top_k": 3, "id": i}) + "\n").encode()
+                for i in range(n)
+            )
+            sock.sendall(payload)
+            buf = b""
+            while buf.count(b"\n") < n:
+                chunk = sock.recv(65536)
+                assert chunk
+                buf += chunk
+            got_ids = sorted(
+                json.loads(line)["id"]
+                for line in buf.decode().strip().splitlines()
+            )
+            assert got_ids == list(range(n))
+        finally:
+            sock.close()
+
+
+class TestShutdownDelivery:
+    def test_parked_writer_requests_fail_fast_on_stop(self, engine):
+        """Writer-mode requests still parked on the queue when the worker
+        stops must be delivered an error (ADVICE r4: they were silently
+        dropped, leaking the connection's inflight permit and hanging
+        the client to its timeout)."""
+        import threading
+
+        from tpu_search.interfaces.query_server import _BatchWorker, _Request
+
+        worker = _BatchWorker(engine)
+        release = threading.Event()
+        stalled = threading.Event()
+
+        def stall():
+            stalled.set()
+            release.wait(timeout=30)
+
+        barrier = threading.Thread(
+            target=worker.run, args=(stall,), daemon=True
+        )
+        barrier.start()
+        stalled.wait(timeout=10)
+
+        written = []
+        req = _Request(
+            {"op": "search", "query": "q"}, writer=written.append
+        )
+        worker.enqueue(req)
+        release.set()
+
+        # stop() while the stalled batch may still hold the queue entry:
+        # either the worker processes it or the drain fails it — both
+        # must DELIVER.
+        worker.stop()
+        barrier.join(timeout=10)
+        assert written, "parked writer request was never delivered"
+        assert req.delivered
+
+    def test_enqueue_after_stop_delivers_error(self, engine):
+        from tpu_search.interfaces.query_server import _BatchWorker, _Request
+
+        worker = _BatchWorker(engine)
+        worker.stop()
+        written = []
+        req = _Request({"op": "ping"}, writer=written.append)
+        worker.enqueue(req)
+        assert len(written) == 1
+        assert b"shutting down" in written[0]
+
+    def test_finisher_submit_failure_releases_permit(self, engine):
+        """If the finisher pool is already shut down when a fused window
+        hands off, the requests must get error responses (not hang) and
+        the inflight permit must not leak (ADVICE r4 low)."""
+        from tpu_search.api.engine import _FusedPending
+        from tpu_search.interfaces.query_server import _BatchWorker, _Request
+
+        worker = _BatchWorker(engine)
+        try:
+            engine._fused_dispatch_many.return_value = _FusedPending(
+                packed=None, k_eff=3, q=1
+            )
+            worker._finisher.shutdown(wait=True)
+            req = _Request({"op": "search", "query": "q", "top_k": 3})
+            worker._process([req])
+            assert req.response["ok"] is False
+            assert req.event.is_set()
+            # Permit intact: all PIPELINE permits re-acquirable.
+            for _ in range(worker.pipeline):
+                assert worker._inflight.acquire(timeout=5)
+            for _ in range(worker.pipeline):
+                worker._inflight.release()
+        finally:
+            engine._fused_dispatch_many.return_value = None
+            worker.stop()
+
+
 class TestEngineRouting:
     def test_cli_engine_uses_warm_server(self, server, tmp_path):
         """A fresh SearchEngine routes searches through the socket instead of
@@ -439,6 +562,69 @@ class TestPipelinedFusedServing:
                 assert r["results"][0]["chunk_id"] == expected[q], q
         finally:
             server.stop()
+
+    def test_wire_fast_path_matches_classic(
+        self, real_engine, tmp_path, monkeypatch
+    ):
+        """The pre-serialized wire fast path must produce responses that
+        parse identically to the classic dict path (key ORDER may differ;
+        JSON clients cannot observe it)."""
+        import tpu_search.interfaces.query_server as qs_mod
+
+        def fetch(query):
+            server = QueryServer(real_engine, str(tmp_path))
+            server.start()
+            try:
+                r = request(
+                    str(tmp_path),
+                    {"op": "search", "query": query, "top_k": 3, "id": 5},
+                    timeout=120.0,
+                )
+                assert r and r.get("ok"), r
+                return r
+            finally:
+                server.stop()
+
+        query = "tok1 tok2 tok3"
+        monkeypatch.setattr(qs_mod, "_WIRE_ENABLED", True)
+        wire = fetch(query)
+        monkeypatch.setattr(qs_mod, "_WIRE_ENABLED", False)
+        classic = fetch(query)
+        assert wire["id"] == classic["id"] == 5
+        assert len(wire["results"]) == len(classic["results"]) > 0
+        for a, b in zip(wire["results"], classic["results"]):
+            assert set(a) == set(b)  # same key set
+            assert a["chunk_id"] == b["chunk_id"]
+            assert a["similarity"] == pytest.approx(b["similarity"])
+            assert a["text"] == b["text"]
+            assert a["metadata"] == b["metadata"]
+            assert a["project"] == b["project"]
+            assert a["has_code"] == b["has_code"]
+
+    def test_wire_cache_invalidated_by_mutation(self, real_engine):
+        """A reindex that changes a row must not serve stale cached wire
+        fragments."""
+        storage = real_engine.storage
+        cfg_version = storage._data_version
+        import numpy as np
+
+        # Prime the cache through hydrate_wire on a real scan.
+        emb = real_engine.embedder._encode_texts(["tok1 tok2 tok3"])
+        from tpu_search.storage.hybrid import SearchConfig
+
+        scores, ids = storage.index.search(
+            np.asarray(emb, np.float32), k=3
+        )
+        frags = storage.hydrate_wire(scores, ids, SearchConfig(top_k=3))
+        assert frags and frags[0]
+        assert storage._wire_cache
+        # Any mutation bumps the version; next hydrate self-clears.
+        storage._data_version += 1
+        assert storage._data_version != cfg_version
+        frags2 = storage.hydrate_wire(scores, ids, SearchConfig(top_k=3))
+        assert [json.loads(b"".join([f]).decode()) for f in frags2[0]] == [
+            json.loads(b"".join([f]).decode()) for f in frags[0]
+        ]
 
     def test_mutation_barriers_behind_inflight_fetches(self, real_engine):
         from tpu_search.interfaces.query_server import _BatchWorker

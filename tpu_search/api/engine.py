@@ -952,7 +952,10 @@ class SearchEngine:
                 ]
                 fmask = padded
 
-        fn = self._fused_query_fn(model_config, compute_dtype, normalize)
+        fn = self._fused_query_fn(
+            model_config, compute_dtype, normalize,
+            int8_ffn=getattr(self.embedder, "_int8_ffn", False),
+        )
         import jax
 
         if is_sharded:
@@ -1023,20 +1026,42 @@ class SearchEngine:
         out_ids[~np.isfinite(scores)] = -1
         return self.storage.hydrate_results(scores, out_ids, cfg)
 
-    def _fused_query_fn(self, model_config, compute_dtype, normalize):
+    def _fused_collect_wire(self, pending, cfg: SearchConfig):
+        """Fetch a fused dispatch and hydrate straight to pre-serialized
+        per-result JSON fragments (``HybridStorage.hydrate_wire``) — the
+        warm server's serving fast path, which never materializes result
+        dicts on the response-assembly hot path."""
+        import numpy as np
+
+        packed = np.asarray(pending.packed)
+        k_eff, q = pending.k_eff, pending.q
+        scores = packed[:q, :k_eff]
+        out_ids = np.rint(packed[:q, k_eff:]).astype(np.int64)
+        out_ids[~np.isfinite(scores)] = -1
+        return self.storage.hydrate_wire(scores, out_ids, cfg)
+
+    def _fused_query_fn(
+        self, model_config, compute_dtype, normalize, int8_ffn=False
+    ):
         """Build (and cache) the jitted fused encode+scan program.
 
         The cache is keyed on everything baked into the closure
-        (model config, compute dtype, normalization, device platform) —
-        NOT a single slot — so reloading a different model into a live
-        engine can never silently reuse a stale graph (VERDICT r2 weak
-        #5). ``model_config`` is a frozen dataclass, hence hashable.
+        (model config, compute dtype, normalization, int8-FFN choice,
+        device platform) — NOT a single slot — so reloading a different
+        model into a live engine can never silently reuse a stale graph
+        (VERDICT r2 weak #5). ``model_config`` is a frozen dataclass,
+        hence hashable.  ``int8_ffn`` mirrors the embedder's resolved
+        W8A8 choice so fused query embeddings come off the SAME graph
+        as the indexed chunk embeddings.
         """
         on_accel = self.embedder._pick_device().platform not in (
             "cpu",
             "interpreter",
         )
-        cache_key = (model_config, str(compute_dtype), normalize, on_accel)
+        int8_ffn = bool(int8_ffn) and on_accel
+        cache_key = (
+            model_config, str(compute_dtype), normalize, on_accel, int8_ffn,
+        )
         cached = self._fused_jit.get(cache_key)
         if cached is not None:
             return cached
@@ -1058,7 +1083,7 @@ class SearchEngine:
             emb = mpnet_encode(
                 params, ids, attn, model_config,
                 compute_dtype=compute_dtype, normalize=normalize,
-                attention_impl=impl,
+                attention_impl=impl, int8_ffn=int8_ffn,
             ).astype(jnp.float32)  # [B, H]
             if scan_key[0] == "sharded_ivf":
                 # Sharded shard_map scans trace straight into this jit:

@@ -30,6 +30,11 @@ __all__ = ["QueryServer", "QueryClient", "request", "socket_path_for"]
 
 REQUEST_TIMEOUT_S = 30.0
 
+# Serving fast path (pre-serialized result fragments assembled by byte
+# joins instead of per-response dict building + json.dumps).  On by
+# default; CLAUDE_SEARCH_WIRE=0 falls back to the classic dict path.
+_WIRE_ENABLED = os.environ.get("CLAUDE_SEARCH_WIRE", "1") != "0"
+
 
 def socket_path_for(data_dir: str) -> Path:
     return Path(data_dir).expanduser() / "query.sock"
@@ -46,7 +51,7 @@ class _Request:
 
     __slots__ = (
         "payload", "event", "response", "fn", "handed", "writer",
-        "delivered",
+        "delivered", "rid", "wire",
     )
 
     def __init__(self, payload: Dict[str, Any], fn=None, writer=None) -> None:
@@ -57,6 +62,16 @@ class _Request:
         self.handed = False  # owned by the finisher pool from here on
         self.writer = writer
         self.delivered = False
+        # Client-supplied request id, echoed back in the response so a
+        # pipelining client can attribute responses even if two requests
+        # from one connection complete out of order (requests landing in
+        # different filter groups can take the fused-finisher path and
+        # the classic worker path respectively).
+        self.rid = payload.get("id") if isinstance(payload, dict) else None
+        # Pre-encoded response body (the serving fast path: hydrated
+        # results arrive as serialized fragments and never exist as
+        # Python dicts).  Mutually exclusive with ``response``.
+        self.wire: Optional[bytes] = None
 
     def deliver(self) -> None:
         """Send the response to the caller exactly once.
@@ -69,10 +84,39 @@ class _Request:
         if self.delivered:
             return
         self.delivered = True
-        if self.writer is not None:
-            self.writer(self.response or {"ok": False, "error": "no response"})
-        else:
+        if self.writer is None:
             self.event.set()
+            return
+        self.writer(encode_response(
+            self.response or {"ok": False, "error": "no response"},
+            rid=self.rid, wire=self.wire,
+        ))
+
+
+def encode_response(
+    response: Dict[str, Any],
+    rid: Any = None,
+    wire: Optional[bytes] = None,
+) -> bytes:
+    """Serialize one wire response line (compact separators: ~12% fewer
+    bytes serialized AND written per response — this path runs at
+    thousands of responses/s on one host core and the default ", "/": "
+    padding is pure overhead on a wire only json.loads ever reads).
+
+    ``wire`` is an already-encoded JSON object body (the fast path);
+    ``rid`` splices the echoed request id in as the first key."""
+    body = (
+        wire
+        if wire is not None
+        else json.dumps(response, separators=(",", ":")).encode("utf-8")
+    )
+    if rid is not None:
+        encoded_id = json.dumps(rid, separators=(",", ":")).encode("utf-8")
+        if body == b"{}":
+            body = b'{"id":%s}' % encoded_id
+        else:
+            body = b'{"id":%s,%s' % (encoded_id, body[1:])
+    return body + b"\n"
 
 
 class _BatchWorker:
@@ -119,7 +163,24 @@ class _BatchWorker:
     def stop(self) -> None:
         self._running = False
         self.queue.put(None)  # wake the worker
+        self._thread.join(timeout=10.0)
         self._finisher.shutdown(wait=False)
+        # Writer-mode requests enqueued around shutdown would otherwise
+        # never be delivered (the loop exits at the None sentinel): their
+        # per-connection inflight permits leak and the client hangs to
+        # its timeout.  Fail everything still parked.
+        self._drain_queue_with_error()
+
+    def _drain_queue_with_error(self) -> None:
+        while True:
+            try:
+                request = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            if request is None:
+                continue
+            request.response = {"ok": False, "error": "server shutting down"}
+            request.deliver()
 
     def _drain_inflight(self) -> None:
         """Barrier: wait for every in-flight fetch/hydrate to finish.
@@ -135,6 +196,13 @@ class _BatchWorker:
     def enqueue(self, request: _Request) -> None:
         """Queue a writer-carrying request; delivery happens on whichever
         worker/finisher thread completes it (the caller doesn't wait)."""
+        if not self._running:
+            # A handler thread can race stop(): fail fast instead of
+            # parking the request on a queue nobody drains.  (stop()'s
+            # post-join drain closes the remaining check-then-put gap.)
+            request.response = {"ok": False, "error": "server shutting down"}
+            request.deliver()
+            return
         self.queue.put(request)
 
     def submit(
@@ -292,13 +360,26 @@ class _BatchWorker:
                 if isinstance(dispatched, _FusedPending):
                     # Hand the in-flight device output to the finisher
                     # pool; the worker moves on to the next window while
-                    # this fetch rides the host link.
-                    for request in members:
-                        request.handed = True
+                    # this fetch rides the host link.  Mark handed only
+                    # once the submit SUCCEEDS: a finisher pool shut down
+                    # mid-request would otherwise orphan the requests
+                    # (no delivery path ever fires) and leak the
+                    # acquired inflight permit.
                     self._inflight.acquire()
-                    self._finisher.submit(
-                        self._finish_fused, members, dispatched, cfg
-                    )
+                    try:
+                        for request in members:
+                            request.handed = True
+                        self._finisher.submit(
+                            self._finish_fused, members, dispatched, cfg
+                        )
+                    except Exception as exc:
+                        self._inflight.release()
+                        for request in members:
+                            request.handed = False
+                            request.response = {
+                                "ok": False, "error": str(exc),
+                            }
+                        # _process's final loop delivers (handed=False).
                     continue
             pending[key] = members
         if not pending:
@@ -350,17 +431,39 @@ class _BatchWorker:
         """Finisher-pool side: fetch the packed device result, hydrate,
         respond.  SQLite reads here are safe: the stdlib sqlite3 module is
         serialized (threadsafety 3) and mutations are barriered behind
-        :meth:`_drain_inflight` on the dispatch thread."""
+        :meth:`_drain_inflight` on the dispatch thread.
+
+        Fast path: when every member writes straight to a socket and none
+        reranks, results hydrate as PRE-SERIALIZED JSON fragments
+        (``HybridStorage.hydrate_wire``'s per-row byte cache) and the
+        response body is assembled by byte joins — the per-response
+        dict-building + ``json.dumps`` of ~top_k full chunk texts was the
+        measured host-core serving ceiling (response-size-proportional,
+        benchmarks/results/bench_r4_validation.md)."""
         try:
-            results_per_query = self.engine._fused_collect(dispatched, cfg)
-            for request, results in zip(members, results_per_query):
-                request.response = {
-                    "ok": True,
-                    "results": self._finalize(request, results),
-                }
+            if _WIRE_ENABLED and all(
+                r.writer is not None and not r.payload.get("rerank")
+                for r in members
+            ):
+                frags_per_query = self.engine._fused_collect_wire(
+                    dispatched, cfg
+                )
+                for request, frags in zip(members, frags_per_query):
+                    request.wire = (
+                        b'{"ok":true,"results":[' + b",".join(frags) + b"]}"
+                    )
+            else:
+                results_per_query = self.engine._fused_collect(
+                    dispatched, cfg
+                )
+                for request, results in zip(members, results_per_query):
+                    request.response = {
+                        "ok": True,
+                        "results": self._finalize(request, results),
+                    }
         except Exception as exc:
             for request in members:
-                if not request.response:
+                if not request.response and request.wire is None:
                     request.response = {"ok": False, "error": str(exc)}
         finally:
             self._inflight.release()
@@ -379,9 +482,14 @@ class _Handler(socketserver.StreamRequestHandler):
     socket read (cheap) instead of parked on response events (GIL
     wakeup storms — the c128 regression, VERDICT r3 item 5).
 
-    Responses carry no ids, so a client must await each response before
-    sending the next on one connection (what ``QueryClient`` does); the
-    per-connection in-flight cap below bounds the damage if one doesn't.
+    A pipelining client should tag each request with an ``id`` field —
+    it is echoed back as the response's first key, so responses can be
+    attributed even when requests from one connection land in different
+    filter groups and complete out of order (one on the fused finisher
+    path, one on the classic worker path).  Without ids a client must
+    await each response before sending the next (what ``QueryClient``
+    does); the per-connection in-flight cap below bounds the damage if
+    one doesn't.
     """
 
     MAX_CONN_INFLIGHT = 64
@@ -391,16 +499,8 @@ class _Handler(socketserver.StreamRequestHandler):
         write_lock = threading.Lock()
         inflight = threading.BoundedSemaphore(self.MAX_CONN_INFLIGHT)
 
-        def writer(response: Dict[str, Any]) -> None:
+        def writer(data: bytes) -> None:
             try:
-                # Compact separators: ~12% fewer bytes serialized AND
-                # written per response — this path runs at thousands of
-                # responses/s on one host core and the default
-                # ", "/": " padding is pure overhead on a wire only
-                # json.loads ever reads.
-                data = (
-                    json.dumps(response, separators=(",", ":")) + "\n"
-                ).encode("utf-8")
                 with write_lock:
                     self.wfile.write(data)
                     self.wfile.flush()
@@ -417,13 +517,15 @@ class _Handler(socketserver.StreamRequestHandler):
             try:
                 req = json.loads(raw)
             except Exception as exc:
-                writer({"ok": False, "error": str(exc)})
+                writer(encode_response({"ok": False, "error": str(exc)}))
                 continue
             if not isinstance(req, dict):
                 # `42` or `"hi"` parse fine but are not requests; without
                 # this check they reach the worker and die there instead
                 # of here.
-                writer({"ok": False, "error": "request must be a JSON object"})
+                writer(encode_response(
+                    {"ok": False, "error": "request must be a JSON object"}
+                ))
                 continue
             worker.enqueue(_Request(req, writer=writer))
 
