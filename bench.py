@@ -901,19 +901,32 @@ def bench_serving() -> dict:
         run_clients(8, 6)
         run_clients(32, 3)
 
-        qps_c8, p50_c8, p99_c8 = run_clients(8, 25)
-        qps_c16, p50_c16, p99_c16 = run_clients(16, 15)
-        qps_c32, p50_c32, p99_c32 = run_clients(32, 12)
+        def sweep(n_clients, per_client, repeats=3):
+            """Median-of-N sweeps + min/max spread (VERDICT r4 item 5):
+            same-day single samples on this shared host swing up to
+            ~2.2x with host weather, so a single canonical sample cannot
+            distinguish a regression from a bad window.  The headline
+            quotes the median; the spread is recorded alongside."""
+            runs = [
+                run_clients(n_clients, per_client) for _ in range(repeats)
+            ]
+            runs.sort(key=lambda r: r[0])
+            med = runs[len(runs) // 2]
+            return med, [round(runs[0][0], 1), round(runs[-1][0], 1)]
+
+        (qps_c8, p50_c8, p99_c8), spread_c8 = sweep(8, 12)
+        (qps_c16, p50_c16, p99_c16), spread_c16 = sweep(16, 8)
+        (qps_c32, p50_c32, p99_c32), spread_c32 = sweep(32, 6)
         # Past-the-knee behavior (VERDICT r3 item 5): saturation must be
-        # flat, not regressive.  c64 and c128 are measured by default so
+        # flat, not regressive.  c64..c256 are measured by default so
         # the headline can report the best sustained concurrency AND the
         # record shows what 2x past it costs.
         run_clients(64, 3)
-        qps_c64, p50_c64, p99_c64 = run_clients(64, 8)
+        (qps_c64, p50_c64, p99_c64), spread_c64 = sweep(64, 5)
         run_clients(128, 2)
-        qps_c128, p50_c128, p99_c128 = run_clients(128, 4)
+        (qps_c128, p50_c128, p99_c128), spread_c128 = sweep(128, 3)
         run_clients(256, 1)
-        qps_c256, p50_c256, p99_c256 = run_clients(256, 3)
+        (qps_c256, p50_c256, p99_c256), spread_c256 = sweep(256, 2)
         # One-shot-caller pattern (fresh connection per request) at c8,
         # for the CLI-shaped context number.
         qps_c8r, p50_c8r, _ = run_clients(8, 15, persistent=False)
@@ -948,9 +961,11 @@ def bench_serving() -> dict:
         f"p99={p99_c8:.1f}ms | c16 qps={qps_c16:.1f} p50={p50_c16:.1f}ms "
         f"| c32 qps={qps_c32:.1f} p50={p50_c32:.1f}ms p99={p99_c32:.1f}ms "
         f"| c64 qps={qps_c64:.1f} p50={p50_c64:.1f}ms p99={p99_c64:.1f}ms "
-        f"| c128 qps={qps_c128:.1f} p50={p50_c128:.1f}ms "
+        f"| c128 qps={qps_c128:.1f} (spread {spread_c128[0]:.0f}-"
+        f"{spread_c128[1]:.0f}) p50={p50_c128:.1f}ms "
         f"p99={p99_c128:.1f}ms "
-        f"| c256 qps={qps_c256:.1f} p50={p50_c256:.1f}ms "
+        f"| c256 qps={qps_c256:.1f} (spread {spread_c256[0]:.0f}-"
+        f"{spread_c256[1]:.0f}) p50={p50_c256:.1f}ms "
         f"p99={p99_c256:.1f}ms "
         f"| c8 reconnect-per-request qps={qps_c8r:.1f} p50={p50_c8r:.1f}ms"
     )
@@ -961,20 +976,26 @@ def bench_serving() -> dict:
         "serving_qps_c8": qps_c8,
         "serving_p50_ms_c8": p50_c8,
         "serving_p99_ms_c8": p99_c8,
+        "serving_qps_c8_spread": spread_c8,
         "serving_qps_c16": qps_c16,
         "serving_p50_ms_c16": p50_c16,
+        "serving_qps_c16_spread": spread_c16,
         "serving_qps_c32": qps_c32,
         "serving_p50_ms_c32": p50_c32,
         "serving_p99_ms_c32": p99_c32,
+        "serving_qps_c32_spread": spread_c32,
         "serving_qps_c64": qps_c64,
         "serving_p50_ms_c64": p50_c64,
         "serving_p99_ms_c64": p99_c64,
+        "serving_qps_c64_spread": spread_c64,
         "serving_qps_c128": qps_c128,
         "serving_p50_ms_c128": p50_c128,
         "serving_p99_ms_c128": p99_c128,
+        "serving_qps_c128_spread": spread_c128,
         "serving_qps_c256": qps_c256,
         "serving_p50_ms_c256": p50_c256,
         "serving_p99_ms_c256": p99_c256,
+        "serving_qps_c256_spread": spread_c256,
         "serving_qps_c8_reconnect": qps_c8r,
         "serving_p50_ms_c8_reconnect": p50_c8r,
         **extra,
@@ -1021,11 +1042,33 @@ def bench_embed() -> dict:
         float(jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))(outs))
         return (batch * reps) / (time.perf_counter() - t0)
 
-    out = {"texts_per_s_seq384_b128": measure(False)}
+    bf16_tps = measure(False)
+    out = {"texts_per_s_seq384_b128_bf16": bf16_tps}
     if impl == "pallas":
-        # Opt-in W8A8 FFN (EmbeddingConfig.quantize_ffn): fused Pallas
-        # int8 kernel, cosine vs bf16 0.99992.
-        out["texts_per_s_seq384_b128_int8ffn"] = measure(True)
+        # Default-on W8A8 FFN behind the product's own load-time
+        # accuracy gate (EmbeddingConfig.quantize_ffn=None auto,
+        # VERDICT r4 item 7): the headline reports whichever graph the
+        # gate would actually ship for these weights.
+        int8_tps = measure(True)
+        out["texts_per_s_seq384_b128_int8ffn"] = int8_tps
+        gate_fn = jax.jit(
+            lambda p, i, m, flag: encode(
+                p, i, m, config, compute_dtype=jnp.bfloat16,
+                attention_impl="dense", int8_ffn=flag,
+            ),
+            static_argnames=("flag",),
+        )
+        probe_ids, probe_mask = ids[:16, :64], mask[:16, :64]
+        min_cos = float(jnp.min(jnp.sum(
+            gate_fn(params, probe_ids, probe_mask, False)
+            * gate_fn(params, probe_ids, probe_mask, True),
+            axis=1,
+        )))
+        out["int8_ffn_gate_min_cosine"] = min_cos
+        gate_ok = min_cos >= 0.999
+        out["texts_per_s_seq384_b128"] = int8_tps if gate_ok else bf16_tps
+    else:
+        out["texts_per_s_seq384_b128"] = bf16_tps
     return out
 
 
@@ -1229,7 +1272,7 @@ def _emit_headline(
             int(key.split("_c")[-1])
             for key in serving
             if key.startswith("serving_qps_c")
-            and not key.endswith("_reconnect")
+            and key.split("_c")[-1].isdigit()
         ]
         best_c = max(counts, key=lambda c: serving[f"serving_qps_c{c}"])
         serving_qps = serving[f"serving_qps_c{best_c}"]
@@ -1249,6 +1292,12 @@ def _emit_headline(
             ),
             "serial_qps": round(serving["serving_serial_qps"], 1),
         }
+        # The headline value is a MEDIAN of repeated sweeps; its min/max
+        # spread rides alongside (VERDICT r4 item 5).
+        if serving.get(f"serving_qps_c{best_c}_spread"):
+            headline["serving_qps_spread"] = serving[
+                f"serving_qps_c{best_c}_spread"
+            ]
         for c in sorted(counts):
             headline[f"serving_qps_c{c}"] = round(
                 serving[f"serving_qps_c{c}"], 1
@@ -1312,13 +1361,17 @@ def main() -> None:
         ("search", {}, "search"),
         ("serving", {}, "serving"),
         ("ivf", {"BENCH_IVF_DTYPES": "int8"}, "ivf:int8"),
+        # Indexing e2e guards the BASELINE "index 1k conversations" rows
+        # in the canonical record (VERDICT r4 item 4: it previously ran
+        # only under BENCH_FULL, so BENCH_r04.json carried no index
+        # number while the run used 110 s of a 1,500 s budget).
+        ("index", {}, "index"),
     ]
     if os.environ.get("BENCH_FULL"):
         plan += [
             ("ivf", {"BENCH_IVF_DTYPES": dt}, f"ivf:{dt}")
             for dt in ("bfloat16", "int4", "pq", "pq_refine")
         ]
-        plan += [("index", {}, "index")]
     only = [
         s.strip()
         for s in os.environ.get("BENCH_SECTIONS", "").split(",")

@@ -84,12 +84,15 @@ class EmbeddingConfig:
     show_progress: bool = True
     cache_dir: Optional[str] = None
     compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
-    # W8A8 FFN via the fused Pallas int8 kernel (+8% texts/s at b128
+    # W8A8 FFN via the fused Pallas int8 kernel (+26% texts/s at b128
     # s384 on v5e, embedding cosine vs bf16 0.99992 — below typical
-    # retrieval noise but not bit-comparable, hence opt-in).  Env
-    # override: CLAUDE_SEARCH_INT8_FFN=1.  Only takes effect under
-    # bfloat16 compute on an accelerator.
-    quantize_ffn: bool = False
+    # retrieval noise but not bit-comparable).  None = AUTO (the
+    # default): on TPU + bfloat16 the kernel is enabled when a
+    # load-time self-check confirms >= 0.999 embedding cosine vs the
+    # bf16 graph on this checkpoint (verdict cached next to the model).
+    # True/False force it; env CLAUDE_SEARCH_INT8_FFN=1/0 overrides
+    # both.  Deliberate deviation from bit-exact bf16 — see PARITY.md.
+    quantize_ffn: Optional[bool] = None
     # Apply the model's prompt templates (config_sentence_transformers.json
     # "prompts"/"default_prompt_name"): instruction-tuned retrieval models
     # (e5-*, bge-*, ...) expect "query: "/"passage: " prefixes.  "query"
@@ -128,6 +131,7 @@ class EmbeddingGenerator:
         self._device = None
         self._encode_jit = None
         self._capability = None
+        self._int8_ffn = False  # resolved at load_model time
 
         if self.config.use_gpu:
             self._capability = assess_device_capability()
@@ -148,6 +152,82 @@ class EmbeddingGenerator:
     @property
     def embedding_dimension(self) -> Optional[int]:
         return self._embedding_dim
+
+    def _int8_ffn_selfcheck(
+        self, model_dir, threshold: float = 0.999
+    ) -> bool:
+        """Load-time accuracy gate for the default-on W8A8 FFN kernel.
+
+        Encodes 16 synthetic token sequences through the bf16 graph and
+        the int8-FFN graph and requires min embedding cosine >=
+        ``threshold`` before the quantized kernel becomes this
+        checkpoint's default (VERDICT r4 item 7).  The verdict is cached
+        next to the checkpoint (``int8_ffn_check.json``) — kernel
+        numerics are deterministic per weights, so the two extra small
+        compiles are paid once per model, not per process.  Any failure
+        (kernel unavailable, compile error) gates to the bf16 path.
+        """
+        import json as _json
+
+        marker = Path(model_dir) / "int8_ffn_check.json"
+        try:
+            if marker.exists():
+                cached = _json.loads(marker.read_text())
+                if cached.get("threshold") == threshold:
+                    return bool(cached.get("ok"))
+        except (OSError, ValueError):
+            pass
+
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self._model_config
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(
+            rng.integers(4, max(8, cfg.vocab_size), size=(16, 64)),
+            jnp.int32,
+        )
+        mask = jnp.ones((16, 64), jnp.int32)
+        result = {"ok": False, "threshold": threshold}
+        try:
+            outs = {}
+            for flag in (False, True):
+                fn = jax.jit(partial(
+                    mpnet_encode,
+                    config=cfg,
+                    compute_dtype=jnp.bfloat16,
+                    normalize=True,
+                    int8_ffn=flag,
+                    attention_impl="dense",
+                ))
+                outs[flag] = fn(self._params, ids, mask)
+            # normalized embeddings: cosine == dot; one scalar fetch
+            min_cos = float(jnp.min(jnp.sum(outs[False] * outs[True], axis=1)))
+            result.update(ok=bool(min_cos >= threshold), min_cosine=min_cos)
+        except Exception as exc:  # noqa: BLE001 - gate shut on any failure
+            self.logger.warning(
+                "int8-FFN self-check failed to run (%s); using bf16 FFN",
+                exc,
+            )
+            result["error"] = str(exc)
+        if result["ok"]:
+            self.logger.info(
+                "int8-FFN self-check passed (min cosine %.5f >= %.3f); "
+                "W8A8 FFN kernel enabled for %s",
+                result.get("min_cosine", 0.0), threshold,
+                self.config.model_name,
+            )
+        else:
+            self.logger.warning(
+                "int8-FFN self-check below threshold (%s); staying on "
+                "the bf16 FFN path",
+                result.get("min_cosine", "no measurement"),
+            )
+        try:
+            marker.write_text(_json.dumps(result))
+        except OSError:
+            pass
+        return result["ok"]
 
     def load_model(self) -> None:
         """Resolve + load the encoder; compile happens lazily per shape."""
@@ -219,10 +299,21 @@ class EmbeddingGenerator:
         )
         model_config = self._model_config
         on_tpu = getattr(self._device, "platform", "cpu") == "tpu"
-        int8_ffn = (
-            self.config.quantize_ffn
-            or os.environ.get("CLAUDE_SEARCH_INT8_FFN", "") == "1"
-        ) and dtype == jnp.bfloat16 and on_tpu
+        can_int8 = dtype == jnp.bfloat16 and on_tpu
+        pref = self.config.quantize_ffn
+        env = os.environ.get("CLAUDE_SEARCH_INT8_FFN", "")
+        if env == "1":
+            pref = True
+        elif env == "0":
+            pref = False
+        if pref is None and can_int8:
+            # Default-on behind the load-time accuracy gate: the kernel
+            # ships only when THIS checkpoint's embeddings stay within
+            # 0.999 cosine of the bf16 graph (VERDICT r4 item 7).
+            int8_ffn = self._int8_ffn_selfcheck(model_dir)
+        else:
+            int8_ffn = bool(pref) and can_int8
+        self._int8_ffn = int8_ffn  # read by the fused serving graph
         base = partial(
             mpnet_encode,
             config=model_config,
