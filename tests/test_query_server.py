@@ -641,3 +641,90 @@ class TestPipelinedFusedServing:
             assert worker.run(lambda: 42) == 42
         finally:
             worker.stop()
+
+
+class TestShardedServing:
+    """Warm server -> UDS socket -> HybridStorage sharded over the
+    8-device virtual mesh (VERDICT r4 item 6): multi-chip serving runs
+    the SAME QueryServer code over a ShardedFlatIndex, with the fused
+    SPMD encode+scan+merge dispatched per window."""
+
+    @pytest.fixture
+    def sharded_engine(self, tmp_path):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from tpu_search.api.engine import SearchEngine
+        from tpu_search.models import MPNetConfig, init_params
+        from tpu_search.models.convert import save_checkpoint
+
+        tiny = MPNetConfig(
+            vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+            intermediate_size=32, max_position=96,
+        )
+        vocab = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"] + [
+            f"tok{i}" for i in range(59)
+        ]
+        model_dir = tmp_path / "models" / "tiny-mpnet"
+        model_dir.mkdir(parents=True)
+        params = init_params(tiny, jax.random.PRNGKey(0))
+        save_checkpoint(str(model_dir / "model.tpu.npz"), params, tiny)
+        (model_dir / "vocab.txt").write_text("\n".join(vocab) + "\n")
+
+        engine = SearchEngine(
+            data_dir=str(tmp_path), model_name="tiny-mpnet",
+            use_warm_server=False,
+        )
+        engine.storage.config.shard_devices = 8
+        engine.storage.config.storage_dtype = "float32"
+        claude_dir = tmp_path / "projects" / "-proj"
+        claude_dir.mkdir(parents=True)
+        lines = []
+        for i in range(10):
+            text = f"tok{i} tok{i+1} tok{i+2} " * 12
+            lines.append(json.dumps({
+                "uuid": f"u{i}", "sessionId": "s1",
+                "timestamp": f"2025-07-01T09:{i:02d}:00Z",
+                "message": {
+                    "role": "user" if i % 2 == 0 else "assistant",
+                    "content": [{"type": "text", "text": text}],
+                },
+            }))
+        (claude_dir / "s1.jsonl").write_text("\n".join(lines) + "\n")
+        engine.index_conversations([str(claude_dir / "s1.jsonl")])
+        from tpu_search.parallel.sharded_index import ShardedFlatIndex
+
+        assert isinstance(engine.storage.index, ShardedFlatIndex)
+        assert engine.storage.index.n_shards == 8
+        return engine
+
+    def test_socket_search_over_sharded_index(
+        self, sharded_engine, tmp_path
+    ):
+        server = QueryServer(sharded_engine, str(tmp_path))
+        server.start()
+        try:
+            queries = [f"tok{i} tok{i+1} tok{i+2}" for i in range(4)]
+            # Ground truth from the classic two-dispatch sharded path —
+            # an independent dispatch of the same mesh program family.
+            expected = {
+                q: [
+                    r["chunk_id"]
+                    for r in sharded_engine.search_conversations(q, top_k=3)
+                ]
+                for q in queries
+            }
+            for q in queries:
+                response = request(
+                    str(tmp_path),
+                    {"op": "search", "query": q, "top_k": 3, "id": q},
+                    timeout=240.0,
+                )
+                assert response and response.get("ok"), response
+                assert response["id"] == q
+                got = [r["chunk_id"] for r in response["results"]]
+                assert got == expected[q], (q, got, expected[q])
+        finally:
+            server.stop()

@@ -76,7 +76,7 @@ class _FusedPending:
         self.q = q
 
 
-def format_search_result(result) -> Dict[str, Any]:
+def format_search_result(result: "SearchResult") -> Dict[str, Any]:
     """SearchResult -> the interface-facing dict (single source of truth
     for the result shape used by CLI/MCP/warm-server)."""
     meta = result.metadata or {}
@@ -308,6 +308,11 @@ class SearchEngine:
     ) -> Dict[str, Any]:
         """Index files incrementally with one retry round for failures
         (reference behavior: src/cli.py:85-230)."""
+        # Accept str paths (the reference API is called with both): the
+        # pipeline reads .name for progress/error bookkeeping — a str
+        # slipping through used to fail the first pass and index the file
+        # via the retry round by accident.
+        files = [Path(f) for f in files]
         report = progress or (lambda msg: None)
         if not self.embedder.is_model_loaded:
             self.embedder.load_model()
