@@ -7,7 +7,13 @@ parity).  This is the executable subset we CAN enforce offline:
   ``bench.py``/``__graft_entry__.py`` must parse (syntax gate);
 - library code (``tpu_search/``) additionally enforces: max line length
   100, no tabs, no trailing whitespace, no bare ``except:``, no
-  ``import *``, no mutable default arguments.
+  ``import *``, no mutable default arguments;
+- public-API typing (the executable slice of the reference's strict
+  mypy contract, /root/reference/mypy.ini — VERDICT r4 item 8): every
+  PUBLIC ``def`` at module or class level in ``tpu_search/`` must have
+  every parameter and the return annotated, and no parameter or return
+  annotated as bare ``Any`` (``Dict[str, Any]`` etc. are fine).  An
+  intentional exception is marked ``# noqa: ann`` on the ``def`` line.
 
 Exit 0 = clean.  Run via ``scripts/check.sh``.
 """
@@ -63,6 +69,63 @@ def check_file(path: pathlib.Path, strict: bool) -> list:
                     problems.append(
                         f"{path}:{node.lineno}: mutable default argument"
                     )
+    problems.extend(check_public_annotations(path, tree, src.splitlines()))
+    return problems
+
+
+def check_public_annotations(
+    path: pathlib.Path, tree: ast.Module, lines: list
+) -> list:
+    """Enforce fully-annotated public signatures with no bare ``Any``."""
+    problems = []
+
+    def bare_any(node) -> bool:
+        return (isinstance(node, ast.Name) and node.id == "Any") or (
+            isinstance(node, ast.Attribute) and node.attr == "Any"
+        )
+
+    def visit(nodes, inside_class: bool) -> None:
+        for node in nodes:
+            if isinstance(node, ast.ClassDef):
+                if not node.name.startswith("_"):
+                    visit(node.body, True)
+                continue
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            if node.name.startswith("_"):
+                continue
+            if "noqa: ann" in lines[node.lineno - 1]:
+                continue
+            args = node.args
+            params = args.posonlyargs + args.args + args.kwonlyargs
+            if inside_class and params and params[0].arg in ("self", "cls"):
+                params = params[1:]
+            params += [a for a in (args.vararg, args.kwarg) if a is not None]
+            for param in params:
+                if param.annotation is None:
+                    problems.append(
+                        f"{path}:{node.lineno}: public def "
+                        f"'{node.name}': parameter '{param.arg}' "
+                        f"is unannotated"
+                    )
+                elif bare_any(param.annotation):
+                    problems.append(
+                        f"{path}:{node.lineno}: public def "
+                        f"'{node.name}': parameter '{param.arg}' "
+                        f"annotated as bare Any"
+                    )
+            if node.returns is None:
+                problems.append(
+                    f"{path}:{node.lineno}: public def '{node.name}': "
+                    f"missing return annotation"
+                )
+            elif bare_any(node.returns):
+                problems.append(
+                    f"{path}:{node.lineno}: public def '{node.name}': "
+                    f"return annotated as bare Any"
+                )
+
+    visit(tree.body, False)
     return problems
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import os
 from functools import lru_cache, partial
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -224,7 +224,7 @@ def _row_sq_norms(vectors):
 
 
 @lru_cache(maxsize=None)
-def scan_fn_for(scan_key: tuple):
+def scan_fn_for(scan_key: tuple) -> Callable[..., Tuple[jax.Array, jax.Array]]:
     """Resolve a make_scan_fn key to a stable pure scan function
     ``fn(buffers, mask, qbatch, k) -> (scores, ids)``.
 
@@ -676,7 +676,9 @@ class FlatIndex:
         self._scales = new_scales
         self._capacity = target
 
-    def add(self, vectors, n: Optional[int] = None) -> np.ndarray:
+    def add(
+        self, vectors: Union[np.ndarray, jax.Array], n: Optional[int] = None
+    ) -> np.ndarray:
         """Append rows; returns the assigned int64 slot ids (contiguous).
 
         Accepts a host array (one padded upload) OR a device array —
@@ -815,7 +817,7 @@ class FlatIndex:
         self._sq_cache = None
         return ids
 
-    def remove(self, ids) -> int:
+    def remove(self, ids: Iterable[int]) -> int:
         """Tombstone the given slot ids; returns how many were live."""
         ids = np.asarray(list(ids), dtype=np.int64)
         ids = ids[(ids >= 0) & (ids < self._count)]
@@ -968,7 +970,7 @@ class FlatIndex:
             ids = np.pad(ids, pad, constant_values=-1)
         return scores, ids
 
-    def make_scan_fn(self, padded_q: int, k_eff: int):
+    def make_scan_fn(self, padded_q: int, k_eff: int) -> Tuple[tuple, tuple]:
         """Pick the scan implementation and return ``(scan_key, buffers)``.
 
         ``scan_key`` is a small hashable tuple resolving (via

@@ -38,7 +38,15 @@ from __future__ import annotations
 
 import json
 from functools import lru_cache, partial
-from typing import Dict, Iterator, Optional, Tuple, Union
+from typing import (
+    Callable,
+    Dict,
+    Iterable,
+    Iterator,
+    Optional,
+    Tuple,
+    Union,
+)
 
 import jax
 import jax.numpy as jnp
@@ -729,7 +737,9 @@ def is_transient_compile_error(exc: BaseException) -> bool:
 
 
 @lru_cache(maxsize=None)
-def ivf_scan_fn_for(scan_key: tuple):
+def ivf_scan_fn_for(
+    scan_key: tuple,
+) -> Callable[..., Tuple[jax.Array, jax.Array]]:
     """Resolve an ``IVFIndex.make_scan_fn`` key to a stable pure function
     ``fn(buffers, block_mask, qbatch, k) -> (scores, ids)`` covering the
     FULL IVF pipeline (centroid scan, probe schedule, block scan, top-k).
@@ -796,7 +806,11 @@ def ivf_scan_fn_for(scan_key: tuple):
 
 
 def nprobe_ladder(
-    search_fn, queries: np.ndarray, nlist: int, k: int, target_recall: float
+    search_fn: Callable[[np.ndarray, int, int], Tuple[np.ndarray, np.ndarray]],
+    queries: np.ndarray,
+    nlist: int,
+    k: int,
+    target_recall: float,
 ) -> Tuple[int, float]:
     """Smallest power-of-two nprobe whose recall@k vs a full-probe scan
     (``nprobe == nlist``) meets ``target_recall``.  ``search_fn(queries,
@@ -831,7 +845,11 @@ PQ_TUNE_REPORT_KEYS = (
 )
 
 
-def apply_pq_tune(index, cfg: Dict, put=lambda x: x) -> None:
+def apply_pq_tune(
+    index: "IVFIndex",
+    cfg: Dict,
+    put: Callable[[jax.Array], jax.Array] = lambda x: x,
+) -> None:
     """Install a :func:`tune_pq_config` result on an IVF engine.
 
     Shared by ``IVFIndex.train`` and ``ShardedIVFIndex.train`` (``put``
@@ -875,8 +893,8 @@ def apply_pq_tune(index, cfg: Dict, put=lambda x: x) -> None:
 
 
 def tune_pq_config(
-    vectors,
-    centroids,
+    vectors: Union[np.ndarray, jax.Array],
+    centroids: Union[np.ndarray, jax.Array],
     metric: str,
     *,
     dim: int,
@@ -1072,7 +1090,7 @@ def tune_pq_config(
 
 
 def deployed_quant_calibration(
-    index,
+    index: "IVFIndex",
     target_recall: Optional[float] = None,
     k: int = 10,
     n_queries: int = 64,
@@ -1428,7 +1446,7 @@ class IVFIndex:
 
     # -- training ------------------------------------------------------------
 
-    def train(self, vectors) -> None:
+    def train(self, vectors: Union[np.ndarray, jax.Array]) -> None:
         """Fit the coarse quantizer (balanced k-means on device)."""
         n = vectors.shape[0]
         if n < self.nlist:
@@ -1550,7 +1568,9 @@ class IVFIndex:
                 self._dfill = jnp.asarray(self._fill, jnp.int32)
         return self._dfill
 
-    def device_block_mask(self, mask=None) -> jax.Array:
+    def device_block_mask(
+        self, mask: Optional[np.ndarray] = None
+    ) -> jax.Array:
         """Valid & global-id-predicate mask translated to block layout.
 
         ``mask`` is a host bool array over GLOBAL ids (the storage filter
@@ -1601,7 +1621,7 @@ class IVFIndex:
                     return t
         return 0
 
-    def make_scan_fn(self, k_eff: int, nprobe: int):
+    def make_scan_fn(self, k_eff: int, nprobe: int) -> Tuple[tuple, tuple]:
         """Pick the probe-scan implementation and return
         ``(scan_key, buffers)`` — same contract as
         ``FlatIndex.make_scan_fn``: ``scan_key`` is a small hashable tuple
@@ -1934,7 +1954,7 @@ class IVFIndex:
         hi = (1.0 + drift) * self._tuned_live
         return lo <= live <= hi
 
-    def calibrate_quant(self, **kwargs) -> Dict:
+    def calibrate_quant(self, **kwargs: object) -> Dict:
         """Deployed-recall calibration of the quantized search path (see
         :func:`deployed_quant_calibration` — shared with
         ``ShardedIVFIndex`` so the engines can never drift)."""
@@ -2171,7 +2191,7 @@ class IVFIndex:
         del flat_blocks, flat_scale
         return self.padding_stats()
 
-    def remove(self, ids) -> int:
+    def remove(self, ids: Iterable[int]) -> int:
         # Untrained / empty / freshly cleared index: nothing to remove.
         # (Reachable through HybridStorage.delete_chunk* when chunk
         # metadata outlives a recreated vector index.)

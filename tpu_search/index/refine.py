@@ -115,7 +115,13 @@ def refine_rescore(
 
 
 @partial(jax.jit, static_argnames=("k",))
-def rescore_jit(rows, scales, qbatch, ids, k: int):
+def rescore_jit(
+    rows: jax.Array,
+    scales: Optional[jax.Array],
+    qbatch: jax.Array,
+    ids: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
     """Standalone-dispatch wrapper for the classic (non-fused) search."""
     return refine_rescore(rows, scales, qbatch, ids, k)
 
@@ -197,7 +203,7 @@ class RefineStore:
                 self.rows = _append_bf16(self.rows, batch, start)
         self.count += n_new
 
-    def gather(self, ids) -> jax.Array:
+    def gather(self, ids: "np.ndarray | jax.Array") -> jax.Array:
         """Dequantized [n, D] f32 rows for the given ids (device gather).
 
         Used as the reconstruction source for rebalance: refine rows are
@@ -209,14 +215,21 @@ class RefineStore:
                 self.rows, self.scales, jnp.asarray(ids, jnp.int32)
             )
 
-    def rescore(self, qbatch, ids, k: int):
+    def rescore(
+        self, qbatch: "np.ndarray | jax.Array", ids: jax.Array, k: int
+    ) -> Tuple[jax.Array, jax.Array]:
         """One-dispatch re-rank (classic search path)."""
         with jax.default_device(self.device):
             return rescore_jit(
                 self.rows, self.scales, jnp.asarray(qbatch), ids, k
             )
 
-    def topk_all(self, queries, live_mask, k: int):
+    def topk_all(
+        self,
+        queries: np.ndarray,
+        live_mask: np.ndarray,
+        k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k of f32 ``queries`` against EVERY live refine row.
 
         The deployed-recall calibration's TRUTH scan
@@ -266,7 +279,7 @@ class RefineStore:
         """Device dependencies for the fused scan-fn contract."""
         return (self.rows, self.scales)
 
-    def compact(self, keep_ids) -> None:
+    def compact(self, keep_ids: np.ndarray) -> None:
         """Re-key the store after the owning index renumbered ids.
 
         ``keep_ids`` is the sorted surviving OLD ids (the same table

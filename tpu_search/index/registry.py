@@ -14,7 +14,7 @@ from .flat import FlatIndex
 __all__ = ["create_index", "load_index"]
 
 
-def create_index(
+def create_index(  # noqa: ann - returns any index engine (union)
     kind: str,
     dim: int,
     metric: str = "ip",
@@ -60,7 +60,9 @@ def _peek_kind(path: str) -> str:
     return header.get("kind", "flat")
 
 
-def load_index(path: str, device: Optional[jax.Device] = None):
+def load_index(  # noqa: ann - returns any index engine (union)
+    path: str, device: Optional[jax.Device] = None
+):
     kind = _peek_kind(path)
     if kind == "flat":
         return FlatIndex.load(path, device=device)

@@ -368,7 +368,7 @@ def upload_packed_int4_bytes(
 def upload_rows(
     source: np.ndarray,
     capacity: int,
-    dtype,
+    dtype: np.dtype,
     device: "jax.Device",
     chunk_bytes: int = 0,
 ) -> "jax.Array":

@@ -95,7 +95,7 @@ class _Request:
 
 def encode_response(
     response: Dict[str, Any],
-    rid: Any = None,
+    rid: object = None,
     wire: Optional[bytes] = None,
 ) -> bytes:
     """Serialize one wire response line (compact separators: ~12% fewer
@@ -713,7 +713,7 @@ class QueryClient:
         raise OSError("query server closed the connection")
 
     def search(
-        self, query: str, top_k: int = 10, **kwargs: Any
+        self, query: str, top_k: int = 10, **kwargs: object
     ) -> Dict[str, Any]:
         return self.request(
             {"op": "search", "query": query, "top_k": top_k, **kwargs}

@@ -64,7 +64,7 @@ class ConversationFileHandler:
         self._schedule_indexing(event.path)
 
     # reference-compatible shims
-    def on_created(self, event) -> None:
+    def on_created(self, event: object) -> None:
         if not getattr(event, "is_directory", False):
             path = getattr(event, "src_path", getattr(event, "path", ""))
             if path.endswith(".jsonl"):

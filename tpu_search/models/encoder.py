@@ -453,7 +453,9 @@ class EmbeddingGenerator:
             chunk.embedding = embedding.tolist()
         return list(embeddings)
 
-    def generate_embeddings_device(self, chunks: List[Chunk]):
+    def generate_embeddings_device(
+        self, chunks: List[Chunk]
+    ) -> Tuple["jax.Array", EmbeddingStats]:
         """Device-resident twin of :meth:`generate_embeddings`: same text
         validation and document prompt, but the embeddings return as ONE
         ``[Npad, dim]`` f32 device array whose first ``len(chunks)`` rows
@@ -557,7 +559,7 @@ class EmbeddingGenerator:
         mask[len(encoded):, 0] = 1  # pad rows need one live token (mean)
         return ids, mask
 
-    def fused_parts(self):
+    def fused_parts(self) -> Optional[tuple]:
         """(params, model_config, compute_dtype, normalize, device) for
         composing the encoder graph into a larger jitted program (the
         fused query path).  None when the hashing encoder is active (it
@@ -636,7 +638,7 @@ class EmbeddingGenerator:
             out[batch_idx] = np.asarray(vecs, dtype=np.float32)[:n_live]
         return out
 
-    def encode_texts_to_device(self, texts: Sequence[str]):
+    def encode_texts_to_device(self, texts: Sequence[str]) -> "jax.Array":
         """Embeddings as ONE ``[Npad, dim]`` f32 device array whose first
         ``len(texts)`` rows are the embeddings in text order, never
         visiting the host — the indexing wave's TPU-first path (embeddings

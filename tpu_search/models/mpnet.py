@@ -86,7 +86,7 @@ class MPNetConfig:
 
 
 def init_params(
-    config: MPNetConfig, key: jax.Array, dtype=jnp.float32
+    config: MPNetConfig, key: jax.Array, dtype: "jnp.dtype | type" = jnp.float32
 ) -> Dict[str, Any]:
     """Random-normal params in the stacked-layer layout.
 
@@ -354,7 +354,7 @@ def forward_hidden(
     input_ids: jax.Array,
     attention_mask: jax.Array,
     config: MPNetConfig,
-    compute_dtype=jnp.float32,
+    compute_dtype: "jnp.dtype | type" = jnp.float32,
     attention_impl: str = "dense",  # "dense" | "flash" (TPU pallas kernel)
     int8_ffn: bool = False,
     token_type_ids: Optional[jax.Array] = None,
@@ -458,7 +458,7 @@ def encode(
     input_ids: jax.Array,
     attention_mask: jax.Array,
     config: MPNetConfig,
-    compute_dtype=jnp.float32,
+    compute_dtype: "jnp.dtype | type" = jnp.float32,
     normalize: bool = True,
     attention_impl: str = "dense",
     int8_ffn: bool = False,
@@ -500,7 +500,7 @@ def classify(
     attention_mask: jax.Array,
     token_type_ids: jax.Array,
     config: MPNetConfig,
-    compute_dtype=jnp.float32,
+    compute_dtype: "jnp.dtype | type" = jnp.float32,
     attention_impl: str = "dense",
 ) -> jax.Array:
     """Pair token ids -> classification logits ``[B, num_labels]``.

@@ -161,7 +161,7 @@ def int8_ffn_in(
     sx: jax.Array,  # [M] f32
     sw: jax.Array,  # [N] f32
     bias: jax.Array,  # [N] f32
-    out_dtype=jnp.bfloat16,
+    out_dtype: "jnp.dtype | type" = jnp.bfloat16,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FFN first GEMM + gelu, returning ``(h [M, N], row_amax [M, 1] f32)``.
@@ -279,7 +279,7 @@ def int8_ffn_out(
     sw: jax.Array,  # [N] f32
     bias: jax.Array,  # [N] f32
     residual: jax.Array,  # [M, N] added before the write-back
-    out_dtype=jnp.bfloat16,
+    out_dtype: "jnp.dtype | type" = jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
     """FFN second GEMM with in-VMEM activation quantization + residual.
@@ -427,7 +427,7 @@ def int8_ffn_ln_fused(
     ff_ln_scale: jax.Array,  # [H]
     ff_ln_bias: jax.Array,  # [H]
     eps: float = 1e-5,
-    out_dtype=jnp.bfloat16,
+    out_dtype: "jnp.dtype | type" = jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
     """LN1 + W8A8 FFN + residual + LN2 in one kernel: the whole
@@ -585,7 +585,7 @@ def int8_ffn_fused(
     s2: jax.Array,  # [H] f32
     b2: jax.Array,  # [H] f32
     residual: jax.Array,  # [M, H]
-    out_dtype=jnp.bfloat16,
+    out_dtype: "jnp.dtype | type" = jnp.bfloat16,
     interpret: bool = False,
     splits: int = 1,
 ) -> jax.Array:
@@ -650,7 +650,7 @@ def int8_gemm(
     sw: jax.Array,  # [N] f32 per-column scales
     bias: jax.Array,  # [N] f32
     fuse_gelu: bool = False,
-    out_dtype=jnp.bfloat16,
+    out_dtype: "jnp.dtype | type" = jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
     """``(x_q * sx) @ (w_q * sw) + bias`` on the int8 MXU, epilogue fused.

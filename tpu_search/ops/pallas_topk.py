@@ -176,7 +176,9 @@ def pallas_flat_topk(
     return out_scores[:, :k], out_ids[:, :k]
 
 
-def supports(n: int, d: int, q: int, dtype, tile_n: int = 2048) -> bool:
+def supports(
+    n: int, d: int, q: int, dtype: "jnp.dtype | type", tile_n: int = 2048
+) -> bool:
     """Shapes the kernel handles: lane-aligned D, tile-divisible N, small Q
     (VMEM: tile + queries + [Q, TILE_N] scores must fit)."""
     if d % _LANE != 0:

@@ -133,7 +133,7 @@ def _train_pq_device(
 
 
 def train_pq(
-    data,
+    data: "np.ndarray | jax.Array",
     m: int,
     *,
     iters: int = 20,
@@ -183,7 +183,7 @@ def _encode_chunk(chunk: jax.Array, books: jax.Array) -> jax.Array:
     ).astype(jnp.int8)
 
 
-def encode_pq(data, books: jax.Array) -> jax.Array:
+def encode_pq(data: "np.ndarray | jax.Array", books: jax.Array) -> jax.Array:
     """[N, D] rows -> [N, m] int8 codes in [0, 15].  Traceable when N is
     a tracer-friendly static shape; chunks host-side otherwise."""
     data = jnp.asarray(data, jnp.float32)
@@ -322,7 +322,7 @@ def _xty_chunk(chunk: jax.Array, rot: jax.Array, books: jax.Array):
 
 
 def train_opq(
-    data,
+    data: "np.ndarray | jax.Array",
     m: int,
     *,
     outer_iters: int = 8,

@@ -41,7 +41,7 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-    local_device_ids=None,
+    local_device_ids: "Optional[Sequence[int]]" = None,
 ) -> None:
     """Join the multi-host job via ``jax.distributed.initialize``.
 

@@ -22,7 +22,7 @@ __all__ = ["make_sharded_encode", "shard_params"]
 
 def shard_params(
     params: Dict[str, Any], mesh: Mesh, tensor_parallel: bool = False
-):
+) -> Dict[str, Any]:
     """Place encoder params on the mesh (replicated, or TP over 'model')."""
     if not tensor_parallel:
         return jax.device_put(params, NamedSharding(mesh, P()))
@@ -38,9 +38,9 @@ def shard_params(
 def make_sharded_encode(
     mesh: Mesh,
     config: MPNetConfig,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype: "jnp.dtype | type" = jnp.bfloat16,
     normalize: bool = True,
-):
+) -> "Callable[..., jax.Array]":
     """Jitted (params, ids [B,S], mask [B,S]) -> embeddings [B,H], with the
     batch sharded over 'data'. B must be divisible by the data-axis size."""
 

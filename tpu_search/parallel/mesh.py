@@ -89,7 +89,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def encoder_param_specs(params) -> Dict:
+def encoder_param_specs(params: Dict) -> Dict:
     """PartitionSpecs for the MPNet param pytree on a (data, model) mesh.
 
     Megatron-style tensor parallelism adapted to the stacked-layer layout

@@ -375,7 +375,9 @@ def _sharded_topk_fn(
     )
 
 
-def sharded_scan_fn_for(scan_key: tuple):
+def sharded_scan_fn_for(
+    scan_key: tuple,
+) -> "Callable[..., Tuple[jax.Array, jax.Array]]":
     """Resolve a ``ShardedFlatIndex.make_scan_fn`` key to a pure scan fn.
 
     Same contract as ``index.flat.scan_fn_for``: the returned
@@ -641,7 +643,7 @@ class ShardedFlatIndex:
         self._sq_cache = None
         return ids
 
-    def remove(self, ids) -> int:
+    def remove(self, ids: "Iterable[int]") -> int:
         ids = np.asarray(list(ids), dtype=np.int64)
         ids = ids[(ids >= 0) & (ids < self._count)]
         if ids.size == 0 or self._valid is None:
@@ -804,7 +806,7 @@ class ShardedFlatIndex:
         self._mask_cache[digest] = full_mask
         return full_mask
 
-    def make_scan_fn(self, q_pad: int, k: int):
+    def make_scan_fn(self, q_pad: int, k: int) -> Tuple[tuple, tuple]:
         """Pick the per-shard scan implementation and return
         ``(scan_key, buffers)`` — the sharded analog of
         ``FlatIndex.make_scan_fn``: ``scan_key`` resolves via

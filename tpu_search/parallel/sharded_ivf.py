@@ -172,7 +172,9 @@ def _sharded_ivf_program(
     return program
 
 
-def sharded_ivf_scan_fn_for(scan_key: tuple):
+def sharded_ivf_scan_fn_for(
+    scan_key: tuple,
+) -> "Callable[..., Tuple[jax.Array, jax.Array]]":
     """Resolve a ``ShardedIVFIndex.make_scan_fn`` key to a pure scan fn
     (contract of ``index.ivf.ivf_scan_fn_for``; deterministic in the
     hashable ``scan_key`` alone, mesh included).  pq keys carry the
@@ -420,7 +422,7 @@ class ShardedIVFIndex:
 
     # -- training ------------------------------------------------------------
 
-    def train(self, vectors) -> None:
+    def train(self, vectors: "np.ndarray | jax.Array") -> None:
         """Fit the coarse quantizer (replicated balanced k-means: the
         training computation is identical on every chip, so the resulting
         centroids are replicated without a broadcast)."""
@@ -687,7 +689,9 @@ class ShardedIVFIndex:
         np.add.at(self._fill, (assign, shards), 1)
         return gslots
 
-    def add(self, vectors, n: Optional[int] = None) -> np.ndarray:
+    def add(
+        self, vectors: "np.ndarray | jax.Array", n: Optional[int] = None
+    ) -> np.ndarray:
         """Append vectors; returns global ids (host or device input).
 
         ``n``: live row count when ``vectors`` is a device array already
@@ -811,7 +815,7 @@ class ShardedIVFIndex:
         self._slot_cluster[ids] = np.asarray(clusters, np.int32)
         self._slot_pos[ids] = np.asarray(gslots, np.int32)
 
-    def remove(self, ids) -> int:
+    def remove(self, ids: "Iterable[int]") -> int:
         if self._valid is None or self._count == 0:
             return 0
         ids = np.asarray(list(ids) if not hasattr(ids, "shape") else ids)
@@ -1036,7 +1040,7 @@ class ShardedIVFIndex:
         hi = (1.0 + drift) * self._tuned_live
         return lo <= live <= hi
 
-    def calibrate_quant(self, **kwargs) -> Dict:
+    def calibrate_quant(self, **kwargs: object) -> Dict:
         """Deployed-recall calibration of the quantized search path
         (:func:`tpu_search.index.ivf.deployed_quant_calibration` — shared
         with ``IVFIndex``; the truth scan rides
@@ -1331,7 +1335,9 @@ class ShardedIVFIndex:
 
     # -- search --------------------------------------------------------------
 
-    def device_block_mask(self, mask=None) -> jax.Array:
+    def device_block_mask(
+        self, mask: Optional[np.ndarray] = None
+    ) -> jax.Array:
         """Valid & global-id-predicate mask in (sharded) block layout."""
         if mask is None:
             return self._dvalid
@@ -1404,7 +1410,7 @@ class ShardedIVFIndex:
             )
         return self._refine
 
-    def make_scan_fn(self, k_eff: int, nprobe: int):
+    def make_scan_fn(self, k_eff: int, nprobe: int) -> Tuple[tuple, tuple]:
         """Pick the probe-scan implementation and return
         ``(scan_key, buffers)`` — same contract as
         ``IVFIndex.make_scan_fn``: ``scan_key`` resolves via

@@ -53,7 +53,9 @@ _LOCAL_ALIGN = 512
 _GROWTH = 1.25
 
 
-def sharded_refine_rescore_program(mesh: Mesh, k: int, int8: bool):
+def sharded_refine_rescore_program(
+    mesh: Mesh, k: int, int8: bool
+) -> "Callable[..., Tuple[jax.Array, jax.Array]]":
     """UN-jitted shard_map rescore stage (one per (mesh, k, dtype)).
 
     ``fn(rows, [scales,] queries, ids) -> (scores, ids)`` where ``ids``
@@ -322,7 +324,7 @@ class ShardedRefineStore:
         self._gather_fns[key] = fn
         return fn
 
-    def gather_device(self, ids) -> jax.Array:
+    def gather_device(self, ids: "np.ndarray | jax.Array") -> jax.Array:
         """Replicated dequantized [n, D] f32 rows for the given ids
         (the rebalance/autotune reconstruction source — exactly one
         shard contributes each row, psum-replicated)."""
@@ -336,11 +338,16 @@ class ShardedRefineStore:
             )
         )
 
-    def gather(self, ids) -> jax.Array:
+    def gather(self, ids: "np.ndarray | jax.Array") -> jax.Array:
         """Single-chip-API-compatible alias of :meth:`gather_device`."""
         return self.gather_device(ids)
 
-    def topk_all(self, queries, live_mask, k: int):
+    def topk_all(
+        self,
+        queries: np.ndarray,
+        live_mask: np.ndarray,
+        k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k of f32 ``queries`` against EVERY live refine row —
         the deployed-recall calibration's TRUTH scan, sharded: each shard
         scores its local rows (one [Q, lcap] matmul; calibration batches
@@ -435,7 +442,7 @@ class ShardedRefineStore:
             return (self.rows, self.scales)
         return (self.rows,)
 
-    def compact(self, keep_ids) -> None:
+    def compact(self, keep_ids: np.ndarray) -> None:
         """Re-key after the owning index renumbered ids: new id ``n`` is
         old id ``keep_ids[n]``.  Rows move ACROSS shards (`n % S` differs
         from `keep_ids[n] % S`), so the move is chunked gather-replicate

@@ -44,15 +44,15 @@ class TrainState(NamedTuple):
 
 
 def infonce_loss(
-    params,
-    query_ids,
-    query_mask,
-    doc_ids,
-    doc_mask,
+    params: Dict[str, Any],
+    query_ids: jax.Array,
+    query_mask: jax.Array,
+    doc_ids: jax.Array,
+    doc_mask: jax.Array,
     config: MPNetConfig,
     temperature: float = 0.05,
-    compute_dtype=jnp.bfloat16,
-):
+    compute_dtype: "jnp.dtype | type" = jnp.bfloat16,
+) -> jax.Array:
     """Symmetric InfoNCE over in-batch negatives."""
     q = mpnet_encode(
         params, query_ids, query_mask, config, compute_dtype=compute_dtype
@@ -68,7 +68,7 @@ def infonce_loss(
 
 
 def init_train_state(
-    params,
+    params: Dict[str, Any],
     mesh: Mesh,
     learning_rate: float = 2e-5,
     tensor_parallel: bool = False,
@@ -133,8 +133,8 @@ def make_train_step(
     config: MPNetConfig,
     optimizer: optax.GradientTransformation,
     temperature: float = 0.05,
-    compute_dtype=jnp.bfloat16,
-):
+    compute_dtype: "jnp.dtype | type" = jnp.bfloat16,
+) -> "Callable[..., Tuple[TrainState, jax.Array]]":
     """Jitted SPMD train step: batch sharded on 'data', params replicated (or
     TP-sharded); returns (new_state, loss)."""
 

@@ -115,7 +115,7 @@ class SearchConfig:
     nprobe: int = 0
 
 
-def resolve_nprobe(cfg_nprobe: int, index) -> int:
+def resolve_nprobe(cfg_nprobe: int, index: object) -> int:
     """SearchConfig.nprobe=0 means "auto": the index's measured-recall
     ``nprobe_hint`` (set by ``tune_nprobe``) when one exists, else 8."""
     if cfg_nprobe > 0:
@@ -500,7 +500,11 @@ class HybridStorage:
 
     # -- writes --------------------------------------------------------------
 
-    def add_chunks(self, chunks: List[Chunk], embeddings=None) -> None:
+    def add_chunks(
+        self,
+        chunks: List[Chunk],
+        embeddings: "Optional[np.ndarray | Any]" = None,
+    ) -> None:
         """Embed-carrying chunks -> index append + metadata upsert.
 
         ``embeddings``: optional array whose first ``len(chunks)`` rows
@@ -671,7 +675,9 @@ class HybridStorage:
         )
         return self.hydrate_results(all_scores, all_ids, cfg)
 
-    def filter_mask(self, filters) -> Optional[np.ndarray]:
+    def filter_mask(
+        self, filters: Optional[Dict[str, Any]]
+    ) -> Optional[np.ndarray]:
         """Compile metadata filters to a [ntotal] bool predicate mask
         (None = no filters). Exposed for the fused query path, which
         uploads the mask alongside the token ids in one dispatch."""

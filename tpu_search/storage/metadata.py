@@ -104,7 +104,7 @@ class MetadataStore:
         return self.db
 
     @contextmanager
-    def write_lock(self):
+    def write_lock(self) -> "Iterator[None]":
         """Advisory cross-process write lock (single-writer discipline)."""
         self.lock_path.parent.mkdir(parents=True, exist_ok=True)
         with open(self.lock_path, "w") as fh:
