@@ -861,9 +861,99 @@ def bench_serving() -> dict:
         # thread spawn that burns the single host core at high rates.
         # persistent=False models one-shot CLI callers (fresh connection
         # per request) and is reported alongside for context.
-        from tpu_search.interfaces.query_server import QueryClient
+        from tpu_search.interfaces.query_server import (
+            QueryClient,
+            socket_path_for,
+        )
+
+        # Two load-generator shapes:
+        #
+        # * thread-per-client (c <= 64): each client awaits its response
+        #   before sending the next — the realistic low-concurrency
+        #   caller shape.
+        # * pipelined connections (c >= 128): N outstanding requests ride
+        #   ceil(N/8) connections at depth 8, attributed by the server's
+        #   request-id echo.  At c256 the old 256 Python client THREADS
+        #   contended with the server for this rig's single host core —
+        #   the measured "regression past the knee" was substantially the
+        #   load generator thrashing itself (spreads of 1.9x inside one
+        #   section).  Pipelining bounds client threads so the number
+        #   measures SERVER capacity at N outstanding requests.
+        def pipelined_clients(n_outstanding, per_conn_total, depth=8):
+            import socket as socket_mod
+
+            n_conns = max(1, n_outstanding // depth)
+            lats, errors = [], []
+            barrier = threading.Barrier(n_conns + 1)
+
+            def client(cid):
+                my = []
+                sock = socket_mod.socket(
+                    socket_mod.AF_UNIX, socket_mod.SOCK_STREAM
+                )
+                sock.settimeout(600.0)
+                sock.connect(str(socket_path_for(str(data_dir))))
+                rfile = sock.makefile("rb")
+                barrier.wait()
+                inflight = {}
+                sent = received = 0
+                try:
+                    while received < per_conn_total:
+                        while (
+                            sent < per_conn_total and len(inflight) < depth
+                        ):
+                            rid = sent
+                            t = texts[
+                                80 + (cid * per_conn_total + sent) % 300
+                            ]
+                            data = (json.dumps(
+                                {"op": "search", "query": t,
+                                 "top_k": TOP_K, "id": rid},
+                                separators=(",", ":"),
+                            ) + "\n").encode()
+                            inflight[rid] = time.perf_counter()
+                            sock.sendall(data)
+                            sent += 1
+                        line = rfile.readline()
+                        if not line:
+                            errors.append({"error": "connection closed"})
+                            break
+                        response = json.loads(line)
+                        t0 = inflight.pop(response.get("id"), None)
+                        if t0 is not None:
+                            my.append(time.perf_counter() - t0)
+                        if not response.get("ok"):
+                            errors.append(response)
+                        received += 1
+                finally:
+                    rfile.close()
+                    sock.close()
+                lats.append(my)
+
+            threads = [
+                threading.Thread(target=client, args=(c,))
+                for c in range(n_conns)
+            ]
+            for t in threads:
+                t.start()
+            barrier.wait()
+            t0 = time.perf_counter()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            assert not errors, f"pipelined client errors: {errors[:2]}"
+            flat = np.asarray([x for sub in lats for x in sub])
+            return (
+                (n_conns * per_conn_total) / wall,
+                float(np.percentile(flat, 50) * 1e3),
+                float(np.percentile(flat, 99) * 1e3),
+            )
 
         def run_clients(n_clients, per_client, persistent=True):
+            if n_clients >= 128:
+                return pipelined_clients(
+                    n_clients, per_client * 8, depth=8
+                )
             lats, errors = [], []
             barrier = threading.Barrier(n_clients + 1)
 
@@ -1088,8 +1178,20 @@ def bench_embed() -> dict:
             axis=1,
         )))
         out["int8_ffn_gate_min_cosine"] = min_cos
-        gate_ok = min_cos >= 0.999
-        out["texts_per_s_seq384_b128"] = int8_tps if gate_ok else bf16_tps
+        if min_cos >= 0.9999999:
+            # Bit-identical outputs mean the int8 kernel did NOT run:
+            # observed once under the axon remote-compile helper, which
+            # served a stale executable for the int8 graph (both legs
+            # read bf16 speed and the gate read exactly 1.0).  Treat the
+            # int8 leg as unmeasured instead of publishing a poisoned
+            # number.
+            out["int8_ffn_leg_anomaly"] = True
+            out.pop("texts_per_s_seq384_b128_int8ffn", None)
+            out["texts_per_s_seq384_b128"] = bf16_tps
+        elif min_cos >= 0.999:
+            out["texts_per_s_seq384_b128"] = int8_tps
+        else:
+            out["texts_per_s_seq384_b128"] = bf16_tps
     else:
         out["texts_per_s_seq384_b128"] = bf16_tps
     return out
