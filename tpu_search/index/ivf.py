@@ -1234,11 +1234,26 @@ def deployed_quant_calibration(
     return report
 
 
+@partial(jax.jit, static_argnames=("rows",))
+def _slice_rows_dev(arr, start, rows: int):
+    """[rows, D] window at a TRACED start (bulk-add slicing: one
+    executable per window size, not per offset)."""
+    return jax.lax.dynamic_slice_in_dim(arr, start, rows, axis=0)
+
+
 class IVFIndex:
     """Coarse-quantized ANN index with device-resident dense cluster blocks."""
 
     # Storage layer: add() takes jax.Arrays without a host round trip.
     accepts_device_adds = True
+
+    # Bulk adoptions above this row count land in slices with completion
+    # syncs (see ``add``); the indexing product path (2048-chunk waves)
+    # never reaches it.  16384 is ADD_ROW_BUCKETS' largest bucket — the
+    # slice pipeline reuses the exact executables the product's wave
+    # path has already proven on this backend, and per-slice bursts stay
+    # far below the async footprint that kills 1M-row one-shot adoption.
+    BULK_ADD_ROWS = 16384
 
     def __init__(
         self,
@@ -1732,8 +1747,39 @@ class IVFIndex:
         padded to a shape bucket (rows past ``n`` must be zeros and are
         dropped via the sentinel cluster id) — the whole adopt path then
         keys on the padded shape, never the wave's exact count.
+
+        Whole-corpus adoptions (> ``BULK_ADD_ROWS``) land in slices with
+        a completion sync between them: on the axon backend an
+        unbounded async burst (encode + pack + scatter + refine appends
+        for a 1M-row batch) holds every step's transients concurrently
+        and dies with RESOURCE_EXHAUSTED surfacing at whatever fetch
+        comes next.  Ids stay contiguous across slices (assignment is
+        sequential), so callers see the identical contract.
         """
         on_device = isinstance(vectors, jax.Array)
+        total_rows = vectors.shape[0] if vectors.ndim > 1 else 1
+        live_rows = total_rows if n is None else min(n, total_rows)
+        if live_rows > self.BULK_ADD_ROWS:
+            out_ids = []
+            chunk = self.BULK_ADD_ROWS
+            with jax.default_device(self.device):
+                for lo in range(0, live_rows, chunk):
+                    hi = min(lo + chunk, live_rows)
+                    if on_device:
+                        piece = _slice_rows_dev(
+                            vectors, jnp.int32(lo), hi - lo
+                        )
+                    else:
+                        piece = np.asarray(
+                            vectors[lo:hi], dtype=np.float32
+                        )
+                    out_ids.append(self.add(piece))
+                    # Completion sync (one tiny fetch): bounds the
+                    # backend's concurrent transient footprint to one
+                    # slice's pipeline.
+                    if self._dscale is not None:
+                        float(self._dscale[0, 0])
+            return np.concatenate(out_ids)
         if not on_device:
             vectors = np.asarray(vectors, dtype=np.float32)
             if n is not None:

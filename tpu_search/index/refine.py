@@ -72,6 +72,14 @@ def _grow(new_buf, old_buf):
     return jax.lax.dynamic_update_slice(new_buf, old_buf, (0,) * old_buf.ndim)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _slice_rows(batch, start, chunk: int):
+    """[chunk, D] window at a TRACED start: one executable serves every
+    window of a chunked bulk append (an eager slice would bake each
+    start as a constant — a fresh executable per window)."""
+    return jax.lax.dynamic_slice_in_dim(batch, start, chunk, axis=0)
+
+
 @partial(jax.jit, static_argnames=("new_cap",), donate_argnums=(0,))
 def _take_into(buf, sel, new_cap: int):
     """buf[sel] laid out at the head of a fresh [new_cap, ...] buffer."""
@@ -181,27 +189,70 @@ class RefineStore:
                 self.scales = new_scales
         self.capacity = new_cap
 
+    # Bulk-adoption appends chunk at this many rows: the quantize +
+    # dynamic_update_slice transient stays bounded (~0.5 GB at 768-d)
+    # and the chunk shape is REUSED across iterations — load-bearing on
+    # the axon backend, which retains freed HBM per distinct shape.
+    APPEND_CHUNK_ROWS = 131072
+
+    def _append_piece(self, piece: jax.Array, start_slot: int) -> None:
+        """Quantize + land one batch at an explicit slot (no count move)."""
+        start = jnp.int32(start_slot)
+        with jax.default_device(self.device):
+            piece = jnp.asarray(piece, jnp.float32)
+            if self.dtype == "int8":
+                self.rows, self.scales = _append_int8(
+                    self.rows, self.scales, piece, start
+                )
+            else:
+                self.rows = _append_bf16(self.rows, piece, start)
+
     def append(self, batch: jax.Array, n_new: int) -> None:
         """Land ``batch`` ([B, D] f32, device ok, rows >= ``n_new`` are
         padding) at slots [count, count+n_new).  Padding rows write
         garbage beyond the new count — the next append overwrites them
         (ids are monotonic), and reads are id-driven so they can never
         surface.
+
+        Whole-corpus adoptions (> APPEND_CHUNK_ROWS) land in fixed-size
+        chunks: the quantize + update-slice transient stays bounded
+        (~0.5 GB at 768-d instead of corpus-sized) and every chunk
+        reuses ONE executable/shape — load-bearing on the axon backend,
+        which retains freed HBM per distinct transient shape.  The last
+        window slides back to stay full-size; overlapping rows rewrite
+        identical values at identical slots (idempotent), and rows past
+        ``n_new`` write garbage beyond the final count (the standard
+        padding contract above).
         """
         if n_new <= 0:
             return
         b = batch.shape[0]
-        self._ensure(self.count + b)
-        start = jnp.int32(self.count)
-        with jax.default_device(self.device):
-            batch = jnp.asarray(batch, jnp.float32)
-            if self.dtype == "int8":
-                self.rows, self.scales = _append_int8(
-                    self.rows, self.scales, batch, start
-                )
-            else:
-                self.rows = _append_bf16(self.rows, batch, start)
-        self.count += n_new
+        base = self.count
+        self._ensure(base + b)
+        chunk = self.APPEND_CHUNK_ROWS
+        if b <= chunk:
+            self._append_piece(batch, base)
+        else:
+            with jax.default_device(self.device):
+                batch32 = jnp.asarray(batch, jnp.float32)
+                lo = 0
+                while lo < n_new:
+                    lo_eff = min(lo, b - chunk)
+                    piece = _slice_rows(batch32, jnp.int32(lo_eff), chunk)
+                    self._append_piece(piece, base + lo_eff)
+                    # Per-chunk completion sync (one scalar fetch,
+                    # ~30 ms on a tunneled link): without it the whole
+                    # burst enqueues at once and the backend holds every
+                    # chunk's transients concurrently — measured to blow
+                    # HBM at 1M-row adoptions on the axon backend, where
+                    # the resulting async RESOURCE_EXHAUSTED surfaces at
+                    # whatever fetch happens next.
+                    if self.dtype == "int8":
+                        float(jnp.sum(self.scales[:1]))
+                    else:
+                        float(jnp.sum(self.rows[:1, :1].astype(jnp.float32)))
+                    lo = lo_eff + chunk
+        self.count = base + n_new
 
     def gather(self, ids: "np.ndarray | jax.Array") -> jax.Array:
         """Dequantized [n, D] f32 rows for the given ids (device gather).
