@@ -1677,16 +1677,23 @@ def main() -> None:
                         name,
                         env_extra={**env_extra, "BENCH_IVF_LOAD": state},
                         tag=tag,
-                        timeout_s=min(
-                            _SECTION_TIMEOUT_S.get(name, 900),
-                            max(remaining(), 60),
-                        ),
+                        # The calibrate ladder's first run compiles many
+                        # fresh (fetch_k, nprobe) probe-scan shapes
+                        # through the slow remote compiler; they cache
+                        # for every later run.
+                        timeout_s=min(1200, max(remaining(), 60)),
                         allow_retry=remaining() > 2 * est + 120,
                         remaining_s=remaining,
                     )
                     if measured:
                         part.update(measured)
-                shutil.rmtree(state, ignore_errors=True)
+                if measured:
+                    shutil.rmtree(state, ignore_errors=True)
+                else:
+                    log(
+                        f"[bench] keeping build state at {state} for "
+                        f"manual retry (BENCH_IVF_LOAD={state})"
+                    )
                 if part:
                     dest[name].update(part)
                 if not measured:
