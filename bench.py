@@ -1600,12 +1600,14 @@ def main() -> None:
         ("embed", {}, "embed"),
         ("search", {}, "search"),
         ("serving", {}, "serving"),
-        ("ivf", {"BENCH_IVF_DTYPES": "int8"}, "ivf:int8"),
         # Indexing e2e guards the BASELINE "index 1k conversations" rows
         # in the canonical record (VERDICT r4 item 4: it previously ran
         # only under BENCH_FULL, so BENCH_r04.json carried no index
-        # number while the run used 110 s of a 1,500 s budget).
+        # number).  It runs BEFORE the ivf leg: on a cold compile cache
+        # the earlier sections can eat most of the budget, and the
+        # index row must not be the one that falls off the end.
         ("index", {}, "index"),
+        ("ivf", {"BENCH_IVF_DTYPES": "int8"}, "ivf:int8"),
     ]
     if os.environ.get("BENCH_FULL"):
         plan += [
