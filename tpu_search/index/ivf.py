@@ -1757,9 +1757,29 @@ class IVFIndex:
         sequential), so callers see the identical contract.
         """
         on_device = isinstance(vectors, jax.Array)
+        if not on_device:
+            # Normalize BEFORE the bulk check: list-of-rows inputs have
+            # no .shape (reference callers pass lists).
+            vectors = np.asarray(vectors, dtype=np.float32)
         total_rows = vectors.shape[0] if vectors.ndim > 1 else 1
         live_rows = total_rows if n is None else min(n, total_rows)
         if live_rows > self.BULK_ADD_ROWS:
+            if not self.is_trained:
+                # Auto-train on a proper sample of the WHOLE batch, not
+                # whatever the first slice happens to hold (the
+                # non-bulk path trains on the full batch).
+                if self.nlist == 0:
+                    self.nlist = int(
+                        min(4096, max(16, round(live_rows ** 0.5)))
+                    )
+                sample = min(live_rows, 500_000)
+                with jax.default_device(self.device):
+                    train_rows = (
+                        _slice_rows_dev(vectors, jnp.int32(0), sample)
+                        if on_device
+                        else vectors[:sample]
+                    )
+                    self.train(train_rows)
             out_ids = []
             chunk = self.BULK_ADD_ROWS
             with jax.default_device(self.device):
